@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-pipeline operators (SURVEY.md §2.10).
+  *
+  * Everything here is Catalyst expressions (higher-order functions over
+  * arrays), so it stays inside whole-stage codegen and scales linearly with
+  * data — no UDF boundary, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents.text is space-separated words). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles of a token array; fewer than n tokens =>
+    * empty set. Building block for n-gram Jaccard / MinHash dedup.
+    */
+  def shingles(ws: Column, n: Int): Column = {
+    val make = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*))
+    when(size(ws) >= n, array_distinct(make))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) string arrays.
+    * Integer intersection/union counts divided once — deterministic.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+
+  /** English stopwords used by the language-ID heuristic. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Count of tokens that are stopwords (with multiplicity). */
+  def stopwordCount(ws: Column): Column =
+    size(filter(ws, t => t.isin(EnStopwords.map(x => x: Any): _*)))
+
+  /** Rolling polynomial fingerprint over the characters of `text`:
+    * h = fold(h * 31 + ascii(c)) mod 1e9+7. Stays in BIGINT range at every
+    * step so it is portable to engines with overflow-checked arithmetic.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (h, c) => (h * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregation closure — SURVEY.md §2.4 (q17–q22).
+  *
+  * All stock `groupBy().agg()`: Catalyst plans partial (map-side) +
+  * final HashAggregate automatically, so at 100 TB each group-by is one
+  * shuffle of pre-combined partials, spilling to sort-based aggregation
+  * under memory pressure. Determinism vs the oracle: double sums rounded
+  * to 2dp, averages to 4dp (summation-order noise ≪ rounding step);
+  * counts cast to BIGINT; collect_set sorted in-query.
+  */
+object Aggregates extends QueryGroup {
+
+  def queries: Map[String, Q] = Map(
+    // q17 [CLOSURE]: TPC-H Q1 shape — hash group-by with multiple aggs.
+    "q17_agg_tpch_q1" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // q18 [CLOSURE]: exact distinct count per group.
+    "q18_distinct_count" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy("l_returnflag")),
+
+    // q19 [CLOSURE]: approx distinct (HLL). No oracle — DuckDB's HLL
+    // parameters differ; driver records a rows-only check. Bounds vs the
+    // exact count are asserted in scalatest instead.
+    "q19_approx_distinct" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+        .orderBy("l_returnflag")),
+
+    // q20 [CLOSURE]: global aggregate, no grouping.
+    "q20_global_agg" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))),
+
+    // q21 [CLOSURE]: rollup (grouping sets family).
+    "q21_rollup" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // q22 [REF tag.py:37-44 rebuilt as aggregation]: set accumulation —
+    // sorted in-query because collect_set order is nondeterministic.
+    "q22_collect_set" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"))
+        .orderBy("o_orderstatus")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q17_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity),2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice),2) AS sum_base,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | ROUND(AVG(l_quantity),4) AS avg_qty,
+        | ROUND(AVG(l_extendedprice),4) AS avg_price,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q18_distinct_count" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q20_global_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice),2) AS total_price,
+        | ROUND(AVG(o_totalprice),4) AS avg_price, MIN(o_totalprice) AS min_price,
+        | MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q22_collect_set" ->
+      """SELECT o_orderstatus, list_sort(list_distinct(list(o_orderpriority))) AS prios
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

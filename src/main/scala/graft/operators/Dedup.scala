@@ -1,0 +1,136 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+
+/** Deduplication operators — SURVEY.md §2.10 (q42, q46, q47).
+  *
+  * Three tiers, as a training-data pipeline needs at 100 TB:
+  *  - q42 exact dedup: hash group-by on sha256(content). One shuffle keyed
+  *    by the hash; the hash (not the document) is the shuffle key, so the
+  *    exchange carries 32-byte keys + doc ids.
+  *  - q46 MinHash+LSH near-dup: shingle → 128 minhashes (one xxhash64 per
+  *    shingle + 128 affine permutations of it, computed as agg expressions,
+  *    NOT 128 string hashes) → 32 bands × 4 rows → bucket self-join on
+  *    (band, band_hash) → exact Jaccard verification of candidates only.
+  *    At scale the bucket join is the only pair-producing step and it is
+  *    equi-keyed, so Spark shuffles both sides once; no O(n²) stage exists.
+  *    With J≥0.5 and 32×4 bands, P(miss) per true pair ≤ (1-0.5⁴)³² ≈ 1e-1
+  *    at the threshold but ≈1e-15 for the planted near-dups at J≥0.9; the
+  *    verification step makes precision exact, and the band/row choice is
+  *    tuned so measured recall on the corpus is total (all true pairs sit
+  *    at J≥0.9, far above the τ=0.5 cut — see SURVEY data notes).
+  *  - q47 SimHash: 64-bit signature via per-token xxhash64 bit votes +
+  *    16-bit band keys for hamming-adjacent bucketing (no oracle — hash
+  *    internals are engine-specific; scalatest pins the semantics).
+  */
+object Dedup extends QueryGroup {
+
+  /** 128 fixed affine permutations h -> a*h + b over Z/2^64 (a odd => a
+    * bijection); seeded so plans are deterministic across runs.
+    */
+  private val perms: Seq[(Long, Long)] = {
+    val r = new Random(42)
+    Seq.fill(128)((r.nextLong() | 1L, r.nextLong()))
+  }
+  private val NumBands = 32
+  private val RowsPerBand = 4
+  private val JaccardTau = 0.5
+
+  /** doc_id + distinct 3-word shingle set. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+
+  def queries: Map[String, Q] = Map(
+    // q42 [CLOSURE of tag.py:39 set-dedup semantics]: exact content dedup.
+    "q42_exact_dedup" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("keep_id")),
+
+    // q46 [north star]: MinHash + LSH near-duplicate pairs, exact-verified.
+    "q46_minhash_neardup" -> ((spark, dir) => {
+      val docs = shingled(Tables(spark, dir, "documents"))
+        .filter(size(col("sh")) > 0)
+
+      // One string hash per (doc, shingle); 128 permutations as agg exprs.
+      val tok = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        min(col("h") * lit(a) + lit(b)).as(s"sig$i")
+      }
+      val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+      // 32 band keys per doc; candidate pairs share any (band, hash) bucket.
+      val bandStructs = (0 until NumBands).map { bd =>
+        val rows = (0 until RowsPerBand).map(r => col(s"sig${bd * RowsPerBand + r}"))
+        struct(lit(bd).as("band"), xxhash64(rows: _*).as("bh"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+      val cands = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+
+      // Exact verification: true Jaccard over the shingle sets.
+      val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      cands.join(a, "a_id").join(b, "b_id")
+        .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= JaccardTau)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q47 [north star]: SimHash signatures + band keys (rows-only check).
+    "q47_simhash" -> ((spark, dir) => {
+      val toks = array_distinct(TextOps.tokens(col("text")))
+      def bitVote(j: Int) = aggregate(toks, lit(0L),
+        (acc, t) => acc +
+          shiftrightunsigned(xxhash64(t), j).bitwiseAND(lit(1L)) * 2L - 1L)
+      val sim = (0 until 64).map { j =>
+        when(bitVote(j) > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+      }.reduce(_ + _)
+      val withSim = Tables(spark, dir, "documents")
+        .select(col("doc_id"), sim.as("simhash"))
+      val bandCols = (0 until 4).map(k =>
+        shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
+          .as(s"band$k"))
+      withSim.select(col("doc_id") +: hex(col("simhash")).as("simhash_hex") +:
+          bandCols: _*)
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q42_exact_dedup" ->
+      """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // Brute-force shingle-join Jaccard — feasible at oracle scale because
+    // only docs sharing a shingle pair up.
+    "q46_minhash_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT p.a_id, p.b_id
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join closure — SURVEY.md §2.3 (q09–q16).
+  *
+  * The reference's enrichment (`tag.py:12-17`: per-record GET of the full
+  * document by `_id`) is a point-lookup join of the stream against the
+  * document store; everything here generalizes that.
+  *
+  * Scale notes:
+  *  - q09 broadcasts the dimension (document store fits executor memory at
+  *    any realistic doc count; at 100 TB of *events* the stream side never
+  *    shuffles).
+  *  - q10 forces sort-merge for the large×large case: both sides shuffle on
+  *    the join key once, and AQE converts to broadcast at runtime if a side
+  *    turns out small.
+  *  - q15 implements as-of with the union + last(ignoreNulls) window trick:
+  *    ONE shuffle on (user_id) instead of an O(n²) inequality join.
+  *  - q16's interval self-join keys the shuffle on user_id (equi part), so
+  *    the time-range predicate evaluates only within co-partitioned groups.
+  */
+object Joins extends QueryGroup {
+
+  def queries: Map[String, Q] = Map(
+    // q09 [REF tag.py:12-17]: broadcast (map-side) equi join.
+    "q09_broadcast_join" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val d = Tables(spark, dir, "documents")
+      e.join(broadcast(d), e("user_id") === d("doc_id"))
+        .select(col("event_id"), col("user_id"), col("lang"), col("source"))
+        .orderBy("event_id")
+    }),
+
+    // q10 [CLOSURE]: shuffled sort-merge join, large × large.
+    "q10_sortmerge_join" -> ((spark, dir) => {
+      val li = Tables(spark, dir, "lineitem").hint("merge")
+      val o = Tables(spark, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // q11 [REF-adjacent app.py:71-75]: enrichment must not drop unmatched.
+    "q11_left_outer_join" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val c = Tables(spark, dir, "customer")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"), "left_outer")
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
+    // q12 [CLOSURE]: semi join — "documents that have events".
+    "q12_semi_join" -> ((spark, dir) => {
+      val d = Tables(spark, dir, "documents")
+      val e = Tables(spark, dir, "events")
+      d.join(e, d("doc_id") === e("user_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // q13 [CLOSURE of app.py:74 failure branch]: anti join.
+    "q13_anti_join" -> ((spark, dir) => {
+      val d = Tables(spark, dir, "documents")
+      val e = Tables(spark, dir, "events")
+      d.join(e, d("doc_id") === e("user_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // q14 [CLOSURE]: theta/band join — small side broadcast keeps it a
+    // BroadcastNestedLoop instead of a cartesian shuffle.
+    "q14_band_join" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val r = Tables(spark, dir, "region")
+      e.join(broadcast(r),
+          e("value") >= r("r_regionkey") * 50.0 &&
+            e("value") < (r("r_regionkey") + 1) * 50.0)
+        .select(col("event_id"), col("r_regionkey"), col("r_name"))
+        .orderBy("event_id", "r_regionkey")
+    }),
+
+    // q15 [REF-adjacent tag.py:14 "latest revision"]: as-of join — for each
+    // event, the user's most recent purchase value at-or-before its time.
+    // Union + last(ignoreNulls) over one (user_id) shuffle.
+    "q15_asof_join" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val left = e.select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("double").as("pval"))
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("side"), col("value").as("pval"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("asof_value", last(col("pval"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // q16 [CLOSURE]: interval self-join (batch form of the stream-stream
+    // time-range join; streaming twin lives in graft.streaming).
+    "q16_interval_join" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events").alias("e")
+      val s = Tables(spark, dir, "events").alias("s")
+      e.join(s,
+          col("e.user_id") === col("s.user_id") &&
+            col("s.ts") <= col("e.ts") &&
+            col("s.ts") >= col("e.ts") - expr("INTERVAL 5 MINUTES") &&
+            col("s.event_id") =!= col("e.event_id"))
+        .select(col("e.event_id").as("event_id"),
+          col("s.event_id").as("prior_event_id"))
+        .orderBy("event_id", "prior_event_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q09_broadcast_join" ->
+      "SELECT e.event_id, e.user_id, d.lang, d.source FROM events e JOIN documents d ON e.user_id = d.doc_id ORDER BY e.event_id",
+    "q10_sortmerge_join" ->
+      "SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderstatus FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey ORDER BY l.l_orderkey, l.l_linenumber",
+    "q11_left_outer_join" ->
+      "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey ORDER BY e.event_id",
+    "q12_semi_join" ->
+      "SELECT d.doc_id, d.lang FROM documents d WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id) ORDER BY d.doc_id",
+    "q13_anti_join" ->
+      "SELECT d.doc_id, d.lang FROM documents d WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id) ORDER BY d.doc_id",
+    "q14_band_join" ->
+      """SELECT e.event_id, r.r_regionkey, r.r_name FROM events e JOIN region r
+        | ON e.value >= r.r_regionkey * 50.0 AND e.value < (r.r_regionkey + 1) * 50.0
+        |ORDER BY e.event_id, r.r_regionkey""".stripMargin,
+    "q15_asof_join" ->
+      """SELECT e.event_id, p.value AS asof_value
+        |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        | ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q16_interval_join" ->
+      """SELECT e.event_id, s.event_id AS prior_event_id
+        |FROM events e JOIN events s ON e.user_id = s.user_id
+        | AND s.ts <= e.ts AND s.ts >= e.ts - INTERVAL 5 MINUTE AND s.event_id <> e.event_id
+        |ORDER BY e.event_id, prior_event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+import graft.functions.{Codec, TagOps}
+
+/** Scans, decode, filters, projections, sorts, limits, set ops —
+  * SURVEY.md §2.1, §2.2, §2.6, §2.7 (q00–q08, q27–q31).
+  *
+  * Scale notes: every query here is scan → narrow transforms (no shuffle
+  * except the final presentation sort); filters and projections are plain
+  * Catalyst expressions so predicate pushdown and column pruning reach the
+  * parquet reader (verified via .explain: PushedFilters / ReadSchema).
+  */
+object Relational extends QueryGroup {
+
+  /** q00 — the reference's whole dataflow in batch form (SURVEY.md §7 M0):
+    * filter (`app.py:56`) → JSON projection (`app.py:57-67`) → broadcast
+    * enrichment join against the document store (`tag.py:12-17`) →
+    * idempotent tag append (`tag.py:31-46`).
+    */
+  val flagship: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type") === "signup" && col("value") > 50.0)
+      .select(
+        col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val d = Tables(spark, dir, "documents")
+    e.join(broadcast(d), e("user_id") === d("doc_id"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("k"), col("doc_id"),
+        substring(col("text"), 1, 30).as("headline"),
+        TagOps.appendIfAbsent(array(col("lang"), col("source")),
+          lit("kinesis-autotag")).as("tags"))
+      .orderBy("event_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q00_flagship" -> flagship,
+
+    // q01 [CLOSURE of app.py:16-30]: bounded scan + projection.
+    "q01_scan_project" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // q02 [REF app.py:36]: gzip decode; verified by round-trip identity.
+    "q02_gzip_roundtrip" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          Codec.gunzip(Codec.gzip(col("props"))).as("decoded"))
+        .orderBy("event_id")),
+
+    // q03 [REF app.py:40-46]: JSON payload -> typed struct (PERMISSIVE).
+    "q03_json_parse" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .orderBy("event_id")),
+
+    // q04 [REF tag.py:21-27]: struct -> JSON for the writeback body.
+    "q04_json_serialize" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")),
+
+    // q05 [REF app.py:56]: conjunctive equality/range filter.
+    "q05_filter_conjunctive" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .filter(col("event_type") === "signup" && col("value") > 100.0 &&
+          col("user_id") < 100)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy("event_id")),
+
+    // q06 [REF app.py:57-67]: nested projection with null-guarded access —
+    // Spark's null propagation on absent struct fields reproduces the
+    // `if record.get('trigger')` guard at app.py:64.
+    "q06_nested_projection" -> ((spark, dir) => {
+      val j = from_json(col("props"),
+        StructType.fromDDL("k LONG, missing STRUCT<x: LONG>"))
+      Tables(spark, dir, "events")
+        .withColumn("j", j)
+        .select(col("event_id"), col("j.k").as("k"),
+          col("j.missing.x").as("missing_x"))
+        .orderBy("event_id")
+    }),
+
+    // q07 [REF app.py:56-66, tag.py:33]: .get()-style defaulting.
+    "q07_defaulting" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          coalesce(when(col("event_type") === "error", lit(null))
+            .otherwise(col("event_type")), lit("unknown")).as("et"),
+          when(col("value") >= 100.0, lit("high")).otherwise(lit("low"))
+            .as("band"))
+        .orderBy("event_id")),
+
+    // q08 [CLOSURE of app.py:56; README.md:232 "other criteria"].
+    "q08_range_in" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .filter(col("o_totalprice").between(1000.0, 5000.0) &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
+    // q27 [CLOSURE]: global sort (range-partitioned exchange at scale).
+    "q27_sort" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    // q28 [REF-adjacent app.py:22 Limit=20]: top-k — Spark plans
+    // TakeOrderedAndProject (no global sort materialization).
+    "q28_topk_limit" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // q29–q31 [CLOSURE; set semantics anchor tag.py:39].
+    "q29_union_all" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("event_type"))
+        .unionByName(
+          e.filter(col("value") > 150.0)
+            .select(col("event_id"), col("event_type")))
+        .orderBy("event_id", "event_type")
+    }),
+
+    "q30_intersect" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      e.filter(col("event_type") === "signup").select(col("user_id"))
+        .intersect(
+          e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+
+    "q31_except" -> ((spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      e.filter(col("event_type") === "view").select(col("user_id"))
+        .except(
+          e.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q00_flagship" ->
+      """SELECT e.event_id, e.user_id, CAST(json_extract(e.props,'$.k') AS BIGINT) AS k,
+        | d.doc_id, substring(d.text,1,30) AS headline,
+        | CASE WHEN list_contains([d.lang,d.source],'kinesis-autotag') THEN [d.lang,d.source]
+        |      ELSE list_append([d.lang,d.source],'kinesis-autotag') END AS tags
+        |FROM events e LEFT JOIN documents d ON e.user_id = d.doc_id
+        |WHERE e.event_type = 'signup' AND e.value > 50.0
+        |ORDER BY e.event_id""".stripMargin,
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02_gzip_roundtrip" ->
+      "SELECT event_id, props AS decoded FROM events ORDER BY event_id",
+    "q03_json_parse" ->
+      "SELECT event_id, CAST(json_extract(props,'$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q04_json_serialize" ->
+      """SELECT event_id, '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js FROM events ORDER BY event_id""",
+    "q05_filter_conjunctive" ->
+      "SELECT event_id, user_id, event_type, value, props FROM events WHERE event_type = 'signup' AND value > 100.0 AND user_id < 100 ORDER BY event_id",
+    "q06_nested_projection" ->
+      "SELECT event_id, CAST(json_extract(props,'$.k') AS BIGINT) AS k, CAST(NULL AS BIGINT) AS missing_x FROM events ORDER BY event_id",
+    "q07_defaulting" ->
+      """SELECT event_id,
+        | COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END, 'unknown') AS et,
+        | CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END AS band
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q08_range_in" ->
+      "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 5000.0 AND o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
+    "q27_sort" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+    "q28_topk_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q29_union_all" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE value > 150.0
+        |ORDER BY event_id, event_type""".stripMargin,
+    "q30_intersect" ->
+      "SELECT user_id FROM events WHERE event_type = 'signup' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "q31_except" ->
+      "SELECT user_id FROM events WHERE event_type = 'view' EXCEPT SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id",
+  )
+}

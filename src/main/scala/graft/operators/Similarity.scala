@@ -1,0 +1,126 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over embedding columns — SURVEY.md §2.10
+  * (q43, q48, q49).
+  *
+  * Determinism contract with the oracle: similarity VALUES are never
+  * output, only ids/ranks — and the dot products themselves are sequential
+  * folds (see VectorOps), bit-identical to DuckDB's list_reduce, so rank
+  * order and threshold cuts cannot drift. Thresholds are chosen in
+  * measured gaps of the corpus similarity distribution (nearest pair to
+  * τ=0.45 is 5.5e-4 away — 11 orders of magnitude above fp noise).
+  *
+  * Scale paths:
+  *  - q43 brute-force top-k: the QUERY side is broadcast; the corpus scans
+  *    once, each partition computes its local candidates; the final top-k
+  *    per query is a window over q_id (k rows per query survive the
+  *    shuffle... at 100 TB, replace the window with per-partition top-k +
+  *    re-aggregate, which q49's bucketed variant demonstrates).
+  *  - q48 all-pairs near-dup: genuinely O(n²); kept exact here because the
+  *    embedding corpus is a dimension table. The scale path for a large
+  *    corpus is q49: random-hyperplane LSH buckets make the self-join
+  *    equi-keyed (one shuffle, no cartesian).
+  */
+object Similarity extends QueryGroup {
+
+  /** 16 fixed random hyperplanes (seeded) for sign-LSH over 64-dim vectors. */
+  private val hyperplanes: Seq[Seq[Double]] = {
+    val r = new Random(42)
+    Seq.fill(16)(Seq.fill(64)(r.nextGaussian()))
+  }
+
+  private def signBucket(v: Column): Column =
+    hyperplanes.zipWithIndex.map { case (p, j) =>
+      when(VectorOps.dot(v, typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def queries: Map[String, Q] = Map(
+    // q43 [north star]: brute-force cosine top-k (the exactness baseline).
+    "q43_cosine_topk" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorOps.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // q48 [north star]: embedding-cosine near-duplicate pairs (exact).
+    "q48_embedding_neardup" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .filter(VectorOps.cosine(col("a_emb"), col("b_emb")) >= 0.45)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q49 [north star]: LSH-bucketed approximate NN — the 100 TB shape:
+    // bucket on 16 hyperplane signs, self-join becomes equi-keyed.
+    // Approximate by construction => rows-only check (no oracle).
+    "q49_ann_lsh" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding")).as("bucket"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))
+      emb.alias("a")
+        .join(emb.alias("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.bucket").as("bucket"),
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 1)
+        .select(col("a_id"), col("b_id"), col("bucket"))
+        .orderBy("a_id")
+    }),
+  )
+
+  // DuckDB mirrors use the same sequential fold (list_reduce is
+  // left-to-right; a 0-init fold and a no-init reduce agree exactly for
+  // addition) so dots are bit-identical — see VectorOps scaladoc.
+  private val dotSql =
+    """list_reduce(list_transform(range(1, len(%A) + 1),
+      |  i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)), (x, y) -> x + y)"""
+      .stripMargin
+  private def dot(a: String, b: String): String =
+    dotSql.replace("%A", a).replace("%B", b)
+  private def cosSql(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  def oracles: Map[String, String] = Map(
+    "q43_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id,
+         |        ${cosSql("q.q_emb", "e.embedding")} AS cos
+         |      FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT q_id, n_id,
+         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT q_id, rank, n_id FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q48_embedding_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+
+/** Text-analysis operators for training-data pipelines — SURVEY.md §2.10
+  * (q44–q45) plus the north-star additions: language ID, quality scoring,
+  * token counting, document fingerprinting (q50–q53).
+  *
+  * Scale: q44 is the only shuffling query (token group-by — partial
+  * aggregation makes the shuffle carry one row per distinct token per
+  * partition, not per occurrence). Everything else is per-row expression
+  * work fused into the scan.
+  */
+object TextAnalysis extends QueryGroup {
+
+  def queries: Map[String, Q] = Map(
+    // q44 [CLOSURE]: tokenize + term frequency.
+    "q44_token_tf" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("word"))),
+
+    // q45 [CLOSURE]: corpus stats per source.
+    "q45_text_stats" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("total_tokens"))
+        .orderBy("source")),
+
+    // q50 [north star]: language-ID heuristic — stopword-ratio n-gram
+    // scorer. (The synthetic corpus shares one vocabulary across langs, so
+    // the classifier itself is what is under test, not its accuracy.)
+    "q50_langid" -> ((spark, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val nStop = TextOps.stopwordCount(ws)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          nStop.cast("long").as("n_stopwords"),
+          when(nStop.cast("double") / size(ws).cast("double") > 0.05, lit("en"))
+            .otherwise(lit("unknown")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // q51 [north star]: quality scoring — length / repetition bands.
+    "q51_quality" -> ((spark, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val nTok = size(ws).cast("long")
+      val nDis = size(array_distinct(ws)).cast("long")
+      val ttr = nDis.cast("double") / nTok.cast("double")
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          nTok.as("n_tokens"), nDis.as("n_distinct"),
+          when(col("n_chars") < 150, lit("short"))
+            .when(col("n_chars") < 350, lit("medium"))
+            .otherwise(lit("long")).as("len_band"),
+          when(ttr < 0.35, lit("repetitive")).otherwise(lit("diverse"))
+            .as("diversity"))
+        .orderBy("doc_id")
+    }),
+
+    // q52 [north star]: rolling-hash document fingerprint.
+    "q52_fingerprint" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // q53 [north star]: token counting — whitespace + regex (BPE-ish
+    // fixed-width chunking as the stand-in for subword merges).
+    "q53_token_count" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+            .as("word_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long")
+            .as("bpe_ish_tokens"))
+        .orderBy("doc_id")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q44_token_tf" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY tf DESC, word""".stripMargin,
+    "q45_text_stats" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | ROUND(AVG(CAST(n_chars AS DOUBLE)),4) AS avg_chars,
+        | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        | CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q50_langid" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords,
+        | CASE WHEN CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |          / CAST(len(string_split(text,' ')) AS DOUBLE) > 0.05
+        |      THEN 'en' ELSE 'unknown' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        | CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS len_band,
+        | CASE WHEN CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |          / CAST(len(string_split(text,' ')) AS DOUBLE) < 0.35
+        |      THEN 'repetitive' ELSE 'diverse' END AS diversity
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT)),
+        |             (h, a) -> (h * 31 + a) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text,'[a-z]+')) AS BIGINT) AS word_tokens,
+        | CAST(len(regexp_extract_all(text,'[a-z]{1,4}')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
