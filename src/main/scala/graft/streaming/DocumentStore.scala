@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import graft.streaming.AnsModel._
+
+/** The document store the reference enriches against and writes back to
+  * (Draft API: GET/PUT by `_id`, `tag.py:12-29`).
+  *
+  * Semantics preserved:
+  *  - point lookup by id (`tag.py:12-17`);
+  *  - upsert PUT, last-writer-wins, no locking (`README.md:250`);
+  *  - the PUT response is discarded — fire-and-forget (`tag.py:28`) — so
+  *    the write path must be IDEMPOTENT; that is guaranteed by the tag
+  *    append being a set-insert (`tag.py:39-40` / TagOps.appendIfAbsent).
+  *
+  * In production this is an HTTP client pooled per partition (or a keyed
+  * Delta table); tests use [[InMemoryDocumentStore]]. The trait keeps the
+  * pipeline source/sink-agnostic, the same way the Kinesis connector is a
+  * config swap for MemoryStream.
+  */
+trait DocumentStore extends Serializable {
+  def get(id: String): Option[AnsDoc]
+  def upsert(doc: AnsDoc): Unit
+  def snapshot: Seq[AnsDoc]
+}
+
+/** JVM-local store (driver + executors share the JVM under local[k], the
+  * same reachability a foreachBatch HTTP client has on a cluster).
+  */
+class InMemoryDocumentStore extends DocumentStore {
+  private val m = new ConcurrentHashMap[String, AnsDoc]()
+  def get(id: String): Option[AnsDoc] = Option(m.get(id))
+  def upsert(doc: AnsDoc): Unit = m.put(doc._id, doc)
+  def snapshot: Seq[AnsDoc] = m.values.asScala.toSeq
+  def size: Int = m.size
+}
+
+object DocumentStore {
+
+  /** The reference's `modify_ans` with the intended (bug-fixed) semantics:
+    * append `tag` iff absent; a missing taxonomy or missing tags list
+    * initializes to `[tag]` (`tag.py:31-46`, intent per `README.md:241`;
+    * NOT the KeyError at `tag.py:33-35` — SURVEY.md §0).
+    * Idempotent: applying twice equals applying once.
+    */
+  def modifyAns(doc: AnsDoc, tag: Tag): AnsDoc = {
+    val tags = doc.taxonomy.flatMap(_.tags).getOrElse(Seq.empty)
+    if (tags.contains(tag)) doc
+    else doc.copy(taxonomy = Some(Taxonomy(Some(tags :+ tag))))
+  }
+}

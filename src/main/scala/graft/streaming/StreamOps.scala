@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked streaming aggregations — the streaming twins of the batch
+  * queries q39–q41 (identical grouping expressions; batch≡stream
+  * unification is the point, SURVEY.md §2.9).
+  *
+  * Watermark semantics vs the reference: the reference has NO late-data
+  * story — `LATEST` iterator simply never sees history (`app.py:18`).
+  * Ours is the principled version: events later than the watermark delay
+  * are dropped from aggregates, everything else is exact.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour count/sum per event_type (q39's expression). */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding 1h/15min count (q40's expression). */
+  def slidingCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** 30-minute-gap session windows per user (q41's expression). */
+  def sessionCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** State-backed exactly-once dedup by event id within the watermark
+    * (the redelivery tolerance the reference gets from set-membership,
+    * `tag.py:39-40`, made a stream operator).
+    */
+  def dedupWithinWatermark(events: DataFrame, idCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+}

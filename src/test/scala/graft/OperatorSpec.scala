@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One spec entry per declared operator (SURVEY.md §5): every
+  * SparkEntry query must run at sf0.001, and known invariants hold.
+  * (Value-level correctness is the DuckDB oracle's job — tools/compare.py;
+  * these are structural/semantic guards that run in plain `sbt test`.)
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("every declared query runs and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    val counts = qs.map { case (name, fn) => name -> fn(spark, Sf).count() }
+    // q31 (except) is legitimately empty at sf0.001; everything else has rows
+    counts.foreach { case (name, n) =>
+      assert(n >= 0, s"$name failed")
+      if (name != "q31_except") assert(n > 0, s"$name returned no rows")
+    }
+    assert(qs.size >= 55)
+  }
+
+  test("entry (flagship) returns rows — the driver smoke gate") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q19 approx distinct within rsd bounds of exact (its declared check)") {
+    val approx = SparkEntry.queries("q19_approx_distinct")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q18_distinct_count")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("join-family row-count algebra: |left| == |inner| for FK-complete keys, semi+anti partition the dimension") {
+    val inner = SparkEntry.queries("q09_broadcast_join")(spark, Sf).count()
+    val left = SparkEntry.queries("q11_left_outer_join")(spark, Sf).count()
+    assert(left >= inner)
+    val semi = SparkEntry.queries("q12_semi_join")(spark, Sf).count()
+    val anti = SparkEntry.queries("q13_anti_join")(spark, Sf).count()
+    val docs = Tables(spark, Sf, "documents").count()
+    assert(semi + anti == docs)
+  }
+
+  test("window q39 tumbling counts partition the total event count") {
+    val total = Tables(spark, Sf, "events").count()
+    val winSum = SparkEntry.queries("q39_tumbling_window")(spark, Sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(winSum == total)
+  }
+
+  test("q42 exact dedup: distinct hashes ≤ docs; group sizes sum to docs") {
+    val docs = Tables(spark, Sf, "documents").count()
+    val d = SparkEntry.queries("q42_exact_dedup")(spark, Sf)
+    assert(d.count() <= docs)
+    assert(d.agg(sum("n_dups")).collect().head.getLong(0) == docs)
+  }
+
+  test("q46 minhash near-dup pairs are symmetric-free and self-free") {
+    val pairs = SparkEntry.queries("q46_minhash_neardup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("q43 cosine top-k: exactly k neighbors per query id, no self-matches") {
+    val rows = SparkEntry.queries("q43_cosine_topk")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 10))
+    assert(rows.forall { case (q, _, n) => q != n })
+    byQ.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to 10L)) // dense ranks 1..k
+    }
+  }
+}

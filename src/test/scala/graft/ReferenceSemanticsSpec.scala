@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Codec, TagOps}
+import graft.streaming.{DocumentStore, EventDecoder}
+import graft.streaming.AnsModel._
+
+/** Pins the FIXED reference semantics (FIXTURES.md §B "required unit-fixture
+  * cases"; SURVEY.md §5 rule 2). Each test cites the reference behavior it
+  * preserves — or the reference bug it deliberately does not.
+  */
+class ReferenceSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gz(s: String): Array[Byte] = Codec.gzipBytes(s.getBytes(UTF_8))
+
+  private def wire(rows: (Array[Byte], String)*) =
+    rows.zipWithIndex.map { case ((data, shard), i) =>
+      (data, shard, new Timestamp(1700000000000L + i * 1000))
+    }.toDF("data", "shard", "ts")
+
+  val fullEvent: String =
+    """{"id":"ABC","operation":"insert-story","created":true,"type":"story",
+      |"published":true,"trigger":{"referent_update":true},
+      |"body":{"headlines":{"basic":"hello"},"revision":7}}""".stripMargin
+
+  test("1. null trigger → null projection, no error (app.py:64 guard)") {
+    val noTrigger =
+      """{"id":"X","operation":"insert-story","published":true,
+        |"body":{"headlines":{"basic":"h"},"revision":1}}""".stripMargin
+    val out = EventDecoder.decode(wire(gz(noTrigger) -> "s1")).collect().head
+    assert(out.getAs[String]("id") == "X")
+    assert(out.getAs[Any]("referent_update") == null)
+    assert(out.getAs[String]("headline") == "h")
+  }
+
+  test("2. non-JSON payload → {url} fallback row (app.py:43-46)") {
+    val s3url = "https://bucket.example/big-payload.json"
+    val out = EventDecoder.decode(wire(gz(s3url) -> "s1")).collect().head
+    assert(out.getAs[String]("url") == s3url)
+    assert(out.getAs[String]("id") == null)
+    assert(!out.getAs[Boolean]("decode_error"))
+  }
+
+  test("3. corrupt gzip → row preserved with decode_error marker (app.py:37-38)") {
+    val out = EventDecoder.decode(
+      wire("not gzip at all".getBytes(UTF_8) -> "s1", gz(fullEvent) -> "s2"))
+      .orderBy("shard_origination").collect()
+    assert(out.length == 2) // no row lost
+    assert(out(0).getAs[Boolean]("decode_error"))
+    assert(out(0).getAs[String]("id") == null)
+    assert(!out(1).getAs[Boolean]("decode_error"))
+    assert(out(1).getAs[String]("id") == "ABC")
+  }
+
+  test("4+5. missing taxonomy / missing tags initialize to [tag] (intent of tag.py:33-35,41-42, NOT the KeyError bug)") {
+    val noTax = AnsDoc("d1", Some(1L), None)
+    val noTags = AnsDoc("d2", Some(1L), Some(Taxonomy(None)))
+    assert(DocumentStore.modifyAns(noTax, AutoTag)
+      .taxonomy.get.tags.get == Seq(AutoTag))
+    assert(DocumentStore.modifyAns(noTags, AutoTag)
+      .taxonomy.get.tags.get == Seq(AutoTag))
+  }
+
+  test("6. tag already present → unchanged; apply-twice == apply-once (tag.py:39-40)") {
+    val doc = AnsDoc("d", None, Some(Taxonomy(Some(Seq(Tag("other", "other"), AutoTag)))))
+    assert(DocumentStore.modifyAns(doc, AutoTag) eq doc)
+    val once = DocumentStore.modifyAns(AnsDoc("e", None, None), AutoTag)
+    assert(DocumentStore.modifyAns(once, AutoTag) == once)
+  }
+
+  test("6b. column-level appendIfAbsent: idempotent, order-preserving, null-initializing") {
+    val df = Seq(
+      (1L, Seq("b", "a")),        // absent → appended at end, order kept
+      (2L, Seq("x", "t", "x")),   // present → unchanged incl. duplicates
+      (3L, null)                  // null → [tag]
+    ).toDF("id", "tags")
+    val once = df.select(col("id"), TagOps.appendIfAbsent(col("tags"), lit("t")).as("tags"))
+    val twice = once.select(col("id"), TagOps.appendIfAbsent(col("tags"), lit("t")).as("tags"))
+    val got = twice.orderBy("id").collect().map(_.getSeq[String](1))
+    assert(got(0) == Seq("b", "a", "t"))
+    assert(got(1) == Seq("x", "t", "x"))
+    assert(got(2) == Seq("t"))
+    assert(once.orderBy("id").collect().map(_.getSeq[String](1)).toSeq ==
+      got.toSeq) // idempotence
+  }
+
+  test("7. filter keeps only operation='insert-story' AND published (README.md:230, not the app.py:56 debug id)") {
+    val rows = Seq(
+      """{"id":"keep","operation":"insert-story","published":true}""",
+      """{"id":"unpub","operation":"insert-story","published":false}""",
+      """{"id":"update","operation":"update-story","published":true}""",
+      """{"id":"nofields"}""")
+    val out = EventDecoder.decodeAndFilter(
+      wire(rows.map(r => gz(r) -> "s"): _*)).collect()
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("keep"))
+  }
+
+  test("gzip round-trip: gunzip(gzip(s)) == s; gunzip(garbage) == null") {
+    val df = Seq("hello", "", "π unicode ✓").toDF("s")
+    val rt = df.select(Codec.gunzip(Codec.gzip(col("s"))).as("r"))
+      .collect().map(_.getString(0))
+    assert(rt.toSeq == Seq("hello", "", "π unicode ✓"))
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(Codec.gunzip(col("b"))).collect().head
+    assert(bad.isNullAt(0))
+  }
+}

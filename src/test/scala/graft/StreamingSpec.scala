@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.Codec
+import graft.streaming._
+import graft.streaming.AnsModel._
+
+/** Streaming-semantics tests (SURVEY.md §5 rule 4): MemoryStream-driven
+  * micro-batches through the real StreamExecution engine — watermarks,
+  * state-backed dedup, arbitrary state, and the end-to-end tag pipeline
+  * with its idempotent upsert sink.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingSpec._
+
+  private def gz(s: String): Array[Byte] = Codec.gzipBytes(s.getBytes(UTF_8))
+  private def t(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+  private def ev(json: String, minute: Int, shard: String = "s0") =
+    Wire(gz(json), shard, t(minute))
+  private def story(id: String): String =
+    s"""{"id":"$id","operation":"insert-story","published":true,
+       |"body":{"headlines":{"basic":"h-$id"},"revision":1}}""".stripMargin
+
+  test("tag pipeline end-to-end: filter + enrich + idempotent upsert across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Wire]
+    val store = new InMemoryDocumentStore
+    store.upsert(AnsDoc("A", Some(3L), Some(Taxonomy(Some(Seq(Tag("x", "x")))))))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = TagPipeline.start(spark, ms.toDF(), store, ckpt,
+      trigger = Trigger.AvailableNow()) // test cadence; prod uses 3 s ≙ app.py:78
+
+    // batch 1: A (already in store, has other tag), B (unknown → created),
+    // an unpublished story and an update op (both filtered out).
+    ms.addData(
+      ev(story("A"), 0), ev(story("B"), 1),
+      ev("""{"id":"C","operation":"insert-story","published":false}""", 2),
+      ev("""{"id":"D","operation":"update-story","published":true}""", 3))
+    q.processAllAvailable()
+
+    // batch 2: A redelivered (dedup + idempotence ⇒ no double tag).
+    ms.addData(ev(story("A"), 4))
+    q.processAllAvailable()
+    q.stop()
+
+    val a = store.get("A").get
+    assert(a.taxonomy.get.tags.get == Seq(Tag("x", "x"), AutoTag)) // appended once, order kept
+    val b = store.get("B").get
+    assert(b.taxonomy.get.tags.get == Seq(AutoTag)) // created from nothing
+    assert(store.get("C").isEmpty && store.get("D").isEmpty) // filtered out
+    assert(store.size == 2)
+  }
+
+  test("dropDuplicatesWithinWatermark: redelivered ids collapse to one row") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val out = StreamOps.dedupWithinWatermark(ms.toDF(), "event_id")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ms.addData(Ev(1, t(0), 10, "signup", 1.0), Ev(2, t(1), 11, "signup", 2.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, t(0), 10, "signup", 1.0)) // redelivery, same id
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("tumbling window with watermark: late event beyond watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = StreamOps.tumblingCounts(ms.toDF(), watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    // hour-0 events, then advance event time far enough that the
+    // watermark (max ts - 10 min) passes the end of hour 0.
+    ms.addData(Ev(1, t(5), 1, "view", 1.0), Ev(2, t(10), 1, "view", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(3, t(80), 1, "view", 1.0)) // watermark → :70 > hour-0 end
+    q.processAllAvailable()
+    ms.addData(Ev(4, t(6), 1, "view", 99.0)) // LATE: inside closed hour 0
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble_out")
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hour-0 window emitted exactly once, with 2 rows — the late 4th never counted
+    assert(rows.values.toSeq == Seq(2L))
+  }
+
+  test("session windows split on 30-minute gaps per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = StreamOps.sessionCounts(ms.toDF(), watermarkDelay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    ms.addData(
+      Ev(1, t(0), 1, "view", 1.0), Ev(2, t(10), 1, "view", 1.0), // session 1
+      Ev(3, t(60), 1, "view", 1.0),                              // session 2 (50-min gap)
+      Ev(4, t(0), 2, "view", 1.0))                               // user 2
+    q.processAllAvailable()
+    ms.addData(Ev(5, t(200), 3, "view", 1.0)) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess_out")
+      .select(col("user_id"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sess.contains((1L, 2L)) && sess.contains((1L, 1L)) && sess.contains((2L, 1L)))
+  }
+
+  test("TagHistory (flatMapGroupsWithState): emits only first application per (doc, slug)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TagHistory.TagEvent]
+    val q = TagHistory.changes(spark, ms.toDS()).writeStream
+      .format("memory").queryName("hist_out").outputMode("append").start()
+    ms.addData(
+      TagHistory.TagEvent("d1", "auto", "auto"),
+      TagHistory.TagEvent("d1", "auto", "auto"), // duplicate within batch
+      TagHistory.TagEvent("d1", "manual", "manual"),
+      TagHistory.TagEvent("d2", "auto", "auto"))
+    q.processAllAvailable()
+    ms.addData(TagHistory.TagEvent("d1", "auto", "auto")) // duplicate across batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hist_out").as[TagHistory.TagChange].collect()
+    assert(got.length == 3)
+    assert(got.count(_.doc_id == "d1") == 2)
+    val firstD1 = got.filter(_.doc_id == "d1").sortBy(_.n_tags_after).head
+    assert(firstD1.first_application && firstD1.n_tags_after == 1)
+  }
+
+  test("streaming tumbling agg == batch q39 expression on the same bounded data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 100).map(i =>
+      Ev(i.toLong, t(i * 3), i % 7L, if (i % 2 == 0) "view" else "click", i.toDouble))
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(ms.toDF(), "0 seconds").writeStream
+      .format("memory").queryName("unify_out").outputMode("append").start()
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    // one more far-future row so every earlier window is past the watermark
+    ms.addData(Ev(999, t(100000), 0, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("unify_out")
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
+
+object StreamingSpec {
+  case class Wire(data: Array[Byte], shard: String, ts: Timestamp)
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+}
