@@ -40,6 +40,24 @@ object TextOps {
   def stopwordCount(ws: Column): Column =
     size(filter(ws, t => t.isin(EnStopwords.map(x => x: Any): _*)))
 
+  /** Distinct n-gram shingle HASHES (not strings) in one native pass —
+    * see [[graft.expressions.ShingleHashes]]. Downstream MinHash and
+    * Jaccard verification only need shingle identity.
+    */
+  def shingleHashes(ws: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.ShingleHashes(toExpression(ws), n))
+  }
+
+  /** MinHash signature over pre-hashed shingles: all permutations `a*h+b`
+    * (wraparound) min-reduced in one codegen'd pass — see
+    * [[graft.expressions.MinHashSig]] for the scale rationale.
+    */
+  def minhashSignature(shingleHashes: Column, perms: Seq[(Long, Long)]): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.MinHashSig(toExpression(shingleHashes), perms))
+  }
+
   /** Rolling polynomial fingerprint over the characters of `text`:
     * h = fold(h * 31 + ascii(c)) mod 1e9+7. Stays in BIGINT range at every
     * step so it is portable to engines with overflow-checked arithmetic.

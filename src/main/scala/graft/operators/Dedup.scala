@@ -42,10 +42,12 @@ object Dedup extends QueryGroup {
   private val RowsPerBand = 4
   private val JaccardTau = 0.5
 
-  /** doc_id + distinct 3-word shingle set. */
+  /** doc_id + distinct 3-word shingle HASH set (shingle identity is all
+    * MinHash and Jaccard verification need — see ShingleHashes scaladoc).
+    */
   private def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
 
   def queries: Map[String, Q] = Map(
     // q42 [CLOSURE of tag.py:39 set-dedup semantics]: exact content dedup.
@@ -57,20 +59,30 @@ object Dedup extends QueryGroup {
 
     // q46 [north star]: MinHash + LSH near-duplicate pairs, exact-verified.
     "q46_minhash_neardup" -> ((spark, dir) => {
-      val docs = shingled(Tables(spark, dir, "documents"))
+      // The docs file arrives as ONE parquet split (small dimension), so
+      // the shingle+signature pipeline — narrow but compute-heavy — must
+      // be spread across cores explicitly; a single-split scan would run
+      // it on one task. At 100 TB the scan has thousands of splits and
+      // this repartition is a no-op to remove.
+      val docs = shingled(
+          Tables(spark, dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
         .filter(size(col("sh")) > 0)
 
-      // One string hash per (doc, shingle); 128 permutations as agg exprs.
-      val tok = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-        min(col("h") * lit(a) + lit(b)).as(s"sig$i")
-      }
-      val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // All 128 permutations in ONE codegen'd pass per document (narrow —
+      // nothing shuffles until the 32-per-doc band table below). Same
+      // numbers as an explode + 128-way groupBy(min) shape, minus the
+      // shuffle. Persisted because THREE consumers walk it (two self-join
+      // sides + the verification lookup); without a persist each would
+      // recompute the whole shingle pipeline.
+      val sigs = docs.select(col("doc_id"), col("sh"),
+        TextOps.minhashSignature(col("sh"), perms).as("sig"))
+        .persist()
 
       // 32 band keys per doc; candidate pairs share any (band, hash) bucket.
       val bandStructs = (0 until NumBands).map { bd =>
-        val rows = (0 until RowsPerBand).map(r => col(s"sig${bd * RowsPerBand + r}"))
+        val rows = (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), bd * RowsPerBand + r + 1))
         struct(lit(bd).as("band"), xxhash64(rows: _*).as("bh"))
       }
       val bands = sigs
@@ -85,8 +97,8 @@ object Dedup extends QueryGroup {
         .distinct()
 
       // Exact verification: true Jaccard over the shingle sets.
-      val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       cands.join(a, "a_id").join(b, "b_id")
         .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= JaccardTau)
         .select(col("a_id"), col("b_id"))

@@ -61,12 +61,18 @@ object Similarity extends QueryGroup {
     }),
 
     // q48 [north star]: embedding-cosine near-duplicate pairs (exact).
+    // Norms are computed ONCE per row before the pair join (n·norm work
+    // instead of n²·norm) — the per-pair residue is a single codegen'd
+    // dot product. Same scalar op sequence dot/(sqrt·sqrt) as the oracle.
     "q48_embedding_neardup" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("a_norm"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("b_norm"))
       a.join(broadcast(b), col("a_id") < col("b_id"))
-        .filter(VectorOps.cosine(col("a_emb"), col("b_emb")) >= 0.45)
+        .filter(VectorOps.dot(col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm")) >= 0.45)
         .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
     }),
