@@ -57,6 +57,61 @@ object Multimodal extends QueryGroup {
     media.mapPartitions { it => it.map(decodeStub) }
   }
 
+  /** A media manifest row: id + blob pointer (the >1 MB side channel). */
+  case class ManifestRow(doc_id: Long, url: String)
+
+  /** Dereferenced blob metadata. `blob_md5` is derived from the stubbed
+    * fetch payload (deterministic function of the url — the fetch itself
+    * is the stub; everything else is real plumbing).
+    */
+  case class Dereffed(doc_id: Long, url: String, n_bytes: Long, blob_md5: String)
+
+  /** The stubbed blob fetch: a real deployment holds a pooled S3/HTTP
+    * client per partition; here the payload is the url bytes themselves.
+    */
+  private[graft] def fetchStub(r: ManifestRow): Dereffed = {
+    val payload = r.url.getBytes("UTF-8")
+    val md = MessageDigest.getInstance("MD5")
+    Dereffed(r.doc_id, r.url, payload.length.toLong,
+      md.digest(payload).map("%02x".format(_)).mkString)
+  }
+
+  /** Side-channel deref stage (SURVEY.md §2.1 "S3 pointer deref",
+    * `app.py:43-46`): filter pointer rows, fetch partition-locally.
+    * Narrow — fetch parallelism == partition count.
+    */
+  def derefPointers(spark: SparkSession, manifest: Dataset[ManifestRow]): Dataset[Dereffed] = {
+    import spark.implicits._
+    manifest.filter(_.url != null).mapPartitions(_.map(fetchStub))
+  }
+
+  /** One sampled frame: every `FrameStep`-th `FrameSize`-byte chunk. */
+  case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
+  val FrameSize = 64
+  val FrameStep = 4
+
+  /** Frame-sampling stage: media bytes → every 4th 64-byte chunk, with
+    * per-frame metadata — the video-keyframe extraction shape (the codec
+    * call is the stub; the flatMap fan-out, typed schema, and
+    * partition-local batch iteration are the real pipeline).
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // one codec instance per partition
+      it.flatMap { r =>
+        val n = r.media.length
+        (0 until n by FrameSize * FrameStep).iterator.zipWithIndex.map {
+          case (off, idx) =>
+            val chunk = r.media.slice(off, math.min(off + FrameSize, n))
+            md.reset()
+            Frame(r.doc_id, idx.toLong, chunk.length.toLong,
+              md.digest(chunk).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     // q54 [north star]: binary media column + stubbed decode/feature stage.
     "q54_multimodal_stub" -> ((spark, dir) => {
@@ -65,6 +120,27 @@ object Multimodal extends QueryGroup {
         .select(col("doc_id"), col("text").cast("binary").as("media"))
         .as[MediaRow]
       extractFeatures(spark, media).toDF().orderBy("doc_id")
+    }),
+
+    // q55 [REF app.py:43-46]: manifest of blob pointers → partition-local
+    // deref. The manifest derives from documents so the oracle is exact.
+    "q55_sidechannel_deref" -> ((spark, dir) => {
+      import spark.implicits._
+      val manifest = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("s3://media-bucket/doc/"), col("doc_id").cast("string"),
+            lit(".bin")).as("url"))
+        .as[ManifestRow]
+      derefPointers(spark, manifest).toDF().orderBy("doc_id")
+    }),
+
+    // q56 [north star]: frame sampling over the binary media column.
+    "q56_frame_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[MediaRow]
+      sampleFrames(spark, media).toDF().orderBy("doc_id", "frame_idx")
     }),
   )
 
@@ -76,5 +152,24 @@ object Multimodal extends QueryGroup {
         | CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_sidechannel_deref" ->
+      """SELECT doc_id,
+        | 's3://media-bucket/doc/' || CAST(doc_id AS VARCHAR) || '.bin' AS url,
+        | CAST(octet_length(encode('s3://media-bucket/doc/' || CAST(doc_id AS VARCHAR) || '.bin')) AS BIGINT) AS n_bytes,
+        | md5('s3://media-bucket/doc/' || CAST(doc_id AS VARCHAR) || '.bin') AS blob_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // documents.text is ASCII (lowercase words), so byte offsets == char
+    // offsets and DuckDB substring mirrors the byte slicing exactly.
+    "q56_frame_sample" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, s.k AS frame_idx,
+        |         substring(d.text, 1 + s.k * 256, 64) AS chunk
+        |  FROM documents d,
+        |       generate_series(0, 63) s(k)
+        |  WHERE s.k * 256 < length(d.text))
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(length(chunk) AS BIGINT) AS n_bytes,
+        |       md5(chunk) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -40,4 +40,25 @@ object StreamOps {
       watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream interval join (q16's streaming twin; SURVEY.md §2.16
+    * two-Kinesis-streams closure, e.g. stories × images
+    * `README.md:254-257`): each left event pairs with same-key right
+    * events at-or-before it within `lookback`. Both sides carry
+    * watermarks + the time-range condition, so join state is BOUNDED —
+    * Spark evicts right-side rows once the left watermark passes
+    * `ts + lookback`, which is what makes this runnable forever at scale.
+    * The equi-key (`user_id`) keys the shuffle; the range predicate only
+    * evaluates within co-partitioned groups.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lookback: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("e")
+    val r = right.withWatermark("ts", watermarkDelay).alias("s")
+    l.join(r,
+      expr(s"""e.user_id = s.user_id AND
+              |s.ts <= e.ts AND
+              |s.ts >= e.ts - INTERVAL $lookback""".stripMargin))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan guards (SURVEY.md §4): the scale properties that make
+  * these queries survive 100 TB are plan shapes, not constants — assert
+  * them so a refactor can't silently regress pushdown, pruning, or join
+  * strategy.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = plan("q05_filter_conjunctive")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(event_type,signup)"))
+    val p8 = plan("q08_range_in")
+    assert(p8.contains("In(o_orderpriority") && p8.contains("GreaterThanOrEqual(o_totalprice"))
+  }
+
+  test("projections prune the scan schema (column pruning)") {
+    val p = plan("q01_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"))
+    // q44 reads ONLY text of documents
+    val p44 = plan("q44_token_tf")
+    val r44 = p44.linesIterator.find(_.contains("ReadSchema")).get
+    assert(r44.contains("text") && !r44.contains("lang") && !r44.contains("n_chars"))
+  }
+
+  test("dimension joins broadcast; large-large joins sort-merge") {
+    assert(plan("q09_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plan("q00_flagship").contains("BroadcastHashJoin"))
+    assert(plan("q10_sortmerge_join").contains("SortMergeJoin"))
+  }
+
+  test("group-bys plan partial+final HashAggregate (map-side combine)") {
+    val p = plan("q17_agg_tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q28_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort ["))
+  }
+
+  test("whole-stage codegen covers the scan stages") {
+    // AQE prints codegen spans only once stages have executed.
+    def executedPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, Sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // "*(n)" is the WholeStageCodegen marker in compact plan strings.
+    assert(executedPlan("q05_filter_conjunctive").contains("*("))
+    assert(executedPlan("q35_math").contains("*("))
+  }
+
+  test("as-of join is a single shuffle (window), not an inequality join") {
+    val p = plan("q15_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+
+  test("minhash LSH candidate join is equi-keyed (no cartesian anywhere)") {
+    val p = plan("q46_minhash_neardup")
+    assert(!p.contains("CartesianProduct"))
+  }
+}

@@ -138,6 +138,29 @@ class StreamingSpec extends SparkSpec {
     assert(firstD1.first_application && firstD1.n_tags_after == 1)
   }
 
+  test("stream-stream interval join: pairs same-user events within the lookback, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val msL = MemoryStream[Ev]
+    val msR = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      msL.toDF().select(col("event_id").as("l_id"), col("user_id"), col("ts")),
+      msR.toDF().select(col("event_id").as("r_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"))
+        .withColumnRenamed("r_user", "user_id").withColumnRenamed("r_ts", "ts"),
+      lookback = "5 minutes")
+      .select(col("e.l_id"), col("s.r_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    msR.addData(Ev(100, t(0), 1, "purchase", 1.0), // 3 min before L1 → pairs
+      Ev(101, t(20), 1, "purchase", 1.0),          // after L1 → no pair
+      Ev(102, t(0), 2, "purchase", 1.0))           // other user → no pair
+    msL.addData(Ev(1, t(3), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_out").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)))
+  }
+
   test("streaming tumbling agg == batch q39 expression on the same bounded data") {
     implicit val sqlCtx = spark.sqlContext
     val data = (0 until 100).map(i =>
