@@ -78,6 +78,26 @@ object Aggregates extends QueryGroup {
         .groupBy(col("o_orderstatus"))
         .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"))
         .orderBy("o_orderstatus")),
+
+    // q57 [REF tag.py:37-44 as a custom typed Aggregator, SURVEY §2.11]:
+    // tag-set accumulation as a distributive UDAF — partial-aggregates
+    // map-side, merges in any order (set union), idempotent under
+    // redelivery by construction.
+    "q57_tag_udaf" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.streaming.AnsModel.Tag
+      Tables(spark, dir, "orders")
+        .select(col("o_orderstatus"),
+          graft.functions.TagOps.slugify(col("o_orderpriority")).as("slug"),
+          col("o_orderpriority").as("text"))
+        .as[(String, String, String)]
+        .groupByKey(_._1)
+        .agg(graft.functions.TagSetAgg
+          .on[(String, String, String)](r => Tag(r._2, r._3))
+          .toColumn.name("tags"))
+        .toDF("o_orderstatus", "tags")
+        .orderBy("o_orderstatus")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -109,6 +129,11 @@ object Aggregates extends QueryGroup {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q22_collect_set" ->
       """SELECT o_orderstatus, list_sort(list_distinct(list(o_orderpriority))) AS prios
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q57_tag_udaf" ->
+      """SELECT o_orderstatus,
+        | list_aggregate(list_sort(list_distinct(list(
+        |   replace(lower(o_orderpriority),' ','-') || '|' || o_orderpriority))), 'string_agg', ',') AS tags
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
