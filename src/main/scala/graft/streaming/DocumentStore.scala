@@ -40,6 +40,25 @@ class InMemoryDocumentStore extends DocumentStore {
 
 object DocumentStore {
 
+  /** Executor-side store handles. Task closures must not serialize a
+    * store (each deserialized task would mutate its own private copy);
+    * they capture a registry KEY and resolve it partition-locally — the
+    * same pattern a production sink uses for per-executor HTTP/DB
+    * connection pools. Local mode shares one JVM, so tests observe the
+    * same instance the driver registered.
+    */
+  private val registry = new ConcurrentHashMap[String, DocumentStore]()
+
+  def register(key: String, store: DocumentStore): Unit = registry.put(key, store)
+
+  def resolve(key: String): DocumentStore = {
+    val s = registry.get(key)
+    require(s != null,
+      s"no DocumentStore registered under '$key' in this JVM — on a real " +
+        "cluster, register a connection-backed store in an executor plugin")
+    s
+  }
+
   /** The reference's `modify_ans` with the intended (bug-fixed) semantics:
     * append `tag` iff absent; a missing taxonomy or missing tags list
     * initializes to `[tag]` (`tag.py:31-46`, intent per `README.md:241`;

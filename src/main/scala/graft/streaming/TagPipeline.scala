@@ -32,22 +32,26 @@ object TagPipeline {
 
   /** Enrich + tag one micro-batch against the store, write back.
     *
-    * This is the `foreachBatch` body: executed once per micro-batch with
-    * exactly the reference's EP3 shape (`tag.py:49-66`) — GET by id,
-    * modify, PUT — but set-at-a-time instead of row-at-a-time RPC.
-    * Collecting to the driver is correct here because the batch has
-    * already been filtered/deduped upstream (the reference processes ≤20
-    * records per poll; a real deployment swaps this body for a partitioned
-    * HTTP/Delta writer with the same semantics).
+    * This is the `foreachBatch` body: the reference's EP3 shape
+    * (`tag.py:49-66` — GET by id, modify, PUT), executed PARTITION-LOCALLY
+    * on the executors: no driver collect, upsert parallelism == partition
+    * count. Task closures capture only the store's registry key
+    * (see [[DocumentStore.resolve]]); each partition resolves its
+    * executor-local handle, the way a production sink resolves a pooled
+    * HTTP/DB connection. A failed lookup never fails the batch
+    * (`app.py:71-75`): unknown ids create fresh docs.
     */
-  def enrichAndUpsert(store: DocumentStore, tag: Tag)(
+  def enrichAndUpsert(storeKey: String, tag: Tag)(
       batch: DataFrame, batchId: Long): Unit = {
-    val ids = batch.select(col("id")).na.drop()
-      .distinct().collect().map(_.getString(0))
-    ids.foreach { id =>
-      val doc = store.get(id).getOrElse(AnsDoc(id, None, None))
-      store.upsert(DocumentStore.modifyAns(doc, tag))
-    }
+    batch.select(col("id")).na.drop().distinct()
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val store = DocumentStore.resolve(storeKey)
+        rows.foreach { row =>
+          val id = row.getString(0)
+          val doc = store.get(id).getOrElse(AnsDoc(id, None, None))
+          store.upsert(DocumentStore.modifyAns(doc, tag))
+        }
+      }
   }
 
   /** Full streaming job: wire frame in, upserts out.
@@ -57,7 +61,9 @@ object TagPipeline {
     */
   def start(spark: SparkSession, wire: DataFrame, store: DocumentStore,
       checkpointDir: String, tag: Tag = AutoTag,
-      trigger: Trigger = PollInterval): StreamingQuery = {
+      trigger: Trigger = PollInterval,
+      storeKey: String = "default"): StreamingQuery = {
+    DocumentStore.register(storeKey, store)
     val projected = EventDecoder.decodeAndFilter(wire)
       // exactly-once tagging under redelivery: state-backed dedup, state
       // aged out by the watermark (10 min ≫ any redelivery window).
@@ -67,16 +73,18 @@ object TagPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch(enrichAndUpsert(store, tag) _)
+      .foreachBatch(enrichAndUpsert(storeKey, tag) _)
       .start()
   }
 
   /** Batch twin of [[start]] for a bounded event log (same expressions —
     * Structured Streaming's batch≡stream unification).
     */
-  def runBatch(wire: DataFrame, store: DocumentStore, tag: Tag = AutoTag): Unit = {
+  def runBatch(wire: DataFrame, store: DocumentStore, tag: Tag = AutoTag,
+      storeKey: String = "default-batch"): Unit = {
+    DocumentStore.register(storeKey, store)
     val projected = EventDecoder.decodeAndFilter(wire)
       .dropDuplicates("id")
-    enrichAndUpsert(store, tag)(projected.toDF(), 0L)
+    enrichAndUpsert(storeKey, tag)(projected.toDF(), 0L)
   }
 }

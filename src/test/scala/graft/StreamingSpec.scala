@@ -161,6 +161,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L)))
   }
 
+  test("event-log replay source drives the batch twin of the pipeline") {
+    val store = new InMemoryDocumentStore
+    // events.props is {"k": N} JSON — no insert-story events, so the
+    // pipeline must decode everything and tag nothing.
+    TagPipeline.runBatch(
+      WireSource.eventLogReplay(spark, "/root/testdata/sf0.001"),
+      store, storeKey = "replay-test")
+    assert(store.size == 0)
+    // and the decode stage itself sees every event as well-formed JSON
+    val decoded = EventDecoder.decode(
+      WireSource.eventLogReplay(spark, "/root/testdata/sf0.001"))
+    assert(decoded.count() == 1000)
+    assert(decoded.filter(col("decode_error")).count() == 0)
+    assert(decoded.filter(col("url").isNotNull).count() == 0)
+  }
+
   test("streaming tumbling agg == batch q39 expression on the same bounded data") {
     implicit val sqlCtx = spark.sqlContext
     val data = (0 until 100).map(i =>
