@@ -105,6 +105,34 @@ object Dedup extends QueryGroup {
         .orderBy("a_id", "b_id")
     }),
 
+    // q58 [north star]: EXACT n-gram Jaccard near-dup pairs via an
+    // inverted-index self-join — the LSH-free exact tier. Only documents
+    // sharing at least one shingle ever pair (equi-keyed shuffle on the
+    // shingle hash; no O(n²) stage). At 100 TB the guard against
+    // stop-shingle skew is dropping shingles present in >K docs (they
+    // cannot certify J≥τ pairs anyway when doc shingle counts ≪ K); the
+    // fixture corpus has no such shingles, so no cap is applied here.
+    "q58_ngram_jaccard" -> ((spark, dir) => {
+      val docs = shingled(
+          Tables(spark, dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+        .filter(size(col("sh")) > 0)
+        .persist()
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = inv.alias("x").join(inv.alias("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double") >= JaccardTau)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // q47 [north star]: SimHash signatures + band keys (rows-only check).
     "q47_simhash" -> ((spark, dir) => {
       val toks = array_distinct(TextOps.tokens(col("text")))
@@ -129,6 +157,22 @@ object Dedup extends QueryGroup {
     "q42_exact_dedup" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // q58's oracle is the same brute-force shingle-join Jaccard as q46's
+    // (q46 = LSH-recalled + exact-verified; q58 = exact — identical
+    // result sets on this corpus because LSH recall is total at J≥0.9).
+    "q58_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT p.a_id, p.b_id
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     // Brute-force shingle-join Jaccard — feasible at oracle scale because
     // only docs sharing a shingle pair up.
     "q46_minhash_neardup" ->
