@@ -52,12 +52,15 @@ object TextAnalysis extends QueryGroup {
         .orderBy("doc_id")
     }),
 
-    // q51 [north star]: quality scoring — length / repetition bands.
+    // q51 [north star]: quality scoring — length / repetition / character-
+    // class bands (the punct ratio is genuinely 0 on this all-lowercase
+    // corpus; the operator still computes it, oracle-checked).
     "q51_quality" -> ((spark, dir) => {
       val ws = TextOps.tokens(col("text"))
       val nTok = size(ws).cast("long")
       val nDis = size(array_distinct(ws)).cast("long")
       val ttr = nDis.cast("double") / nTok.cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
           nTok.as("n_tokens"), nDis.as("n_distinct"),
@@ -65,7 +68,9 @@ object TextAnalysis extends QueryGroup {
             .when(col("n_chars") < 350, lit("medium"))
             .otherwise(lit("long")).as("len_band"),
           when(ttr < 0.35, lit("repetitive")).otherwise(lit("diverse"))
-            .as("diversity"))
+            .as("diversity"),
+          floor(nPunct.cast("double") / col("n_chars").cast("double") * 10000)
+            .cast("long").as("punct_bp"))
         .orderBy("doc_id")
     }),
 
@@ -115,7 +120,9 @@ object TextAnalysis extends QueryGroup {
         | CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS len_band,
         | CASE WHEN CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
         |          / CAST(len(string_split(text,' ')) AS DOUBLE) < 0.35
-        |      THEN 'repetitive' ELSE 'diverse' END AS diversity
+        |      THEN 'repetitive' ELSE 'diverse' END AS diversity,
+        | CAST(floor(CAST(length(regexp_replace(text,'[a-z0-9 ]','','g')) AS DOUBLE)
+        |            / CAST(n_chars AS DOUBLE) * 10000) AS BIGINT) AS punct_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_fingerprint" ->
       """SELECT doc_id,
