@@ -77,6 +77,39 @@ object Similarity extends QueryGroup {
         .orderBy("a_id", "b_id")
     }),
 
+    // q59 [north star]: IVF-style approximate NN — the other classic scale
+    // path next to sign-LSH (q49): a coarse quantizer of K deterministic
+    // centroids (lowest vec_ids — a stand-in for trained k-means; the
+    // assignment/probe plumbing is what scales), each vector assigned to
+    // its nearest centroid cell, and top-1 search probing ONLY within the
+    // cell — the self-join is equi-keyed on cell id, one shuffle.
+    // Approximate by construction => rows-only check (no oracle).
+    "q59_ann_ivf" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // nearest centroid by cosine = argmax over 16 broadcast rows
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = emb.join(broadcast(centroids), lit(true))
+        .withColumn("c_cos", VectorOps.cosine(col("embedding"), col("c_emb")))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))
+      assigned.alias("a")
+        .join(assigned.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.cell").as("cell"),
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 1)
+        .select(col("a_id"), col("b_id"), col("cell"))
+        .orderBy("a_id")
+    }),
+
     // q49 [north star]: LSH-bucketed approximate NN — the 100 TB shape:
     // bucket on 16 hyperplane signs, self-join becomes equi-keyed.
     // Approximate by construction => rows-only check (no oracle).
