@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{ShingleHashes, VecDot}
+import graft.functions.Codec.GunzipToString
+
+/** SQL-surface registration for the custom expressions, so `spark.sql`
+  * users get the same operators the DataFrame API exposes:
+  *
+  *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) ...")
+  *
+  * Two entry points, same registrations:
+  *  - config path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (applies before session construction — the standard library hook);
+  *  - imperative path: `GraftFunctions.register(spark)` for an existing
+  *    session (tests, notebooks).
+  */
+object GraftFunctions {
+
+  private def two(name: String)(f: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"$name expects 2 arguments")
+        f(children(0), children(1))
+      })
+
+  private def one(name: String)(f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name expects 1 argument")
+        f(children(0))
+      })
+
+  /** All (identifier, info, builder) triples this library contributes. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    two("vec_dot")(VecDot(_, _)),
+    one("gunzip_to_string")(GunzipToString(_)),
+    two("shingle_hashes") { (ws, n) =>
+      val width = n match {
+        case Literal(v: Int, _) => v
+        case other => other.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case x => throw new IllegalArgumentException(
+            s"shingle_hashes width must be a literal int, got $x")
+        }
+      }
+      ShingleHashes(ws, width)
+    })
+
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftbridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+/** Config-path hook: `spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

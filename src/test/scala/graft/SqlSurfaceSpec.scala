@@ -1,0 +1,41 @@
+package graft
+
+/** The SQL-surface twin of the DataFrame API: custom expressions callable
+  * from `spark.sql` after registration.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("vec_dot / gunzip_to_string / shingle_hashes work from SQL") {
+    GraftFunctions.register(spark)
+
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 32.0)
+
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gz = Seq("payload").toDF("s")
+      .select(graft.functions.Codec.gzip(col("s")).as("z"))
+    gz.createOrReplaceTempView("gz_t")
+    val rt = spark.sql("SELECT gunzip_to_string(z) AS s FROM gz_t")
+      .collect().head.getString(0)
+    assert(rt == "payload")
+
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes(array('a','b','c','d'), 3)) AS n")
+      .collect().head.getInt(0)
+    assert(sh == 2) // "a b c", "b c d"
+
+    // parity with the DataFrame API expression
+    val viaDf = Seq(("x")).toDF("s").select(
+      graft.functions.TextOps.shingleHashes(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lit("a b c d"), " "), 3).as("h"))
+      .collect().head.getSeq[Long](0)
+    val viaSql = spark.sql(
+      "SELECT shingle_hashes(split('a b c d', ' '), 3) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(viaDf == viaSql)
+  }
+}
