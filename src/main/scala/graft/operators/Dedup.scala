@@ -79,15 +79,15 @@ object Dedup extends QueryGroup {
         TextOps.minhashSignature(col("sh"), perms).as("sig"))
         .persist()
 
-      // 32 band keys per doc; candidate pairs share any (band, hash) bucket.
-      val bandStructs = (0 until NumBands).map { bd =>
-        val rows = (0 until RowsPerBand).map(r =>
-          element_at(col("sig"), bd * RowsPerBand + r + 1))
-        struct(lit(bd).as("band"), xxhash64(rows: _*).as("bh"))
-      }
+      // 32 band keys per doc in one native pass (position == band id);
+      // candidate pairs share any (band, hash) bucket.
       val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        .select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graftbridge.toColumn(
+            graft.expressions.BandHashes(
+              org.apache.spark.sql.graftbridge.toExpression(col("sig")),
+              NumBands, RowsPerBand))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
 
       val cands = bands.alias("x")
         .join(bands.alias("y"),
