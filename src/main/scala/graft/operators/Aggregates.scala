@@ -79,6 +79,19 @@ object Aggregates extends QueryGroup {
         .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"))
         .orderBy("o_orderstatus")),
 
+    // q60 [CLOSURE]: discrete percentiles per group via the quantile
+    // sketch (KLL/GK-style). accuracy=1e6 makes the sketch EXACT below a
+    // million rows per group (the oracle domain: quantile_disc picks the
+    // same actual element); at 100 TB you lower accuracy and trade exact
+    // ranks for O(accuracy) memory — the operator and plan are unchanged.
+    "q60_percentile" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile_approx(o_totalprice, 0.5, 1000000)").as("p50"),
+          expr("percentile_approx(o_totalprice, 0.95, 1000000)").as("p95"))
+        .orderBy("o_orderstatus")),
+
     // q57 [REF tag.py:37-44 as a custom typed Aggregator, SURVEY §2.11]:
     // tag-set accumulation as a distributive UDAF — partial-aggregates
     // map-side, merges in any order (set union), idempotent under
@@ -129,6 +142,10 @@ object Aggregates extends QueryGroup {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q22_collect_set" ->
       """SELECT o_orderstatus, list_sort(list_distinct(list(o_orderpriority))) AS prios
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q60_percentile" ->
+      """SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5) AS p50,
+        | quantile_disc(o_totalprice, 0.95) AS p95
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q57_tag_udaf" ->
       """SELECT o_orderstatus,
