@@ -48,6 +48,29 @@ object WireSource {
         col("ts"))
   }
 
+  /** STREAMING replay of the event-log parquet: a real file-source stream
+    * (micro-batched by the engine), wire-shaped like [[eventLogReplay]].
+    * Backfill-through-the-same-pipeline is exactly how a 100 TB history
+    * reload runs: same query, streaming source pointed at the archive.
+    */
+  /** @param eventsDir a DIRECTORY of event-log parquet files (the file
+    *                   streaming source tails directories, not files).
+    */
+  def eventLogReplayStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    // ns timestamps need the same conf batch reads use
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the RAW file schema (ts = INT64 nanos under nanosAsLong); the µs
+    // conversion happens post-load, same as Tables does for batch
+    val raw = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(raw)
+      .parquet(eventsDir)
+      .select(
+        graft.functions.Codec.gzip(col("props")).as("data"),
+        spark_partition_id().cast("string").as("shard"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+  }
+
   /** Synthetic rate source shaped like the wire (throughput testing). */
   def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")

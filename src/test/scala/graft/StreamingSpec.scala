@@ -177,6 +177,26 @@ class StreamingSpec extends SparkSpec {
     assert(decoded.filter(col("url").isNotNull).count() == 0)
   }
 
+  test("streaming file-source replay: full decode pipeline throughput ≫ the reference's ~13 rec/s ceiling") {
+    // the file source tails a directory; stage the single fixture file
+    val dir = Files.createTempDirectory("replay-events-")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.01/events.parquet"),
+      dir.resolve("events.parquet"))
+    val wire = WireSource.eventLogReplayStream(spark, dir.toString)
+    assert(wire.isStreaming)
+    val decoded = EventDecoder.decode(wire)
+    val t0 = System.nanoTime()
+    val q = decoded.writeStream.format("memory").queryName("replay_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.table("replay_out").count()
+    assert(n == 10000) // sf0.01 events, all decoded, none dropped
+    val rate = n / secs
+    info(f"streamed $n events in $secs%.1f s = $rate%.0f rec/s (reference envelope: ~13 rec/s)")
+    assert(rate > 100, f"unexpectedly slow: $rate%.0f rec/s")
+  }
+
   test("streaming tumbling agg == batch q39 expression on the same bounded data") {
     implicit val sqlCtx = spark.sqlContext
     val data = (0 until 100).map(i =>
