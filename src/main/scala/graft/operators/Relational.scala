@@ -150,6 +150,34 @@ object Relational extends QueryGroup {
           e.filter(col("event_type") === "error").select(col("user_id")))
         .orderBy("user_id")
     }),
+
+    // q61 [CLOSURE]: pivot — event counts per user, one column per type.
+    // Explicit value list keeps the schema static (a dynamic pivot would
+    // need a values scan first — same API, one extra job).
+    "q61_pivot" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("signup", "purchase", "view", "error"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), col("signup"), col("purchase"), col("view"),
+          col("error"))
+        .orderBy("user_id")),
+
+    // q62 [CLOSURE]: SQL-text path — correlated EXISTS + scalar subquery
+    // through spark.sql over registered views (the engine's full
+    // parse→analyze→optimize lifecycle, not just the DataFrame builder).
+    "q62_sql_subquery" -> ((spark, dir) => {
+      Tables(spark, dir, "orders").createOrReplaceTempView("v_orders")
+      Tables(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM v_orders o
+          |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM v_orders)
+          |  AND EXISTS (SELECT 1 FROM v_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -193,5 +221,19 @@ object Relational extends QueryGroup {
       "SELECT user_id FROM events WHERE event_type = 'signup' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
     "q31_except" ->
       "SELECT user_id FROM events WHERE event_type = 'view' EXCEPT SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id",
+    "q61_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q62_sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
