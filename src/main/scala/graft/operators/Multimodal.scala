@@ -85,6 +85,28 @@ object Multimodal extends QueryGroup {
     manifest.filter(_.url != null).mapPartitions(_.map(fetchStub))
   }
 
+  /** Resized media metadata. Integer-only math so any engine mirrors it
+    * exactly: fit the fake dimensions into `TargetDim`² preserving aspect.
+    */
+  case class Resized(doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long)
+  val TargetDim = 224L
+
+  /** Resize stage stub: real codecs scale pixels; the shape here is the
+    * metadata contract (aspect-preserving fit) and the partition-local map.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Resized] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val f = decodeStub(r)
+      val (w, h) = (f.fake_width, f.fake_height)
+      if (w <= 0 || h <= 0) Resized(r.doc_id, w, h, 0L, 0L)
+      else {
+        val m = math.max(w, h)
+        Resized(r.doc_id, w, h, w * TargetDim / m, h * TargetDim / m)
+      }
+    })
+  }
+
   /** One sampled frame: every `FrameStep`-th `FrameSize`-byte chunk. */
   case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
   val FrameSize = 64
@@ -134,6 +156,15 @@ object Multimodal extends QueryGroup {
       derefPointers(spark, manifest).toDF().orderBy("doc_id")
     }),
 
+    // q63 [north star]: aspect-preserving resize metadata (codec stubbed).
+    "q63_resize" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[MediaRow]
+      resize(spark, media).toDF().orderBy("doc_id")
+    }),
+
     // q56 [north star]: frame sampling over the binary media column.
     "q56_frame_sample" -> ((spark, dir) => {
       import spark.implicits._
@@ -158,6 +189,17 @@ object Multimodal extends QueryGroup {
         | CAST(octet_length(encode('s3://media-bucket/doc/' || CAST(doc_id AS VARCHAR) || '.bin')) AS BIGINT) AS n_bytes,
         | md5('s3://media-bucket/doc/' || CAST(doc_id AS VARCHAR) || '.bin') AS blob_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q63_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS in_w,
+        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS in_h
+        |  FROM documents)
+        |SELECT doc_id, in_w, in_h,
+        | CASE WHEN in_w <= 0 OR in_h <= 0 THEN 0
+        |      ELSE in_w * 224 // greatest(in_w, in_h) END AS out_w,
+        | CASE WHEN in_w <= 0 OR in_h <= 0 THEN 0
+        |      ELSE in_h * 224 // greatest(in_w, in_h) END AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
     // documents.text is ASCII (lowercase words), so byte offsets == char
     // offsets and DuckDB substring mirrors the byte slicing exactly.
     "q56_frame_sample" ->

@@ -101,6 +101,17 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("id")).toSeq == Seq("keep"))
   }
 
+  test("decoder fuzz: arbitrary byte payloads never crash the stage, rows always survive") {
+    val rnd = new scala.util.Random(7)
+    val garbage: Seq[Array[Byte]] =
+      (1 to 200).map(n => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)) ++
+        Seq(Array.emptyByteArray, Array[Byte](0x1f, 0x8b.toByte), // gzip magic, truncated
+          Codec.gzipBytes(Array[Byte](0, 1, 2)))                  // valid gzip, binary junk
+    val out = EventDecoder.decode(wire(garbage.map(b => b -> "s"): _*)).collect()
+    assert(out.length == garbage.length) // every row survives (app.py:35-46)
+    assert(out.forall(r => r.getAs[String]("id") == null))
+  }
+
   test("gzip round-trip: gunzip(gzip(s)) == s; gunzip(garbage) == null") {
     val df = Seq("hello", "", "π unicode ✓").toDF("s")
     val rt = df.select(Codec.gunzip(Codec.gzip(col("s"))).as("r"))
