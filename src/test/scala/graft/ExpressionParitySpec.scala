@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorOps}
+
+/** Bit-parity guards for the custom codegen expressions against the
+  * higher-order-function formulations they replaced. The DuckDB oracle
+  * SQL still mirrors the HOF form, so these equalities are precisely what
+  * keeps the oracle valid: VecDot must equal the sequential
+  * aggregate(zip_with) fold BIT-FOR-BIT, and ShingleHashes must produce
+  * exactly xxhash64(concat_ws(' ', ...)) over the same n-grams.
+  */
+class ExpressionParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VecDot == aggregate(zip_with) fold, bit-for-bit, on random float vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(96)
+      (Seq.fill(n)(rnd.nextFloat() * 2 - 1), Seq.fill(n)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = df.select(
+        VectorOps.dot(col("a"), col("b")).as("fast"), hofDot.as("ref"))
+      .filter(col("fast") =!= col("ref")) // exact double equality
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("ShingleHashes == xxhash64(concat_ws) over transform/sequence n-grams") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val texts = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("text").select(split(col("text"), " ").as("ws"))
+    val n = 3
+    val hof = array_distinct(transform(
+      sequence(lit(0), size(col("ws")) - n),
+      i => xxhash64(concat_ws(" ",
+        (1 to n).map(k => element_at(col("ws"), i + k)): _*))))
+    val ref = when(size(col("ws")) >= n, hof)
+      .otherwise(array().cast("array<bigint>"))
+    val diffs = df.select(
+        TextOps.shingleHashes(col("ws"), n).as("fast"), ref.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diffs == 0)
+  }
+}
