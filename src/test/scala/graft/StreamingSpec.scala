@@ -161,6 +161,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L)))
   }
 
+  test("checkpoint recovery: a restarted query resumes without re-tagging") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Wire]
+    val store = new InMemoryDocumentStore
+    val ckpt = Files.createTempDirectory("graft-recover-").toString
+
+    val q1 = TagPipeline.start(spark, ms.toDF(), store, ckpt,
+      trigger = Trigger.AvailableNow(), storeKey = "recover-test")
+    ms.addData(ev(story("R1"), 0), ev(story("R2"), 1))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(store.size == 2)
+    val r1Before = store.get("R1").get
+
+    // restart from the same checkpoint; new data plus (simulated) source
+    // replay of R1 — the state store must carry the dedup across restart
+    ms.addData(ev(story("R1"), 2), ev(story("R3"), 3))
+    val q2 = TagPipeline.start(spark, ms.toDF(), store, ckpt,
+      trigger = Trigger.AvailableNow(), storeKey = "recover-test")
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(store.size == 3) // R3 added
+    assert(store.get("R1").get == r1Before) // replayed R1: no change at all
+    assert(store.get("R1").get.taxonomy.get.tags.get.count(_ == AutoTag) == 1)
+  }
+
   test("event-log replay source drives the batch twin of the pipeline") {
     val store = new InMemoryDocumentStore
     // events.props is {"k": N} JSON — no insert-story events, so the
