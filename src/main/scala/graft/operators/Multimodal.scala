@@ -36,10 +36,12 @@ object Multimodal extends QueryGroup {
 
   /** The stubbed decoder: in a real deployment this is the image/audio
     * library call; here it derives deterministic pseudo-metadata so the
-    * pipeline is testable end-to-end.
+    * pipeline is testable end-to-end. `md` is the partition-scoped codec
+    * instance (decoders are expensive to construct; one per row is the
+    * classic mapPartitions anti-pattern).
     */
-  private[graft] def decodeStub(r: MediaRow): MediaFeatures = {
-    val md = MessageDigest.getInstance("MD5")
+  private[graft] def decodeStub(md: MessageDigest)(r: MediaRow): MediaFeatures = {
+    md.reset()
     val hex = md.digest(r.media).map("%02x".format(_)).mkString
     MediaFeatures(
       doc_id = r.doc_id,
@@ -54,7 +56,10 @@ object Multimodal extends QueryGroup {
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions { it => it.map(decodeStub) }
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map(decodeStub(md))
+    }
   }
 
   /** A media manifest row: id + blob pointer (the >1 MB side channel). */
@@ -96,15 +101,18 @@ object Multimodal extends QueryGroup {
     */
   def resize(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Resized] = {
     import spark.implicits._
-    media.mapPartitions(_.map { r =>
-      val f = decodeStub(r)
-      val (w, h) = (f.fake_width, f.fake_height)
-      if (w <= 0 || h <= 0) Resized(r.doc_id, w, h, 0L, 0L)
-      else {
-        val m = math.max(w, h)
-        Resized(r.doc_id, w, h, w * TargetDim / m, h * TargetDim / m)
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val f = decodeStub(md)(r)
+        val (w, h) = (f.fake_width, f.fake_height)
+        if (w <= 0 || h <= 0) Resized(r.doc_id, w, h, 0L, 0L)
+        else {
+          val m = math.max(w, h)
+          Resized(r.doc_id, w, h, w * TargetDim / m, h * TargetDim / m)
+        }
       }
-    })
+    }
   }
 
   /** One sampled frame: every `FrameStep`-th `FrameSize`-byte chunk. */
