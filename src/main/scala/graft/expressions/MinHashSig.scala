@@ -66,19 +66,25 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)])
     val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName so multiple instances inlined into one generated
+      // function never collide on local declarations
+      val n = ctx.freshName("mhN"); val k = ctx.freshName("mhK")
+      val sig = ctx.freshName("mhSig"); val i = ctx.freshName("mhI")
+      val h = ctx.freshName("mhH"); val j = ctx.freshName("mhJ")
+      val v = ctx.freshName("mhV")
       s"""
-         |int n = $c.numElements();
-         |int k = $aRef.length;
-         |long[] sig = new long[k];
-         |java.util.Arrays.fill(sig, Long.MAX_VALUE);
-         |for (int i = 0; i < n; i++) {
-         |  long h = $c.getLong(i);
-         |  for (int j = 0; j < k; j++) {
-         |    long v = $aRef[j] * h + $bRef[j];
-         |    if (v < sig[j]) sig[j] = v;
+         |int $n = $c.numElements();
+         |int $k = $aRef.length;
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = $aRef[$j] * $h + $bRef[$j];
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
     })
   }

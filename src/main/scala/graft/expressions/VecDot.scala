@@ -65,17 +65,22 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)"
-                 else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
-                 else s"$b.getDouble(i)"
+      // freshName: two VecDots inlined into one codegen function (e.g.
+      // cosine's three dots) must not collide on local declarations
+      val n = ctx.freshName("vdN")
+      val acc = ctx.freshName("vdAcc")
+      val i = ctx.freshName("vdI")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $lGet * $rGet;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $lGet * $rGet;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

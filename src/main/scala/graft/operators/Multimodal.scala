@@ -72,11 +72,12 @@ object Multimodal extends QueryGroup {
   case class Dereffed(doc_id: Long, url: String, n_bytes: Long, blob_md5: String)
 
   /** The stubbed blob fetch: a real deployment holds a pooled S3/HTTP
-    * client per partition; here the payload is the url bytes themselves.
+    * client per partition (`md` stands in for that partition-scoped
+    * resource); here the payload is the url bytes themselves.
     */
-  private[graft] def fetchStub(r: ManifestRow): Dereffed = {
+  private[graft] def fetchStub(md: MessageDigest)(r: ManifestRow): Dereffed = {
     val payload = r.url.getBytes("UTF-8")
-    val md = MessageDigest.getInstance("MD5")
+    md.reset()
     Dereffed(r.doc_id, r.url, payload.length.toLong,
       md.digest(payload).map("%02x".format(_)).mkString)
   }
@@ -87,7 +88,10 @@ object Multimodal extends QueryGroup {
     */
   def derefPointers(spark: SparkSession, manifest: Dataset[ManifestRow]): Dataset[Dereffed] = {
     import spark.implicits._
-    manifest.filter(_.url != null).mapPartitions(_.map(fetchStub))
+    manifest.filter(_.url != null).mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map(fetchStub(md))
+    }
   }
 
   /** Resized media metadata. Integer-only math so any engine mirrors it

@@ -66,10 +66,16 @@ object EventDecoder {
       parsed.getField("_malformed").as("url"))
   }
 
-  /** The documented stream predicate (`README.md:227-233`). */
+  /** The documented stream predicate (`README.md:227-233`) — single
+    * source of truth; both the struct form and the flattened form below
+    * delegate here.
+    */
+  def documentedFilter(operation: Column, published: Column): Column =
+    operation === "insert-story" && published === true
+
+  /** [[documentedFilter]] over the parsed event struct. */
   def filterPredicate(ev: Column): Column =
-    ev.getField("operation") === "insert-story" &&
-      ev.getField("published") === true
+    documentedFilter(ev.getField("operation"), ev.getField("published"))
 
   /** The 9-field projection (`app.py:57-67`); `shard` rides in from the
     * source (shard id ≙ `spark_partition_id` for non-Kinesis sources).
@@ -91,11 +97,12 @@ object EventDecoder {
     * (`app.py:37-38`: log-and-continue, never fail the batch).
     */
   def decode(wire: DataFrame): DataFrame = {
-    val decoded = decodePayload(col("data"))
-    val ev = parseEvent(decoded)
     wire
-      .withColumn("decoded", decoded)
-      .withColumn("ev", ev)
+      .withColumn("decoded", decodePayload(col("data")))
+      // reference the NAMED decoded column (not a second decodePayload
+      // instance) so decompression is evaluated once per row even where
+      // subexpression elimination doesn't reach
+      .withColumn("ev", parseEvent(col("decoded")))
       .withColumn("decode_error", col("data").isNotNull && col("decoded").isNull)
       .select(col("ts") +: col("decode_error") +: col("ev.url").as("url") +:
         project(col("ev"), col("shard")): _*)
@@ -105,6 +112,5 @@ object EventDecoder {
     * pre-filter rows, e.g. url-fallback and decode-error rows).
     */
   def decodeAndFilter(wire: DataFrame): DataFrame =
-    decode(wire).filter(
-      col("operation") === "insert-story" && col("published") === true)
+    decode(wire).filter(documentedFilter(col("operation"), col("published")))
 }

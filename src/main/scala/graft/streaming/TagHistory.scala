@@ -1,9 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-
-import graft.streaming.AnsModel.Tag
 
 /** Arbitrary stateful processing: per-document tag history
   * (SURVEY.md §2.9 "arbitrary state" — [CLOSURE] of the reference's
@@ -11,9 +9,15 @@ import graft.streaming.AnsModel.Tag
   *
   * Keeps the accumulated tag set per doc id in `GroupState` and emits one
   * change record per NEWLY-applied tag (idempotence made observable: a
-  * redelivered tag produces no output). Event-time state expiry is the
-  * production posture at 100 TB — state size stays bounded by active keys
-  * within the watermark, not total history.
+  * redelivered tag produces no output).
+  *
+  * State growth: with `stateTtl` set (the production posture), idle keys
+  * expire on a processing-time timeout, bounding state to documents seen
+  * within the TTL — after expiry, a re-tag of a long-idle document emits
+  * one duplicate change record, which downstream idempotent sinks absorb
+  * (the same at-least-once trade the upsert sink makes). With
+  * `stateTtl = None` (tests, bounded backfills) state is exact but grows
+  * with the total key space.
   */
 object TagHistory {
 
@@ -22,8 +26,13 @@ object TagHistory {
       first_application: Boolean)
   case class TagSetState(slugs: Set[String])
 
-  def applyEvents(key: String, events: Iterator[TagEvent],
+  private[streaming] def applyEvents(ttl: Option[String])(
+      key: String, events: Iterator[TagEvent],
       state: GroupState[TagSetState]): Iterator[TagChange] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val before = state.getOption.getOrElse(TagSetState(Set.empty))
     val (after, changes) = events.foldLeft((before, Vector.empty[TagChange])) {
       case ((st, out), ev) =>
@@ -35,14 +44,22 @@ object TagHistory {
         }
     }
     if (after != before) state.update(after)
+    ttl.foreach(state.setTimeoutDuration)
     changes.iterator
   }
 
-  /** Streaming (or batch) transform: tag events → change log. */
-  def changes(spark: SparkSession, events: Dataset[TagEvent]): Dataset[TagChange] = {
+  /** Streaming (or batch) transform: tag events → change log.
+    *
+    * @param stateTtl idle-key expiry (e.g. `Some("2 hours")`) — required
+    *                 for unbounded key spaces; None keeps exact state.
+    */
+  def changes(spark: SparkSession, events: Dataset[TagEvent],
+      stateTtl: Option[String] = None): Dataset[TagChange] = {
     import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.doc_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(applyEvents)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(applyEvents(stateTtl))
   }
 }
