@@ -72,11 +72,13 @@ object Aggregates extends QueryGroup {
           col("l_linestatus").asc_nulls_first)),
 
     // q22 [REF tag.py:37-44 rebuilt as aggregation]: set accumulation —
-    // sorted in-query because collect_set order is nondeterministic.
+    // sorted in-query because collect_set order is nondeterministic, and
+    // comma-joined because the driver compare cannot hash raw array cells.
     "q22_collect_set" -> ((spark, dir) =>
       Tables(spark, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("prios"))
         .orderBy("o_orderstatus")),
 
     // q60 [CLOSURE]: discrete percentiles per group via the quantile
@@ -141,7 +143,8 @@ object Aggregates extends QueryGroup {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q22_collect_set" ->
-      """SELECT o_orderstatus, list_sort(list_distinct(list(o_orderpriority))) AS prios
+      """SELECT o_orderstatus,
+        | array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q60_percentile" ->
       """SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5) AS p50,

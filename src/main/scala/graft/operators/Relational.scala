@@ -20,6 +20,10 @@ object Relational extends QueryGroup {
     * filter (`app.py:56`) → JSON projection (`app.py:57-67`) → broadcast
     * enrichment join against the document store (`tag.py:12-17`) →
     * idempotent tag append (`tag.py:31-46`).
+    *
+    * The tag array is emitted comma-joined (nulls from the outer join
+    * mapped to a sentinel) — the driver's pandas compare cannot sort/hash
+    * raw array cells, and a flat string carries the same information.
     */
   val flagship: Q = (spark, dir) => {
     val e = Tables(spark, dir, "events")
@@ -32,8 +36,10 @@ object Relational extends QueryGroup {
       .select(
         col("event_id"), col("user_id"), col("k"), col("doc_id"),
         substring(col("text"), 1, 30).as("headline"),
-        TagOps.appendIfAbsent(array(col("lang"), col("source")),
-          lit("kinesis-autotag")).as("tags"))
+        array_join(transform(
+          TagOps.appendIfAbsent(array(col("lang"), col("source")),
+            lit("kinesis-autotag")),
+          x => coalesce(x, lit("<null>"))), ",").as("tags"))
       .orderBy("event_id")
   }
 
@@ -184,8 +190,10 @@ object Relational extends QueryGroup {
     "q00_flagship" ->
       """SELECT e.event_id, e.user_id, CAST(json_extract(e.props,'$.k') AS BIGINT) AS k,
         | d.doc_id, substring(d.text,1,30) AS headline,
-        | CASE WHEN list_contains([d.lang,d.source],'kinesis-autotag') THEN [d.lang,d.source]
-        |      ELSE list_append([d.lang,d.source],'kinesis-autotag') END AS tags
+        | array_to_string(list_transform(
+        |   CASE WHEN list_contains([d.lang,d.source],'kinesis-autotag') THEN [d.lang,d.source]
+        |        ELSE list_append([d.lang,d.source],'kinesis-autotag') END,
+        |   x -> coalesce(x, '<null>')), ',') AS tags
         |FROM events e LEFT JOIN documents d ON e.user_id = d.doc_id
         |WHERE e.event_type = 'signup' AND e.value > 50.0
         |ORDER BY e.event_id""".stripMargin,

@@ -73,14 +73,18 @@ object Scalars extends QueryGroup {
     }),
 
     // q36 [REF tag.py:31-46]: array ops — the append-if-absent core.
+    // Array results are comma-joined on output: the driver compare cannot
+    // hash raw array cells, and the flat string is information-preserving.
     "q36_array_ops" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          TagOps.appendIfAbsent(array(col("lang"), col("source")), lit("en"))
-            .as("tagged"),
+          array_join(
+            TagOps.appendIfAbsent(array(col("lang"), col("source")), lit("en")),
+            ",").as("tagged"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          array_sort(array_distinct(split(substring(col("text"), 1, 50), " ")))
-            .as("first_tokens"))
+          array_join(
+            array_sort(array_distinct(split(substring(col("text"), 1, 50), " "))),
+            ",").as("first_tokens"))
         .orderBy("doc_id")),
 
     // q37 [REF app.py:41,56]: JSON field extraction from a string column.
@@ -133,10 +137,10 @@ object Scalars extends QueryGroup {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q36_array_ops" ->
       """SELECT doc_id,
-        | CASE WHEN list_contains([lang,source],'en') THEN [lang,source]
-        |      ELSE list_append([lang,source],'en') END AS tagged,
+        | array_to_string(CASE WHEN list_contains([lang,source],'en') THEN [lang,source]
+        |      ELSE list_append([lang,source],'en') END, ',') AS tagged,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        | list_sort(list_distinct(string_split(substring(text,1,50),' '))) AS first_tokens
+        | array_to_string(list_sort(list_distinct(string_split(substring(text,1,50),' '))), ',') AS first_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q37_json_extract" ->
       "SELECT event_id, json_extract_string(props,'$.k') AS k_str, CAST(json_extract(props,'$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
