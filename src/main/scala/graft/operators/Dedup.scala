@@ -42,12 +42,58 @@ object Dedup extends QueryGroup {
   private val RowsPerBand = 4
   private val JaccardTau = 0.5
 
+  /** Stop-shingle cap: shingles appearing in more documents than this are
+    * excluded from candidate generation (q58). 128 bounds any one shingle
+    * bucket to ≤ 128·127/2 pairs regardless of corpus size — the skew
+    * guard that keeps the inverted-index join linear at 100 TB.
+    */
+  private[graft] val MaxShingleDocFreq = 128
+
   /** doc_id + distinct 3-word shingle HASH set (shingle identity is all
     * MinHash and Jaccard verification need — see ShingleHashes scaladoc).
     */
   private def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
+
+  /** Candidate pairs from a document-frequency-capped inverted index over
+    * `(doc_id, sh: array<long>)`. Shingles in more than `maxDf` docs are
+    * dropped BEFORE the pair-producing self-join, so a universal shingle
+    * contributes at most maxDf·(maxDf−1)/2 pairs instead of n²/2 — the
+    * skew guard a 100 TB corpus needs (package-private for the skew test).
+    */
+  private[graft] def ngramCandidates(docs: DataFrame, maxDf: Int): DataFrame = {
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    // ONE shuffle: shingle → posting list. The cap drops stop-shingle
+    // buckets whole, which simultaneously (a) bounds any bucket's pair
+    // fanout to maxDf·(maxDf−1)/2 and (b) bounds collect_list memory to
+    // maxDf ids per group — no skewed reducer can exist by construction.
+    val buckets = inv.groupBy(col("g"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    // per-bucket ordered-pair expansion (b > a) stays narrow — cheaper
+    // than re-shuffling the index into an equi-self-join
+    buckets
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+  }
+
+  /** q58's full pipeline: capped candidate generation + exact Jaccard
+    * verification against the full (uncapped) shingle sets.
+    */
+  private[graft] def ngramJaccardPairs(
+      docs: DataFrame, maxDf: Int, tau: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    ngramCandidates(docs, maxDf)
+      .join(a, "a_id").join(b, "b_id")
+      .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= tau)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
 
   def queries: Map[String, Q] = Map(
     // q42 [CLOSURE of tag.py:39 set-dedup semantics]: exact content dedup.
@@ -108,29 +154,21 @@ object Dedup extends QueryGroup {
     // q58 [north star]: EXACT n-gram Jaccard near-dup pairs via an
     // inverted-index self-join — the LSH-free exact tier. Only documents
     // sharing at least one shingle ever pair (equi-keyed shuffle on the
-    // shingle hash; no O(n²) stage). At 100 TB the guard against
-    // stop-shingle skew is dropping shingles present in >K docs (they
-    // cannot certify J≥τ pairs anyway when doc shingle counts ≪ K); the
-    // fixture corpus has no such shingles, so no cap is applied here.
+    // shingle hash; no O(n²) stage). The 100 TB guard against stop-shingle
+    // skew: shingles present in > MaxShingleDocFreq docs are dropped from
+    // the CANDIDATE index (one hot shingle would otherwise hand a single
+    // reducer a quadratic bucket); pairs are then verified against the
+    // FULL shingle sets, so the cap changes which pairs are considered,
+    // never the Jaccard arithmetic — exactness holds whenever a true pair
+    // shares at least one sub-cap shingle (always, on non-degenerate
+    // corpora where near-dup clusters ≪ corpus).
     "q58_ngram_jaccard" -> ((spark, dir) => {
       val docs = shingled(
           Tables(spark, dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism))
         .filter(size(col("sh")) > 0)
         .persist()
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val inter = inv.alias("x").join(inv.alias("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double") >= JaccardTau)
-        .select(col("a_id"), col("b_id"))
-        .orderBy("a_id", "b_id")
+      ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau)
     }),
 
     // q47 [north star]: SimHash signatures + band keys (rows-only check).

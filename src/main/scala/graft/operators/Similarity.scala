@@ -82,43 +82,49 @@ object Similarity extends QueryGroup {
     // centroids (lowest vec_ids — a stand-in for trained k-means; the
     // assignment/probe plumbing is what scales), each vector assigned to
     // its nearest centroid cell, and top-1 search probing ONLY within the
-    // cell — the self-join is equi-keyed on cell id, one shuffle.
-    // Approximate by construction => rows-only check (no oracle).
+    // cell — the self-join is equi-keyed on cell id, one shuffle. Both
+    // argmaxes are partial-aggregating max_by (map-side combine, no sort
+    // shuffle — a row_number window would sort n·16 rows). The whole
+    // pipeline is deterministic (fixed centroids, bit-stable VecDot,
+    // (cos, −id) tie-breaks), so it carries a full DuckDB oracle.
     "q59_ann_ivf" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // nearest centroid by cosine = argmax over 16 broadcast rows
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
+      // nearest centroid by cosine = argmax over 16 broadcast rows;
+      // max_by on (cos, −c_id) == "highest cos, lowest c_id on ties"
       val assigned = emb.join(broadcast(centroids), lit(true))
         .withColumn("c_cos", VectorOps.cosine(col("embedding"), col("c_emb")))
-        .withColumn("crk", row_number().over(wc))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-      val w = Window.partitionBy(col("a_id"))
-        .orderBy(col("cos").desc, col("b_id"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t")))
+            .as("cell"),
+          // embedding is constant within the group (16 fanout rows of one
+          // vector), so first() is deterministic in value
+          first(col("embedding")).as("embedding"))
       assigned.alias("a")
         .join(assigned.alias("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           col("a.cell").as("cell"),
           VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 1)
-        .select(col("a_id"), col("b_id"), col("cell"))
+        .groupBy(col("a_id"))
+        .agg(max_by(struct(col("b_id"), col("cell")),
+          struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
+        .select(col("a_id"), col("best.b_id").as("b_id"),
+          col("best.cell").as("cell"))
         .orderBy("a_id")
     }),
 
     // q49 [north star]: LSH-bucketed approximate NN — the 100 TB shape:
-    // bucket on 16 hyperplane signs, self-join becomes equi-keyed.
-    // Approximate by construction => rows-only check (no oracle).
+    // bucket on 16 hyperplane signs, self-join becomes equi-keyed; top-1
+    // per vector is a partial-aggregating max_by argmax (no sort shuffle).
+    // Deterministic end-to-end (seeded hyperplanes literal-able into SQL,
+    // bit-stable dots) => full DuckDB oracle.
     "q49_ann_lsh" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           signBucket(col("embedding")).as("bucket"))
-      val w = Window.partitionBy(col("a_id"))
-        .orderBy(col("cos").desc, col("b_id"))
       emb.alias("a")
         .join(emb.alias("b"),
           col("a.bucket") === col("b.bucket") &&
@@ -126,9 +132,11 @@ object Similarity extends QueryGroup {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           col("a.bucket").as("bucket"),
           VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 1)
-        .select(col("a_id"), col("b_id"), col("bucket"))
+        .groupBy(col("a_id"))
+        .agg(max_by(struct(col("b_id"), col("bucket")),
+          struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
+        .select(col("a_id"), col("best.b_id").as("b_id"),
+          col("best.bucket").as("bucket"))
         .orderBy("a_id")
     }),
   )
@@ -144,6 +152,21 @@ object Similarity extends QueryGroup {
     dotSql.replace("%A", a).replace("%B", b)
   private def cosSql(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** The q49 sign-bucket as DuckDB SQL: the 16 seeded hyperplanes become
+    * literal double lists (Scala's Double.toString is shortest-round-trip
+    * and DuckDB's parser is correctly rounded, so the literals are the
+    * SAME doubles), and the dot-vs-literal uses the identical fold as the
+    * Spark side — signs, and therefore buckets, cannot differ.
+    */
+  private def hpList(p: Seq[Double]): String =
+    p.map(_.toString).mkString("[", ",", "]")
+  private def bucketSql(v: String): String = {
+    val terms = hyperplanes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${dot(v, hpList(p))} > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"CAST((${terms.mkString(" + ")}) AS BIGINT)"
+  }
 
   def oracles: Map[String, String] = Map(
     "q43_cosine_topk" ->
@@ -161,5 +184,32 @@ object Similarity extends QueryGroup {
          |WHERE a.vec_id < b.vec_id
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY a_id, b_id""".stripMargin,
+    // q59/q49 mirrors: row_number replicates the (cos DESC, id ASC)
+    // tie-break of the Spark max_by argmax; dots are the same fold.
+    "q59_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.embedding, c.c_id,
+         |        ${cosSql("e.embedding", "c.c_emb")} AS c_cos
+         |      FROM embeddings e CROSS JOIN c),
+         |asg AS (SELECT vec_id, embedding, c_id AS cell FROM (
+         |          SELECT vec_id, embedding, c_id,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
+         |          FROM s) t WHERE rk = 1),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
+         |        ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT a_id, b_id, cell,
+         |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+         |      FROM p)
+         |SELECT a_id, b_id, cell FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
+    "q49_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+         |        ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT a_id, b_id, bucket,
+         |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+         |      FROM p)
+         |SELECT a_id, b_id, bucket FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
   )
 }

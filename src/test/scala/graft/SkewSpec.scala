@@ -22,6 +22,29 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("q58 stop-shingle cap: a universal shingle cannot go quadratic") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val hot = 999L
+    // 200 docs share ONE universal (stop) shingle; each also has 3 unique
+    // shingles. One planted near-dup of doc 1 shares all of doc 1's set.
+    val base = (1 to 200).map(i =>
+      (i.toLong, Seq(hot, i * 10L + 1, i * 10L + 2, i * 10L + 3)))
+    val docs = (base :+ ((9001L, Seq(hot, 11L, 12L, 13L))))
+      .toDF("doc_id", "sh")
+    val uncapped = Dedup.ngramCandidates(docs, maxDf = 1000000).count()
+    val capped = Dedup.ngramCandidates(docs, maxDf = 64).count()
+    // without the cap the hot shingle alone yields all-pairs
+    assert(uncapped >= 200L * 199 / 2)
+    // with it, only the planted pair (sharing sub-cap shingles) survives
+    assert(capped == 1)
+    // exactness: Jaccard is still computed over FULL sets (incl. the hot
+    // shingle), and the true pair is found
+    val pairs = Dedup.ngramJaccardPairs(docs, maxDf = 64, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 9001L)))
+  }
+
   test("salt spreads a hot key across buckets") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (42L, i.toLong)).toDF("k", "id")
