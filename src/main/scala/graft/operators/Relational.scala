@@ -170,6 +170,30 @@ object Relational extends QueryGroup {
           col("error"))
         .orderBy("user_id")),
 
+    // q64 [REF app.py:51-54]: the commented-out first-publish variant —
+    // wire-format event JSON rebuilt from the batch table, parsed through
+    // the REAL EventDecoder.parseEvent path, then filtered on
+    // created == true (the reference's "find first publishes" predicate).
+    // `created`/`published` are derived deterministically from `value` so
+    // the oracle can mirror the predicate without a JSON round-trip.
+    "q64_first_publish" -> ((spark, dir) => {
+      val payload = to_json(struct(
+        col("event_id").cast("string").as("id"),
+        when(col("event_type") === "signup", lit("insert-story"))
+          .otherwise(lit("update-story")).as("operation"),
+        (col("value") > 100.0).as("created"),
+        lit("story").as("type"),
+        (col("value") > 50.0).as("published")))
+      Tables(spark, dir, "events")
+        .withColumn("ev", graft.streaming.EventDecoder.parseEvent(payload))
+        .filter(graft.streaming.EventDecoder.firstPublishPredicate(col("ev")))
+        .select(col("event_id"),
+          col("ev.id").as("id"),
+          col("ev.operation").as("operation"),
+          col("ev.created").as("created"))
+        .orderBy("event_id")
+    }),
+
     // q62 [CLOSURE]: SQL-text path — correlated EXISTS + scalar subquery
     // through spark.sql over registered views (the engine's full
     // parse→analyze→optimize lifecycle, not just the DataFrame builder).
@@ -236,6 +260,11 @@ object Relational extends QueryGroup {
         | CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
         | CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q64_first_publish" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) AS id,
+        | 'insert-story' AS operation, TRUE AS created
+        |FROM events WHERE event_type = 'signup' AND value > 100.0
+        |ORDER BY event_id""".stripMargin,
     "q62_sql_subquery" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders o

@@ -77,6 +77,21 @@ object EventDecoder {
   def filterPredicate(ev: Column): Column =
     documentedFilter(ev.getField("operation"), ev.getField("published"))
 
+  /** The first-publish variant the reference documents but leaves
+    * commented out (`app.py:51-54`: checking `created == True` "can be
+    * added to find first publishes"): the documented predicate narrowed
+    * to creation events. Null-safe like the reference's `.get()` probe —
+    * an absent `created` field fails the filter rather than erroring.
+    */
+  def firstPublishFilter(operation: Column, published: Column,
+      created: Column): Column =
+    documentedFilter(operation, published) && created === true
+
+  /** [[firstPublishFilter]] over the parsed event struct. */
+  def firstPublishPredicate(ev: Column): Column =
+    firstPublishFilter(ev.getField("operation"), ev.getField("published"),
+      ev.getField("created"))
+
   /** The 9-field projection (`app.py:57-67`); `shard` rides in from the
     * source (shard id ≙ `spark_partition_id` for non-Kinesis sources).
     */

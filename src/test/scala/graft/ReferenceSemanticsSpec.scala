@@ -101,6 +101,23 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("id")).toSeq == Seq("keep"))
   }
 
+  test("7b. first-publish filter narrows to created==true; absent created drops, not errors (app.py:51-54)") {
+    val rows = Seq(
+      """{"id":"first","operation":"insert-story","published":true,"created":true}""",
+      """{"id":"repub","operation":"insert-story","published":true,"created":false}""",
+      """{"id":"nocreated","operation":"insert-story","published":true}""",
+      """{"id":"unpub","operation":"insert-story","published":false,"created":true}""")
+    val decoded = EventDecoder.decode(wire(rows.map(r => gz(r) -> "s"): _*))
+    val kept = decoded.filter(EventDecoder.firstPublishFilter(
+      col("operation"), col("published"), col("created"))).collect()
+    assert(kept.map(_.getAs[String]("id")).toSeq == Seq("first"))
+    // and it is a strict subset of the documented filter
+    val documented = decoded.filter(EventDecoder.documentedFilter(
+      col("operation"), col("published"))).collect()
+    assert(documented.map(_.getAs[String]("id")).toSet ==
+      Set("first", "repub", "nocreated"))
+  }
+
   test("decoder fuzz: arbitrary byte payloads never crash the stage, rows always survive") {
     val rnd = new scala.util.Random(7)
     val garbage: Seq[Array[Byte]] =
