@@ -44,12 +44,17 @@ object GraftFunctions {
     two("shingle_hashes") { (ws, n) =>
       val width = n match {
         case Literal(v: Int, _) => v
-        case other => other.eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case x => throw new IllegalArgumentException(
-            s"shingle_hashes width must be a literal int, got $x")
-        }
+        case other =>
+          // a non-foldable arg (e.g. a column ref) would throw an opaque
+          // internal error from eval() during analysis — reject it clearly
+          require(other.foldable,
+            s"shingle_hashes width must be a literal int, got ${other.sql}")
+          other.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case x => throw new IllegalArgumentException(
+              s"shingle_hashes width must be a literal int, got $x")
+          }
       }
       ShingleHashes(ws, width)
     })

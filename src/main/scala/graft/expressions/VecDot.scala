@@ -22,13 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Nulls: null array → null result (standard binary-expression null
   * propagation). Array elements are assumed non-null (embedding vectors);
-  * mismatched lengths use the shorter (zip_with would null-pad — callers
-  * always pass equal-length embeddings).
+  * MISMATCHED LENGTHS yield null — the same visible outcome as the
+  * zip_with fold this replaces (its null-padding poisons the sum), so a
+  * malformed/truncated embedding surfaces as a null similarity instead
+  * of a plausible-but-wrong value.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // may return null on mismatched lengths even for non-null inputs
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -50,7 +55,8 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
@@ -75,12 +81,16 @@ case class VecDot(left: Expression, right: Expression)
       val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $lGet * $rGet;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $lGet * $rGet;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

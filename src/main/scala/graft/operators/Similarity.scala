@@ -43,6 +43,36 @@ object Similarity extends QueryGroup {
       when(VectorOps.dot(v, typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** q48's exact-tier ceiling: all-pairs is O(n²) BY CONTRACT (the
+    * dimension-table tier); above this many rows the plan is refused
+    * instead of silently planning an unbounded nested-loop join — the
+    * scale path is q49's LSH bucketing.
+    */
+  private[graft] val MaxExactAllPairs = 20000L
+
+  /** Exact all-pairs cosine near-dup over `(vec_id, embedding)`. The
+    * count() guard is a parquet-metadata-cheap job that turns "dies at
+    * 100 TB" into an explicit refusal with the scale path named
+    * (package-private so the guard itself is testable).
+    */
+  private[graft] def embeddingNearDupPairs(
+      emb: org.apache.spark.sql.DataFrame, tau: Double,
+      maxRows: Long): org.apache.spark.sql.DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"exact all-pairs near-dup is the dimension-table tier: corpus has " +
+        s"$n rows > limit $maxRows; use the LSH-bucketed tier (q49) instead")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("a_norm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("b_norm"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .filter(VectorOps.dot(col("a_emb"), col("b_emb")) /
+        (col("a_norm") * col("b_norm")) >= tau)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // q43 [north star]: brute-force cosine top-k (the exactness baseline).
     "q43_cosine_topk" -> ((spark, dir) => {
@@ -64,18 +94,11 @@ object Similarity extends QueryGroup {
     // Norms are computed ONCE per row before the pair join (n·norm work
     // instead of n²·norm) — the per-pair residue is a single codegen'd
     // dot product. Same scalar op sequence dot/(sqrt·sqrt) as the oracle.
-    "q48_embedding_neardup" -> ((spark, dir) => {
-      val emb = Tables(spark, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("a_norm"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("b_norm"))
-      a.join(broadcast(b), col("a_id") < col("b_id"))
-        .filter(VectorOps.dot(col("a_emb"), col("b_emb")) /
-          (col("a_norm") * col("b_norm")) >= 0.45)
-        .select(col("a_id"), col("b_id"))
-        .orderBy("a_id", "b_id")
-    }),
+    // Guarded: refuses corpora above MaxExactAllPairs rather than
+    // silently planning an unbounded O(n²) join (q49 is the scale tier).
+    "q48_embedding_neardup" -> ((spark, dir) =>
+      embeddingNearDupPairs(Tables(spark, dir, "embeddings"),
+        tau = 0.45, maxRows = MaxExactAllPairs)),
 
     // q59 [north star]: IVF-style approximate NN — the other classic scale
     // path next to sign-LSH (q49): a coarse quantizer of K deterministic

@@ -33,6 +33,19 @@ class ExpressionParitySpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("VecDot on mismatched lengths → null, like the fold's null-padded sum") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val row = df.select(VectorOps.dot(col("a"), col("b")).as("fast"),
+      hofDot.as("ref")).head
+    assert(row.isNullAt(0), "VecDot must be null on length mismatch")
+    assert(row.isNullAt(1), "zip_with reference is null too — same contract")
+  }
+
   test("ShingleHashes == xxhash64(concat_ws) over transform/sequence n-grams") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")

@@ -25,6 +25,15 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q48 guard refuses corpora beyond the exact all-pairs tier") {
+    val emb = Tables(spark, Sf, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.embeddingNearDupPairs(emb, tau = 0.45,
+        maxRows = 10)
+    }
+    assert(e.getMessage.contains("q49"), "refusal must name the scale path")
+  }
+
   test("q19 approx distinct within rsd bounds of exact (its declared check)") {
     val approx = SparkEntry.queries("q19_approx_distinct")(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -38,4 +38,16 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(viaDf == viaSql)
   }
+
+  test("shingle_hashes rejects a non-literal width with a clear message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Throwable] {
+      spark.sql("SELECT shingle_hashes(array('a','b'), id) FROM range(2)")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("literal int")),
+      s"expected a clear 'literal int' error, got: ${messages(e).mkString(" | ")}")
+  }
 }
