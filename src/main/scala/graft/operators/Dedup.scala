@@ -63,7 +63,18 @@ object Dedup extends QueryGroup {
     * skew guard a 100 TB corpus needs (package-private for the skew test).
     */
   private[graft] def ngramCandidates(docs: DataFrame, maxDf: Int): DataFrame = {
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    // Prefix filter (all-pairs similarity search, Bayardo et al. WWW'07;
+    // ppjoin): under a GLOBAL canonical element order (ascending hash),
+    // two sets with J ≥ τ must share their SMALLEST common element, and
+    // it provably sits within each set's first n − ⌈τ·n⌉ + 1 elements —
+    // so only that prefix needs indexing. At τ=0.5 this halves the
+    // inverted index and cuts candidate pairs ~4×, with zero recall loss
+    // (verification below still runs on the FULL sets).
+    val n = size(col("sh"))
+    val prefixLen =
+      (n - ceil(n * lit(JaccardTau)).cast("int") + lit(1)).cast("int")
+    val inv = docs.select(col("doc_id"),
+      explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
     // ONE shuffle: shingle → posting list. The cap drops stop-shingle
     // buckets whole, which simultaneously (a) bounds any bucket's pair
     // fanout to maxDf·(maxDf−1)/2 and (b) bounds collect_list memory to

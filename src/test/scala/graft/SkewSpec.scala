@@ -25,7 +25,9 @@ class SkewSpec extends SparkSpec {
   test("q58 stop-shingle cap: a universal shingle cannot go quadratic") {
     import spark.implicits._
     import graft.operators.Dedup
-    val hot = 999L
+    // hot = 0 sits first in the global (ascending-hash) order, so it is
+    // inside every doc's candidate prefix — the worst case for skew.
+    val hot = 0L
     // 200 docs share ONE universal (stop) shingle; each also has 3 unique
     // shingles. One planted near-dup of doc 1 shares all of doc 1's set.
     val base = (1 to 200).map(i =>
