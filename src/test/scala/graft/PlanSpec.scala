@@ -70,4 +70,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q46_minhash_neardup")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("n-gram Jaccard: posting-list shape — no pair-producing join at all") {
+    val p = plan("q58_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // candidate generation is a groupBy(collect_list) + explode, so the
+    // only joins left are the equi-keyed verification lookups
+    assert(p.contains("Generate") && p.contains("explode("))
+  }
+
+  test("ANN argmax aggregates partially — no rank Window, no sort shuffle") {
+    val p59 = plan("q59_ann_ivf")
+    assert(!p59.contains("Window"), "q59 must not plan a rank window")
+    assert("Aggregate".r.findAllIn(p59).size >= 2,
+      "q59 argmax must partial-aggregate")
+    val p49 = plan("q49_ann_lsh")
+    assert(!p49.contains("Window"), "q49 must not plan a rank window")
+    // bucket self-join stays equi-keyed
+    assert(!p49.contains("CartesianProduct") &&
+      !p49.contains("BroadcastNestedLoopJoin"))
+  }
 }
