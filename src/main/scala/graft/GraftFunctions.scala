@@ -59,11 +59,18 @@ object GraftFunctions {
       ShingleHashes(ws, width)
     })
 
-  /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session. Also registers the
+    * tag-set UDAF (an Aggregator needs the session-scoped udf registry —
+    * there is no extensions injection point for it).
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graftbridge.registerFunction(spark, id, info, builder)
     }
+    spark.udf.register("tag_set_agg",
+      org.apache.spark.sql.functions.udaf(graft.functions.TagSetAgg,
+        org.apache.spark.sql.Encoders.product[graft.streaming.AnsModel.Tag]))
+  }
 }
 
 /** Config-path hook: `spark.sql.extensions=graft.GraftExtensions`. */

@@ -97,20 +97,19 @@ object Aggregates extends QueryGroup {
     // q57 [REF tag.py:37-44 as a custom typed Aggregator, SURVEY §2.11]:
     // tag-set accumulation as a distributive UDAF — partial-aggregates
     // map-side, merges in any order (set union), idempotent under
-    // redelivery by construction.
+    // redelivery by construction. Invoked through the UNTYPED udaf()
+    // wrapper (two plain columns in, Tungsten rows throughout) rather
+    // than groupByKey on a typed Dataset — same Aggregator, same result,
+    // minus the tuple-encoder exchange of the typed path.
     "q57_tag_udaf" -> ((spark, dir) => {
-      import spark.implicits._
       import graft.streaming.AnsModel.Tag
+      val tagAgg = udaf(graft.functions.TagSetAgg,
+        org.apache.spark.sql.Encoders.product[Tag])
       Tables(spark, dir, "orders")
-        .select(col("o_orderstatus"),
-          graft.functions.TagOps.slugify(col("o_orderpriority")).as("slug"),
-          col("o_orderpriority").as("text"))
-        .as[(String, String, String)]
-        .groupByKey(_._1)
-        .agg(graft.functions.TagSetAgg
-          .on[(String, String, String)](r => Tag(r._2, r._3))
-          .toColumn.name("tags"))
-        .toDF("o_orderstatus", "tags")
+        .groupBy(col("o_orderstatus"))
+        .agg(tagAgg(
+          graft.functions.TagOps.slugify(col("o_orderpriority")),
+          col("o_orderpriority")).as("tags"))
         .orderBy("o_orderstatus")
     }),
   )

@@ -39,6 +39,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaDf == viaSql)
   }
 
+  test("tag_set_agg callable from SQL, idempotent under duplicate rows") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT tag_set_agg(slug, text) AS tags FROM VALUES
+        |  ('a-b', 'A B'), ('c', 'C'), ('a-b', 'A B') AS t(slug, text)""".stripMargin)
+      .collect().head.getString(0)
+    assert(out == "a-b|A B,c|C")
+  }
+
   test("shingle_hashes rejects a non-literal width with a clear message") {
     GraftFunctions.register(spark)
     val e = intercept[Throwable] {
