@@ -139,6 +139,50 @@ object Similarity extends QueryGroup {
         .orderBy("a_id")
     }),
 
+    // q68 [north star]: MULTI-PROBE IVF — the production ANN shape: the
+    // query side probes its top-2 centroid cells (recall knob) while the
+    // corpus stays in 1 cell, so the index size is unchanged and the
+    // probe join stays equi-keyed on cell. Top-2 per vector is a bounded
+    // collect_list(16 structs) + sort + slice — still a partial
+    // aggregate, not a rank window. A neighbor reachable through both
+    // probes dedups naturally in the final argmax.
+    "q68_ann_ivf_probe2" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val scored = emb.join(broadcast(centroids), lit(true))
+        .withColumn("c_cos", VectorOps.cosine(col("embedding"), col("c_emb")))
+      // corpus: nearest cell only (same as q59)
+      val assigned = scored
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t")))
+            .as("cell"),
+          first(col("embedding")).as("embedding"))
+      // queries: top-2 cells, ordered (cos desc, c_id asc)
+      val probes = scored
+        .groupBy(col("vec_id"))
+        .agg(
+          slice(reverse(array_sort(collect_list(
+            struct(col("c_cos"), (-col("c_id")).as("t"), col("c_id"))))),
+            1, 2).as("top2"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          explode(col("top2.c_id")).as("cell"))
+      probes.alias("a")
+        .join(assigned.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("b.cell").as("cell"),
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .groupBy(col("a_id"))
+        .agg(max_by(struct(col("b_id"), col("cell")),
+          struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
+        .select(col("a_id"), col("best.b_id").as("b_id"),
+          col("best.cell").as("cell"))
+        .orderBy("a_id")
+    }),
+
     // q49 [north star]: LSH-bucketed approximate NN — the 100 TB shape:
     // bucket on 16 hyperplane signs, self-join becomes equi-keyed; top-1
     // per vector is a partial-aggregating max_by argmax (no sort shuffle).
@@ -225,6 +269,23 @@ object Similarity extends QueryGroup {
          |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
          |      FROM p)
          |SELECT a_id, b_id, cell FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
+    "q68_ann_ivf_probe2" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.embedding, c.c_id,
+         |        ${cosSql("e.embedding", "c.c_emb")} AS c_cos
+         |      FROM embeddings e CROSS JOIN c),
+         |rk AS (SELECT vec_id, embedding, c_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS r
+         |       FROM s),
+         |asg AS (SELECT vec_id, embedding, c_id AS cell FROM rk WHERE r = 1),
+         |prb AS (SELECT vec_id, embedding, c_id AS cell FROM rk WHERE r <= 2),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.cell AS cell,
+         |        ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM prb a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT a_id, b_id, cell,
+         |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk2
+         |      FROM p)
+         |SELECT a_id, b_id, cell FROM r WHERE rk2 = 1 ORDER BY a_id""".stripMargin,
     "q49_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,

@@ -25,6 +25,26 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("multi-probe IVF never finds a worse neighbor than single-probe") {
+    import graft.functions.VectorOps
+    val emb = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def bestCos(name: String): Map[Long, Double] =
+      SparkEntry.queries(name)(spark, Sf)
+        .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+        .select(col("a_id"), VectorOps.cosine(col("ea"), col("eb")).as("cos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p1 = bestCos("q59_ann_ivf")
+    val p2 = bestCos("q68_ann_ivf_probe2")
+    // probe-2's candidate set is a superset (r<=2 includes r=1), so its
+    // argmax dominates pointwise and it can only gain vectors, not lose
+    assert(p1.keySet.subsetOf(p2.keySet))
+    p1.foreach { case (id, c1) =>
+      assert(p2(id) >= c1, s"vec $id found a worse neighbor under probe2")
+    }
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {
