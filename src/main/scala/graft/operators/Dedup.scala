@@ -62,38 +62,67 @@ object Dedup extends QueryGroup {
     * contributes at most maxDf·(maxDf−1)/2 pairs instead of n²/2 — the
     * skew guard a 100 TB corpus needs (package-private for the skew test).
     */
+  /** Candidate pairs MAY repeat (a pair sharing k prefix shingles appears
+    * k times); dedup happens after verification, where survivors are few —
+    * a distinct here would shuffle the whole candidate stream to remove
+    * the ~7% of repeats the prefix filter leaves.
+    */
   private[graft] def ngramCandidates(docs: DataFrame, maxDf: Int): DataFrame = {
     // Prefix filter (all-pairs similarity search, Bayardo et al. WWW'07;
-    // ppjoin): under a GLOBAL canonical element order (ascending hash),
-    // two sets with J ≥ τ must share their SMALLEST common element, and
-    // it provably sits within each set's first n − ⌈τ·n⌉ + 1 elements —
-    // so only that prefix needs indexing. At τ=0.5 this halves the
-    // inverted index and cuts candidate pairs ~4×, with zero recall loss
-    // (verification below still runs on the FULL sets).
+    // ppjoin family): under a GLOBAL canonical element order (ascending
+    // hash), two sets with J ≥ τ must share their SMALLEST common
+    // element, and it provably sits within each set's first
+    // n − ⌈τ·n⌉ + 1 elements — so only that prefix needs indexing. At
+    // τ=0.5 this halves the inverted index and cuts candidate pairs ~4×,
+    // with zero recall loss (verification still runs on the FULL sets).
     val n = size(col("sh"))
     val prefixLen =
       (n - ceil(n * lit(JaccardTau)).cast("int") + lit(1)).cast("int")
-    val inv = docs.select(col("doc_id"),
-      explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
+    // postings carry (set size n, 1-based position p in the sorted set)
+    // for the size/positional prunes below
+    val inv = docs
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        posexplode(slice(array_sort(col("sh")), lit(1), prefixLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
     // ONE shuffle: shingle → posting list. The cap drops stop-shingle
     // buckets whole, which simultaneously (a) bounds any bucket's pair
     // fanout to maxDf·(maxDf−1)/2 and (b) bounds collect_list memory to
-    // maxDf ids per group — no skewed reducer can exist by construction.
+    // maxDf entries per group — no skewed reducer can exist by
+    // construction.
     val buckets = inv.groupBy(col("g"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-    // per-bucket ordered-pair expansion (b > a) stays narrow — cheaper
-    // than re-shuffling the index into an equi-self-join
-    buckets
+    // per-bucket ordered-pair expansion (b.doc_id > a.doc_id) stays
+    // narrow — cheaper than re-shuffling the index into a self-join
+    val expanded = buckets
       .select(explode(flatten(transform(col("ds"), a =>
-        transform(filter(col("ds"), b => b > a),
-          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-      .distinct()
+        transform(
+          filter(col("ds"), b => b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(
+            a.getField("doc_id").as("a_id"), a.getField("n").as("na"),
+            a.getField("p").as("pa"),
+            b.getField("doc_id").as("b_id"), b.getField("n").as("nb"),
+            b.getField("p").as("pb")))))).as("pr"))
+      .select(col("pr.*"))
+    // Recall-safe prunes before any shuffle touches the pairs:
+    //  - size filter: J ≥ τ needs min(|a|,|b|) ≥ τ·max(|a|,|b|);
+    //  - positional filter: all common elements sit at or after this
+    //    collision in both sorted sets, so overlap ≤ 1 + min(n−p), and
+    //    J ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉. (float rounding can
+    //    only LOWER the ceil argument — prunes less, never more.)
+    expanded
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")).cast("double") * JaccardTau)
+      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+        .cast("double") >=
+        ceil((col("na") + col("nb")) * lit(JaccardTau / (1 + JaccardTau))))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** q58's full pipeline: capped candidate generation + exact Jaccard
-    * verification against the full (uncapped) shingle sets.
+    * verification against the full (uncapped) shingle sets; candidate
+    * repeats are dropped after verification (few rows survive).
     */
   private[graft] def ngramJaccardPairs(
       docs: DataFrame, maxDf: Int, tau: Double): DataFrame = {
@@ -103,6 +132,7 @@ object Dedup extends QueryGroup {
       .join(a, "a_id").join(b, "b_id")
       .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= tau)
       .select(col("a_id"), col("b_id"))
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

@@ -34,8 +34,10 @@ class SkewSpec extends SparkSpec {
       (i.toLong, Seq(hot, i * 10L + 1, i * 10L + 2, i * 10L + 3)))
     val docs = (base :+ ((9001L, Seq(hot, 11L, 12L, 13L))))
       .toDF("doc_id", "sh")
-    val uncapped = Dedup.ngramCandidates(docs, maxDf = 1000000).count()
-    val capped = Dedup.ngramCandidates(docs, maxDf = 64).count()
+    // candidates may repeat per shared shingle — dedup for counting
+    val uncapped = Dedup.ngramCandidates(docs, maxDf = 1000000)
+      .distinct().count()
+    val capped = Dedup.ngramCandidates(docs, maxDf = 64).distinct().count()
     // without the cap the hot shingle alone yields all-pairs
     assert(uncapped >= 200L * 199 / 2)
     // with it, only the planted pair (sharing sub-cap shingles) survives
