@@ -35,8 +35,12 @@ class StreamingSpec extends SparkSpec {
     val store = new InMemoryDocumentStore
     store.upsert(AnsDoc("A", Some(3L), Some(Taxonomy(Some(Seq(Tag("x", "x")))))))
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    // ProcessingTime(0): continuous micro-batches, so data added AFTER
+    // start is reliably picked up (AvailableNow snapshots its offsets at
+    // start — racing addData against it is flaky under load); prod
+    // cadence is 3 s ≙ app.py:78.
     val q = TagPipeline.start(spark, ms.toDF(), store, ckpt,
-      trigger = Trigger.AvailableNow()) // test cadence; prod uses 3 s ≙ app.py:78
+      trigger = Trigger.ProcessingTime(0))
 
     // batch 1: A (already in store, has other tag), B (unknown → created),
     // an unpublished story and an update op (both filtered out).
@@ -57,6 +61,25 @@ class StreamingSpec extends SparkSpec {
     assert(b.taxonomy.get.tags.get == Seq(AutoTag)) // created from nothing
     assert(store.get("C").isEmpty && store.get("D").isEmpty) // filtered out
     assert(store.size == 2)
+  }
+
+  test("first-publish filter works unchanged on a stream (batch/stream unification)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Wire]
+    def storyC(id: String, created: Boolean): String =
+      s"""{"id":"$id","operation":"insert-story","published":true,"created":$created}"""
+    ms.addData(
+      ev(storyC("first", created = true), 0),
+      ev(storyC("repub", created = false), 1),
+      ev(story("nocreated"), 2))
+    val out = EventDecoder.decode(ms.toDF())
+      .filter(EventDecoder.firstPublishFilter(
+        col("operation"), col("published"), col("created")))
+    val q = out.writeStream.format("memory").queryName("first_pub")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("first_pub").collect().map(_.getAs[String]("id"))
+    assert(ids.toSeq == Seq("first"))
   }
 
   test("dropDuplicatesWithinWatermark: redelivered ids collapse to one row") {
@@ -167,9 +190,11 @@ class StreamingSpec extends SparkSpec {
     val store = new InMemoryDocumentStore
     val ckpt = Files.createTempDirectory("graft-recover-").toString
 
+    // data added BEFORE start: AvailableNow snapshots available offsets
+    // at query start, so adding afterwards races the snapshot
+    ms.addData(ev(story("R1"), 0), ev(story("R2"), 1))
     val q1 = TagPipeline.start(spark, ms.toDF(), store, ckpt,
       trigger = Trigger.AvailableNow(), storeKey = "recover-test")
-    ms.addData(ev(story("R1"), 0), ev(story("R2"), 1))
     q1.processAllAvailable()
     q1.stop()
     assert(store.size == 2)
