@@ -49,6 +49,15 @@ object Dedup extends QueryGroup {
     */
   private[graft] val MaxShingleDocFreq = 128
 
+  /** LSH bucket cap (q46): a band bucket larger than this is dropped from
+    * candidate generation. Only a mass-duplicate cluster fills a bucket
+    * this far (near-dups collide on SOME of the 32 bands, a clone army on
+    * ALL of them) — and clone armies are q42 exact dedup's job, run
+    * first. The cap is what keeps the bucket expansion quadratic-free on
+    * a spammy 100 TB corpus.
+    */
+  private[graft] val MaxLshBucket = 256
+
   /** doc_id + distinct 3-word shingle HASH set (shingle identity is all
     * MinHash and Jaccard verification need — see ShingleHashes scaladoc).
     */
@@ -120,6 +129,22 @@ object Dedup extends QueryGroup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Candidate pairs from an LSH band table `(doc_id, band, bh)`: one
+    * groupBy shuffle into per-bucket posting lists (vs a two-sided
+    * self-join), buckets over `maxBucket` docs dropped whole. The
+    * distinct matters here: a true near-dup pair collides in up to all
+    * 32 bands, and verification is too expensive to run 32×.
+    */
+  private[graft] def bandedCandidates(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+
   /** q58's full pipeline: capped candidate generation + exact Jaccard
     * verification against the full (uncapped) shingle sets; candidate
     * repeats are dropped after verification (few rows survive).
@@ -176,12 +201,8 @@ object Dedup extends QueryGroup {
               NumBands, RowsPerBand))))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
 
-      val cands = bands.alias("x")
-        .join(bands.alias("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+      // capped bucket expansion — one shuffle, skew-proof (MaxLshBucket)
+      val cands = bandedCandidates(bands, MaxLshBucket)
 
       // Exact verification: true Jaccard over the shingle sets.
       val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))

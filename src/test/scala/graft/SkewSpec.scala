@@ -49,6 +49,23 @@ class SkewSpec extends SparkSpec {
     assert(pairs == Seq((1L, 9001L)))
   }
 
+  test("q46 LSH bucket cap: a clone army cannot go quadratic") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 300 docs colliding in one (band, bh) bucket — the all-32-bands
+    // signature of mass duplicates — plus one honest 2-doc bucket.
+    val rows = (1 to 300).map(i => (i.toLong, 0, 42L)) ++
+      Seq((500L, 1, 7L), (501L, 1, 7L))
+    val bands = rows.toDF("doc_id", "band", "bh")
+    val capped = Dedup.bandedCandidates(bands, maxBucket = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((500L, 501L)))
+    // uncapped sanity: the same helper would otherwise emit the full
+    // quadratic pair set
+    assert(Dedup.bandedCandidates(bands, maxBucket = 1000000).count() ==
+      300L * 299 / 2 + 1)
+  }
+
   test("salt spreads a hot key across buckets") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (42L, i.toLong)).toDF("k", "id")
