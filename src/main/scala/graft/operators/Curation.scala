@@ -48,6 +48,55 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q69 [north star]: document-frequency vocabulary pruning (the
+    // C4-style "drop boilerplate tokens" pass): tokens present in > 79%
+    // of documents are removed, texts are rebuilt IN ORDER. Scale shape:
+    // the df table is one word-keyed shuffle of (doc, word) distincts;
+    // the stop list is tiny by construction (high-df tail) so the
+    // anti-join broadcasts; the rebuild is one doc-keyed shuffle whose
+    // ordering is restored by sorting (pos, word) structs inside each
+    // group — order survives any partitioning.
+    "q69_df_prune" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val dfreq = words.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val stop = dfreq.join(broadcast(total), lit(true))
+        .filter(col("df").cast("double") >
+          col("n_docs").cast("double") * 0.79)
+        .select(col("word"))
+      val pruned = words
+        .join(broadcast(stop), Seq("word"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("pruned_text"),
+          count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"))
+        .join(pruned, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("pruned_text"), lit("")).as("pruned_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // q70 [north star]: PII-style scrubbing — digit runs redacted to a
+    // placeholder (the shape of email/phone/ssn scrubbing; the fixture's
+    // only digit-bearing column is the JSON props). Pure per-row regex,
+    // fused into the scan.
+    "q70_pii_scrub" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          (length(col("props")) -
+            length(regexp_replace(col("props"), "[0-9]", "")))
+            .cast("long").as("n_digits"))
+        .orderBy("event_id")),
+
     // q67 [north star]: context-window chunking — fixed 200-char windows
     // at stride 150 (50-char overlap), tail partial kept, ordinal chunk
     // ids. The explode is narrow (no shuffle); at 100 TB chunking is a
@@ -74,6 +123,25 @@ object Curation extends QueryGroup {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' OR substring(md5('mix:' || CAST(doc_id AS VARCHAR)),1,2) < '80'
         |ORDER BY doc_id""".stripMargin,
+    "q69_df_prune" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM w),
+        |tok2 AS (SELECT doc_id, pos, ws[CAST(pos AS INT)] AS word FROM tok),
+        |total AS (SELECT count(*) AS n FROM documents),
+        |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY word),
+        |stop AS (SELECT word FROM dfreq, total WHERE CAST(df AS DOUBLE) > CAST(n AS DOUBLE) * 0.79),
+        |kept AS (SELECT doc_id, pos, word FROM tok2 WHERE word NOT IN (SELECT word FROM stop)),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS pruned_text,
+        |               CAST(count(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.pruned_text, '') AS pruned_text,
+        |       COALESCE(a.n_kept, 0) AS n_kept
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q70_pii_scrub" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        | CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |FROM events ORDER BY event_id""".stripMargin,
     "q67_chunk" ->
       """SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_id,
         | CAST(start AS BIGINT) AS start,
