@@ -5,6 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Queries run twice would hide
   * plan-reuse wins, so each runs once, cold, in name order.
+  *
+  * Each query is consumed through a row checksum (xxhash64 over every
+  * output column, summed), NOT count(): under a bare count Catalyst
+  * legitimately prunes unreferenced columns and whole provably-
+  * cardinality-neutral joins — q69's entire rebuild stage, for example —
+  * so count-based timings over-report. The checksum forces every output
+  * cell to materialize; only the final presentation ORDER BY is still
+  * elided (the checksum is order-insensitive), which matches how Verify
+  * is the sorted-output path. r1 timings used count() and therefore read
+  * slightly lower on join/projection-heavy queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,7 +39,12 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try {
+        val out = fn(spark, sfDir)
+        out.select(org.apache.spark.sql.functions.xxhash64(
+            out.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
+          .agg(org.apache.spark.sql.functions.sum("h")).head()
+      }
       catch { case _: Throwable => failed ::= name }
       finally spark.catalog.clearCache() // drop query-local persists
       name -> (System.nanoTime() - t0) / 1e9

@@ -41,6 +41,7 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     two("vec_dot")(VecDot(_, _)),
     one("gunzip_to_string")(GunzipToString(_)),
+    one("simhash64")(graft.expressions.SimHash64(_)),
     two("shingle_hashes") { (ws, n) =>
       val width = n match {
         case Literal(v: Int, _) => v

@@ -58,6 +58,14 @@ object TextOps {
     toColumn(graft.expressions.MinHashSig(toExpression(shingleHashes), perms))
   }
 
+  /** 64-bit SimHash of a token array — one xxhash64 per token, 64 bit
+    * votes in one native pass; see [[graft.expressions.SimHash64]].
+    */
+  def simhash(ws: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.SimHash64(toExpression(ws)))
+  }
+
   /** Rolling polynomial fingerprint over the characters of `text`:
     * h = fold(h * 31 + ascii(c)) mod 1e9+7. Stays in BIGINT range at every
     * step so it is portable to engines with overflow-checked arithmetic.

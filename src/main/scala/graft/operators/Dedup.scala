@@ -234,16 +234,14 @@ object Dedup extends QueryGroup {
     }),
 
     // q47 [north star]: SimHash signatures + band keys (rows-only check).
+    // One SimHash64 pass per row — the 64 per-bit HOF folds it replaces
+    // re-hashed every token per bit through interpreted lambdas (13.8 s
+    // at sf0.1); bit parity is pinned in ExpressionParitySpec.
     "q47_simhash" -> ((spark, dir) => {
-      val toks = array_distinct(TextOps.tokens(col("text")))
-      def bitVote(j: Int) = aggregate(toks, lit(0L),
-        (acc, t) => acc +
-          shiftrightunsigned(xxhash64(t), j).bitwiseAND(lit(1L)) * 2L - 1L)
-      val sim = (0 until 64).map { j =>
-        when(bitVote(j) > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
-      }.reduce(_ + _)
       val withSim = Tables(spark, dir, "documents")
-        .select(col("doc_id"), sim.as("simhash"))
+        .select(col("doc_id"),
+          TextOps.simhash(array_distinct(TextOps.tokens(col("text"))))
+            .as("simhash"))
       val bandCols = (0 until 4).map(k =>
         shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
           .as(s"band$k"))

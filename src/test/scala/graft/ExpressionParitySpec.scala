@@ -46,6 +46,27 @@ class ExpressionParitySpec extends SparkSpec {
     assert(row.isNullAt(1), "zip_with reference is null too — same contract")
   }
 
+  test("SimHash64 == the 64 per-bit aggregate(xxhash64) folds, bit-for-bit") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val texts = (1 to 150).map(_ =>
+      Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val df = texts.toDF("text")
+      .select(array_distinct(split(col("text"), " ")).as("toks"))
+    def bitVote(j: Int) = aggregate(col("toks"), lit(0L),
+      (acc, t) => acc +
+        shiftrightunsigned(xxhash64(t), j).bitwiseAND(lit(1L)) * 2L - 1L)
+    val hofSim = (0 until 64).map { j =>
+      when(bitVote(j) > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }.reduce(_ + _)
+    val diffs = df.select(
+        TextOps.simhash(col("toks")).as("fast"), hofSim.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("ShingleHashes == xxhash64(concat_ws) over transform/sequence n-grams") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
