@@ -97,6 +97,26 @@ object Curation extends QueryGroup {
             .cast("long").as("n_digits"))
         .orderBy("event_id")),
 
+    // q71 [north star]: the operators composed as one curation pipeline —
+    // exact dedup (keep lowest doc_id per content hash) → quality filter
+    // → deterministic split → per-(split, lang) corpus stats. One semi
+    // join + two hash aggregations; the shape a real corpus refresh runs.
+    "q71_curation_pipeline" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val keep = docs.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val bucket = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 2)
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .filter(col("n_chars") >= 150)
+        .select(col("lang"),
+          when(bucket < "cd", lit("train")).otherwise(lit("val")).as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+
     // q67 [north star]: context-window chunking — fixed 200-char windows
     // at stride 150 (50-char overlap), tail partial kept, ordinal chunk
     // ids. The explode is narrow (no shuffle); at 100 TB chunking is a
@@ -142,6 +162,14 @@ object Curation extends QueryGroup {
       """SELECT event_id, regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
         | CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
         |FROM events ORDER BY event_id""".stripMargin,
+    "q71_curation_pipeline" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |kept AS (SELECT d.doc_id, d.lang FROM documents d
+        |         JOIN keep k ON d.doc_id = k.doc_id WHERE d.n_chars >= 150)
+        |SELECT CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) < 'cd'
+        |            THEN 'train' ELSE 'val' END AS split,
+        |       lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q67_chunk" ->
       """SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_id,
         | CAST(start AS BIGINT) AS start,
