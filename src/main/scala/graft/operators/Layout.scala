@@ -29,4 +29,16 @@ object Layout {
   def coLocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Write a curated corpus hive-partitioned by low-cardinality routing
+    * columns (split, lang, date, ...): a reader filtering on them prunes
+    * whole directories at PLANNING time — at 100 TB, the difference
+    * between scanning the train split and scanning everything.
+    * `LayoutSpec` asserts the pruned scan shape.
+    */
+  def partitionedWrite(df: DataFrame, path: String, cols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(cols: _*)
+      .parquet(path)
 }
