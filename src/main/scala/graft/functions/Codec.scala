@@ -7,7 +7,6 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,8 +38,24 @@ object Codec {
     out.toByteArray
   }
 
-  /** gzip-compress a string column (test-side producer of wire payloads). */
-  val gzip = udf((s: String) => if (s == null) null else gzipBytes(s.getBytes(UTF_8)))
+  /** gzip-compress a string column as a native expression — the producer
+    * side of the wire codec (tests + q02's round-trip). An Expression
+    * rather than a `udf(...)`: the UDF wrapper copies every UTF8String
+    * into a java.lang.String and pays the invocation layer per row; this
+    * reads the backing bytes directly.
+    */
+  case class GzipBytes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      gzipBytes(input.asInstanceOf[UTF8String].getBytes)
+    override protected def withNewChildInternal(c: Expression): GzipBytes = copy(c)
+    override def prettyName: String = "gzip_bytes"
+  }
+
+  /** Column API for [[GzipBytes]]. */
+  def gzip(c: Column): Column = toColumn(GzipBytes(toExpression(c)))
 
   /** Error-tolerant gunzip as a native Catalyst expression.
     *
