@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate") && p.contains("explode("))
   }
 
+  test("df-prune's stop-list anti-join broadcasts (stop list is tiny by construction)") {
+    val p = plan("q69_df_prune")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stop-list should anti-join via broadcast:\n${p.take(2000)}")
+  }
+
   test("ANN argmax aggregates partially — no rank Window, no sort shuffle") {
     val p59 = plan("q59_ann_ivf")
     assert(!p59.contains("Window"), "q59 must not plan a rank window")
