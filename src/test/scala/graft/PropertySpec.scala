@@ -61,4 +61,51 @@ class PropertySpec extends SparkSpec {
       assert(ab.taxonomy.get.tags.get.toSet == ba.taxonomy.get.tags.get.toSet)
     }
   }
+
+  test("q67 chunks reconstruct every document exactly (stride slices + final tail)") {
+    import org.apache.spark.sql.functions._
+    // stride 150 / window 200: the first 150 chars of every chunk,
+    // concatenated in chunk order, plus the LAST chunk's tail beyond its
+    // first 150 chars, must equal the original text byte-for-byte.
+    val rebuilt = SparkEntry.queries("q67_chunk")(spark, Sf)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat(
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_id"),
+              substring(col("chunk"), 1, 150).as("head")))),
+            x => x.getField("head")), ""),
+          max_by(substring(col("chunk"), 151, 50), col("chunk_id")))
+          .as("rebuilt"))
+    val docs = Tables(spark, Sf, "documents").select(col("doc_id"), col("text"))
+    val mismatched = docs.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(mismatched == 0)
+  }
+
+  test("q65 split is total and deterministic: every doc in exactly one split, twice") {
+    val a = SparkEntry.queries("q65_train_split")(spark, Sf).collect()
+    val b = SparkEntry.queries("q65_train_split")(spark, Sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // rerun-stable
+    val splits = a.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "val"))
+    assert(a.length == Tables(spark, Sf, "documents").count())
+    val trainFrac = a.count(_.getAs[String]("split") == "train").toDouble / a.length
+    assert(trainFrac > 0.70 && trainFrac < 0.90, s"train fraction $trainFrac")
+  }
+
+  test("SimHash64 is order- and duplication-invariant over token sets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    import spark.implicits._
+    val df = Seq(
+      ("alpha beta gamma delta", "delta gamma beta alpha"),
+      ("x y z", "z z y y x x")
+    ).toDF("t1", "t2")
+    val diffs = df.select(
+        TextOps.simhash(array_distinct(split(col("t1"), " "))).as("a"),
+        TextOps.simhash(array_distinct(split(col("t2"), " "))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffs == 0)
+  }
 }
