@@ -66,6 +66,34 @@ class SkewSpec extends SparkSpec {
       300L * 299 / 2 + 1)
   }
 
+  test("AQE skew-join splits a hot partition (the no-code-change skew path)") {
+    import spark.implicits._
+    // one hot key carrying ~100k rows vs 1k cold keys — with the skew
+    // thresholds lowered to fixture scale, AQE must split the hot
+    // partition at runtime (plan shows 'skew=true' on the SMJ)
+    val facts = ((1 to 100000).map(_ => 7L) ++ (1 to 1000).map(_.toLong + 100))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val dim = (1 to 2000).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = facts.join(dim, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n${p.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salt spreads a hot key across buckets") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (42L, i.toLong)).toDF("k", "id")
