@@ -3,7 +3,6 @@ package graft.operators
 import scala.util.Random
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -22,9 +21,8 @@ import graft.functions.VectorOps
   * Scale paths:
   *  - q43 brute-force top-k: the QUERY side is broadcast; the corpus scans
   *    once, each partition computes its local candidates; the final top-k
-  *    per query is a window over q_id (k rows per query survive the
-  *    shuffle... at 100 TB, replace the window with per-partition top-k +
-  *    re-aggregate, which q49's bucketed variant demonstrates).
+  *    per query is the bounded TopKAgg aggregator — map-side partials
+  *    carry ≤ k rows per (query, partition) into the one shuffle.
   *  - q48 all-pairs near-dup: genuinely O(n²); kept exact here because the
   *    embedding corpus is a dimension table. The scale path for a large
   *    corpus is q49: random-hyperplane LSH buckets make the self-join
@@ -74,19 +72,26 @@ object Similarity extends QueryGroup {
   }
 
   def queries: Map[String, Q] = Map(
-    // q43 [north star]: brute-force cosine top-k (the exactness baseline).
+    // q43 [north star]: brute-force cosine top-k (the exactness
+    // baseline). Top-k per query is the bounded TopKAgg — map-side
+    // partials carry ≤ 10 rows per (query, partition) into the shuffle,
+    // where the row_number window it replaces shuffled EVERY scored
+    // corpus row to the query's reducer. Same (cos DESC, n_id) order.
     "q43_cosine_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       c.join(broadcast(q), col("q_id") =!= col("n_id"))
-        .withColumn("cos", VectorOps.cosine(col("q_emb"), col("n_emb")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("n_id"))
+        .select(col("q_id"),
+          VectorOps.cosine(col("q_emb"), col("n_emb")).as("cos"), col("n_id"))
+        .groupBy(col("q_id"))
+        .agg(topk(col("cos"), col("n_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("n_id"))
         .orderBy("q_id", "rank")
     }),
 

@@ -96,5 +96,10 @@ class PlanSpec extends SparkSpec {
     // bucket self-join stays equi-keyed
     assert(!p49.contains("CartesianProduct") &&
       !p49.contains("BroadcastNestedLoopJoin"))
+    // q43's top-k is the bounded aggregator, not a rank window
+    val p43 = plan("q43_cosine_topk")
+    assert(!p43.contains("Window"), "q43 must not plan a rank window")
+    assert("Aggregate".r.findAllIn(p43).size >= 2,
+      "q43 top-k must partial-aggregate")
   }
 }
