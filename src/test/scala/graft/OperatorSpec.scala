@@ -45,6 +45,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k aggregator == rank-window top-k on the same input") {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.{Scored, TopKAgg}
+    val windowed = SparkEntry.queries("q26_topk_per_group")(spark, Sf)
+      .select(col("user_id"), col("event_id"))
+    val topk = udaf(new TopKAgg(3), Encoders.product[Scored])
+    val viaAgg = Tables(spark, Sf, "events")
+      .groupBy(col("user_id"))
+      .agg(topk(col("event_id").cast("double"), col("event_id")).as("top"))
+      .select(col("user_id"), explode(col("top.id")).as("event_id"))
+    assert(windowed.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(windowed).count() == 0)
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {
