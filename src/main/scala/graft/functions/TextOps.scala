@@ -14,17 +14,6 @@ object TextOps {
   /** Whitespace tokenization (documents.text is space-separated words). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct n-word shingles of a token array; fewer than n tokens =>
-    * empty set. Building block for n-gram Jaccard / MinHash dedup.
-    */
-  def shingles(ws: Column, n: Int): Column = {
-    val make = transform(
-      sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*))
-    when(size(ws) >= n, array_distinct(make))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Exact Jaccard similarity of two (distinct-element) string arrays.
     * Integer intersection/union counts divided once — deterministic.
     */
