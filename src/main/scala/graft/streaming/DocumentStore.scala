@@ -38,6 +38,63 @@ class InMemoryDocumentStore extends DocumentStore {
   def size: Int = m.size
 }
 
+/** Durable file-backed store: one file per document under `root`,
+  * written temp-then-ATOMIC_MOVE so an upsert is all-or-nothing and
+  * last-writer-wins — the durability half of the reference's PUT
+  * semantics, testable across process restarts (the wire encoding is a
+  * stand-in; a real deployment speaks to the Draft API or a keyed table,
+  * but the atomic-rename-per-key upsert pattern is exactly this).
+  * Filenames are the sha-256 of the id, so any id is path-safe.
+  */
+class FileDocumentStore(root: String) extends DocumentStore {
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  private def rootPath: Path = {
+    val p = Paths.get(root)
+    Files.createDirectories(p)
+    p
+  }
+
+  private def fileFor(id: String): Path = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rootPath.resolve(hex + ".doc")
+  }
+
+  private def write(doc: AnsDoc, target: Path): Unit = {
+    val tmp = Files.createTempFile(rootPath, ".tmp-", ".doc")
+    val oos = new java.io.ObjectOutputStream(Files.newOutputStream(tmp))
+    try oos.writeObject(doc) finally oos.close()
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def read(p: Path): AnsDoc = {
+    val ois = new java.io.ObjectInputStream(Files.newInputStream(p))
+    try ois.readObject().asInstanceOf[AnsDoc] finally ois.close()
+  }
+
+  override def get(id: String): Option[AnsDoc] = {
+    val f = fileFor(id)
+    if (Files.exists(f)) Some(read(f)) else None
+  }
+
+  override def upsert(doc: AnsDoc): Unit = write(doc, fileFor(doc._id))
+
+  override def snapshot: Seq[AnsDoc] = {
+    val s = Files.list(rootPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".doc") &&
+          !p.getFileName.toString.startsWith(".tmp-"))
+        .map(read).toSeq
+    } finally s.close()
+  }
+
+  def size: Int = snapshot.size
+}
+
 object DocumentStore {
 
   /** Executor-side store handles. Task closures must not serialize a

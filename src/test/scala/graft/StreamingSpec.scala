@@ -213,6 +213,32 @@ class StreamingSpec extends SparkSpec {
     assert(store.get("R1").get.taxonomy.get.tags.get.count(_ == AutoTag) == 1)
   }
 
+  test("file-backed store: upserts survive a process-restart boundary, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-docstore-").toString
+    val ckpt = Files.createTempDirectory("graft-docstore-ckpt-").toString
+    val ms = MemoryStream[Wire]
+    ms.addData(ev(story("D1"), 0), ev(story("D2"), 1))
+    val q1 = TagPipeline.start(spark, ms.toDF(), new FileDocumentStore(dir),
+      ckpt, trigger = Trigger.AvailableNow(), storeKey = "file-store-test")
+    q1.processAllAvailable(); q1.stop()
+
+    // a FRESH store instance on the same root sees the documents — the
+    // durability the in-memory store cannot provide
+    val reopened = new FileDocumentStore(dir)
+    assert(reopened.size == 2)
+    val d1Before = reopened.get("D1").get
+    assert(d1Before.taxonomy.get.tags.get == Seq(AutoTag))
+
+    // redelivery after "restart": checkpoint + idempotent upsert → no
+    // double tag, byte-identical doc
+    ms.addData(ev(story("D1"), 2))
+    val q2 = TagPipeline.start(spark, ms.toDF(), reopened, ckpt,
+      trigger = Trigger.AvailableNow(), storeKey = "file-store-test")
+    q2.processAllAvailable(); q2.stop()
+    assert(new FileDocumentStore(dir).get("D1").get == d1Before)
+  }
+
   test("event-log replay source drives the batch twin of the pipeline") {
     val store = new InMemoryDocumentStore
     // events.props is {"k": N} JSON — no insert-story events, so the
