@@ -97,6 +97,24 @@ object Curation extends QueryGroup {
             .cast("long").as("n_digits"))
         .orderBy("event_id")),
 
+    // q72 [north star]: deterministic fixed-SIZE stratified sample — the
+    // k lowest salted-hash docs per language (hash-ranked reservoir: the
+    // reproducible version of per-stratum uniform sampling). Reuses the
+    // bounded TopKAgg, so map-side partials carry ≤ k rows per (lang,
+    // partition); the 8-hex-char hash prefix is exact in a double and
+    // its numeric order equals the oracle's fixed-width hex string order.
+    "q72_stratified_sample" -> ((spark, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(50),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val h = conv(substring(md5(concat(lit("sample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+      Tables(spark, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(topk(-h, col("doc_id")).as("top"))
+        .select(col("lang"), explode(col("top.id")).as("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // q71 [north star]: the operators composed as one curation pipeline —
     // exact dedup (keep lowest doc_id per content hash) → quality filter
     // → deterministic split → per-(split, lang) corpus stats. One semi
@@ -162,6 +180,13 @@ object Curation extends QueryGroup {
       """SELECT event_id, regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
         | CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
         |FROM events ORDER BY event_id""".stripMargin,
+    "q72_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5('sample:' || CAST(doc_id AS VARCHAR)),1,8), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rk <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
     "q71_curation_pipeline" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
         |kept AS (SELECT d.doc_id, d.lang FROM documents d
