@@ -42,6 +42,7 @@ object GraftFunctions {
     two("vec_dot")(VecDot(_, _)),
     one("gunzip_to_string")(GunzipToString(_)),
     one("simhash64")(graft.expressions.SimHash64(_)),
+    one("fingerprint_hash")(graft.expressions.FingerprintHash(_)),
     two("shingle_hashes") { (ws, n) =>
       val width = n match {
         case Literal(v: Int, _) => v

@@ -56,12 +56,13 @@ object TextOps {
   }
 
   /** Rolling polynomial fingerprint over the characters of `text`:
-    * h = fold(h * 31 + ascii(c)) mod 1e9+7. Stays in BIGINT range at every
-    * step so it is portable to engines with overflow-checked arithmetic.
+    * h = fold(h * 31 + codepoint) mod 1e9+7, one native pass — see
+    * [[graft.expressions.FingerprintHash]]. Stays in BIGINT range at
+    * every step so it is portable to engines with overflow-checked
+    * arithmetic.
     */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= ""),
-      lit(0L),
-      (h, c) => (h * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.FingerprintHash(toExpression(text)))
+  }
 }

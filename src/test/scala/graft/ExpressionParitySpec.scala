@@ -46,6 +46,23 @@ class ExpressionParitySpec extends SparkSpec {
     assert(row.isNullAt(1), "zip_with reference is null too — same contract")
   }
 
+  test("FingerprintHash == the aggregate(split/ascii) rolling fold, bit-for-bit") {
+    val rnd = new scala.util.Random(19)
+    val texts = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(40))((rnd.nextInt(26) + 'a').toChar).mkString) :+
+      "" :+ "a" :+ "hello world 123"
+    val df = texts.toDF("text")
+    val hofFp = aggregate(
+      filter(split(col("text"), ""), c => c =!= ""),
+      lit(0L),
+      (h, c) => (h * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+    val diffs = df.select(
+        TextOps.fingerprint(col("text")).as("fast"), hofFp.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("SimHash64 == the 64 per-bit aggregate(xxhash64) folds, bit-for-bit") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
