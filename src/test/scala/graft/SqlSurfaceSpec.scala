@@ -39,6 +39,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaDf == viaSql)
   }
 
+  test("simhash64 / fingerprint_hash callable from SQL, match the DataFrame API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val viaDf = Seq("alpha beta gamma").toDF("t")
+      .select(
+        graft.functions.TextOps.simhash(array_distinct(split(col("t"), " "))).as("s"),
+        graft.functions.TextOps.fingerprint(col("t")).as("f"))
+      .collect().head
+    val viaSql = spark.sql(
+      """SELECT simhash64(array_distinct(split('alpha beta gamma', ' '))) AS s,
+        |       fingerprint_hash('alpha beta gamma') AS f""".stripMargin)
+      .collect().head
+    assert(viaDf.getLong(0) == viaSql.getLong(0))
+    assert(viaDf.getLong(1) == viaSql.getLong(1))
+  }
+
   test("tag_set_agg callable from SQL, idempotent under duplicate rows") {
     GraftFunctions.register(spark)
     val out = spark.sql(
