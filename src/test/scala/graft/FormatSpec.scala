@@ -33,4 +33,24 @@ class FormatSpec extends SparkSpec {
       assert(base.exceptAll(df).count() == 0, s"$fmt content drift (reverse)")
     }
   }
+
+  test("binaryFile source feeds the multimodal pipeline (media ingestion path)") {
+    import graft.operators.Multimodal
+    // stage some opaque "media" blobs on disk, as a real manifest would
+    val dir = Files.createTempDirectory("media-")
+    val blobs = (1 to 5).map(i => i.toLong -> Array.fill(10 * i)(i.toByte))
+    blobs.foreach { case (i, b) =>
+      Files.write(dir.resolve(s"clip-$i.bin"), b)
+    }
+    import spark.implicits._
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "clip-(\\d+)\\.bin", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("media"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.n_bytes).toMap
+    assert(feats == blobs.map { case (i, b) => i -> b.length.toLong }.toMap)
+  }
 }
