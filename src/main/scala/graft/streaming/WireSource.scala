@@ -55,15 +55,21 @@ object WireSource {
     */
   /** @param eventsDir a DIRECTORY of event-log parquet files (the file
     *                   streaming source tails directories, not files).
+    * @param maxFilesPerTrigger bound each micro-batch to this many files —
+    *                   the file-source analog of the reference's bounded
+    *                   fetch (`get_records(Limit=20)`, `app.py:22`) and of
+    *                   the kinesis option above; None = engine default.
     */
-  def eventLogReplayStream(spark: SparkSession, eventsDir: String): DataFrame = {
+  def eventLogReplayStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // ns timestamps need the same conf batch reads use
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the RAW file schema (ts = INT64 nanos under nanosAsLong); the µs
     // conversion happens post-load, same as Tables does for batch
     val raw = spark.read.parquet(eventsDir).schema
-    spark.readStream
-      .schema(raw)
+    val reader = spark.readStream.schema(raw)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(eventsDir)
       .select(
         graft.functions.Codec.gzip(col("props")).as("data"),
