@@ -61,9 +61,9 @@ object Similarity extends QueryGroup {
       s"exact all-pairs near-dup is the dimension-table tier: corpus has " +
         s"$n rows > limit $maxRows; use the LSH-bucketed tier (q49) instead")
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("a_norm"))
+      VectorOps.norm(col("embedding")).as("a_norm"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("b_norm"))
+      VectorOps.norm(col("embedding")).as("b_norm"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .filter(VectorOps.dot(col("a_emb"), col("b_emb")) /
         (col("a_norm") * col("b_norm")) >= tau)
@@ -84,9 +84,9 @@ object Similarity extends QueryGroup {
       // per-pair recomputation while skipping 2/3 of the dot work
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("q_nrm"))
+          VectorOps.norm(col("embedding")).as("q_nrm"))
       val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("n_nrm"))
+        VectorOps.norm(col("embedding")).as("n_nrm"))
       val topk = udaf(new graft.functions.TopKAgg(10),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       c.join(broadcast(q), col("q_id") =!= col("n_id"))
@@ -126,7 +126,7 @@ object Similarity extends QueryGroup {
       // sqrt(dot(x,x)) is a pure function of the vector)
       val emb = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+          VectorOps.norm(col("embedding")).as("nrm"))
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("nrm").as("c_nrm"))
@@ -168,7 +168,7 @@ object Similarity extends QueryGroup {
     "q68_ann_ivf_probe2" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+          VectorOps.norm(col("embedding")).as("nrm"))
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("nrm").as("c_nrm"))
@@ -217,7 +217,7 @@ object Similarity extends QueryGroup {
     "q49_ann_lsh" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
+          VectorOps.norm(col("embedding")).as("nrm"),
           signBucket(col("embedding")).as("bucket"))
       emb.alias("a")
         .join(emb.alias("b"),
