@@ -9,7 +9,7 @@ import graft.Tables
 import graft.functions.VectorOps
 
 /** Similarity search over embedding columns — SURVEY.md §2.10
-  * (q43, q48, q49).
+  * (q43, q48, q49, q59, q68).
   *
   * Determinism contract with the oracle: similarity VALUES are never
   * output, only ids/ranks — and the dot products themselves are sequential
