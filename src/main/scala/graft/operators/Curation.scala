@@ -139,10 +139,16 @@ object Curation extends QueryGroup {
     // at stride 150 (50-char overlap), tail partial kept, ordinal chunk
     // ids. The explode is narrow (no shuffle); at 100 TB chunking is a
     // map-only stage whose output partitioning follows the input's.
+    // Zero-length text must yield zero chunks, not an error: Spark's
+    // sequence(1, 0, 150) throws (start > stop with positive step) where
+    // DuckDB's range(1, 1, 150) is simply empty, so the empty case is
+    // short-circuited to an empty array before the posexplode.
     "q67_chunk" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"),
-          posexplode(sequence(lit(1), length(col("text")), lit(150))))
+          posexplode(when(length(col("text")) > 0,
+              sequence(lit(1), length(col("text")), lit(150)))
+            .otherwise(array().cast("array<int>"))))
         .select(col("doc_id"),
           col("pos").cast("long").as("chunk_id"),
           col("col").cast("long").as("start"),

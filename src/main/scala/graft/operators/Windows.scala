@@ -63,6 +63,25 @@ object Windows extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // q75 [CLOSURE]: time-based RANGE frame — trailing 5-minute sum/count
+    // per user. The frame is over VALUES of the ordering key (epoch
+    // micros), not row offsets: all events within the last 300 s of the
+    // current event's timestamp are in frame, duplicates-as-peers
+    // included, regardless of how many rows that is. Same single
+    // hash-partition shuffle as every window query; Spark evaluates the
+    // moving frame with two pointers over the sorted partition, so frame
+    // width costs nothing extra at scale.
+    "q75_range_frame" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-300000000L, Window.currentRow)
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          round(sum(col("value")).over(w), 2).as("trail_sum_5m"),
+          count(lit(1)).over(w).as("n_5m"))
+        .orderBy("event_id")
+    }),
+
     // q26 [REF-adjacent tag.py:14 latest-revision]: top-k per group.
     "q26_topk_per_group" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -119,6 +138,13 @@ object Windows extends QueryGroup {
         | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_sum,
         | ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),4) AS moving_avg
         |FROM events ORDER BY event_id""".stripMargin,
+    "q75_range_frame" ->
+      """SELECT event_id,
+        | ROUND(SUM(value) OVER w, 2) AS trail_sum_5m,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS n_5m
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q26_topk_per_group" ->
       """SELECT user_id, event_id, value FROM (
         | SELECT user_id, event_id, value,
