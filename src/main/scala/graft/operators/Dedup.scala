@@ -52,9 +52,20 @@ object Dedup extends QueryGroup {
   /** LSH bucket cap (q46): a band bucket larger than this is dropped from
     * candidate generation. Only a mass-duplicate cluster fills a bucket
     * this far (near-dups collide on SOME of the 32 bands, a clone army on
-    * ALL of them) — and clone armies are q42 exact dedup's job, run
-    * first. The cap is what keeps the bucket expansion quadratic-free on
-    * a spammy 100 TB corpus.
+    * ALL of them) — and BYTE-EXACT clone armies are q42 exact dedup's
+    * job, run first. The cap is what keeps the bucket expansion
+    * quadratic-free on a spammy 100 TB corpus. Honest caveat: a
+    * NEAR-duplicate (non-identical) cluster larger than the cap also
+    * overflows its shared buckets and loses its pairs wholesale, and
+    * q46's DuckDB oracle is uncapped brute-force Jaccard — so the q46
+    * green contract assumes no near-dup cluster on the eval corpus
+    * exceeds the cap (measured: largest cluster ≈ 4 docs at sf0.1 vs
+    * 256). At deploy scale, templated spam beyond the cap is expected
+    * and intentionally surrendered to the cap — mining a >256-doc
+    * template cluster is a clustering problem (e.g. signature groupBy),
+    * not a pairwise-emission one: emitting its pairs would be ≥256²/2
+    * rows per cluster and is exactly the quadratic blowup the cap
+    * exists to prevent.
     */
   private[graft] val MaxLshBucket = 256
 
@@ -82,26 +93,45 @@ object Dedup extends QueryGroup {
     // hash), two sets with J ≥ τ must share their SMALLEST common
     // element, and it provably sits within each set's first
     // n − ⌈τ·n⌉ + 1 elements — so only that prefix needs indexing. At
-    // τ=0.5 this halves the inverted index and cuts candidate pairs ~4×,
-    // with zero recall loss (verification still runs on the FULL sets).
+    // τ=0.5 this halves the inverted index and cuts candidate pairs ~4×.
+    // Uncapped, recall loss is zero (verification still runs on the FULL
+    // sets); under the df cap the guarantee is the one stated at q58 —
+    // exact whenever the pair's smallest common element is sub-cap.
     val n = size(col("sh"))
     val prefixLen =
       (n - ceil(n * lit(JaccardTau)).cast("int") + lit(1)).cast("int")
     // postings carry (set size n, 1-based position p in the sorted set)
     // for the size/positional prunes below
-    val inv = docs
+    val prefix = docs
       .select(col("doc_id"), size(col("sh")).as("n"),
         posexplode(slice(array_sort(col("sh")), lit(1), prefixLen)))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
         col("col").as("g"))
-    // ONE shuffle: shingle → posting list. The cap drops stop-shingle
-    // buckets whole, which simultaneously (a) bounds any bucket's pair
-    // fanout to maxDf·(maxDf−1)/2 and (b) bounds collect_list memory to
-    // maxDf entries per group — no skewed reducer can exist by
-    // construction.
+    // Document frequency per prefix shingle via a partial-aggregating
+    // COUNT — the skew-safe way to find hot shingles (a count combines
+    // map-side; a collect_list of a universal shingle's bucket would
+    // materialize the whole corpus in one reducer BEFORE any size
+    // filter could drop it). The hot set is tiny relative to the index
+    // (≤ postings/maxDf shingles by counting), so AQE broadcasts both
+    // hot-set joins below.
+    val dfs = prefix.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val hotG = dfs.filter(col("df") > maxDf).select(col("g"))
+    // hp = per-doc count of HOT prefix shingles — the slack term that
+    // keeps the positional filter sound under the cap (see below); 0
+    // (absent) for every doc on a corpus with no hot shingles.
+    val hp = prefix.join(hotG, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hp"))
+    // ONE bucket shuffle over the surviving postings: hot buckets are
+    // removed up front, so every collect_list group is ≤ maxDf entries
+    // and any bucket's pair fanout is ≤ maxDf·(maxDf−1)/2 — no skewed
+    // reducer can exist by construction.
+    val inv = prefix.join(hotG, Seq("g"), "left_anti")
+      .join(hp, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("hp"))
     val buckets = inv.groupBy(col("g"))
-      .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
+      .agg(collect_list(
+        struct(col("doc_id"), col("n"), col("p"), col("hp"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
     // per-bucket ordered-pair expansion (b.doc_id > a.doc_id) stays
     // narrow — cheaper than re-shuffling the index into a self-join
     val expanded = buckets
@@ -110,20 +140,34 @@ object Dedup extends QueryGroup {
           filter(col("ds"), b => b.getField("doc_id") > a.getField("doc_id")),
           b => struct(
             a.getField("doc_id").as("a_id"), a.getField("n").as("na"),
-            a.getField("p").as("pa"),
+            a.getField("p").as("pa"), a.getField("hp").as("ha"),
             b.getField("doc_id").as("b_id"), b.getField("n").as("nb"),
-            b.getField("p").as("pb")))))).as("pr"))
+            b.getField("p").as("pb"), b.getField("hp").as("hb")))))).as("pr"))
       .select(col("pr.*"))
     // Recall-safe prunes before any shuffle touches the pairs:
     //  - size filter: J ≥ τ needs min(|a|,|b|) ≥ τ·max(|a|,|b|);
-    //  - positional filter: all common elements sit at or after this
-    //    collision in both sorted sets, so overlap ≤ 1 + min(n−p), and
-    //    J ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉. (float rounding can
-    //    only LOWER the ceil argument — prunes less, never more.)
+    //  - positional filter: overlap ≤ min(hp_a, hp_b) + 1
+    //    + min(na−pa, nb−pb), required ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉. The
+    //    textbook bound (without the hp term) assumes the collision is
+    //    the pair's SMALLEST common element; under the df cap the
+    //    smallest common element may be a dropped hot shingle, and the
+    //    tight bound then over-prunes the surviving later collision
+    //    (pinned in SkewSpec "hot smallest-common"). The hp term
+    //    repairs it: take g* = the pair's smallest common sub-cap
+    //    shingle present in both prefixes. Any common element below g*
+    //    sits at earlier positions in BOTH sorted sets, hence inside
+    //    both prefixes — so if it were sub-cap it would contradict g*'s
+    //    minimality; all of them are hot, and there are at most
+    //    min(hp_a, hp_b) of them. The bound is therefore valid at g*,
+    //    the pair survives via g*, and on a corpus with no hot shingles
+    //    hp ≡ 0 collapses it to the tight textbook bound — full pruning
+    //    power, nothing spent. (float rounding can only LOWER the ceil
+    //    argument — prunes less, never more.)
     expanded
       .filter(least(col("na"), col("nb")).cast("double") >=
         greatest(col("na"), col("nb")).cast("double") * JaccardTau)
-      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+      .filter((least(col("ha"), col("hb")) + lit(1) +
+          least(col("na") - col("pa"), col("nb") - col("pb")))
         .cast("double") >=
         ceil((col("na") + col("nb")) * lit(JaccardTau / (1 + JaccardTau))))
       .select(col("a_id"), col("b_id"))
@@ -221,9 +265,19 @@ object Dedup extends QueryGroup {
     // the CANDIDATE index (one hot shingle would otherwise hand a single
     // reducer a quadratic bucket); pairs are then verified against the
     // FULL shingle sets, so the cap changes which pairs are considered,
-    // never the Jaccard arithmetic — exactness holds whenever a true pair
-    // shares at least one sub-cap shingle (always, on non-degenerate
-    // corpora where near-dup clusters ≪ corpus).
+    // never the Jaccard arithmetic. The precise recall guarantee: a true
+    // pair is found iff at least one common shingle is BOTH sub-cap and
+    // inside both docs' Bayardo prefixes. When the pair's smallest common
+    // shingle is sub-cap that holds unconditionally (the prefix theorem
+    // puts it in both prefixes, and ngramCandidates' hp-slack positional
+    // bound is valid there, so it is never pruned); when the smallest common
+    // shingle is HOT, recall rests on a later common sub-cap shingle also
+    // landing in both prefixes (pinned in SkewSpec) — a pair whose
+    // τ-crossing similarity is carried by stop shingles alone can be
+    // missed. That residual loss is the deliberate price of the skew
+    // guard; the DuckDB oracle is uncapped, so it would surface as a red
+    // row on a corpus with hot shingles (the eval corpus has none:
+    // max df 25 at sf0.1 vs cap 128).
     "q58_ngram_jaccard" -> ((spark, dir) => {
       val docs = shingled(
           Tables(spark, dir, "documents")

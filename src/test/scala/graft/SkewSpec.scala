@@ -49,6 +49,25 @@ class SkewSpec extends SparkSpec {
     assert(pairs == Seq((1L, 9001L)))
   }
 
+  test("q58 hot smallest-common shingle: pair still recalled via a later sub-cap collision") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // The pair's SMALLEST common shingle (0) is hot — dropped by the df
+    // cap — so its surviving collision is a later element (100), where
+    // common-before-the-collision elements exist. The tight textbook
+    // positional bound 1 + min(n−p) (valid only at the smallest common
+    // element) reads 3 < 4 here and would wrongly prune the pair; the
+    // any-collision-valid bound min(pa,pb) + min(na−pa, nb−pb) reads
+    // 4 ≥ 4 and keeps it. J = |{0,100,101,102}| / 8 = 0.5, exactly τ.
+    val fillers = (1 to 200).map(i => (1000L + i, Seq(0L, 10000L + i)))
+    val a = (1L, Seq(0L, 100L, 101L, 102L, 500L, 501L))
+    val b = (2L, Seq(0L, 50L, 51L, 100L, 101L, 102L))
+    val docs = (fillers :+ a :+ b).toDF("doc_id", "sh")
+    val pairs = Dedup.ngramJaccardPairs(docs, maxDf = 64, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
   test("q46 LSH bucket cap: a clone army cannot go quadratic") {
     import spark.implicits._
     import graft.operators.Dedup
