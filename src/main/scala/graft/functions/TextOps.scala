@@ -14,12 +14,16 @@ object TextOps {
   /** Whitespace tokenization (documents.text is space-separated words). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Exact Jaccard similarity of two (distinct-element) string arrays.
-    * Integer intersection/union counts divided once — deterministic.
+  /** Exact Jaccard similarity of two `array<long>` shingle-hash sets in
+    * one native pass — see [[graft.expressions.JaccardSim]] for why the
+    * `array_intersect`-twice formulation was replaced (no codegen CSE in
+    * join conditions). Integer intersection/union counts divided once —
+    * deterministic, bit-identical to the old formula.
     */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.JaccardSim(toExpression(a), toExpression(b)))
+  }
 
   /** English stopwords used by the language-ID heuristic. */
   val EnStopwords: Seq[String] =

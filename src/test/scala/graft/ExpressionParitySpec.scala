@@ -84,6 +84,27 @@ class ExpressionParitySpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("JaccardSim == the array_intersect formula, bit-for-bit, dupes and empties included") {
+    val rnd = new scala.util.Random(23)
+    // random long arrays, deliberately including duplicates (nextInt(8)
+    // values collide often), empty arrays, and the both-empty row whose
+    // 0/0 must be null under both forms
+    val rows = (1 to 300).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toLong)
+      (arr, arr)
+    } :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val ref = size(array_intersect(col("a"), col("b"))).cast("double") /
+      (size(col("a")) + size(col("b")) -
+        size(array_intersect(col("a"), col("b")))).cast("double")
+    val diffs = df.select(
+        TextOps.jaccard(col("a"), col("b")).as("fast"), ref.as("ref"))
+      .filter(col("fast") =!= col("ref") ||
+        (col("fast").isNull =!= col("ref").isNull))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("ShingleHashes == xxhash64(concat_ws) over transform/sequence n-grams") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
