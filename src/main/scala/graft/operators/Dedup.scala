@@ -76,6 +76,18 @@ object Dedup extends QueryGroup {
     df.select(col("doc_id"),
       TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
 
+  /** Spread an under-split scan across the cluster before the (narrow,
+    * compute-heavy) shingle+signature pipeline: a scan with fewer splits
+    * than cores would run that pipeline nearly serially. Gated on the
+    * actual split count, so at deploy scale — where a 100 TB scan has
+    * thousands of splits — this is a no-op and adds NO Exchange (asserted
+    * in PlanSpec); only a small single-file fixture pays the shuffle.
+    */
+  private[graft] def spreadIfUnderSplit(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Candidate pairs from a document-frequency-capped inverted index over
     * `(doc_id, sh: array<long>)`. Shingles in more than `maxDf` docs are
     * dropped BEFORE the pair-producing self-join, so a universal shingle
@@ -215,14 +227,7 @@ object Dedup extends QueryGroup {
 
     // q46 [north star]: MinHash + LSH near-duplicate pairs, exact-verified.
     "q46_minhash_neardup" -> ((spark, dir) => {
-      // The docs file arrives as ONE parquet split (small dimension), so
-      // the shingle+signature pipeline — narrow but compute-heavy — must
-      // be spread across cores explicitly; a single-split scan would run
-      // it on one task. At 100 TB the scan has thousands of splits and
-      // this repartition is a no-op to remove.
-      val docs = shingled(
-          Tables(spark, dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+      val docs = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
         .filter(size(col("sh")) > 0)
 
       // All 128 permutations in ONE codegen'd pass per document (narrow —
@@ -279,9 +284,7 @@ object Dedup extends QueryGroup {
     // row on a corpus with hot shingles (the eval corpus has none:
     // max df 25 at sf0.1 vs cap 128).
     "q58_ngram_jaccard" -> ((spark, dir) => {
-      val docs = shingled(
-          Tables(spark, dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+      val docs = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
         .filter(size(col("sh")) > 0)
         .persist()
       ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau)

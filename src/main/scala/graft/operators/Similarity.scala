@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -71,34 +71,45 @@ object Similarity extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Brute-force cosine top-k of `corpus` per row of `queryVecs` (both
+    * `(vec_id, embedding)`-shaped). The query side broadcasts — top-k
+    * search is a small-queries × big-corpus shape, so the corpus never
+    * shuffles for the join. Top-k per query is the bounded TopKAgg —
+    * map-side partials carry ≤ k rows per (query, partition) into the
+    * shuffle, where the row_number window it replaces shuffled EVERY
+    * scored corpus row to the query's reducer (cross-checked against the
+    * window form at 500 queries in OperatorSpec). Same (cos DESC, n_id)
+    * order. Norms once per ROW (not per pair): sqrt(dot(x,x)) is a pure
+    * function of the vector, so reuse is bit-identical to the oracle's
+    * per-pair recomputation while skipping 2/3 of the dot work.
+    */
+  private[graft] def cosineTopK(
+      corpus: DataFrame, queryVecs: DataFrame, k: Int): DataFrame = {
+    val q = queryVecs
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        VectorOps.norm(col("embedding")).as("q_nrm"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      VectorOps.norm(col("embedding")).as("n_nrm"))
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        (VectorOps.dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * col("n_nrm"))).as("cos"), col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("n_id"))
+      .orderBy("q_id", "rank")
+  }
+
   def queries: Map[String, Q] = Map(
     // q43 [north star]: brute-force cosine top-k (the exactness
-    // baseline). Top-k per query is the bounded TopKAgg — map-side
-    // partials carry ≤ 10 rows per (query, partition) into the shuffle,
-    // where the row_number window it replaces shuffled EVERY scored
-    // corpus row to the query's reducer. Same (cos DESC, n_id) order.
+    // baseline) — the 10-query instance of cosineTopK.
     "q43_cosine_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
-      // norms once per ROW (not per pair): sqrt(dot(x,x)) is a pure
-      // function of the vector, so reuse is bit-identical to the oracle's
-      // per-pair recomputation while skipping 2/3 of the dot work
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          VectorOps.norm(col("embedding")).as("q_nrm"))
-      val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        VectorOps.norm(col("embedding")).as("n_nrm"))
-      val topk = udaf(new graft.functions.TopKAgg(10),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      c.join(broadcast(q), col("q_id") =!= col("n_id"))
-        .select(col("q_id"),
-          (VectorOps.dot(col("q_emb"), col("n_emb")) /
-            (col("q_nrm") * col("n_nrm"))).as("cos"), col("n_id"))
-        .groupBy(col("q_id"))
-        .agg(topk(col("cos"), col("n_id")).as("top"))
-        .select(col("q_id"), posexplode(col("top")))
-        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("col.id").as("n_id"))
-        .orderBy("q_id", "rank")
+      cosineTopK(emb, emb.filter(col("vec_id") < 10), 10)
     }),
 
     // q48 [north star]: embedding-cosine near-duplicate pairs (exact).

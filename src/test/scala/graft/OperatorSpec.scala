@@ -59,6 +59,33 @@ class OperatorSpec extends SparkSpec {
     assert(viaAgg.exceptAll(windowed).count() == 0)
   }
 
+  test("cosineTopK at full query width == rank-window top-k (bounded partials beyond toy width)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
+    // EVERY corpus vector as a query — the widest instance the fixture
+    // supports (500 at sf0.001), vs q43's 10-query slice. The bounded-
+    // partial claim has to hold when the broadcast query side is no
+    // longer tiny relative to the corpus.
+    val emb = Tables(spark, Sf, "embeddings")
+    val viaAgg = graft.operators.Similarity.cosineTopK(emb, emb, k = 5)
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      VectorOps.norm(col("embedding")).as("q_nrm"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      VectorOps.norm(col("embedding")).as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val viaWindow = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        (VectorOps.dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * col("n_nrm"))).as("cos"), col("n_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.count() == emb.count() * 5)
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {

@@ -80,6 +80,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate") && p.contains("explode("))
   }
 
+  test("dedup's spread gate adds no Exchange when the input is already multi-split") {
+    import graft.operators.Dedup
+    val cores = spark.sparkContext.defaultParallelism
+    // already at-or-above core count -> identity, no new shuffle
+    val wide = Tables(spark, Sf, "documents").repartition(cores)
+    val gated = Dedup.spreadIfUnderSplit(wide)
+    assert(gated.queryExecution.logical eq wide.queryExecution.logical,
+      "gate must be the identity on a multi-split input")
+    // single split -> spread across cores
+    val narrow = Tables(spark, Sf, "documents").coalesce(1)
+    val spread = Dedup.spreadIfUnderSplit(narrow)
+    assert(spread.rdd.getNumPartitions == cores)
+  }
+
   test("df-prune's stop-list anti-join broadcasts (stop list is tiny by construction)") {
     val p = plan("q69_df_prune")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -298,6 +298,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming sliding agg == batch q40 expression on the same bounded data") {
+    implicit val sqlCtx = spark.sqlContext
+    // every event lands in 4 overlapping 1h/15min windows, so the twin
+    // checks the overlap fan-out, not just windowing arithmetic
+    val data = (0 until 100).map(i =>
+      Ev(i.toLong, t(i * 3), i % 7L, if (i % 2 == 0) "view" else "click", i.toDouble))
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.slidingCounts(ms.toDF(), "0 seconds").writeStream
+      .format("memory").queryName("slide_out").outputMode("append").start()
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    // one more far-future row so every earlier window is past the watermark
+    ms.addData(Ev(999, t(100000), 0, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_out")
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
 }
 
 object StreamingSpec {
