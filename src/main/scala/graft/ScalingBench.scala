@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness for the dedup/ANN tier: times q42/q46/q58/q49/
+  * q59 on the base corpus and on a synthetic FACTOR× blow-up, so the
+  * caps' "linear at scale" claim is a measured slope, not an argument
+  * (results recorded in BASELINE.md).
+  *
+  * The blow-up preserves workload SHAPE, not just row count:
+  *  - documents: each copy k suffixes every word with "~k", so the
+  *    shingle universes of different copies are disjoint — per-shingle
+  *    document frequency, near-dup cluster sizes, and dup density all
+  *    match the base corpus exactly; a naive row copy would instead turn
+  *    every document into a FACTOR-clone near-dup cluster and measure a
+  *    different (quadratic-in-FACTOR) problem.
+  *  - embeddings: each copy is direction-perturbed with a deterministic
+  *    per-copy, per-coordinate offset (plain duplication would pin
+  *    cosine(copy, original) = 1.0 and distort the ANN bucket/cell
+  *    geometry).
+  *
+  * q59 runs at 10× twice: with the base K=16 quantizer (fixed K makes
+  * IVF probe work n²/K — the measured superlinear growth is the POINT)
+  * and with K scaled ∝ n (constant cell size — the deploy policy that
+  * restores the linear slope).
+  */
+object ScalingBench {
+  private val Factor = 10
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir =
+      if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scaling-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the blown-up corpus (untimed, overwritten each run) ----
+    val docs = Tables(spark, baseDir, "documents")
+    (0 until Factor).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$k")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+
+    val emb = Tables(spark, baseDir, "embeddings")
+    (0 until Factor).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + sin((col("vec_id") * lit(31) + i * lit(7) + lit(k)))
+            * lit(0.3)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+
+    // ---- timing: median-of-N checksum consumer (same as Bench) ----
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    def checksum(df: DataFrame): Unit =
+      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
+    def time(fn: => DataFrame): Double = median(Seq.fill(samples) {
+      val t0 = System.nanoTime()
+      checksum(fn)
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      t
+    })
+
+    val tier = Seq("q42_exact_dedup", "q46_minhash_neardup",
+      "q58_ngram_jaccard", "q49_ann_lsh", "q59_ann_ivf")
+    val base = tier.map(q => q -> time(SparkEntry.queries(q)(spark, baseDir)))
+    val blown = tier.map(q => q -> time(SparkEntry.queries(q)(spark, workDir)))
+    // the IVF scale policy: K grown with n => constant cell size
+    val ivfScaledK = time(graft.operators.Similarity.ivfTop1(
+      Tables(spark, workDir, "embeddings"), numCentroids = 16 * Factor))
+
+    def js(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","factor":$Factor,"base":${js(base)},""" +
+      s""""blown":${js(blown)},"blown_q59_scaled_k":$ivfScaledK,""" +
+      s""""samples":$samples,"base_dir":"$baseDir"}""")
+    spark.stop()
+  }
+}

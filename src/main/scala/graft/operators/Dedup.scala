@@ -217,6 +217,59 @@ object Dedup extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over an undirected pair list `(a_id, b_id)` by
+    * iterative min-label propagation: every vertex starts labeled with
+    * itself; each round, a vertex takes the min of its own and its
+    * neighbors' labels; fixpoint = each component labeled by its smallest
+    * member. The driver loop only checks a per-round convergence SCALAR —
+    * all data movement is distributed joins/aggregations over the edge
+    * list, which for near-dup output is pairs ≪ docs.
+    *
+    * Rounds = component diameter. Near-dup components are shallow by
+    * nature (a long chain needs J ≥ τ transitively, and overlap decays
+    * multiplicatively along a chain), so propagation converges in a few
+    * rounds; a corpus with genuinely deep components would want the
+    * O(log n)-round star-contraction variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — same driver-loop
+    * shape, different per-round rewiring.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist()
+    // first propagation round fused into the init: label = min(self,
+    // neighbors) straight off the edge list (one aggregation instead of
+    // a distinct + a full propagation round)
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("lbl"))
+      .select(col("u").as("id"), col("lbl"))
+      .persist()
+    var changed = 1L
+    var cached = labels
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .select(col("u").as("id"), col("lbl"), lit(false).as("own"))
+      // own-row tagging folds the convergence check into the SAME
+      // aggregation (prev = the own label), so each round is one
+      // equi-join + one shuffle + one action — no separate
+      // convergence join against the previous labels
+      val next = labels.select(col("id"), col("lbl"), lit(true).as("own"))
+        .union(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("prev"))
+        .persist()
+      changed = next.filter(col("lbl") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // q42 [CLOSURE of tag.py:39 set-dedup semantics]: exact content dedup.
     "q42_exact_dedup" -> ((spark, dir) =>
@@ -290,6 +343,19 @@ object Dedup extends QueryGroup {
       ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau)
     }),
 
+    // q76 [north star]: near-dup CLUSTER FORMATION — the step a dedup
+    // pipeline actually needs between pair detection and document
+    // dropping (keep min doc_id per component, drop the rest). Connected
+    // components over q58's exact near-dup pairs; output labels each
+    // clustered doc with its component's smallest doc_id.
+    "q76_neardup_components" -> ((spark, dir) => {
+      val docs = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+        .filter(size(col("sh")) > 0)
+        .persist()
+      connectedComponents(
+        ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau))
+    }),
+
     // q47 [north star]: SimHash signatures + band keys (rows-only check).
     // One SimHash64 pass per row — the 64 per-bit HOF folds it replaces
     // re-hashed every token per bit through interpreted lambdas (13.8 s
@@ -328,6 +394,30 @@ object Dedup extends QueryGroup {
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // q76: same brute-force pair computation as q58's oracle, then
+    // connected components via a recursive transitive-closure CTE
+    // (min reachable id per vertex == min-label fixpoint).
+    "q76_neardup_components" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |tp AS (SELECT p.a_id, p.b_id
+        |       FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM tp
+        |          UNION SELECT b_id, a_id FROM tp),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v)
+        |SELECT id AS doc_id, MIN(lbl) AS component_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Brute-force shingle-join Jaccard — feasible at oracle scale because
     // only docs sharing a shingle pair up.
     "q46_minhash_neardup" ->

@@ -104,6 +104,58 @@ object Similarity extends QueryGroup {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-style top-1 ANN (q59's expression, parameterized on the coarse
+    * quantizer size): K deterministic centroids (lowest vec_ids — a
+    * stand-in for trained k-means; the assignment/probe plumbing is what
+    * scales), each vector assigned to its nearest centroid cell, top-1
+    * search probing ONLY within the cell — the self-join is equi-keyed
+    * on cell id, one shuffle. Both argmaxes are partial-aggregating
+    * max_by (map-side combine, no sort shuffle). Deterministic (fixed
+    * centroids, bit-stable VecDot, (cos, −id) tie-breaks) => full DuckDB
+    * oracle at K=16.
+    *
+    * K is THE scale knob: a cell holds ~n/K vectors, so probe work is
+    * n·(n/K) dots total. Fixed K goes quadratic as the corpus grows —
+    * hold cell size constant by growing K with n (ScalingBench measures
+    * exactly this at 10×; classic IVF picks K ∝ √n to balance the n·K
+    * assignment term against the probe term).
+    */
+  private[graft] def ivfTop1(emb0: DataFrame, numCentroids: Int): DataFrame = {
+    // norms hoisted to once per row/centroid (bit-identical reuse —
+    // sqrt(dot(x,x)) is a pure function of the vector)
+    val emb = emb0.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val centroids = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    // nearest centroid by cosine = argmax over K broadcast rows;
+    // max_by on (cos, −c_id) == "highest cos, lowest c_id on ties"
+    val assigned = emb.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", VectorOps.dot(col("embedding"), col("c_emb")) /
+        (col("nrm") * col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t")))
+          .as("cell"),
+        // embedding/nrm are constant within the group (K fanout rows
+        // of one vector), so first() is deterministic in value
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+    assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.cell").as("cell"),
+        (VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("cell")),
+        struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
+      .select(col("a_id"), col("best.b_id").as("b_id"),
+        col("best.cell").as("cell"))
+      .orderBy("a_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // q43 [north star]: brute-force cosine top-k (the exactness
     // baseline) — the 10-query instance of cosineTopK.
@@ -122,52 +174,11 @@ object Similarity extends QueryGroup {
       embeddingNearDupPairs(Tables(spark, dir, "embeddings"),
         tau = 0.45, maxRows = MaxExactAllPairs)),
 
-    // q59 [north star]: IVF-style approximate NN — the other classic scale
-    // path next to sign-LSH (q49): a coarse quantizer of K deterministic
-    // centroids (lowest vec_ids — a stand-in for trained k-means; the
-    // assignment/probe plumbing is what scales), each vector assigned to
-    // its nearest centroid cell, and top-1 search probing ONLY within the
-    // cell — the self-join is equi-keyed on cell id, one shuffle. Both
-    // argmaxes are partial-aggregating max_by (map-side combine, no sort
-    // shuffle — a row_number window would sort n·16 rows). The whole
-    // pipeline is deterministic (fixed centroids, bit-stable VecDot,
-    // (cos, −id) tie-breaks), so it carries a full DuckDB oracle.
-    "q59_ann_ivf" -> ((spark, dir) => {
-      // norms hoisted to once per row/centroid (bit-identical reuse —
-      // sqrt(dot(x,x)) is a pure function of the vector)
-      val emb = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.norm(col("embedding")).as("nrm"))
-      val centroids = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"))
-      // nearest centroid by cosine = argmax over 16 broadcast rows;
-      // max_by on (cos, −c_id) == "highest cos, lowest c_id on ties"
-      val assigned = emb.join(broadcast(centroids), lit(true))
-        .withColumn("c_cos", VectorOps.dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm")))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t")))
-            .as("cell"),
-          // embedding/nrm are constant within the group (16 fanout rows
-          // of one vector), so first() is deterministic in value
-          first(col("embedding")).as("embedding"),
-          first(col("nrm")).as("nrm"))
-      assigned.alias("a")
-        .join(assigned.alias("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.cell").as("cell"),
-          (VectorOps.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .groupBy(col("a_id"))
-        .agg(max_by(struct(col("b_id"), col("cell")),
-          struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
-        .select(col("a_id"), col("best.b_id").as("b_id"),
-          col("best.cell").as("cell"))
-        .orderBy("a_id")
-    }),
+    // q59 [north star]: IVF-style approximate NN — the other classic
+    // scale path next to sign-LSH (q49); the K=16 instance of ivfTop1
+    // (see its scaladoc for the plan shape and the K scale knob).
+    "q59_ann_ivf" -> ((spark, dir) =>
+      ivfTop1(Tables(spark, dir, "embeddings"), numCentroids = 16)),
 
     // q68 [north star]: MULTI-PROBE IVF — the production ANN shape: the
     // query side probes its top-2 centroid cells (recall knob) while the

@@ -93,6 +93,32 @@ object TextAnalysis extends QueryGroup {
           size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long")
             .as("bpe_ish_tokens"))
         .orderBy("doc_id")),
+
+    // q77 [north star]: within-document repetition stats (Gopher-style
+    // quality rules): type-token ratio and duplicate-bigram fraction.
+    // All per-row expression work fused into the scan; the doubles are
+    // exact-integer divisions (deterministic on both engines). Distinct
+    // bigrams are counted via ShingleHashes(n=2) — the same
+    // hash-identity assumption as q46/q58's shingle sets.
+    "q77_repetition" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .withColumn("nTok", size(col("ws")).cast("long"))
+        .withColumn("nBi", greatest(size(col("ws")) - 1, lit(0)).cast("long"))
+        .withColumn("nDisBi",
+          size(TextOps.shingleHashes(col("ws"), 2)).cast("long"))
+        .select(col("doc_id"),
+          col("nTok").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_types"),
+          (size(array_distinct(col("ws"))).cast("double") /
+            col("nTok").cast("double")).as("ttr"),
+          col("nBi").as("n_bigrams"),
+          col("nDisBi").as("n_distinct_bigrams"),
+          when(col("nBi") > 0,
+            (col("nBi") - col("nDisBi")).cast("double") /
+              col("nBi").cast("double"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -137,5 +163,24 @@ object TextAnalysis extends QueryGroup {
         | CAST(len(regexp_extract_all(text,'[a-z]+')) AS BIGINT) AS word_tokens,
         | CAST(len(regexp_extract_all(text,'[a-z]{1,4}')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q77_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n_tokens,
+        |        len(list_distinct(ws)) AS n_types,
+        |        greatest(len(ws) - 1, 0) AS n_bigrams,
+        |        CASE WHEN len(ws) > 1
+        |          THEN len(list_distinct(list_transform(range(1, len(ws)),
+        |                 i -> ws[i] || ' ' || ws[i+1])))
+        |          ELSE 0 END AS n_distinct_bigrams
+        |      FROM w)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_types AS BIGINT) AS n_types,
+        | CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        | CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        | CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+        | CASE WHEN n_bigrams > 0
+        |   THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS dup_bigram_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -86,6 +86,20 @@ class OperatorSpec extends SparkSpec {
     assert(viaAgg.count() == emb.count() * 5)
   }
 
+  test("connected components: min-label fixpoint over a chain, a triangle, and a pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the 1-2-3-4 chain has diameter 3, so the label needs several
+    // propagation rounds — exercises the convergence loop, not just one
+    // neighbor hop
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {
