@@ -356,6 +356,30 @@ object Dedup extends QueryGroup {
         ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau))
     }),
 
+    // q80 [north star]: FUZZY (edit-distance) dedup — the tier for
+    // near-identical short fields (titles, leads) where token-level
+    // Jaccard is too coarse: pairs whose 40-char prefixes are within
+    // levenshtein 5, candidate-blocked on the 8-char prefix. Blocking
+    // reuses the capped posting-list expansion (bandedCandidates with a
+    // single band), so a degenerate shared prefix cannot go quadratic;
+    // levenshtein runs only on blocked candidates, never all pairs.
+    // Same shape DuckDB-side, so the oracle is exact.
+    "q80_fuzzy_dedup" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"),
+          substring(col("text"), 1, 8).as("blk"))
+        .persist()
+      val cands = bandedCandidates(
+        docs.select(col("doc_id"), lit(0).as("band"), col("blk").as("bh")),
+        MaxLshBucket)
+      val a = docs.select(col("doc_id").as("a_id"), col("t").as("a_t"))
+      val b = docs.select(col("doc_id").as("b_id"), col("t").as("b_t"))
+      cands.join(a, "a_id").join(b, "b_id")
+        .filter(levenshtein(col("a_t"), col("b_t")) <= 5)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // q47 [north star]: SimHash signatures + band keys (rows-only check).
     // One SimHash64 pass per row — the 64 per-bit HOF folds it replaces
     // re-hashed every token per bit through interpreted lambdas (13.8 s
@@ -393,6 +417,13 @@ object Dedup extends QueryGroup {
         |SELECT p.a_id, p.b_id
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q80_fuzzy_dedup" ->
+      """WITH d AS (SELECT doc_id, substr(text,1,40) AS t, substr(text,1,8) AS blk
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 5
         |ORDER BY a_id, b_id""".stripMargin,
     // q76: same brute-force pair computation as q58's oracle, then
     // connected components via a recursive transitive-closure CTE

@@ -55,6 +55,23 @@ object Joins extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // q78 [CLOSURE]: full outer join — both unmatched sides survive
+    // (customers with no orders AND orders with dangling custkeys).
+    // Full outer can't broadcast (both sides must emit unmatched rows),
+    // so Spark correctly plans a sort-merge join — the right shape at
+    // scale too. Sort keys: both ids, nulls first, unique per row
+    // (c_custkey is unique on the customer side, o_orderkey on the
+    // orders side).
+    "q78_full_outer_join" -> ((spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
+    }),
+
     // q12 [CLOSURE]: semi join — "documents that have events".
     "q12_semi_join" -> ((spark, dir) => {
       val d = Tables(spark, dir, "documents")
@@ -128,6 +145,10 @@ object Joins extends QueryGroup {
       "SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderstatus FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey ORDER BY l.l_orderkey, l.l_linenumber",
     "q11_left_outer_join" ->
       "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey ORDER BY e.event_id",
+    "q78_full_outer_join" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST""".stripMargin,
     "q12_semi_join" ->
       "SELECT d.doc_id, d.lang FROM documents d WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id) ORDER BY d.doc_id",
     "q13_anti_join" ->

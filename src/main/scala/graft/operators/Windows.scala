@@ -82,6 +82,21 @@ object Windows extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // q79 [CLOSURE]: distribution-rank analytics — ntile / percent_rank /
+    // cume_dist complete q23's ranking family. All three are exact
+    // integer ratios ((rank−1)/(n−1), peers/n), so the doubles are
+    // deterministic across engines; event_id is unique per partition so
+    // the order is total.
+    "q79_rank_distribution" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("event_id")
+    }),
+
     // q26 [REF-adjacent tag.py:14 latest-revision]: top-k per group.
     "q26_topk_per_group" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -144,6 +159,13 @@ object Windows extends QueryGroup {
         | CAST(COUNT(*) OVER w AS BIGINT) AS n_5m
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q79_rank_distribution" ->
+      """SELECT event_id, user_id,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
     "q26_topk_per_group" ->
       """SELECT user_id, event_id, value FROM (

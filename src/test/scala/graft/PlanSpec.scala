@@ -80,6 +80,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate") && p.contains("explode("))
   }
 
+  test("cube/grouping-sets expand once and aggregate partially; range frame is a RangeFrame") {
+    val p73 = plan("q73_cube")
+    assert("Expand".r.findAllIn(p73).size >= 1)
+    assert("HashAggregate".r.findAllIn(p73).size >= 2,
+      "cube must partial-aggregate its expanded rows")
+    val p75 = plan("q75_range_frame")
+    assert(p75.contains("Window"))
+    assert(p75.toLowerCase.contains("rangeframe") ||
+      p75.contains("RANGE BETWEEN"),
+      s"q75 must plan a RANGE frame, not ROWS:\n${p75.take(1500)}")
+  }
+
+  test("repetition stats shuffle nothing but the final presentation sort") {
+    val p = plan("q77_repetition")
+    assert(!p.contains("hashpartitioning"),
+      "q77 is per-row work — no hash exchange may exist")
+  }
+
+  test("full outer join sort-merges; fuzzy dedup stays equi-blocked") {
+    val p78 = plan("q78_full_outer_join")
+    assert(p78.contains("SortMergeJoin") && p78.contains("FullOuter"))
+    val p80 = plan("q80_fuzzy_dedup")
+    assert(!p80.contains("CartesianProduct") &&
+      !p80.contains("BroadcastNestedLoopJoin"),
+      "levenshtein must only run on blocked candidates")
+  }
+
   test("dedup's spread gate adds no Exchange when the input is already multi-split") {
     import graft.operators.Dedup
     val cores = spark.sparkContext.defaultParallelism
