@@ -40,6 +40,7 @@ object GraftFunctions {
   /** All (identifier, info, builder) triples this library contributes. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     two("vec_dot")(VecDot(_, _)),
+    two("jaccard_sim")(graft.expressions.JaccardSim(_, _)),
     one("gunzip_to_string")(GunzipToString(_)),
     one("simhash64")(graft.expressions.SimHash64(_)),
     one("fingerprint_hash")(graft.expressions.FingerprintHash(_)),

@@ -27,6 +27,11 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(sh == 2) // "a b c", "b c d"
 
+    val js = spark.sql(
+      "SELECT jaccard_sim(array(1L, 2L, 3L, 4L), array(2L, 3L, 4L, 5L)) AS j")
+      .collect().head.getDouble(0)
+    assert(js == 0.6) // |{2,3,4}| / |{1,2,3,4,5}|
+
     // parity with the DataFrame API expression
     val viaDf = Seq(("x")).toDF("s").select(
       graft.functions.TextOps.shingleHashes(
