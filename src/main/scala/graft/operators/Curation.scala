@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextOps
 
 /** Dataset-curation operators a large-scale training-data pipeline needs
   * beyond dedup/similarity (SURVEY.md §2.10 north-star family): split
@@ -155,9 +157,69 @@ object Curation extends QueryGroup {
           expr("substring(text, col, 200)").as("chunk"))
         .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
         .orderBy("doc_id", "chunk_id")),
+    // q81 [north star]: train/test DECONTAMINATION — flag every training
+    // doc that shares an n-gram shingle with the held-out set (the
+    // holdout is q65's hash-gated val split, so membership is exactly
+    // reproducible on both engines). Scale shape: the holdout's distinct
+    // shingle set is a ~20% fraction with heavy dedup, so the hit join is
+    // equi-keyed and broadcast-eligible; the training side stays a
+    // narrow explode feeding a partial-aggregating count. Same
+    // shingle-hash identity assumption as q46/q58.
+    "q81_decontaminate" -> ((spark, dir) => {
+      val isVal = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 2) >= "cd"
+      val sh = Tables(spark, dir, "documents")
+        .select(col("doc_id"), isVal.as("is_val"),
+          explode(TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
+            .as("g"))
+      val holdout = sh.filter(col("is_val")).select(col("g")).distinct()
+      sh.filter(!col("is_val"))
+        .join(holdout, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // q82 [north star]: context-window PACKING — assign documents to
+    // fixed-budget training sequences by greedy sequential fill per
+    // source: running token total in doc_id order, a doc packs into the
+    // sequence its cumulative-before total falls in (budget 512). One
+    // window shuffle keyed on source; the cumsum is exact integer math,
+    // so sequence ids are deterministic on both engines.
+    "q82_pack_sequences" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")).cast("double") / 512.0)
+            .cast("long").as("seq_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q81_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+        |  substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) >= 'cd' AS is_val
+        |  FROM documents),
+        |sh AS (SELECT doc_id, is_val,
+        |  unnest(list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g FROM w),
+        |vs AS (SELECT DISTINCT g FROM sh WHERE is_val)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        |FROM sh s JOIN vs ON s.g = vs.g WHERE NOT s.is_val
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q82_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q65_train_split" ->
       """SELECT doc_id, substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) AS bucket,
         | CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) < 'cd'
