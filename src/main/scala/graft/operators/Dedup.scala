@@ -201,6 +201,39 @@ object Dedup extends QueryGroup {
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
 
+  /** q46's full pipeline over a shingled `(doc_id, sh)` input: MinHash
+    * signatures + banded LSH candidates + exact Jaccard verification.
+    * All 128 permutations run in ONE codegen'd pass per document
+    * (narrow — nothing shuffles until the 32-per-doc band table). Same
+    * numbers as an explode + 128-way groupBy(min) shape, minus the
+    * shuffle. Persisted because THREE consumers walk it (two self-join
+    * sides + the verification lookup); without a persist each would
+    * recompute the whole shingle pipeline. Unordered — callers add
+    * their presentation sort.
+    */
+  private[graft] def minhashNearDupPairs(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"), col("sh"),
+      TextOps.minhashSignature(col("sh"), perms).as("sig"))
+      .persist()
+    // 32 band keys per doc in one native pass (position == band id);
+    // candidate pairs share any (band, hash) bucket.
+    val bands = sigs
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graftbridge.toColumn(
+          graft.expressions.BandHashes(
+            org.apache.spark.sql.graftbridge.toExpression(col("sig")),
+            NumBands, RowsPerBand))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    // capped bucket expansion — one shuffle, skew-proof (MaxLshBucket)
+    val cands = bandedCandidates(bands, MaxLshBucket)
+    // Exact verification: true Jaccard over the shingle sets.
+    val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= JaccardTau)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** q58's full pipeline: capped candidate generation + exact Jaccard
     * verification against the full (uncapped) shingle sets; candidate
     * repeats are dropped after verification (few rows survive).
@@ -279,41 +312,11 @@ object Dedup extends QueryGroup {
         .orderBy("keep_id")),
 
     // q46 [north star]: MinHash + LSH near-duplicate pairs, exact-verified.
-    "q46_minhash_neardup" -> ((spark, dir) => {
-      val docs = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
-        .filter(size(col("sh")) > 0)
-
-      // All 128 permutations in ONE codegen'd pass per document (narrow —
-      // nothing shuffles until the 32-per-doc band table below). Same
-      // numbers as an explode + 128-way groupBy(min) shape, minus the
-      // shuffle. Persisted because THREE consumers walk it (two self-join
-      // sides + the verification lookup); without a persist each would
-      // recompute the whole shingle pipeline.
-      val sigs = docs.select(col("doc_id"), col("sh"),
-        TextOps.minhashSignature(col("sh"), perms).as("sig"))
-        .persist()
-
-      // 32 band keys per doc in one native pass (position == band id);
-      // candidate pairs share any (band, hash) bucket.
-      val bands = sigs
-        .select(col("doc_id"), posexplode(
-          org.apache.spark.sql.graftbridge.toColumn(
-            graft.expressions.BandHashes(
-              org.apache.spark.sql.graftbridge.toExpression(col("sig")),
-              NumBands, RowsPerBand))))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-
-      // capped bucket expansion — one shuffle, skew-proof (MaxLshBucket)
-      val cands = bandedCandidates(bands, MaxLshBucket)
-
-      // Exact verification: true Jaccard over the shingle sets.
-      val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      cands.join(a, "a_id").join(b, "b_id")
-        .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= JaccardTau)
-        .select(col("a_id"), col("b_id"))
-        .orderBy("a_id", "b_id")
-    }),
+    "q46_minhash_neardup" -> ((spark, dir) =>
+      minhashNearDupPairs(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0))
+        .orderBy("a_id", "b_id")),
 
     // q58 [north star]: EXACT n-gram Jaccard near-dup pairs via an
     // inverted-index self-join — the LSH-free exact tier. Only documents
@@ -345,16 +348,16 @@ object Dedup extends QueryGroup {
 
     // q76 [north star]: near-dup CLUSTER FORMATION — the step a dedup
     // pipeline actually needs between pair detection and document
-    // dropping (keep min doc_id per component, drop the rest). Connected
-    // components over q58's exact near-dup pairs; output labels each
-    // clustered doc with its component's smallest doc_id.
-    "q76_neardup_components" -> ((spark, dir) => {
-      val docs = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
-        .filter(size(col("sh")) > 0)
-        .persist()
-      connectedComponents(
-        ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau))
-    }),
+    // dropping (keep min doc_id per component, drop the rest). Built on
+    // the LSH-verified pair pipeline (q46) — the scale tier a production
+    // run would cluster from; its exact-pairs ORACLE stays valid under
+    // the same total-recall property q46's own oracle already relies on
+    // (every true pair on this corpus sits at J≥0.9, where LSH miss
+    // probability is ≈1e-15).
+    "q76_neardup_components" -> ((spark, dir) =>
+      connectedComponents(minhashNearDupPairs(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0)))),
 
     // q80 [north star]: FUZZY (edit-distance) dedup — the tier for
     // near-identical short fields (titles, leads) where token-level
