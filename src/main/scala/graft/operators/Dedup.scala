@@ -272,30 +272,34 @@ object Dedup extends QueryGroup {
       .persist()
     // first propagation round fused into the init: label = min(self,
     // neighbors) straight off the edge list (one aggregation instead of
-    // a distinct + a full propagation round)
+    // a distinct + a full propagation round).
+    // localCheckpoint (eager) after every round both materializes the
+    // labels AND TRUNCATES LINEAGE — a plain persist keeps the logical
+    // plan nesting one join+agg deeper per round, and Spark renders the
+    // full plan string on every action, which blows up (toward OOM) on
+    // higher-diameter graphs. Local checkpoints are not fault-tolerant;
+    // a cluster run that needs mid-algorithm recovery would use
+    // checkpoint() with a reliable directory instead.
     var labels = edges.groupBy(col("u"))
       .agg(least(col("u"), min(col("v"))).as("lbl"))
       .select(col("u").as("id"), col("lbl"))
-      .persist()
+      .localCheckpoint()
     var changed = 1L
-    var cached = labels
     while (changed > 0) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .select(col("u").as("id"), col("lbl"), lit(false).as("own"))
       // own-row tagging folds the convergence check into the SAME
       // aggregation (prev = the own label), so each round is one
-      // equi-join + one shuffle + one action — no separate
-      // convergence join against the previous labels
+      // equi-join + one shuffle — no separate convergence join against
+      // the previous labels
       val next = labels.select(col("id"), col("lbl"), lit(true).as("own"))
         .union(viaNeighbors)
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("prev"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("lbl") < col("prev")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select(col("id"), col("lbl"))
     }
     edges.unpersist()

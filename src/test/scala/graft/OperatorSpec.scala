@@ -100,6 +100,34 @@ class OperatorSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
+  test("connected components == union-find on random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        .map(v => (v, find(v)))
+      val got = Dedup.connectedComponents(pairs.toDF("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"trial $trial diverged from union-find")
+    }
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {

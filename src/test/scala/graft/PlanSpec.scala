@@ -107,6 +107,14 @@ class PlanSpec extends SparkSpec {
       "levenshtein must only run on blocked candidates")
   }
 
+  test("decontamination's holdout hit-join broadcasts (holdout shingles are the small side)") {
+    val df = SparkEntry.queries("q81_decontaminate")(spark, Sf)
+    df.collect() // AQE decides join strategy at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"holdout side should broadcast under AQE:\n${p.take(1500)}")
+  }
+
   test("dedup's spread gate adds no Exchange when the input is already multi-split") {
     import graft.operators.Dedup
     val cores = spark.sparkContext.defaultParallelism
