@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+
+/** Ranked full-text retrieval over the document corpus — the search-side
+  * capability of a training-data pipeline (SURVEY.md §2.10 north star):
+  * "find the documents most relevant to these terms" is the primitive
+  * behind corpus inspection, eval-set mining, and targeted curation.
+  *
+  * q83 scores BM25 (Robertson et al., TREC-3) with one deliberate change:
+  * the usual `log`-shaped IDF is replaced by its rational core
+  * `(N - df + 0.5) / (df + 0.5)`. `log` is a libm call whose last-bit
+  * rounding differs across engines, which would poison the DuckDB oracle;
+  * the rational form is division-only (bit-identical IEEE on both sides),
+  * keeps the same relevance ORDER (x -> log x is monotone), and stays
+  * positive on common terms where the log form goes negative. k1 = 1.25
+  * and b = 0.75 are exact binary fractions for the same reason.
+  *
+  * Scale shape (100 TB): the corpus statistics (N, avg doc length, per-term
+  * document frequencies) reduce to ONE row — a partial-aggregating global
+  * agg — which re-joins the corpus as a broadcast; per-document scoring is
+  * then map-only expression work fused into the scan, and the top-20 cut is
+  * TakeOrderedAndProject (each partition keeps its local 20; no global sort
+  * shuffle). The only single-partition step is the row_number over the 20
+  * survivors. The stats pass does re-scan the corpus once; a deployment
+  * serving many query sets would materialize the stats row instead.
+  */
+object Retrieval extends QueryGroup {
+
+  /** The fixed query terms of the q83 instance: two common terms and one
+    * rare term (df ≈ 5% of docs) so the IDF spread actually exercises the
+    * ranking, not just the tf term.
+    */
+  private[graft] val QueryTerms = Seq("scan", "join", "dup")
+
+  private val K1 = 1.25 // term-frequency saturation; exact in binary
+  private val B = 0.75  // length-normalization strength; exact in binary
+
+  /** BM25 top-k over `(doc_id, text)`-shaped docs for `terms`. Output
+    * carries ids, ranks, and exact-integer term frequencies — never the
+    * double score (QueryGroup determinism rules).
+    */
+  private[graft] def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8,
+      s"bm25TopK is the few-term interactive tier (got ${terms.size} terms); " +
+        "a many-term workload should go through an inverted index instead")
+    val tfCol = (t: String) =>
+      size(filter(col("ws"), w => w === lit(t))).cast("long")
+    val base = docs
+      .withColumn("ws", TextOps.tokens(col("text")))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf${i + 1}") }: _*)
+    val statCols = sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L))
+          .as(s"df${i + 1}"))
+    val stats = base.agg(count(lit(1)).as("n"), statCols: _*)
+    // identical expression TREE to the oracle SQL — float determinism
+    // depends on op-for-op association, not just the same formula
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val lnorm = lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / avgdl))
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("n") - col(s"df$i")).cast("double") + 0.5) /
+        (col(s"df$i").cast("double") + 0.5)
+      (idf * (tf * lit(K1 + 1.0))) / (tf + lnorm)
+    }
+    val score = terms.indices.map(i => termScore(i + 1)).reduce(_ + _)
+    val top = base.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(Seq(col("doc_id"), col("rank")) ++
+        terms.indices.map(i => col(s"tf${i + 1}")): _*)
+      .orderBy("rank")
+  }
+
+  def queries: Map[String, Q] = Map(
+    // q83 [north star]: BM25 ranked retrieval, the 3-term/top-20 instance.
+    "q83_bm25" -> ((spark, dir) =>
+      bm25TopK(Tables(spark, dir, "documents"), QueryTerms, 20)))
+
+  def oracles: Map[String, String] = {
+    // the same expression tree as the Spark side, term by term
+    val termSql = (i: Int) =>
+      s"""((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)
+         |   * (CAST(tf$i AS DOUBLE) * 2.25))
+         |  / (CAST(tf$i AS DOUBLE)
+         |     + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+         |                              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+        .stripMargin
+    val tfSql = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n        ")
+    val dfSql = QueryTerms.indices.map(i =>
+      s"sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS df${i + 1}")
+      .mkString(",\n         ")
+    val tfOut = QueryTerms.indices.map(i =>
+      s"CAST(tf${i + 1} AS BIGINT) AS tf${i + 1}").mkString(", ")
+    Map(
+      "q83_bm25" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |t AS (SELECT doc_id, len(ws) AS dl,
+           |        $tfSql
+           |      FROM w),
+           |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+           |         $dfSql
+           |       FROM t),
+           |s AS (SELECT doc_id, dl, tf1, tf2, tf3, n, sumdl, df1, df2, df3,
+           |        ${QueryTerms.indices.map(i => s"(${termSql(i + 1)})").mkString("\n        + ")} AS score
+           |      FROM t, st),
+           |top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 20)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |  $tfOut
+           |FROM top ORDER BY rank""".stripMargin)
+  }
+}

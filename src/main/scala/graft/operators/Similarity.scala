@@ -156,7 +156,64 @@ object Similarity extends QueryGroup {
       .orderBy("a_id")
   }
 
+  /** Per-vector symmetric int8 scalar quantization: q_i =
+    * round(x_i / max|x| * 127), i.e. the max-abs component maps to ±127.
+    * `mx` must be the row's precomputed max-abs column (staged once — a
+    * lambda-internal array_max would re-reduce the array per element).
+    * The rounding is spelled floor(x + 0.5) so both engines apply the
+    * identical half-up rule regardless of their round() conventions.
+    */
+  private[graft] def quantizeInt8(v: Column, mx: Column): Column =
+    transform(v, x =>
+      when(mx > 0.0, floor(x.cast("double") / mx * 127.0 + 0.5))
+        .otherwise(lit(0L)))
+
+  private def withQuantized(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .select(col("vec_id"), quantizeInt8(col("embedding"), col("mx")).as("qvec"))
+
+  /** Exact top-1 maximum-inner-product over int8-quantized vectors. The
+    * dot products are BIGINT arithmetic end-to-end (|dot| ≤ 127²·dim ≈
+    * 10⁶), so ranking has NO floating-point tie hazard at all — the dot
+    * itself is outputtable, unlike the cosine family's double scores.
+    * Like q48 this is the guarded O(n²) dimension-table tier; the scale
+    * path composes quantization with a bucketing tier (q49/q59's shape)
+    * so the pair join stays equi-keyed while each probe costs int8-dot.
+    */
+  private[graft] def quantizedTop1(emb: DataFrame, maxRows: Long): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"exact quantized MIPS is the dimension-table tier: corpus has " +
+        s"$n rows > limit $maxRows; bucket the corpus (q49/q59 shape) instead")
+    val q = withQuantized(emb)
+    q.alias("a").join(broadcast(q.alias("b")),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        aggregate(zip_with(col("a.qvec"), col("b.qvec"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+      .groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("dot")),
+        struct(col("dot"), (-col("b_id")).as("t"))).as("best"))
+      .select(col("a_id"), col("best.b_id").as("b_id"),
+        col("best.dot").as("dot"))
+      .orderBy("a_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    // q84 [north star]: int8 scalar quantization of the embedding column —
+    // the 4× memory-reduction step (float32 -> int8) an ANN index at
+    // 100 TB runs on. Map-only expression work fused into the scan.
+    "q84_quantize_int8" -> ((spark, dir) =>
+      withQuantized(Tables(spark, dir, "embeddings")).orderBy("vec_id")),
+
+    // q85 [north star]: exact top-1 neighbor by maximum inner product
+    // over the q84-quantized vectors — integer dots, zero fp-tie hazard.
+    "q85_quantized_ann" -> ((spark, dir) =>
+      quantizedTop1(Tables(spark, dir, "embeddings"),
+        maxRows = MaxExactAllPairs)),
+
     // q43 [north star]: brute-force cosine top-k (the exactness
     // baseline) — the 10-query instance of cosineTopK.
     "q43_cosine_topk" -> ((spark, dir) => {
@@ -285,7 +342,32 @@ object Similarity extends QueryGroup {
     s"CAST((${terms.mkString(" + ")}) AS BIGINT)"
   }
 
+  // q84/q85 mirror: same staged max-abs + half-up rule as quantizeInt8;
+  // the quantized dot is BIGINT arithmetic, so q85's scores are exact.
+  private val qvecSql =
+    """(SELECT vec_id,
+      |   CASE WHEN mx > 0.0
+      |     THEN list_transform(embedding,
+      |            x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS BIGINT))
+      |     ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qvec
+      | FROM (SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |       FROM embeddings) m)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q84_quantize_int8" ->
+      s"SELECT vec_id, qvec FROM $qvecSql q ORDER BY vec_id",
+    "q85_quantized_ann" ->
+      s"""WITH q AS (SELECT * FROM $qvecSql t),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |        list_reduce(list_transform(range(1, len(a.qvec) + 1),
+         |          i -> a.qvec[i] * b.qvec[i]), (x, y) -> x + y) AS dot
+         |      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT a_id, b_id, dot,
+         |        row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+         |      FROM p)
+         |SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot FROM r WHERE rk = 1
+         |ORDER BY a_id""".stripMargin,
     "q43_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |s AS (SELECT q.q_id, e.vec_id AS n_id,

@@ -119,9 +119,72 @@ object TextAnalysis extends QueryGroup {
               col("nBi").cast("double"))
             .otherwise(lit(0.0)).as("dup_bigram_frac"))
         .orderBy("doc_id")),
+
+    // q86 [north star]: cross-source shingle-overlap matrix — the
+    // corpus-level contamination measure ("how much does source A share
+    // with source B"), the aggregate sibling of q81's per-doc
+    // decontamination flag. Distinct (source, trigram-hash) first, THEN
+    // the equi-keyed self-join: after the distinct, one shingle key
+    // carries at most #sources rows per side, so per-key join fanout is
+    // bounded by sources² regardless of corpus size — a hot shingle
+    // cannot go quadratic in documents. Three bounded shuffles total
+    // (distinct, join, pair group-by); the per-source totals are a tiny
+    // broadcast. Same trigram-hash identity assumption as q77's bigrams
+    // (distinct counts match the oracle's distinct strings).
+    "q86_source_overlap" -> ((spark, dir) =>
+      sourceOverlap(Tables(spark, dir, "documents"))),
   )
 
+  /** q86's operator over any `(source, text)`-shaped corpus — see the
+    * query comment above for the scale analysis.
+    */
+  private[graft] def sourceOverlap(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
+          .as("sh"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(counts.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q86_source_overlap" ->
+      """WITH g AS (SELECT DISTINCT source, g FROM (
+        |       SELECT source,
+        |         unnest(CASE WHEN len(ws) >= 3
+        |           THEN list_transform(range(1, len(ws) - 1),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |           ELSE CAST([] AS VARCHAR[]) END) AS g
+        |       FROM (SELECT source, string_split(text, ' ') AS ws
+        |             FROM documents) w) t),
+        |c AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        count(*) AS shared
+        |      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, CAST(ca.n AS BIGINT) AS n_a,
+        |  CAST(cb.n AS BIGINT) AS n_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+        |FROM p
+        |JOIN c ca ON ca.source = p.src_a
+        |JOIN c cb ON cb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q44_token_tf" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t

@@ -128,6 +128,67 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bm25 ranks term spread above repetition and respects saturation") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // same doc length everywhere, same df per query term => ranking is
+    // driven purely by the tf-saturation shape: 3 distinct terms beats
+    // 2 (one repeated) beats 3 repeats of one term beats no terms
+    val docs = Seq(
+      (1L, "dup dup dup x y"), (2L, "scan join scan a b"),
+      (3L, "x y z w v"), (4L, "dup scan join q r"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("scan", "join", "dup"), 4)
+      .collect().map(r => (r.getLong(1), r.getLong(0),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 1L, 1L), (2L, 2L, 2L, 1L, 0L),
+      (3L, 1L, 0L, 0L, 3L), (4L, 3L, 0L, 0L, 0L)))
+  }
+
+  test("int8 quantization maps the max-abs element to ±127 and stays in range") {
+    val rows = SparkEntry.queries("q84_quantize_int8")(spark, Sf)
+      .collect().map(_.getSeq[Long](1))
+    assert(rows.nonEmpty)
+    rows.foreach { q =>
+      assert(q.forall(v => v >= -127L && v <= 127L))
+      assert(q.map(math.abs).max == 127L,
+        "the max-abs component must hit full scale")
+    }
+  }
+
+  test("quantized MIPS finds the expected neighbor with exact integer ties") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTop1(emb, maxRows = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // v1: v2 and v4 tie at 127*127 -> lower id wins; v4: v1/v2 tie -> v1
+    assert(got == Seq((1L, 2L, 16129L), (2L, 1L, 16129L),
+      (3L, 4L, 16129L), (4L, 1L, 16129L)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.quantizedTop1(emb, maxRows = 2).count()
+    }
+    assert(e.getMessage.contains("bucket the corpus"))
+  }
+
+  test("source overlap counts distinct shared trigrams exactly") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("srcA", "a b c d"), ("srcA", "a b c d"), // duplicate doc: no double count
+      ("srcB", "a b c x"), ("srcC", "p q r s"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // srcA {abc,bcd} vs srcB {abc,bcx}: share 1 of 3 distinct; srcC disjoint
+    assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 1.0 / 3.0)))
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {

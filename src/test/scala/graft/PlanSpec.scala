@@ -135,6 +135,25 @@ class PlanSpec extends SparkSpec {
       s"stop-list should anti-join via broadcast:\n${p.take(2000)}")
   }
 
+  test("bm25 broadcasts its one-row stats and cuts top-k without a global sort") {
+    val p = plan("q83_bm25")
+    assert(p.contains("BroadcastExchange"),
+      "corpus stats must re-join as a broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 cut must be TakeOrderedAndProject, not a global Sort")
+  }
+
+  test("source overlap joins stay equi-keyed; quantized MIPS argmax partial-aggregates") {
+    val p86 = plan("q86_source_overlap")
+    assert(!p86.contains("CartesianProduct") &&
+      !p86.contains("BroadcastNestedLoopJoin"),
+      "the shingle self-join must be equi-keyed on the hash")
+    val p85 = plan("q85_quantized_ann")
+    assert(!p85.contains("Window"), "q85 must not plan a rank window")
+    assert("Aggregate".r.findAllIn(p85).size >= 2,
+      "q85 argmax must partial-aggregate")
+  }
+
   test("ANN argmax aggregates partially — no rank Window, no sort shuffle") {
     val p59 = plan("q59_ann_ivf")
     assert(!p59.contains("Window"), "q59 must not plan a rank window")
