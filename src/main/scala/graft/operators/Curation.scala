@@ -197,9 +197,65 @@ object Curation extends QueryGroup {
             .cast("long").as("seq_id"))
         .orderBy("doc_id")
     }),
+
+    // q88 [north star]: OOV-NOVELTY scoring — the graded sibling of
+    // q81's binary contamination flag, in the opposite direction: each
+    // VALIDATION doc is scored by the fraction of its distinct bigrams
+    // absent from the TRAIN split's bigram vocabulary (0 = fully seen in
+    // train, 1 = fully novel). The n-gram-model answer to "is this eval
+    // doc actually held out, or does train already cover it". Scale
+    // shape: unlike q81 (small holdout -> broadcast), the train vocab is
+    // corpus-sized, so the anti-join is a SHUFFLE join equi-keyed on the
+    // bigram hash — the right plan when neither side is small. Exact
+    // integer counts + one division; same bigram-hash identity
+    // assumption as q77.
+    "q88_oov_novelty" -> ((spark, dir) => {
+      val isTrain = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 2) < "cd"
+      val docs = Tables(spark, dir, "documents")
+        .withColumn("bi",
+          TextOps.shingleHashes(TextOps.tokens(col("text")), 2))
+        .withColumn("is_train", isTrain)
+      val vocab = docs.filter(col("is_train"))
+        .select(explode(col("bi")).as("g")).distinct()
+      val vald = docs.filter(!col("is_train")).select(col("doc_id"), col("bi"))
+      val unseen = vald.select(col("doc_id"), explode(col("bi")).as("g"))
+        .join(vocab, Seq("g"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      vald.select(col("doc_id"), size(col("bi")).cast("long").as("n_bigrams"))
+        .join(unseen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("n"), lit(0L)).as("n_unseen"),
+          when(col("n_bigrams") > 0,
+            coalesce(col("n"), lit(0L)).cast("double") /
+              col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("novelty"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q88_oov_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN len(ws) > 1
+        |    THEN list_distinct(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS bi,
+        |  substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) < 'cd' AS is_train
+        |  FROM w),
+        |vocab AS (SELECT DISTINCT unnest(bi) AS g FROM b WHERE is_train),
+        |v AS (SELECT doc_id, bi FROM b WHERE NOT is_train),
+        |e AS (SELECT doc_id, unnest(bi) AS g FROM v),
+        |u AS (SELECT e.doc_id, count(*) AS n
+        |      FROM e LEFT JOIN vocab ON vocab.g = e.g
+        |      WHERE vocab.g IS NULL GROUP BY e.doc_id)
+        |SELECT v.doc_id, CAST(len(bi) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(u.n, 0) AS BIGINT) AS n_unseen,
+        |  CASE WHEN len(bi) > 0
+        |    THEN CAST(COALESCE(u.n, 0) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+        |    ELSE 0.0 END AS novelty
+        |FROM v LEFT JOIN u ON u.doc_id = v.doc_id ORDER BY v.doc_id""".stripMargin,
     "q81_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
         |  substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) >= 'cd' AS is_val

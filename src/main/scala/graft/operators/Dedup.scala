@@ -363,6 +363,36 @@ object Dedup extends QueryGroup {
         shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
           .filter(size(col("sh")) > 0)))),
 
+    // q87 [north star]: CLUSTER COLLAPSE — the cleaned corpus q76's
+    // clusters imply. Each near-dup component keeps ONE canonical doc
+    // (most content = highest n_chars, lowest doc_id on ties);
+    // untouched docs survive as their own singleton component. This is
+    // the step that actually shrinks the corpus; n_collapsed records
+    // the cluster mass folded into each survivor. Scale shape: the
+    // component table is pairs-sized (≪ corpus), so the left join
+    // broadcasts under AQE; the canonical argmax is a partial-
+    // aggregating max_by keyed on component_id.
+    "q87_canonical_keep" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val comps = connectedComponents(minhashNearDupPairs(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0)))
+        .withColumnRenamed("doc_id", "id")
+      val joined = docs.join(comps, col("doc_id") === col("id"), "left")
+      val canon = joined.filter(col("component_id").isNotNull)
+        .groupBy(col("component_id"))
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("t")))
+            .as("doc_id"),
+          count(lit(1)).as("n_collapsed"))
+        .select(col("doc_id"), col("component_id"), col("n_collapsed"))
+      val singles = joined.filter(col("component_id").isNull)
+        .select(col("doc_id"), col("doc_id").as("component_id"),
+          lit(1L).as("n_collapsed"))
+      canon.unionByName(singles).orderBy("doc_id")
+    }),
+
     // q80 [north star]: FUZZY (edit-distance) dedup — the tier for
     // near-identical short fields (titles, leads) where token-level
     // Jaccard is too coarse: pairs whose 40-char prefixes are within
@@ -456,6 +486,43 @@ object Dedup extends QueryGroup {
         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v)
         |SELECT id AS doc_id, MIN(lbl) AS component_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q87: q76's transitive closure + canonical selection + singleton
+    // passthrough (row_number mirrors the Spark max_by tie-break).
+    "q87_canonical_keep" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |tp AS (SELECT p.a_id, p.b_id
+        |       FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM tp
+        |          UNION SELECT b_id, a_id FROM tp),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY id),
+        |j AS (SELECT d.doc_id, d.n_chars, c.component_id
+        |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |canon AS (SELECT doc_id, component_id, n_collapsed FROM (
+        |    SELECT doc_id, component_id,
+        |      row_number() OVER (PARTITION BY component_id
+        |                         ORDER BY n_chars DESC, doc_id) AS rk,
+        |      count(*) OVER (PARTITION BY component_id) AS n_collapsed
+        |    FROM j WHERE component_id IS NOT NULL) t WHERE rk = 1),
+        |singles AS (SELECT doc_id, doc_id AS component_id, 1 AS n_collapsed
+        |            FROM j WHERE component_id IS NULL)
+        |SELECT doc_id, CAST(component_id AS BIGINT) AS component_id,
+        |  CAST(n_collapsed AS BIGINT) AS n_collapsed
+        |FROM (SELECT * FROM canon UNION ALL SELECT * FROM singles) u
+        |ORDER BY doc_id""".stripMargin,
     // Brute-force shingle-join Jaccard — feasible at oracle scale because
     // only docs sharing a shingle pair up.
     "q46_minhash_neardup" ->

@@ -189,6 +189,38 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 1.0 / 3.0)))
   }
 
+  test("cluster collapse keeps one canonical per component and conserves mass") {
+    val comps = SparkEntry.queries("q76_neardup_components")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = SparkEntry.queries("q87_canonical_keep")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables(spark, Sf, "documents").count()
+    // every near-dup component survives exactly once, with its full mass
+    val byComp = comps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val keptClusters = kept.filter(k => byComp.contains(k._2))
+    assert(keptClusters.map(_._2).distinct.length == byComp.size)
+    keptClusters.foreach { case (id, comp, n) =>
+      assert(byComp(comp).contains(id), s"canonical $id not in component $comp")
+      assert(n == byComp(comp).size, s"component $comp mass mismatch")
+    }
+    // total mass (collapsed + singletons) is the corpus
+    assert(kept.map(_._3).sum == nDocs)
+    assert(kept.length == nDocs - comps.length + byComp.size)
+  }
+
+  test("oov novelty scores exactly the val split, bounded in [0,1]") {
+    val valIds = SparkEntry.queries("q65_train_split")(spark, Sf)
+      .filter(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val nov = SparkEntry.queries("q88_oov_novelty")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(nov.map(_._1).toSet == valIds)
+    nov.foreach { case (id, nBi, nUn, f) =>
+      assert(nUn >= 0 && nUn <= nBi, s"doc $id unseen count out of range")
+      assert(f >= 0.0 && f <= 1.0, s"doc $id novelty out of [0,1]")
+    }
+  }
+
   test("q48 guard refuses corpora beyond the exact all-pairs tier") {
     val emb = Tables(spark, Sf, "embeddings")
     val e = intercept[IllegalArgumentException] {
