@@ -33,6 +33,24 @@ class ExpressionParitySpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("VecDot integer mode == aggregate(zip_with) long fold, exactly") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(96)
+      (Seq.fill(n)((rnd.nextInt(255) - 127).toLong),
+        Seq.fill(n)((rnd.nextInt(255) - 127).toLong))
+    }
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val got = df.select(VectorOps.dot(col("a"), col("b")).as("fast"),
+      hofDot.as("ref"))
+    assert(got.schema("fast").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "long × long dot must stay BIGINT")
+    assert(got.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("VecDot on mismatched lengths → null, like the fold's null-padded sum") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
       .select(col("a").cast("array<float>").as("a"),
