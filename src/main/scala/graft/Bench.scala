@@ -58,7 +58,13 @@ object Bench {
     def checksum(df: DataFrame): Unit =
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for targeted local
+    // iteration; the driver leaves it unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // One timed sample: build the plan fresh, consume it, then drop any
       // query-local persists and give the collector a breather so the next
       // sample (or query) isn't billed for this one's garbage.
