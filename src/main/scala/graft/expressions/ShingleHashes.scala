@@ -6,12 +6,16 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct n-word-shingle hashes of a token array, in one native pass.
+/** n-word-shingle hashes of a token array, in one native pass.
   *
   * Output element i is `xxhash64("w_i w_{i+1} … w_{i+n-1}")` (space-joined,
   * default seed 42 — byte-identical to
-  * `xxhash64(concat_ws(" ", …))` on the same tokens), deduplicated,
-  * first-occurrence order.
+  * `xxhash64(concat_ws(" ", …))` on the same tokens). With
+  * `distinct = true` (the default, and the MinHash/Jaccard input shape)
+  * hashes are deduplicated in first-occurrence order; with
+  * `distinct = false` every position keeps its hash, in positional order —
+  * the shape span-level analyses (q90 duplicated-span fraction) need,
+  * where multiplicity IS the signal.
   *
   * Replaces the `array_distinct(transform(sequence(...), i ->
   * concat_ws(...)))` higher-order pipeline, which paid an interpreted
@@ -25,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback is deliberate: one virtual call per ROW with a native
   * loop inside (not per element), so codegen would buy nothing.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -48,21 +52,34 @@ case class ShingleHashes(child: Expression, n: Int)
     val ws = input.asInstanceOf[ArrayData]
     val m = ws.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val gram = new Array[UTF8String](n)
-    var i = 0
-    while (i <= m - n) {
-      var j = 0
-      while (j < n) { gram(j) = ws.getUTF8String(i + j); j += 1 }
-      val s = UTF8String.concatWs(sep, gram: _*)
-      seen.add(XxHash64Function.hash(s, StringType, 42L))
-      i += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { gram(j) = ws.getUTF8String(i + j); j += 1 }
+        val s = UTF8String.concatWs(sep, gram: _*)
+        seen.add(XxHash64Function.hash(s, StringType, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { gram(j) = ws.getUTF8String(i + j); j += 1 }
+        val s = UTF8String.concatWs(sep, gram: _*)
+        out(i) = XxHash64Function.hash(s, StringType, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =

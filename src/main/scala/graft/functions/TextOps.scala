@@ -42,6 +42,16 @@ object TextOps {
     toColumn(graft.expressions.ShingleHashes(toExpression(ws), n))
   }
 
+  /** Positional (non-deduplicated) n-gram shingle hashes — element i is
+    * the hash of the shingle starting at token i. The span-level shape:
+    * multiplicity is the signal (q90 duplicated-span fraction).
+    */
+  def shingleHashesAll(ws: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.ShingleHashes(toExpression(ws), n,
+      distinct = false))
+  }
+
   /** MinHash signature over pre-hashed shingles: all permutations `a*h+b`
     * (wraparound) min-reduced in one codegen'd pass — see
     * [[graft.expressions.MinHashSig]] for the scale rationale.

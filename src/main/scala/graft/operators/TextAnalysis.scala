@@ -16,6 +16,18 @@ import graft.functions.TextOps
   */
 object TextAnalysis extends QueryGroup {
 
+  /** q89: a token is "rare" when its document frequency is at or below
+    * this. 2 ≈ hapax/dis legomena — the classic noise band.
+    */
+  val RareDfMax = 2
+
+  /** q90: width (in tokens) of the duplicated-span n-grams. 5 is wide
+    * enough that a shared span implies copying, not phrase reuse, while
+    * still catching partial-paragraph duplication that document-level
+    * Jaccard misses.
+    */
+  val SpanWidth = 5
+
   def queries: Map[String, Q] = Map(
     // q44 [CLOSURE]: tokenize + term frequency.
     "q44_token_tf" -> ((spark, dir) =>
@@ -120,6 +132,48 @@ object TextAnalysis extends QueryGroup {
             .otherwise(lit(0.0)).as("dup_bigram_frac"))
         .orderBy("doc_id")),
 
+    // q89 [north star]: rare-token rarity score — the log-free sibling of
+    // unigram-LM quality scoring (the q83 IDF trick: keep the math
+    // rational so the oracle is bit-deterministic; -log df/N is monotone
+    // in df, so df-threshold bands carry the same signal). Per doc:
+    // distinct-token count, count of tokens rare in the corpus
+    // (document frequency <= RareDfMax), and the rare fraction — a high
+    // fraction flags OCR junk / codey noise, near-zero flags boilerplate.
+    // Scale: (doc, word) is corpus-sized; the df group-by partial-
+    // aggregates; the df join is equi-keyed on word with per-key fanout
+    // = postings × 1 (one df row per word) — a stopword cannot go
+    // quadratic. Same shape q88 uses for its OOV vocab anti-join.
+    "q89_rare_token_score" -> ((spark, dir) => {
+      val dw = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("word"))
+      val df = dw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      dw.join(df, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("df") <= RareDfMax, lit(1L)).otherwise(lit(0L)))
+            .as("n_rare"))
+        .select(col("doc_id"), col("n_distinct"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_distinct").cast("double"))
+            .as("rare_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // q90 [north star]: duplicated-span fraction — the substring-level
+    // memorization measure (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better", ACL'22): for each document, the
+    // fraction of its SpanWidth-gram positions whose n-gram also occurs
+    // in at least one OTHER document. Distinct from q77 (within-doc
+    // repetition) and q58 (document-pair Jaccard): a doc can be globally
+    // unique yet 40% copied span-by-span from many different docs.
+    // Scale: positional spans are corpus-sized (map-only expression);
+    // the shared-span set is built from DISTINCT (doc, span) so a hot
+    // span contributes one row per doc, partial-aggregated; the
+    // flag join is equi-keyed with fanout ≤ 1 row per probe. Same
+    // hash-identity assumption as q77/q86 shingles.
+    "q90_dup_spans" -> ((spark, dir) =>
+      dupSpans(Tables(spark, dir, "documents"), SpanWidth)),
+
     // q86 [north star]: cross-source shingle-overlap matrix — the
     // corpus-level contamination measure ("how much does source A share
     // with source B"), the aggregate sibling of q81's per-doc
@@ -134,6 +188,34 @@ object TextAnalysis extends QueryGroup {
     "q86_source_overlap" -> ((spark, dir) =>
       sourceOverlap(Tables(spark, dir, "documents"))),
   )
+
+  /** q90's operator over any `(doc_id, text)`-shaped corpus — see the
+    * query comment above for the scale analysis.
+    */
+  private[graft] def dupSpans(
+      docs: org.apache.spark.sql.DataFrame,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingleHashesAll(TextOps.tokens(col("text")), width))
+          .as("sh"))
+    val shared = spans.distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("sh"), lit(1L).as("is_shared"))
+    val perDoc = spans.join(shared, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_dup_spans"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
 
   /** q86's operator over any `(source, text)`-shaped corpus — see the
     * query comment above for the scale analysis.
@@ -164,6 +246,34 @@ object TextAnalysis extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    "q89_rare_token_score" ->
+      """WITH dw AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
+        |            FROM documents),
+        |f AS (SELECT word, count(*) AS df FROM dw GROUP BY word)
+        |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rare_frac
+        |FROM dw JOIN f USING (word)
+        |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin,
+    "q90_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sp AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3),
+        |                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS g FROM w),
+        |f AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM sp) t
+        |      GROUP BY g HAVING count(*) >= 2),
+        |a AS (SELECT sp.doc_id, count(*) AS n_spans,
+        |        sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        |      FROM sp LEFT JOIN f ON f.g = sp.g GROUP BY sp.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN coalesce(a.n_spans, 0) > 0
+        |    THEN CAST(a.n_dup AS DOUBLE) / CAST(a.n_spans AS DOUBLE)
+        |    ELSE 0.0 END AS dup_span_frac
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q86_source_overlap" ->
       """WITH g AS (SELECT DISTINCT source, g FROM (
         |       SELECT source,

@@ -142,4 +142,25 @@ class ExpressionParitySpec extends SparkSpec {
       .count()
     assert(diffs == 0)
   }
+
+  test("ShingleHashes positional mode keeps every position, in order") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val texts = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("text").select(split(col("text"), " ").as("ws"))
+    val n = 3
+    // reference: the raw (non-deduplicated) transform/sequence pipeline
+    val hof = transform(
+      sequence(lit(0), size(col("ws")) - n),
+      i => xxhash64(concat_ws(" ",
+        (1 to n).map(k => element_at(col("ws"), i + k)): _*)))
+    val ref = when(size(col("ws")) >= n, hof)
+      .otherwise(array().cast("array<bigint>"))
+    val diffs = df.select(
+        TextOps.shingleHashesAll(col("ws"), n).as("fast"), ref.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diffs == 0)
+  }
 }

@@ -189,6 +189,27 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 1.0 / 3.0)))
   }
 
+  test("dup-span fraction counts cross-doc spans with multiplicity") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d e f"),     // spans: abc bcd cde def
+      (2L, "a b c x y z"),     // spans: abc bcx cxy xyz — shares abc with doc 1
+      (3L, "a b c a b c a b"), // spans: abc bca cab abc bca cab — abc shared
+      (4L, "p q"))             // too short: zero spans
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // "abc" occurs in docs 1, 2, 3 → shared; every other span is unique
+    // to its doc. Doc 3's TWO abc positions both count (multiplicity).
+    assert(got == Seq(
+      (1L, 4L, 1L, 0.25),
+      (2L, 4L, 1L, 0.25),
+      (3L, 6L, 2L, 2.0 / 6.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
   test("cluster collapse keeps one canonical per component and conserves mass") {
     val comps = SparkEntry.queries("q76_neardup_components")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
