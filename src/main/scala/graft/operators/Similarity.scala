@@ -203,7 +203,75 @@ object Similarity extends QueryGroup {
       .orderBy("a_id")
   }
 
+  /** Lloyd's k-means over the int8-quantized embeddings — the clustering
+    * step a curation pipeline uses for topic/domain discovery and
+    * cluster-balanced mixing (the q66 knob, learned instead of labeled).
+    *
+    * Deterministic BY CONSTRUCTION, so the DuckDB oracle is exact:
+    *  - input vectors are q84's integer quantization — centroid
+    *    recomputation is elementwise BIGINT sums + a count (both
+    *    aggregation-order-independent), and centroid components are one
+    *    double division s/cnt — bit-identical on both engines;
+    *  - per-row distances evaluate in a fixed order: three sequential-
+    *    fold dots (VecDot == DuckDB list_reduce, pinned in
+    *    ExpressionParitySpec) combined as (x·x − 2·x·c) + c·c;
+    *  - the argmin tie-breaks on cluster id; init centroids are the k
+    *    smallest vec_ids' vectors (no RNG).
+    *
+    * Scale shape — the classic distributed k-means plan: centroids are a
+    * k×dim broadcast; assignment is map-only against the broadcast;
+    * recomputation partial-aggregates (cluster, pos) sums, k·dim rows
+    * out of the shuffle. The driver loop holds only the iteration
+    * counter — no data ever collects. Iterations are FIXED (not
+    * convergence-tested) so the oracle can unroll the same number.
+    */
+  private[graft] def kmeansAssign(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = withQuantized(emb)
+      .withColumn("xd", transform(col("qvec"), _.cast("double")))
+      .persist()
+    // centroid j (0-based) = the vector of the j-th smallest vec_id
+    var cents = q.orderBy("vec_id").limit(k)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        .cast("long").as("cluster"), col("xd").as("cvec"))
+    def assign(c: DataFrame): DataFrame =
+      q.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cluster"),
+          (VectorOps.dot(col("xd"), col("xd"))
+            - lit(2.0) * VectorOps.dot(col("xd"), col("cvec"))
+            + VectorOps.dot(col("cvec"), col("cvec"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster")))
+          .as("cluster"))
+    var it = 0
+    while (it < iters) {
+      val sums = assign(cents).join(q, "vec_id")
+        .select(col("cluster"), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      cents = sums.groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          t => t.getField("s").cast("double") / t.getField("cnt").cast("double"))
+          .as("cvec"))
+      it += 1
+    }
+    val fin = assign(cents)
+    val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val out = fin.join(broadcast(sizes), "cluster")
+      .select(col("vec_id"), col("cluster"), col("n_members"))
+      .orderBy("vec_id")
+    q.unpersist()
+    out
+  }
+
   def queries: Map[String, Q] = Map(
+    // q91 [north star]: k-means topic clusters over the embedding
+    // column — see kmeansAssign for the determinism and scale story.
+    "q91_kmeans_clusters" -> ((spark, dir) =>
+      kmeansAssign(Tables(spark, dir, "embeddings"), k = 8, iters = 2)),
+
     // q84 [north star]: int8 scalar quantization of the embedding column —
     // the 4× memory-reduction step (float32 -> int8) an ANN index at
     // 100 TB runs on. Map-only expression work fused into the scan.
@@ -356,7 +424,47 @@ object Similarity extends QueryGroup {
       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
       |       FROM embeddings) m)""".stripMargin
 
+  // q91 mirror: the same fixed-iteration Lloyd loop, unrolled. Each
+  // assign is the identical (x·x − 2·x·c) + c·c sequential-fold distance
+  // with a (d2, cluster) tie-break; each recompute is exact BIGINT
+  // (cluster, pos) sums reassembled in pos order with one s/cnt double
+  // division per component — the same arithmetic, in the same order, as
+  // kmeansAssign, so assignments cannot drift between engines.
+  private def kmAssignSql(cents: String): String =
+    s"""SELECT vec_id, cluster FROM (
+       |  SELECT a.vec_id, c.cluster,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      (${dot("a.xd", "a.xd")} - 2.0 * ${dot("a.xd", "c.cvec")}
+       |        + ${dot("c.cvec", "c.cvec")}), c.cluster) AS rk
+       |  FROM q a CROSS JOIN $cents c) t WHERE rk = 1""".stripMargin
+  private def kmRecomputeSql(assigned: String): String =
+    s"""SELECT cluster,
+       |  list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY pos) AS cvec
+       |FROM (SELECT cluster, struct_extract(u, 'pos') AS pos,
+       |        SUM(struct_extract(u, 'v')) AS s, COUNT(*) AS cnt
+       |      FROM (SELECT a.cluster,
+       |              unnest(list_transform(range(1, len(q.qvec) + 1),
+       |                i -> {'pos': i, 'v': q.qvec[i]})) AS u
+       |            FROM $assigned a JOIN q ON q.vec_id = a.vec_id) m
+       |      GROUP BY 1, 2) g
+       |GROUP BY cluster""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q91_kmeans_clusters" ->
+      s"""WITH q AS (SELECT vec_id, qvec,
+         |             list_transform(qvec, v -> CAST(v AS DOUBLE)) AS xd
+         |           FROM $qvecSql z),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         |         xd AS cvec
+         |       FROM (SELECT vec_id, xd FROM q ORDER BY vec_id LIMIT 8) s),
+         |a0 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmRecomputeSql("a0")}),
+         |a1 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmRecomputeSql("a1")}),
+         |fin AS (${kmAssignSql("c2")}),
+         |sz AS (SELECT cluster, COUNT(*) AS n FROM fin GROUP BY cluster)
+         |SELECT f.vec_id, f.cluster, CAST(sz.n AS BIGINT) AS n_members
+         |FROM fin f JOIN sz USING (cluster) ORDER BY f.vec_id""".stripMargin,
     "q84_quantize_int8" ->
       s"SELECT vec_id, qvec FROM $qvecSql q ORDER BY vec_id",
     "q85_quantized_ann" ->

@@ -189,6 +189,26 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 1.0 / 3.0)))
   }
 
+  test("k-means separates two well-separated blobs and conserves membership") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Seq.fill(8)(sign + rnd.nextFloat()))
+    }
+    val got = Similarity.kmeansAssign(rows.toDF("vec_id", "embedding"),
+        k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 40)
+    // one blob per cluster, 20 members each, ids split even/odd
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set((0L until 40L by 2).toSet, (1L until 40L by 2).toSet))
+    got.foreach { case (_, c, n) => assert(n == byCluster(c).size) }
+  }
+
   test("dup-span fraction counts cross-doc spans with multiplicity") {
     import spark.implicits._
     import graft.operators.TextAnalysis
