@@ -115,6 +115,27 @@ class PlanSpec extends SparkSpec {
       s"holdout side should broadcast under AQE:\n${p.take(1500)}")
   }
 
+  test("k-means assignment scans against broadcast centroids — never a shuffle per iteration") {
+    val df = SparkEntry.queries("q91_kmeans_clusters")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the k x dim centroid side must broadcast (nested-loop is fine: it IS
+    // the cross join, against k rows); a shuffled join of corpus x centroids
+    // would be the 100 TB regression
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x centroids must never plan a shuffled cartesian")
+  }
+
+  test("dup-spans and rare-token joins stay equi-keyed (no pair-producing shapes)") {
+    for (q <- Seq("q90_dup_spans", "q89_rare_token_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join equi-keyed only:\n${p.take(1500)}")
+    }
+  }
+
   test("dedup's spread gate adds no Exchange when the input is already multi-split") {
     import graft.operators.Dedup
     val cores = spark.sparkContext.defaultParallelism
