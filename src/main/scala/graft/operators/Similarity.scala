@@ -272,6 +272,26 @@ object Similarity extends QueryGroup {
     "q91_kmeans_clusters" -> ((spark, dir) =>
       kmeansAssign(Tables(spark, dir, "embeddings"), k = 8, iters = 2)),
 
+    // q92 [north star]: cluster-balanced sampling — q91's learned
+    // clusters composed with q72's fixed-size hash-ranked reservoir
+    // (25 vectors per cluster, md5-gated so membership is an exact
+    // oracle, not a proportion). This is the "diverse subset" selection
+    // a curation pipeline runs after clustering: equal representation
+    // per topic regardless of cluster mass. Same bounded-partial TopKAgg
+    // as q72/q43 — map-side partials carry ≤ 25 rows per (cluster,
+    // partition) into the one shuffle.
+    "q92_cluster_sample" -> ((spark, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(25),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val h = conv(substring(md5(concat(lit("csample:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("double")
+      kmeansAssign(Tables(spark, dir, "embeddings"), k = 8, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(topk(-h, col("vec_id")).as("top"))
+        .select(col("cluster"), explode(col("top.id")).as("vec_id"))
+        .orderBy("cluster", "vec_id")
+    }),
+
     // q84 [north star]: int8 scalar quantization of the embedding column —
     // the 4× memory-reduction step (float32 -> int8) an ANN index at
     // 100 TB runs on. Map-only expression work fused into the scan.
@@ -449,22 +469,37 @@ object Similarity extends QueryGroup {
        |      GROUP BY 1, 2) g
        |GROUP BY cluster""".stripMargin
 
+  /** The unrolled Lloyd loop as a reusable CTE prefix ending in `fin`
+    * (vec_id, cluster) — shared by q91's output and q92's sampler.
+    */
+  private def kmCte: String =
+    s"""q AS (SELECT vec_id, qvec,
+       |        list_transform(qvec, v -> CAST(v AS DOUBLE)) AS xd
+       |      FROM $qvecSql z),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+       |         xd AS cvec
+       |       FROM (SELECT vec_id, xd FROM q ORDER BY vec_id LIMIT 8) s),
+       |a0 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRecomputeSql("a0")}),
+       |a1 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRecomputeSql("a1")}),
+       |fin AS (${kmAssignSql("c2")})""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q91_kmeans_clusters" ->
-      s"""WITH q AS (SELECT vec_id, qvec,
-         |             list_transform(qvec, v -> CAST(v AS DOUBLE)) AS xd
-         |           FROM $qvecSql z),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
-         |         xd AS cvec
-         |       FROM (SELECT vec_id, xd FROM q ORDER BY vec_id LIMIT 8) s),
-         |a0 AS (${kmAssignSql("c0")}),
-         |c1 AS (${kmRecomputeSql("a0")}),
-         |a1 AS (${kmAssignSql("c1")}),
-         |c2 AS (${kmRecomputeSql("a1")}),
-         |fin AS (${kmAssignSql("c2")}),
+      s"""WITH $kmCte,
          |sz AS (SELECT cluster, COUNT(*) AS n FROM fin GROUP BY cluster)
          |SELECT f.vec_id, f.cluster, CAST(sz.n AS BIGINT) AS n_members
          |FROM fin f JOIN sz USING (cluster) ORDER BY f.vec_id""".stripMargin,
+    "q92_cluster_sample" ->
+      s"""WITH $kmCte,
+         |r AS (SELECT cluster, vec_id,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY substring(md5('csample:' || CAST(vec_id AS VARCHAR)), 1, 8),
+         |            vec_id) AS rk
+         |      FROM fin)
+         |SELECT cluster, vec_id FROM r WHERE rk <= 25
+         |ORDER BY cluster, vec_id""".stripMargin,
     "q84_quantize_int8" ->
       s"SELECT vec_id, qvec FROM $qvecSql q ORDER BY vec_id",
     "q85_quantized_ann" ->
