@@ -50,6 +50,39 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q93 [north star]: temperature-flattened domain mixing — the
+    // sub-linear source reweighting a multi-corpus training mix uses
+    // (small sources keep proportionally more; the α=0.5 instance of
+    // quota ∝ n^α). Per-source quota = floor(4·√n_s); members are the
+    // quota hash-lowest docs, so membership is EXACT on both engines:
+    // sqrt and the one multiply are correctly-rounded IEEE ops on
+    // identical inputs (no libm pow — α=0.5 is chosen precisely so the
+    // quota math stays bit-deterministic), and the selection gate is the
+    // same md5 rank as q65/q72. Scale: the quota table is #sources rows
+    // (broadcast); ranking shuffles once keyed by source. A single
+    // mega-source makes that partition hot — the scale variant is a
+    // two-pass threshold selection (estimate the hash cutoff from
+    // quota/n, then fix the boundary exactly), same shape as q58's
+    // cap-then-verify discipline.
+    "q93_temperature_mix" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val quotas = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          floor(sqrt(col("n_docs").cast("double")) * lit(4.0))
+            .cast("long").as("quota"))
+      val h = substring(md5(concat(lit("tmix:"),
+        col("doc_id").cast("string"))), 1, 8)
+      docs.select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .join(broadcast(quotas), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // q69 [north star]: document-frequency vocabulary pruning (the
     // C4-style "drop boilerplate tokens" pass): tokens present in > 79%
     // of documents are removed, texts are rebuilt IN ORDER. Scale shape:
@@ -285,6 +318,17 @@ object Curation extends QueryGroup {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' OR substring(md5('mix:' || CAST(doc_id AS VARCHAR)),1,2) < '80'
         |ORDER BY doc_id""".stripMargin,
+    "q93_temperature_mix" ->
+      """WITH q AS (SELECT source,
+        |        CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 4.0) AS BIGINT) AS quota
+        |      FROM documents GROUP BY source),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |            doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, r.rk FROM r JOIN q USING (source)
+        |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin,
     "q69_df_prune" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM w),

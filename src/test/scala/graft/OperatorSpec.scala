@@ -189,6 +189,25 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 1.0 / 3.0)))
   }
 
+  test("temperature mix flattens: keep-rate decreases as source size grows") {
+    val docs = Tables(spark, Sf, "documents")
+    val total = docs.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val kept = SparkEntry.queries("q93_temperature_mix")(spark, Sf)
+      .groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    total.foreach { case (s, n) =>
+      val q = math.floor(math.sqrt(n.toDouble) * 4.0).toLong
+      assert(kept.getOrElse(s, 0L) == math.min(q, n),
+        s"source $s quota mismatch")
+    }
+    // flattening: a strictly larger source never keeps a larger fraction
+    val rates = total.toSeq.sortBy(_._2).map { case (s, n) =>
+      (n, kept.getOrElse(s, 0L).toDouble / n) }
+    rates.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      if (n1 < n2) assert(r2 <= r1, s"keep-rate must not grow with size") }
+  }
+
   test("k-means separates two well-separated blobs and conserves membership") {
     import spark.implicits._
     import graft.operators.Similarity
