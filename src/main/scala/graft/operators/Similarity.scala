@@ -225,7 +225,7 @@ object Similarity extends QueryGroup {
     * counter — no data ever collects. Iterations are FIXED (not
     * convergence-tested) so the oracle can unroll the same number.
     */
-  private[graft] def kmeansAssign(
+  private def kmeansCore(
       emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val q = withQuantized(emb)
       .withColumn("xd", transform(col("qvec"), _.cast("double")))
@@ -235,6 +235,9 @@ object Similarity extends QueryGroup {
       .select((row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
         .cast("long").as("cluster"), col("xd").as("cvec"))
+    // min over the lexicographic (d2, cluster) struct IS the argmin with
+    // the id tie-break — and carries the winning distance out, which the
+    // prototype query (q94) argmins per cluster
     def assign(c: DataFrame): DataFrame =
       q.crossJoin(broadcast(c))
         .select(col("vec_id"), col("cluster"),
@@ -242,8 +245,9 @@ object Similarity extends QueryGroup {
             - lit(2.0) * VectorOps.dot(col("xd"), col("cvec"))
             + VectorOps.dot(col("cvec"), col("cvec"))).as("d2"))
         .groupBy(col("vec_id"))
-        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster")))
-          .as("cluster"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d2").as("d2"))
     var it = 0
     while (it < iters) {
       val sums = assign(cents).join(q, "vec_id")
@@ -258,13 +262,34 @@ object Similarity extends QueryGroup {
       it += 1
     }
     val fin = assign(cents)
+    q.unpersist()
+    fin
+  }
+
+  private[graft] def kmeansAssign(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val fin = kmeansCore(emb, k, iters)
     val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    val out = fin.join(broadcast(sizes), "cluster")
+    fin.join(broadcast(sizes), "cluster")
       .select(col("vec_id"), col("cluster"), col("n_members"))
       .orderBy("vec_id")
-    q.unpersist()
-    out
   }
+
+  /** Per-cluster prototype: the member nearest its final centroid
+    * (min (d2, vec_id) — deterministic because every member's d2 is the
+    * same bit-exact double on both engines). The inspection/labeling
+    * step after clustering: k representative vectors, one partial-
+    * aggregating argmin over the assignment — no extra joins.
+    */
+  private[graft] def kmeansPrototypes(
+      emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCore(emb, k, iters)
+      .groupBy(col("cluster"))
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id")))
+        .as("prototype_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("prototype_id"), col("n_members"))
+      .orderBy("cluster")
 
   def queries: Map[String, Q] = Map(
     // q91 [north star]: k-means topic clusters over the embedding
@@ -291,6 +316,11 @@ object Similarity extends QueryGroup {
         .select(col("cluster"), explode(col("top.id")).as("vec_id"))
         .orderBy("cluster", "vec_id")
     }),
+
+    // q94 [north star]: per-topic prototype vectors — see
+    // kmeansPrototypes.
+    "q94_cluster_prototypes" -> ((spark, dir) =>
+      kmeansPrototypes(Tables(spark, dir, "embeddings"), k = 8, iters = 2)),
 
     // q84 [north star]: int8 scalar quantization of the embedding column —
     // the 4× memory-reduction step (float32 -> int8) an ANN index at
@@ -451,8 +481,10 @@ object Similarity extends QueryGroup {
   // division per component — the same arithmetic, in the same order, as
   // kmeansAssign, so assignments cannot drift between engines.
   private def kmAssignSql(cents: String): String =
-    s"""SELECT vec_id, cluster FROM (
+    s"""SELECT vec_id, cluster, d2 FROM (
        |  SELECT a.vec_id, c.cluster,
+       |    (${dot("a.xd", "a.xd")} - 2.0 * ${dot("a.xd", "c.cvec")}
+       |      + ${dot("c.cvec", "c.cvec")}) AS d2,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |      (${dot("a.xd", "a.xd")} - 2.0 * ${dot("a.xd", "c.cvec")}
        |        + ${dot("c.cvec", "c.cvec")}), c.cluster) AS rk
@@ -491,6 +523,14 @@ object Similarity extends QueryGroup {
          |sz AS (SELECT cluster, COUNT(*) AS n FROM fin GROUP BY cluster)
          |SELECT f.vec_id, f.cluster, CAST(sz.n AS BIGINT) AS n_members
          |FROM fin f JOIN sz USING (cluster) ORDER BY f.vec_id""".stripMargin,
+    "q94_cluster_prototypes" ->
+      s"""WITH $kmCte,
+         |p AS (SELECT cluster, vec_id,
+         |        row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster) AS n
+         |      FROM fin)
+         |SELECT cluster, vec_id AS prototype_id, CAST(n AS BIGINT) AS n_members
+         |FROM p WHERE rk = 1 ORDER BY cluster""".stripMargin,
     "q92_cluster_sample" ->
       s"""WITH $kmCte,
          |r AS (SELECT cluster, vec_id,
