@@ -325,8 +325,13 @@ object Similarity extends QueryGroup {
     // q84 [north star]: int8 scalar quantization of the embedding column —
     // the 4× memory-reduction step (float32 -> int8) an ANN index at
     // 100 TB runs on. Map-only expression work fused into the scan.
+    // The output serializes qvec to CSV because the comparison harness
+    // sorts result cells and cannot order array-typed values.
     "q84_quantize_int8" -> ((spark, dir) =>
-      withQuantized(Tables(spark, dir, "embeddings")).orderBy("vec_id")),
+      withQuantized(Tables(spark, dir, "embeddings"))
+        .select(col("vec_id"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec"))
+        .orderBy("vec_id")),
 
     // q85 [north star]: exact top-1 neighbor by maximum inner product
     // over the q84-quantized vectors — integer dots, zero fp-tie hazard.
@@ -541,7 +546,7 @@ object Similarity extends QueryGroup {
          |SELECT cluster, vec_id FROM r WHERE rk <= 25
          |ORDER BY cluster, vec_id""".stripMargin,
     "q84_quantize_int8" ->
-      s"SELECT vec_id, qvec FROM $qvecSql q ORDER BY vec_id",
+      s"SELECT vec_id, array_to_string(qvec, ',') AS qvec FROM $qvecSql q ORDER BY vec_id",
     "q85_quantized_ann" ->
       s"""WITH q AS (SELECT * FROM $qvecSql t),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

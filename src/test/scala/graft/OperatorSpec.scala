@@ -148,7 +148,7 @@ class OperatorSpec extends SparkSpec {
 
   test("int8 quantization maps the max-abs element to ±127 and stays in range") {
     val rows = SparkEntry.queries("q84_quantize_int8")(spark, Sf)
-      .collect().map(_.getSeq[Long](1))
+      .collect().map(_.getString(1).split(",").map(_.toLong).toSeq)
     assert(rows.nonEmpty)
     rows.foreach { q =>
       assert(q.forall(v => v >= -127L && v <= 127L))
