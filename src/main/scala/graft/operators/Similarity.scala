@@ -218,12 +218,19 @@ object Similarity extends QueryGroup {
     *  - the argmin tie-breaks on cluster id; init centroids are the k
     *    smallest vec_ids' vectors (no RNG).
     *
-    * Scale shape — the classic distributed k-means plan: centroids are a
-    * k×dim broadcast; assignment is map-only against the broadcast;
-    * recomputation partial-aggregates (cluster, pos) sums, k·dim rows
-    * out of the shuffle. The driver loop holds only the iteration
-    * counter — no data ever collects. Iterations are FIXED (not
-    * convergence-tested) so the oracle can unroll the same number.
+    * Scale shape — the MLlib KMeans plan: centroids live on the driver
+    * as k·dim doubles (MODEL state, independent of n — this is the one
+    * place driver-side state is correct, exactly as
+    * `org.apache.spark.ml.clustering.KMeans` holds its centers), so
+    * assignment is a fully codegen'd map-only `least()` chain over
+    * centroid LITERALS — zero shuffle, no n×k row blowup — and
+    * recomputation partial-aggregates (cluster, pos) sums: k·dim rows
+    * cross the wire per iteration, regardless of corpus size. The
+    * earlier all-in-plan formulation shuffled n×k candidate rows on
+    * vec_id AND re-joined the corpus each iteration; at 100 TB those
+    * two shuffles dominate, while this shape's only per-iteration
+    * exchange is the k·dim partial-sum reduce. Iterations are FIXED
+    * (not convergence-tested) so the oracle can unroll the same number.
     */
   private def kmeansCore(
       emb: DataFrame, k: Int, iters: Int): DataFrame = {
@@ -231,37 +238,55 @@ object Similarity extends QueryGroup {
       .withColumn("xd", transform(col("qvec"), _.cast("double")))
       .persist()
     // centroid j (0-based) = the vector of the j-th smallest vec_id
-    var cents = q.orderBy("vec_id").limit(k)
-      .select((row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
-        .cast("long").as("cluster"), col("xd").as("cvec"))
-    // min over the lexicographic (d2, cluster) struct IS the argmin with
-    // the id tie-break — and carries the winning distance out, which the
-    // prototype query (q94) argmins per cluster
-    def assign(c: DataFrame): DataFrame =
-      q.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("cluster"),
-          (VectorOps.dot(col("xd"), col("xd"))
-            - lit(2.0) * VectorOps.dot(col("xd"), col("cvec"))
-            + VectorOps.dot(col("cvec"), col("cvec"))).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"),
-          col("m.d2").as("d2"))
+    var cents: Seq[(Long, Array[Double])] =
+      q.orderBy("vec_id").limit(k).select(col("xd")).collect()
+        .zipWithIndex
+        .map { case (r, j) => (j.toLong, r.getSeq[Double](0).toArray) }
+        .toSeq
+    // c·c on the driver, in VecDot's exact fold order (left-to-right,
+    // double accumulator) so the constant is bit-identical to the
+    // in-plan VecDot(cvec, cvec) it replaces
+    def selfDot(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    // least() over the lexicographic (d2, cluster) structs IS the argmin
+    // with the id tie-break — and carries the winning distance out, which
+    // the prototype query (q94) argmins per cluster. A cluster that loses
+    // every member drops out of `cents`, same as the aggregate-shaped
+    // formulation this replaces.
+    def assign: DataFrame = {
+      val xdot = VectorOps.dot(col("xd"), col("xd"))
+      val cands = cents.map { case (j, c) =>
+        struct(
+          (xdot - lit(2.0) * VectorOps.dot(col("xd"), typedLit(c.toSeq))
+            + lit(selfDot(c))).as("d2"),
+          lit(j).as("cluster"))
+      }
+      val m = if (cands.size == 1) cands.head else least(cands: _*)
+      q.withColumn("m", m)
+        .select(col("vec_id"), col("qvec"),
+          col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+    }
     var it = 0
     while (it < iters) {
-      val sums = assign(cents).join(q, "vec_id")
+      val sums = assign
         .select(col("cluster"), posexplode(col("qvec")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-      cents = sums.groupBy(col("cluster"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
-          t => t.getField("s").cast("double") / t.getField("cnt").cast("double"))
-          .as("cvec"))
+        .collect() // k·dim rows — bounded model state, not data
+      cents = sums.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (j, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach { r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
+          }
+          (j, arr)
+      }
       it += 1
     }
-    val fin = assign(cents)
+    val fin = assign.select(col("vec_id"), col("cluster"), col("d2"))
     q.unpersist()
     fin
   }

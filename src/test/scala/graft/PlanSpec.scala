@@ -115,16 +115,18 @@ class PlanSpec extends SparkSpec {
       s"holdout side should broadcast under AQE:\n${p.take(1500)}")
   }
 
-  test("k-means assignment scans against broadcast centroids — never a shuffle per iteration") {
+  test("k-means assignment is map-only against centroid literals — no join, no n*k shuffle") {
     val df = SparkEntry.queries("q91_kmeans_clusters")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
-    // the k x dim centroid side must broadcast (nested-loop is fine: it IS
-    // the cross join, against k rows); a shuffled join of corpus x centroids
-    // would be the 100 TB regression
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"centroids must broadcast:\n${p.take(1500)}")
-    assert(!p.contains("CartesianProduct"),
-      "corpus x centroids must never plan a shuffled cartesian")
+    // centroids are driver-held model state embedded as literals, so the
+    // final assignment pass must plan NO corpus-side join at all; the only
+    // join in q91 is the k-row cluster-sizes broadcast. A SortMergeJoin/
+    // CartesianProduct anywhere would be the 100 TB regression.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not join the corpus:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster sizes must broadcast:\n${p.take(1500)}")
   }
 
   test("dup-spans and rare-token joins stay equi-keyed (no pair-producing shapes)") {
