@@ -190,6 +190,21 @@ object Curation extends QueryGroup {
           expr("substring(text, col, 200)").as("chunk"))
         .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
         .orderBy("doc_id", "chunk_id")),
+    // q97 [north star]: chunk-level exact dedup — the C4/RefinedWeb
+    // passage-granularity pass document-level q42 misses: boilerplate
+    // paragraphs repeated across otherwise-distinct docs are removed
+    // EVERYWHERE except their first occurrence (global order = (doc_id,
+    // chunk_id)), and each doc is rebuilt from its surviving chunks.
+    // Non-overlapping 200-char windows (q67's machinery at stride =
+    // width, so the rebuild concatenation is lossless). Scale: the
+    // first-occurrence choice shuffles on the chunk CONTENT HASH (q42's
+    // exact-dedup shape one level down — sha256 keying keeps the
+    // shuffle rows narrow, no chunk text travels twice); the rebuild
+    // group-by is keyed on doc_id with per-key width bounded by the
+    // document itself. Same hash-identity assumption as q42.
+    "q97_chunk_dedup" -> ((spark, dir) =>
+      chunkDedup(Tables(spark, dir, "documents"))),
+
     // q81 [north star]: train/test DECONTAMINATION — flag every training
     // doc that shares an n-gram shingle with the held-out set (the
     // holdout is q65's hash-gated val split, so membership is exactly
@@ -266,6 +281,41 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
   )
+
+  /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
+    * query comment above for the scale analysis.
+    */
+  private[graft] def chunkDedup(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(when(length(col("text")) > 0,
+            sequence(lit(1), length(col("text")), lit(200)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        expr("substring(text, col, 200)").as("chunk"))
+    val keyed = chunks.withColumn("h", sha2(col("chunk"), 256))
+    val firsts = keyed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+    val kept = keyed.join(firsts, "h")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("chunk_id") === col("first.chunk_id"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          t => t.getField("chunk")), "").as("text_clean"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
 
   def oracles: Map[String, String] = Map(
     "q88_oov_novelty" ->
@@ -363,6 +413,26 @@ object Curation extends QueryGroup {
         |            THEN 'train' ELSE 'val' END AS split,
         |       lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q97_chunk_dedup" ->
+      """WITH c AS (SELECT doc_id, CAST((start - 1) / 200 AS BIGINT) AS chunk_id,
+        |        substring(text, CAST(start AS INT), 200) AS chunk
+        |      FROM (SELECT doc_id, text, unnest(range(1, length(text)+1, 200)) AS start
+        |            FROM documents) t),
+        |k AS (SELECT doc_id, chunk_id, chunk,
+        |        row_number() OVER (PARTITION BY chunk
+        |          ORDER BY doc_id, chunk_id) AS occ
+        |      FROM c),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(chunk, '' ORDER BY chunk_id) AS text_clean
+        |      FROM k WHERE occ = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.text_clean, '') AS text_clean
+        |FROM documents d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q67_chunk" ->
       """SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_id,
         | CAST(start AS BIGINT) AS start,

@@ -350,6 +350,24 @@ object Dedup extends QueryGroup {
       ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau)
     }),
 
+    // q101 [north star]: shingle CONTAINMENT pairs — the asymmetric
+    // sibling of q58's Jaccard: overlap coefficient
+    // |A∩B| / min(|A|,|B|) ≥ 0.8 catches a document mostly CONTAINED in
+    // another (truncations, quote-expansions, header-wrapped reposts),
+    // which symmetric Jaccard dilutes below its τ when the sizes differ.
+    // The measure is DEFINED over informative shingles only (corpus df ≤
+    // MaxShingleDocFreq) and the DuckDB oracle applies the SAME cap — so
+    // the contract is exact by definition rather than exact-until-skew
+    // (the q58 ADVICE lesson): a stopword-ish shingle can never create
+    // or rescue a containment pair on either engine. Scale: df count is
+    // a partial-aggregating group-by; the informative filter join is
+    // equi-keyed (fanout 1); the pair-producing self-join is equi-keyed
+    // on the shingle hash with per-key fanout ≤ cap² by construction.
+    "q101_containment" -> ((spark, dir) =>
+      containmentPairs(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents"))),
+        MaxShingleDocFreq, 0.8)),
+
     // q76 [north star]: near-dup CLUSTER FORMATION — the step a dedup
     // pipeline actually needs between pair detection and document
     // dropping (keep min doc_id per component, drop the rest). Built on
@@ -435,6 +453,33 @@ object Dedup extends QueryGroup {
     }),
   )
 
+  /** q101's operator over `(doc_id, sh: array<long>)`-shaped shingle
+    * sets: pairs with overlap coefficient |A∩B| / min(|A|,|B|) ≥ tau,
+    * measured over informative shingles only (corpus df ≤ maxDf — the
+    * cap is part of the measure, not a recall approximation). See the
+    * q101 query comment for the scale analysis.
+    */
+  private[graft] def containmentPairs(
+      docs: DataFrame, maxDf: Int, tau: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inf = sh.join(
+      sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("g")), "g")
+      .persist()
+    val sizes = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inf.alias("a").join(inf.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .filter(col("common").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double") >= tau)
+      .select(col("a_id"), col("b_id"), col("common"),
+        col("n_a"), col("n_b"))
+      .orderBy("a_id", "b_id")
+  }
+
   def oracles: Map[String, String] = Map(
     "q42_exact_dedup" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
@@ -454,6 +499,28 @@ object Dedup extends QueryGroup {
         |SELECT p.a_id, p.b_id
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // q101: the cap is part of the MEASURE here (informative shingles =
+    // df <= 128), so the oracle applies it too — exact by definition.
+    "q101_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        |          THEN list_transform(range(1, len(ws) - 1),
+        |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |          ELSE CAST([] AS VARCHAR[]) END) AS g FROM w) t),
+        |f AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 128),
+        |i AS (SELECT sh.doc_id, sh.g FROM sh JOIN f USING (g)),
+        |c AS (SELECT doc_id, count(*) AS n FROM i GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        |      FROM i a JOIN i b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, CAST(p.common AS BIGINT) AS common,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b
+        |FROM p
+        |JOIN c ca ON ca.doc_id = p.a_id
+        |JOIN c cb ON cb.doc_id = p.b_id
+        |WHERE CAST(p.common AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "q80_fuzzy_dedup" ->
       """WITH d AS (SELECT doc_id, substr(text,1,40) AS t, substr(text,1,8) AS blk

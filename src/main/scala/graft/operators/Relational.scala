@@ -170,6 +170,22 @@ object Relational extends QueryGroup {
           col("error"))
         .orderBy("user_id")),
 
+    // q100 [CLOSURE]: unpivot/melt — q61's wide per-user counts back to
+    // long (user_id, event_type, n) form, the inverse reshape (feature
+    // tables -> tidy rows). Spark's native unpivot generates the
+    // stack-style expand without a shuffle beyond q61's own aggregation;
+    // values are BIGINT counts so the compare is integer-exact.
+    "q100_unpivot" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("signup", "purchase", "view", "error"))
+        .count()
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("signup"), col("purchase"), col("view"), col("error")),
+          "event_type", "n")
+        .orderBy("user_id", "event_type")),
+
     // q64 [REF app.py:51-54]: the commented-out first-publish variant —
     // wire-format event JSON rebuilt from the batch table, parsed through
     // the REAL EventDecoder.parseEvent path, then filtered on
@@ -260,6 +276,19 @@ object Relational extends QueryGroup {
         | CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
         | CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q100_unpivot" ->
+      """WITH p AS (SELECT user_id,
+        |   SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS signup,
+        |   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchase,
+        |   SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS view,
+        |   SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS error
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT user_id, 'signup' AS event_type, signup AS n FROM p
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM p
+        |  UNION ALL SELECT user_id, 'view', view FROM p
+        |  UNION ALL SELECT user_id, 'error', error FROM p) u
+        |ORDER BY user_id, event_type""".stripMargin,
     "q64_first_publish" ->
       """SELECT event_id, CAST(event_id AS VARCHAR) AS id,
         | 'insert-story' AS operation, TRUE AS created

@@ -90,7 +90,39 @@ object Retrieval extends QueryGroup {
   def queries: Map[String, Q] = Map(
     // q83 [north star]: BM25 ranked retrieval, the 3-term/top-20 instance.
     "q83_bm25" -> ((spark, dir) =>
-      bm25TopK(Tables(spark, dir, "documents"), QueryTerms, 20)))
+      bm25TopK(Tables(spark, dir, "documents"), QueryTerms, 20)),
+
+    // q96 [north star]: per-document top-3 TF-IDF terms — the keyword
+    // summary a curation pipeline attaches to every doc (topic tagging,
+    // index keys, dedup explanations). Same rational log-free IDF as q83
+    // so both engines rank by bit-identical doubles; the output carries
+    // only ids/ranks/exact integers, never the double score (QueryGroup
+    // rules). Scale: (doc, word) tf and word df are partial-aggregating
+    // group-bys; the df join is equi-keyed (fanout = 1 df row per word);
+    // the one-row corpus count broadcasts; the per-doc top-3 is a
+    // row_number window partitioned on doc_id — the q26 top-k-per-group
+    // shape, one shuffle keyed on the document, no global sort.
+    "q96_tfidf_topterms" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val dw = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = dw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      dw.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") *
+            (((col("n") - col("df")).cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5)))
+        .withColumn("rank", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("word"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"),
+          col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    }))
 
   def oracles: Map[String, String] = {
     // the same expression tree as the Spark side, term by term
@@ -125,6 +157,25 @@ object Retrieval extends QueryGroup {
            |SELECT doc_id,
            |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
            |  $tfOut
-           |FROM top ORDER BY rank""".stripMargin)
+           |FROM top ORDER BY rank""".stripMargin,
+      "q96_tfidf_topterms" ->
+        """WITH dw AS (SELECT doc_id, word, count(*) AS tf
+          |            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+          |                  FROM documents) t
+          |            GROUP BY doc_id, word),
+          |f AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
+          |nn AS (SELECT count(*) AS n FROM documents),
+          |s AS (SELECT dw.doc_id, dw.word, dw.tf, f.df,
+          |        CAST(dw.tf AS DOUBLE)
+          |          * ((CAST(nn.n - f.df AS DOUBLE) + 0.5)
+          |             / (CAST(f.df AS DOUBLE) + 0.5)) AS score
+          |      FROM dw JOIN f USING (word) CROSS JOIN nn),
+          |r AS (SELECT doc_id, word, tf, df,
+          |        row_number() OVER (PARTITION BY doc_id
+          |          ORDER BY score DESC, word) AS rank
+          |      FROM s)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word,
+          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
   }
 }

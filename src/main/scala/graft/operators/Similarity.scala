@@ -36,6 +36,17 @@ object Similarity extends QueryGroup {
     Seq.fill(16)(Seq.fill(64)(r.nextGaussian()))
   }
 
+  /** 16 fixed ±1 Rademacher rows (seeded) for the q98 JL projection over
+    * 64-dim int8 vectors. Integer entries on purpose: the projected
+    * coordinates are BIGINT dots of BIGINT inputs — exact on both
+    * engines, no float literal round-trip involved at all (the stronger
+    * sibling of the q49 hyperplane-literal trick).
+    */
+  private val jlRows: Seq[Seq[Long]] = {
+    val r = new Random(7)
+    Seq.fill(16)(Seq.fill(64)(if (r.nextBoolean()) 1L else -1L))
+  }
+
   private def signBucket(v: Column): Column =
     hyperplanes.zipWithIndex.map { case (p, j) =>
       when(VectorOps.dot(v, typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
@@ -358,6 +369,22 @@ object Similarity extends QueryGroup {
           array_join(col("qvec").cast("array<string>"), ",").as("qvec"))
         .orderBy("vec_id")),
 
+    // q98 [north star]: Johnson-Lindenstrauss reduction 64 -> 16 dims
+    // via a seeded ±1 Rademacher matrix (Achlioptas JCSS'03: ±1 entries
+    // preserve pairwise distances in expectation like Gaussian ones) —
+    // the cheap-distance tier an ANN prefilter runs on before exact
+    // re-ranking. Composes with q84: int8 quantization then integer
+    // projection, all arithmetic BIGINT-exact end-to-end. Map-only
+    // expression work fused into the scan; the 16 outputs are plain
+    // BIGINT columns (16 codegen'd VecDot calls against literal rows).
+    "q98_jl_projection" -> ((spark, dir) =>
+      withQuantized(Tables(spark, dir, "embeddings"))
+        .select(col("vec_id") +:
+          jlRows.zipWithIndex.map { case (row, j) =>
+            VectorOps.dot(col("qvec"), typedlit(row)).as(f"p$j%02d")
+          }: _*)
+        .orderBy("vec_id")),
+
     // q85 [north star]: exact top-1 neighbor by maximum inner product
     // over the q84-quantized vectors — integer dots, zero fp-tie hazard.
     "q85_quantized_ann" -> ((spark, dir) =>
@@ -572,6 +599,17 @@ object Similarity extends QueryGroup {
          |ORDER BY cluster, vec_id""".stripMargin,
     "q84_quantize_int8" ->
       s"SELECT vec_id, array_to_string(qvec, ',') AS qvec FROM $qvecSql q ORDER BY vec_id",
+    "q98_jl_projection" -> {
+      val projCols = jlRows.zipWithIndex.map { case (row, j) =>
+        val rowLit = row.mkString("[", ",", "]")
+        s"""CAST(list_reduce(list_transform(range(1, len(qvec) + 1),
+           |    i -> qvec[i] * ($rowLit)[i]), (x, y) -> x + y) AS BIGINT)
+           |  AS p${"%02d".format(j)}""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $projCols
+         |FROM $qvecSql q ORDER BY vec_id""".stripMargin
+    },
     "q85_quantized_ann" ->
       s"""WITH q AS (SELECT * FROM $qvecSql t),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -174,6 +174,66 @@ object TextAnalysis extends QueryGroup {
     "q90_dup_spans" -> ((spark, dir) =>
       dupSpans(Tables(spark, dir, "documents"), SpanWidth)),
 
+    // q95 [north star]: corpus-wide top-25 trigram HEAVY HITTERS — the
+    // inspection primitive behind boilerplate discovery ("which exact
+    // phrases dominate this crawl") and stop-span lists for the capped
+    // dedup tiers. Counts carry multiplicity (unlike q86's distinct
+    // per-source sets). Scale: the n-gram explode is map-only; the
+    // group-by partial-aggregates (one row per distinct trigram per
+    // partition crosses the wire); the top-25 cut is
+    // TakeOrderedAndProject — each partition keeps a local 25, no global
+    // sort shuffle. String n-grams (not ShingleHashes) on purpose: the
+    // output is human-readable phrases and the oracle compares content,
+    // not hash identity.
+    "q95_top_ngrams" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .select(explode(when(size(col("ws")) >= 3,
+            transform(sequence(lit(1), size(col("ws")) - 2),
+              i => concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(25)),
+
+    // q99 [north star]: Gopher-style composite quality gate (Rae et al.,
+    // arXiv:2112.11446 §A1.1 adapted to this corpus's bands): token-count
+    // window, mean word length band, minimum stopword evidence, and a
+    // duplicate-bigram repetition cap — each rule surfaced as its own
+    // 0/1 flag plus the conjunctive keep bit, the shape a curation run
+    // audits ("how many docs failed WHICH rule"). All per-row expression
+    // work fused into the scan (the same single-division determinism as
+    // q77); the bigram distinct count reuses q77's ShingleHashes identity
+    // assumption, which the q77 oracle already pins against distinct
+    // strings.
+    "q99_gopher_filter" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .withColumn("nTok", size(col("ws")).cast("long"))
+        .withColumn("mwl",
+          length(regexp_replace(col("text"), " ", "")).cast("double") /
+            col("nTok").cast("double"))
+        .withColumn("nStop", TextOps.stopwordCount(col("ws")).cast("long"))
+        .withColumn("nBi", greatest(size(col("ws")) - 1, lit(0)).cast("long"))
+        .withColumn("dupBi",
+          when(col("nBi") > 0,
+            (col("nBi") - size(TextOps.shingleHashes(col("ws"), 2))
+              .cast("long")).cast("double") / col("nBi").cast("double"))
+            .otherwise(lit(0.0)))
+        .select(col("doc_id"),
+          col("nTok").as("n_tokens"), col("mwl").as("mean_word_len"),
+          col("nStop").as("n_stopwords"), col("dupBi").as("dup_bigram_frac"),
+          (col("nTok") >= 40 && col("nTok") <= 1000).cast("long").as("ok_len"),
+          (col("mwl") >= 3.0 && col("mwl") <= 8.0).cast("long").as("ok_mwl"),
+          (col("nStop") >= 2).cast("long").as("ok_stop"),
+          (col("dupBi") <= 0.2).cast("long").as("ok_rep"))
+        .withColumn("keep",
+          (col("ok_len") * col("ok_mwl") * col("ok_stop") * col("ok_rep"))
+            .cast("long"))
+        .orderBy("doc_id")),
+
     // q86 [north star]: cross-source shingle-overlap matrix — the
     // corpus-level contamination measure ("how much does source A share
     // with source B"), the aggregate sibling of q81's per-doc
@@ -246,6 +306,46 @@ object TextAnalysis extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    "q95_top_ngrams" ->
+      """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(ws) >= 3
+        |        THEN list_transform(range(1, len(ws) - 1),
+        |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM w)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 25""".stripMargin,
+    "q99_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(ws) AS BIGINT) AS n_tokens,
+        |        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |        CAST(len(list_filter(ws,
+        |          t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |          AS n_stopwords,
+        |        greatest(len(ws) - 1, 0) AS n_bigrams,
+        |        CASE WHEN len(ws) > 1
+        |          THEN len(list_distinct(list_transform(range(1, len(ws)),
+        |                 i -> ws[i] || ' ' || ws[i+1])))
+        |          ELSE 0 END AS n_distinct_bigrams
+        |      FROM w),
+        |f AS (SELECT doc_id, n_tokens, mean_word_len, n_stopwords,
+        |        CASE WHEN n_bigrams > 0
+        |          THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)
+        |               / CAST(n_bigrams AS DOUBLE)
+        |          ELSE 0.0 END AS dup_bigram_frac
+        |      FROM s)
+        |SELECT doc_id, n_tokens, mean_word_len, n_stopwords, dup_bigram_frac,
+        |  CAST(CASE WHEN n_tokens >= 40 AND n_tokens <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+        |  CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1 ELSE 0 END AS BIGINT) AS ok_mwl,
+        |  CAST(CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+        |  CAST(CASE WHEN dup_bigram_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
+        |  CAST((CASE WHEN n_tokens >= 40 AND n_tokens <= 1000 THEN 1 ELSE 0 END)
+        |     * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1 ELSE 0 END)
+        |     * (CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END)
+        |     * (CASE WHEN dup_bigram_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q89_rare_token_score" ->
       """WITH dw AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
         |            FROM documents),

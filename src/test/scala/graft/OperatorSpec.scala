@@ -342,4 +342,93 @@ class OperatorSpec extends SparkSpec {
       assert(g.map(_._2).sorted.toSeq == (1L to 10L)) // dense ranks 1..k
     }
   }
+
+  test("chunk dedup keeps the global first occurrence and rebuilds losslessly") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // doc 2's first 200-char chunk equals doc 1's (boilerplate header);
+    // doc 3 is all-original; doc 4 duplicates doc 1 entirely
+    val boiler = ("x" * 199) + "y"
+    val d1 = boiler + "tail one"
+    val d2 = boiler + "tail two"
+    val d4 = d1
+    val got = Curation.chunkDedup(
+      Seq((1L, d1), (2L, d2), (3L, "short original"), (4L, d4))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toList
+    assert(got == List(
+      (1L, 2L, 2L, d1),             // first occurrence: fully kept
+      (2L, 2L, 1L, "tail two"),     // shared boilerplate chunk removed
+      (3L, 1L, 1L, "short original"),
+      (4L, 2L, 0L, "")))            // exact clone: nothing survives
+  }
+
+  test("containment finds a truncated doc that Jaccard misses at tau") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 2 = first third of doc 1: containment 1.0, Jaccard ~1/3
+    val words = (1 to 30).map(i => s"w$i")
+    val d1 = words.mkString(" ")
+    val d2 = words.take(10).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, (31 to 60).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextOps.shingleHashes(
+          graft.functions.TextOps.tokens(col("text")), 3).as("sh"))
+    val got = Dedup.containmentPairs(docs, maxDf = 128, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // d2 has 8 trigrams, all inside d1 (28 trigrams): common=8=min size
+    assert(got == List((1L, 2L, 8L, 28L, 8L)))
+    // the hot-shingle cap is part of the measure: with maxDf=1 every
+    // shared shingle is excluded and no pair can exist
+    assert(Dedup.containmentPairs(docs, maxDf = 1, tau = 0.8).count() == 0)
+  }
+
+  test("gopher filter's keep bit is the conjunction of its rule flags") {
+    val rows = SparkEntry.queries("q99_gopher_filter")(spark, Sf)
+      .select(col("ok_len"), col("ok_mwl"), col("ok_stop"), col("ok_rep"),
+        col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c, d, k) => assert(k == a * b * c * d) }
+    assert(rows.exists(_._5 == 0L) && rows.exists(_._5 == 1L),
+      "the gate must discriminate on this corpus")
+  }
+
+  test("JL projection: identical vectors project identically, bounded, non-constant") {
+    val rows = SparkEntry.queries("q98_jl_projection")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val projs = rows.map(r => (1 to 16).map(r.getLong))
+    // int8 inputs x ±1 entries over 64 dims: |p| ≤ 127*64
+    projs.foreach(p => p.foreach(v => assert(math.abs(v) <= 127L * 64)))
+    assert(projs.distinct.size > 1, "projection must not collapse")
+  }
+
+  test("tf-idf top terms: dense ranks 1..3 per doc, ordered by score") {
+    val rows = SparkEntry.queries("q96_tfidf_topterms")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length) && g.length <= 3)
+    }
+  }
+
+  test("unpivot is the exact inverse reshape of the q61 pivot") {
+    val wide = SparkEntry.queries("q61_pivot")(spark, Sf)
+    val long = SparkEntry.queries("q100_unpivot")(spark, Sf)
+    assert(long.count() == wide.count() * 4)
+    val totals = long.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = Tables(spark, Sf, "events")
+      .filter(col("event_type")
+        .isin("signup", "purchase", "view", "error")) // q61's pivot list
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == events)
+  }
 }
