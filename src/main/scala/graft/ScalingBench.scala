@@ -82,7 +82,8 @@ object ScalingBench {
 
     val tier = Seq("q42_exact_dedup", "q46_minhash_neardup",
       "q58_ngram_jaccard", "q49_ann_lsh", "q59_ann_ivf",
-      "q90_dup_spans", "q91_kmeans_clusters")
+      "q90_dup_spans", "q91_kmeans_clusters",
+      "q95_top_ngrams", "q97_chunk_dedup", "q101_containment")
     val base = tier.map(q => q -> time(SparkEntry.queries(q)(spark, baseDir)))
     val blown = tier.map(q => q -> time(SparkEntry.queries(q)(spark, workDir)))
     // the IVF scale policy: K grown with n => constant cell size

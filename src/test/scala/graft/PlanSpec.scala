@@ -177,6 +177,31 @@ class PlanSpec extends SparkSpec {
       "q85 argmax must partial-aggregate")
   }
 
+  test("r4 additions keep their scale shapes: heavy-hitter top-k cut, equi-keyed pair joins") {
+    // q95: the top-25 cut must be TakeOrderedAndProject (local 25 per
+    // partition), never a global sort of the n-gram counts
+    val p95 = plan("q95_top_ngrams")
+    assert(p95.contains("TakeOrderedAndProject"),
+      s"q95 must cut top-k without a global sort:\n${p95.take(1200)}")
+    // q97/q101: the pair-producing / first-occurrence logic must stay
+    // equi-keyed — a cartesian or nested-loop anywhere is the 100 TB
+    // regression
+    for (q <- Seq("q97_chunk_dedup", "q101_containment")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join equi-keyed only:\n${p.take(1200)}")
+    }
+    // q98: pure map — a single projection over the scan, no Exchange at
+    // all before the presentation sort
+    // FormattedMode lists each node once in the tree and once in the
+    // details ("(5) Exchange"), so count the detail headers
+    val p98 = plan("q98_jl_projection")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p98).size
+    assert(exchanges <= 1, // the orderBy's range partitioning only
+      s"q98 must be map-only before the presentation sort:\n${p98.take(1200)}")
+  }
+
   test("ANN argmax aggregates partially — no rank Window, no sort shuffle") {
     val p59 = plan("q59_ann_ivf")
     assert(!p59.contains("Window"), "q59 must not plan a rank window")
