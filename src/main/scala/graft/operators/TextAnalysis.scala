@@ -234,6 +234,55 @@ object TextAnalysis extends QueryGroup {
             .cast("long"))
         .orderBy("doc_id")),
 
+    // q102 [north star]: bigram language-model fluency score — the
+    // perplexity PROXY a quality pipeline runs without a neural LM:
+    // per doc, the mean corpus conditional probability P(w2|w1) =
+    // c(w1 w2) / c(w1 ·) over its bigram positions. High mean ⇒ the
+    // doc's transitions are common corpus-wide (fluent/boilerplate);
+    // low ⇒ rare transitions (novel or junk — triage with q89).
+    // Float determinism: each p is ONE division of exact BIGINT counts;
+    // the per-doc sum is folded in POSITION ORDER (sort_array of
+    // (pos, p) then a left fold with 0.0 init — bit-identical to
+    // DuckDB's list_reduce over the pos-ordered list because 0.0 + p1
+    // == p1 exactly for p1 > 0); the mean is one further division.
+    // Scale: bigram and start counts partial-aggregate; both prob
+    // joins are equi-keyed with fanout 1 (one count row per key); the
+    // per-doc regroup is keyed on doc_id with per-key width bounded by
+    // the document. A stopword-heavy w1 fans out 1 row per probe, not
+    // per pair — no skew hazard.
+    "q102_bigram_lm" -> ((spark, dir) => {
+      val bg = Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("ws"),
+          posexplode(when(size(col("ws")) >= 2,
+              sequence(lit(1), size(col("ws")) - 1))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), col("col").as("p1"),
+          concat_ws(" ", element_at(col("ws"), col("col")),
+            element_at(col("ws"), col("col") + 1)).as("b"),
+          element_at(col("ws"), col("col")).as("w1"))
+      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val probs = bg.join(c2, "b").join(c1, "w1")
+        .select(col("doc_id"), col("p1"),
+          (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+      val perDoc = probs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("p1"), col("p")))),
+              t => t.getField("p")),
+            lit(0.0), (acc, x) => acc + x).as("sum_p"))
+      Tables(spark, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(col("n_bigrams").isNotNull,
+            col("sum_p") / col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("mean_p"))
+        .orderBy("doc_id")
+    }),
+
     // q86 [north star]: cross-source shingle-overlap matrix — the
     // corpus-level contamination measure ("how much does source A share
     // with source B"), the aggregate sibling of q81's per-doc
@@ -306,6 +355,26 @@ object TextAnalysis extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q102: list_prepend(0.0, ...) mirrors the Spark fold's 0.0 init
+    // literally, so both engines evaluate the identical reduction tree
+    "q102_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |e AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS p1 FROM w),
+        |bg AS (SELECT doc_id, p1, ws[p1] || ' ' || ws[p1+1] AS b, ws[p1] AS w1 FROM e),
+        |cb AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+        |cw AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |pr AS (SELECT bg.doc_id, bg.p1,
+        |         CAST(cb.c2 AS DOUBLE) / CAST(cw.c1 AS DOUBLE) AS p
+        |       FROM bg JOIN cb USING (b) JOIN cw USING (w1)),
+        |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+        |         list_reduce(list_prepend(0.0, list(p ORDER BY p1)),
+        |                     (x, y) -> x + y) AS sum_p
+        |       FROM pr GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN pd.n_bigrams IS NOT NULL
+        |    THEN pd.sum_p / CAST(pd.n_bigrams AS DOUBLE) ELSE 0.0 END AS mean_p
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q95_top_ngrams" ->
       """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
         |g AS (SELECT unnest(CASE WHEN len(ws) >= 3

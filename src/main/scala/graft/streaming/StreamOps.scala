@@ -41,6 +41,28 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming twin of q97's chunk-level exact dedup (Curation
+    * .chunkDedup): incoming `(doc_id, text)` docs are split into the
+    * same non-overlapping 200-char chunks and a chunk survives only on
+    * its FIRST arrival — stateful dropDuplicates keyed on the chunk
+    * sha256, so state carries 32-byte keys, never chunk text. Batch
+    * q97's "first" is the global (doc_id, chunk_id) minimum; on a
+    * stream ordered that way (the replay/backfill case) the two tiers
+    * keep the identical chunk set (StreamingSpec pins this). Unbounded
+    * key state by design: exact global dedup needs the full hash set —
+    * the bounded variant is dropDuplicatesWithinWatermark when the
+    * dedup horizon is a time window.
+    */
+  def chunkDedupStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        posexplode(when(length(col("text")) > 0,
+            sequence(lit(1), length(col("text")), lit(200)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        expr("substring(text, col, 200)").as("chunk"))
+      .withColumn("h", sha2(col("chunk"), 256))
+      .dropDuplicates("h")
+
   /** Stream-stream interval join (q16's streaming twin; SURVEY.md §2.16
     * two-Kinesis-streams closure, e.g. stories × images
     * `README.md:254-257`): each left event pairs with same-key right

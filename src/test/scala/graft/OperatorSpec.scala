@@ -417,6 +417,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bigram-LM score is a proper mean conditional probability") {
+    val rows = SparkEntry.queries("q102_bigram_lm")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nBi, meanP) =>
+      assert(nBi > 0) // every corpus doc has >= 2 tokens
+      // each p = c(w1 w2)/c(w1 .) is in (0, 1]; so is their mean
+      assert(meanP > 0.0 && meanP <= 1.0)
+    }
+    // the score must discriminate (not all docs equally fluent)
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
   test("unpivot is the exact inverse reshape of the q61 pivot") {
     val wide = SparkEntry.queries("q61_pivot")(spark, Sf)
     val long = SparkEntry.queries("q100_unpivot")(spark, Sf)

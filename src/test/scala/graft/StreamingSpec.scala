@@ -299,6 +299,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming chunk dedup == batch q97 kept set on doc-ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = ("x" * 199) + "y"
+    val docs = Seq(
+      (1L, boiler + "tail one"),
+      (2L, boiler + "tail two"),
+      (3L, "short original"),
+      (4L, boiler + "tail one")) // doc 4 clones doc 1 entirely
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.chunkDedupStream(
+        ms.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("chunk_dedup_out")
+      .outputMode("append").start()
+    // one micro-batch per doc: arrival order == (doc_id, chunk_id) order,
+    // the replay/backfill case where the tiers must agree exactly
+    docs.foreach { d => ms.addData(d); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("chunk_dedup_out")
+      .select(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2 keeps only its tail chunk (chunk_id 1); doc 4 keeps nothing
+    assert(streamed == Set((1L, 0L), (1L, 1L), (2L, 1L), (3L, 0L)))
+    val kept = graft.operators.Curation.chunkDedup(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // per-doc survivor counts agree between the tiers
+    assert(streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap ==
+      kept.filter(_._2 > 0))
+  }
+
   test("streaming sliding agg == batch q40 expression on the same bounded data") {
     implicit val sqlCtx = spark.sqlContext
     // every event lands in 4 overlapping 1h/15min windows, so the twin
