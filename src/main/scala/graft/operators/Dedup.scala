@@ -368,6 +368,61 @@ object Dedup extends QueryGroup {
         shingled(spreadIfUnderSplit(Tables(spark, dir, "documents"))),
         MaxShingleDocFreq, 0.8)),
 
+    // q103 [north star]: INCREMENTAL dedup — the daily-refresh shape a
+    // production corpus actually runs: dedup an incoming batch (q65's
+    // hash-gated val split stands in for "today's crawl") against the
+    // EXISTING corpus (the train split), never corpus-vs-corpus. Two
+    // tiers per new doc: exact (sha256 membership semi-join against the
+    // corpus hash set) and near (one-directional containment — the
+    // fraction of the new doc's informative shingles found in a single
+    // corpus doc ≥ 0.6). Emits the per-doc verdict + audit counts.
+    // Like q101, the df ≤ MaxShingleDocFreq cap is PART OF the
+    // containment measure and mirrored in the oracle. Scale: the hash
+    // set and df count partial-aggregate; every join is equi-keyed
+    // (hash, shingle, doc_id) with per-key fanout ≤ cap; the new batch
+    // is a small fraction of the corpus, so the probe side stays thin.
+    "q103_incremental_dedup" -> ((spark, dir) => {
+      val isNew = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 2) >= "cd"
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), isNew.as("is_new"))
+      val sh = docs.select(col("doc_id"), col("is_new"),
+        explode(TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
+          .as("g"))
+      val inf = sh.join(
+        sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDocFreq).select(col("g")), "g")
+        .persist()
+      val nInf = inf.filter(col("is_new")).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_inf"))
+      val best = inf.filter(col("is_new")).alias("a")
+        .join(inf.filter(!col("is_new")).alias("b"),
+          col("a.g") === col("b.g"))
+        .groupBy(col("a.doc_id").as("new_id"),
+          col("b.doc_id").as("corpus_id"))
+        .agg(count(lit(1)).as("common"))
+        .groupBy(col("new_id")).agg(max(col("common")).as("best_common"))
+      val exact = docs.filter(col("is_new"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(docs.filter(!col("is_new"))
+          .select(sha2(col("text"), 256).as("h")).distinct(),
+          Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("is_exact"))
+      docs.filter(col("is_new")).select(col("doc_id"))
+        .join(nInf, Seq("doc_id"), "left")
+        .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_inf"), lit(0L)).as("n_inf"),
+          coalesce(col("best_common"), lit(0L)).as("best_common"),
+          when(col("is_exact").isNotNull, lit("exact_dup"))
+            .when(coalesce(col("n_inf"), lit(0L)) > 0 &&
+              coalesce(col("best_common"), lit(0L)).cast("double") /
+                col("n_inf").cast("double") >= 0.6, lit("near_dup"))
+            .otherwise(lit("kept")).as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // q76 [north star]: near-dup CLUSTER FORMATION — the step a dedup
     // pipeline actually needs between pair detection and document
     // dropping (keep min doc_id per component, drop the rest). Built on
@@ -500,6 +555,39 @@ object Dedup extends QueryGroup {
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "q103_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws,
+        |        substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) >= 'cd' AS is_new
+        |      FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, is_new, g FROM (
+        |        SELECT doc_id, is_new, unnest(CASE WHEN len(ws) >= 3
+        |          THEN list_transform(range(1, len(ws) - 1),
+        |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |          ELSE CAST([] AS VARCHAR[]) END) AS g FROM w) t),
+        |f AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 128),
+        |i AS (SELECT sh.doc_id, sh.is_new, sh.g FROM sh JOIN f USING (g)),
+        |nn AS (SELECT doc_id, count(*) AS n_inf FROM i WHERE is_new GROUP BY doc_id),
+        |hits AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+        |         FROM i a JOIN i b ON a.g = b.g AND a.is_new AND NOT b.is_new
+        |         GROUP BY 1, 2),
+        |best AS (SELECT new_id, max(common) AS best_common FROM hits GROUP BY new_id),
+        |ex AS (SELECT DISTINCT d.doc_id FROM w d
+        |       JOIN (SELECT DISTINCT text FROM w WHERE NOT is_new) c
+        |         ON d.text = c.text
+        |       WHERE d.is_new)
+        |SELECT w.doc_id,
+        |  CAST(coalesce(nn.n_inf, 0) AS BIGINT) AS n_inf,
+        |  CAST(coalesce(best.best_common, 0) AS BIGINT) AS best_common,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN coalesce(nn.n_inf, 0) > 0
+        |         AND CAST(coalesce(best.best_common, 0) AS DOUBLE)
+        |             / CAST(nn.n_inf AS DOUBLE) >= 0.6 THEN 'near_dup'
+        |       ELSE 'kept' END AS verdict
+        |FROM w
+        |LEFT JOIN nn ON nn.doc_id = w.doc_id
+        |LEFT JOIN best ON best.new_id = w.doc_id
+        |LEFT JOIN ex ON ex.doc_id = w.doc_id
+        |WHERE w.is_new ORDER BY w.doc_id""".stripMargin,
     // q101: the cap is part of the MEASURE here (informative shingles =
     // df <= 128), so the oracle applies it too — exact by definition.
     "q101_containment" ->

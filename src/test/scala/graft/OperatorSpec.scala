@@ -430,6 +430,24 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.length > 1)
   }
 
+  test("incremental dedup verdicts are consistent with their audit counts") {
+    val rows = SparkEntry.queries("q103_incremental_dedup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nInf, best, verdict) =>
+      assert(best <= nInf, "containment hits cannot exceed the doc's own set")
+      verdict match {
+        case "near_dup" =>
+          assert(nInf > 0 && best.toDouble / nInf >= 0.6)
+        case "kept" =>
+          assert(nInf == 0 || best.toDouble / nInf < 0.6)
+        case "exact_dup" => // sha-membership tier; exercised at sf0.1
+        case v => fail(s"unknown verdict $v")
+      }
+    }
+  }
+
   test("unpivot is the exact inverse reshape of the q61 pivot") {
     val wide = SparkEntry.queries("q61_pivot")(spark, Sf)
     val long = SparkEntry.queries("q100_unpivot")(spark, Sf)
