@@ -209,29 +209,11 @@ object TextAnalysis extends QueryGroup {
     // assumption, which the q77 oracle already pins against distinct
     // strings.
     "q99_gopher_filter" -> ((spark, dir) =>
-      Tables(spark, dir, "documents")
-        .withColumn("ws", TextOps.tokens(col("text")))
-        .withColumn("nTok", size(col("ws")).cast("long"))
-        .withColumn("mwl",
-          length(regexp_replace(col("text"), " ", "")).cast("double") /
-            col("nTok").cast("double"))
-        .withColumn("nStop", TextOps.stopwordCount(col("ws")).cast("long"))
-        .withColumn("nBi", greatest(size(col("ws")) - 1, lit(0)).cast("long"))
-        .withColumn("dupBi",
-          when(col("nBi") > 0,
-            (col("nBi") - size(TextOps.shingleHashes(col("ws"), 2))
-              .cast("long")).cast("double") / col("nBi").cast("double"))
-            .otherwise(lit(0.0)))
+      gopherGate(Tables(spark, dir, "documents"))
         .select(col("doc_id"),
-          col("nTok").as("n_tokens"), col("mwl").as("mean_word_len"),
-          col("nStop").as("n_stopwords"), col("dupBi").as("dup_bigram_frac"),
-          (col("nTok") >= 40 && col("nTok") <= 1000).cast("long").as("ok_len"),
-          (col("mwl") >= 3.0 && col("mwl") <= 8.0).cast("long").as("ok_mwl"),
-          (col("nStop") >= 2).cast("long").as("ok_stop"),
-          (col("dupBi") <= 0.2).cast("long").as("ok_rep"))
-        .withColumn("keep",
-          (col("ok_len") * col("ok_mwl") * col("ok_stop") * col("ok_rep"))
-            .cast("long"))
+          col("n_tokens"), col("mean_word_len"), col("n_stopwords"),
+          col("dup_bigram_frac"), col("ok_len"), col("ok_mwl"),
+          col("ok_stop"), col("ok_rep"), col("keep"))
         .orderBy("doc_id")),
 
     // q102 [north star]: bigram language-model fluency score — the
@@ -283,6 +265,55 @@ object TextAnalysis extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q104 [north star]: vocabulary frequency SPECTRUM — the Zipf
+    // diagnostic a corpus audit reads before trusting token statistics:
+    // how many word types (and what occurrence mass) sit in each
+    // power-of-two frequency band. The band is floor(log2 tf)+1 computed
+    // as length(bin(tf)) — INTEGER arithmetic, no libm log, identical
+    // on both engines. A healthy natural corpus shows the monotone
+    // Zipf decay of types per band; a bot-heavy one shows mass spikes
+    // in high bands. Counted over TRIGRAM types (q95's unit), whose
+    // space is large enough to show the decay even on a small shared
+    // vocabulary — and whose high-band outliers are exactly the
+    // boilerplate spans q95 surfaces. Scale: tf is a partial-
+    // aggregating group-by; the band regroup reduces |types| rows
+    // to ~64.
+    "q104_zipf_bands" -> ((spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .select(explode(when(size(col("ws")) >= 3,
+            transform(sequence(lit(1), size(col("ws")) - 2),
+              i => concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("tf"))
+        .withColumn("band", length(bin(col("tf"))).cast("long"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_occurrences"))
+        .orderBy("band")),
+
+    // q105 [north star]: per-source CORPUS-HEALTH report — the dashboard
+    // row a curation run publishes per ingest source: volume, q99
+    // quality-gate pass count, exact-duplicate involvement, and mean
+    // length. Composes the gopher gate (per-row expression work) with
+    // q42's hash-cluster counts via one equi-keyed fanout-1 join (each
+    // doc meets exactly one hash-count row); the per-source rollup
+    // partial-aggregates. The avg is rounded 4dp (QueryGroup rules for
+    // aggregated doubles).
+    "q105_source_report" -> ((spark, dir) => {
+      val gated = gopherGate(Tables(spark, dir, "documents"))
+        .withColumn("h", sha2(col("text"), 256))
+      val hashCounts = gated.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_same"))
+      gated.join(hashCounts, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          round(avg(col("n_tokens").cast("double")), 4).as("avg_tokens"))
+        .orderBy("source")
+    }),
+
     // q86 [north star]: cross-source shingle-overlap matrix — the
     // corpus-level contamination measure ("how much does source A share
     // with source B"), the aggregate sibling of q81's per-doc
@@ -297,6 +328,40 @@ object TextAnalysis extends QueryGroup {
     "q86_source_overlap" -> ((spark, dir) =>
       sourceOverlap(Tables(spark, dir, "documents"))),
   )
+
+  /** q99's gate over any `(doc_id, text, ...)`-shaped corpus: the input
+    * row plus the rule stats, per-rule 0/1 flags, and the conjunctive
+    * `keep` bit — pure per-row expression work, reused by the q105
+    * per-source report.
+    */
+  private[graft] def gopherGate(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("ws", TextOps.tokens(col("text")))
+      .withColumn("nTok", size(col("ws")).cast("long"))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          col("nTok").cast("double"))
+      .withColumn("nStop", TextOps.stopwordCount(col("ws")).cast("long"))
+      .withColumn("nBi", greatest(size(col("ws")) - 1, lit(0)).cast("long"))
+      .withColumn("dupBi",
+        when(col("nBi") > 0,
+          (col("nBi") - size(TextOps.shingleHashes(col("ws"), 2))
+            .cast("long")).cast("double") / col("nBi").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("n_tokens", col("nTok"))
+      .withColumn("mean_word_len", col("mwl"))
+      .withColumn("n_stopwords", col("nStop"))
+      .withColumn("dup_bigram_frac", col("dupBi"))
+      .withColumn("ok_len",
+        (col("nTok") >= 40 && col("nTok") <= 1000).cast("long"))
+      .withColumn("ok_mwl", (col("mwl") >= 3.0 && col("mwl") <= 8.0).cast("long"))
+      .withColumn("ok_stop", (col("nStop") >= 2).cast("long"))
+      .withColumn("ok_rep", (col("dupBi") <= 0.2).cast("long"))
+      .withColumn("keep",
+        (col("ok_len") * col("ok_mwl") * col("ok_stop") * col("ok_rep"))
+          .cast("long"))
+      .drop("ws", "nTok", "mwl", "nStop", "nBi", "dupBi")
 
   /** q90's operator over any `(doc_id, text)`-shaped corpus — see the
     * query comment above for the scale analysis.
@@ -354,7 +419,52 @@ object TextAnalysis extends QueryGroup {
       .orderBy("src_a", "src_b")
   }
 
+  /** The q99 gate's keep bit as a DuckDB SQL fragment over a CTE named
+    * `w` carrying (doc_id, text, ws) — shared by the q99 and q105
+    * oracles so the two stay the same measure by construction.
+    */
+  private val gopherKeepSql =
+    """(CASE WHEN len(ws) >= 40 AND len(ws) <= 1000 THEN 1 ELSE 0 END)
+      |* (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |          / CAST(len(ws) AS DOUBLE) >= 3.0
+      |        AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |          / CAST(len(ws) AS DOUBLE) <= 8.0 THEN 1 ELSE 0 END)
+      |* (CASE WHEN len(list_filter(ws,
+      |      t -> t IN ('the','a','of','and','to','in','is'))) >= 2
+      |    THEN 1 ELSE 0 END)
+      |* (CASE WHEN (CASE WHEN len(ws) > 1
+      |      THEN CAST(greatest(len(ws) - 1, 0)
+      |             - len(list_distinct(list_transform(range(1, len(ws)),
+      |                 i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
+      |           / CAST(greatest(len(ws) - 1, 0) AS DOUBLE)
+      |      ELSE 0.0 END) <= 0.2 THEN 1 ELSE 0 END)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q104_zipf_bands" ->
+      """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(ws) >= 3
+        |        THEN list_transform(range(1, len(ws) - 1),
+        |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |        ELSE CAST([] AS VARCHAR[]) END) AS t FROM w),
+        |c AS (SELECT t, count(*) AS tf FROM g GROUP BY t)
+        |SELECT CAST(length(bin(tf)) AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(tf) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY band ORDER BY band""".stripMargin,
+    "q105_source_report" ->
+      s"""WITH w AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
+         |           FROM documents),
+         |g AS (SELECT doc_id, source, text, len(ws) AS n_tokens,
+         |        $gopherKeepSql AS keep
+         |      FROM w),
+         |hc AS (SELECT text, count(*) AS n_same FROM documents GROUP BY text)
+         |SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(g.keep) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN hc.n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  round(avg(CAST(g.n_tokens AS DOUBLE)), 4) AS avg_tokens
+         |FROM g JOIN hc ON hc.text = g.text
+         |GROUP BY g.source ORDER BY g.source""".stripMargin,
     // q102: list_prepend(0.0, ...) mirrors the Spark fold's 0.0 init
     // literally, so both engines evaluate the identical reduction tree
     "q102_bigram_lm" ->

@@ -448,6 +448,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("zipf bands partition the trigram occurrence mass exactly") {
+    val rows = SparkEntry.queries("q104_zipf_bands")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._1 >= 1))
+    // band b holds types with tf in [2^(b-1), 2^b): occurrences bounded
+    rows.foreach { case (b, types, occ) =>
+      assert(occ >= types * (1L << (b - 1)))
+      assert(occ < types * (1L << b))
+    }
+    // the bands partition the full trigram mass
+    val totalOcc = Tables(spark, Sf, "documents")
+      .select(greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long")
+        .as("n")).agg(sum(col("n"))).head().getLong(0)
+    assert(rows.map(_._3).sum == totalOcc)
+  }
+
+  test("source report's counters are bounded by its doc counts") {
+    val rows = SparkEntry.queries("q105_source_report")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, kept, dup) =>
+      assert(kept <= n && dup <= n)
+    }
+    val totalDocs = Tables(spark, Sf, "documents").count()
+    assert(rows.map(_._2).sum == totalDocs, "report must cover every doc")
+  }
+
   test("unpivot is the exact inverse reshape of the q61 pivot") {
     val wide = SparkEntry.queries("q61_pivot")(spark, Sf)
     val long = SparkEntry.queries("q100_unpivot")(spark, Sf)
