@@ -41,6 +41,24 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-STATIC incremental exact dedup — the streaming tier of
+    * q103's exact tier, and the one §2.9 join kind the rest of the
+    * streaming surface didn't yet exercise: the incoming doc stream
+    * left_anti-joins a STATIC corpus hash set (Spark re-plans the
+    * static side per micro-batch; with a compacted hash table it
+    * broadcast-joins), so a doc already in the corpus never enters the
+    * pipeline, then first-arrival dedup WITHIN the stream dedups the
+    * batch against itself via stateful dropDuplicates. State and join
+    * keys are 32-byte sha256 values — no document text is ever held.
+    */
+  def incrementalDedupStream(
+      newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(sha2(col("text"), 256).as("h")).distinct()
+    newDocs.withColumn("h", sha2(col("text"), 256))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .dropDuplicates("h")
+  }
+
   /** Streaming twin of q97's chunk-level exact dedup (Curation
     * .chunkDedup): incoming `(doc_id, text)` docs are split into the
     * same non-overlapping 200-char chunks and a chunk survives only on

@@ -299,6 +299,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static incremental dedup: corpus members and re-arrivals never pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((100L, "existing doc alpha"), (101L, "existing doc beta"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStream(
+        ms.toDF().toDF("doc_id", "text"), corpus).writeStream
+      .format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    ms.addData((1L, "fresh doc one"), (2L, "existing doc alpha"))
+    q.processAllAvailable()
+    // second micro-batch: an in-stream re-arrival and another corpus hit
+    ms.addData((3L, "fresh doc one"), (4L, "existing doc beta"),
+      (5L, "fresh doc two"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("incdedup_out")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // 2/4 are corpus dups (stream-static anti join); 3 is an in-stream
+    // re-arrival of 1 (stateful dedup across micro-batches)
+    assert(kept == Set(1L, 5L))
+  }
+
   test("streaming chunk dedup == batch q97 kept set on doc-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
