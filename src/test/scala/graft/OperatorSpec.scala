@@ -476,6 +476,20 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_._2).sum == totalDocs, "report must cover every doc")
   }
 
+  test("Observation collects gate telemetry in the same pass as the query") {
+    // the production-monitoring shape: keep/drop counters ride the
+    // pipeline's one execution instead of a second counting scan
+    val obs = new org.apache.spark.sql.Observation("gate")
+    val df = graft.operators.TextAnalysis
+      .gopherGate(Tables(spark, Sf, "documents"))
+      .observe(obs, count(lit(1)).as("n"), sum(col("keep")).as("kept"))
+    val total = df.count()
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] == total)
+    val kept = m("kept").asInstanceOf[Long]
+    assert(kept > 0 && kept < total)
+  }
+
   test("unpivot is the exact inverse reshape of the q61 pivot") {
     val wide = SparkEntry.queries("q61_pivot")(spark, Sf)
     val long = SparkEntry.queries("q100_unpivot")(spark, Sf)
