@@ -49,6 +49,24 @@ object Windows extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // q106 [CLOSURE]: value-position analytics — first/last/nth over the
+    // whole partition, the remaining §2.5 analytic family next to q24's
+    // lag/lead (user journeys: entry event, exit event, second touch).
+    // The unbounded-following frame is required for last/nth to see the
+    // whole partition (the default frame stops at CURRENT ROW).
+    "q106_value_windows" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy("event_id")
+    }),
+
     // q25 [CLOSURE]: frame-spec aggregates — running sum + moving average.
     "q25_running_agg" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -147,6 +165,15 @@ object Windows extends QueryGroup {
     "q24_lag_lead" ->
       """SELECT event_id, lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q106_value_windows" ->
+      """SELECT event_id,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER w AS last_type,
+        | nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
     "q25_running_agg" ->
       """SELECT event_id,
