@@ -280,6 +280,50 @@ object Curation extends QueryGroup {
             .otherwise(lit(0.0)).as("novelty"))
         .orderBy("doc_id")
     }),
+
+    // q111 [north star]: k-FOLD cross-validation assignment — every doc
+    // gets a fold in 0..4 from its salted hash (16 hash bits mod 5: the
+    // 65536/5 remainder skews fold sizes by < 0.01%, irrelevant against
+    // the hash variance), plus its fold's total size for the
+    // train-on-4/validate-on-1 bookkeeping. The hex→int parse is exact
+    // on both engines (Spark conv(h,16,10), DuckDB ('0x'||h)::BIGINT) so
+    // fold membership is the same EXACT set everywhere — q65's split
+    // discipline generalized from 2 ways to k. Scale: the fold id is
+    // per-row expression work fused into the scan; the size table is 5
+    // rows, broadcast.
+    "q111_kfold" -> ((spark, dir) => {
+      val fold = (conv(substring(md5(concat(lit("fold:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 5L).as("fold")
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), fold)
+      val sizes = docs.groupBy(col("fold")).agg(count(lit(1)).as("n_fold"))
+      docs.join(broadcast(sizes), "fold")
+        .select(col("doc_id"), col("fold"), col("n_fold"))
+        .orderBy("doc_id")
+    }),
+
+    // q112 [north star]: WEIGHTED (importance) sampling — inclusion
+    // probability proportional to a per-doc weight (here: chars capped
+    // at 1000, the "longer docs carry more signal, up to a point" rule),
+    // decided by an exact integer cross-multiply: keep iff
+    // u·max_w < w·2³², where u is 32 salted hash bits. No doubles, no
+    // rand() — the kept set is exact on both engines, stable under
+    // re-runs and repartitioning. Scale: the max-weight quota is a
+    // one-row broadcast; the gate is per-row expression work fused into
+    // the scan (products stay < 2⁴⁴ ≪ 2⁶³).
+    "q112_weighted_sample" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          least(col("n_chars"), lit(1000L)).as("w"))
+      val mw = docs.agg(max(col("w")).as("max_w"))
+      val u = conv(substring(md5(concat(lit("wsample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      docs.crossJoin(broadcast(mw))
+        .filter(u * col("max_w") < col("w") * lit(4294967296L))
+        .select(col("doc_id"), col("w"), col("max_w"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -433,6 +477,22 @@ object Curation extends QueryGroup {
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN r ON r.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q111_kfold" ->
+      """WITH d AS (SELECT doc_id,
+        |        ('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |          % 5 AS fold
+        |      FROM documents),
+        |s AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_fold FROM d GROUP BY fold)
+        |SELECT d.doc_id, d.fold, s.n_fold
+        |FROM d JOIN s USING (fold) ORDER BY d.doc_id""".stripMargin,
+    "q112_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, least(n_chars, 1000) AS w FROM documents),
+        |m AS (SELECT max(w) AS max_w FROM d)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(max_w AS BIGINT) AS max_w
+        |FROM d, m
+        |WHERE ('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        * max_w < w * 4294967296
+        |ORDER BY doc_id""".stripMargin,
     "q67_chunk" ->
       """SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_id,
         | CAST(start AS BIGINT) AS start,

@@ -490,6 +490,112 @@ object Similarity extends QueryGroup {
           col("best.bucket").as("bucket"))
         .orderBy("a_id")
     }),
+
+    // q109 [north star]: kNN LABEL PROPAGATION (weak labeling) — the
+    // auto-labeling step of a training-data pipeline: vectors without a
+    // trusted label inherit the majority label of their 5 nearest
+    // labeled neighbors. The fixture's first 25 vec_ids play the
+    // unlabeled probes; the rest are the labeled corpus. Distances are
+    // q84's int8 dots — BIGINT end-to-end, so ranks and votes have zero
+    // fp-tie hazard and the oracle is exact. Scale shape: probes
+    // broadcast against one corpus scan (the q43 pattern); top-5 per
+    // probe is the bounded TopKAgg (map-side partials carry ≤ 5 rows
+    // per probe per partition — never a rank window over n·|probes|
+    // rows); the label lookup re-joins ≤ 5·|probes| winner ids
+    // equi-keyed, broadcast-eligible by construction. A large probe set
+    // flips the broadcast side or moves to the bucketed tiers
+    // (q49/q59) — the voting plan is unchanged.
+    "q109_knn_label" -> ((spark, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val q = Tables(spark, dir, "embeddings")
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantizeInt8(col("embedding"), col("mx")).as("qvec"))
+      val probes = q.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("p_id"), col("qvec").as("p_vec"),
+          col("label").as("true_label"))
+      val corpus = q.filter(col("vec_id") >= 25)
+      val winners = corpus.join(broadcast(probes.drop("true_label")), lit(true))
+        .select(col("p_id"),
+          VectorOps.dot(col("qvec"), col("p_vec")).cast("double").as("dot"),
+          col("vec_id").as("n_id"))
+        .groupBy(col("p_id"))
+        .agg(topk(col("dot"), col("n_id")).as("top"))
+        .select(col("p_id"), explode(col("top.id")).as("n_id"))
+      winners
+        .join(corpus.select(col("vec_id").as("n_id"), col("label")), "n_id")
+        .groupBy(col("p_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .groupBy(col("p_id"))
+        .agg(max_by(struct(col("label"), col("n_votes")),
+          struct(col("n_votes"), (-col("label")).as("t"))).as("best"))
+        .join(probes.select(col("p_id"), col("true_label")), "p_id")
+        .select(col("p_id").as("vec_id"), col("best.label").as("pred_label"),
+          col("best.n_votes").as("n_votes"), col("true_label"))
+        .orderBy("vec_id")
+    }),
+
+    // q110 [north star]: label-BALANCED downsampling — equalize class
+    // mass by cutting every label to the size of the rarest one (the
+    // supervised sibling of q92's cluster balancing; quota learned from
+    // the data, not fixed). Membership is the md5-hash-ranked reservoir
+    // (exact on both engines); the min-count quota is ONE row, broadcast.
+    // Scale: one shuffle keyed on label for the ranking window; a hot
+    // label is the q93 scenario — same two-pass hash-threshold fix.
+    "q110_label_balance" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val quota = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("m"))
+      val h = substring(md5(concat(lit("lbal:"),
+        col("vec_id").cast("string"))), 1, 8)
+      emb.select(col("vec_id"), col("label"), h.as("h"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("label")).orderBy(col("h"), col("vec_id")))
+          .cast("long"))
+        .crossJoin(broadcast(quota))
+        .filter(col("rk") <= col("m"))
+        .select(col("vec_id"), col("label"), col("rk"))
+        .orderBy("vec_id")
+    }),
+
+    // q113 [north star]: SEMANTIC dedup (SemDeDup, Abbas et al. 2023) —
+    // the embedding-space near-dup pass that catches paraphrases exact
+    // and n-gram dedup miss: within each k-means cluster, a vector is
+    // dropped if an EARLIER (smaller-id) cluster-mate sits above the
+    // cosine threshold. Composes q91 (clusters) with q84 (int8): the
+    // cosine test is cross-multiplied into pure BIGINT — dot > 0 and
+    // 400·dot² ≥ 81·(a·a)·(b·b) is exactly cos ≥ 0.45 (q48's τ) with
+    // zero floating point anywhere, so the oracle is exact by
+    // construction. Scale shape: the pair join is equi-keyed on the
+    // cluster id, and SemDeDup's whole point is that k grows with the
+    // corpus (k ≈ n/target-cluster-size) so per-cluster pair work stays
+    // bounded — the clustering IS the blocking step; no global O(n²)
+    // exists anywhere in the plan.
+    "q113_semantic_dedup" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val pts = withQuantized(emb)
+        .join(kmeansAssign(emb, k = 8, iters = 2)
+          .select(col("vec_id"), col("cluster")), "vec_id")
+        .withColumn("nn", VectorOps.dot(col("qvec"), col("qvec")))
+      val d = VectorOps.dot(col("a.qvec"), col("b.qvec"))
+      val dominated = pts.alias("a").join(pts.alias("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("b.vec_id") < col("a.vec_id"))
+        .filter(d > 0 &&
+          d * d * lit(400L) >= lit(81L) * col("a.nn") * col("b.nn"))
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_dominators"))
+      pts.select(col("vec_id"), col("cluster"))
+        .join(dominated, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          when(col("n_dominators").isNull, 1L).otherwise(0L).as("kept"),
+          coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
+        .orderBy("vec_id")
+    }),
   )
 
   // DuckDB mirrors use the same sequential fold (list_reduce is
@@ -518,6 +624,12 @@ object Similarity extends QueryGroup {
     }
     s"CAST((${terms.mkString(" + ")}) AS BIGINT)"
   }
+
+  // integer dot over two qvec-typed lists — the BIGINT twin of dotSql
+  // (q85/q109/q113 mirrors; no doubles anywhere)
+  private def qdot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |  i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
 
   // q84/q85 mirror: same staged max-abs + half-up rule as quantizeInt8;
   // the quantized dot is BIGINT arithmetic, so q85's scores are exact.
@@ -680,5 +792,53 @@ object Similarity extends QueryGroup {
          |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
          |      FROM p)
          |SELECT a_id, b_id, bucket FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
+    "q109_knn_label" ->
+      s"""WITH qv AS (SELECT z.vec_id, CAST(e.label AS BIGINT) AS label, z.qvec
+         |            FROM $qvecSql z JOIN embeddings e ON e.vec_id = z.vec_id),
+         |p AS (SELECT a.vec_id AS p_id, b.vec_id AS n_id, b.label,
+         |        ${qdot("a.qvec", "b.qvec")} AS dot
+         |      FROM qv a JOIN qv b ON b.vec_id >= 25
+         |      WHERE a.vec_id < 25),
+         |r AS (SELECT p_id, n_id, label,
+         |        row_number() OVER (PARTITION BY p_id ORDER BY dot DESC, n_id) AS rk
+         |      FROM p),
+         |v AS (SELECT p_id, label, CAST(count(*) AS BIGINT) AS n_votes
+         |      FROM r WHERE rk <= 5 GROUP BY p_id, label),
+         |w AS (SELECT p_id, label, n_votes,
+         |        row_number() OVER (PARTITION BY p_id
+         |          ORDER BY n_votes DESC, label) AS vk
+         |      FROM v)
+         |SELECT w.p_id AS vec_id, w.label AS pred_label, w.n_votes,
+         |  t.label AS true_label
+         |FROM w JOIN qv t ON t.vec_id = w.p_id
+         |WHERE w.vk = 1 ORDER BY vec_id""".stripMargin,
+    "q110_label_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |m AS (SELECT min(n) AS m FROM
+        |        (SELECT count(*) AS n FROM e GROUP BY label) c),
+        |r AS (SELECT vec_id, label,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |          ORDER BY substring(md5('lbal:' || CAST(vec_id AS VARCHAR)), 1, 8),
+        |            vec_id) AS BIGINT) AS rk
+        |      FROM e)
+        |SELECT vec_id, label, rk FROM r, m WHERE rk <= m
+        |ORDER BY vec_id""".stripMargin,
+    "q113_semantic_dedup" ->
+      s"""WITH $kmCte,
+         |pts AS (SELECT q.vec_id, f.cluster, q.qvec,
+         |          ${qdot("q.qvec", "q.qvec")} AS nn
+         |        FROM q JOIN fin f ON f.vec_id = q.vec_id),
+         |dom AS (SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dominators
+         |        FROM pts a JOIN pts b
+         |          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |        WHERE ${qdot("a.qvec", "b.qvec")} > 0
+         |          AND ${qdot("a.qvec", "b.qvec")} * ${qdot("a.qvec", "b.qvec")} * 400
+         |              >= 81 * a.nn * b.nn
+         |        GROUP BY a.vec_id)
+         |SELECT p.vec_id, p.cluster,
+         |  CAST(CASE WHEN d.n_dominators IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+         |  COALESCE(d.n_dominators, 0) AS n_dominators
+         |FROM pts p LEFT JOIN dom d ON d.vec_id = p.vec_id
+         |ORDER BY p.vec_id""".stripMargin,
   )
 }

@@ -504,4 +504,61 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(totals == events)
   }
+
+  test("funnel stages cascade: each step's timestamp follows the previous") {
+    val rows = SparkEntry.queries("q107_funnel")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (stage, v, c, p) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // -1 = step never reached; steps can only be reached in order
+      assert(stage == Seq(v, c, p).count(_ >= 0))
+      if (c >= 0) assert(v >= 0 && c > v && c <= v + 3600L * 1000000L)
+      if (p >= 0) assert(c >= 0 && p > c && p <= c + 3600L * 1000000L)
+    }
+    // the funnel must actually narrow somewhere on the fixture
+    val stages = rows.map(_.getLong(1))
+    assert(stages.max > stages.min)
+  }
+
+  test("gap-fill emits every day in each user's span and conserves events") {
+    val filled = SparkEntry.queries("q108_gap_fill")(spark, Sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"),
+        sum(col("n_events")).as("total"))
+    assert(filled.filter(col("n_days") =!= col("span")).count() == 0)
+    val perUser = Tables(spark, Sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("real"))
+    assert(filled.join(perUser, "user_id")
+      .filter(col("total") =!= col("real")).count() == 0)
+  }
+
+  test("semantic dedup keeps every cluster's smallest id and drops only dominated rows") {
+    val rows = SparkEntry.queries("q113_semantic_dedup")(spark, Sf).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.values.foreach { members =>
+      val first = members.minBy(_.getLong(0))
+      assert(first.getLong(2) == 1L,
+        s"cluster-min vec ${first.getLong(0)} cannot have an earlier dominator")
+    }
+    rows.foreach { r =>
+      assert((r.getLong(2) == 1L) == (r.getLong(3) == 0L),
+        "kept flag must mirror the dominator count")
+    }
+  }
+
+  test("weighted sampling always keeps max-weight docs; k-fold sizes sum to the corpus") {
+    val kept = SparkEntry.queries("q112_weighted_sample")(spark, Sf)
+    // u < 2^32 always, so w == max_w rows pass the gate unconditionally
+    val maxW = Tables(spark, Sf, "documents")
+      .agg(max(least(col("n_chars"), lit(1000L)))).collect()(0).getLong(0)
+    val nMax = Tables(spark, Sf, "documents")
+      .filter(least(col("n_chars"), lit(1000L)) === maxW).count()
+    assert(kept.filter(col("w") === maxW).count() == nMax)
+    val folds = SparkEntry.queries("q111_kfold")(spark, Sf)
+    assert(folds.select(col("fold")).distinct().count() == 5)
+    assert(folds.count() == Tables(spark, Sf, "documents").count())
+  }
 }
