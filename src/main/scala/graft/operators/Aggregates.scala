@@ -146,6 +146,42 @@ object Aggregates extends QueryGroup {
           col("o_orderpriority")).as("tags"))
         .orderBy("o_orderstatus")
     }),
+
+    // q114 [CLOSURE]: column PROFILING — the ANALYZE/df.summary() shape:
+    // one pass computes per-column row count, null count, exact distinct
+    // count, and lexicographic min/max, then the wide aggregate row is
+    // reshaped to one row per column (inline explode of literal structs —
+    // no second scan, no shuffle beyond the global agg's partials).
+    // Profiled columns are pre-cast to string so min/max compare the same
+    // way on both engines (doubles are excluded: their string rendering
+    // is engine-specific; profile them with q20/q60's typed aggregates
+    // instead). The `ref` column is a json-extract of an absent key —
+    // the all-null edge every profiler must survive (distinct = 0,
+    // min/max coalesced to '').
+    "q114_profile" -> ((spark, dir) => {
+      val src = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          col("user_id").cast("string").as("user_id"),
+          col("props"),
+          get_json_object(col("props"), "$.ref").as("ref"))
+      val cols = Seq("event_type", "user_id", "props", "ref")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max"))
+      }
+      src.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col("n").as("n_rows"),
+          col(s"${c}__nulls").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          coalesce(col(s"${c}__min"), lit("")).as("min_s"),
+          coalesce(col(s"${c}__max"), lit("")).as("max_s"))): _*))
+          .as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -202,5 +238,32 @@ object Aggregates extends QueryGroup {
         | list_aggregate(list_sort(list_distinct(list(
         |   replace(lower(o_orderpriority),' ','-') || '|' || o_orderpriority))), 'string_agg', ',') AS tags
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q114_profile" ->
+      """WITH s AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, props,
+        |             json_extract_string(props, '$.ref') AS ref
+        |           FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS et_nulls,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS et_nd,
+        |  COALESCE(min(event_type), '') AS et_min, COALESCE(max(event_type), '') AS et_max,
+        |  CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS ui_nulls,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS ui_nd,
+        |  COALESCE(min(user_id), '') AS ui_min, COALESCE(max(user_id), '') AS ui_max,
+        |  CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS pr_nulls,
+        |  CAST(count(DISTINCT props) AS BIGINT) AS pr_nd,
+        |  COALESCE(min(props), '') AS pr_min, COALESCE(max(props), '') AS pr_max,
+        |  CAST(count(*) FILTER (WHERE ref IS NULL) AS BIGINT) AS rf_nulls,
+        |  CAST(count(DISTINCT ref) AS BIGINT) AS rf_nd,
+        |  COALESCE(min(ref), '') AS rf_min, COALESCE(max(ref), '') AS rf_max
+        |  FROM s)
+        |SELECT 'event_type' AS col_name, n AS n_rows, et_nulls AS n_null,
+        |       et_nd AS n_distinct, et_min AS min_s, et_max AS max_s FROM a
+        |UNION ALL
+        |SELECT 'user_id', n, ui_nulls, ui_nd, ui_min, ui_max FROM a
+        |UNION ALL
+        |SELECT 'props', n, pr_nulls, pr_nd, pr_min, pr_max FROM a
+        |UNION ALL
+        |SELECT 'ref', n, rf_nulls, rf_nd, rf_min, rf_max FROM a
+        |ORDER BY col_name""".stripMargin,
   )
 }

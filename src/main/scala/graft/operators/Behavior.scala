@@ -89,6 +89,75 @@ object Behavior extends QueryGroup {
           date_format(col("d"), "yyyy-MM-dd").as("day"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("user_id", "day")
+    }),
+
+    // q115 [CLOSURE]: event-type TRANSITION matrix — the first-order
+    // Markov view of user journeys (which action follows which): one lag
+    // window per user in event_id order (the Windows ordering
+    // discipline), then a partial-aggregating pair count. One user-keyed
+    // shuffle + one (prev, next)-keyed aggregation whose output is at
+    // most |types|² rows regardless of corpus size.
+    "q115_transitions" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_type"), col("next_type"), col("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // q116 [CLOSURE]: COHORT RETENTION — users grouped by first-active
+    // day, counted per day-offset since that day (the triangle matrix
+    // behind every retention chart). Distinct (user, day) first so a
+    // burst of same-day events counts once; the cohort join is
+    // equi-keyed on user_id against a per-user one-row aggregate —
+    // co-partitioned with the activity it labels, no broadcast needed at
+    // any scale. Output days are ISO strings (Scalars convention).
+    "q116_retention" -> ((spark, dir) => {
+      val act = Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohorts = act.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_d"))
+      act.join(cohorts, "user_id")
+        .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // q117 [CLOSURE]: EXACT anomaly flags over daily activity — each
+    // (user, day) is flagged when its event count sits more than 2
+    // population-σ from the user's own mean. The z-test is
+    // cross-multiplied into pure BIGINT — (c·D − S)² > 4·(D·SS − S²)
+    // with D = days observed, S = Σc, SS = Σc² — so there is NO
+    // floating-point variance anywhere and the oracle is exact (the
+    // same trick as q113's cosine test; stddev_samp would be
+    // association-order-dependent across engines). Zero-variance users
+    // flag nothing by definition. Scale: one (user, day) partial agg,
+    // one user-keyed stats agg, one co-partitioned equi-join — the
+    // gap-filled calendar is NOT needed because absent days carry no
+    // row to flag.
+    "q117_anomaly_days" -> ((spark, dir) => {
+      val daily = Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("dd"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      daily.join(stats, "user_id")
+        .select(col("user_id"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("c").as("n_events"),
+          when((col("c") * col("dd") - col("s")) *
+              (col("c") * col("dd") - col("s")) >
+              lit(4L) * (col("dd") * col("ss") - col("s") * col("s")),
+            1L).otherwise(0L).as("is_anomaly"))
+        .orderBy("user_id", "day")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -126,5 +195,37 @@ object Behavior extends QueryGroup {
         |  COALESCE(daily.n_events, 0) AS n_events
         |FROM cal LEFT JOIN daily ON daily.user_id = cal.user_id
         |                        AND daily.d = cal.d
-        |ORDER BY cal.user_id, day""".stripMargin)
+        |ORDER BY cal.user_id, day""".stripMargin,
+    "q115_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |        lag(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY event_id) AS prev_type
+        |      FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "q116_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cohort_d FROM act GROUP BY user_id)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort,
+        |  CAST(act.d - cohort_d AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY cohort_d, act.d - cohort_d
+        |ORDER BY cohort, day_offset""".stripMargin,
+    "q117_anomaly_days" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS dd,
+        |         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS ss
+        |       FROM daily GROUP BY user_id)
+        |SELECT daily.user_id, strftime(daily.d, '%Y-%m-%d') AS day,
+        |  daily.c AS n_events,
+        |  CAST(CASE WHEN (c*dd - s)*(c*dd - s) > 4*(dd*ss - s*s)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM daily JOIN st USING (user_id)
+        |ORDER BY daily.user_id, day""".stripMargin)
 }

@@ -561,4 +561,44 @@ class OperatorSpec extends SparkSpec {
     assert(folds.select(col("fold")).distinct().count() == 5)
     assert(folds.count() == Tables(spark, Sf, "documents").count())
   }
+
+  test("profile handles the all-null column and transition counts telescope") {
+    val prof = SparkEntry.queries("q114_profile")(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = prof("event_type").getLong(1)
+    assert(prof.values.forall(_.getLong(1) == n), "one pass, one row count")
+    val ref = prof("ref") // extract of an absent json key: all null
+    assert(ref.getLong(2) == n && ref.getLong(3) == 0 &&
+      ref.getString(4) == "" && ref.getString(5) == "")
+    assert(prof("event_type").getLong(3) == 5)
+    // every event except each user's first is the target of one transition
+    val trans = SparkEntry.queries("q115_transitions")(spark, Sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val ev = Tables(spark, Sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(trans == expected)
+  }
+
+  test("retention matrix: offset-0 equals cohort size and total mass is (user, day) distincts") {
+    val ret = SparkEntry.queries("q116_retention")(spark, Sf)
+    val act = Tables(spark, Sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    assert(ret.agg(sum(col("n_users"))).collect()(0).getLong(0) == act.count())
+    // every user appears in their own cohort's offset-0 cell exactly once
+    val day0 = ret.filter(col("day_offset") === 0)
+      .agg(sum(col("n_users"))).collect()(0).getLong(0)
+    assert(day0 == act.select(col("user_id")).distinct().count())
+  }
+
+  test("anomaly flags: nonempty tail, and a constant-activity user is never flagged") {
+    val rows = SparkEntry.queries("q117_anomaly_days")(spark, Sf).collect()
+    val flagged = rows.count(_.getLong(3) == 1L)
+    assert(flagged > 0 && flagged < rows.length / 4,
+      s"2-sigma tail should be small but present, got $flagged/${rows.length}")
+    rows.groupBy(_.getLong(0)).values.foreach { days =>
+      val counts = days.map(_.getLong(2))
+      if (counts.distinct.length == 1) // zero variance -> zero flags
+        assert(days.forall(_.getLong(3) == 0L))
+    }
+  }
 }
