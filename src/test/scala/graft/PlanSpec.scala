@@ -218,4 +218,42 @@ class PlanSpec extends SparkSpec {
     assert("Aggregate".r.findAllIn(p43).size >= 2,
       "q43 top-k must partial-aggregate")
   }
+
+  test("r4 batch-2 scale shapes: kNN broadcasts probes, SemDeDup stays cluster-blocked") {
+    val p109 = plan("q109_knn_label")
+    // the probe side broadcasts against one corpus scan, and the top-5
+    // cut is the bounded aggregator, never a rank window
+    assert(p109.contains("BroadcastNestedLoopJoin") ||
+      p109.contains("BroadcastHashJoin"))
+    assert(!p109.contains("Window"), "q109 must not plan a rank window")
+    val p113 = plan("q113_semantic_dedup")
+    // the within-cluster pair join must be equi-keyed on the cluster id —
+    // a cartesian/broadcast-nested-loop here is the O(n^2) SemDeDup avoids
+    assert(!p113.contains("CartesianProduct") &&
+      !p113.contains("BroadcastNestedLoopJoin"))
+    // keys show in the FormattedMode detail section ("Left keys [1]: [cluster#...")
+    assert("""keys \[1\]: \[cluster""".r.findFirstIn(p113).isDefined,
+      "q113's pair join must key on cluster")
+    // one-row / 5-row quota tables broadcast
+    assert(plan("q110_label_balance").contains("Broadcast"))
+    assert(plan("q111_kfold").contains("BroadcastHashJoin"))
+    assert(plan("q112_weighted_sample").contains("Broadcast"))
+  }
+
+  test("behavior/profiling shapes: no cartesian funnels, one-pass profile, bounded transition agg") {
+    Seq("q107_funnel", "q108_gap_fill", "q115_transitions",
+      "q116_retention", "q117_anomaly_days").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // q114 profiles every column in ONE scan of events (expand for the
+    // multi-distinct rewrite is fine; a second Scan parquet is not).
+    // Count detail headers — FormattedMode also lists nodes in the tree.
+    val p114 = plan("q114_profile")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p114).size == 1,
+      "q114 must profile all columns in a single pass")
+    // q115's output is |types|^2 — the count must partial-aggregate
+    val p115 = plan("q115_transitions")
+    assert("Aggregate".r.findAllIn(p115).size >= 2)
+  }
 }
