@@ -136,6 +136,68 @@ object Joins extends QueryGroup {
           col("s.event_id").as("prior_event_id"))
         .orderBy("event_id", "prior_event_id")
     }),
+
+    // q118 [CLOSURE]: the STAR-SCHEMA analytics shape (TPC-H Q5): revenue
+    // by nation within one region-year, six tables in one query. The
+    // snowflake arm region→nation→supplier collapses to a ~100-row
+    // broadcast BEFORE touching any fact table (the region filter prunes
+    // at the smallest relation), so the only big work is
+    // lineitem⋈orders⋈customer — each equi-keyed on its FK, each
+    // shuffle-partitioned once, with the order-date filter pushed into
+    // the orders scan. The colocation condition c_nationkey = s_nationkey
+    // rides the broadcast join as a residual predicate — no extra
+    // shuffle. This is the query shape Catalyst's join reorder + AQE
+    // exist for; nothing here is hand-scheduled.
+    "q118_regional_revenue" -> ((spark, dir) => {
+      val asiaNations = Tables(spark, dir, "nation")
+        .join(broadcast(Tables(spark, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables(spark, dir, "supplier")
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // q119 [CLOSURE]: promotion-share trend (TPC-H Q14 widened to every
+    // month): per ship-month, promo-part revenue next to total revenue.
+    // The part dimension broadcasts (it is a dimension by construction);
+    // the fact side is one scan + one (month)-keyed partial aggregation.
+    // The share itself is left to the reader (a division of the two
+    // rounded sums) so the output stays within the determinism rules.
+    "q119_promo_share" -> ((spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(Tables(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("month"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0.0))), 2).as("promo_rev"),
+          round(sum(col("rev")), 2).as("total_rev"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -167,5 +229,26 @@ object Joins extends QueryGroup {
         |FROM events e JOIN events s ON e.user_id = s.user_id
         | AND s.ts <= e.ts AND s.ts >= e.ts - INTERVAL 5 MINUTE AND s.event_id <> e.event_id
         |ORDER BY e.event_id, prior_event_id""".stripMargin,
+    "q118_regional_revenue" ->
+      """SELECT n.n_name,
+        |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+        |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q119_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_rev,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY strftime(l_shipdate, '%Y-%m')
+        |ORDER BY month""".stripMargin,
   )
 }

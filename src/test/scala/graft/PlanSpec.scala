@@ -256,4 +256,17 @@ class PlanSpec extends SparkSpec {
     val p115 = plan("q115_transitions")
     assert("Aggregate".r.findAllIn(p115).size >= 2)
   }
+
+  test("star-schema query broadcasts its snowflake arm and pushes the date filter") {
+    val p = plan("q118_regional_revenue")
+    // region→nation→supplier collapses to broadcasts; no cartesian
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+    // the order-date range reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("IsNotNull(o_orderdate"))
+    val p119 = plan("q119_promo_share")
+    assert(p119.contains("BroadcastHashJoin"), "part is a dimension — broadcast it")
+    assert("HashAggregate".r.findAllIn(p119).size >= 2)
+  }
 }
