@@ -83,17 +83,24 @@ object ScalingBench {
     val tier = Seq("q42_exact_dedup", "q46_minhash_neardup",
       "q58_ngram_jaccard", "q49_ann_lsh", "q59_ann_ivf",
       "q90_dup_spans", "q91_kmeans_clusters",
-      "q95_top_ngrams", "q97_chunk_dedup", "q101_containment")
+      "q95_top_ngrams", "q97_chunk_dedup", "q101_containment",
+      "q109_knn_label", "q113_semantic_dedup")
     val base = tier.map(q => q -> time(SparkEntry.queries(q)(spark, baseDir)))
     val blown = tier.map(q => q -> time(SparkEntry.queries(q)(spark, workDir)))
     // the IVF scale policy: K grown with n => constant cell size
     val ivfScaledK = time(graft.operators.Similarity.ivfTop1(
       Tables(spark, workDir, "embeddings"), numCentroids = 16 * Factor))
+    // the SemDeDup scale policy: cluster count grown with n => constant
+    // cluster size => constant per-cluster pair work (fixed k=8 at 10x
+    // measures the superlinear within-cluster blowup instead)
+    val semScaledK = time(graft.operators.Similarity.semanticDedup(
+      Tables(spark, workDir, "embeddings"), k = 8 * Factor))
 
     def js(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scaling","factor":$Factor,"base":${js(base)},""" +
       s""""blown":${js(blown)},"blown_q59_scaled_k":$ivfScaledK,""" +
+      s""""blown_q113_scaled_k":$semScaledK,""" +
       s""""samples":$samples,"base_dir":"$baseDir"}""")
     spark.stop()
   }

@@ -575,28 +575,36 @@ object Similarity extends QueryGroup {
     // corpus (k ≈ n/target-cluster-size) so per-cluster pair work stays
     // bounded — the clustering IS the blocking step; no global O(n²)
     // exists anywhere in the plan.
-    "q113_semantic_dedup" -> ((spark, dir) => {
-      val emb = Tables(spark, dir, "embeddings")
-      val pts = withQuantized(emb)
-        .join(kmeansAssign(emb, k = 8, iters = 2)
-          .select(col("vec_id"), col("cluster")), "vec_id")
-        .withColumn("nn", VectorOps.dot(col("qvec"), col("qvec")))
-      val d = VectorOps.dot(col("a.qvec"), col("b.qvec"))
-      val dominated = pts.alias("a").join(pts.alias("b"),
-          col("a.cluster") === col("b.cluster") &&
-            col("b.vec_id") < col("a.vec_id"))
-        .filter(d > 0 &&
-          d * d * lit(400L) >= lit(81L) * col("a.nn") * col("b.nn"))
-        .groupBy(col("a.vec_id").as("vec_id"))
-        .agg(count(lit(1)).as("n_dominators"))
-      pts.select(col("vec_id"), col("cluster"))
-        .join(dominated, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster"),
-          when(col("n_dominators").isNull, 1L).otherwise(0L).as("kept"),
-          coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
-        .orderBy("vec_id")
-    }),
+    "q113_semantic_dedup" -> ((spark, dir) =>
+      semanticDedup(Tables(spark, dir, "embeddings"), k = 8)),
   )
+
+  /** q113's operator over any embeddings-shaped input — see the query
+    * comment above. `k` is THE scale knob: SemDeDup grows cluster count
+    * with the corpus (k ≈ n / target-cluster-size) so per-cluster pair
+    * work stays bounded; ScalingBench measures both the fixed-k and the
+    * scaled-k policies, the q59/ivfTop1 discipline.
+    */
+  private[graft] def semanticDedup(emb: DataFrame, k: Int): DataFrame = {
+    val pts = withQuantized(emb)
+      .join(kmeansAssign(emb, k = k, iters = 2)
+        .select(col("vec_id"), col("cluster")), "vec_id")
+      .withColumn("nn", VectorOps.dot(col("qvec"), col("qvec")))
+    val d = VectorOps.dot(col("a.qvec"), col("b.qvec"))
+    val dominated = pts.alias("a").join(pts.alias("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(d > 0 &&
+        d * d * lit(400L) >= lit(81L) * col("a.nn") * col("b.nn"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dominators"))
+    pts.select(col("vec_id"), col("cluster"))
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("n_dominators").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
+      .orderBy("vec_id")
+  }
 
   // DuckDB mirrors use the same sequential fold (list_reduce is
   // left-to-right; a 0-init fold and a no-init reduce agree exactly for
