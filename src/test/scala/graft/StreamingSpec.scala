@@ -378,6 +378,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming transition pairs == batch q115 counts; late events drop, state stays O(1)/user") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Transitions
+    // real fixture data, split across two micro-batches mid-stream
+    val evs = Tables(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .as[Transitions.Ev].collect().sortBy(_.event_id)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[Transitions.Ev]
+    val q = Transitions.pairs(spark, ms.toDS()).writeStream
+      .format("memory").queryName("trans_out").outputMode("append").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    // redeliver an already-consumed event: crosses the state's high-water
+    // event_id, must emit nothing
+    ms.addData(b1.last); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_out")
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q115_transitions")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
 }
 
 object StreamingSpec {
