@@ -147,6 +147,25 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // q121 [CLOSURE]: EXACT percentiles per group — the other tier next
+    // to q60's sketch: `percentile` sorts each group's values and
+    // interpolates the true (n-1)·p rank (DuckDB's quantile_cont — the
+    // same R-7 convention), where percentile_approx reads a bounded
+    // sketch. Exact is the small-group/audit tier: per-group memory is
+    // O(group); at 100 TB you keep the sketch for corpus-wide quantiles
+    // and reserve exact for bounded groups (here: 3 order statuses).
+    // The interpolation arithmetic may associate differently across
+    // engines, so outputs follow the rounded-aggregate rule (4dp).
+    "q121_exact_percentile" -> ((spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")),
+
     // q114 [CLOSURE]: column PROFILING — the ANALYZE/df.summary() shape:
     // one pass computes per-column row count, null count, exact distinct
     // count, and lexicographic min/max, then the wide aggregate row is
@@ -237,6 +256,13 @@ object Aggregates extends QueryGroup {
       """SELECT o_orderstatus,
         | list_aggregate(list_sort(list_distinct(list(
         |   replace(lower(o_orderpriority),' ','-') || '|' || o_orderpriority))), 'string_agg', ',') AS tags
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q121_exact_percentile" ->
+      """SELECT o_orderstatus,
+        | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q114_profile" ->
       """WITH s AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, props,

@@ -129,6 +129,30 @@ object Behavior extends QueryGroup {
         .orderBy("cohort", "day_offset")
     }),
 
+    // q120 [CLOSURE]: ROLLING 7-DAY ACTIVE USERS — the WAU curve: for
+    // every calendar day in the fixture's span, how many distinct users
+    // were active in the trailing 7 days. count(DISTINCT) is not a
+    // window function in Spark, so the rolling set is materialized by a
+    // bounded offset explode: each distinct (user, day) activation
+    // contributes to exactly 7 target days, then one (day)-keyed
+    // distinct count. Fanout is a CONSTANT 7 per activation —
+    // independent of corpus size, cheaper than a range self-join, and
+    // partial-aggregating end to end. Days with zero trailing activity
+    // simply don't appear (no users to count).
+    "q120_rolling_actives" -> ((spark, dir) => {
+      val act = Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      act.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"),
+          col("d"))
+        .select(col("user_id"), date_add(col("d"), col("k")).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_7d"))
+        .orderBy("day")
+    }),
+
     // q117 [CLOSURE]: EXACT anomaly flags over daily activity — each
     // (user, day) is flagged when its event count sits more than 2
     // population-σ from the user's own mean. The z-test is
@@ -215,6 +239,13 @@ object Behavior extends QueryGroup {
         |FROM act JOIN coh USING (user_id)
         |GROUP BY cohort_d, act.d - cohort_d
         |ORDER BY cohort, day_offset""".stripMargin,
+    "q120_rolling_actives" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |x AS (SELECT user_id, d + CAST(k AS INT) AS day
+        |      FROM act, (SELECT unnest(range(0, 7)) AS k) o)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        |FROM x GROUP BY day ORDER BY day""".stripMargin,
     "q117_anomaly_days" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
         |        CAST(count(*) AS BIGINT) AS c
