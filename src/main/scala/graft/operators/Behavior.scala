@@ -153,6 +153,74 @@ object Behavior extends QueryGroup {
         .orderBy("day")
     }),
 
+    // q122 [CLOSURE]: RECENCY-WEIGHTED engagement — per-user sum of
+    // event values decayed by age, with the decay spelled as division
+    // by 2^age_days instead of exp(-λ·age): scaling by an exact power
+    // of two is a lossless IEEE exponent shift, so the per-row math is
+    // bit-identical on both engines (exp/pow are libm calls whose last
+    // bit differs — the q83 log-avoidance discipline applied to decay).
+    // The reference date is the corpus's own max day (one-row
+    // broadcast); the per-user sum follows the rounded-aggregate rule.
+    "q122_engagement" -> ((spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      val ref = ev.agg(max(col("d")).as("maxd"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("age", datediff(col("maxd"), col("d")))
+        .withColumn("contrib",
+          col("value") / expr("cast(shiftleft(cast(1 as bigint), age) as double)"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("contrib")), 4).as("engagement"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // q124 [CLOSURE]: SCD-2 HISTORY — each user's event stream becomes
+    // validity intervals (valid_from/valid_to, current-row flag): the
+    // slowly-changing-dimension shape every warehouse keeps for
+    // point-in-time joins. One lead() window per user ordered by
+    // (ts, event_id) (ties broken by the unique id, the Windows
+    // discipline); epoch-micros output with -1 for the open interval.
+    "q124_scd2_history" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("vf"), col("event_id"))
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("vf"), col("value"))
+        .withColumn("nxt", lead(col("vf"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("vf").as("valid_from_us"),
+          coalesce(col("nxt") - 1, lit(-1L)).as("valid_to_us"),
+          when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
+          col("value"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
+    // q125 [CLOSURE]: SESSION-ID assignment — the per-EVENT form of
+    // q41's session windows: a session break is a >30-minute gap, and
+    // the session ordinal is the running sum of break flags (lag +
+    // cumulative sum composed in one window pass). Downstream
+    // funnel-within-session analytics key on (user_id, session_seq).
+    // Same single user-keyed shuffle as any per-user window.
+    "q125_session_ids" -> ((spark, dir) => {
+      val order = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val cum = order.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(order) > 1800L * 1000000L, 1L)
+            .when(lag(col("us"), 1).over(order).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(cum))
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("brk").as("session_start"))
+        .orderBy("event_id")
+    }),
+
     // q117 [CLOSURE]: EXACT anomaly flags over daily activity — each
     // (user, day) is flagged when its event count sits more than 2
     // population-σ from the user's own mean. The z-test is
@@ -239,6 +307,38 @@ object Behavior extends QueryGroup {
         |FROM act JOIN coh USING (user_id)
         |GROUP BY cohort_d, act.d - cohort_d
         |ORDER BY cohort, day_offset""".stripMargin,
+    "q122_engagement" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+        |r AS (SELECT max(d) AS maxd FROM e)
+        |SELECT user_id,
+        |  ROUND(SUM(value / CAST((CAST(1 AS BIGINT) << (maxd - d)) AS DOUBLE)), 4)
+        |    AS engagement,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e, r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q124_scd2_history" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS vf, value FROM events),
+        |x AS (SELECT user_id, event_id, vf, value,
+        |        lead(vf, 1) OVER (PARTITION BY user_id
+        |          ORDER BY vf, event_id) AS nxt
+        |      FROM t)
+        |SELECT user_id, event_id, vf AS valid_from_us,
+        |  COALESCE(nxt - 1, -1) AS valid_to_us,
+        |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |  value
+        |FROM x ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q125_session_ids" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, event_id, us,
+        |        CAST(CASE WHEN lag(us, 1) OVER w IS NULL THEN 1
+        |                  WHEN us - lag(us, 1) OVER w > 1800000000 THEN 1
+        |                  ELSE 0 END AS BIGINT) AS brk
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq,
+        |  brk AS session_start
+        |FROM b ORDER BY event_id""".stripMargin,
     "q120_rolling_actives" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |x AS (SELECT user_id, d + CAST(k AS INT) AS day

@@ -198,6 +198,50 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("n").desc, col("ngram"))
         .limit(25)),
 
+    // q123 [north star]: PMI CO-OCCURRENCE pairs — which vocabulary
+    // words appear in the same documents far more than independence
+    // predicts (collocation/topic-pair mining; PMI = p(xy)/(p(x)p(y))
+    // up to the log, and ranking doesn't need the log — the q83
+    // monotone-transform discipline). All inputs to the ratio are exact
+    // BIGINTs, so the one double division is bit-identical on both
+    // engines and the rank is deterministic with the (w1, w2)
+    // tie-break. Scale: the pair space is bounded BY CONSTRUCTION —
+    // co-occurrence is restricted to the top-100-df vocabulary
+    // (TakeOrderedAndProject + broadcast), so the within-doc self-join
+    // fans out ≤ C(100,2) pairs per doc regardless of corpus size, and
+    // the unbounded-vocab blowup (every rare typo × every word) never
+    // enters the plan. The final top-25 is the same local-cut shape as
+    // q95.
+    "q123_pmi_pairs" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val dw = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      val vocab = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(100)
+      val inv = dw.join(broadcast(vocab), "w")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = inv.alias("a")
+        .join(inv.alias("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("n_pair"),
+          first(col("a.df")).as("df1"), first(col("b.df")).as("df2"))
+        .filter(col("n_pair") >= 5)
+      val ranked = pairs.crossJoin(broadcast(n))
+        .withColumn("lift",
+          (col("n_pair") * col("n_docs")).cast("double") /
+            (col("df1") * col("df2")).cast("double"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(25)
+      ranked
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+        .select(col("rank"), col("w1"), col("w2"),
+          col("n_pair"), col("df1"), col("df2"))
+        .orderBy("rank")
+    }),
+
     // q99 [north star]: Gopher-style composite quality gate (Rae et al.,
     // arXiv:2112.11446 §A1.1 adapted to this corpus's bands): token-count
     // window, mean word length band, minimum stopword evidence, and a
@@ -440,6 +484,26 @@ object TextAnalysis extends QueryGroup {
       |      ELSE 0.0 END) <= 0.2 THEN 1 ELSE 0 END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q123_pmi_pairs" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |v AS (SELECT w, df FROM (
+        |        SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |               row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        |        FROM dw GROUP BY w) t WHERE rk <= 100),
+        |inv AS (SELECT dw.doc_id, dw.w, v.df FROM dw JOIN v USING (w)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |p AS (SELECT a.w AS w1, b.w AS w2,
+        |        CAST(count(*) AS BIGINT) AS n_pair,
+        |        any_value(a.df) AS df1, any_value(b.df) AS df2
+        |      FROM inv a JOIN inv b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY a.w, b.w HAVING count(*) >= 5),
+        |r AS (SELECT w1, w2, n_pair, df1, df2,
+        |        CAST(n_pair * n_docs AS DOUBLE) / CAST(df1 * df2 AS DOUBLE) AS lift
+        |      FROM p, nn ORDER BY lift DESC, w1, w2 LIMIT 25)
+        |SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank,
+        |  w1, w2, n_pair, df1, df2
+        |FROM r ORDER BY rank""".stripMargin,
     "q104_zipf_bands" ->
       """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
         |g AS (SELECT unnest(CASE WHEN len(ws) >= 3

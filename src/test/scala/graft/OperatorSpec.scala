@@ -590,6 +590,47 @@ class OperatorSpec extends SparkSpec {
     assert(day0 == act.select(col("user_id")).distinct().count())
   }
 
+  test("session-id assignment partitions events exactly like q41's session windows") {
+    val ids = SparkEntry.queries("q125_session_ids")(spark, Sf)
+      .groupBy(col("user_id")).agg(max(col("session_seq")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wins = SparkEntry.queries("q41_session_window")(spark, Sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ids == wins, "per-event session ids must partition like session_window")
+  }
+
+  test("SCD2 intervals tile each user's timeline with one open row") {
+    val rows = SparkEntry.queries("q124_scd2_history")(spark, Sf).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { hist =>
+      val sorted = hist.sortBy(r => (r.getLong(2), r.getLong(1)))
+      assert(sorted.count(_.getLong(4) == 1L) == 1, "exactly one current row")
+      assert(sorted.last.getLong(4) == 1L && sorted.last.getLong(3) == -1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) == b.getLong(2) - 1,
+          "valid_to must abut the successor's valid_from")
+        case _ =>
+      }
+    }
+  }
+
+  test("engagement decay never exceeds the undecayed sum; PMI ranks are dense and bounded") {
+    val eng = SparkEntry.queries("q122_engagement")(spark, Sf)
+      .join(Tables(spark, Sf, "events").groupBy(col("user_id"))
+        .agg(sum(col("value")).as("raw")), "user_id")
+    // all fixture values are positive, so decay can only shrink the sum
+    assert(eng.filter(col("engagement") > col("raw") + 0.001).count() == 0)
+    val pmi = SparkEntry.queries("q123_pmi_pairs")(spark, Sf).collect()
+    assert(pmi.map(_.getLong(0)).toSeq == (1L to pmi.length))
+    pmi.foreach { r =>
+      assert(r.getLong(3) >= 5, "pair support floor")
+      assert(r.getLong(3) <= math.min(r.getLong(4), r.getLong(5)),
+        "co-occurrence cannot exceed either marginal df")
+    }
+  }
+
   test("anomaly flags: nonempty tail, and a constant-activity user is never flagged") {
     val rows = SparkEntry.queries("q117_anomaly_days")(spark, Sf).collect()
     val flagged = rows.count(_.getLong(3) == 1L)
