@@ -166,6 +166,24 @@ object Aggregates extends QueryGroup {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // q126 [CLOSURE]: statistical CO-MOMENTS per group — Pearson
+    // correlation and sample covariance between the event value and its
+    // JSON payload's k field (the "are these two metrics related"
+    // audit). Both engines accumulate co-moments in merge-safe
+    // single-pass form whose low bits differ by association order, so
+    // outputs follow the rounded-aggregate rule (4dp) — same stance as
+    // avg. Partial-aggregating by construction (corr/covar merge like
+    // sum); one (event_type)-keyed shuffle.
+    "q126_correlation" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("k")), 4).as("corr_vk"),
+          round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+          round(stddev_samp(col("value")), 4).as("sd_value"))
+        .orderBy("event_type")),
+
     // q114 [CLOSURE]: column PROFILING — the ANALYZE/df.summary() shape:
     // one pass computes per-column row count, null count, exact distinct
     // count, and lexicographic min/max, then the wide aggregate row is
@@ -257,6 +275,12 @@ object Aggregates extends QueryGroup {
         | list_aggregate(list_sort(list_distinct(list(
         |   replace(lower(o_orderpriority),' ','-') || '|' || o_orderpriority))), 'string_agg', ',') AS tags
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q126_correlation" ->
+      """SELECT event_type,
+        | ROUND(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+        | ROUND(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk,
+        | ROUND(stddev_samp(value), 4) AS sd_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q121_exact_percentile" ->
       """SELECT o_orderstatus,
         | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,

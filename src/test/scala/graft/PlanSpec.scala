@@ -257,6 +257,29 @@ class PlanSpec extends SparkSpec {
     assert("Aggregate".r.findAllIn(p115).size >= 2)
   }
 
+  test("r4 batch-3 scale shapes: bounded-vocab PMI, windowed history, decay broadcast") {
+    val p123 = plan("q123_pmi_pairs")
+    // the vocabulary cut is a local top-k, and the within-doc pair join
+    // must be equi-keyed on doc_id — never an unkeyed pair blowup
+    assert(p123.contains("TakeOrderedAndProject"))
+    assert(!p123.contains("CartesianProduct"))
+    assert("""keys \[\d+\]: \[doc_id""".r.findFirstIn(p123).isDefined,
+      "q123's pair join must key on doc_id")
+    // q122's one-row reference date broadcasts; no cartesian anywhere
+    val p122 = plan("q122_engagement")
+    assert(p122.contains("Broadcast") && !p122.contains("CartesianProduct"))
+    // the history/session windows are single-pass: one hash-partition
+    // exchange for the user window + the presentation range sort
+    Seq("q124_scd2_history", "q125_session_ids").foreach { q =>
+      val p = plan(q)
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q needs only window + presentation exchanges")
+      assert(!p.contains("CartesianProduct"))
+    }
+    // co-moment aggregates partial-aggregate like any sum
+    assert("HashAggregate".r.findAllIn(plan("q126_correlation")).size >= 2)
+  }
+
   test("star-schema query broadcasts its snowflake arm and pushes the date filter") {
     val p = plan("q118_regional_revenue")
     // region→nation→supplier collapses to broadcasts; no cartesian
