@@ -224,9 +224,40 @@ object Relational extends QueryGroup {
           |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
           |ORDER BY o_orderkey""".stripMargin)
     }),
+
+    // q127 [CLOSURE]: Z-ORDER layout key — the Morton interleave of
+    // (user_id, props.k) that multi-dimensional data skipping sorts by
+    // (see Layout.zorderKey: one file envelope stays tight on BOTH
+    // dimensions). Pure codegen'd bit arithmetic, no UDF; the oracle
+    // evaluates the identical shifts in DuckDB so the key is pinned
+    // bit-for-bit. LayoutSpec measures the envelope shrinkage that makes
+    // this worth sorting 100 TB by.
+    "q127_zorder_key" -> ((spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("z",
+          Layout.zorderKey(col("user_id"), col("k"), ZOrderBits))
+        .select(col("event_id"), col("user_id"), col("k"), col("z"))
+        .orderBy("event_id")),
   )
 
+  private[graft] val ZOrderBits = 12
+
+  // q127 mirror: the identical interleave, spelled with DuckDB's bit
+  // operators (precedence differs from Spark's builder — every term is
+  // fully parenthesized).
+  private def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.map(t => s"($t)").mkString(" | ")
+
   def oracles: Map[String, String] = Map(
+    "q127_zorder_key" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |  CAST(${zorderSql("user_id", "CAST(json_extract_string(props, '$.k') AS BIGINT)", ZOrderBits)} AS BIGINT) AS z
+         |FROM events ORDER BY event_id""".stripMargin,
     "q00_flagship" ->
       """SELECT e.event_id, e.user_id, CAST(json_extract(e.props,'$.k') AS BIGINT) AS k,
         | d.doc_id, substring(d.text,1,30) AS headline,

@@ -80,4 +80,35 @@ class LayoutSpec extends SparkSpec {
     val expected = curated.filter(col("split") === "train").count()
     assert(train.count() == expected && expected > 0)
   }
+
+  test("z-order chunks prune point predicates on BOTH dimensions; 1-D sorts on only one") {
+    // The quantity data skipping actually reads: how many chunks' min/max
+    // envelopes CONTAIN a point predicate's value. A 1-D sort prunes its
+    // own column perfectly and the other not at all (every chunk spans the
+    // other column's full range); Morton order splits both, so both
+    // single-column predicates touch a strict subset of chunks. k is
+    // left-shifted 3 to align its 7-bit range with event_id's 10 bits —
+    // the bit-width normalization real z-ordering applies per column.
+    val ev = Tables(spark, Sf, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val buckets = 16
+    def chunksContaining(key: org.apache.spark.sql.Column,
+        dim: String, v: Long): Long =
+      Layout.chunkEnvelopes(ev, key, col("event_id"), col("k"), buckets)
+        .filter(col(s"${dim}0") <= v && col(s"${dim}1") >= v)
+        .count()
+    val zkey = Layout.zorderKey(col("event_id"), shiftleft(col("k"), 3),
+      graft.operators.Relational.ZOrderBits)
+    // k-point predicate: the x-sorted layout cannot prune it at all
+    val zForK = chunksContaining(zkey, "y", 42L)
+    val xForK = chunksContaining(col("event_id"), "y", 42L)
+    // x-point predicate: the k-sorted layout cannot prune it at all
+    val zForX = chunksContaining(zkey, "x", 500L)
+    val kForX = chunksContaining(col("k"), "x", 500L)
+    assert(xForK == buckets && kForX == buckets,
+      "a 1-D sort must leave the other dimension unprunable (test premise)")
+    assert(zForK * 2 <= buckets, s"z-order k-pruning too weak: $zForK/$buckets")
+    assert(zForX * 2 <= buckets, s"z-order x-pruning too weak: $zForX/$buckets")
+  }
 }
