@@ -184,6 +184,23 @@ object Aggregates extends QueryGroup {
           round(stddev_samp(col("value")), 4).as("sd_value"))
         .orderBy("event_type")),
 
+    // q128 [CLOSURE]: grouped LINEAR REGRESSION — the SQL:2003 regr_*
+    // family (slope/intercept/r²) per brand over the part catalog
+    // ("does price scale with size, per brand"), completing the
+    // statistical aggregates next to q126's co-moments. Same single-pass
+    // merge-safe co-moment machinery, same rounded-aggregate rule; one
+    // (brand)-keyed partial agg. Exercises the otherwise-unused
+    // p_brand/p_size/p_retailprice columns.
+    "q128_regression" -> ((spark, dir) =>
+      Tables(spark, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          round(expr("regr_slope(p_retailprice, p_size)"), 4).as("slope"),
+          round(expr("regr_intercept(p_retailprice, p_size)"), 4).as("intercept"),
+          round(expr("regr_r2(p_retailprice, p_size)"), 4).as("r2"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")),
+
     // q114 [CLOSURE]: column PROFILING — the ANALYZE/df.summary() shape:
     // one pass computes per-column row count, null count, exact distinct
     // count, and lexicographic min/max, then the wide aggregate row is
@@ -275,6 +292,13 @@ object Aggregates extends QueryGroup {
         | list_aggregate(list_sort(list_distinct(list(
         |   replace(lower(o_orderpriority),' ','-') || '|' || o_orderpriority))), 'string_agg', ',') AS tags
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q128_regression" ->
+      """SELECT p_brand,
+        | ROUND(regr_slope(p_retailprice, p_size), 4) AS slope,
+        | ROUND(regr_intercept(p_retailprice, p_size), 4) AS intercept,
+        | ROUND(regr_r2(p_retailprice, p_size), 4) AS r2,
+        | CAST(count(*) AS BIGINT) AS n_parts
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q126_correlation" ->
       """SELECT event_type,
         | ROUND(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,

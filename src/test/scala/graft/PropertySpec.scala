@@ -108,4 +108,23 @@ class PropertySpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(diffs == 0)
   }
+
+  test("zorderKey is a bijection on its bit range and preserves quadrant order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exhaustive over 6+6 bits: every (x, y) pair in [0,64)^2
+    val pairs = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+    val df = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.zorderKey(col("x"), col("y"), 6).as("z"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    // bijective: 4096 distinct z values in [0, 4096)
+    val zs = rows.map(_._2)
+    assert(zs.distinct.length == 4096 && zs.min == 0L && zs.max == 4095L)
+    // quadrant order: the top interleaved bits ARE the quadrant id, so all
+    // of quadrant (x<32, y<32) sorts before any of (x>=32, y>=32)
+    val loLo = rows.filter { case ((x, y), _) => x < 32 && y < 32 }.map(_._2).max
+    val hiHi = rows.filter { case ((x, y), _) => x >= 32 && y >= 32 }.map(_._2).min
+    assert(loLo < hiHi)
+  }
 }
