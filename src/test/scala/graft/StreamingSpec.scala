@@ -379,6 +379,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel state machine converges to the batch q107 report") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    val evs = Tables(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[Funnel.Ev].collect().sortBy(e => (e.us, e.event_id))
+    val ms = MemoryStream[Funnel.Ev]
+    val q = Funnel.advances(spark, ms.toDS()).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    val third = evs.length / 3
+    Seq(evs.take(third), evs.slice(third, 2 * third), evs.drop(2 * third))
+      .foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    // redeliver the whole first batch: the monotone state machine must
+    // absorb it without emitting a single new advance
+    val before = spark.table("funnel_out").count()
+    ms.addData(evs.take(third).toSeq); q.processAllAvailable()
+    assert(spark.table("funnel_out").count() == before, "redelivery must be silent")
+    q.stop()
+    // final stage per user (last advance) must equal the batch report
+    val streamed = spark.table("funnel_out")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("stage"), col("view_us"), col("click_us"),
+        col("purch_us"))).as("s"))
+      .select(col("user_id"), col("s.*"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = SparkEntry.queries("q107_funnel")(spark, Sf)
+      .filter(col("stage") > 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming transition pairs == batch q115 counts; late events drop, state stays O(1)/user") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Transitions
