@@ -198,6 +198,64 @@ object TextAnalysis extends QueryGroup {
         .orderBy(col("n").desc, col("ngram"))
         .limit(25)),
 
+    // q129 [north star]: TEXTRANK keywords (Mihalcea & Tarau, EMNLP'04)
+    // — PageRank over the word co-occurrence graph, the
+    // centrality-based keyword extractor next to q96's TF-IDF. The
+    // whole computation is EXACT FIXED-POINT INTEGER arithmetic so the
+    // iterative oracle can be unrolled bit-for-bit (the q91 unrolled-
+    // Lloyd discipline applied to graph centrality): ranks live in
+    // 1e12-scaled BIGINT units, each contribution is one integer
+    // floor-division rank÷degree, and the 0.85 damping is the exact
+    // rational 17/20 applied as (17·sum) div 20 — no doubles exist
+    // anywhere, so ten iterations cannot drift between engines.
+    // Scale shape — the kmeansCore discipline applied to a graph: the
+    // corpus-sized work (tokenize, vocabulary cut, pair mining) runs
+    // distributed with the q123 bounds, and the RANK VECTOR is model
+    // state — ≤100 nodes and ≤C(100,2) edges BY CONSTRUCTION, held on
+    // the driver exactly as k-means holds its k·dim centroids, so ten
+    // iterations cost ten array passes instead of ten Spark jobs over
+    // a 100-row table. A web-scale graph (nodes ∝ corpus) would flip
+    // to the distributed join-agg PageRank step; this operator's graph
+    // is capped, so driver-held is the honest plan at every corpus
+    // size.
+    "q129_textrank" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val dw = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      val vocab = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(100)
+      val inv = dw.join(broadcast(vocab.select(col("w"))), "w")
+      val pairRows = inv.alias("a")
+        .join(inv.alias("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+        .select(col("w1"), col("w2")).collect() // bounded model state
+      val words = vocab.select(col("w")).collect().map(_.getString(0))
+      val edges = pairRows.flatMap(r =>
+        Seq(r.getString(0) -> r.getString(1), r.getString(1) -> r.getString(0)))
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+      val in = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+      val nN = words.length.toLong
+      val Scale = 1000000000000L
+      val base = (3L * Scale) / (20L * nN) // (1-d)·SCALE/N, d = 17/20
+      var rank: Map[String, Long] = words.map(_ -> Scale / nN).toMap
+      (0 until 10).foreach { _ =>
+        val r = rank
+        rank = words.map { w =>
+          val csum = in.getOrElse(w, Array.empty[String])
+            .map(src => r(src) / deg(src)).sum
+          w -> (base + (17L * csum) / 20L)
+        }.toMap
+      }
+      val top = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+        .zipWithIndex
+        .map { case ((w, r), i) => (i + 1L, w, r) }
+      import spark.implicits._
+      top.toDF("rank", "w", "r").orderBy("rank")
+    }),
+
     // q123 [north star]: PMI CO-OCCURRENCE pairs — which vocabulary
     // words appear in the same documents far more than independence
     // predicts (collocation/topic-pair mining; PMI = p(xy)/(p(x)p(y))
@@ -483,7 +541,44 @@ object TextAnalysis extends QueryGroup {
       |           / CAST(greatest(len(ws) - 1, 0) AS DOUBLE)
       |      ELSE 0.0 END) <= 0.2 THEN 1 ELSE 0 END)""".stripMargin
 
+  // q129 mirror: the identical fixed-point PageRank, unrolled — every
+  // iteration is the same integer floor-divisions in the same places, so
+  // ranks match bit-for-bit after ten rounds.
+  private def textrankSql: String = {
+    val iters = (0 until 10).map { i =>
+      s"""r${i + 1} AS (SELECT n.w,
+         |  (SELECT (3 * 1000000000000) // (20 * count(*)) FROM nodes)
+         |    + (17 * COALESCE(s.csum, 0)) // 20 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS w, SUM(r$i.r // d.deg) AS csum
+         |    FROM r$i JOIN edges e ON e.src = r$i.w
+         |             JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.w = n.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |            FROM documents),
+       |vocab AS (SELECT w FROM (
+       |            SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+       |            FROM dw GROUP BY w) t WHERE rk <= 100),
+       |inv AS (SELECT dw.doc_id, dw.w FROM dw JOIN vocab USING (w)),
+       |p AS (SELECT a.w AS w1, b.w AS w2
+       |      FROM inv a JOIN inv b ON a.doc_id = b.doc_id AND a.w < b.w
+       |      GROUP BY a.w, b.w HAVING count(*) >= 5),
+       |edges AS (SELECT w1 AS src, w2 AS dst FROM p
+       |          UNION ALL SELECT w2, w1 FROM p),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT w FROM vocab),
+       |r0 AS (SELECT w, (SELECT 1000000000000 // count(*) FROM nodes) AS r
+       |       FROM nodes),
+       |$iters,
+       |top AS (SELECT w, r FROM r10 ORDER BY r DESC, w LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY r DESC, w) AS BIGINT) AS rank,
+       |  w, CAST(r AS BIGINT) AS r
+       |FROM top ORDER BY rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q129_textrank" -> textrankSql,
     "q123_pmi_pairs" ->
       """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
         |            FROM documents),
