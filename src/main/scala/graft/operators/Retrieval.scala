@@ -92,6 +92,36 @@ object Retrieval extends QueryGroup {
     "q83_bm25" -> ((spark, dir) =>
       bm25TopK(Tables(spark, dir, "documents"), QueryTerms, 20)),
 
+    // q130 [north star]: INVERTED-INDEX construction — the index-build
+    // side of q83's query-time scoring: per vocabulary term, document
+    // frequency plus the posting list itself (the 50 LOWEST doc ids,
+    // ascending — a q58-style cap so a stop-word's postings cannot make
+    // one output row corpus-sized; real indexes tier or skip such
+    // terms, and df carries the true count regardless). The cap is
+    // enforced by the bounded TopKAgg, so map-side partials carry ≤ 50
+    // ids per (word, partition) — a collect_list-then-slice would
+    // materialize the full corpus-sized posting before cutting it.
+    // One (word)-keyed shuffle; the vocabulary cut is the q123
+    // TakeOrderedAndProject + broadcast.
+    "q130_posting_lists" -> ((spark, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(50),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val dw = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      val vocab = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(100)
+      dw.join(broadcast(vocab), "w")
+        .groupBy(col("w"))
+        .agg(first(col("df")).as("df"),
+          // score = -doc_id: TopKAgg's (score DESC, id ASC) order yields
+          // the 50 smallest ids, already ascending
+          topk((-col("doc_id")).cast("double"), col("doc_id")).as("top"))
+        .select(col("w"), col("df"),
+          array_join(col("top.id").cast("array<string>"), ",").as("postings"))
+        .orderBy("w")
+    }),
+
     // q96 [north star]: per-document top-3 TF-IDF terms — the keyword
     // summary a curation pipeline attaches to every doc (topic tagging,
     // index keys, dedup explanations). Same rational log-free IDF as q83
@@ -142,6 +172,17 @@ object Retrieval extends QueryGroup {
     val tfOut = QueryTerms.indices.map(i =>
       s"CAST(tf${i + 1} AS BIGINT) AS tf${i + 1}").mkString(", ")
     Map(
+      "q130_posting_lists" ->
+        """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+          |            FROM documents),
+          |v AS (SELECT w, df FROM (
+          |        SELECT w, CAST(count(*) AS BIGINT) AS df,
+          |               row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+          |        FROM dw GROUP BY w) t WHERE rk <= 100)
+          |SELECT v.w, v.df,
+          |  array_to_string(list_sort(list(dw.doc_id))[1:50], ',') AS postings
+          |FROM dw JOIN v ON v.w = dw.w
+          |GROUP BY v.w, v.df ORDER BY v.w""".stripMargin,
       "q83_bm25" ->
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |t AS (SELECT doc_id, len(ws) AS dl,
