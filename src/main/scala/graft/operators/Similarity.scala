@@ -579,24 +579,51 @@ object Similarity extends QueryGroup {
       semanticDedup(Tables(spark, dir, "embeddings"), k = 8)),
   )
 
+  /** Dominator candidates per cluster: each vector is compared against
+    * its cluster's `MaxClusterHead` LOWEST vec_ids only. The cap is PART
+    * OF THE MEASURE (mirrored in the oracle, the q101 discipline) and is
+    * what keeps q113 linear under adversarial skew: a degenerate corpus
+    * (an embedding-job failure emitting identical vectors) collapses
+    * every row into ONE cluster, and an uncapped within-cluster pair
+    * join would go quadratic exactly when the data is at its worst.
+    * With the cap, per-row fanout is ≤ MaxClusterHead regardless of
+    * cluster size (SkewSpec asserts the degenerate case), and recall
+    * loss is confined to documents whose EVERY earlier near-dup sits
+    * outside the cluster's head set — at sane k (clusters ≈ the head
+    * size) the cap is inactive.
+    */
+  private[graft] val MaxClusterHead = 256
+
   /** q113's operator over any embeddings-shaped input — see the query
     * comment above. `k` is THE scale knob: SemDeDup grows cluster count
     * with the corpus (k ≈ n / target-cluster-size) so per-cluster pair
     * work stays bounded; ScalingBench measures both the fixed-k and the
-    * scaled-k policies, the q59/ivfTop1 discipline.
+    * scaled-k policies, the q59/ivfTop1 discipline. The head-set cap
+    * (MaxClusterHead) bounds the blast radius when the k assumption
+    * breaks.
     */
   private[graft] def semanticDedup(emb: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(MaxClusterHead),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val pts = withQuantized(emb)
       .join(kmeansAssign(emb, k = k, iters = 2)
         .select(col("vec_id"), col("cluster")), "vec_id")
       .withColumn("nn", VectorOps.dot(col("qvec"), col("qvec")))
-    val d = VectorOps.dot(col("a.qvec"), col("b.qvec"))
-    val dominated = pts.alias("a").join(pts.alias("b"),
-        col("a.cluster") === col("b.cluster") &&
-          col("b.vec_id") < col("a.vec_id"))
-      .filter(d > 0 &&
-        d * d * lit(400L) >= lit(81L) * col("a.nn") * col("b.nn"))
-      .groupBy(col("a.vec_id").as("vec_id"))
+    // the head set: each cluster's MaxClusterHead lowest ids, with their
+    // vectors re-attached by equi-join (bounded: ≤ cap·k rows total)
+    val heads = pts
+      .groupBy(col("cluster"))
+      .agg(topk((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
+      .select(col("cluster"), explode(col("top.id")).as("vec_id"))
+      .join(pts.select(col("vec_id"), col("qvec").as("h_qvec"),
+        col("nn").as("h_nn")), "vec_id")
+      .select(col("cluster"), col("vec_id").as("h_id"),
+        col("h_qvec"), col("h_nn"))
+    val d = VectorOps.dot(col("qvec"), col("h_qvec"))
+    val dominated = pts.join(heads, "cluster")
+      .filter(col("h_id") < col("vec_id") && d > 0 &&
+        d * d * lit(400L) >= lit(81L) * col("nn") * col("h_nn"))
+      .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_dominators"))
     pts.select(col("vec_id"), col("cluster"))
       .join(dominated, Seq("vec_id"), "left")
@@ -836,8 +863,13 @@ object Similarity extends QueryGroup {
          |pts AS (SELECT q.vec_id, f.cluster, q.qvec,
          |          ${qdot("q.qvec", "q.qvec")} AS nn
          |        FROM q JOIN fin f ON f.vec_id = q.vec_id),
+         |heads AS (SELECT cluster, vec_id, qvec, nn FROM (
+         |            SELECT cluster, vec_id, qvec, nn,
+         |              row_number() OVER (PARTITION BY cluster
+         |                ORDER BY vec_id) AS rk
+         |            FROM pts) h WHERE rk <= $MaxClusterHead),
          |dom AS (SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dominators
-         |        FROM pts a JOIN pts b
+         |        FROM pts a JOIN heads b
          |          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
          |        WHERE ${qdot("a.qvec", "b.qvec")} > 0
          |          AND ${qdot("a.qvec", "b.qvec")} * ${qdot("a.qvec", "b.qvec")} * 400

@@ -122,4 +122,28 @@ class SkewSpec extends SparkSpec {
     assert(buckets.length == 8) // hot key now occupies every reducer bucket
     assert(buckets.map(_.getLong(1)).max < 1000)
   }
+
+  test("SemDeDup head cap: a degenerate one-cluster corpus stays linear, not quadratic") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the adversarial case the cap exists for: an embedding-job failure
+    // emits IDENTICAL vectors — k-means collapses everything into one
+    // cluster (ties break to cluster 0) and an uncapped pair join would
+    // be n²/2. n chosen > MaxClusterHead so the cap is actually active.
+    val n = 600
+    val emb = (0 until n)
+      .map(i => (i.toLong, Array.fill(8)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.semanticDedup(emb, k = 4).collect()
+    assert(rows.length == n)
+    // cos(identical, identical) = 1 ≥ τ: only the global min id survives
+    assert(rows.count(_.getLong(2) == 1L) == 1)
+    assert(rows.find(_.getLong(0) == 0L).get.getLong(2) == 1L)
+    // fanout is capped: nobody can have more dominators than the head set
+    val maxDom = rows.map(_.getLong(3)).max
+    assert(maxDom == Similarity.MaxClusterHead.toLong,
+      s"deepest row should see exactly the full head set, got $maxDom")
+    // and a row inside the head region sees exactly its rank's dominators
+    assert(rows.find(_.getLong(0) == 10L).get.getLong(3) == 10L)
+  }
 }
