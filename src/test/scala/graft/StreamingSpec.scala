@@ -379,6 +379,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sessionizer tags every event exactly like batch q125") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionizer
+    val evs = Tables(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Sessionizer.Ev].collect().sortBy(e => (e.us, e.event_id))
+    val ms = MemoryStream[Sessionizer.Ev]
+    val q = Sessionizer.tag(spark, ms.toDS()).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    val half = evs.length / 2
+    ms.addData(evs.take(half).toSeq); q.processAllAvailable()
+    // redelivered tail of batch 1: high-water guard must emit nothing
+    ms.addData(evs.slice(half - 5, half).toSeq); q.processAllAvailable()
+    val mid = spark.table("sess_out").count()
+    assert(mid == half, s"redelivery leaked ${mid - half} rows")
+    ms.addData(evs.drop(half).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .select(col("event_id"), col("session_seq"), col("session_start"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("q125_session_ids")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming funnel state machine converges to the batch q107 report") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Funnel
