@@ -577,6 +577,43 @@ object Similarity extends QueryGroup {
     // exists anywhere in the plan.
     "q113_semantic_dedup" -> ((spark, dir) =>
       semanticDedup(Tables(spark, dir, "embeddings"), k = 8)),
+
+    // q131 [north star]: SOURCE-CENTROID similarity matrix — which
+    // corpora sit close in embedding space (the semantic view of q86's
+    // shingle-overlap matrix; the signal behind merge/dedup-across-
+    // sources and mixing decisions). Determinism without means: each
+    // source's centroid is kept as its exact int8 SUM vector + count
+    // (the q91 recompute trick — sums are order-independent BIGINTs,
+    // and dot(sum_a, sum_b)/(n_a·n_b) IS the centroid dot, so emitting
+    // the integer numerator and the counts carries the full value with
+    // zero floating point). Scale: one (source, pos)-keyed partial agg
+    // reduces the corpus to |sources|·dim rows; the pair matrix is
+    // |sources|² — model-sized — so the pair join broadcasts by
+    // construction.
+    "q131_source_centroids" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val cent = withQuantized(Tables(spark, dir, "embeddings"))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("source"), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .groupBy(col("source"), col("pos"))
+        .agg(sum(col("v")).as("s"))
+        .groupBy(col("source"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("svec"))
+      val counts = docs.join(
+          Tables(spark, dir, "embeddings").select(col("vec_id")),
+          col("vec_id") === col("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val c = cent.join(counts, "source")
+      c.alias("a").join(broadcast(c.alias("b")),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          VectorOps.dot(col("a.svec"), col("b.svec")).as("dot_sums"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .orderBy("src_a", "src_b")
+    }),
   )
 
   /** Dominator candidates per cluster: each vector is compared against
@@ -827,6 +864,27 @@ object Similarity extends QueryGroup {
          |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
          |      FROM p)
          |SELECT a_id, b_id, bucket FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
+    "q131_source_centroids" ->
+      s"""WITH qv AS (SELECT * FROM $qvecSql t),
+         |j AS (SELECT d.source, qv.qvec FROM qv
+         |      JOIN documents d ON qv.vec_id = d.doc_id),
+         |sums AS (SELECT source, struct_extract(u, 'pos') AS pos,
+         |           SUM(struct_extract(u, 'v')) AS s
+         |         FROM (SELECT source,
+         |                 unnest(list_transform(range(1, len(qvec) + 1),
+         |                   i -> {'pos': i, 'v': qvec[i]})) AS u
+         |               FROM j) m
+         |         GROUP BY source, pos),
+         |cent AS (SELECT source, list(CAST(s AS BIGINT) ORDER BY pos) AS svec
+         |         FROM sums GROUP BY source),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |        FROM j GROUP BY source),
+         |c AS (SELECT cent.source, svec, n FROM cent JOIN cnt USING (source))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(${qdot("a.svec", "b.svec")} AS BIGINT) AS dot_sums,
+         |  a.n AS n_a, b.n AS n_b
+         |FROM c a JOIN c b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "q109_knn_label" ->
       s"""WITH qv AS (SELECT z.vec_id, CAST(e.label AS BIGINT) AS label, z.qvec
          |            FROM $qvecSql z JOIN embeddings e ON e.vec_id = z.vec_id),
