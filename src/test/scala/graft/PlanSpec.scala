@@ -280,6 +280,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan("q126_correlation")).size >= 2)
   }
 
+  test("index build and centroid matrix keep their bounded shapes") {
+    // q130's posting cut is the bounded aggregator, never a rank window
+    val p130 = plan("q130_posting_lists")
+    assert(!p130.contains("Window"), "q130 must not plan a rank window")
+    assert(p130.contains("TakeOrderedAndProject")) // the vocabulary cut
+    // q131's pair join is over the model-sized centroid table: broadcast,
+    // and nothing corpus-sized crosses a nested loop
+    val p131 = plan("q131_source_centroids")
+    assert(p131.contains("Broadcast"))
+    assert(!p131.contains("CartesianProduct"))
+  }
+
   test("star-schema query broadcasts its snowflake arm and pushes the date filter") {
     val p = plan("q118_regional_revenue")
     // region→nation→supplier collapses to broadcasts; no cartesian
