@@ -175,14 +175,9 @@ object Aggregates extends QueryGroup {
     // avg. Partial-aggregating by construction (corr/covar merge like
     // sum); one (event_type)-keyed shuffle.
     "q126_correlation" -> ((spark, dir) =>
-      Tables(spark, dir, "events")
+      comoments(Tables(spark, dir, "events")
         .select(col("event_type"), col("value"),
-          get_json_object(col("props"), "$.k").cast("double").as("k"))
-        .groupBy(col("event_type"))
-        .agg(round(corr(col("value"), col("k")), 4).as("corr_vk"),
-          round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
-          round(stddev_samp(col("value")), 4).as("sd_value"))
-        .orderBy("event_type")),
+          get_json_object(col("props"), "$.k").cast("double").as("k")))),
 
     // q128 [CLOSURE]: grouped LINEAR REGRESSION — the SQL:2003 regr_*
     // family (slope/intercept/r²) per brand over the part catalog
@@ -237,6 +232,23 @@ object Aggregates extends QueryGroup {
         .orderBy("col_name")
     }),
   )
+
+  /** q126's operator over a `(event_type, value, k)` frame. Degenerate
+    * groups (zero variance, or fewer than 2 non-null pairs) make Spark's
+    * corr/covar_samp/stddev_samp return NaN where DuckDB returns NULL —
+    * the NaN is normalized to NULL so both engines state "undefined" the
+    * same way (a zero-variance group has no correlation to report).
+    */
+  private[graft] def comoments(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def nanToNull(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(c)
+    df.groupBy(col("event_type"))
+      .agg(nanToNull(round(corr(col("value"), col("k")), 4)).as("corr_vk"),
+        nanToNull(round(covar_samp(col("value"), col("k")), 4)).as("covar_vk"),
+        nanToNull(round(stddev_samp(col("value")), 4)).as("sd_value"))
+      .orderBy("event_type")
+  }
 
   def oracles: Map[String, String] = Map(
     "q17_agg_tpch_q1" ->

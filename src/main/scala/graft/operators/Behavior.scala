@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -139,19 +140,9 @@ object Behavior extends QueryGroup {
     // independent of corpus size, cheaper than a range self-join, and
     // partial-aggregating end to end. Days with zero trailing activity
     // simply don't appear (no users to count).
-    "q120_rolling_actives" -> ((spark, dir) => {
-      val act = Tables(spark, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      act.select(col("user_id"),
-          explode(sequence(lit(0), lit(6))).as("k"),
-          col("d"))
-        .select(col("user_id"), date_add(col("d"), col("k")).as("day"))
-        .groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("active_7d"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("active_7d"))
-        .orderBy("day")
-    }),
+    "q120_rolling_actives" -> ((spark, dir) =>
+      rollingActives(Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct())),
 
     // q122 [CLOSURE]: RECENCY-WEIGHTED engagement — per-user sum of
     // event values decayed by age, with the decay spelled as division
@@ -161,19 +152,9 @@ object Behavior extends QueryGroup {
     // bit differs — the q83 log-avoidance discipline applied to decay).
     // The reference date is the corpus's own max day (one-row
     // broadcast); the per-user sum follows the rounded-aggregate rule.
-    "q122_engagement" -> ((spark, dir) => {
-      val ev = Tables(spark, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
-      val ref = ev.agg(max(col("d")).as("maxd"))
-      ev.crossJoin(broadcast(ref))
-        .withColumn("age", datediff(col("maxd"), col("d")))
-        .withColumn("contrib",
-          col("value") / expr("cast(shiftleft(cast(1 as bigint), age) as double)"))
-        .groupBy(col("user_id"))
-        .agg(round(sum(col("contrib")), 4).as("engagement"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id")
-    }),
+    "q122_engagement" -> ((spark, dir) =>
+      engagement(Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("value")))),
 
     // q124 [CLOSURE]: SCD-2 HISTORY — each user's event stream becomes
     // validity intervals (valid_from/valid_to, current-row flag): the
@@ -181,20 +162,10 @@ object Behavior extends QueryGroup {
     // point-in-time joins. One lead() window per user ordered by
     // (ts, event_id) (ties broken by the unique id, the Windows
     // discipline); epoch-micros output with -1 for the open interval.
-    "q124_scd2_history" -> ((spark, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("vf"), col("event_id"))
-      Tables(spark, dir, "events")
+    "q124_scd2_history" -> ((spark, dir) =>
+      scd2(Tables(spark, dir, "events")
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("vf"), col("value"))
-        .withColumn("nxt", lead(col("vf"), 1).over(w))
-        .select(col("user_id"), col("event_id"), col("vf").as("valid_from_us"),
-          coalesce(col("nxt") - 1, lit(-1L)).as("valid_to_us"),
-          when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
-          col("value"))
-        .orderBy("user_id", "valid_from_us", "event_id")
-    }),
+          unix_micros(col("ts")).as("vf"), col("value")))),
 
     // q125 [CLOSURE]: SESSION-ID assignment — the per-EVENT form of
     // q41's session windows: a session break is a >30-minute gap, and
@@ -251,6 +222,69 @@ object Behavior extends QueryGroup {
             1L).otherwise(0L).as("is_anomaly"))
         .orderBy("user_id", "day")
     }))
+
+  /** q120's operator over a distinct `(user_id, d: date)` activation
+    * frame. The activation fanout emits up to 6 offset rows past a
+    * user's own last day, so the result is clipped to the CORPUS's last
+    * active day (one-row broadcast) — days after the data end are a
+    * statement about days we have not observed, not zero-activity days.
+    */
+  private[graft] def rollingActives(act: DataFrame): DataFrame = {
+    val ref = act.agg(max(col("d")).as("maxd"))
+    act.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("k")).as("day"))
+      .crossJoin(broadcast(ref))
+      .filter(col("day") <= col("maxd"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("active_7d"))
+      .orderBy("day")
+  }
+
+  /** q122's operator over a `(user_id, d: date, value)` frame. The decay
+    * divisor 2^age is computed with shiftleft, and Spark masks shift
+    * amounts mod 64 — age 63 would yield a NEGATIVE divisor and age 64 a
+    * divisor of 1 (while DuckDB overshifts to 0, i.e. ÷0 → inf), so ages
+    * past 62 are clamped to a zero contribution on BOTH engines.
+    * Semantically lossless: 2⁻⁶³ ≈ 1e-19 sits far below the 4dp
+    * rounded-aggregate output, so the clamp only removes noise terms.
+    * Valid for any event-history span (the wrap is unreachable).
+    */
+  private[graft] def engagement(ev: DataFrame): DataFrame = {
+    val ref = ev.agg(max(col("d")).as("maxd"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age", datediff(col("maxd"), col("d")))
+      .withColumn("contrib",
+        when(col("age") <= 62,
+          col("value") / expr("cast(shiftleft(cast(1 as bigint), age) as double)"))
+          .otherwise(lit(0.0)))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("contrib")), 4).as("engagement"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q124's operator over a `(user_id, event_id, vf: epoch-µs, value)`
+    * frame. Two events with IDENTICAL timestamps for one user would
+    * otherwise produce an inverted interval (valid_to = valid_from − 1);
+    * greatest() floors the close at the open, so equal-timestamp
+    * revisions collapse to zero-width intervals instead of negative ones
+    * (the event_id tiebreak still orders them deterministically).
+    */
+  private[graft] def scd2(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("vf"), col("event_id"))
+    ev.withColumn("nxt", lead(col("vf"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("vf").as("valid_from_us"),
+        coalesce(greatest(col("nxt") - 1, col("vf")), lit(-1L)).as("valid_to_us"),
+        when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
+        col("value"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
 
   def oracles: Map[String, String] = Map(
     "q107_funnel" ->
@@ -311,8 +345,9 @@ object Behavior extends QueryGroup {
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
         |r AS (SELECT max(d) AS maxd FROM e)
         |SELECT user_id,
-        |  ROUND(SUM(value / CAST((CAST(1 AS BIGINT) << (maxd - d)) AS DOUBLE)), 4)
-        |    AS engagement,
+        |  ROUND(SUM(CASE WHEN (maxd - d) <= 62
+        |    THEN value / CAST((CAST(1 AS BIGINT) << (maxd - d)) AS DOUBLE)
+        |    ELSE 0.0 END), 4) AS engagement,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM e, r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q124_scd2_history" ->
@@ -322,7 +357,7 @@ object Behavior extends QueryGroup {
         |          ORDER BY vf, event_id) AS nxt
         |      FROM t)
         |SELECT user_id, event_id, vf AS valid_from_us,
-        |  COALESCE(nxt - 1, -1) AS valid_to_us,
+        |  COALESCE(GREATEST(nxt - 1, vf), -1) AS valid_to_us,
         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
         |  value
         |FROM x ORDER BY user_id, valid_from_us, event_id""".stripMargin,
@@ -345,7 +380,8 @@ object Behavior extends QueryGroup {
         |      FROM act, (SELECT unnest(range(0, 7)) AS k) o)
         |SELECT strftime(day, '%Y-%m-%d') AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
-        |FROM x GROUP BY day ORDER BY day""".stripMargin,
+        |FROM x WHERE day <= (SELECT max(d) FROM act)
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q117_anomaly_days" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
         |        CAST(count(*) AS BIGINT) AS c

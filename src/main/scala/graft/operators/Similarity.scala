@@ -586,7 +586,13 @@ object Similarity extends QueryGroup {
     // (the q91 recompute trick — sums are order-independent BIGINTs,
     // and dot(sum_a, sum_b)/(n_a·n_b) IS the centroid dot, so emitting
     // the integer numerator and the counts carries the full value with
-    // zero floating point). Scale: one (source, pos)-keyed partial agg
+    // zero floating point). BIGINT exactness has a BOUND: |dot of sums|
+    // ≤ dim·127²·n_a·n_b = 64·16129·n_a·n_b, so the numerator fits a
+    // Long only while n_a·n_b ≤ 2⁶³/(64·127²) ≈ 8.9e12 (~3e6 docs per
+    // source, balanced) — beyond that the plan raises instead of
+    // silently wrapping (the quantizedTop1 guard discipline; the fix at
+    // that scale is widening the numerator to DOUBLE and accepting the
+    // rounded-aggregate rule). Scale: one (source, pos)-keyed partial agg
     // reduces the corpus to |sources|·dim rows; the pair matrix is
     // |sources|² — model-sized — so the pair join broadcasts by
     // construction.
@@ -607,10 +613,18 @@ object Similarity extends QueryGroup {
           col("vec_id") === col("doc_id"))
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
       val c = cent.join(counts, "source")
+      // the exactness bound from the scaladoc above, enforced in-plan
+      // (double-compared: n_a·n_b itself could wrap as BIGINT first)
+      val pairLimit = (Long.MaxValue / (64L * 127L * 127L)).toDouble
       c.alias("a").join(broadcast(c.alias("b")),
           col("a.source") < col("b.source"))
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-          VectorOps.dot(col("a.svec"), col("b.svec")).as("dot_sums"),
+          when(col("a.n").cast("double") * col("b.n") > pairLimit,
+            raise_error(lit("q131 centroid-sum dot exceeds BIGINT " +
+              "exactness bound (n_a*n_b > 2^63/(64*127^2)); widen the " +
+              "numerator to DOUBLE for sources this large")))
+            .otherwise(VectorOps.dot(col("a.svec"), col("b.svec")))
+            .as("dot_sums"),
           col("a.n").as("n_a"), col("b.n").as("n_b"))
         .orderBy("src_a", "src_b")
     }),

@@ -642,4 +642,67 @@ class OperatorSpec extends SparkSpec {
         assert(days.forall(_.getLong(3) == 0L))
     }
   }
+
+  test("q122 decay clamp: >62-day spans contribute zero, never a wrapped divisor") {
+    import spark.implicits._
+    // maxd = 2020-04-10; ages are 100 (u1 early), 0 (u1 late), 63 (u2 —
+    // exactly the first wrapped shift amount: unclamped, shiftleft(1,63)
+    // is Long.MinValue and the contribution goes NEGATIVE)
+    val ev = Seq(
+      ("u1", java.sql.Date.valueOf("2020-01-01"), 8.0),
+      ("u1", java.sql.Date.valueOf("2020-04-10"), 2.0),
+      ("u2", java.sql.Date.valueOf("2020-02-07"), 4.0)
+    ).toDF("user_id", "d", "value")
+    val out = graft.operators.Behavior.engagement(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("u1") == 2.0, s"age-100 event must decay to zero, got ${out("u1")}")
+    assert(out("u2") == 0.0, s"age-63 event must clamp to zero, got ${out("u2")}")
+  }
+
+  test("q124 equal-timestamp revisions never produce inverted intervals") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1000L, 1.0), (1L, 11L, 1000L, 2.0), (1L, 12L, 2000L, 3.0)
+    ).toDF("user_id", "event_id", "vf", "value")
+    val rows = graft.operators.Behavior.scd2(ev).collect()
+    rows.foreach { r =>
+      val (vf, vt) = (r.getLong(2), r.getLong(3))
+      assert(vt == -1L || vt >= vf, s"inverted interval [$vf, $vt]")
+    }
+    // the equal-ts pair: first revision collapses to a zero-width interval
+    val first = rows.find(_.getLong(1) == 10L).get
+    assert(first.getLong(3) == 1000L)
+  }
+
+  test("q126 degenerate groups report NULL, never NaN") {
+    import spark.implicits._
+    val df = Seq(
+      ("const", 5.0, Option(1.0)), ("const", 5.0, Option(2.0)),
+      ("single", 1.0, Option(2.0)),
+      ("nullk", 1.0, Option.empty[Double]), ("nullk", 2.0, Option.empty[Double])
+    ).toDF("event_type", "value", "k")
+    val rows = graft.operators.Aggregates.comoments(df).collect()
+    rows.foreach { r =>
+      (1 to 3).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(!r.getDouble(i).isNaN, s"NaN leaked in ${r.getString(0)} col $i")
+      }
+    }
+    val const = rows.find(_.getString(0) == "const").get
+    assert(const.isNullAt(1), "zero-variance corr must be NULL")
+    assert(const.getDouble(3) == 0.0, "zero-variance stddev is 0, not NULL")
+  }
+
+  test("q120 rolling actives stop at the corpus's last active day") {
+    import spark.implicits._
+    val act = Seq(
+      ("u1", java.sql.Date.valueOf("2020-01-01")),
+      ("u2", java.sql.Date.valueOf("2020-01-05"))
+    ).toDF("user_id", "d")
+    val rows = graft.operators.Behavior.rollingActives(act)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keys.max == "2020-01-05", "no phantom days past the data end")
+    assert(rows("2020-01-05") == 2L, "both users active in the trailing week")
+    assert(rows("2020-01-01") == 1L)
+  }
 }
