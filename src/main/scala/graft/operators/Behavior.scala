@@ -280,7 +280,11 @@ object Behavior extends QueryGroup {
       .orderBy(col("vf"), col("event_id"))
     ev.withColumn("nxt", lead(col("vf"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("vf").as("valid_from_us"),
-        coalesce(greatest(col("nxt") - 1, col("vf")), lit(-1L)).as("valid_to_us"),
+        // explicit null branch: greatest() SKIPS nulls on both engines,
+        // so greatest(NULL-1, vf) would silently close the open interval
+        // at vf instead of flagging it -1
+        when(col("nxt").isNull, lit(-1L))
+          .otherwise(greatest(col("nxt") - 1, col("vf"))).as("valid_to_us"),
         when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
         col("value"))
       .orderBy("user_id", "valid_from_us", "event_id")
@@ -357,7 +361,8 @@ object Behavior extends QueryGroup {
         |          ORDER BY vf, event_id) AS nxt
         |      FROM t)
         |SELECT user_id, event_id, vf AS valid_from_us,
-        |  COALESCE(GREATEST(nxt - 1, vf), -1) AS valid_to_us,
+        |  CASE WHEN nxt IS NULL THEN -1 ELSE GREATEST(nxt - 1, vf) END
+        |    AS valid_to_us,
         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
         |  value
         |FROM x ORDER BY user_id, valid_from_us, event_id""".stripMargin,

@@ -30,10 +30,31 @@ import graft.functions.VectorOps
   */
 object Similarity extends QueryGroup {
 
-  /** 16 fixed random hyperplanes (seeded) for sign-LSH over 64-dim vectors. */
+  /** 32 fixed random hyperplanes (seeded) for sign-LSH over 64-dim
+    * vectors — the POOL; a query uses the first `bits` of them (the first
+    * 16 are bit-identical to the pre-parameterized fixed-16 key). 32 is
+    * the pool ceiling because the bucket id packs one sign per bit of a
+    * BIGINT with headroom, and 2³² buckets ≈ 4 vectors/bucket at half a
+    * trillion rows — beyond any corpus this engine targets.
+    */
   private val hyperplanes: Seq[Seq[Double]] = {
     val r = new Random(42)
-    Seq.fill(16)(Seq.fill(64)(r.nextGaussian()))
+    Seq.fill(32)(Seq.fill(64)(r.nextGaussian()))
+  }
+
+  /** Sign-LSH key width for a corpus of n vectors: the smallest b in
+    * [4, 32] with n ≤ 32·2^b, i.e. expected bucket occupancy held at
+    * ~32 regardless of corpus size — bucket-join pair work stays ~32·n
+    * (linear) where a FIXED width goes quadratic once buckets saturate
+    * (the measured 5.4×-at-10× curve this replaces). Pure integer
+    * thresholds so the DuckDB mirror (an exact CASE chain over the same
+    * powers of two) cannot disagree on boundary corpora the way a
+    * float log2 could.
+    */
+  private[graft] def lshBits(n: Long): Int = {
+    var b = 4
+    while (b < 32 && n > (32L << b)) b += 1
+    b
   }
 
   /** 16 fixed ±1 Rademacher rows (seeded) for the q98 JL projection over
@@ -47,10 +68,46 @@ object Similarity extends QueryGroup {
     Seq.fill(16)(Seq.fill(64)(if (r.nextBoolean()) 1L else -1L))
   }
 
-  private def signBucket(v: Column): Column =
-    hyperplanes.zipWithIndex.map { case (p, j) =>
+  private def signBucket(v: Column, bits: Int): Column =
+    hyperplanes.take(bits).zipWithIndex.map { case (p, j) =>
       when(VectorOps.dot(v, typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** q49's operator at an explicit key width (the registered query feeds
+    * it lshBits(count); ScalingBench also measures a pinned width as the
+    * fixed-key counterfactual).
+    */
+  private[graft] def annLsh(emb0: DataFrame, bits: Int): DataFrame = {
+    val emb = emb0
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"),
+        signBucket(col("embedding"), bits).as("bucket"))
+    emb.alias("a")
+      .join(emb.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.bucket").as("bucket"),
+        (VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("bucket")),
+        struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
+      .select(col("a_id"), col("best.b_id").as("b_id"),
+        col("best.bucket").as("bucket"))
+      .orderBy("a_id")
+  }
+
+  /** IVF coarse-quantizer size for a corpus of n vectors: K = max(16,
+    * ⌊√n⌋) — the classic balance point of the n·K assignment term
+    * against the n·(n/K) probe term (total dot work 2·n^1.5, vs n²/K
+    * for any fixed K). Exact across engines: IEEE sqrt is correctly
+    * rounded on both, and floor(sqrt(n)) of an exact integer square is
+    * exact, so the DuckDB mirror (GREATEST(16, FLOOR(SQRT(count(*)))))
+    * picks the same K on every corpus.
+    */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(16L, math.sqrt(n.toDouble).toLong).toInt
 
   /** q48's exact-tier ceiling: all-pairs is O(n²) BY CONTRACT (the
     * dimension-table tier); above this many rows the plan is refused
@@ -409,23 +466,34 @@ object Similarity extends QueryGroup {
         tau = 0.45, maxRows = MaxExactAllPairs)),
 
     // q59 [north star]: IVF-style approximate NN — the other classic
-    // scale path next to sign-LSH (q49); the K=16 instance of ivfTop1
-    // (see its scaladoc for the plan shape and the K scale knob).
-    "q59_ann_ivf" -> ((spark, dir) =>
-      ivfTop1(Tables(spark, dir, "embeddings"), numCentroids = 16)),
+    // scale path next to sign-LSH (q49). The REGISTERED entry runs the
+    // deployable K policy (K = max(16, ⌊√n⌋), see ivfK): the corpus
+    // count is one parquet-metadata-cheap job at plan-build, and the
+    // oracle derives the same K from count(*), so the correctness-
+    // checked plan is the one that scales — not a pinned small-corpus
+    // parameter.
+    "q59_ann_ivf" -> ((spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      ivfTop1(emb, numCentroids = ivfK(emb.count()))
+    }),
 
     // q68 [north star]: MULTI-PROBE IVF — the production ANN shape: the
     // query side probes its top-2 centroid cells (recall knob) while the
     // corpus stays in 1 cell, so the index size is unchanged and the
     // probe join stays equi-keyed on cell. Top-2 per vector is a bounded
-    // collect_list(16 structs) + sort + slice — still a partial
+    // collect_list(K structs) + sort + slice — still a partial
     // aggregate, not a rank window. A neighbor reachable through both
-    // probes dedups naturally in the final argmax.
+    // probes dedups naturally in the final argmax. Same √n-scaled K as
+    // q59 (and it MUST be the same K: the probe-2 candidate set is a
+    // superset of q59's single-probe set only over the same quantizer —
+    // OperatorSpec pins that dominance).
     "q68_ann_ivf_probe2" -> ((spark, dir) => {
-      val emb = Tables(spark, dir, "embeddings")
+      val emb0 = Tables(spark, dir, "embeddings")
+      val k = ivfK(emb0.count())
+      val emb = emb0
         .select(col("vec_id"), col("embedding"),
           VectorOps.norm(col("embedding")).as("nrm"))
-      val centroids = emb.filter(col("vec_id") < 16)
+      val centroids = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("nrm").as("c_nrm"))
       val scored = emb.join(broadcast(centroids), lit(true))
@@ -466,29 +534,16 @@ object Similarity extends QueryGroup {
     }),
 
     // q49 [north star]: LSH-bucketed approximate NN — the 100 TB shape:
-    // bucket on 16 hyperplane signs, self-join becomes equi-keyed; top-1
+    // bucket on hyperplane signs, self-join becomes equi-keyed; top-1
     // per vector is a partial-aggregating max_by argmax (no sort shuffle).
-    // Deterministic end-to-end (seeded hyperplanes literal-able into SQL,
-    // bit-stable dots) => full DuckDB oracle.
+    // The REGISTERED entry runs the deployable width policy (bits =
+    // lshBits(count) — bucket occupancy held ~constant as the corpus
+    // grows), mirrored into the oracle as the same integer threshold
+    // chain over count(*). Deterministic end-to-end (seeded hyperplanes
+    // literal-able into SQL, bit-stable dots) => full DuckDB oracle.
     "q49_ann_lsh" -> ((spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.norm(col("embedding")).as("nrm"),
-          signBucket(col("embedding")).as("bucket"))
-      emb.alias("a")
-        .join(emb.alias("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.bucket").as("bucket"),
-          (VectorOps.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .groupBy(col("a_id"))
-        .agg(max_by(struct(col("b_id"), col("bucket")),
-          struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
-        .select(col("a_id"), col("best.b_id").as("b_id"),
-          col("best.bucket").as("bucket"))
-        .orderBy("a_id")
+      annLsh(emb, bits = lshBits(emb.count()))
     }),
 
     // q109 [north star]: kNN LABEL PROPAGATION (weak labeling) — the
@@ -696,20 +751,34 @@ object Similarity extends QueryGroup {
   private def cosSql(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
-  /** The q49 sign-bucket as DuckDB SQL: the 16 seeded hyperplanes become
-    * literal double lists (Scala's Double.toString is shortest-round-trip
-    * and DuckDB's parser is correctly rounded, so the literals are the
-    * SAME doubles), and the dot-vs-literal uses the identical fold as the
-    * Spark side — signs, and therefore buckets, cannot differ.
+  /** The q49 sign-bucket as DuckDB SQL: the seeded hyperplane pool
+    * becomes literal double lists (Scala's Double.toString is
+    * shortest-round-trip and DuckDB's parser is correctly rounded, so the
+    * literals are the SAME doubles), and the dot-vs-literal uses the
+    * identical fold as the Spark side — signs, and therefore buckets,
+    * cannot differ. Terms past the adaptive width (`w.width`, the lshBits
+    * mirror) are gated off, matching signBucket's take(bits).
     */
   private def hpList(p: Seq[Double]): String =
     p.map(_.toString).mkString("[", ",", "]")
   private def bucketSql(v: String): String = {
     val terms = hyperplanes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN ${dot(v, hpList(p))} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN $j < w.width AND ${dot(v, hpList(p))} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }
     s"CAST((${terms.mkString(" + ")}) AS BIGINT)"
   }
+
+  /** lshBits as SQL: the same exact integer threshold chain (smallest b
+    * in [4,32] with n ≤ 32·2^b) — no float log anywhere, so boundary
+    * corpora (n exactly 32·2^b) cannot round differently across engines.
+    */
+  private val widthSql: String =
+    (4 to 31).map(b => s"WHEN n <= ${32L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 32 END")
+
+  /** ivfK as SQL (IEEE sqrt is correctly rounded on both engines). */
+  private val ivfKSql: String =
+    "(SELECT GREATEST(16, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) FROM embeddings)"
 
   // integer dot over two qvec-typed lists — the BIGINT twin of dotSql
   // (q85/q109/q113 mirrors; no doubles anywhere)
@@ -837,7 +906,7 @@ object Similarity extends QueryGroup {
     // q59/q49 mirrors: row_number replicates the (cos DESC, id ASC)
     // tie-break of the Spark max_by argmax; dots are the same fold.
     "q59_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfKSql),
          |s AS (SELECT e.vec_id, e.embedding, c.c_id,
          |        ${cosSql("e.embedding", "c.c_emb")} AS c_cos
          |      FROM embeddings e CROSS JOIN c),
@@ -853,7 +922,7 @@ object Similarity extends QueryGroup {
          |      FROM p)
          |SELECT a_id, b_id, cell FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
     "q68_ann_ivf_probe2" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfKSql),
          |s AS (SELECT e.vec_id, e.embedding, c.c_id,
          |        ${cosSql("e.embedding", "c.c_emb")} AS c_cos
          |      FROM embeddings e CROSS JOIN c),
@@ -870,7 +939,10 @@ object Similarity extends QueryGroup {
          |      FROM p)
          |SELECT a_id, b_id, cell FROM r WHERE rk2 = 1 ORDER BY a_id""".stripMargin,
     "q49_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+      s"""WITH w AS (SELECT $widthSql AS width
+         |          FROM (SELECT count(*) AS n FROM embeddings) t),
+         |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |      FROM embeddings, w),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
          |        ${cosSql("a.embedding", "b.embedding")} AS cos
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),

@@ -609,8 +609,11 @@ class OperatorSpec extends SparkSpec {
       assert(sorted.count(_.getLong(4) == 1L) == 1, "exactly one current row")
       assert(sorted.last.getLong(4) == 1L && sorted.last.getLong(3) == -1L)
       sorted.sliding(2).foreach {
-        case Array(a, b) => assert(a.getLong(3) == b.getLong(2) - 1,
-          "valid_to must abut the successor's valid_from")
+        // equal-timestamp revisions collapse to a zero-width interval
+        // floored at valid_from (never inverted) — otherwise strict abut
+        case Array(a, b) => assert(
+          a.getLong(3) == math.max(b.getLong(2) - 1, a.getLong(2)),
+          "valid_to must abut the successor's valid_from (or collapse on ties)")
         case _ =>
       }
     }
