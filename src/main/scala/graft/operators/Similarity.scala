@@ -319,20 +319,22 @@ object Similarity extends QueryGroup {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     }
-    // least() over the lexicographic (d2, cluster) structs IS the argmin
-    // with the id tie-break — and carries the winning distance out, which
-    // the prototype query (q94) argmins per cluster. A cluster that loses
-    // every member drops out of `cents`, same as the aggregate-shaped
-    // formulation this replaces.
+    // One compact NearestCentroid expression IS the argmin with the id
+    // tie-break (ascending-id scan, strict <) — and carries the winning
+    // distance out, which the prototype query (q94) argmins per cluster.
+    // It replaced a least() chain over k struct candidates whose
+    // generated code grew with k·dim and fell off JIT at the SemDeDup
+    // scale policy's k (a 14 s map pass at k=80/10×; see the
+    // expression's scaladoc — arithmetic and tie-breaks bit-identical).
+    // A cluster that loses every member drops out of `cents`, same as
+    // the aggregate-shaped formulation this replaces.
     def assign: DataFrame = {
-      val xdot = VectorOps.dot(col("xd"), col("xd"))
-      val cands = cents.map { case (j, c) =>
-        struct(
-          (xdot - lit(2.0) * VectorOps.dot(col("xd"), typedLit(c.toSeq))
-            + lit(selfDot(c))).as("d2"),
-          lit(j).as("cluster"))
-      }
-      val m = if (cands.size == 1) cands.head else least(cands: _*)
+      val m = org.apache.spark.sql.graftbridge.toColumn(
+        graft.expressions.NearestCentroid(
+          org.apache.spark.sql.graftbridge.toExpression(col("xd")),
+          cents.map(_._1).toArray,
+          cents.map(_._2).toArray,
+          cents.map(c => selfDot(c._2)).toArray))
       q.withColumn("m", m)
         .select(col("vec_id"), col("qvec"),
           col("m.cluster").as("cluster"), col("m.d2").as("d2"))
