@@ -73,6 +73,7 @@ object Bench {
         try consume(fn(spark, sfDir))
         catch { case _: Throwable => failed += name }
         val t = (System.nanoTime() - t0) / 1e9
+        CachePool.releaseAll()
         spark.catalog.clearCache()
         System.gc()
         t
@@ -89,7 +90,17 @@ object Bench {
     val total = results.map(_._2).sum
     val totalCount = results.map(_._3).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_legacy_count":$totalCount,"queries_legacy_count":$qsCount,"failed":$failedJson,"sf":"$sfDir","samples":$samples}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_legacy_count":$totalCount,"queries_legacy_count":$qsCount,"failed":$failedJson,"sf":"$sfDir","samples":$samples}"""
+    println(line)
+    // Also land the line in a FILE: the driver's stdout scrape has
+    // truncated past rounds into `"parsed": null`, and a file survives
+    // any log clipping (same JSON, one line).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -75,6 +75,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       checksum(fn)
       val t = (System.nanoTime() - t0) / 1e9
+      CachePool.releaseAll()
       spark.catalog.clearCache()
       System.gc()
       t

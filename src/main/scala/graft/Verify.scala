@@ -41,6 +41,8 @@ object Verify {
       }
       // queries may persist() intermediates consumed by several plan
       // branches; drop them so later queries get full execution memory
+      // (releaseAll also drains the CachePool registry itself)
+      CachePool.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

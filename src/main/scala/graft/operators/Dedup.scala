@@ -212,9 +212,9 @@ object Dedup extends QueryGroup {
     * their presentation sort.
     */
   private[graft] def minhashNearDupPairs(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"), col("sh"),
-      TextOps.minhashSignature(col("sh"), perms).as("sig"))
-      .persist()
+    val sigs = graft.CachePool.track(
+      docs.select(col("doc_id"), col("sh"),
+        TextOps.minhashSignature(col("sh"), perms).as("sig")))
     // 32 band keys per doc in one native pass (position == band id);
     // candidate pairs share any (band, hash) bucket.
     val bands = sigs
@@ -344,9 +344,9 @@ object Dedup extends QueryGroup {
     // row on a corpus with hot shingles (the eval corpus has none:
     // max df 25 at sf0.1 vs cap 128).
     "q58_ngram_jaccard" -> ((spark, dir) => {
-      val docs = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
-        .filter(size(col("sh")) > 0)
-        .persist()
+      val docs = graft.CachePool.track(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0))
       ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau)
     }),
 
@@ -389,10 +389,9 @@ object Dedup extends QueryGroup {
       val sh = docs.select(col("doc_id"), col("is_new"),
         explode(TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
           .as("g"))
-      val inf = sh.join(
+      val inf = graft.CachePool.track(sh.join(
         sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxShingleDocFreq).select(col("g")), "g")
-        .persist()
+          .filter(col("df") <= MaxShingleDocFreq).select(col("g")), "g"))
       val nInf = inf.filter(col("is_new")).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_inf"))
       val best = inf.filter(col("is_new")).alias("a")
@@ -475,10 +474,9 @@ object Dedup extends QueryGroup {
     // levenshtein runs only on blocked candidates, never all pairs.
     // Same shape DuckDB-side, so the oracle is exact.
     "q80_fuzzy_dedup" -> ((spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      val docs = graft.CachePool.track(Tables(spark, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 40).as("t"),
-          substring(col("text"), 1, 8).as("blk"))
-        .persist()
+          substring(col("text"), 1, 8).as("blk")))
       val cands = bandedCandidates(
         docs.select(col("doc_id"), lit(0).as("band"), col("blk").as("bh")),
         MaxLshBucket)
@@ -517,10 +515,9 @@ object Dedup extends QueryGroup {
   private[graft] def containmentPairs(
       docs: DataFrame, maxDf: Int, tau: Double): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val inf = sh.join(
+    val inf = graft.CachePool.track(sh.join(
       sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("g")), "g")
-      .persist()
+        .filter(col("df") <= maxDf).select(col("g")), "g"))
     val sizes = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inf.alias("a").join(inf.alias("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -708,4 +708,17 @@ class OperatorSpec extends SparkSpec {
     assert(rows("2020-01-05") == 2L, "both users active in the trailing week")
     assert(rows("2020-01-01") == 1L)
   }
+
+  test("builder-persisted intermediates are released by CachePool.releaseAll") {
+    CachePool.releaseAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("q46_minhash_neardup", "q58_ngram_jaccard", "q80_fuzzy_dedup",
+      "q101_containment", "q103_incremental_dedup")
+      .foreach(q => SparkEntry.queries(q)(spark, Sf).count())
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(during.nonEmpty, "precondition: these builders persist intermediates")
+    CachePool.releaseAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(after.isEmpty, s"cached blocks leaked after releaseAll: $after")
+  }
 }
