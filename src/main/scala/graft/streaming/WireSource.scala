@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object WireSource {
 
-  /** Kinesis (production): requires the spark-sql-kinesis connector on
-    * the classpath (not shipped in this offline build — by design; the
-    * reference's `aws.py` STS/role wiring maps to connector options, the
-    * reference's governors map as commented). Untestable offline;
-    * provided so a reference user sees the exact swap-in.
+  /** Kinesis (production): expects an `aws-kinesis` DSv2 source on the
+    * classpath. In production that is the spark-sql-kinesis connector
+    * (not shipped in this offline build — by design; the reference's
+    * `aws.py` STS/role wiring maps to connector options, the reference's
+    * governors map as commented). Offline, [[KinesisStubSource]]
+    * registers the SAME short name and honors the same option surface
+    * (LATEST skip, per-shard fetch cap), so this factory executes
+    * end-to-end in StreamingSpec — the swap-in is purely which jar
+    * provides the format.
     */
   def kinesis(spark: SparkSession, streamName: String, region: String,
       maxFetchPerShard: Int = 20): DataFrame =

@@ -63,6 +63,47 @@ class StreamingSpec extends SparkSpec {
     assert(store.size == 2)
   }
 
+  test("kinesis contract: WireSource.kinesis end-to-end through TagPipeline (LATEST skip + per-shard fetch cap)") {
+    val stream = "unit-tag-events"
+    KinesisStubRegistry.clear(stream)
+    // enqueued BEFORE query start: LATEST must never read it
+    KinesisStubRegistry.put(stream, "shardId-000000000000",
+      gz(story("PRE")), t(0))
+    val store = new InMemoryDocumentStore
+    val ckpt = Files.createTempDirectory("graft-kinesis-ckpt-").toString
+    val wire = WireSource.kinesis(spark, stream, "us-east-1",
+      maxFetchPerShard = 2)
+    val q = TagPipeline.start(spark, wire, store, ckpt,
+      trigger = Trigger.ProcessingTime(0), storeKey = "kinesis-test")
+    try {
+      // LATEST initial offset snapshots at stream start; enqueue after
+      q.processAllAvailable()
+      (1 to 5).foreach { i =>
+        KinesisStubRegistry.put(stream, "shardId-000000000000",
+          gz(story(s"K$i")), t(i))
+      }
+      KinesisStubRegistry.put(stream, "shardId-000000000001",
+        gz(story("K6")), t(6))
+      q.processAllAvailable()
+      assert(store.get("PRE").isEmpty, "LATEST must skip pre-start records")
+      (1 to 6).foreach { i =>
+        assert(store.get(s"K$i").exists(_.taxonomy.get.tags.get == Seq(AutoTag)),
+          s"K$i not tagged")
+      }
+      // the Limit governor (app.py:22): no micro-batch read more than
+      // maxFetchPerShard records from any shard — 5 records on shard 0
+      // under cap 2 force ≥ 3 batches, each ≤ cap × shards rows
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"5 records under a per-shard cap of 2 need >= 3 fetches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 2 * 2),
+        "a micro-batch exceeded maxFetchRecordsPerShard x shards")
+    } finally {
+      q.stop()
+      KinesisStubRegistry.clear(stream)
+    }
+  }
+
   test("first-publish filter works unchanged on a stream (batch/stream unification)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Wire]
