@@ -25,6 +25,18 @@ trait DocumentStore extends Serializable {
   def get(id: String): Option[AnsDoc]
   def upsert(doc: AnsDoc): Unit
   def snapshot: Seq[AnsDoc]
+
+  /** Optimistic read-modify-write: apply `f` to the current document
+    * (None if absent) and commit the result iff no other writer
+    * committed in between; a losing writer re-reads and retries with
+    * fresh state. The raw [[upsert]] stays last-writer-wins — the
+    * reference's documented PUT (`README.md:250`) — which loses one
+    * side of a concurrent tagger + editor race; flows that READ before
+    * they write (the tag append, any field edit) go through here so
+    * neither side's change is dropped (the fixed-semantics discipline
+    * applied to the no-locking caveat).
+    */
+  def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc
 }
 
 /** JVM-local store (driver + executors share the JVM under local[k], the
@@ -36,6 +48,24 @@ class InMemoryDocumentStore extends DocumentStore {
   def upsert(doc: AnsDoc): Unit = m.put(doc._id, doc)
   def snapshot: Seq[AnsDoc] = m.values.asScala.toSeq
   def size: Int = m.size
+
+  /** Classic CAS loop: commit succeeds only if the entry still equals
+    * the snapshot `f` was computed from (value equality — an ABA with
+    * equal values is a no-op by definition here, since `f` depends only
+    * on the value).
+    */
+  override def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc = {
+    while (true) {
+      val cur = Option(m.get(id))
+      val next = f(cur)
+      val committed = cur match {
+        case None    => m.putIfAbsent(id, next) == null
+        case Some(c) => m.replace(id, c, next)
+      }
+      if (committed) return next
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** Durable file-backed store: one file per document under `root`,
@@ -80,6 +110,44 @@ class FileDocumentStore(root: String) extends DocumentStore {
   }
 
   override def upsert(doc: AnsDoc): Unit = write(doc, fileFor(doc._id))
+
+  /** Optimistic concurrency over files: rename cannot be made
+    * conditional, so the validate-and-commit step runs under a per-key
+    * lock FILE (Files.createFile is atomic) — but the read and the
+    * (arbitrary) `f` run OUTSIDE the lock, and commit happens only if
+    * the stored document still value-equals the snapshot `f` saw;
+    * otherwise the writer retries against fresh state. The critical
+    * section is one read + one atomic-rename write. (A crash while
+    * holding the lock would orphan the lock file — acceptable for the
+    * test-backed store; a production Draft API does this server-side
+    * with document revisions.)
+    */
+  override def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc = {
+    val lock = {
+      val t = fileFor(id)
+      t.resolveSibling(t.getFileName.toString + ".lock")
+    }
+    while (true) {
+      val before = get(id) // optimistic read, no lock held
+      val next = f(before)
+      var acquired = false
+      while (!acquired) {
+        try { Files.createFile(lock); acquired = true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Thread.`yield`()
+        }
+      }
+      try {
+        if (get(id) == before) { // nobody committed since our read
+          upsert(next)
+          return next
+        }
+      } finally Files.delete(lock)
+      // lost the race — loop, re-read, recompute
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   override def snapshot: Seq[AnsDoc] = {
     val s = Files.list(rootPath)

@@ -48,8 +48,11 @@ object TagPipeline {
         val store = DocumentStore.resolve(storeKey)
         rows.foreach { row =>
           val id = row.getString(0)
-          val doc = store.get(id).getOrElse(AnsDoc(id, None, None))
-          store.upsert(DocumentStore.modifyAns(doc, tag))
+          // optimistic read-modify-write (not raw PUT): a concurrent
+          // editor's change and this tag append both survive; see
+          // DocumentStore.update
+          store.update(id)(cur =>
+            DocumentStore.modifyAns(cur.getOrElse(AnsDoc(id, None, None)), tag))
         }
       }
   }

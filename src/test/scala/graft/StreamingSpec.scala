@@ -280,6 +280,30 @@ class StreamingSpec extends SparkSpec {
     assert(new FileDocumentStore(dir).get("D1").get == d1Before)
   }
 
+  test("optimistic update: concurrent tagger and editor never drop either change") {
+    val fileDir = Files.createTempDirectory("graft-cas-").toString
+    for (store <- Seq(new InMemoryDocumentStore, new FileDocumentStore(fileDir))) {
+      store.upsert(AnsDoc("X", Some(0L), None))
+      val tags = (1 to 40).map(i => Tag(s"t$i", s"text $i"))
+      val tagger = new Thread(() =>
+        tags.foreach(t => store.update("X")(c =>
+          DocumentStore.modifyAns(c.get, t))))
+      val editor = new Thread(() =>
+        (1 to 40).foreach(_ => store.update("X")(c =>
+          c.get.copy(revision = c.get.revision.map(_ + 1)))))
+      tagger.start(); editor.start()
+      tagger.join(60000); editor.join(60000)
+      val fin = store.get("X").get
+      // under raw last-writer-wins PUT, interleaved read-modify-writes
+      // drop one side's changes; update() must keep every one of both
+      assert(fin.revision.contains(40L),
+        s"${store.getClass.getSimpleName}: edits dropped (rev ${fin.revision})")
+      assert(fin.taxonomy.get.tags.get == tags,
+        s"${store.getClass.getSimpleName}: tags dropped or reordered " +
+          s"(${fin.taxonomy.get.tags.get.size}/40 kept)")
+    }
+  }
+
   test("event-log replay source drives the batch twin of the pipeline") {
     val store = new InMemoryDocumentStore
     // events.props is {"k": N} JSON — no insert-story events, so the
