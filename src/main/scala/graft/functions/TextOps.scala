@@ -69,6 +69,22 @@ object TextOps {
     toColumn(graft.expressions.SimHash64(toExpression(ws)))
   }
 
+  /** Cross-engine-mirrorable SimHash: per-token hash = the first 15 md5
+    * hex chars parsed as BIGINT (a 60-bit hash both Spark's
+    * `conv(substring(md5(w),1,15),16,10)` and DuckDB's
+    * `CAST('0x'||substring(md5(w),1,15) AS BIGINT)` compute
+    * bit-identically), votes in the same native SimHash64 pass
+    * (pre-hashed mode). The hashing is codegen'd column work; only the
+    * 64-bit vote loop is the fallback expression — same cost shape as
+    * [[simhash]], plus one md5 per token instead of one xxhash64.
+    */
+  def simhashMd5(ws: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val hashes = transform(ws, w =>
+      conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    toColumn(graft.expressions.SimHash64(toExpression(hashes)))
+  }
+
   /** Rolling polynomial fingerprint over the characters of `text`:
     * h = fold(h * 31 + codepoint) mod 1e9+7, one native pass — see
     * [[graft.expressions.FingerprintHash]]. Stays in BIGINT range at

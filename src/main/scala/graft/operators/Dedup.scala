@@ -488,20 +488,25 @@ object Dedup extends QueryGroup {
         .orderBy("a_id", "b_id")
     }),
 
-    // q47 [north star]: SimHash signatures + band keys (rows-only check).
-    // One SimHash64 pass per row — the 64 per-bit HOF folds it replaces
-    // re-hashed every token per bit through interpreted lambdas (13.8 s
-    // at sf0.1); bit parity is pinned in ExpressionParitySpec.
+    // q47 [north star]: SimHash signatures + band keys. One SimHash64
+    // pass per row — the 64 per-bit HOF folds it replaces re-hashed
+    // every token per bit through interpreted lambdas (13.8 s at sf0.1);
+    // bit parity is pinned in ExpressionParitySpec. Since r6 the
+    // registered query runs the md5-derived 60-bit hash tier
+    // (TextOps.simhashMd5): the per-token hash is computable on both
+    // engines, so the formerly rows-only row carries a FULL DuckDB
+    // oracle (the vote/band arithmetic was always mirrorable — the
+    // token hash was the only xxhash-shaped hole). The xxhash tier
+    // remains TextOps.simhash for engine-internal use.
     "q47_simhash" -> ((spark, dir) => {
       val withSim = Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          TextOps.simhash(array_distinct(TextOps.tokens(col("text"))))
+          TextOps.simhashMd5(array_distinct(TextOps.tokens(col("text"))))
             .as("simhash"))
       val bandCols = (0 until 4).map(k =>
         shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
           .as(s"band$k"))
-      withSim.select(col("doc_id") +: hex(col("simhash")).as("simhash_hex") +:
-          bandCols: _*)
+      withSim.select(col("doc_id") +: col("simhash") +: bandCols: _*)
         .orderBy("doc_id")
     }),
   )
@@ -536,6 +541,31 @@ object Dedup extends QueryGroup {
     "q42_exact_dedup" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // q47's mirror: identical 60-bit md5-derived token hashes, the same
+    // +1/−1 bit votes (order-independent sums), the same band split. An
+    // empty-token document votes nothing → simhash 0 (the LEFT JOIN +
+    // COALESCE), matching the expression's empty-array result.
+    "q47_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+        |             FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(w),1,15)) AS BIGINT) AS h
+        |      FROM tok),
+        |v AS (SELECT doc_id, j,
+        |        SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+        |      GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN vote > 0
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM v GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash,
+        |  (COALESCE(sh.simhash, 0) >> 0) & 65535 AS band0,
+        |  (COALESCE(sh.simhash, 0) >> 16) & 65535 AS band1,
+        |  (COALESCE(sh.simhash, 0) >> 32) & 65535 AS band2,
+        |  (COALESCE(sh.simhash, 0) >> 48) & 65535 AS band3
+        |FROM documents d LEFT JOIN sh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q58's oracle is the same brute-force shingle-join Jaccard as q46's
     // (q46 = LSH-recalled + exact-verified; q58 = exact — identical
     // result sets on this corpus because LSH recall is total at J≥0.9).
