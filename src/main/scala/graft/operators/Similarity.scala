@@ -335,9 +335,21 @@ object Similarity extends QueryGroup {
           cents.map(_._1).toArray,
           cents.map(_._2).toArray,
           cents.map(c => selfDot(c._2)).toArray))
+      // The coalesce is a NULLABILITY declaration, not a value change
+      // (embeddings are never null; a hypothetical null vector reads
+      // cluster −1): NearestCentroid inherits its child's nullability,
+      // and a nullable `cluster` makes the downstream equi-joins push an
+      // isnotnull(cluster) filter BELOW the mx staging project — which
+      // re-inlines the whole quantize+assign expression into the filter
+      // with array_max re-reduced per element (the exact blowup
+      // quantizeInt8's staging exists to prevent; measured +1.8 s on
+      // q91 at sf0.1). A non-nullable key generates no such filter —
+      // the old least()-of-structs form was non-nullable by
+      // construction, this keeps that plan shape.
       q.withColumn("m", m)
         .select(col("vec_id"), col("qvec"),
-          col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+          coalesce(col("m.cluster"), lit(-1L)).as("cluster"),
+          col("m.d2").as("d2"))
     }
     var it = 0
     while (it < iters) {
