@@ -202,6 +202,20 @@ class PlanSpec extends SparkSpec {
       s"q98 must be map-only before the presentation sort:\n${p98.take(1200)}")
   }
 
+  test("k-means assignment never leaks into a pushed isnotnull filter") {
+    // a NULLABLE cluster key makes the sizes equi-join push
+    // isnotnull(cluster) below the mx staging project, duplicating the
+    // whole quantize+assign expression into a Filter with array_max
+    // re-reduced per element (+1.8 s on q91 at sf0.1 when it regressed
+    // in r6); the coalesce in kmeansCore.assign pins the key
+    // non-nullable so that filter can never be generated
+    for (q <- Seq("q91_kmeans_clusters", "q113_semantic_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("isnotnull(nearest_centroid"),
+        s"$q pushed a filter over the assignment expression")
+    }
+  }
+
   test("ANN argmax aggregates partially — no rank Window, no sort shuffle") {
     val p59 = plan("q59_ann_ivf")
     assert(!p59.contains("Window"), "q59 must not plan a rank window")
