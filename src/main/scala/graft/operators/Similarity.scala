@@ -73,23 +73,45 @@ object Similarity extends QueryGroup {
       when(VectorOps.dot(v, typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** q49's bucket-skew guard: each vector probes only its bucket's
+    * MaxBucketHead LOWEST vec_ids. The cap is PART OF THE MEASURE
+    * (mirrored in the oracle — the q113 MaxClusterHead discipline): at
+    * the adaptive width's target occupancy (~32) it is inactive and the
+    * result equals the uncapped join, but a DEGENERATE corpus (an
+    * embedding-job failure emitting identical vectors) collapses every
+    * row into ONE bucket, where the uncapped self-join goes quadratic
+    * exactly when the data is at its worst — with the cap, per-row probe
+    * fanout is ≤ MaxBucketHead regardless of bucket size (SkewSpec pins
+    * the identical-vectors case).
+    */
+  private[graft] val MaxBucketHead = 256
+
   /** q49's operator at an explicit key width (the registered query feeds
     * it lshBits(count); ScalingBench also measures a pinned width as the
-    * fixed-key counterfactual).
+    * fixed-key counterfactual). Probe side capped to the bucket head set
+    * — see [[MaxBucketHead]].
     */
   private[graft] def annLsh(emb0: DataFrame, bits: Int): DataFrame = {
     val emb = emb0
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"),
         signBucket(col("embedding"), bits).as("bucket"))
-    emb.alias("a")
-      .join(emb.alias("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.bucket").as("bucket"),
-        (VectorOps.dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val topk = udaf(new graft.functions.TopKAgg(MaxBucketHead),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val heads = emb
+      .groupBy(col("bucket"))
+      .agg(topk((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
+      .select(col("bucket"), explode(col("top.id")).as("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("h_emb"),
+        col("nrm").as("h_nrm")), "vec_id")
+      .select(col("bucket"), col("vec_id").as("h_id"),
+        col("h_emb"), col("h_nrm"))
+    emb.join(heads, "bucket")
+      .filter(col("h_id") =!= col("vec_id"))
+      .select(col("vec_id").as("a_id"), col("h_id").as("b_id"),
+        col("bucket"),
+        (VectorOps.dot(col("embedding"), col("h_emb")) /
+          (col("nrm") * col("h_nrm"))).as("cos"))
       .groupBy(col("a_id"))
       .agg(max_by(struct(col("b_id"), col("bucket")),
         struct(col("cos"), (-col("b_id")).as("t"))).as("best"))
@@ -957,9 +979,14 @@ object Similarity extends QueryGroup {
          |          FROM (SELECT count(*) AS n FROM embeddings) t),
          |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |      FROM embeddings, w),
+         |heads AS (SELECT bucket, vec_id, embedding FROM (
+         |            SELECT bucket, vec_id, embedding,
+         |              row_number() OVER (PARTITION BY bucket
+         |                ORDER BY vec_id) AS hk
+         |            FROM e) h WHERE hk <= $MaxBucketHead),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
          |        ${cosSql("a.embedding", "b.embedding")} AS cos
-         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |      FROM e a JOIN heads b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
          |r AS (SELECT a_id, b_id, bucket,
          |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
          |      FROM p)

@@ -146,4 +146,30 @@ class SkewSpec extends SparkSpec {
     // and a row inside the head region sees exactly its rank's dominators
     assert(rows.find(_.getLong(0) == 10L).get.getLong(3) == 10L)
   }
+
+  test("q49 bucket head cap: an identical-vectors corpus probes only the head set") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // same adversarial shape as SemDeDup's: identical embeddings collapse
+    // every row into ONE sign-LSH bucket, where the uncapped self-join is
+    // n² pairs. n > MaxBucketHead so the cap is active.
+    val n = 600
+    val emb = (0 until n)
+      .map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.annLsh(emb, bits = 12)
+    val rows = res.collect()
+    // every vector still finds a neighbor (heads are probed by ALL rows,
+    // capped or not)...
+    assert(rows.length == n)
+    // ...and with all cosines = 1 the (cos DESC, b_id ASC) winner is the
+    // lowest OTHER id — the cap changes no answer, only the fanout
+    assert(rows.filter(_.getLong(0) != 0L).forall(_.getLong(1) == 0L))
+    assert(rows.find(_.getLong(0) == 0L).get.getLong(1) == 1L)
+    // structural pin: the probe side of the join is the TopKAgg-bounded
+    // head set, not the raw bucket
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("topkagg"),
+      s"expected the bounded head-set aggregate in the plan:\n${plan.take(1500)}")
+  }
 }
