@@ -86,28 +86,44 @@ object ScalingBench {
       "q90_dup_spans", "q91_kmeans_clusters",
       "q95_top_ngrams", "q97_chunk_dedup", "q101_containment",
       "q109_knn_label", "q113_semantic_dedup")
-    val base = tier.map(q => q -> time(SparkEntry.queries(q)(spark, baseDir)))
-    val blown = tier.map(q => q -> time(SparkEntry.queries(q)(spark, workDir)))
+    // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
+    // tier rows (and counterfactuals) whose name starts with one of the
+    // given prefixes — the dev loop for re-measuring one curve; full
+    // runs stay the default.
+    val sel = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(ps) => tier.filter(q => ps.exists(q.startsWith))
+      case None     => tier
+    }
+    val base = sel.map(q => q -> time(SparkEntry.queries(q)(spark, baseDir)))
+    val blown = sel.map(q => q -> time(SparkEntry.queries(q)(spark, workDir)))
     // Since r6 the REGISTERED q49/q59 entries run the scale policies
     // (width ∝ log n, K = √n), so the `blown` rows above measure the
     // deployable plans; the pinned small-corpus parameters are kept here
     // as the superlinear COUNTERFACTUALS the policies retire.
-    val lshFixed16 = time(graft.operators.Similarity.annLsh(
-      Tables(spark, workDir, "embeddings"), bits = 16))
-    val ivfFixed16 = time(graft.operators.Similarity.ivfTop1(
-      Tables(spark, workDir, "embeddings"), numCentroids = 16))
+    val lshFixed16 = if (sel.contains("q49_ann_lsh"))
+      Some(time(graft.operators.Similarity.annLsh(
+        Tables(spark, workDir, "embeddings"), bits = 16)))
+    else None
+    val ivfFixed16 = if (sel.contains("q59_ann_ivf"))
+      Some(time(graft.operators.Similarity.ivfTop1(
+        Tables(spark, workDir, "embeddings"), numCentroids = 16)))
+    else None
     // the SemDeDup scale policy: cluster count grown with n => constant
     // cluster size => constant per-cluster pair work (fixed k=8 at 10x
     // measures the superlinear within-cluster blowup instead)
-    val semScaledK = time(graft.operators.Similarity.semanticDedup(
-      Tables(spark, workDir, "embeddings"), k = 8 * Factor))
+    val semScaledK = if (sel.contains("q113_semantic_dedup"))
+      Some(time(graft.operators.Similarity.semanticDedup(
+        Tables(spark, workDir, "embeddings"), k = 8 * Factor)))
+    else None
 
     def js(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scaling","factor":$Factor,"base":${js(base)},""" +
-      s""""blown":${js(blown)},"blown_q49_fixed16":$lshFixed16,""" +
-      s""""blown_q59_fixed_k16":$ivfFixed16,""" +
-      s""""blown_q113_scaled_k":$semScaledK,""" +
+      s""""blown":${js(blown)},""" +
+      lshFixed16.map(v => s""""blown_q49_fixed16":$v,""").getOrElse("") +
+      ivfFixed16.map(v => s""""blown_q59_fixed_k16":$v,""").getOrElse("") +
+      semScaledK.map(v => s""""blown_q113_scaled_k":$v,""").getOrElse("") +
       s""""samples":$samples,"base_dir":"$baseDir"}""")
     spark.stop()
   }
