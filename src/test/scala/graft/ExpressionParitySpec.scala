@@ -163,4 +163,72 @@ class ExpressionParitySpec extends SparkSpec {
       .count()
     assert(diffs == 0)
   }
+
+  test("NearestCentroid == the least()-of-struct-candidates chain, bit-for-bit, ties to lowest id") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // integer-valued doubles: the quantized domain the assignment runs on
+    // (also what makes the planted-tie d2 an exact 0.0)
+    def vec(): Array[Double] = Array.fill(dim)((rnd.nextInt(9) - 4).toDouble)
+    val cents: Array[Array[Double]] = Array.fill(7)(vec())
+    cents(5) = cents(2).clone() // duplicate centroid → exact d2 ties
+    val ids = Array.tabulate(7)(j => j.toLong * 3 + 1) // ascending, non-contiguous
+    def selfDot(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    val selfDots = cents.map(selfDot)
+    // random rows plus every centroid itself, so the duplicated centroid's
+    // tie (d2 = 0 at BOTH copies) is actually exercised
+    val rows = (1 to 400).map(_ => vec().toSeq) ++ cents.map(_.toSeq)
+    val df = rows.map(Tuple1(_)).toDF("x")
+    val fast = toColumn(graft.expressions.NearestCentroid(
+      toExpression(col("x")), ids, cents, selfDots))
+    // the chain form this expression replaced: hoisted x·x, one
+    // aggregate(zip_with) dot per candidate, least() lexicographic on
+    // (d2, cluster)
+    val xd = aggregate(col("x"), lit(0.0), (a, v) => a + v * v)
+    val cands = cents.indices.map { j =>
+      val dot = aggregate(
+        zip_with(col("x"), typedlit(cents(j).toSeq), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)
+      struct(((col("xd") - lit(2.0) * dot) + lit(selfDots(j))).as("d2"),
+        lit(ids(j)).as("cluster"))
+    }
+    val collected = df.withColumn("xd", xd)
+      .select(col("x"), fast.as("fast"), least(cands: _*).as("ref"))
+      .collect()
+    assert(collected.length == rows.length)
+    // interpreted-eval twin of the codegen'd plan path
+    val interp = graft.expressions.NearestCentroid(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      ids, cents, selfDots)
+    collected.foreach { r =>
+      val f = r.getStruct(1)
+      val g = r.getStruct(2)
+      assert(java.lang.Double.doubleToRawLongBits(f.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(g.getDouble(0)),
+        s"d2 drift: ${f.getDouble(0)} vs ${g.getDouble(0)}")
+      assert(f.getLong(1) == g.getLong(1),
+        s"cluster drift: ${f.getLong(1)} vs ${g.getLong(1)}")
+      val x = r.getSeq[Double](0).toArray
+      val ev = interp.eval(InternalRow(new GenericArrayData(x)))
+        .asInstanceOf[InternalRow]
+      assert(java.lang.Double.doubleToRawLongBits(ev.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(f.getDouble(0)) &&
+        ev.getLong(1) == f.getLong(1),
+        "interpreted eval must match the codegen'd result")
+      // the planted tie: a row AT the duplicated centroid sits at exact
+      // d2 = 0 from both copies and must keep the LOWEST cluster id
+      if (x.sameElements(cents(2))) {
+        assert(f.getDouble(0) == 0.0 && f.getLong(1) == ids(2))
+      }
+    }
+  }
 }
