@@ -94,9 +94,10 @@ object Bench {
     println(line)
     // Also land the line in a FILE: the driver's stdout scrape has
     // truncated past rounds into `"parsed": null`, and a file survives
-    // any log clipping (same JSON, one line).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json")
+    // any log clipping (same JSON, one line). Default is cwd-relative —
+    // the record belongs to the checkout the run came from, not a
+    // baked-in absolute path.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")

@@ -39,7 +39,9 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
 
-  private def preHashed: Boolean = child.dataType match {
+  // lazy val, not def: this expression is CodegenFallback, so eval runs
+  // per row — the dataType match must not
+  private lazy val preHashed: Boolean = child.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
   }

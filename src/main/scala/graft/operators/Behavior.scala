@@ -268,11 +268,16 @@ object Behavior extends QueryGroup {
   }
 
   /** q124's operator over a `(user_id, event_id, vf: epoch-µs, value)`
-    * frame. Two events with IDENTICAL timestamps for one user would
-    * otherwise produce an inverted interval (valid_to = valid_from − 1);
-    * greatest() floors the close at the open, so equal-timestamp
-    * revisions collapse to zero-width intervals instead of negative ones
-    * (the event_id tiebreak still orders them deterministically).
+    * frame. Intervals are HALF-OPEN `[valid_from_us, valid_to_us)` — the
+    * standard SCD-2 convention: a point-in-time lookup
+    * `valid_from_us <= t AND t < valid_to_us` matches at most one
+    * revision per user. Two events with IDENTICAL timestamps collapse
+    * the superseded revision to a zero-width interval that no lookup
+    * matches (an inclusive close floored at the open would instead
+    * OVERLAP the successor's first instant and double every as-of join
+    * row at that timestamp); `lead` over the same ordering guarantees
+    * `nxt >= vf`, so inversion is impossible by construction. The open
+    * row keeps the -1 sentinel.
     */
   private[graft] def scd2(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -280,11 +285,7 @@ object Behavior extends QueryGroup {
       .orderBy(col("vf"), col("event_id"))
     ev.withColumn("nxt", lead(col("vf"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("vf").as("valid_from_us"),
-        // explicit null branch: greatest() SKIPS nulls on both engines,
-        // so greatest(NULL-1, vf) would silently close the open interval
-        // at vf instead of flagging it -1
-        when(col("nxt").isNull, lit(-1L))
-          .otherwise(greatest(col("nxt") - 1, col("vf"))).as("valid_to_us"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to_us"),
         when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
         col("value"))
       .orderBy("user_id", "valid_from_us", "event_id")
@@ -361,8 +362,7 @@ object Behavior extends QueryGroup {
         |          ORDER BY vf, event_id) AS nxt
         |      FROM t)
         |SELECT user_id, event_id, vf AS valid_from_us,
-        |  CASE WHEN nxt IS NULL THEN -1 ELSE GREATEST(nxt - 1, vf) END
-        |    AS valid_to_us,
+        |  COALESCE(nxt, -1) AS valid_to_us,
         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
         |  value
         |FROM x ORDER BY user_id, valid_from_us, event_id""".stripMargin,

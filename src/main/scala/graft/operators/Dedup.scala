@@ -542,9 +542,13 @@ object Dedup extends QueryGroup {
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // q47's mirror: identical 60-bit md5-derived token hashes, the same
-    // +1/−1 bit votes (order-independent sums), the same band split. An
-    // empty-token document votes nothing → simhash 0 (the LEFT JOIN +
-    // COALESCE), matching the expression's empty-array result.
+    // +1/−1 bit votes (order-independent sums), the same band split. A
+    // NULL text propagates NULL through split/hash/bands on BOTH engines
+    // (the CASE mirrors Spark's null propagation — unnest of a NULL
+    // split would otherwise drop the doc's rows and the join fallback
+    // would mint a spurious 0); a doc that votes nothing reads simhash 0
+    // (the LEFT JOIN + COALESCE), matching the expression's empty-array
+    // result.
     "q47_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
         |             FROM documents),
@@ -559,13 +563,16 @@ object Dedup extends QueryGroup {
         |         CAST(SUM(CASE WHEN vote > 0
         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         |       FROM v GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash,
-        |  (COALESCE(sh.simhash, 0) >> 0) & 65535 AS band0,
-        |  (COALESCE(sh.simhash, 0) >> 16) & 65535 AS band1,
-        |  (COALESCE(sh.simhash, 0) >> 32) & 65535 AS band2,
-        |  (COALESCE(sh.simhash, 0) >> 48) & 65535 AS band3
-        |FROM documents d LEFT JOIN sh USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |SELECT doc_id, s AS simhash,
+        |  (s >> 0) & 65535 AS band0,
+        |  (s >> 16) & 65535 AS band1,
+        |  (s >> 32) & 65535 AS band2,
+        |  (s >> 48) & 65535 AS band3
+        |FROM (SELECT d.doc_id,
+        |        CASE WHEN d.text IS NULL THEN NULL
+        |             ELSE COALESCE(sh.simhash, 0) END AS s
+        |      FROM documents d LEFT JOIN sh USING (doc_id)) t
+        |ORDER BY doc_id""".stripMargin,
     // q58's oracle is the same brute-force shingle-join Jaccard as q46's
     // (q46 = LSH-recalled + exact-verified; q58 = exact — identical
     // result sets on this corpus because LSH recall is total at J≥0.9).

@@ -92,10 +92,13 @@ object Similarity extends QueryGroup {
     * — see [[MaxBucketHead]].
     */
   private[graft] def annLsh(emb0: DataFrame, bits: Int): DataFrame = {
-    val emb = emb0
+    // CachePool: three plan branches scan this projection (heads
+    // aggregate, head join-back, probe side) — uncached, the per-row
+    // bucket (bits × 64-dim dots) and norm would be recomputed per scan
+    val emb = graft.CachePool.track(emb0
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"),
-        signBucket(col("embedding"), bits).as("bucket"))
+        signBucket(col("embedding"), bits).as("bucket")))
     val topk = udaf(new graft.functions.TopKAgg(MaxBucketHead),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val heads = emb

@@ -117,10 +117,14 @@ class FileDocumentStore(root: String) extends DocumentStore {
     * (arbitrary) `f` run OUTSIDE the lock, and commit happens only if
     * the stored document still value-equals the snapshot `f` saw;
     * otherwise the writer retries against fresh state. The critical
-    * section is one read + one atomic-rename write. (A crash while
-    * holding the lock would orphan the lock file — acceptable for the
-    * test-backed store; a production Draft API does this server-side
-    * with document revisions.)
+    * section is one read + one atomic-rename write. A crash while
+    * holding the lock orphans the lock file; waiters BREAK such a lock
+    * once it is older than [[FileDocumentStore.LockStaleMs]] (the
+    * critical section is microseconds, so a lock that old has no living
+    * owner), and park briefly between attempts instead of busy-spinning
+    * — a kill -9 therefore costs one stale-timeout, not a permanent
+    * silent hang on that key. (A production Draft API does this
+    * server-side with document revisions.)
     */
   override def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc = {
     val lock = {
@@ -135,7 +139,16 @@ class FileDocumentStore(root: String) extends DocumentStore {
         try { Files.createFile(lock); acquired = true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            Thread.`yield`()
+            try {
+              val age = System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis
+              if (age > FileDocumentStore.LockStaleMs) Files.delete(lock)
+              else Thread.sleep(1)
+            } catch {
+              // lock vanished between the existence check and the
+              // stat/delete — owner released it; retry immediately
+              case _: java.nio.file.NoSuchFileException =>
+            }
         }
       }
       try {
@@ -161,6 +174,15 @@ class FileDocumentStore(root: String) extends DocumentStore {
   }
 
   def size: Int = snapshot.size
+}
+
+object FileDocumentStore {
+  /** Age past which a waiter breaks another writer's lock file — the
+    * crash-orphan bound. The held window is one read + one rename
+    * (microseconds), so 10 s of slack is orders of magnitude above any
+    * live owner's hold time.
+    */
+  private[streaming] val LockStaleMs = 10000L
 }
 
 object DocumentStore {

@@ -609,11 +609,10 @@ class OperatorSpec extends SparkSpec {
       assert(sorted.count(_.getLong(4) == 1L) == 1, "exactly one current row")
       assert(sorted.last.getLong(4) == 1L && sorted.last.getLong(3) == -1L)
       sorted.sliding(2).foreach {
-        // equal-timestamp revisions collapse to a zero-width interval
-        // floored at valid_from (never inverted) — otherwise strict abut
-        case Array(a, b) => assert(
-          a.getLong(3) == math.max(b.getLong(2) - 1, a.getLong(2)),
-          "valid_to must abut the successor's valid_from (or collapse on ties)")
+        // half-open intervals: each close IS the successor's open
+        // (equal-timestamp revisions collapse to zero width, [t, t))
+        case Array(a, b) => assert(a.getLong(3) == b.getLong(2),
+          "valid_to must equal the successor's valid_from (half-open)")
         case _ =>
       }
     }
@@ -662,7 +661,7 @@ class OperatorSpec extends SparkSpec {
     assert(out("u2") == 0.0, s"age-63 event must clamp to zero, got ${out("u2")}")
   }
 
-  test("q124 equal-timestamp revisions never produce inverted intervals") {
+  test("q124 equal-timestamp revisions never invert or double a point-in-time lookup") {
     import spark.implicits._
     val ev = Seq(
       (1L, 10L, 1000L, 1.0), (1L, 11L, 1000L, 2.0), (1L, 12L, 2000L, 3.0)
@@ -672,9 +671,34 @@ class OperatorSpec extends SparkSpec {
       val (vf, vt) = (r.getLong(2), r.getLong(3))
       assert(vt == -1L || vt >= vf, s"inverted interval [$vf, $vt]")
     }
-    // the equal-ts pair: first revision collapses to a zero-width interval
+    // the equal-ts pair collapses to zero width: [1000, 1000)
     val first = rows.find(_.getLong(1) == 10L).get
     assert(first.getLong(3) == 1000L)
+    // the half-open contract: an as-of lookup at any instant (including
+    // the contested t=1000) matches AT MOST ONE revision per user
+    Seq(999L, 1000L, 1500L, 2000L, 5000L).foreach { t =>
+      val hits = rows.count { r =>
+        r.getLong(2) <= t && (r.getLong(3) == -1L || t < r.getLong(3))
+      }
+      assert(hits <= 1, s"as-of t=$t matched $hits revisions")
+    }
+  }
+
+  test("q47 NULL text propagates NULL simhash; non-null values match the DuckDB mirror") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("hello world")), (2L, Option.empty[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.TextOps.simhashMd5(
+          array_distinct(graft.functions.TextOps.tokens(col("text"))))
+          .as("simhash"))
+      .orderBy("doc_id").collect()
+    // pinned against DuckDB: CAST('0x'||substring(md5(w),1,15) AS BIGINT)
+    // votes over the same 60 bits (the oracle's CASE mirrors the NULL)
+    assert(out(0).getLong(1) == 419978266733191168L)
+    assert(out(1).isNullAt(1), "NULL text must propagate NULL, not a fake 0")
+    assert(out(2).getLong(1) == 955282973525019424L,
+      "'' splits to [''] on both engines and must vote, not fall to 0")
   }
 
   test("q126 degenerate groups report NULL, never NaN") {

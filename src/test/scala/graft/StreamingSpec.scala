@@ -304,6 +304,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("orphaned lock file: a dead writer's stale lock is broken, not spun on forever") {
+    val dir = Files.createTempDirectory("graft-lock-").toString
+    val store = new FileDocumentStore(dir)
+    store.upsert(AnsDoc("X", Some(0L), None))
+    // fabricate the kill -9 orphan: the lock exists, its owner is gone,
+    // and its mtime is past the stale bound
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest("X".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lock = java.nio.file.Paths.get(dir, hex + ".doc.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    val t0 = System.nanoTime()
+    val out = store.update("X")(c => c.get.copy(
+      revision = c.get.revision.map(_ + 1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.revision.contains(1L))
+    assert(secs < 8.0, s"stale lock should break immediately, took $secs s")
+    assert(!Files.exists(lock), "broken/released lock must not persist")
+  }
+
+  test("kinesis offset json round-trips shard names containing quotes and backslashes") {
+    val cur = Map("shard\"A" -> 3L, "shard\\B" -> 7L, "plain-0" -> 0L)
+    val off = KinesisStubOffset(cur)
+    assert(KinesisStubOffset.parse(off.json()).cursors == cur,
+      s"corrupted round-trip through ${off.json()}")
+  }
+
   test("event-log replay source drives the batch twin of the pipeline") {
     val store = new InMemoryDocumentStore
     // events.props is {"k": N} JSON — no insert-story events, so the
