@@ -324,6 +324,76 @@ object Curation extends QueryGroup {
         .select(col("doc_id"), col("w"), col("max_w"))
         .orderBy("doc_id")
     }),
+
+    // q132 [north star]: deterministic GLOBAL SHUFFLE + shard assignment
+    // — the reproducible reorder a training run needs before writing N
+    // shard files (shuffle seed = the salt, so re-runs and resumptions
+    // read the identical order). Shard = 8-way bucket of the doc's md5
+    // key; position = rank of the key within its shard. Scale: ONE
+    // shuffle keyed by shard (md5 keys are uniform, so shards are
+    // balanced by construction and each shard's rank window is its own
+    // partition — no global window, no single-reducer sort; writing
+    // shard files from this frame is partitionBy("shard") with the
+    // in-shard sort already done).
+    "q132_shard_shuffle" -> ((spark, dir) => {
+      val key = md5(concat(lit("shuffle:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), key.as("key"))
+        .withColumn("shard",
+          pmod(conv(substring(col("key"), 1, 2), 16, 10).cast("long"), lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // q133 [north star]: per-source TOKEN-BUDGET selection — the data-
+    // mixing primitive that caps each source at a token budget, keeping
+    // the longest documents first (deterministic integer ordering,
+    // doc_id tiebreak) until the running total crosses the cap. Scale:
+    // one shuffle keyed by source; the per-source cumulative-sum window
+    // never leaves its partition. A single mega-source makes that
+    // partition hot — the scale variant is the same two-pass threshold
+    // selection discipline as q93 (estimate the n_chars cutoff from
+    // budget/avg, then fix the boundary exactly).
+    "q133_token_budget" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+        .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+        .filter(col("cum_tokens") <= 800L)
+        .select(col("doc_id"), col("source"), col("ws_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // q134 [north star]: per-source EPOCH REPETITION PLAN — given a
+    // target token count per source, how many epochs each source repeats
+    // for and what fraction of it the final partial epoch keeps (the
+    // mixture table a multi-corpus run is driven by; epochs > 1 =
+    // upsampled small source, keep_bp < 10000 at epochs = 1 =
+    // downsampled large source). Pure post-aggregation arithmetic on
+    // BIGINTs (one exact double divide + floor/ceil, deterministic on
+    // both engines); #sources rows, no second shuffle.
+    "q134_epoch_plan" -> ((spark, dir) => {
+      val target = 2000.0
+      Tables(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("epochs",
+          ceil(lit(target) / col("n_tokens").cast("double")).cast("long"))
+        .withColumn("last_epoch_keep_bp",
+          floor((lit(target) - (col("epochs") - 1L).cast("double") *
+            col("n_tokens").cast("double")) * lit(10000.0) /
+            col("n_tokens").cast("double")).cast("long"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("epochs"), col("last_epoch_keep_bp"))
+        .orderBy("source")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -501,5 +571,39 @@ object Curation extends QueryGroup {
         |FROM (SELECT doc_id, text, unnest(range(1, length(text)+1, 150)) AS start
         |      FROM documents) t
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q132_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |             md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS key
+        |           FROM documents),
+        |s AS (SELECT doc_id, key,
+        |        CAST('0x' || substring(key, 1, 2) AS BIGINT) % 8 AS shard
+        |      FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q133_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, ws_tokens,
+        |        SUM(ws_tokens) OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, source, ws_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+    "q134_epoch_plan" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |e AS (SELECT source, n_docs, n_tokens,
+        |        CAST(ceil(2000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs
+        |      FROM s)
+        |SELECT source, n_docs, n_tokens, epochs,
+        |  CAST(floor((2000.0 - CAST(epochs - 1 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    * 10000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS last_epoch_keep_bp
+        |FROM e ORDER BY source""".stripMargin,
   )
 }

@@ -684,6 +684,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q132 shard shuffle: shards partition the corpus, positions are contiguous ranks") {
+    val rows = SparkEntry.queries("q132_shard_shuffle")(spark, Sf).collect()
+    val n = Tables(spark, Sf, "documents").count()
+    assert(rows.length == n, "every document gets exactly one slot")
+    rows.groupBy(_.getLong(1)).foreach { case (shard, members) =>
+      assert(shard >= 0 && shard < 8)
+      // in-shard positions are exactly 1..count — a writer can emit the
+      // shard file by position with no gaps and no collisions
+      assert(members.map(_.getLong(2)).sorted.toSeq ==
+        (1L to members.length).toSeq, s"shard $shard ranks not contiguous")
+    }
+  }
+
+  test("q133 token budget: per-source totals stay under budget and selection is longest-first") {
+    val kept = SparkEntry.queries("q133_token_budget")(spark, Sf).collect()
+    val perSource = kept.groupBy(_.getString(1))
+    perSource.foreach { case (src, docs) =>
+      assert(docs.map(_.getLong(3)).max <= 800L, s"$src exceeded the budget")
+    }
+    // greedy longest-first: every kept doc has n_chars >= every dropped
+    // doc of the same source (ties broken by doc_id, so compare strictly)
+    val chars = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val keptIds = kept.map(_.getLong(0)).toSet
+    chars.groupBy(_._2._1).foreach { case (src, members) =>
+      val (in, out) = members.partition(m => keptIds.contains(m._1))
+      if (in.nonEmpty && out.nonEmpty) {
+        val minKept = in.map(_._2._2).min
+        val maxDrop = out.map(_._2._2).max
+        // the kept set is a PREFIX of the (n_chars DESC, doc_id) order,
+        // so no dropped doc outranks a kept one (equal chars = id tiebreak)
+        assert(minKept >= maxDrop, s"$src kept a shorter doc over a longer one")
+      }
+    }
+  }
+
   test("q47 NULL text propagates NULL simhash; non-null values match the DuckDB mirror") {
     import spark.implicits._
     val docs = Seq((1L, Some("hello world")), (2L, Option.empty[String]),
