@@ -435,6 +435,32 @@ object Dedup extends QueryGroup {
         shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
           .filter(size(col("sh")) > 0)))),
 
+    // q135 [north star]: LEAKAGE-SAFE SPLIT — train/val assignment keyed
+    // by the near-dup COMPONENT, not the document: a doc and its
+    // near-duplicates always land in the same split, so the val set
+    // cannot leak train content through a near-copy (the classic split
+    // contamination q65's per-doc gate cannot prevent). Same salt as
+    // q65, gating the component label (min member id; singletons =
+    // their own id) — docs with no near-dup partner keep exactly their
+    // q65 assignment, only cluster members move. Scale shape: the
+    // component table is pairs-sized (≪ corpus, AQE-broadcast left
+    // join); the gate is per-row expression work.
+    "q135_leakage_safe_split" -> ((spark, dir) => {
+      val comps = connectedComponents(minhashNearDupPairs(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0)))
+        .withColumnRenamed("doc_id", "id")
+      val bucket = substring(md5(concat(lit("split:"),
+        col("group_id").cast("string"))), 1, 2)
+      Tables(spark, dir, "documents").select(col("doc_id"))
+        .join(comps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("group_id"))
+        .select(col("doc_id"), col("group_id"), bucket.as("bucket"),
+          when(bucket < "cd", lit("train")).otherwise(lit("val")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // q87 [north star]: CLUSTER COLLAPSE — the cleaned corpus q76's
     // clusters imply. Each near-dup component keeps ONE canonical doc
     // (most content = highest n_chars, lowest doc_id on ties);
@@ -675,6 +701,37 @@ object Dedup extends QueryGroup {
         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v)
         |SELECT id AS doc_id, MIN(lbl) AS component_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q135: q76's transitive closure + the q65 md5 gate over the
+    // component label (singletons gate on their own id).
+    "q135_leakage_safe_split" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |tp AS (SELECT p.a_id, p.b_id
+        |       FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM tp
+        |          UNION SELECT b_id, a_id FROM tp),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY id),
+        |grp AS (SELECT d.doc_id,
+        |          COALESCE(c.component_id, d.doc_id) AS group_id
+        |        FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, group_id,
+        |  substring(md5(concat('split:', CAST(group_id AS VARCHAR))), 1, 2) AS bucket,
+        |  CASE WHEN substring(md5(concat('split:', CAST(group_id AS VARCHAR))), 1, 2) < 'cd'
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM grp ORDER BY doc_id""".stripMargin,
     // q87: q76's transitive closure + canonical selection + singleton
     // passthrough (row_number mirrors the Spark max_by tie-break).
     "q87_canonical_keep" ->

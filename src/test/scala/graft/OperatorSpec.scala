@@ -721,6 +721,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q135 leakage-safe split: groups are atomic across splits; singletons keep q65's assignment") {
+    val split = SparkEntry.queries("q135_leakage_safe_split")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // every group lands wholly in one split — no near-dup leakage
+    split.values.groupBy(_._1).foreach { case (g, ms) =>
+      assert(ms.map(_._2).toSet.size == 1, s"group $g split across train/val")
+    }
+    // docs that group on their own id gate identically to q65 (same
+    // salt): the leakage-safe split only MOVES documents with partners
+    val q65 = SparkEntry.queries("q65_train_split")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    split.foreach { case (id, (g, s)) =>
+      if (g == id) assert(q65(id) == s, s"doc $id moved without a partner")
+    }
+    // the fixture exercises both regimes
+    assert(split.exists { case (id, (g, _)) => g != id }, "no clustered docs")
+    assert(split.values.map(_._2).toSet == Set("train", "val"))
+  }
+
   test("q47 NULL text propagates NULL simhash; non-null values match the DuckDB mirror") {
     import spark.implicits._
     val docs = Seq((1L, Some("hello world")), (2L, Option.empty[String]),
