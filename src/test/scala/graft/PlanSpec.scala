@@ -318,4 +318,31 @@ class PlanSpec extends SparkSpec {
     assert(p119.contains("BroadcastHashJoin"), "part is a dimension — broadcast it")
     assert("HashAggregate".r.findAllIn(p119).size >= 2)
   }
+
+  test("r6 curation shapes: per-key windows only, pruned scans, partial-agg epoch plan") {
+    // q132's rank window is PARTITIONED by shard — a global (empty-spec)
+    // window would serialize the whole corpus through one reducer
+    val p132 = plan("q132_shard_shuffle")
+    assert(p132.contains("windowspecdefinition(shard"),
+      "q132's window must partition by shard")
+    val r132 = p132.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!r132.contains("text"), "q132 needs only doc_id — prune text")
+    // q133's cumulative sum stays inside its source partition
+    val p133 = plan("q133_token_budget")
+    assert(p133.contains("windowspecdefinition(source"),
+      "q133's window must partition by source")
+    // q134 is a straight partial+final aggregate, no window, no join
+    val p134 = plan("q134_epoch_plan")
+    assert(!p134.contains("Window") && !p134.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p134).size >= 2)
+  }
+
+  test("q135's component join broadcasts the pairs-sized label table") {
+    val df = SparkEntry.queries("q135_leakage_safe_split")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the component table is pairs-sized — broadcast it under AQE")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
