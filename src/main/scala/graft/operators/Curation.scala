@@ -394,6 +394,37 @@ object Curation extends QueryGroup {
           col("epochs"), col("last_epoch_keep_bp"))
         .orderBy("source")
     }),
+
+    // q138 [north star]: per-source QUALITY-QUANTILE gate — the
+    // model-free stand-in for classifier-filtered curation (DCLM /
+    // FineWeb-Edu shape): within each source, keep the top 30% of
+    // documents by a quality key, so a noisy crawl is cut harder than
+    // a clean dump in absolute terms while every source keeps its best
+    // tercile. Quality key = lexical diversity in basis points
+    // (floor(distinct·10⁴/total tokens) — q51's signal as ONE exact
+    // integer; in production the column would be a classifier score,
+    // the gate is unchanged). The 30% cut is pure integer rank
+    // arithmetic (10·rk ≤ 3·n — no percent_rank doubles), doc_id
+    // tiebreak, so membership is exact on both engines. Scale: one
+    // shuffle keyed by source; a mega-source makes that partition hot
+    // — the scale variant is q93's two-pass threshold discipline
+    // (estimate the score cutoff, then fix the boundary rank exactly).
+    "q138_quality_gate" -> ((spark, dir) => {
+      val bySrc = Window.partitionBy(col("source"))
+      Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          floor(size(array_distinct(col("ws"))).cast("double") * 10000d /
+            size(col("ws")).cast("double")).cast("long").as("qscore_bp"))
+        .withColumn("rk", row_number().over(bySrc
+          .orderBy(col("qscore_bp").desc, col("doc_id"))).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+        .withColumn("kept",
+          when(col("rk") * 10L <= col("n_src") * 3L, 1L).otherwise(0L))
+        .select(col("doc_id"), col("source"), col("qscore_bp"),
+          col("rk"), col("n_src"), col("kept"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -605,5 +636,21 @@ object Curation extends QueryGroup {
         |  CAST(floor((2000.0 - CAST(epochs - 1 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |    * 10000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS last_epoch_keep_bp
         |FROM e ORDER BY source""".stripMargin,
+    // q138: identical score expression (same op order — multiply before
+    // divide — so the doubles match bit-for-bit) + integer rank gate.
+    "q138_quality_gate" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(floor(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      * 10000 / CAST(len(string_split(text,' ')) AS DOUBLE)) AS BIGINT)
+        |      AS qscore_bp
+        |  FROM documents)
+        |SELECT doc_id, source, qscore_bp, rk, n_src,
+        |  CAST(CASE WHEN rk * 10 <= n_src * 3 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM (SELECT doc_id, source, qscore_bp,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY qscore_bp DESC, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM s) t
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -491,6 +491,48 @@ object Dedup extends QueryGroup {
       canon.unionByName(singles).orderBy("doc_id")
     }),
 
+    // q136 [north star]: SOURCE-PRIORITY collapse — q87 with the
+    // canonical-member rule a cross-dump dedup actually uses: prefer
+    // the member from the highest-priority SOURCE, where priority is
+    // derived from the corpus itself (total content mass = sum of
+    // n_chars per source — an exact BIGINT, aggregation-order-free)
+    // rather than a hardcoded list; ties fall back to source name,
+    // then most content, then lowest id (a total order, so the pick is
+    // unique). This is the "keep the curated dump's copy, drop the
+    // crawl's" step that min-id/max-content collapse (q87) cannot
+    // express. Scale shape: the priority table is |sources| rows
+    // (explicit broadcast onto the pairs-sized member set); the
+    // per-component pick is a window over that member set only — the
+    // corpus-sized side never enters a window, and the only
+    // corpus-sized shuffles are q76's own pipeline plus one
+    // per-source partial agg for the mass table.
+    "q136_priority_collapse" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val mass = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("src_mass"))
+      val comps = connectedComponents(minhashNearDupPairs(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0)))
+        .withColumnRenamed("doc_id", "id")
+      val joined = docs.join(comps, col("doc_id") === col("id"), "left")
+      val byComponent = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component_id"))
+      val canon = joined.filter(col("component_id").isNotNull)
+        .join(broadcast(mass), "source")
+        .withColumn("rk", row_number().over(byComponent
+          .orderBy(col("src_mass").desc, col("source"),
+            col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_collapsed", count(lit(1)).over(byComponent))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("component_id"), col("source"),
+          col("n_collapsed").cast("long").as("n_collapsed"))
+      val singles = joined.filter(col("component_id").isNull)
+        .select(col("doc_id"), col("doc_id").as("component_id"),
+          col("source"), lit(1L).as("n_collapsed"))
+      canon.unionByName(singles).orderBy("doc_id")
+    }),
+
     // q80 [north star]: FUZZY (edit-distance) dedup — the tier for
     // near-identical short fields (titles, leads) where token-level
     // Jaccard is too coarse: pairs whose 40-char prefixes are within
@@ -766,6 +808,47 @@ object Dedup extends QueryGroup {
         |singles AS (SELECT doc_id, doc_id AS component_id, 1 AS n_collapsed
         |            FROM j WHERE component_id IS NULL)
         |SELECT doc_id, CAST(component_id AS BIGINT) AS component_id,
+        |  CAST(n_collapsed AS BIGINT) AS n_collapsed
+        |FROM (SELECT * FROM canon UNION ALL SELECT * FROM singles) u
+        |ORDER BY doc_id""".stripMargin,
+    // q136: q87's transitive closure + the corpus-derived source
+    // priority (total n_chars per source) driving the canonical pick.
+    "q136_priority_collapse" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |tp AS (SELECT p.a_id, p.b_id
+        |       FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM tp
+        |          UNION SELECT b_id, a_id FROM tp),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY id),
+        |mass AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_mass
+        |         FROM documents GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.source, d.n_chars, c.component_id
+        |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |canon AS (SELECT doc_id, component_id, source, n_collapsed FROM (
+        |    SELECT j.doc_id, j.component_id, j.source,
+        |      row_number() OVER (PARTITION BY j.component_id
+        |                         ORDER BY m.src_mass DESC, j.source,
+        |                                  j.n_chars DESC, j.doc_id) AS rk,
+        |      count(*) OVER (PARTITION BY j.component_id) AS n_collapsed
+        |    FROM j JOIN mass m ON m.source = j.source
+        |    WHERE j.component_id IS NOT NULL) t WHERE rk = 1),
+        |singles AS (SELECT doc_id, doc_id AS component_id, source, 1 AS n_collapsed
+        |            FROM j WHERE component_id IS NULL)
+        |SELECT doc_id, CAST(component_id AS BIGINT) AS component_id, source,
         |  CAST(n_collapsed AS BIGINT) AS n_collapsed
         |FROM (SELECT * FROM canon UNION ALL SELECT * FROM singles) u
         |ORDER BY doc_id""".stripMargin,

@@ -429,6 +429,65 @@ object TextAnalysis extends QueryGroup {
     // (distinct counts match the oracle's distinct strings).
     "q86_source_overlap" -> ((spark, dir) =>
       sourceOverlap(Tables(spark, dir, "documents"))),
+
+    // q137 [north star]: token-DISTRIBUTION drift between sources —
+    // the corpus-composition monitor behind "did this dump shift the
+    // mixture" decisions: exact total-variation distance between the
+    // unigram distributions of every source pair. Emitted EXACT: with
+    // c_s(t) the token count and N_s the total, TVD = num/(2·N_a·N_b)
+    // where num = Σ_t |c_a(t)·N_b − c_b(t)·N_a| — pure BIGINT (the
+    // q131 no-means trick applied to distributions; the caller divides
+    // if it wants the [0,1] value). Only tokens present in BOTH
+    // sources need the join: the one-sided tails collapse to totals,
+    // num = Σ_both |…| + (N_a − Σ_both c_a)·N_b + (N_b − Σ_both c_b)·N_a,
+    // so a disjoint-vocabulary pair (no join rows) correctly reads
+    // 2·N_a·N_b = max drift via the pair-universe left join. BIGINT
+    // exactness bound, enforced in-plan (q131 discipline): num ≤
+    // 2·N_a·N_b, so sources stay exact while N_a·N_b ≤ 2^62 (~2·10⁹
+    // tokens per source balanced — beyond that, widen to DOUBLE).
+    // Scale shape: one corpus-sized shuffle for the (source, token)
+    // counts; the token-keyed self-join's per-key fanout is ≤ sources²
+    // (q86's bound — a hot token cannot go quadratic in documents);
+    // totals and the pair universe are |sources|-sized broadcasts.
+    "q137_source_drift" -> ((spark, dir) => {
+      val cnt = graft.CachePool.track(
+        Tables(spark, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("c")))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val both = cnt.select(col("source").as("src_a"), col("t"),
+          col("c").as("c_a"))
+        .join(cnt.select(col("source").as("src_b"), col("t"),
+          col("c").as("c_b")), Seq("t"))
+        .filter(col("src_a") < col("src_b"))
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(abs(col("c_a") * col("nb") - col("c_b") * col("na")))
+            .as("shared_term"),
+          sum(col("c_a")).as("s_ab"), sum(col("c_b")).as("s_ba"))
+      val pairLimit = (Long.MaxValue / 2).toDouble
+      tot.alias("ta").join(broadcast(tot.alias("tb")),
+          col("ta.source") < col("tb.source"))
+        .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+          col("ta.n").as("n_a"), col("tb.n").as("n_b"))
+        .join(both, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          when(col("n_a").cast("double") * col("n_b").cast("double") >
+              pairLimit,
+            raise_error(lit("q137 TVD numerator exceeds BIGINT " +
+              "exactness bound (n_a*n_b > 2^62); widen the numerator " +
+              "to DOUBLE for sources this large")))
+            .otherwise(coalesce(col("shared_term"), lit(0L)) +
+              (col("n_a") - coalesce(col("s_ab"), lit(0L))) * col("n_b") +
+              (col("n_b") - coalesce(col("s_ba"), lit(0L))) * col("n_a"))
+            .as("tvd_num"))
+        .orderBy("src_a", "src_b")
+    }),
   )
 
   /** q99's gate over any `(doc_id, text, ...)`-shaped corpus: the input
@@ -733,6 +792,32 @@ object TextAnalysis extends QueryGroup {
         |JOIN c ca ON ca.source = p.src_a
         |JOIN c cb ON cb.source = p.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    // q137: same counts/totals/shared-token decomposition — the
+    // one-sided tails are reconstructed from totals, so only tokens in
+    // both sources are joined; integer arithmetic end to end.
+    "q137_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS t
+        |             FROM documents),
+        |cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cnt GROUP BY 1),
+        |b AS (SELECT a.source AS src_a, bb.source AS src_b,
+        |        CAST(SUM(abs(a.c * tb.n - bb.c * ta.n)) AS BIGINT) AS shared_term,
+        |        CAST(SUM(a.c) AS BIGINT) AS s_ab,
+        |        CAST(SUM(bb.c) AS BIGINT) AS s_ba
+        |      FROM cnt a JOIN cnt bb ON a.t = bb.t AND a.source < bb.source
+        |      JOIN tot ta ON ta.source = a.source
+        |      JOIN tot tb ON tb.source = bb.source
+        |      GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |  CAST(COALESCE(b.shared_term, 0)
+        |    + (p.n_a - COALESCE(b.s_ab, 0)) * p.n_b
+        |    + (p.n_b - COALESCE(b.s_ba, 0)) * p.n_a AS BIGINT) AS tvd_num
+        |FROM (SELECT ta.source AS src_a, tb.source AS src_b,
+        |        ta.n AS n_a, tb.n AS n_b
+        |      FROM tot ta JOIN tot tb ON ta.source < tb.source) p
+        |LEFT JOIN b ON b.src_a = p.src_a AND b.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     "q44_token_tf" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t

@@ -740,6 +740,71 @@ class OperatorSpec extends SparkSpec {
     assert(split.values.map(_._2).toSet == Set("train", "val"))
   }
 
+  test("q136 priority collapse: survivors come from the max-mass source; cluster mass is conserved") {
+    val out = SparkEntry.queries("q136_priority_collapse")(spark, Sf).collect()
+    // every doc folds into exactly one survivor
+    assert(out.map(_.getLong(3)).sum == Tables(spark, Sf, "documents").count())
+    val mass = Tables(spark, Sf, "documents").groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcOf = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byComp = SparkEntry.queries("q76_neardup_components")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._2)
+    val multi = out.filter(_.getLong(3) > 1)
+    assert(multi.nonEmpty, "fixture has no multi-member components")
+    multi.foreach { r =>
+      val best = byComp(r.getLong(1)).map(m => mass(srcOf(m._1))).max
+      assert(mass(r.getString(2)) == best,
+        s"component ${r.getLong(1)} survivor not from the max-mass source")
+    }
+  }
+
+  test("q137 source drift: complete pair universe; numerator matches a brute-force TVD and its bounds") {
+    val out = SparkEntry.queries("q137_source_drift")(spark, Sf).collect()
+    val nSrc = Tables(spark, Sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(out.length == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    out.foreach { r =>
+      val (na, nb, num) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(num >= 0 && num <= 2 * na * nb,
+        s"${r.getString(0)}/${r.getString(1)} numerator outside [0, 2*n_a*n_b]")
+    }
+    // brute-force the first pair from the raw token multisets
+    val first = out.head
+    val counts = Tables(spark, Sf, "documents")
+      .filter(col("source").isin(first.getString(0), first.getString(1)))
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).count().collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val (ca, cb) = (counts(first.getString(0)), counts(first.getString(1)))
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    val num = (ca.keySet ++ cb.keySet).toSeq
+      .map(t => math.abs(ca.getOrElse(t, 0L) * nb - cb.getOrElse(t, 0L) * na))
+      .sum
+    assert(first.getLong(2) == na && first.getLong(3) == nb &&
+      first.getLong(4) == num, "exact numerator mismatch vs brute force")
+  }
+
+  test("q138 quality gate: each source keeps exactly its floor(0.3n) best-scored prefix") {
+    val out = SparkEntry.queries("q138_quality_gate")(spark, Sf).collect()
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val n = rows.head.getLong(4)
+      assert(rows.length == n, s"$src n_src mismatch")
+      val kept = rows.filter(_.getLong(5) == 1L)
+      assert(kept.length == 3 * n / 10, s"$src kept count != floor(0.3n)")
+      // the kept set is the rank prefix, and ranks follow the score order
+      assert(kept.isEmpty || kept.map(_.getLong(3)).max <= 3 * n / 10)
+      val dropped = rows.filter(_.getLong(5) == 0L)
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_.getLong(2)).min >= dropped.map(_.getLong(2)).max,
+          s"$src kept a lower-scored doc over a higher-scored one")
+    }
+  }
+
   test("q47 NULL text propagates NULL simhash; non-null values match the DuckDB mirror") {
     import spark.implicits._
     val docs = Seq((1L, Some("hello world")), (2L, Option.empty[String]),

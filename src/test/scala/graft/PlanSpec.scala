@@ -345,4 +345,30 @@ class PlanSpec extends SparkSpec {
       "the component table is pairs-sized — broadcast it under AQE")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("r6 reporting shapes: q136/q137 broadcast their model-sized stats; q138 windows per source") {
+    // q136: the per-source mass table joins by broadcast, and the
+    // canonical pick windows over component_id (pairs-sized set), never
+    // the whole corpus
+    val p136 = plan("q136_priority_collapse")
+    assert(p136.contains("windowspecdefinition(component_id"),
+      "q136's pick must partition by component")
+    assert(p136.contains("BroadcastHashJoin"), "mass table must broadcast")
+    // q137: no corpus-sized cartesian anywhere — the only nested loop
+    // is the |sources|² pair universe; the token self-join is equi-keyed
+    val p137 = plan("q137_source_drift")
+    assert(!p137.contains("CartesianProduct"),
+      "q137 may only nested-loop the |sources|-sized totals")
+    assert(p137.contains("SortMergeJoin") || p137.contains("ShuffledHashJoin")
+      || p137.contains("BroadcastHashJoin"),
+      "the shared-token join must be equi-keyed")
+    // q138: rank window partitions by source; the scan reads only the
+    // three columns the gate needs
+    val p138 = plan("q138_quality_gate")
+    assert(p138.contains("windowspecdefinition(source"),
+      "q138's window must partition by source")
+    val r138 = p138.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!r138.contains("lang") && !r138.contains("n_chars"),
+      "q138 needs only doc_id/source/text — prune the rest")
+  }
 }
