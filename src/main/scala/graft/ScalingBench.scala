@@ -86,7 +86,8 @@ object ScalingBench {
       "q90_dup_spans", "q91_kmeans_clusters",
       "q95_top_ngrams", "q97_chunk_dedup", "q101_containment",
       "q109_knn_label", "q113_semantic_dedup",
-      "q133_token_budget", "q135_leakage_safe_split")
+      "q133_token_budget", "q135_leakage_safe_split",
+      "q136_priority_collapse", "q137_source_drift", "q138_quality_gate")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full
