@@ -722,6 +722,95 @@ object Similarity extends QueryGroup {
           col("a.n").as("n_a"), col("b.n").as("n_b"))
         .orderBy("src_a", "src_b")
     }),
+
+    // q139 [north star]: SEMANTIC decontamination — the embedding-space
+    // sibling of q81's n-gram gate (the held-out-eval hygiene step a
+    // curation pipeline runs before training): flag every training
+    // vector whose cosine against ANY benchmark/holdout vector clears
+    // tau = 0.35, reporting how many benchmark docs it collides with.
+    // Benchmark membership is md5-hash-gated (~10%, the q65/q81 split
+    // discipline) so both engines derive the identical set. The cosine
+    // gate runs on q84's int8 quantization with the threshold
+    // cross-multiplied into pure BIGINT — hit iff dot > 0 and
+    // 400*dot^2 >= 49*aa*bb (tau = 7/20) — so the boundary has zero
+    // floating-point hazard; exact while dim <= floor(sqrt(2^63/400)
+    // / 127^2) = 9414, enforced in-plan (q131's raise_error
+    // discipline). Scale shape: a real benchmark table is
+    // benchmark-sized (10^3-10^5 rows) at ANY corpus scale, so it
+    // broadcasts and the pair stage is a map-local loop of int8 dots
+    // feeding a partial-aggregating count keyed on vec_id — nothing
+    // but the flagged-doc result ever shuffles; a benchmark too big to
+    // broadcast moves the probe into the IVF-bucketed tier (q59's
+    // shape) with the gate unchanged.
+    "q139_semantic_decon" -> ((spark, dir) => {
+      val dimLimit = 9414L
+      val staged = Tables(spark, dir, "embeddings")
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(col("vec_id"),
+          quantizeInt8(col("embedding"), col("mx")).as("qvec"),
+          (substring(md5(concat(lit("decon:"),
+            col("vec_id").cast("string"))), 1, 2) >= "e6").as("is_bench"))
+        .withColumn("n2",
+          when(size(col("qvec")) > dimLimit,
+            raise_error(lit("q139 cosine cross-multiplication exceeds " +
+              "the BIGINT exactness bound (400*dot^2 with dim > 9414); " +
+              "widen the gate to DOUBLE for vectors this wide")))
+            .otherwise(VectorOps.dot(col("qvec"), col("qvec"))))
+      val bench = staged.filter(col("is_bench"))
+        .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),
+          col("n2").as("bb"))
+      staged.filter(!col("is_bench"))
+        .join(broadcast(bench), lit(true))
+        .select(col("vec_id"), col("n2").as("aa"), col("bb"),
+          VectorOps.dot(col("qvec"), col("b_qvec")).as("dot"))
+        .filter(col("dot") > 0 &&
+          lit(400L) * col("dot") * col("dot") >=
+            lit(49L) * col("aa") * col("bb"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_bench_hits"))
+        .orderBy("vec_id")
+    }),
+
+    // q140 [north star]: HARD-NEGATIVE mining — the contrastive-training
+    // curation step (DPR, Karpukhin et al. EMNLP'20): for each anchor in
+    // a hash-gated batch sample (~10%, q139's md5 gate discipline), find
+    // the 3 nearest vectors carrying a DIFFERENT label — negatives that
+    // are hard precisely because they look like the anchor. Distances
+    // are q84's int8 dots (BIGINT end-to-end) and the rank order
+    // (dot DESC, neg_id ASC) is a total order, so the oracle is exact —
+    // no fp-tie hazard anywhere. NULL-labeled rows drop out of both
+    // sides of the <>-join identically on both engines (ternary logic).
+    // Scale shape: the anchor batch broadcasts against one corpus scan
+    // (q109's probe pattern) and the top-3 cut is the bounded TopKAgg —
+    // map-side partials carry <= 3 rows per (anchor, partition), so
+    // nothing but 3·|anchors| winner rows ever shuffles; a batch too big
+    // to broadcast flips the build side or moves the probe into the
+    // bucketed tiers (q49/q59) with the mining rule unchanged.
+    "q140_hard_negatives" -> ((spark, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val q = Tables(spark, dir, "embeddings")
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantizeInt8(col("embedding"), col("mx")).as("qvec"))
+      val anchors = q.filter(
+        substring(md5(concat(lit("hneg:"), col("vec_id").cast("string"))),
+          1, 2) >= "e6")
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("qvec").as("a_vec"))
+      q.join(broadcast(anchors), col("label") =!= col("a_label"))
+        .select(col("a_id"),
+          VectorOps.dot(col("qvec"), col("a_vec")).cast("double").as("dot"),
+          col("vec_id").as("n_id"))
+        .groupBy(col("a_id"))
+        .agg(topk(col("dot"), col("n_id")).as("top"))
+        .select(col("a_id").as("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("neg_id"), col("col.score").cast("long").as("dot"))
+        .orderBy("vec_id", "rk")
+    }),
   )
 
   /** Dominator candidates per cluster: each vector is compared against
@@ -1068,5 +1157,37 @@ object Similarity extends QueryGroup {
          |  COALESCE(d.n_dominators, 0) AS n_dominators
          |FROM pts p LEFT JOIN dom d ON d.vec_id = p.vec_id
          |ORDER BY p.vec_id""".stripMargin,
+    // q139 mirror: identical md5 benchmark gate, identical BIGINT
+    // cross-multiplied cosine threshold (tau = 7/20) — dot and norms
+    // are the same integer folds, so the hit set cannot drift.
+    "q139_semantic_decon" ->
+      s"""WITH n AS (SELECT vec_id, qvec,
+         |        ${qdot("qvec", "qvec")} AS n2,
+         |        substring(md5('decon:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'e6' AS is_bench
+         |      FROM $qvecSql z),
+         |p AS (SELECT a.vec_id,
+         |        ${qdot("a.qvec", "b.qvec")} AS dot,
+         |        a.n2 AS aa, b.n2 AS bb
+         |      FROM n a JOIN n b ON NOT a.is_bench AND b.is_bench)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits
+         |FROM p WHERE dot > 0 AND 400 * dot * dot >= 49 * aa * bb
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q140 mirror: identical md5 anchor gate, identical BIGINT dot and
+    // (dot DESC, neg_id ASC) total order — ranks cannot drift.
+    "q140_hard_negatives" ->
+      s"""WITH qv AS (SELECT z.vec_id, CAST(e.label AS BIGINT) AS label, z.qvec
+         |            FROM $qvecSql z JOIN embeddings e ON e.vec_id = z.vec_id),
+         |a AS (SELECT * FROM qv
+         |      WHERE substring(md5('hneg:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'e6'),
+         |p AS (SELECT a.vec_id, b.vec_id AS neg_id,
+         |        ${qdot("a.qvec", "b.qvec")} AS dot
+         |      FROM a JOIN qv b ON b.label <> a.label),
+         |r AS (SELECT vec_id, neg_id, dot,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY dot DESC, neg_id) AS rk
+         |      FROM p)
+         |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neg_id,
+         |  CAST(dot AS BIGINT) AS dot
+         |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
   )
 }

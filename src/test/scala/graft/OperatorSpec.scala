@@ -866,4 +866,86 @@ class OperatorSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.keySet -- baseline
     assert(after.isEmpty, s"cached blocks leaked after releaseAll: $after")
   }
+
+  test("semantic decontamination matches a from-scratch integer recompute") {
+    // Independent path: quantize + gate in plain Scala loops from the
+    // raw embeddings, then compare the hit map exactly. Same IEEE double
+    // ops (x/mx*127+0.5, floor) and the same BIGINT cross-multiplied
+    // threshold, so any drift in the Spark expressions is a failure.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def benchGate(id: Long): Boolean = {
+      val hex = md.digest(s"decon:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      hex >= "e6"
+    }
+    val raw = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val quantized = raw.map { case (id, v) =>
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      id -> v.map(x =>
+        if (mx > 0.0) math.floor(x.toDouble / mx * 127.0 + 0.5).toLong
+        else 0L)
+    }
+    val norms = quantized.map { case (id, q) =>
+      id -> q.map(x => x * x).sum }.toMap
+    val (bench, train) = quantized.partition { case (id, _) => benchGate(id) }
+    val expected = train.flatMap { case (aId, aq) =>
+      val hits = bench.count { case (bId, bq) =>
+        val dot = aq.zip(bq).map { case (x, y) => x * y }.sum
+        dot > 0 && 400L * dot * dot >= 49L * norms(aId) * norms(bId)
+      }
+      if (hits > 0) Some(aId -> hits.toLong) else None
+    }.toMap
+    val actual = SparkEntry.queries("q139_semantic_decon")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected,
+      s"hit maps differ: only-spark=${actual.keySet -- expected.keySet} " +
+        s"only-recompute=${expected.keySet -- actual.keySet}")
+    assert(actual.nonEmpty, "fixture must flag at least one training doc")
+    assert(actual.keySet.forall(id => !benchGate(id)),
+      "benchmark docs can never appear in the flagged set")
+  }
+
+  test("hard-negative mining matches a from-scratch integer recompute") {
+    // Same discipline as the q139 test: quantize + rank in plain Scala
+    // from the raw embeddings and compare the full (anchor, rk, neg, dot)
+    // relation exactly — integer dots and a (dot DESC, id ASC) total
+    // order mean there is exactly one right answer.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def anchorGate(id: Long): Boolean = {
+      val hex = md.digest(s"hneg:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      hex >= "e6"
+    }
+    val quantized = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val mx = v.map(x => math.abs(x.toDouble)).max
+        val q = v.map(x =>
+          if (mx > 0.0) math.floor(x.toDouble / mx * 127.0 + 0.5).toLong
+          else 0L)
+        (r.getLong(0), q, r.getLong(2))
+      }
+    val expected = quantized.filter(t => anchorGate(t._1))
+      .flatMap { case (aId, aq, aLab) =>
+        quantized.filter(_._3 != aLab)
+          .map { case (nId, nq, _) =>
+            (nId, aq.zip(nq).map { case (x, y) => x * y }.sum) }
+          .sortBy { case (nId, dot) => (-dot, nId) }.take(3)
+          .zipWithIndex
+          .map { case ((nId, dot), i) => (aId, (i + 1).toLong, nId, dot) }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val actual = SparkEntry.queries("q140_hard_negatives")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(actual == expected, "hard-negative ranking drifted from the " +
+      s"recompute (first diff: ${actual.diff(expected).take(3).toList} vs " +
+      s"${expected.diff(actual).take(3).toList})")
+    assert(actual.nonEmpty, "fixture must mine at least one negative")
+    assert(actual.forall(_._2 <= 3), "never more than 3 negatives per anchor")
+  }
 }

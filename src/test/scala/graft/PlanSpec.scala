@@ -371,4 +371,36 @@ class PlanSpec extends SparkSpec {
     assert(!r138.contains("lang") && !r138.contains("n_chars"),
       "q138 needs only doc_id/source/text — prune the rest")
   }
+
+  test("q139 broadcasts the benchmark and partial-aggregates the hit count") {
+    val p = plan("q139_semantic_decon")
+    // the benchmark side must broadcast (a real benchmark is
+    // benchmark-sized at any corpus scale); the pair stage is the q109
+    // nested-loop shape, never a shuffled corpus-vs-corpus join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the benchmark probe must be a broadcast nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "q139 must not plan a rank window")
+    // hit counting combines map-side: partial + final HashAggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "q139's hit count must partial-aggregate")
+    // the scan feeds only vec_id + embedding into the quantizer
+    val r = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!r.contains("label"), "q139 reads only vec_id/embedding")
+  }
+
+  test("q140 broadcasts the anchor batch and bounds the top-3 cut") {
+    val p = plan("q140_hard_negatives")
+    // the anchor batch must broadcast against one corpus scan; the
+    // label-inequality join is non-equi by construction, so the only
+    // acceptable plan is a broadcast nested loop — never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the anchor probe must be a broadcast nested loop")
+    assert(!p.contains("CartesianProduct"))
+    // the top-3 cut is the bounded TopKAgg, never a rank window over
+    // the |anchors| x |corpus| pair relation
+    assert(!p.contains("Window"), "q140 must not plan a rank window")
+    assert("Aggregate".r.findAllIn(p).size >= 2,
+      "q140's top-3 cut must partial-aggregate")
+  }
 }
