@@ -87,7 +87,8 @@ object ScalingBench {
       "q95_top_ngrams", "q97_chunk_dedup", "q101_containment",
       "q109_knn_label", "q113_semantic_dedup",
       "q133_token_budget", "q135_leakage_safe_split",
-      "q136_priority_collapse", "q137_source_drift", "q138_quality_gate")
+      "q136_priority_collapse", "q137_source_drift", "q138_quality_gate",
+      "q139_semantic_decon", "q140_hard_negatives")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full
@@ -118,6 +119,39 @@ object ScalingBench {
       Some(time(graft.operators.Similarity.semanticDedup(
         Tables(spark, workDir, "embeddings"), k = 8 * Factor)))
     else None
+    // q139/q140 deployment shape: the registered entries' md5-gated
+    // benchmark/anchor sets grow WITH the fixture (both sides 10× =>
+    // ~100× pair work — that superlinear `blown` row is the gate
+    // artifact, not the operator). In deployment the benchmark and the
+    // per-batch anchor set are FIXED-size, so the true curve is linear
+    // in the corpus: measured here by probing the blown corpus against
+    // the BASE corpus's gated set.
+    val deconFixedBench = if (sel.contains("q139_semantic_decon"))
+      Some(time({
+        val base = graft.operators.Similarity.deconStage(
+          Tables(spark, baseDir, "embeddings"))
+        val blown = graft.operators.Similarity.deconStage(
+          Tables(spark, workDir, "embeddings"))
+        graft.operators.Similarity.deconProbe(
+          blown.filter(!col("is_bench")),
+          base.filter(col("is_bench"))
+            .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),
+              col("n2").as("bb")))
+      }))
+    else None
+    val hnegFixedAnchors = if (sel.contains("q140_hard_negatives"))
+      Some(time({
+        val base = graft.operators.Similarity.labeledQvecs(
+          Tables(spark, baseDir, "embeddings"))
+        val blown = graft.operators.Similarity.labeledQvecs(
+          Tables(spark, workDir, "embeddings"))
+        graft.operators.Similarity.hardNegProbe(blown,
+          base.filter(substring(md5(concat(lit("hneg:"),
+            col("vec_id").cast("string"))), 1, 2) >= "e6")
+            .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+              col("qvec").as("a_vec")))
+      }))
+    else None
 
     def js(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -126,6 +160,10 @@ object ScalingBench {
       lshFixed16.map(v => s""""blown_q49_fixed16":$v,""").getOrElse("") +
       ivfFixed16.map(v => s""""blown_q59_fixed_k16":$v,""").getOrElse("") +
       semScaledK.map(v => s""""blown_q113_scaled_k":$v,""").getOrElse("") +
+      deconFixedBench.map(v =>
+        s""""blown_q139_fixed_bench":$v,""").getOrElse("") +
+      hnegFixedAnchors.map(v =>
+        s""""blown_q140_fixed_anchors":$v,""").getOrElse("") +
       s""""samples":$samples,"base_dir":"$baseDir"}""")
     spark.stop()
   }

@@ -743,33 +743,11 @@ object Similarity extends QueryGroup {
     // broadcast moves the probe into the IVF-bucketed tier (q59's
     // shape) with the gate unchanged.
     "q139_semantic_decon" -> ((spark, dir) => {
-      val dimLimit = 9414L
-      val staged = Tables(spark, dir, "embeddings")
-        .withColumn("mx",
-          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-        .select(col("vec_id"),
-          quantizeInt8(col("embedding"), col("mx")).as("qvec"),
-          (substring(md5(concat(lit("decon:"),
-            col("vec_id").cast("string"))), 1, 2) >= "e6").as("is_bench"))
-        .withColumn("n2",
-          when(size(col("qvec")) > dimLimit,
-            raise_error(lit("q139 cosine cross-multiplication exceeds " +
-              "the BIGINT exactness bound (400*dot^2 with dim > 9414); " +
-              "widen the gate to DOUBLE for vectors this wide")))
-            .otherwise(VectorOps.dot(col("qvec"), col("qvec"))))
-      val bench = staged.filter(col("is_bench"))
-        .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),
-          col("n2").as("bb"))
-      staged.filter(!col("is_bench"))
-        .join(broadcast(bench), lit(true))
-        .select(col("vec_id"), col("n2").as("aa"), col("bb"),
-          VectorOps.dot(col("qvec"), col("b_qvec")).as("dot"))
-        .filter(col("dot") > 0 &&
-          lit(400L) * col("dot") * col("dot") >=
-            lit(49L) * col("aa") * col("bb"))
-        .groupBy(col("vec_id"))
-        .agg(count(lit(1)).as("n_bench_hits"))
-        .orderBy("vec_id")
+      val staged = deconStage(Tables(spark, dir, "embeddings"))
+      deconProbe(staged.filter(!col("is_bench")),
+        staged.filter(col("is_bench"))
+          .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),
+            col("n2").as("bb")))
     }),
 
     // q140 [north star]: HARD-NEGATIVE mining — the contrastive-training
@@ -788,30 +766,109 @@ object Similarity extends QueryGroup {
     // to broadcast flips the build side or moves the probe into the
     // bucketed tiers (q49/q59) with the mining rule unchanged.
     "q140_hard_negatives" -> ((spark, dir) => {
-      val topk = udaf(new graft.functions.TopKAgg(3),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      val q = Tables(spark, dir, "embeddings")
-        .withColumn("mx",
-          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          quantizeInt8(col("embedding"), col("mx")).as("qvec"))
+      val q = labeledQvecs(Tables(spark, dir, "embeddings"))
       val anchors = q.filter(
         substring(md5(concat(lit("hneg:"), col("vec_id").cast("string"))),
           1, 2) >= "e6")
         .select(col("vec_id").as("a_id"), col("label").as("a_label"),
           col("qvec").as("a_vec"))
-      q.join(broadcast(anchors), col("label") =!= col("a_label"))
-        .select(col("a_id"),
-          VectorOps.dot(col("qvec"), col("a_vec")).cast("double").as("dot"),
-          col("vec_id").as("n_id"))
-        .groupBy(col("a_id"))
-        .agg(topk(col("dot"), col("n_id")).as("top"))
-        .select(col("a_id").as("vec_id"), posexplode(col("top")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
-          col("col.id").as("neg_id"), col("col.score").cast("long").as("dot"))
-        .orderBy("vec_id", "rk")
+      hardNegProbe(q, anchors)
+    }),
+
+    // q141 [north star]: cluster-OUTLIER pruning — the post-clustering
+    // hygiene step (the SSL-prototypes / DataComp "drop far-from-
+    // centroid" filter): within each k-means topic cluster, flag the
+    // farthest ⌊n/10⌋ members by final-assignment distance — embedding
+    // junk (encoder failures, off-topic strays) sits in exactly that
+    // tail. Composes q91's clustering with q138's integer rank cut:
+    // pruned iff 10·rk ≤ n where rk ranks (d2 DESC, vec_id ASC) — no
+    // percent_rank doubles at the cut boundary, and d2 is the same
+    // bit-exact double on both engines (q94's established parity).
+    // Scale shape: clustering is the blocking step — the rank window
+    // shuffles (vec_id, cluster, d2) triples ONCE keyed on cluster, and
+    // deployment k grows ∝ n (SemDeDup's policy) so per-partition work
+    // is the constant cluster size; no O(n) partition ever forms.
+    "q141_cluster_outlier_prune" -> ((spark, dir) => {
+      val byFar = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("d2").desc, col("vec_id"))
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+      kmeansCore(Tables(spark, dir, "embeddings"), k = 8, iters = 2)
+        .withColumn("rk_far", row_number().over(byFar).cast("long"))
+        .withColumn("n", count(lit(1)).over(byCluster))
+        .select(col("vec_id"), col("cluster"), col("rk_far"),
+          (lit(10L) * col("rk_far") <= col("n")).as("is_pruned"))
+        .orderBy("vec_id")
     }),
   )
+
+  /** q139's staging pass: quantize (q84's rule), guard the BIGINT
+    * exactness bound in-plan (400·dot² is exact while dim ≤ 9414), and
+    * derive the md5 benchmark gate both engines agree on.
+    */
+  private[graft] def deconStage(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .select(col("vec_id"),
+        quantizeInt8(col("embedding"), col("mx")).as("qvec"),
+        (substring(md5(concat(lit("decon:"),
+          col("vec_id").cast("string"))), 1, 2) >= "e6").as("is_bench"))
+      .withColumn("n2",
+        when(size(col("qvec")) > 9414L,
+          raise_error(lit("q139 cosine cross-multiplication exceeds " +
+            "the BIGINT exactness bound (400*dot^2 with dim > 9414); " +
+            "widen the gate to DOUBLE for vectors this wide")))
+          .otherwise(VectorOps.dot(col("qvec"), col("qvec"))))
+
+  /** q139's probe: every train row against the broadcast benchmark,
+    * gate cross-multiplied into BIGINT, hit count partial-aggregated.
+    * Split out so ScalingBench can measure the DEPLOYMENT shape — a
+    * fixed-size benchmark probed by a growing corpus — separately from
+    * the registered entry, whose md5-gated benchmark grows with the
+    * fixture.
+    */
+  private[graft] def deconProbe(train: DataFrame, bench: DataFrame): DataFrame =
+    train
+      .join(broadcast(bench), lit(true))
+      .select(col("vec_id"), col("n2").as("aa"), col("bb"),
+        VectorOps.dot(col("qvec"), col("b_qvec")).as("dot"))
+      .filter(col("dot") > 0 &&
+        lit(400L) * col("dot") * col("dot") >=
+          lit(49L) * col("aa") * col("bb"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"))
+      .orderBy("vec_id")
+
+  /** The (vec_id, label, qvec) frame q109/q140 share. */
+  private[graft] def labeledQvecs(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quantizeInt8(col("embedding"), col("mx")).as("qvec"))
+
+  /** q140's probe: corpus scan × broadcast anchors on label inequality,
+    * top-3 per anchor via the bounded TopKAgg. Split out for the same
+    * reason as deconProbe — the deployment shape is a fixed anchor
+    * batch.
+    */
+  private[graft] def hardNegProbe(corpus: DataFrame,
+      anchors: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    corpus.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("a_id"),
+        VectorOps.dot(col("qvec"), col("a_vec")).cast("double").as("dot"),
+        col("vec_id").as("n_id"))
+      .groupBy(col("a_id"))
+      .agg(topk(col("dot"), col("n_id")).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neg_id"), col("col.score").cast("long").as("dot"))
+      .orderBy("vec_id", "rk")
+  }
 
   /** Dominator candidates per cluster: each vector is compared against
     * its cluster's `MaxClusterHead` LOWEST vec_ids only. The cap is PART
@@ -1189,5 +1246,17 @@ object Similarity extends QueryGroup {
          |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neg_id,
          |  CAST(dot AS BIGINT) AS dot
          |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // q141 mirror: the same Lloyd CTE, the same (d2 DESC, vec_id) rank,
+    // the same integer cut — flags cannot drift.
+    "q141_cluster_outlier_prune" ->
+      s"""WITH $kmCte,
+         |s AS (SELECT vec_id, cluster,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY d2 DESC, vec_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster) AS n
+         |      FROM fin)
+         |SELECT vec_id, cluster, CAST(rk AS BIGINT) AS rk_far,
+         |  (10 * rk <= n) AS is_pruned
+         |FROM s ORDER BY vec_id""".stripMargin,
   )
 }

@@ -948,4 +948,29 @@ class OperatorSpec extends SparkSpec {
     assert(actual.nonEmpty, "fixture must mine at least one negative")
     assert(actual.forall(_._2 <= 3), "never more than 3 negatives per anchor")
   }
+
+  test("cluster-outlier pruning flags exactly the floor(n/10) farthest per cluster") {
+    val rows = SparkEntry.queries("q141_cluster_outlier_prune")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // every input vector appears exactly once, rk_far is a permutation
+    // of 1..n within each cluster, and the pruned set is the integer cut
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val n = members.length.toLong
+      assert(members.map(_._3).sorted.toSeq == (1L to n).toSeq,
+        s"cluster $c rk_far must be a permutation of 1..$n")
+      val pruned = members.filter(_._4)
+      assert(pruned.length.toLong == n / 10,
+        s"cluster $c must prune exactly floor($n/10) members")
+      // the pruned members are exactly the lowest ranks (farthest d2)
+      assert(pruned.map(_._3).forall(_ <= n / 10),
+        s"cluster $c pruned ranks must be the farthest prefix")
+    }
+    // membership agrees with q91's assignment (same Lloyd loop)
+    val q91 = SparkEntry.queries("q91_kmeans_clusters")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, c, _, _) => q91(id) == c },
+      "q141 must reuse q91's cluster assignment")
+  }
 }

@@ -403,4 +403,17 @@ class PlanSpec extends SparkSpec {
     assert("Aggregate".r.findAllIn(p).size >= 2,
       "q140's top-3 cut must partial-aggregate")
   }
+
+  test("q141 keys its rank window on the cluster id") {
+    val p = plan("q141_cluster_outlier_prune")
+    // the window partitions on the cluster key (per-partition work is
+    // the cluster size — constant once deployment k grows with n);
+    // a global or per-vector window here would be the O(n) partition
+    // the design forbids
+    assert(p.contains("Window"), "q141 ranks within clusters via a window")
+    assert(p.contains("hashpartitioning(cluster"),
+      "q141's shuffle must key on the cluster id")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
