@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -334,36 +335,37 @@ object TextAnalysis extends QueryGroup {
     // per-doc regroup is keyed on doc_id with per-key width bounded by
     // the document. A stopword-heavy w1 fans out 1 row per probe, not
     // per pair — no skew hazard.
-    "q102_bigram_lm" -> ((spark, dir) => {
-      val bg = Tables(spark, dir, "documents")
-        .withColumn("ws", TextOps.tokens(col("text")))
-        .select(col("doc_id"), col("ws"),
-          posexplode(when(size(col("ws")) >= 2,
-              sequence(lit(1), size(col("ws")) - 1))
-            .otherwise(array().cast("array<int>"))))
-        .select(col("doc_id"), col("col").as("p1"),
-          concat_ws(" ", element_at(col("ws"), col("col")),
-            element_at(col("ws"), col("col") + 1)).as("b"),
-          element_at(col("ws"), col("col")).as("w1"))
-      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val probs = bg.join(c2, "b").join(c1, "w1")
-        .select(col("doc_id"), col("p1"),
-          (col("c2").cast("double") / col("c1").cast("double")).as("p"))
-      val perDoc = probs.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          aggregate(
-            transform(
-              array_sort(collect_list(struct(col("p1"), col("p")))),
-              t => t.getField("p")),
-            lit(0.0), (acc, x) => acc + x).as("sum_p"))
-      Tables(spark, dir, "documents").select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          when(col("n_bigrams").isNotNull,
-            col("sum_p") / col("n_bigrams").cast("double"))
-            .otherwise(lit(0.0)).as("mean_p"))
+    "q102_bigram_lm" -> ((spark, dir) =>
+      bigramLmScores(Tables(spark, dir, "documents")).orderBy("doc_id")),
+
+    // q142 [north star]: perplexity-bucket partitioning — CCNet's
+    // (Wenzek et al. LREC'20) head/middle/tail split, run on q102's
+    // bigram-LM proxy instead of a neural LM: per source, rank docs by
+    // fluency (mean_p DESC — high mean ⇒ low perplexity ⇒ head) and cut
+    // terciles with q138's integer rank arithmetic (3·rk ≤ n / 2·n — no
+    // percent_rank doubles at the boundary). mean_p is the same
+    // bit-exact double on both engines (q102's fold-order discipline),
+    // so ranks cannot drift. Downstream mixing then samples the buckets
+    // at different rates (the q93 temperature step). Scale shape: the
+    // LM stage is q102's (partial-aggregating counts, fanout-1 equi-
+    // joins); the cut adds ONE source-keyed shuffle of (doc_id, mean_p)
+    // pairs and #sources is fixed, so partitions grow only with docs-
+    // per-source — the q138 bound.
+    "q142_perplexity_buckets" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val byFluent = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("mean_p").desc, col("doc_id"))
+      val bySource = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      bigramLmScores(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("rk", row_number().over(byFluent).cast("long"))
+        .withColumn("n", count(lit(1)).over(bySource))
+        .select(col("doc_id"), col("source"), col("rk").as("rk_fluent"),
+          when(lit(3L) * col("rk") <= col("n"), "head")
+            .when(lit(3L) * col("rk") <= lit(2L) * col("n"), "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     }),
 
@@ -584,6 +586,65 @@ object TextAnalysis extends QueryGroup {
     * `w` carrying (doc_id, text, ws) — shared by the q99 and q105
     * oracles so the two stay the same measure by construction.
     */
+  /** q102's per-doc fluency frame (doc_id, n_bigrams, mean_p) — shared
+    * with q142's bucket cut. Float determinism: each p is one division
+    * of exact BIGINT counts, the per-doc sum folds in POSITION ORDER
+    * with a 0.0 init (bit-identical to DuckDB's list_reduce over the
+    * pos-ordered list), and the mean is one further division.
+    */
+  private def bigramLmScores(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .withColumn("ws", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("ws"),
+        posexplode(when(size(col("ws")) >= 2,
+            sequence(lit(1), size(col("ws")) - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("col").as("p1"),
+        concat_ws(" ", element_at(col("ws"), col("col")),
+          element_at(col("ws"), col("col") + 1)).as("b"),
+        element_at(col("ws"), col("col")).as("w1"))
+    val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val probs = bg.join(c2, "b").join(c1, "w1")
+      .select(col("doc_id"), col("p1"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+    val perDoc = probs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("p1"), col("p")))),
+            t => t.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("sum_p"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNotNull,
+          col("sum_p") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("mean_p"))
+  }
+
+  /** The q102 oracle chain as a reusable CTE body ending in
+    * `lm (doc_id, n_bigrams, mean_p)` — shared by q102 and q142.
+    */
+  private val bigramLmCte =
+    """w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |e AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS p1 FROM w),
+      |bg AS (SELECT doc_id, p1, ws[p1] || ' ' || ws[p1+1] AS b, ws[p1] AS w1 FROM e),
+      |cb AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+      |cw AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |pr AS (SELECT bg.doc_id, bg.p1,
+      |         CAST(cb.c2 AS DOUBLE) / CAST(cw.c1 AS DOUBLE) AS p
+      |       FROM bg JOIN cb USING (b) JOIN cw USING (w1)),
+      |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+      |         list_reduce(list_prepend(0.0, list(p ORDER BY p1)),
+      |                     (x, y) -> x + y) AS sum_p
+      |       FROM pr GROUP BY doc_id),
+      |lm AS (SELECT d.doc_id, CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |         CASE WHEN pd.n_bigrams IS NOT NULL
+      |           THEN pd.sum_p / CAST(pd.n_bigrams AS DOUBLE) ELSE 0.0 END AS mean_p
+      |       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)""".stripMargin
+
   private val gopherKeepSql =
     """(CASE WHEN len(ws) >= 40 AND len(ws) <= 1000 THEN 1 ELSE 0 END)
       |* (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -686,23 +747,22 @@ object TextAnalysis extends QueryGroup {
     // q102: list_prepend(0.0, ...) mirrors the Spark fold's 0.0 init
     // literally, so both engines evaluate the identical reduction tree
     "q102_bigram_lm" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |e AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS p1 FROM w),
-        |bg AS (SELECT doc_id, p1, ws[p1] || ' ' || ws[p1+1] AS b, ws[p1] AS w1 FROM e),
-        |cb AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
-        |cw AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-        |pr AS (SELECT bg.doc_id, bg.p1,
-        |         CAST(cb.c2 AS DOUBLE) / CAST(cw.c1 AS DOUBLE) AS p
-        |       FROM bg JOIN cb USING (b) JOIN cw USING (w1)),
-        |pd AS (SELECT doc_id, count(*) AS n_bigrams,
-        |         list_reduce(list_prepend(0.0, list(p ORDER BY p1)),
-        |                     (x, y) -> x + y) AS sum_p
-        |       FROM pr GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CASE WHEN pd.n_bigrams IS NOT NULL
-        |    THEN pd.sum_p / CAST(pd.n_bigrams AS DOUBLE) ELSE 0.0 END AS mean_p
-        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $bigramLmCte
+         |SELECT doc_id, n_bigrams, mean_p FROM lm ORDER BY doc_id""".stripMargin,
+    // q142 mirror: the same lm CTE, the same (mean_p DESC, doc_id)
+    // rank, the same integer tercile cut — buckets cannot drift.
+    "q142_perplexity_buckets" ->
+      s"""WITH $bigramLmCte,
+         |s AS (SELECT lm.doc_id, d.source,
+         |        row_number() OVER (PARTITION BY d.source
+         |          ORDER BY lm.mean_p DESC, lm.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY d.source) AS n
+         |      FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk_fluent,
+         |  CASE WHEN 3 * rk <= n THEN 'head'
+         |       WHEN 3 * rk <= 2 * n THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q95_top_ngrams" ->
       """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
         |g AS (SELECT unnest(CASE WHEN len(ws) >= 3

@@ -973,4 +973,33 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall { case (id, c, _, _) => q91(id) == c },
       "q141 must reuse q91's cluster assignment")
   }
+
+  test("perplexity buckets are exact per-source terciles ordered by fluency") {
+    val rows = SparkEntry.queries("q142_perplexity_buckets")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val lm = SparkEntry.queries("q102_bigram_lm")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "every doc gets exactly one bucket")
+    rows.groupBy(_._2).foreach { case (src, members) =>
+      val n = members.length.toLong
+      assert(members.map(_._3).sorted.toSeq == (1L to n).toSeq,
+        s"source $src rk_fluent must be a permutation of 1..$n")
+      // the integer tercile cut, exactly
+      val sizes = members.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+      assert(sizes.getOrElse("head", 0L) == n / 3,
+        s"source $src head must hold floor($n/3) docs")
+      assert(sizes.getOrElse("middle", 0L) == 2 * n / 3 - n / 3,
+        s"source $src middle size drifted")
+      // bucket order respects the fluency score: every head doc's
+      // mean_p >= every tail doc's mean_p within the source
+      val headMin = members.filter(_._4 == "head").map(t => lm(t._1))
+        .minOption.getOrElse(Double.MaxValue)
+      val tailMax = members.filter(_._4 == "tail").map(t => lm(t._1))
+        .maxOption.getOrElse(Double.MinValue)
+      assert(members.count(_._4 == "tail") == 0 || headMin >= tailMax,
+        s"source $src head/tail fluency order inverted")
+    }
+  }
 }

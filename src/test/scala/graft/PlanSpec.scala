@@ -416,4 +416,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q142 keys its tercile window on the source") {
+    val p = plan("q142_perplexity_buckets")
+    // the bucket cut is one source-keyed shuffle over (doc_id, mean_p)
+    // pairs; the LM stage underneath stays q102's partial-aggregating
+    // shape — no cartesian, no all-pairs anywhere
+    assert(p.contains("Window"), "q142 cuts terciles via a window")
+    assert(p.contains("hashpartitioning(source"),
+      "q142's rank shuffle must key on the source")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
