@@ -88,7 +88,8 @@ object ScalingBench {
       "q109_knn_label", "q113_semantic_dedup",
       "q133_token_budget", "q135_leakage_safe_split",
       "q136_priority_collapse", "q137_source_drift", "q138_quality_gate",
-      "q139_semantic_decon", "q140_hard_negatives")
+      "q139_semantic_decon", "q140_hard_negatives",
+      "q141_cluster_outlier_prune", "q142_perplexity_buckets")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

@@ -101,4 +101,31 @@ object StreamOps {
               |s.ts <= e.ts AND
               |s.ts >= e.ts - INTERVAL $lookback""".stripMargin))
   }
+
+  /** Streaming twin of q139's semantic decontamination — the INGEST-time
+    * gate: each arriving `(vec_id, embedding)` training vector is probed
+    * against the STATIC benchmark with the identical BIGINT cosine rule
+    * (quantize → dot > 0 ∧ 400·dot² ≥ 49·aa·bb), emitting one
+    * `(vec_id, b_id)` row per benchmark collision. Stateless by
+    * construction — the benchmark is fixed, so this is a stream-static
+    * broadcast nested loop re-planned per micro-batch, append-mode pure
+    * map work with no watermark or state store; the per-vector hit
+    * count is a downstream aggregation (batch q139's groupBy), kept out
+    * of the stream so the operator composes with any sink. Batch≡stream
+    * on the same rows (StreamingSpec pins the equality against q139).
+    */
+  def deconStream(vectors: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bench = graft.operators.Similarity.deconStage(benchmark)
+      .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),
+        col("n2").as("bb"))
+    graft.operators.Similarity.deconStage(vectors)
+      .select(col("vec_id"), col("qvec"), col("n2"))
+      .join(broadcast(bench), lit(true))
+      .select(col("vec_id"), col("b_id"), col("n2").as("aa"), col("bb"),
+        graft.functions.VectorOps.dot(col("qvec"), col("b_qvec")).as("dot"))
+      .filter(col("dot") > 0 &&
+        lit(400L) * col("dot") * col("dot") >=
+          lit(49L) * col("aa") * col("bb"))
+      .select(col("vec_id"), col("b_id"))
+  }
 }

@@ -557,6 +557,41 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == batch)
   }
+
+  test("streaming decontamination == batch q139 hit counts on the same split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the registered q139 split: md5('decon:'||id) >= 'e6' is the
+    // benchmark, the rest stream in as arriving training vectors
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def benchGate(id: Long): Boolean =
+      md.digest(s"decon:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2) >= "e6"
+    val all = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (benchRows, trainRows) = all.partition(t => benchGate(t._1))
+    val benchmark = benchRows.toSeq.toDF("vec_id", "embedding")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamOps.deconStream(
+        ms.toDF().toDF("vec_id", "embedding"), benchmark).writeStream
+      .format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    // two micro-batches — the gate is stateless, so the split is free
+    val (b1, b2) = trainRows.splitAt(trainRows.length / 2)
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decon_out")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q139_semantic_decon")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"stream/batch drift: only-stream=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    assert(streamed.nonEmpty, "fixture must produce at least one hit")
+  }
 }
 
 object StreamingSpec {
