@@ -775,6 +775,33 @@ object Similarity extends QueryGroup {
       hardNegProbe(q, anchors)
     }),
 
+    // q143 [north star]: per-source CONTAMINATION report — the
+    // dashboard a pipeline owner reads before trusting a mix: q139's
+    // flagged set joined back to the document catalog and rolled up per
+    // source as (train docs, contaminated docs, total benchmark
+    // collisions). All-integer output (rates are the reader's division)
+    // so the oracle is exact. Scale shape: the flag set re-joins the
+    // catalog equi-keyed on the id (contaminated-docs-sized left side);
+    // the rollup is a partial-aggregating groupBy whose output is
+    // |sources| rows at any corpus scale.
+    "q143_contamination_report" -> ((spark, dir) => {
+      val staged = deconStage(Tables(spark, dir, "embeddings"))
+      val hits = deconProbe(staged.filter(!col("is_bench")),
+        staged.filter(col("is_bench"))
+          .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),
+            col("n2").as("bb")))
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      staged.filter(!col("is_bench")).select(col("vec_id"))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .join(hits, Seq("vec_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          count(col("n_bench_hits")).as("n_contaminated"),
+          coalesce(sum(col("n_bench_hits")), lit(0L)).as("n_collisions"))
+        .orderBy("source")
+    }),
+
     // q141 [north star]: cluster-OUTLIER pruning — the post-clustering
     // hygiene step (the SSL-prototypes / DataComp "drop far-from-
     // centroid" filter): within each k-means topic cluster, flag the
@@ -964,6 +991,23 @@ object Similarity extends QueryGroup {
   /** ivfK as SQL (IEEE sqrt is correctly rounded on both engines). */
   private val ivfKSql: String =
     "(SELECT GREATEST(16, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) FROM embeddings)"
+
+  /** q139's oracle chain as a reusable CTE body ending in
+    * `n (vec_id, qvec, n2, is_bench)` and
+    * `hits (vec_id, n_bench_hits)` — shared by q139 and q143.
+    */
+  private def deconCte: String =
+    s"""n AS (SELECT vec_id, qvec,
+       |        ${qdot("qvec", "qvec")} AS n2,
+       |        substring(md5('decon:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'e6' AS is_bench
+       |      FROM $qvecSql z),
+       |p AS (SELECT a.vec_id,
+       |        ${qdot("a.qvec", "b.qvec")} AS dot,
+       |        a.n2 AS aa, b.n2 AS bb
+       |      FROM n a JOIN n b ON NOT a.is_bench AND b.is_bench),
+       |hits AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits
+       |         FROM p WHERE dot > 0 AND 400 * dot * dot >= 49 * aa * bb
+       |         GROUP BY vec_id)""".stripMargin
 
   // integer dot over two qvec-typed lists — the BIGINT twin of dotSql
   // (q85/q109/q113 mirrors; no doubles anywhere)
@@ -1218,17 +1262,8 @@ object Similarity extends QueryGroup {
     // cross-multiplied cosine threshold (tau = 7/20) — dot and norms
     // are the same integer folds, so the hit set cannot drift.
     "q139_semantic_decon" ->
-      s"""WITH n AS (SELECT vec_id, qvec,
-         |        ${qdot("qvec", "qvec")} AS n2,
-         |        substring(md5('decon:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'e6' AS is_bench
-         |      FROM $qvecSql z),
-         |p AS (SELECT a.vec_id,
-         |        ${qdot("a.qvec", "b.qvec")} AS dot,
-         |        a.n2 AS aa, b.n2 AS bb
-         |      FROM n a JOIN n b ON NOT a.is_bench AND b.is_bench)
-         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits
-         |FROM p WHERE dot > 0 AND 400 * dot * dot >= 49 * aa * bb
-         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      s"""WITH $deconCte
+         |SELECT vec_id, n_bench_hits FROM hits ORDER BY vec_id""".stripMargin,
     // q140 mirror: identical md5 anchor gate, identical BIGINT dot and
     // (dot DESC, neg_id ASC) total order — ranks cannot drift.
     "q140_hard_negatives" ->
@@ -1246,6 +1281,19 @@ object Similarity extends QueryGroup {
          |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neg_id,
          |  CAST(dot AS BIGINT) AS dot
          |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // q143 mirror: the same decon chain, the same catalog join and
+    // integer rollup — counts cannot drift.
+    "q143_contamination_report" ->
+      s"""WITH $deconCte,
+         |t AS (SELECT vec_id FROM n WHERE NOT is_bench)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_train_docs,
+         |  CAST(count(h.n_bench_hits) AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(sum(h.n_bench_hits), 0) AS BIGINT) AS n_collisions
+         |FROM t JOIN documents d ON d.doc_id = t.vec_id
+         |LEFT JOIN hits h ON h.vec_id = t.vec_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     // q141 mirror: the same Lloyd CTE, the same (d2 DESC, vec_id) rank,
     // the same integer cut — flags cannot drift.
     "q141_cluster_outlier_prune" ->

@@ -974,6 +974,22 @@ class OperatorSpec extends SparkSpec {
       "q141 must reuse q91's cluster assignment")
   }
 
+  test("contamination report totals reconcile with q139's flag set") {
+    val rep = SparkEntry.queries("q143_contamination_report")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hits = SparkEntry.queries("q139_semantic_decon")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.map(_._3).sum == hits.size.toLong,
+      "per-source contaminated counts must sum to q139's flagged docs")
+    assert(rep.map(_._4).sum == hits.values.sum,
+      "per-source collision counts must sum to q139's total hits")
+    assert(rep.forall(r => r._3 <= r._2),
+      "a source can never have more contaminated docs than train docs")
+    assert(rep.forall(r => r._3 <= r._4),
+      "each contaminated doc contributes at least one collision")
+  }
+
   test("perplexity buckets are exact per-source terciles ordered by fluency") {
     val rows = SparkEntry.queries("q142_perplexity_buckets")(spark, Sf)
       .collect()

@@ -417,6 +417,19 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q143 nested-loops only the benchmark probe; the catalog join is equi-keyed") {
+    val p = plan("q143_contamination_report")
+    assert(!p.contains("CartesianProduct"))
+    // FormattedMode prints each node twice (tree + detail header), so
+    // count the "(n) BroadcastNestedLoopJoin" detail headers
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1,
+      "only the benchmark probe may be a nested loop — the catalog and " +
+        "flag-set joins must stay equi-keyed")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "the catalog join must be an equi join")
+    assert(!p.contains("Window"), "q143 must not plan a window")
+  }
+
   test("q142 keys its tercile window on the source") {
     val p = plan("q142_perplexity_buckets")
     // the bucket cut is one source-keyed shuffle over (doc_id, mean_p)
