@@ -172,4 +172,30 @@ class SkewSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("topkagg"),
       s"expected the bounded head-set aggregate in the plan:\n${plan.take(1500)}")
   }
+
+  test("q140 tie storm: identical vectors rank negatives purely by id") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    // the all-ties adversarial case: every dot is equal, so the
+    // (dot DESC, id ASC) tie-break IS the entire order — each anchor's
+    // top-3 must be exactly the 3 lowest different-label ids, and the
+    // TopKAgg buffer stays bounded no matter how degenerate the corpus
+    val n = 300
+    val emb = (0 until n)
+      .map(i => (i.toLong, Array.fill(8)(1.0f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val q = Similarity.labeledQvecs(emb)
+    val anchors = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("qvec").as("a_vec"))
+    val rows = Similarity.hardNegProbe(q, anchors).collect()
+    assert(rows.length == 15, "5 anchors x 3 negatives each")
+    rows.groupBy(_.getLong(0)).foreach { case (aId, rs) =>
+      val expected = (0 until n).map(_.toLong)
+        .filter(i => i % 3 != aId % 3).take(3)
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == expected,
+        s"anchor $aId must take the 3 lowest different-label ids")
+    }
+  }
 }
