@@ -842,12 +842,20 @@ object Similarity extends QueryGroup {
         quantizeInt8(col("embedding"), col("mx")).as("qvec"),
         (substring(md5(concat(lit("decon:"),
           col("vec_id").cast("string"))), 1, 2) >= "e6").as("is_bench"))
-      .withColumn("n2",
+      // The coalesce is a NULLABILITY declaration, not a value change
+      // (the raise_error arm throws, it never yields null) — the q91
+      // discipline: a nullable n2 makes the probe join infer an
+      // isnotnull(n2) filter and push it BELOW this staging project,
+      // re-inlining the whole quantize+guard expression with array_max
+      // re-reduced per element (measured 2.9 s → 0.9 s warm on q139 at
+      // sf0.1). Non-nullable n2 generates no such filter.
+      .withColumn("n2", coalesce(
         when(size(col("qvec")) > 9414L,
           raise_error(lit("q139 cosine cross-multiplication exceeds " +
             "the BIGINT exactness bound (400*dot^2 with dim > 9414); " +
             "widen the gate to DOUBLE for vectors this wide")))
-          .otherwise(VectorOps.dot(col("qvec"), col("qvec"))))
+          .otherwise(VectorOps.dot(col("qvec"), col("qvec"))),
+        lit(0L)))
 
   /** q139's probe: every train row against the broadcast benchmark,
     * gate cross-multiplied into BIGINT, hit count partial-aggregated.

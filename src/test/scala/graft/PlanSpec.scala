@@ -387,6 +387,13 @@ class PlanSpec extends SparkSpec {
     // the scan feeds only vec_id + embedding into the quantizer
     val r = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!r.contains("label"), "q139 reads only vec_id/embedding")
+    // the staging project must not be re-inlined into a pushed
+    // isnotnull filter (the q91 nullability hazard — n2 is declared
+    // non-nullable via coalesce precisely to prevent this): quantize's
+    // FLOOR appears once per side's staging project and nowhere else
+    assert("""FLOOR""".r.findAllIn(p).size <= 2,
+      "quantize re-inlined below the staging project — nullability " +
+        "regression on n2")
   }
 
   test("q140 broadcasts the anchor batch and bounds the top-3 cut") {
