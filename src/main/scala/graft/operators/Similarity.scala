@@ -693,9 +693,24 @@ object Similarity extends QueryGroup {
     "q131_source_centroids" -> ((spark, dir) => {
       val docs = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"))
-      val cent = withQuantized(Tables(spark, dir, "embeddings"))
+      // quantize AFTER the positional explode (same half-up rule, same
+      // values): exploding the computed qvec column makes the generate's
+      // inferred size()>0 filter push below the staging project and
+      // re-inline the whole quantize expression into the scan filter
+      // (array_max re-reduced per element — the q91/q139 hazard);
+      // exploding the raw embedding pushes plain column predicates to
+      // the parquet scan instead, and the per-element quantize runs
+      // once, on the exploded rows
+      val cent = Tables(spark, dir, "embeddings")
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
         .join(docs, col("vec_id") === col("doc_id"))
-        .select(col("source"), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .select(col("source"), col("mx"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("source"), col("pos"),
+          when(col("mx") > 0.0,
+            floor(col("x").cast("double") / col("mx") * 127.0 + 0.5))
+            .otherwise(lit(0L)).as("v"))
         .groupBy(col("source"), col("pos"))
         .agg(sum(col("v")).as("s"))
         .groupBy(col("source"))
@@ -934,7 +949,12 @@ object Similarity extends QueryGroup {
     val pts = withQuantized(emb)
       .join(kmeansAssign(emb, k = k, iters = 2)
         .select(col("vec_id"), col("cluster")), "vec_id")
-      .withColumn("nn", VectorOps.dot(col("qvec"), col("qvec")))
+      // coalesce = nullability declaration (q91/q139 discipline): a
+      // nullable nn makes the dominator gate infer isnotnull(nn) and
+      // push it below the quantize staging project, re-inlining the
+      // whole expression with array_max re-reduced per element
+      .withColumn("nn",
+        coalesce(VectorOps.dot(col("qvec"), col("qvec")), lit(0L)))
     // the head set: each cluster's MaxClusterHead lowest ids, with their
     // vectors re-attached by equi-join (bounded: ≤ cap·k rows total)
     val heads = pts

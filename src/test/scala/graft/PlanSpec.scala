@@ -437,6 +437,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "q143 must not plan a window")
   }
 
+  test("no query re-inlines a staged expression into a pushed filter") {
+    // The q91/q139/q113/q131 hazard class, swept across every
+    // registered query: an inferred isnotnull/size filter pushed below
+    // a staging project re-inlines the staged expression — with
+    // array_max re-reduced per element, that turned measured seconds of
+    // pure overhead on q139 (2.9 s → 0.9 s) and q113/q131. Computed
+    // columns that feed join conditions or generates must be declared
+    // non-nullable (coalesce) or exploded raw.
+    val hazards = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      val bad = p.linesIterator.exists(l =>
+        l.contains("Filter") &&
+          (l.contains("isnotnull(CASE WHEN") ||
+            l.contains("isnotnull(transform") ||
+            l.contains("isnotnull(vec_dot") ||
+            l.contains("isnotnull(aggregate(") ||
+            l.contains("size(transform")))
+      if (bad) Some(name) else None
+    }
+    assert(hazards.isEmpty, s"staging re-inlined into a filter in: $hazards")
+  }
+
   test("q142 keys its tercile window on the source") {
     val p = plan("q142_perplexity_buckets")
     // the bucket cut is one source-keyed shuffle over (doc_id, mean_p)
