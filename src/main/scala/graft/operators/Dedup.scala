@@ -234,6 +234,54 @@ object Dedup extends QueryGroup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** q144's pipeline: band the two corpora separately, equi-join the
+    * band tables on (band, hash) — |new|×occupancy pair work, no
+    * self-join — then verify candidates with exact Jaccard over the
+    * full shingle sets and roll up per new doc. Buckets larger than
+    * `MaxLshBucket` on either side are dropped whole (the q46 skew
+    * guard, per corpus): a hot boilerplate bucket caps at a constant
+    * instead of |new_bucket|·|corpus_bucket| pairs.
+    */
+  private[graft] def crossDumpNearDup(
+      newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    def sigs(df: DataFrame): DataFrame = graft.CachePool.track(
+      df.select(col("doc_id"), col("sh"),
+        TextOps.minhashSignature(col("sh"), perms).as("sig")))
+    def bandRows(s: DataFrame): DataFrame = s
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graftbridge.toColumn(
+          graft.expressions.BandHashes(
+            org.apache.spark.sql.graftbridge.toExpression(col("sig")),
+            NumBands, RowsPerBand))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    def capped(bands: DataFrame): DataFrame =
+      bands.join(
+        bands.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= MaxLshBucket)
+          .select(col("band"), col("bh")),
+        Seq("band", "bh"))
+    val ns = sigs(newDocs)
+    val cs = sigs(corpus)
+    val cands = capped(bandRows(ns))
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(capped(bandRows(cs))
+        .select(col("doc_id").as("c_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("new_id"), col("c_id")).distinct()
+    cands
+      .join(ns.select(col("doc_id").as("new_id"), col("sh").as("a_sh")),
+        "new_id")
+      .join(cs.select(col("doc_id").as("c_id"), col("sh").as("b_sh")),
+        "c_id")
+      .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= JaccardTau)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("c_id")).as("first_match_id"))
+      .select(col("new_id").as("doc_id"), col("n_matches"),
+        col("first_match_id"))
+      .orderBy("doc_id")
+  }
+
   /** q58's full pipeline: capped candidate generation + exact Jaccard
     * verification against the full (uncapped) shingle sets; candidate
     * repeats are dropped after verification (few rows survive).
@@ -321,6 +369,29 @@ object Dedup extends QueryGroup {
         shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
           .filter(size(col("sh")) > 0))
         .orderBy("a_id", "b_id")),
+
+    // q144 [north star]: CROSS-DUMP near-dup gate — "dedup the new crawl
+    // against every previous crawl", the between-corpora tier q103's
+    // exact-hash gate cannot see (near-identical re-crawls, boilerplate
+    // re-wraps): each md5-gated new-batch doc (~30%, the q103 split
+    // discipline) reports how many prior-corpus docs sit at Jaccard ≥
+    // 0.5, plus the smallest matching corpus id. Same verified-MinHash
+    // machinery as q46 — banded LSH candidates, exact Jaccard
+    // verification over the full shingle sets — but the band join is
+    // new×corpus instead of a self-join, so candidate work is
+    // |new batch| × bucket occupancy, never corpus². The per-side
+    // bucket cap (MaxLshBucket) is the q46 skew guard; inactive on this
+    // corpus (oracle uncapped, exact-Jaccard — green proves full
+    // recall, the q46/q58 stance).
+    "q144_cross_dump_neardup" -> ((spark, dir) => {
+      val base = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+        .filter(size(col("sh")) > 0)
+        .withColumn("is_new",
+          substring(md5(concat(lit("xdup:"),
+            col("doc_id").cast("string"))), 1, 2) >= "b3")
+      crossDumpNearDup(base.filter(col("is_new")).drop("is_new"),
+        base.filter(!col("is_new")).drop("is_new"))
+    }),
 
     // q58 [north star]: EXACT n-gram Jaccard near-dup pairs via an
     // inverted-index self-join — the LSH-free exact tier. Only documents
@@ -867,5 +938,28 @@ object Dedup extends QueryGroup {
         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // q144 mirror: exact Jaccard over the same md5 split — like q46,
+    // the oracle is the UNCAPPED exact measure, so green proves the
+    // banded tier's recall is complete on this corpus.
+    "q144_cross_dump_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |f AS (SELECT doc_id, s,
+        |        substring(md5('xdup:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'b3' AS is_new
+        |      FROM sh WHERE len(s) > 0),
+        |tok AS (SELECT doc_id, is_new, unnest(s) AS g FROM f),
+        |pairs AS (SELECT n.doc_id AS new_id, c.doc_id AS c_id, COUNT(*) AS inter
+        |          FROM tok n JOIN tok c ON n.g = c.g
+        |          WHERE n.is_new AND NOT c.is_new
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM f),
+        |v AS (SELECT p.new_id, p.c_id
+        |      FROM pairs p JOIN sizes sa ON sa.doc_id = p.new_id
+        |        JOIN sizes sb ON sb.doc_id = p.c_id
+        |      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5)
+        |SELECT new_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(c_id) AS BIGINT) AS first_match_id
+        |FROM v GROUP BY new_id ORDER BY doc_id""".stripMargin,
   )
 }

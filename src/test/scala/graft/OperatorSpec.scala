@@ -974,6 +974,32 @@ class OperatorSpec extends SparkSpec {
       "q141 must reuse q91's cluster assignment")
   }
 
+  test("cross-dump near-dup counts reconcile with q46's verified pair list") {
+    // q46 and q144 share the shingle sets and tau, so q144's per-new-doc
+    // counts must equal the cross-split subset of q46's pair list
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isNew(id: Long): Boolean =
+      md.digest(s"xdup:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2) >= "b3"
+    val q46 = SparkEntry.queries("q46_minhash_neardup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val crossing = q46.flatMap { case (a, b) =>
+      if (isNew(a) && !isNew(b)) Some(a -> b)
+      else if (isNew(b) && !isNew(a)) Some(b -> a)
+      else None
+    }
+    val expected = crossing.groupBy(_._1).map { case (n, ps) =>
+      n -> (ps.length.toLong, ps.map(_._2).min) }
+    val actual = SparkEntry.queries("q144_cross_dump_neardup")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(actual == expected,
+      s"cross-dump counts drifted: only-q144=${actual.keySet -- expected.keySet} " +
+        s"only-q46-derived=${expected.keySet -- actual.keySet}")
+    assert(actual.keySet.forall(isNew), "only new-batch docs may be flagged")
+    assert(actual.values.forall { case (_, m) => !isNew(m) },
+      "first_match_id must come from the prior corpus")
+  }
+
   test("contamination report totals reconcile with q139's flag set") {
     val rep = SparkEntry.queries("q143_contamination_report")(spark, Sf)
       .collect()

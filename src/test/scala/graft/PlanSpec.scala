@@ -437,6 +437,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "q143 must not plan a window")
   }
 
+  test("q144's band join is equi-keyed — no pair stage outside the buckets") {
+    val p = plan("q144_cross_dump_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the new-vs-corpus candidate stage must be the (band, bh) equi join")
+    assert(p.contains("hashpartitioning(band"),
+      "candidates must shuffle on the band key")
+  }
+
   test("no query re-inlines a staged expression into a pushed filter") {
     // The q91/q139/q113/q131 hazard class, swept across every
     // registered query: an inferred isnotnull/size filter pushed below
