@@ -38,9 +38,9 @@ object Dedup extends QueryGroup {
     val r = new Random(42)
     Seq.fill(128)((r.nextLong() | 1L, r.nextLong()))
   }
-  private val NumBands = 32
-  private val RowsPerBand = 4
-  private val JaccardTau = 0.5
+  private[graft] val NumBands = 32
+  private[graft] val RowsPerBand = 4
+  private[graft] val JaccardTau = 0.5
 
   /** Stop-shingle cap: shingles appearing in more documents than this are
     * excluded from candidate generation (q58). 128 bounds any one shingle
@@ -72,7 +72,7 @@ object Dedup extends QueryGroup {
   /** doc_id + distinct 3-word shingle HASH set (shingle identity is all
     * MinHash and Jaccard verification need — see ShingleHashes scaladoc).
     */
-  private def shingled(df: DataFrame): DataFrame =
+  private[graft] def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
 
@@ -242,18 +242,24 @@ object Dedup extends QueryGroup {
     * guard, per corpus): a hot boilerplate bucket caps at a constant
     * instead of |new_bucket|·|corpus_bucket| pairs.
     */
+  /** MinHash signatures over a shingled `(doc_id, sh)` frame — shared by
+    * q144's batch pipeline and its streaming twin.
+    */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("sh"),
+      TextOps.minhashSignature(col("sh"), perms).as("sig"))
+
+  /** `(doc_id, band, bh)` band-key rows from a signature frame. */
+  private[graft] def minhashBandRows(s: DataFrame): DataFrame = s
+    .select(col("doc_id"), posexplode(
+      org.apache.spark.sql.graftbridge.toColumn(
+        graft.expressions.BandHashes(
+          org.apache.spark.sql.graftbridge.toExpression(col("sig")),
+          NumBands, RowsPerBand))))
+    .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+
   private[graft] def crossDumpNearDup(
       newDocs: DataFrame, corpus: DataFrame): DataFrame = {
-    def sigs(df: DataFrame): DataFrame = graft.CachePool.track(
-      df.select(col("doc_id"), col("sh"),
-        TextOps.minhashSignature(col("sh"), perms).as("sig")))
-    def bandRows(s: DataFrame): DataFrame = s
-      .select(col("doc_id"), posexplode(
-        org.apache.spark.sql.graftbridge.toColumn(
-          graft.expressions.BandHashes(
-            org.apache.spark.sql.graftbridge.toExpression(col("sig")),
-            NumBands, RowsPerBand))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     def capped(bands: DataFrame): DataFrame =
       bands.join(
         bands.groupBy(col("band"), col("bh"))
@@ -261,11 +267,11 @@ object Dedup extends QueryGroup {
           .filter(col("bn") <= MaxLshBucket)
           .select(col("band"), col("bh")),
         Seq("band", "bh"))
-    val ns = sigs(newDocs)
-    val cs = sigs(corpus)
-    val cands = capped(bandRows(ns))
+    val ns = graft.CachePool.track(minhashSigs(newDocs))
+    val cs = graft.CachePool.track(minhashSigs(corpus))
+    val cands = capped(minhashBandRows(ns))
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
-      .join(capped(bandRows(cs))
+      .join(capped(minhashBandRows(cs))
         .select(col("doc_id").as("c_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select(col("new_id"), col("c_id")).distinct()

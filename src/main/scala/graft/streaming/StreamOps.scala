@@ -114,6 +114,55 @@ object StreamOps {
     * of the stream so the operator composes with any sink. Batch≡stream
     * on the same rows (StreamingSpec pins the equality against q139).
     */
+  /** Streaming twin of q144's cross-dump near-dup gate — the crawl-
+    * ingest shape: arriving `(doc_id, text)` docs are shingled,
+    * MinHash-banded, and band-joined against the STATIC prior-corpus
+    * band table (re-planned per micro-batch); candidates verify with
+    * exact Jaccard over the full shingle sets and each verified
+    * `(new_id, c_id)` pair is emitted ONCE across the stream's lifetime
+    * (stateful dropDuplicates on the 16-byte pair key — the chunk-dedup
+    * stance: exact global emission needs the full key set; use a
+    * watermarked variant when the dedup horizon is temporal). The new
+    * side's shingle set rides the band explode within the micro-batch,
+    * so no stream-stream self-join ever forms; per-pair rollups are the
+    * reader's aggregation (batch q144's groupBy), kept out of the
+    * stream. Batch≡stream pinned in StreamingSpec.
+    */
+  def crossDumpNearDupStream(newDocs: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val cs = Dedup.shingled(corpus).filter(size(col("sh")) > 0)
+    val cBandsRaw = Dedup.minhashBandRows(Dedup.minhashSigs(cs))
+    // the corpus-side bucket cap (batch q144's skew guard; the stream
+    // side's occupancy is bounded by the micro-batch itself)
+    val cBands = cBandsRaw
+      .join(cBandsRaw.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= Dedup.MaxLshBucket)
+        .select(col("band"), col("bh")),
+        Seq("band", "bh"))
+      .join(cs.select(col("doc_id"), col("sh").as("b_sh")), "doc_id")
+      .select(col("doc_id").as("c_id"), col("band"), col("bh"),
+        col("b_sh"))
+    // the arriving doc's shingle set rides the band explode (32× within
+    // the micro-batch) — re-joining the stream to itself for `sh` would
+    // be a stream-stream join, which this stays free of
+    val nBands = Dedup.minhashSigs(
+        Dedup.shingled(newDocs).filter(size(col("sh")) > 0))
+      .select(col("doc_id"), col("sh").as("a_sh"), posexplode(
+        org.apache.spark.sql.graftbridge.toColumn(
+          graft.expressions.BandHashes(
+            org.apache.spark.sql.graftbridge.toExpression(col("sig")),
+            Dedup.NumBands, Dedup.RowsPerBand))))
+      .select(col("doc_id"), col("a_sh"), col("pos").as("band"),
+        col("col").as("bh"))
+    nBands.join(cBands, Seq("band", "bh"))
+      .filter(graft.functions.TextOps.jaccard(col("a_sh"), col("b_sh"))
+        >= Dedup.JaccardTau)
+      .select(col("doc_id").as("new_id"), col("c_id"))
+      .dropDuplicates("new_id", "c_id")
+  }
+
   def deconStream(vectors: DataFrame, benchmark: DataFrame): DataFrame = {
     val bench = graft.operators.Similarity.deconStage(benchmark)
       .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),

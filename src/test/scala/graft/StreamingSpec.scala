@@ -558,6 +558,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming cross-dump near-dup == batch q144 rollup on the same split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the registered q144 split: md5('xdup:'||id) >= 'b3' is the new
+    // batch, the rest is the static prior corpus
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isNew(id: Long): Boolean =
+      md.digest(s"xdup:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2) >= "b3"
+    val all = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (newRows, corpusRows) = all.partition(t => isNew(t._1))
+    val corpus = corpusRows.toSeq.toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.crossDumpNearDupStream(
+        ms.toDF().toDF("doc_id", "text"), corpus).writeStream
+      .format("memory").queryName("xdup_out")
+      .outputMode("append").start()
+    val (b1, b2) = newRows.splitAt(newRows.length / 2)
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    // redeliver the first batch: the pair-key state must emit nothing new
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("xdup_out")
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n"), min(col("c_id")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("q144_cross_dump_neardup")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"stream/batch drift: only-stream=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    assert(streamed.nonEmpty, "fixture must flag at least one new doc")
+  }
+
   test("streaming decontamination == batch q139 hit counts on the same split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
