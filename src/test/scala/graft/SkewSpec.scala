@@ -173,6 +173,27 @@ class SkewSpec extends SparkSpec {
       s"expected the bounded head-set aggregate in the plan:\n${plan.take(1500)}")
   }
 
+  test("q144 bucket cap: a corpus clone army is surrendered whole, a small clone set matches") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // identical shingle sets collide on EVERY band bucket. A corpus
+    // clone army past MaxLshBucket fills each bucket beyond the cap and
+    // the buckets are dropped whole (the q46 surrender stance — a
+    // >cap template cluster is a clustering problem, not a pairwise
+    // one), so candidate fanout stays bounded no matter how degenerate
+    // the corpus; a small clone set stays under the cap and matches.
+    val sh = (1L to 10L).toArray
+    val newDoc = Seq((1000000L, sh)).toDF("doc_id", "sh")
+    val army = (0 until 600).map(i => (i.toLong, sh)).toDF("doc_id", "sh")
+    assert(Dedup.crossDumpNearDup(newDoc, army).collect().isEmpty,
+      "buckets past the cap must be dropped whole")
+    val few = (0 until 50).map(i => (i.toLong, sh)).toDF("doc_id", "sh")
+    val rows = Dedup.crossDumpNearDup(newDoc, few).collect()
+    assert(rows.length == 1 &&
+      rows.head.getLong(1) == 50L && rows.head.getLong(2) == 0L,
+      "under the cap, all 50 clones match and the first match is doc 0")
+  }
+
   test("q140 tie storm: identical vectors rank negatives purely by id") {
     import spark.implicits._
     import graft.operators.Similarity
