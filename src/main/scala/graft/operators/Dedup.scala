@@ -399,6 +399,53 @@ object Dedup extends QueryGroup {
         base.filter(!col("is_new")).drop("is_new"))
     }),
 
+    // q145 [north star]: the DEDUP-FUNNEL AUDIT — the data-card attrition
+    // table a corpus release publishes: per source, how many docs survive
+    // each gate of the dedup cascade (raw → exact dedup → near-dup
+    // collapse). The gates COMPOSE, in pipeline order: near-dup
+    // components are computed over the exact-dedup SURVIVOR set
+    // (identical-text copies are gone before MinHash runs — on the full
+    // corpus they would only re-find Jaccard-1.0 pairs), with q42's keep
+    // rule at gate 1 (min doc_id per sha256) and q87's canonical rule at
+    // gate 2 (max n_chars, min doc_id tiebreak; docs with no near-dup
+    // survive as singletons). Scale shape: gate 1 is q42's shuffle keyed
+    // on the 32-byte hash (never the text); gate 2 is q46's
+    // capped-bucket machinery over the thinner survivor set — recall
+    // carries over from q46's green because filtering docs changes no
+    // pairwise Jaccard and signatures/band keys are per-doc; the three
+    // rollups partial-aggregate to |sources| rows before the final
+    // broadcast-sized join. All-integer output.
+    "q145_dedup_funnel" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val keepers = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val exactKept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val comps = connectedComponents(minhashNearDupPairs(
+          shingled(exactKept).filter(size(col("sh")) > 0)))
+        .withColumnRenamed("doc_id", "id")
+      val joined = exactKept.join(comps, col("doc_id") === col("id"), "left")
+      val canonIds = joined.filter(col("component_id").isNotNull)
+        .groupBy(col("component_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("t"))).as("doc_id"))
+        .select(col("doc_id"))
+        .unionByName(joined.filter(col("component_id").isNull)
+          .select(col("doc_id")))
+      val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      val g1 = exactKept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after_exact"))
+      val g2 = exactKept.join(canonIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after_neardup"))
+      raw.join(g1, Seq("source"), "left").join(g2, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_after_exact"), lit(0L)).as("n_after_exact"),
+          coalesce(col("n_after_neardup"), lit(0L)).as("n_after_neardup"))
+        .orderBy("source")
+    }),
+
     // q58 [north star]: EXACT n-gram Jaccard near-dup pairs via an
     // inverted-index self-join — the LSH-free exact tier. Only documents
     // sharing at least one shingle ever pair (equi-keyed shuffle on the
@@ -967,5 +1014,53 @@ object Dedup extends QueryGroup {
         |SELECT new_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
         |  CAST(min(c_id) AS BIGINT) AS first_match_id
         |FROM v GROUP BY new_id ORDER BY doc_id""".stripMargin,
+
+    // q145 mirror: q42's keep rule, then q87's recursive-CTE component
+    // closure restricted to the exact-dedup survivor set, then the three
+    // per-source rollups. Uncapped exact Jaccard, as in q87's oracle.
+    "q145_dedup_funnel" ->
+      """WITH RECURSIVE
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |d AS (SELECT doc_id, text, source, n_chars FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM d),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |tp AS (SELECT p.a_id, p.b_id
+        |       FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id
+        |         JOIN sizes sb ON sb.doc_id = p.b_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM tp
+        |          UNION SELECT b_id, a_id FROM tp),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY id),
+        |j AS (SELECT d.doc_id, d.n_chars, d.source, c.component_id
+        |      FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |canon AS (SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY component_id
+        |           ORDER BY n_chars DESC, doc_id) AS rk
+        |    FROM j WHERE component_id IS NOT NULL) t WHERE rk = 1
+        |  UNION ALL SELECT doc_id FROM j WHERE component_id IS NULL),
+        |raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+        |        FROM documents GROUP BY 1),
+        |g1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_exact
+        |       FROM d GROUP BY 1),
+        |g2 AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_after_neardup
+        |       FROM d JOIN canon ON canon.doc_id = d.doc_id GROUP BY 1)
+        |SELECT r.source, r.n_raw,
+        |  COALESCE(g1.n_after_exact, CAST(0 AS BIGINT)) AS n_after_exact,
+        |  COALESCE(g2.n_after_neardup, CAST(0 AS BIGINT)) AS n_after_neardup
+        |FROM raw r LEFT JOIN g1 ON g1.source = r.source
+        |LEFT JOIN g2 ON g2.source = r.source
+        |ORDER BY r.source""".stripMargin,
   )
 }

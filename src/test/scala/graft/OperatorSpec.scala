@@ -1016,6 +1016,24 @@ class OperatorSpec extends SparkSpec {
       "each contaminated doc contributes at least one collision")
   }
 
+  test("dedup funnel reconciles with q42's keeper set and is monotone") {
+    val funnel = SparkEntry.queries("q145_dedup_funnel")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables(spark, Sf, "documents").count()
+    val q42Rows = SparkEntry.queries("q42_exact_dedup")(spark, Sf).count()
+    assert(funnel.map(_._2).sum == nDocs,
+      "per-source raw counts must sum to the corpus size")
+    assert(funnel.map(_._3).sum == q42Rows,
+      "exact-dedup survivors must sum to q42's keeper count " +
+        "(one keeper per distinct sha256)")
+    assert(funnel.forall(r => r._2 >= r._3 && r._3 >= r._4),
+      "each gate can only shrink a source: n_raw >= n_after_exact >= " +
+        "n_after_neardup")
+    assert(funnel.map(_._1).sorted.toSeq == funnel.map(_._1).toSeq,
+      "report is ordered by source")
+  }
+
   test("perplexity buckets are exact per-source terciles ordered by fluency") {
     val rows = SparkEntry.queries("q142_perplexity_buckets")(spark, Sf)
       .collect()

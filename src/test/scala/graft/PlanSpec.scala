@@ -446,6 +446,14 @@ class PlanSpec extends SparkSpec {
       "candidates must shuffle on the band key")
   }
 
+  test("q145's funnel composes equi-keyed gates — no pair or cartesian stage") {
+    val p = plan("q145_dedup_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "every gate and rollup join in the funnel must be equi-keyed " +
+        "(sha256 keepers, component labels, doc ids, source)")
+  }
+
   test("no query re-inlines a staged expression into a pushed filter") {
     // The q91/q139/q113/q131 hazard class, swept across every
     // registered query: an inferred isnotnull/size filter pushed below
