@@ -70,10 +70,15 @@ object Bench {
       // sample (or query) isn't billed for this one's garbage.
       def sample(consume: DataFrame => Unit): Double = {
         val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir))
-        catch { case _: Throwable => failed += name }
-        val t = (System.nanoTime() - t0) / 1e9
-        CachePool.releaseAll()
+        var t = 0.0
+        // the scope drops this sample's persisted intermediates on close;
+        // t is taken before the close so release cost isn't billed to the
+        // query (same accounting as the pre-scope releaseAll)
+        CachePool.scoped {
+          try consume(fn(spark, sfDir))
+          catch { case _: Throwable => failed += name }
+          t = (System.nanoTime() - t0) / 1e9
+        }
         spark.catalog.clearCache()
         System.gc()
         t

@@ -14,33 +14,71 @@ import org.apache.spark.sql.DataFrame
   * storage memory in a long-lived session running many queries (the
   * r5 audit's unbalanced-persist finding).
   *
-  * Builders therefore register such frames here instead of bare
-  * `.persist()`, and the terminal consumer calls [[releaseAll]] once it
-  * has materialized the result (Verify and Bench do, after every query;
-  * a library user does the same — or calls `spark.catalog.clearCache()`
-  * which drops the blocks but not this queue's references, hence the
-  * drain-always loop).
+  * Builders register such frames here instead of bare `.persist()`.
+  * Release is SCOPED: a runner wraps one query's build-and-materialize
+  * in [[scoped]], and only that query's frames are dropped when the
+  * scope closes — two queries running concurrently (a multi-tenant
+  * session, parallel test suites) cannot drop each other's caches,
+  * which the previous drain-everything [[releaseAll]] did. Frames
+  * tracked outside any scope keep the original serial-session
+  * behavior: they accumulate until the next [[releaseAll]].
   */
 object CachePool {
 
-  private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  /** One query's ledger of persisted intermediates; drained when its
+    * [[scoped]] block closes.
+    */
+  final class Scope private[CachePool] () {
+    private[CachePool] val tracked = new ConcurrentLinkedQueue[DataFrame]()
+    private[CachePool] def release(): Unit = {
+      // Non-blocking: block deletion proceeds asynchronously, the plans
+      // stay valid (they recompute from lineage if re-run).
+      var df = tracked.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = tracked.poll()
+      }
+    }
+  }
 
-  /** Persist `df` and register it for the next [[releaseAll]]. */
+  // Frames tracked outside any scope land here and are dropped by the
+  // next releaseAll() — the pre-scope serial-session contract.
+  private val unscoped = new Scope
+  private val current = new ThreadLocal[Scope] {
+    override def initialValue(): Scope = unscoped
+  }
+
+  /** Persist `df` and register it with the scope bound to this thread
+    * (the shared unscoped ledger if none).
+    */
   private[graft] def track(df: DataFrame): DataFrame = {
     val p = df.persist()
-    tracked.add(p)
+    current.get().tracked.add(p)
     p
   }
 
-  /** Unpersist every builder-cached intermediate registered since the
-    * last call. Non-blocking: block deletion proceeds asynchronously,
-    * the plans stay valid (they recompute from lineage if re-run).
+  /** Run one query's build-and-materialize under its own cache scope:
+    * frames tracked inside `body` (on this thread) are unpersisted when
+    * `body` returns — and ONLY those, so concurrent queries in other
+    * scopes keep their caches live. The terminal action must run inside
+    * `body`; scope binding is thread-local, matching how builders call
+    * [[track]] during plan construction on the caller's thread.
     */
-  def releaseAll(): Unit = {
-    var df = tracked.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = tracked.poll()
+  def scoped[A](body: => A): A = {
+    val s = new Scope
+    val prev = current.get()
+    current.set(s)
+    try body
+    finally {
+      current.set(prev)
+      s.release()
     }
   }
+
+  /** Unpersist every UNSCOPED builder-cached intermediate registered
+    * since the last call — the serial-execution API for callers that
+    * don't use [[scoped]]. (`spark.catalog.clearCache()` drops blocks
+    * but not this ledger's references, hence the drain loop.)
+    */
+  def releaseAll(): Unit = unscoped.release()
 }

@@ -73,9 +73,11 @@ object ScalingBench {
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
     def time(fn: => DataFrame): Double = median(Seq.fill(samples) {
       val t0 = System.nanoTime()
-      checksum(fn)
-      val t = (System.nanoTime() - t0) / 1e9
-      CachePool.releaseAll()
+      var t = 0.0
+      CachePool.scoped {
+        checksum(fn)
+        t = (System.nanoTime() - t0) / 1e9
+      }
       spark.catalog.clearCache()
       System.gc()
       t

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Access to the driver-provided parquet tables (TESTDATA.md).
   *
@@ -17,19 +18,44 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Runtime confs, set here so any caller-provided session works:
-    //  - events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    //    read natively; nanosAsLong surfaces it as LongType nanos.
+    //  - nanosAsLong lets a TIMESTAMP(NANOS) events.ts (one of the fixture
+    //    encodings seen across testdata generations) load as LongType nanos
+    //    instead of failing the scan outright.
+    //  - session timezone is pinned to UTC so NTZ→TimestampType casts and
+    //    all downstream epoch arithmetic are timezone-independent and match
+    //    the DuckDB oracles byte-for-byte.
     //  - hash-mixing arithmetic (MinHash permutations, SimHash bit votes)
     //    needs Java wraparound, not ANSI overflow errors.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // ns → µs is lossless in the fixtures (all ts sit on µs boundaries;
-      // see TESTDATA.md); integer division keeps full precision.
-      // `div` is integer division on longs — `/` would go through double
-      // and lose precision above 2^53 (epoch-ns is ~1.7e18).
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** The driver has regenerated events.parquet under different physical
+    * encodings across rounds (TIMESTAMP(NANOS) in r1–r6, TIMESTAMP_MICROS
+    * NTZ from r7), so dispatch on the dtype Spark actually read rather than
+    * assuming one. Every branch lands on session-UTC TimestampType — the
+    * type all queries and oracles assume.
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // Legacy nanos surfaced via nanosAsLong. ns → µs is lossless in the
+        // fixtures (all ts sit on µs boundaries; see TESTDATA.md); `div` is
+        // integer division on longs — `/` would go through double and lose
+        // precision above 2^53 (epoch-ns is ~1.7e18).
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // TIMESTAMP_MICROS with isAdjustedToUTC=0: reinterpret the wall-clock
+        // value as UTC (session tz pinned in apply), matching DuckDB's read
+        // of the same file.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet dtype $other; extend " +
+            "Tables.normalizeEventsTs")
+    }
 }

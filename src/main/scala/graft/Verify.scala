@@ -34,15 +34,16 @@ object Verify {
       case None     => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
       // queries may persist() intermediates consumed by several plan
-      // branches; drop them so later queries get full execution memory
-      // (releaseAll also drains the CachePool registry itself)
-      CachePool.releaseAll()
+      // branches; the scope drops exactly this query's frames when the
+      // block closes, so later queries get full execution memory
+      CachePool.scoped {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

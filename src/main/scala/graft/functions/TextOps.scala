@@ -14,6 +14,17 @@ object TextOps {
   /** Whitespace tokenization (documents.text is space-separated words). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Whitespace token count with explicit NULL propagation: NULL text →
+    * NULL count, matching DuckDB's `len(string_split(NULL, ' '))`. Without
+    * the guard, legacy `size(NULL) = -1` (the ANSI-off behavior this engine
+    * runs under for hash-wraparound arithmetic) would inject −1 into
+    * cumulative sums exactly where the oracle yields NULL — a latent
+    * cross-engine divergence on NULL-text corpora.
+    */
+  def wsTokenCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(split(text, " ")).cast("long"))
+
   /** Exact Jaccard similarity of two `array<long>` shingle-hash sets in
     * one native pass — see [[graft.expressions.JaccardSim]] for why the
     * `array_intersect`-twice formulation was replaced (no codegen CSE in

@@ -362,7 +362,7 @@ object Curation extends QueryGroup {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"))
         .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
         .filter(col("cum_tokens") <= 800L)
         .select(col("doc_id"), col("source"), col("ws_tokens"),
@@ -383,7 +383,7 @@ object Curation extends QueryGroup {
       Tables(spark, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          sum(TextOps.wsTokenCount(col("text"))).as("n_tokens"))
         .withColumn("epochs",
           ceil(lit(target) / col("n_tokens").cast("double")).cast("long"))
         .withColumn("last_epoch_keep_bp",
@@ -414,8 +414,13 @@ object Curation extends QueryGroup {
       Tables(spark, dir, "documents")
         .withColumn("ws", TextOps.tokens(col("text")))
         .select(col("doc_id"), col("source"),
-          floor(size(array_distinct(col("ws"))).cast("double") * 10000d /
-            size(col("ws")).cast("double")).cast("long").as("qscore_bp"))
+          // NULL text → NULL score (ws is NULL iff text is), matching the
+          // oracle's len(NULL) instead of legacy size(NULL) = -1
+          when(col("ws").isNull, lit(null).cast("long"))
+            .otherwise(
+              floor(size(array_distinct(col("ws"))).cast("double") * 10000d /
+                size(col("ws")).cast("double")).cast("long"))
+            .as("qscore_bp"))
         .withColumn("rk", row_number().over(bySrc
           .orderBy(col("qscore_bp").desc, col("doc_id"))).cast("long"))
         .withColumn("n_src", count(lit(1)).over(bySrc))

@@ -1026,7 +1026,9 @@ object Similarity extends QueryGroup {
     */
   private def deconCte: String =
     s"""n AS (SELECT vec_id, qvec,
-       |        ${qdot("qvec", "qvec")} AS n2,
+       |        CASE WHEN len(qvec) > 9414
+       |          THEN error('q139 cosine cross-multiplication exceeds the BIGINT exactness bound (400*dot^2 with dim > 9414); widen the gate to DOUBLE for vectors this wide')
+       |          ELSE ${qdot("qvec", "qvec")} END AS n2,
        |        substring(md5('decon:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'e6' AS is_bench
        |      FROM $qvecSql z),
        |p AS (SELECT a.vec_id,
@@ -1229,7 +1231,10 @@ object Similarity extends QueryGroup {
          |        FROM j GROUP BY source),
          |c AS (SELECT cent.source, svec, n FROM cent JOIN cnt USING (source))
          |SELECT a.source AS src_a, b.source AS src_b,
-         |  CAST(${qdot("a.svec", "b.svec")} AS BIGINT) AS dot_sums,
+         |  CASE WHEN CAST(a.n AS DOUBLE) * b.n >
+         |         CAST(${Long.MaxValue / (64L * 127L * 127L)} AS DOUBLE)
+         |    THEN error('q131 centroid-sum dot exceeds BIGINT exactness bound (n_a*n_b > 2^63/(64*127^2)); widen the numerator to DOUBLE for sources this large')
+         |    ELSE CAST(${qdot("a.svec", "b.svec")} AS BIGINT) END AS dot_sums,
          |  a.n AS n_a, b.n AS n_b
          |FROM c a JOIN c b ON a.source < b.source
          |ORDER BY src_a, src_b""".stripMargin,

@@ -856,7 +856,7 @@ object TextAnalysis extends QueryGroup {
     // one-sided tails are reconstructed from totals, so only tokens in
     // both sources are joined; integer arithmetic end to end.
     "q137_source_drift" ->
-      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS t
+      s"""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS t
         |             FROM documents),
         |cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
@@ -870,9 +870,12 @@ object TextAnalysis extends QueryGroup {
         |      JOIN tot tb ON tb.source = bb.source
         |      GROUP BY 1, 2)
         |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
-        |  CAST(COALESCE(b.shared_term, 0)
-        |    + (p.n_a - COALESCE(b.s_ab, 0)) * p.n_b
-        |    + (p.n_b - COALESCE(b.s_ba, 0)) * p.n_a AS BIGINT) AS tvd_num
+        |  CASE WHEN CAST(p.n_a AS DOUBLE) * CAST(p.n_b AS DOUBLE) >
+        |         CAST(${Long.MaxValue / 2} AS DOUBLE)
+        |    THEN error('q137 TVD numerator exceeds BIGINT exactness bound (n_a*n_b > 2^62); widen the numerator to DOUBLE for sources this large')
+        |    ELSE CAST(COALESCE(b.shared_term, 0)
+        |      + (p.n_a - COALESCE(b.s_ab, 0)) * p.n_b
+        |      + (p.n_b - COALESCE(b.s_ba, 0)) * p.n_a AS BIGINT) END AS tvd_num
         |FROM (SELECT ta.source AS src_a, tb.source AS src_b,
         |        ta.n AS n_a, tb.n AS n_b
         |      FROM tot ta JOIN tot tb ON ta.source < tb.source) p

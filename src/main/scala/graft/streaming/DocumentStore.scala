@@ -76,7 +76,9 @@ class InMemoryDocumentStore extends DocumentStore {
   * but the atomic-rename-per-key upsert pattern is exactly this).
   * Filenames are the sha-256 of the id, so any id is path-safe.
   */
-class FileDocumentStore(root: String) extends DocumentStore {
+class FileDocumentStore(
+    root: String,
+    lockStaleMs: Long = FileDocumentStore.LockStaleMs) extends DocumentStore {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
   private def rootPath: Path = {
@@ -142,11 +144,37 @@ class FileDocumentStore(root: String) extends DocumentStore {
             try {
               val age = System.currentTimeMillis() -
                 Files.getLastModifiedTime(lock).toMillis
-              if (age > FileDocumentStore.LockStaleMs) Files.delete(lock)
-              else Thread.sleep(1)
+              if (age > lockStaleMs) {
+                // Break the orphan via an ATOMIC claim: rename the stale
+                // lock to a waiter-unique name — exactly one waiter's move
+                // succeeds; the rest hit NoSuchFileException and re-contend
+                // through createFile. (Deleting in place was a race: two
+                // waiters could both judge the lock stale, the first
+                // delete-then-create, and the second's delete then removed
+                // the first's FRESH lock — re-opening the lost-update
+                // window this method exists to close.)
+                val claim = lock.resolveSibling(lock.getFileName.toString +
+                  s".claim-${java.util.UUID.randomUUID()}")
+                Files.move(lock, claim, StandardCopyOption.ATOMIC_MOVE)
+                // Re-judge staleness on the claimed file itself: if a LIVE
+                // lock slid under us inside the stat→move window (owner
+                // released + another waiter acquired), restore it rather
+                // than break it; if the restore target is already occupied
+                // the claim is moot either way — drop it.
+                val claimedAge = System.currentTimeMillis() -
+                  Files.getLastModifiedTime(claim).toMillis
+                if (claimedAge > lockStaleMs)
+                  Files.delete(claim)
+                else
+                  try Files.move(claim, lock, StandardCopyOption.ATOMIC_MOVE)
+                  catch {
+                    case _: java.nio.file.FileAlreadyExistsException =>
+                      Files.delete(claim)
+                  }
+              } else Thread.sleep(1)
             } catch {
               // lock vanished between the existence check and the
-              // stat/delete — owner released it; retry immediately
+              // stat/move — owner released it; retry immediately
               case _: java.nio.file.NoSuchFileException =>
             }
         }
@@ -156,7 +184,7 @@ class FileDocumentStore(root: String) extends DocumentStore {
           upsert(next)
           return next
         }
-      } finally Files.delete(lock)
+      } finally Files.deleteIfExists(lock) // tolerate a (mis)broken lock
       // lost the race — loop, re-read, recompute
     }
     throw new IllegalStateException("unreachable")

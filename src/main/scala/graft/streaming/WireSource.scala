@@ -66,19 +66,22 @@ object WireSource {
     */
   def eventLogReplayStream(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // ns timestamps need the same conf batch reads use
+    // legacy ns timestamps need the same conf batch reads use; the tz
+    // pin keeps an NTZ-encoded ts on the same UTC instant as batch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the RAW file schema (ts = INT64 nanos under nanosAsLong); the µs
-    // conversion happens post-load, same as Tables does for batch
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // the RAW file schema (whatever encoding this fixture generation
+    // used); ts normalization happens post-load through the SAME dtype
+    // dispatch Tables uses for batch, so batch ≡ stream holds across
+    // testdata regenerations
     val raw = spark.read.parquet(eventsDir).schema
     val reader = spark.readStream.schema(raw)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(eventsDir)
+    graft.Tables.normalizeEventsTs(reader.parquet(eventsDir))
       .select(
         graft.functions.Codec.gzip(col("props")).as("data"),
         spark_partition_id().cast("string").as("shard"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        col("ts"))
   }
 
   /** Synthetic rate source shaped like the wire (throughput testing). */

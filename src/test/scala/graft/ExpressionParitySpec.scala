@@ -231,4 +231,33 @@ class ExpressionParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("q139 BIGINT exactness guard refuses at the documented dim boundary, and the oracle mirrors it") {
+    import graft.operators.Similarity
+    // dim = 9414 is the last width where 400·dot² stays inside BIGINT
+    // (floor(sqrt(2^63/400)/127²)); the guard must pass 9414 and refuse 9415.
+    def stage(dim: Int) = Similarity.deconStage(
+      Seq((1L, Seq.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")
+          .as("embedding")))
+    assert(stage(9414).select(col("n2")).as[Long].head() ==
+      9414L * 127L * 127L)
+    val err = intercept[Exception] { stage(9415).select(col("n2")).head() }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(_.contains(
+      "BIGINT exactness bound")), s"unexpected failure: $err")
+    // The DuckDB mirrors must refuse at the SAME boundary with the same
+    // message family — the guard is part of the contract, not decoration.
+    // (DuckDB-side firing is validated by the driver's oracle run; here we
+    // pin that the mirrored guard text cannot silently disappear.)
+    for ((q, marker) <- Seq(
+        ("q139_semantic_decon", "error('q139"),
+        ("q131_source_centroids", "error('q131"),
+        ("q137_source_drift", "error('q137"))) {
+      assert(SparkEntry.oracleSql(q).contains(marker),
+        s"$q oracle lost its mirrored exactness guard")
+    }
+  }
 }

@@ -34,6 +34,52 @@ class FormatSpec extends SparkSpec {
     }
   }
 
+  test("schema-drift guard: every fixture table loads and events.ts is session-UTC timestamp") {
+    // The driver regenerates /root/testdata between rounds and has already
+    // switched events.ts encodings once (TIMESTAMP(NANOS) → TIMESTAMP_MICROS
+    // NTZ, round 7 — see VERDICT r7). This test makes the NEXT such drift
+    // fail in one named assertion instead of 45 opaque query rows.
+    import org.apache.spark.sql.types._
+    for (t <- Tables.all) {
+      val df = Tables(spark, Sf, t)
+      assert(df.limit(1).count() == 1, s"table $t failed to load from $Sf")
+    }
+    assert(Tables(spark, Sf, "events").schema("ts").dataType == TimestampType,
+      "events.ts must normalize to TimestampType — a new parquet encoding " +
+        "appeared; extend Tables.normalizeEventsTs")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "session timezone must be pinned UTC for oracle-parity epoch arithmetic")
+  }
+
+  test("events.ts normalization handles every known fixture encoding") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // 2021-03-04T05:06:07.123456Z in epoch units
+    val micros = 1614834367123456L
+
+    // (a) legacy TIMESTAMP(NANOS) read via nanosAsLong → LongType nanos
+    val fromNanos = Tables.normalizeEventsTs(
+      Seq(micros * 1000L).toDF("ts"))
+    // (b) TIMESTAMP_MICROS isAdjustedToUTC=0 → TimestampNTZType
+    val fromNtz = Tables.normalizeEventsTs(
+      Seq(micros).toDF("us").select(
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    // (c) already-UTC TimestampType passes through
+    val fromUtc = Tables.normalizeEventsTs(
+      Seq(micros).toDF("us").select(timestamp_micros(col("us")).as("ts")))
+
+    for ((df, enc) <- Seq((fromNanos, "nanos"), (fromNtz, "ntz"), (fromUtc, "utc"))) {
+      assert(df.schema("ts").dataType == TimestampType, s"$enc dtype")
+      assert(df.select(unix_micros(col("ts"))).as[Long].head() == micros,
+        s"$enc must land on the same UTC instant")
+    }
+    // (d) an unknown encoding fails loudly, not 45 queries deep
+    val err = intercept[IllegalStateException] {
+      Tables.normalizeEventsTs(Seq("2021-03-04").toDF("ts"))
+    }
+    assert(err.getMessage.contains("unsupported parquet dtype"))
+  }
+
   test("binaryFile source feeds the multimodal pipeline (media ingestion path)") {
     import graft.operators.Multimodal
     // stage some opaque "media" blobs on disk, as a real manifest would

@@ -1062,4 +1062,38 @@ class OperatorSpec extends SparkSpec {
         s"source $src head/tail fluency order inverted")
     }
   }
+
+  test("NULL-text token counts follow DuckDB NULL semantics through the q133 budget window") {
+    // Cross-engine fixture: the expected rows below are pinned to what
+    // DuckDB produces for the q133 oracle SQL over this exact corpus
+    // (len(string_split(NULL)) → NULL; window SUM skips NULLs; a NULL
+    // cum_tokens fails the <= filter). Spark must agree row for row —
+    // legacy size(NULL) = -1 under ANSI-off would instead inject −1
+    // into the cumulative sums.
+    import graft.functions.TextOps
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10L, "w w w"), (2L, "a", 8L, null), (3L, "a", 6L, "x"),
+      (4L, "b", 5L, null), (5L, "b", 3L, "y y"))
+      .toDF("doc_id", "source", "n_chars", "text")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+      .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+      .filter(col("cum_tokens") <= 800L)
+      .drop("n_chars")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", Some(3L), 3L),
+      (2L, "a", None, 3L), // NULL text: NULL count, cum carries past it
+      (3L, "a", Some(1L), 4L),
+      (5L, "b", Some(2L), 2L))) // doc 4 (NULL-cum head of b) filtered out
+  }
 }

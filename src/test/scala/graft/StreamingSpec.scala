@@ -326,6 +326,43 @@ class StreamingSpec extends SparkSpec {
     assert(!Files.exists(lock), "broken/released lock must not persist")
   }
 
+  test("stale-lock break under contention: two waiters never double-break into the critical section") {
+    // Regression for the delete-in-place race: two waiters both judge the
+    // orphan stale; the first deletes + creates its fresh lock; the second's
+    // delete then removed that FRESH lock, letting a third writer in and
+    // re-opening the lost-update window. The fix claims the stale lock by
+    // ATOMIC rename, so at most one waiter breaks it. Drive many rounds of
+    // (fabricated orphan) + (two racing updates) and require every update
+    // to land.
+    val dir = Files.createTempDirectory("graft-lockrace-").toString
+    val store = new FileDocumentStore(dir, lockStaleMs = 20L)
+    store.upsert(AnsDoc("X", Some(0L), None))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest("X".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lock = java.nio.file.Paths.get(dir, hex + ".doc.lock")
+    val rounds = 50
+    for (r <- 1 to rounds) {
+      Files.createFile(lock)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+      val ts = (1 to 2).map(_ => new Thread(() =>
+        store.update("X")(c => c.get.copy(
+          revision = c.get.revision.map(_ + 1)))))
+      ts.foreach(_.start()); ts.foreach(_.join(30000))
+      assert(store.get("X").get.revision.contains(2L * r),
+        s"round $r: an update was dropped after a stale-lock break")
+    }
+    assert(!Files.exists(lock), "no lock may outlive its round")
+    val leftovers = Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      val claims = leftovers.iterator().asScala
+        .filter(_.getFileName.toString.contains(".claim-")).toSeq
+      assert(claims.isEmpty, s"orphaned claim files: $claims")
+    } finally leftovers.close()
+  }
+
   test("kinesis offset json round-trips shard names containing quotes and backslashes") {
     val cur = Map("shard\"A" -> 3L, "shard\\B" -> 7L, "plain-0" -> 0L)
     val off = KinesisStubOffset(cur)
