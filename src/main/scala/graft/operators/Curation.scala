@@ -238,7 +238,7 @@ object Curation extends QueryGroup {
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(spark, dir, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_tokens", TextOps.wsTokenCount(col("text")))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")).cast("double") / 512.0)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TagOps
+import graft.functions.{TagOps, TextOps}
 
 /** Scalar function surface — SURVEY.md §2.8 (q32–q38).
   *
@@ -81,7 +81,7 @@ object Scalars extends QueryGroup {
           array_join(
             TagOps.appendIfAbsent(array(col("lang"), col("source")), lit("en")),
             ",").as("tagged"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          TextOps.wsTokenCount(col("text")).as("n_tokens"),
           array_join(
             array_sort(array_distinct(split(substring(col("text"), 1, 50), " "))),
             ",").as("first_tokens"))

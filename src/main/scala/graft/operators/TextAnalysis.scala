@@ -48,7 +48,7 @@ object TextAnalysis extends QueryGroup {
           round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
-          sum(size(TextOps.tokens(col("text"))).cast("long")).as("total_tokens"))
+          sum(TextOps.wsTokenCount(col("text"))).as("total_tokens"))
         .orderBy("source")),
 
     // q50 [north star]: language-ID heuristic — stopword-ratio n-gram
@@ -100,11 +100,15 @@ object TextAnalysis extends QueryGroup {
     "q53_token_count" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
-            .as("word_tokens"),
-          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long")
-            .as("bpe_ish_tokens"))
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          // NULL text → NULL counts on both engines (legacy size(NULL) is
+          // -1 under ANSI-off; DuckDB's len(NULL) is NULL)
+          when(col("text").isNull, lit(null).cast("long"))
+            .otherwise(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+              .cast("long")).as("word_tokens"),
+          when(col("text").isNull, lit(null).cast("long"))
+            .otherwise(size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+              .cast("long")).as("bpe_ish_tokens"))
         .orderBy("doc_id")),
 
     // q77 [north star]: within-document repetition stats (Gopher-style

@@ -70,6 +70,7 @@ object WireSource {
     // pin keeps an NTZ-encoded ts on the same UTC instant as batch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // the RAW file schema (whatever encoding this fixture generation
     // used); ts normalization happens post-load through the SAME dtype
     // dispatch Tables uses for batch, so batch ≡ stream holds across
