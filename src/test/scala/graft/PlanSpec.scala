@@ -21,6 +21,21 @@ class PlanSpec extends SparkSpec {
     assert(p8.contains("In(o_orderpriority") && p8.contains("GreaterThanOrEqual(o_totalprice"))
   }
 
+  test("event-time range predicates push to the parquet scan (row-group pruning at scale)") {
+    // With ts read natively as TimestampType at the scan (no NTZ cast node
+    // above it), a time-range filter must reach PushedFilters — this is
+    // the predicate that prunes row groups / partitions on a 100 TB event
+    // log, and a cast in the read path would silently disable it.
+    import org.apache.spark.sql.functions._
+    val p = Tables(spark, Sf, "events")
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(ts"),
+      s"ts range predicate did not reach the scan:\n$p")
+  }
+
   test("projections prune the scan schema (column pruning)") {
     val p = plan("q01_scan_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
