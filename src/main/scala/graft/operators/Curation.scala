@@ -430,6 +430,58 @@ object Curation extends QueryGroup {
           col("rk"), col("n_src"), col("kept"))
         .orderBy("doc_id")
     }),
+
+    // q146 [north star, r8]: GLOBAL token-budget selection — q133's cap
+    // with no per-source partition to hide in: keep the longest documents
+    // corpus-WIDE (order = ws_tokens DESC, doc_id) until the budget is
+    // spent. The naive plan is a single-partition window over the whole
+    // corpus — the one shape this engine bans — so this query IS the
+    // two-pass threshold discipline q93/q133's scale notes name:
+    //   pass 1: per-distinct-length histogram (partial-aggregated;
+    //           |histogram| ≤ max doc length in tokens, NEVER
+    //           corpus-sized);
+    //   threshold: one cumulative window over the histogram rows only →
+    //           the boundary length w* and the budget spent strictly
+    //           above it (≤1-row frame, broadcast);
+    //   pass 2: per-row verdict — kept iff w > w*, or w == w* and the
+    //           doc's in-class doc_id rank fits the remaining budget;
+    //           the only corpus-sized window is per-length-class
+    //           (q133's hot-class caveat applies to a degenerate
+    //           all-same-length corpus and nothing else).
+    // Membership equals the naive global-cumsum rule EXACTLY
+    // (prior + i·w* ≤ B  ⟺  in-class rank i ≤ (B − prior) div w*),
+    // which is what the DuckDB oracle computes directly.
+    "q146_global_token_budget" -> ((spark, dir) => {
+      val budget = 10000L
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+      val hist = docs.groupBy(col("ws_tokens"))
+        .agg(sum(col("ws_tokens")).as("tok"))
+      val wh = Window.orderBy(col("ws_tokens").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // w* > 0 always: a zero/NULL-length class adds nothing to cum, so
+      // the first violator is necessarily a positive-length class.
+      val boundary = hist
+        .withColumn("cum", sum(col("tok")).over(wh))
+        .withColumn("prior", col("cum") - col("tok"))
+        .filter(col("cum") > budget)
+        .orderBy(col("ws_tokens").desc)
+        .limit(1)
+        .select(col("ws_tokens").as("wstar"),
+          expr(s"($budget - prior) div ws_tokens").as("m"))
+      val wcls = Window.partitionBy(col("ws_tokens")).orderBy(col("doc_id"))
+      docs
+        .withColumn("rk", row_number().over(wcls).cast("long"))
+        .join(broadcast(boundary), lit(true), "left")
+        .select(col("doc_id"), col("ws_tokens"),
+          when(col("wstar").isNull, lit(1L)) // whole corpus fits
+            .when(col("ws_tokens") > col("wstar"), lit(1L))
+            .when(col("ws_tokens") === col("wstar") &&
+              col("rk") <= col("m"), lit(1L))
+            .otherwise(lit(0L)).as("kept"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -657,5 +709,21 @@ object Curation extends QueryGroup {
         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
         |  FROM s) t
         |ORDER BY doc_id""".stripMargin,
+    // q146: the oracle computes the NAIVE global cumulative-sum rule —
+    // one window over the whole corpus ordered (ws_tokens DESC, doc_id)
+    // — which the Spark side's two-pass threshold construction must
+    // reproduce membership-exactly (see the query comment for the
+    // prior + i·w* ≤ B ⟺ rank ≤ (B − prior) div w* equivalence).
+    "q146_global_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws_tokens,
+        |    SUM(ws_tokens) OVER (ORDER BY ws_tokens DESC NULLS LAST, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, ws_tokens,
+        |  CAST(CASE WHEN cum <= 10000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1096,4 +1096,33 @@ class OperatorSpec extends SparkSpec {
       (3L, "a", Some(1L), 4L),
       (5L, "b", Some(2L), 2L))) // doc 4 (NULL-cum head of b) filtered out
   }
+
+  test("q146's two-pass threshold selection equals the naive global cumsum rule") {
+    import org.apache.spark.sql.expressions.Window
+    val twoPass = SparkEntry.queries("q146_global_token_budget")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the naive single-window rule the oracle uses, recomputed in-engine
+    val w = Window.orderBy(col("ws_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Tables(spark, Sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+      .withColumn("cum", sum(col("ws_tokens")).over(w))
+      .select(col("doc_id"), col("ws_tokens"),
+        when(col("cum") <= 10000L, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(twoPass.toSeq == naive.toSeq,
+      "threshold construction must reproduce global-cumsum membership exactly")
+    // the budget is respected and selection is maximal: the kept set
+    // fits, and every excluded doc is at least as short as the boundary
+    val keptTok = twoPass.filter(_._3 == 1L).map(_._2).sum
+    val maxExcluded = twoPass.filter(_._3 == 0L).map(_._2).maxOption
+    assert(keptTok <= 10000L, s"budget blown: $keptTok")
+    // maximality: when anything is excluded, admitting the longest
+    // excluded doc (the boundary class, by the prefix rule) must blow
+    // the budget — prior + (m+1)·w* > B by construction of m
+    assert(maxExcluded.forall(keptTok + _ > 10000L),
+      s"boundary not maximal: kept=$keptTok, next=$maxExcluded")
+  }
 }

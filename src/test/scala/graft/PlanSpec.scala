@@ -503,4 +503,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q146's only single-partition window is the histogram, never the corpus") {
+    val p = plan("q146_global_token_budget")
+    // the two-pass threshold construction: the global cumulative window
+    // runs over the length HISTOGRAM (post-aggregation — bounded by max
+    // doc length), so exactly ONE SinglePartition exchange may appear,
+    // and a partial HashAggregate keyed on ws_tokens must sit below it;
+    // the corpus-sized window keys on the length class, and the ≤1-row
+    // boundary frame arrives by broadcast
+    val singles = "SinglePartition".r.findAllIn(p).length
+    assert(singles == 1,
+      s"expected exactly one histogram-sized SinglePartition exchange, got $singles")
+    assert(p.contains("hashpartitioning(ws_tokens"),
+      "per-class rank window and histogram agg must key on ws_tokens")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the boundary frame must broadcast")
+    assert("Keys \\[1\\]: \\[ws_tokens".r.findFirstIn(p).isDefined,
+      "the histogram aggregate must group by ws_tokens")
+    // and the single-partition input is the HISTOGRAM: the tok column
+    // (post-aggregate sum) is in-flight at that exchange, never text
+    val exIdx = p.indexOf("Arguments: SinglePartition")
+    val inLine = p.lastIndexOf("Input", exIdx)
+    assert(exIdx > 0 && p.substring(inLine, exIdx).contains("tok#") &&
+      !p.substring(inLine, exIdx).contains("text#"),
+      "the SinglePartition exchange must carry histogram rows, not corpus rows")
+  }
 }
