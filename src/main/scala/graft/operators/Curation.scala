@@ -482,6 +482,56 @@ object Curation extends QueryGroup {
             .otherwise(lit(0L)).as("kept"))
         .orderBy("doc_id")
     }),
+
+    // q147 [north star, r8]: q133's per-source token budget with the
+    // HOT-SOURCE-PROOF plan — the "q93 two-pass threshold discipline"
+    // q133's own scale note promises, made a registered operator. q133's
+    // per-source cumulative window puts one mega-source on one reducer;
+    // here NO corpus-sized per-source window exists:
+    //   pass 1: (source, n_chars) histogram, partial-aggregated;
+    //   threshold: per-source cumulative + first-violator pick over the
+    //     HISTOGRAM rows only → |sources| boundary rows, broadcast;
+    //   pass 2: per-row verdict; classes above the boundary are kept
+    //     outright, the boundary class resolves with an in-class
+    //     (source, n_chars)-keyed inclusive cumsum (ws_tokens vary
+    //     within a class, so the q146 rank·w* shortcut doesn't apply —
+    //     the class window is bounded by the class size, not the
+    //     source size).
+    // Membership ≡ q133's naive rule exactly (prefix property: classes
+    // after the boundary can only raise cum), reconciled against q133's
+    // output in OperatorSpec; the oracle computes the naive rule with a
+    // kept flag over ALL docs.
+    "q147_source_budget_scalable" -> ((spark, dir) => {
+      val budget = 800L
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+      val hist = docs.groupBy(col("source"), col("n_chars"))
+        .agg(sum(col("ws_tokens")).as("tok"))
+      val wh = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySrc = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+      val boundary = hist
+        .withColumn("cum", sum(col("tok")).over(wh))
+        .withColumn("prior", col("cum") - col("tok"))
+        .filter(col("cum") > budget)
+        .withColumn("brk", row_number().over(bySrc))
+        .filter(col("brk") === 1)
+        .select(col("source"), col("n_chars").as("b_chars"), col("prior"))
+      val wcls = Window.partitionBy(col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cls_cum", sum(col("ws_tokens")).over(wcls))
+        .join(broadcast(boundary), Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("ws_tokens"),
+          when(col("b_chars").isNull, lit(1L)) // whole source fits
+            .when(col("n_chars") > col("b_chars"), lit(1L))
+            .when(col("n_chars") === col("b_chars") &&
+              col("prior") + col("cls_cum") <= budget, lit(1L))
+            .otherwise(lit(0L)).as("kept"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -724,6 +774,20 @@ object Curation extends QueryGroup {
         |  FROM t)
         |SELECT doc_id, ws_tokens,
         |  CAST(CASE WHEN cum <= 10000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q147: the naive q133 rule with a kept flag over ALL docs — the
+    // scalable two-pass plan must reproduce it membership-exactly.
+    "q147_source_budget_scalable" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, ws_tokens,
+        |    SUM(ws_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, ws_tokens,
+        |  CAST(CASE WHEN cum <= 800 THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

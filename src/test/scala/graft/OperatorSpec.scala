@@ -1125,4 +1125,18 @@ class OperatorSpec extends SparkSpec {
     assert(maxExcluded.forall(keptTok + _ > 10000L),
       s"boundary not maximal: kept=$keptTok, next=$maxExcluded")
   }
+
+  test("q147's hot-source-proof plan reproduces q133's membership exactly") {
+    // q133 emits only the kept rows; q147 flags every doc. Same budget,
+    // same (n_chars DESC, doc_id) order — the kept sets must be equal.
+    val viaThreshold = SparkEntry
+      .queries("q147_source_budget_scalable")(spark, Sf)
+      .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    val viaWindow = SparkEntry.queries("q133_token_budget")(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaThreshold == viaWindow,
+      s"two-pass selection drifted from the window rule: " +
+        s"only-threshold=${(viaThreshold -- viaWindow).toSeq.sorted.take(5)}, " +
+        s"only-window=${(viaWindow -- viaThreshold).toSeq.sorted.take(5)}")
+  }
 }

@@ -529,4 +529,17 @@ class PlanSpec extends SparkSpec {
       !p.substring(inLine, exIdx).contains("text#"),
       "the SinglePartition exchange must carry histogram rows, not corpus rows")
   }
+
+  test("q147 has no single-partition stage and no source-sized corpus window") {
+    val p = plan("q147_source_budget_scalable")
+    assert(!p.contains("SinglePartition"),
+      "every q147 window must be keyed — the whole point over q133")
+    // the corpus-side window keys on the (source, n_chars) CLASS, not on
+    // the source alone (a source-keyed corpus window is q133's hot spot)
+    assert(p.contains("hashpartitioning(source") &&
+      p.contains("n_chars"),
+      "boundary-class cumsum must key on (source, n_chars)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row boundary frame must broadcast")
+  }
 }
