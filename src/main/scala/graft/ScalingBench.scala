@@ -144,6 +144,24 @@ object ScalingBench {
               col("n2").as("bb")))
       }))
     else None
+    // q133-vs-q147 skew counterfactual: collapse the blown corpus to ONE
+    // source. q133's source-keyed cumulative window then runs its whole
+    // input on one reducer; q147's class-keyed windows keep spreading.
+    // Both are timed on the identical one-source corpus so the delta is
+    // purely the plan shape.
+    val budgetSkew = if (sel.contains("q133_token_budget") ||
+        sel.contains("q147_source_budget_scalable")) {
+      val skewDir = s"$workDir-skew"
+      spark.read.parquet(s"$workDir/documents.parquet")
+        .withColumn("source", lit("src_hot"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      Seq(
+        "skew1src_q133" ->
+          time(SparkEntry.queries("q133_token_budget")(spark, skewDir)),
+        "skew1src_q147" ->
+          time(SparkEntry.queries("q147_source_budget_scalable")(spark, skewDir)))
+    } else Nil
     val hnegFixedAnchors = if (sel.contains("q140_hard_negatives"))
       Some(time({
         val base = graft.operators.Similarity.labeledQvecs(
@@ -169,6 +187,7 @@ object ScalingBench {
         s""""blown_q139_fixed_bench":$v,""").getOrElse("") +
       hnegFixedAnchors.map(v =>
         s""""blown_q140_fixed_anchors":$v,""").getOrElse("") +
+      budgetSkew.map { case (k, v) => s""""$k":$v,""" }.mkString +
       s""""samples":$samples,"base_dir":"$baseDir"}""")
     spark.stop()
   }
