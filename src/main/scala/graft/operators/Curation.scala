@@ -532,6 +532,76 @@ object Curation extends QueryGroup {
             .otherwise(lit(0L)).as("kept"))
         .orderBy("doc_id")
     }),
+
+    // q148 [north star, r8]: q138's quality-quantile gate with the
+    // hot-source-proof plan — the rank-cut sibling of q147's sum-budget
+    // (together they close the "q93 two-pass discipline" promise for
+    // both selection rules). q138 keeps each source's top-30% docs by
+    // ranking INSIDE a source-keyed corpus window; here the rank cut
+    // resolves on the score HISTOGRAM: qscore_bp is integer basis
+    // points, so the per-source histogram has ≤ 10001 rows at ANY
+    // corpus size.
+    //   pass 1: per-(source, qscore_bp) counts + per-source totals,
+    //     partial-aggregated;
+    //   threshold: per-source cumulative count over the histogram
+    //     (descending score) → the boundary score s*, the docs kept
+    //     strictly above it, and the quota m = floor(3n/10) —
+    //     |sources| boundary rows, broadcast;
+    //   pass 2: per-row verdict; the boundary class admits its
+    //     (m − kept_above) lowest doc_ids via an in-class rank window
+    //     (bounded by the score-tie class, never the source).
+    // Membership ≡ q138's 10·rk ≤ 3·n rule exactly: rank by
+    // (qscore_bp DESC, doc_id) means every doc above s* has rk ≤
+    // kept_above ≤ m, and the i-th boundary-class doc has
+    // rk = kept_above + i ≤ m ⟺ i ≤ m − kept_above. Reconciled
+    // against q138's kept flags in OperatorSpec.
+    "q148_quality_gate_scalable" -> ((spark, dir) => {
+      val scored = Tables(spark, dir, "documents")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          when(col("ws").isNull, lit(null).cast("long"))
+            .otherwise(
+              floor(size(array_distinct(col("ws"))).cast("double") * 10000d /
+                size(col("ws")).cast("double")).cast("long"))
+            .as("qscore_bp"))
+      val hist = scored.groupBy(col("source"), col("qscore_bp"))
+        .agg(count(lit(1)).as("cnt"))
+      val wh = Window.partitionBy(col("source"))
+        .orderBy(col("qscore_bp").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("qscore_bp").desc)
+      val totals = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      // m = floor(3n/10); boundary = first class where the cumulative
+      // count crosses m (if none, the quota admits every class fully)
+      val boundary = hist.join(totals, "source")
+        .withColumn("cum", sum(col("cnt")).over(wh))
+        .withColumn("prior", col("cum") - col("cnt"))
+        .filter(col("cum") * 10L > col("n") * 3L)
+        .withColumn("brk", row_number().over(bySrc))
+        .filter(col("brk") === 1)
+        .select(col("source"), col("qscore_bp").as("b_score"),
+          expr("(n * 3) div 10 - prior").as("m_cls"),
+          // sentinel: distinguishes "no boundary" (left-join miss) from a
+          // boundary that legitimately sits on the NULL-score class (a
+          // ≥70%-null corpus) — b_score alone can't tell them apart
+          lit(true).as("has_b"))
+      val wcls = Window.partitionBy(col("source"), col("qscore_bp"))
+        .orderBy(col("doc_id"))
+      scored
+        .withColumn("cls_rk", row_number().over(wcls).cast("long"))
+        .join(broadcast(boundary), Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("qscore_bp"),
+          when(col("has_b").isNull, lit(1L)) // quota covers the source
+            .when(col("qscore_bp") <=> col("b_score"), // boundary class (null-safe)
+              when(col("cls_rk") <= col("m_cls"), lit(1L)).otherwise(lit(0L)))
+            // above the boundary: any score beats a NULL-class boundary,
+            // otherwise compare scores (NULL score vs real boundary → 0)
+            .when(col("b_score").isNull || col("qscore_bp") > col("b_score"),
+              lit(1L))
+            .otherwise(lit(0L)).as("kept"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -789,5 +859,22 @@ object Curation extends QueryGroup {
         |SELECT doc_id, source, ws_tokens,
         |  CAST(CASE WHEN cum <= 800 THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q148: q138's naive rank rule (same score expression, same
+    // multiply-before-divide op order) flagged over ALL docs — the
+    // histogram rank-cut must reproduce it membership-exactly.
+    "q148_quality_gate_scalable" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(floor(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      * 10000 / CAST(len(string_split(text,' ')) AS DOUBLE)) AS BIGINT)
+        |      AS qscore_bp
+        |  FROM documents)
+        |SELECT doc_id, source, qscore_bp,
+        |  CAST(CASE WHEN rk * 10 <= n_src * 3 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM (SELECT doc_id, source, qscore_bp,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY qscore_bp DESC NULLS LAST, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM s) t
+        |ORDER BY doc_id""".stripMargin,
   )
 }

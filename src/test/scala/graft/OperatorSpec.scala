@@ -1139,4 +1139,17 @@ class OperatorSpec extends SparkSpec {
         s"only-threshold=${(viaThreshold -- viaWindow).toSeq.sorted.take(5)}, " +
         s"only-window=${(viaWindow -- viaThreshold).toSeq.sorted.take(5)}")
   }
+
+  test("q148's histogram rank-cut reproduces q138's kept flags exactly") {
+    // same 30% rule, same score — (doc_id → kept) must agree row-for-row
+    val viaHistogram = SparkEntry
+      .queries("q148_quality_gate_scalable")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val viaWindow = SparkEntry.queries("q138_quality_gate")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(viaHistogram == viaWindow,
+      s"rank-cut drifted from the window rule on " +
+        s"${viaHistogram.collect { case (k, v) if viaWindow.get(k) != Some(v) => k }
+          .toSeq.sorted.take(5)}")
+  }
 }

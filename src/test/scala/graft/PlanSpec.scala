@@ -542,4 +542,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the |sources|-row boundary frame must broadcast")
   }
+
+  test("q148 resolves the rank cut on the score histogram, never a source-sized window") {
+    val p = plan("q148_quality_gate_scalable")
+    assert(!p.contains("SinglePartition"))
+    // the corpus-side window keys on the (source, qscore_bp) tie class
+    // (≤ 10001 classes per source by construction); the per-source
+    // cumulative runs over histogram rows only
+    assert(p.contains("hashpartitioning(source") &&
+      p.contains("qscore_bp"),
+      "boundary-class rank must key on (source, qscore_bp)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row boundary frame must broadcast")
+  }
 }
