@@ -602,6 +602,58 @@ object Curation extends QueryGroup {
             .otherwise(lit(0L)).as("kept"))
         .orderBy("doc_id")
     }),
+
+    // q149 [north star, r8]: q93's temperature mix with the HASH-CUTOFF
+    // two-pass — the third selection-rule family (hash-rank quotas)
+    // under the same discipline as q147 (sum budgets) and q148 (rank
+    // cuts). Hash ranks have no tie classes to histogram, so the scale
+    // trick is different: the md5 key is uniform on [0, 16^8), so the
+    // quota-th smallest hash sits near quota/n of the key space —
+    // pre-filter to candidates h ≤ t_hi with t_hi = 8× that estimate
+    // (capped at the space), then rank ONLY the candidate pool
+    // (expected 8·quota = 32·√n rows per source vs n for q93 — the
+    // same √n-factor reduction as the IVF K=√n policy). Exactness is
+    // GUARDED, not assumed: if a source's candidate pool is smaller
+    // than min(quota, n) the boundary might lie outside it, and the
+    // query refuses loudly (q131's raise_error discipline; P(fire) ≈
+    // e^{-quota} at 8× slack — mirrored in the oracle so both engines
+    // fail identically). Membership ≡ q93 exactly when the guard
+    // passes: the candidate pool is a prefix of the (h, doc_id) order.
+    "q149_temperature_mix_scalable" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val quotas = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double")) * lit(4.0))
+            .cast("long").as("quota"))
+        // 8-hex-digit lowercase cutoff: fixed-width hex compares as the
+        // number it encodes, so the candidate filter is a string range
+        .withColumn("t_hi",
+          lower(lpad(hex(least(lit(4294967295L),
+            ceil(col("quota").cast("double") * 8.0 /
+              col("n_docs").cast("double") * 4294967296.0).cast("long"))),
+            8, "0")))
+      val h = substring(md5(concat(lit("tmix:"),
+        col("doc_id").cast("string"))), 1, 8)
+      val cand = docs.select(col("doc_id"), col("source"), h.as("h"))
+        .join(broadcast(quotas), "source")
+        .filter(col("h") <= col("t_hi"))
+      val counts = cand.groupBy(col("source"))
+        .agg(count(lit(1)).as("cand_n"))
+      cand
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .join(broadcast(counts), "source")
+        .filter(
+          when(col("cand_n") < least(col("quota"), col("n_docs")),
+            raise_error(lit("q149 candidate pool smaller than the quota " +
+              "boundary — the 8x hash-cutoff estimate missed; widen the " +
+              "slack for this source distribution")))
+            .otherwise(col("rk") <= col("quota")))
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -875,6 +927,37 @@ object Curation extends QueryGroup {
         |      ORDER BY qscore_bp DESC NULLS LAST, doc_id) AS rk,
         |    count(*) OVER (PARTITION BY source) AS n_src
         |  FROM s) t
+        |ORDER BY doc_id""".stripMargin,
+    // q149: the same candidate-pool construction (identical double op
+    // order for t_hi, identical fixed-width-hex compare) INCLUDING the
+    // exactness guard — both engines refuse the same way if the 8x
+    // estimate ever misses; otherwise the result is q93's kept rows.
+    "q149_temperature_mix_scalable" ->
+      """WITH q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 4.0) AS BIGINT) AS quota
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs, quota,
+        |    lower(lpad(to_hex(least(4294967295,
+        |      CAST(ceil(CAST(quota AS DOUBLE) * 8.0 / CAST(n_docs AS DOUBLE)
+        |        * 4294967296.0) AS BIGINT))), 8, '0')) AS t_hi
+        |  FROM q),
+        |cand AS (SELECT d.doc_id, d.source,
+        |    substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h,
+        |    t.quota, t.n_docs, t.t_hi
+        |  FROM documents d JOIN t ON d.source = t.source
+        |  WHERE substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |    <= t.t_hi),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS cand_n
+        |  FROM cand GROUP BY source),
+        |r AS (SELECT cand.doc_id, cand.source, cand.quota, cand.n_docs,
+        |    cnt.cand_n,
+        |    CAST(row_number() OVER (PARTITION BY cand.source
+        |      ORDER BY cand.h, cand.doc_id) AS BIGINT) AS rk
+        |  FROM cand JOIN cnt USING (source))
+        |SELECT doc_id, source, rk FROM r
+        |WHERE CASE WHEN cand_n < least(quota, n_docs)
+        |    THEN error('q149 candidate pool smaller than the quota boundary')
+        |    ELSE rk <= quota END
         |ORDER BY doc_id""".stripMargin,
   )
 }

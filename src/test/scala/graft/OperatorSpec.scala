@@ -1152,4 +1152,14 @@ class OperatorSpec extends SparkSpec {
         s"${viaHistogram.collect { case (k, v) if viaWindow.get(k) != Some(v) => k }
           .toSeq.sorted.take(5)}")
   }
+
+  test("q149's hash-cutoff candidate pool reproduces q93's quota selection exactly") {
+    val viaCutoff = SparkEntry
+      .queries("q149_temperature_mix_scalable")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaFullRank = SparkEntry.queries("q93_temperature_mix")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaCutoff == viaFullRank,
+      "candidate-pool ranking drifted from the full per-source rank")
+  }
 }

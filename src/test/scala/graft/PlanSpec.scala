@@ -555,4 +555,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the |sources|-row boundary frame must broadcast")
   }
+
+  test("q149 filters to the hash-cutoff candidate pool BELOW its rank window") {
+    val p = plan("q149_temperature_mix_scalable")
+    assert(!p.contains("SinglePartition"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row quota/cutoff frame must broadcast")
+    // the candidate filter (h <= t_hi) must run before the per-source
+    // rank window — that pre-filter is the whole √n-factor win
+    val win = p.indexOf("Arguments: [row_number()")
+    val filt = p.lastIndexOf("t_hi", win)
+    assert(win > 0 && filt > 0 && filt < win,
+      "cutoff filter must sit below the rank window")
+  }
 }
