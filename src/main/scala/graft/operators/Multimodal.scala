@@ -185,6 +185,37 @@ object Multimodal extends QueryGroup {
         .as[MediaRow]
       sampleFrames(spark, media).toDF().orderBy("doc_id", "frame_idx")
     }),
+
+    // q150 [north star, r8]: cross-document FRAME dedup — q56's sampled
+    // frames pushed through q42's exact-dedup discipline: the canonical
+    // copy of each distinct frame is its lowest (doc_id, frame_idx)
+    // occurrence, and each document reports how many of its frames it
+    // owns vs borrows. This is the video-pipeline primitive that finds
+    // repeated intros/logos/slates across a corpus before training.
+    // Scale: the only shuffle keys on the 32-hex frame digest (never
+    // frame bytes); frame_idx < 64 by the q56 sampler, so the canonical
+    // pick is an exact BIGINT min over doc_id·64 + frame_idx — a
+    // partial-aggregating min, no window. The rollup partial-aggregates
+    // to |docs| rows.
+    "q150_frame_dedup" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[MediaRow]
+      val frames = sampleFrames(spark, media).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("frame_md5"))
+        .withColumn("fkey", col("doc_id") * 64L + col("frame_idx"))
+      val canon = frames.groupBy(col("frame_md5"))
+        .agg(min(col("fkey")).as("first_key"))
+      frames.join(canon, "frame_md5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("fkey") === col("first_key"), 1L).otherwise(0L))
+            .as("n_canonical"),
+          sum(when(col("fkey") === col("first_key"), 0L).otherwise(1L))
+            .as("n_dupes"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -225,5 +256,28 @@ object Multimodal extends QueryGroup {
         |       CAST(length(chunk) AS BIGINT) AS n_bytes,
         |       md5(chunk) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // q150: the q56 frame CTE + the q42 canonical-min rule at frame
+    // granularity; fkey = doc_id·64 + frame_idx is bijective because the
+    // sampler caps frame_idx at 63.
+    "q150_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, s.k AS frame_idx,
+        |         substring(d.text, 1 + s.k * 256, 64) AS chunk
+        |  FROM documents d,
+        |       generate_series(0, 63) s(k)
+        |  WHERE s.k * 256 < length(d.text)),
+        |h AS (SELECT doc_id, doc_id * 64 + frame_idx AS fkey,
+        |        md5(chunk) AS frame_md5
+        |      FROM f),
+        |c AS (SELECT frame_md5, min(fkey) AS first_key
+        |      FROM h GROUP BY frame_md5)
+        |SELECT h.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN h.fkey = c.first_key THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_canonical,
+        |  CAST(SUM(CASE WHEN h.fkey = c.first_key THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_dupes
+        |FROM h JOIN c USING (frame_md5)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
   )
 }

@@ -1162,4 +1162,20 @@ class OperatorSpec extends SparkSpec {
     assert(viaCutoff == viaFullRank,
       "candidate-pool ranking drifted from the full per-source rank")
   }
+
+  test("q150 frame dedup reconciles with q56's frame inventory") {
+    val dedup = SparkEntry.queries("q150_frame_dedup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val frames = SparkEntry.queries("q56_frame_sample")(spark, Sf).collect()
+    val framesPerDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+    // every frame is either canonical or a dupe, per doc and in total
+    dedup.foreach { case (doc, n, canon, dupes) =>
+      assert(canon + dupes == n, s"doc $doc: $canon + $dupes != $n")
+      assert(framesPerDoc(doc) == n, s"doc $doc: frame count drifted from q56")
+    }
+    // canonical copies biject with distinct frame contents corpus-wide
+    val distinctFrames = frames.map(_.getString(3)).distinct.length.toLong
+    assert(dedup.map(_._3).sum == distinctFrames,
+      "sum of canonical frames must equal the distinct-frame count")
+  }
 }
