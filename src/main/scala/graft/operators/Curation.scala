@@ -654,6 +654,51 @@ object Curation extends QueryGroup {
         .select(col("doc_id"), col("source"), col("rk"))
         .orderBy("doc_id")
     }),
+
+    // q151 [north star, r8]: q82's sequence packing via a DISTRIBUTED
+    // PREFIX SCAN — the last two-pass family member. The budget/gate
+    // variants (q147–q149) only need boundary MEMBERSHIP, so a histogram
+    // suffices; packing needs every doc's exact running total, so the
+    // discipline is the classic scan decomposition instead:
+    //   1. range-partition by the scan key (source, doc_id) — partition
+    //      p holds a contiguous key slice, so "everything before my
+    //      partition" is well-defined;
+    //   2. partition-LOCAL cumulative sums via a (pid, source)-keyed
+    //      window — each window partition is ~n/P rows regardless of
+    //      how big one source is (q82's window holds the whole source);
+    //   3. per-(pid, source) totals → per-source offsets via a window
+    //      over the P×|sources|-row totals frame (tiny, broadcast back);
+    //   4. cum = offset + local cum. seq_id = floor((cum − w)/512),
+    //      exactly q82's arithmetic.
+    // Values are partition-count-INDEPENDENT (offsets absorb any range
+    // boundary placement), so the result is deterministic under AQE
+    // coalescing and any cluster size; reconciled against q82 in
+    // OperatorSpec, oracle = q82's naive rule.
+    "q151_pack_sequences_scalable" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.wsTokenCount(col("text")).as("n_tokens"))
+      val ranged = docs
+        .repartitionByRange(col("source"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = ranged.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      // lcum is nondecreasing within the group, so max(lcum) is the
+      // group total (NULL-token rows add nothing on either engine)
+      val offs = local.groupBy(col("pid"), col("source"))
+        .agg(max(col("lcum")).as("ptot"))
+        .withColumn("off", coalesce(sum(col("ptot")).over(
+          Window.partitionBy(col("source")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("source"), col("off"))
+      local.join(broadcast(offs), Seq("pid", "source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("off") + col("lcum") - col("n_tokens")).cast("double")
+            / 512.0).cast("long").as("seq_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -959,5 +1004,16 @@ object Curation extends QueryGroup {
         |    THEN error('q149 candidate pool smaller than the quota boundary')
         |    ELSE rk <= quota END
         |ORDER BY doc_id""".stripMargin,
+    // q151: q82's naive per-source prefix-sum rule — the distributed
+    // scan must reproduce the exact same running totals.
+    "q151_pack_sequences_scalable" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1178,4 +1178,25 @@ class OperatorSpec extends SparkSpec {
     assert(dedup.map(_._3).sum == distinctFrames,
       "sum of canonical frames must equal the distinct-frame count")
   }
+
+  test("q151's distributed scan equals q82's window packing, at any partition count") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val viaWindow = rows("q82_pack_sequences")
+    assert(rows("q151_pack_sequences_scalable") == viaWindow,
+      "scan decomposition drifted from the window prefix sums")
+    // offsets must absorb any range-boundary placement: the same result
+    // under a different partition count (1 partition = degenerate range;
+    // 16 = more boundaries than the 4-thread default)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "16")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(rows("q151_pack_sequences_scalable") == viaWindow,
+          s"running totals changed at shuffle.partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

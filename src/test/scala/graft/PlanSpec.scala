@@ -568,4 +568,16 @@ class PlanSpec extends SparkSpec {
     assert(win > 0 && filt > 0 && filt < win,
       "cutoff filter must sit below the rank window")
   }
+
+  test("q151's scan is range-partitioned with (pid, source)-keyed local windows") {
+    val p = plan("q151_pack_sequences_scalable")
+    assert(!p.contains("SinglePartition"))
+    assert(p.contains("rangepartitioning(source"),
+      "the scan key must range-partition (contiguous key slices per task)")
+    assert(p.contains("hashpartitioning(pid"),
+      "local cumsum must key on (pid, source) — bounded by the slice, " +
+        "never the source")
+    assert(p.contains("BroadcastHashJoin"),
+      "the P×|sources|-row offsets frame must broadcast")
+  }
 }
