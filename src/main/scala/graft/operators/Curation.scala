@@ -527,8 +527,14 @@ object Curation extends QueryGroup {
         .select(col("doc_id"), col("source"), col("ws_tokens"),
           when(col("b_chars").isNull, lit(1L)) // whole source fits
             .when(col("n_chars") > col("b_chars"), lit(1L))
+            // coalesce: a NULL-text doc at the head of the boundary class
+            // yields a NULL inclusive cumsum (SUM over only-NULL ws_tokens);
+            // the naive rule's running cum for that doc equals `prior`
+            // (NULL adds nothing), so the verdict must treat it as +0, not
+            // poison the comparison to NULL→kept=0.
             .when(col("n_chars") === col("b_chars") &&
-              col("prior") + col("cls_cum") <= budget, lit(1L))
+              col("prior") + coalesce(col("cls_cum"), lit(0L)) <= budget,
+              lit(1L))
             .otherwise(lit(0L)).as("kept"))
         .orderBy("doc_id")
     }),

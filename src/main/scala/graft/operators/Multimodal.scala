@@ -123,11 +123,21 @@ object Multimodal extends QueryGroup {
   case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
   val FrameSize = 64
   val FrameStep = 4
+  /** Hard cap on frames per document. This is a SEMANTIC bound, not a
+    * convenience: q150's fkey packing (doc_id·MaxFrames + frame_idx) is
+    * bijective only if frame_idx < MaxFrames, and the q56/q150 oracles
+    * enumerate exactly generate_series(0, 63). A keyframe sampler that
+    * emits unbounded frames per asset is also the wrong shape at 100 TB —
+    * one long video would dominate its task; real samplers cap or stride
+    * adaptively.
+    */
+  val MaxFrames = 64
 
-  /** Frame-sampling stage: media bytes → every 4th 64-byte chunk, with
-    * per-frame metadata — the video-keyframe extraction shape (the codec
-    * call is the stub; the flatMap fan-out, typed schema, and
-    * partition-local batch iteration are the real pipeline).
+  /** Frame-sampling stage: media bytes → every 4th 64-byte chunk, capped at
+    * `MaxFrames` frames, with per-frame metadata — the video-keyframe
+    * extraction shape (the codec call is the stub; the flatMap fan-out,
+    * typed schema, and partition-local batch iteration are the real
+    * pipeline).
     */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Frame] = {
     import spark.implicits._
@@ -135,7 +145,8 @@ object Multimodal extends QueryGroup {
       val md = MessageDigest.getInstance("MD5") // one codec instance per partition
       it.flatMap { r =>
         val n = r.media.length
-        (0 until n by FrameSize * FrameStep).iterator.zipWithIndex.map {
+        (0 until n by FrameSize * FrameStep).iterator.take(MaxFrames)
+          .zipWithIndex.map {
           case (off, idx) =>
             val chunk = r.media.slice(off, math.min(off + FrameSize, n))
             md.reset()
@@ -193,8 +204,9 @@ object Multimodal extends QueryGroup {
     // owns vs borrows. This is the video-pipeline primitive that finds
     // repeated intros/logos/slates across a corpus before training.
     // Scale: the only shuffle keys on the 32-hex frame digest (never
-    // frame bytes); frame_idx < 64 by the q56 sampler, so the canonical
-    // pick is an exact BIGINT min over doc_id·64 + frame_idx — a
+    // frame bytes); frame_idx < MaxFrames is ENFORCED by the sampler's
+    // take(MaxFrames) cap, so the canonical pick is an exact BIGINT min
+    // over the bijective doc_id·MaxFrames + frame_idx — a
     // partial-aggregating min, no window. The rollup partial-aggregates
     // to |docs| rows.
     "q150_frame_dedup" -> ((spark, dir) => {
@@ -204,7 +216,7 @@ object Multimodal extends QueryGroup {
         .as[MediaRow]
       val frames = sampleFrames(spark, media).toDF()
         .select(col("doc_id"), col("frame_idx"), col("frame_md5"))
-        .withColumn("fkey", col("doc_id") * 64L + col("frame_idx"))
+        .withColumn("fkey", col("doc_id") * MaxFrames.toLong + col("frame_idx"))
       val canon = frames.groupBy(col("frame_md5"))
         .agg(min(col("fkey")).as("first_key"))
       frames.join(canon, "frame_md5")

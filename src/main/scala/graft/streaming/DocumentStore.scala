@@ -127,18 +127,38 @@ class FileDocumentStore(
     * — a kill -9 therefore costs one stale-timeout, not a permanent
     * silent hang on that key. (A production Draft API does this
     * server-side with document revisions.)
+    *
+    * Locks are SELF-IDENTIFYING: the holder writes a per-acquire UUID
+    * into its lock file and at release deletes the file only if it still
+    * carries that UUID — so a holder whose lock was (wrongly) judged
+    * stale mid-section (a >staleMs GC pause) cannot delete a successor's
+    * fresh lock and admit a third writer. Residual honesty: file renames
+    * cannot be made conditional, so if a LIVE lock is claimed inside the
+    * stat→move window and the restore collides, the live owner and the
+    * new holder briefly overlap in the critical section (double-hold).
+    * The value-equality re-check before commit (`get(id) == before`)
+    * turns that overlap into a retry, not a lost update, and the window
+    * requires release+reacquire inside a single stat→move — accepted for
+    * this test/streaming utility; a production store uses server-side
+    * revisions instead of files.
     */
   override def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc = {
     val lock = {
       val t = fileFor(id)
       t.resolveSibling(t.getFileName.toString + ".lock")
     }
+    val ownerTag =
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8")
     while (true) {
       val before = get(id) // optimistic read, no lock held
       val next = f(before)
       var acquired = false
       while (!acquired) {
-        try { Files.createFile(lock); acquired = true }
+        try {
+          Files.createFile(lock) // atomic claim; file is empty for an instant
+          Files.write(lock, ownerTag) // stamp ownership
+          acquired = true
+        }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             try {
@@ -184,7 +204,16 @@ class FileDocumentStore(
           upsert(next)
           return next
         }
-      } finally Files.deleteIfExists(lock) // tolerate a (mis)broken lock
+      } finally {
+        // Release only a lock we still OWN. If ours was broken while we
+        // ran, the file (if any) carries a successor's UUID — deleting it
+        // would hand the key to a third writer. A vanished lock (broken,
+        // successor already released) needs no action.
+        try {
+          if (java.util.Arrays.equals(Files.readAllBytes(lock), ownerTag))
+            Files.delete(lock)
+        } catch { case _: java.io.IOException => }
+      }
       // lost the race — loop, re-read, recompute
     }
     throw new IllegalStateException("unreachable")

@@ -1140,6 +1140,54 @@ class OperatorSpec extends SparkSpec {
         s"only-window=${(viaWindow -- viaThreshold).toSeq.sorted.take(5)}")
   }
 
+  test("q147 boundary class headed by a NULL-text doc keeps naive-rule parity") {
+    import spark.implicits._
+    // ADVICE r8: the boundary-class verdict's inclusive in-class cumsum is
+    // NULL when the class head has NULL text (SUM over only-NULL
+    // ws_tokens); the naive rule's running cum for that doc equals `prior`
+    // (NULL adds nothing), so the verdict must coalesce the cumsum to +0,
+    // not let NULL poison the comparison into kept=0.
+    val dir = java.nio.file.Files.createTempDirectory("q147-null-").toString
+    // One source: class (s,100) consumes the 800-token budget exactly;
+    // boundary class (s,50) opens with a NULL-text doc.
+    Seq(
+      (1L, ("w " * 400).trim, "en", "s", 100L),
+      (2L, ("w " * 400).trim, "en", "s", 100L),
+      (3L, null.asInstanceOf[String], "en", "s", 50L),
+      (4L, ("w " * 100).trim, "en", "s", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val kept = SparkEntry.queries("q147_source_budget_scalable")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L),
+      s"NULL-head boundary class drifted from the naive rule: $kept")
+    // cross-check against q133's window rule on the same fixture
+    val naive = SparkEntry.queries("q133_token_budget")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == 1L).keySet == naive,
+      "q147 kept set must equal q133's on the NULL-text fixture")
+  }
+
+  test("frame sampler caps at MaxFrames so q150's fkey packing stays bijective") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // ADVICE r8: media longer than MaxFrames·FrameSize·FrameStep = 16384
+    // bytes would otherwise emit frame_idx >= 64, colliding
+    // doc_id·64 + frame_idx keys across documents (silent mis-attribution
+    // of canonical/dupe frames) and diverging from the oracles'
+    // generate_series(0, 63).
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.fill[Byte](20000)(7)),
+      Multimodal.MediaRow(2L, Array.fill[Byte](300)(9))).toDS()
+    val frames = Multimodal.sampleFrames(spark, media).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).length == Multimodal.MaxFrames,
+      s"long media must cap at ${Multimodal.MaxFrames} frames")
+    assert(byDoc(1L).map(_.frame_idx).max == Multimodal.MaxFrames - 1L,
+      "frame_idx must stay below MaxFrames")
+    assert(byDoc(2L).length == 2, "short media keeps its natural frame count")
+  }
+
   test("q148's histogram rank-cut reproduces q138's kept flags exactly") {
     // same 30% rule, same score — (doc_id → kept) must agree row-for-row
     val viaHistogram = SparkEntry

@@ -363,6 +363,51 @@ class StreamingSpec extends SparkSpec {
     } finally leftovers.close()
   }
 
+  test("a holder whose lock was broken mid-section never deletes the successor's lock") {
+    // ADVICE r8 regression: locks are self-identifying (owner UUID). If a
+    // holder overstays staleMs (GC pause stand-in: a slow upsert) and a
+    // waiter legitimately breaks its lock, the original holder's release
+    // must leave the successor's FRESH lock in place — deleting it would
+    // admit a third writer into the critical section.
+    val dir = Files.createTempDirectory("graft-lockowner-").toString
+    class SlowUpsertStore extends FileDocumentStore(dir, lockStaleMs = 100L) {
+      val sleepMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def upsert(doc: AnsDoc): Unit = {
+        val s = sleepMs.get(); if (s > 0) Thread.sleep(s)
+        super.upsert(doc)
+      }
+    }
+    val store = new SlowUpsertStore
+    store.upsert(AnsDoc("X", Some(0L), None))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest("X".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lock = java.nio.file.Paths.get(dir, hex + ".doc.lock")
+
+    store.sleepMs.set(1500L) // holder A overstays its 100 ms stale bound
+    val a = new Thread(() => store.update("X")(c => c.get.copy(
+      revision = c.get.revision.map(_ + 1))))
+    a.start()
+    Thread.sleep(400) // A is mid-upsert, its lock is already stale
+    store.sleepMs.set(3000L) // successor B holds well past A's finish
+    val b = new Thread(() => store.update("X")(c => c.get.copy(
+      revision = c.get.revision.map(_ + 10))))
+    b.start()
+    Thread.sleep(400) // B has broken A's stale lock and is mid-upsert
+    assert(Files.exists(lock), "successor must be holding a fresh lock")
+    a.join(10000)
+    assert(!a.isAlive, "holder A must have finished")
+    assert(Files.exists(lock),
+      "A's release deleted the successor's lock — ownership check broken")
+    b.join(10000)
+    assert(!b.isAlive, "successor B must have finished")
+    assert(!Files.exists(lock), "B must release its own lock")
+    // the key stays serviceable afterwards
+    store.sleepMs.set(0L)
+    val t0 = System.nanoTime()
+    store.update("X")(c => c.get.copy(revision = c.get.revision.map(_ + 100)))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "key left wedged")
+  }
+
   test("kinesis offset json round-trips shard names containing quotes and backslashes") {
     val cur = Map("shard\"A" -> 3L, "shard\\B" -> 7L, "plain-0" -> 0L)
     val off = KinesisStubOffset(cur)
