@@ -163,6 +163,39 @@ object ScalingBench {
         "skew1src_q147" ->
           time(SparkEntry.queries("q147_source_budget_scalable")(spark, skewDir)))
     } else Nil
+    // r9: the shared near-dup components build (q76/q87/q135/q136 reuse it
+    // via NearDupCache, so their own rows measure the CONSUMER cost; this
+    // row times one full un-memoized pipeline build) — plus the
+    // star-contraction ROUND count at both scales, so the r8 verdict's
+    // "rounds independent of diameter" claim is a measured number.
+    def componentsBuild(dir: String): (Double, Int) = {
+      var rounds = 0
+      val t = median(Seq.fill(samples) {
+        val t0 = System.nanoTime()
+        var tt = 0.0
+        CachePool.scoped {
+          val (labels, r) = graft.operators.Dedup.connectedComponentsWithRounds(
+            graft.operators.Dedup.minhashNearDupPairs(
+              graft.operators.Dedup.shingled(
+                graft.operators.Dedup.spreadIfUnderSplit(
+                  Tables(spark, dir, "documents")))
+                .filter(size(col("sh")) > 0)))
+          checksum(labels)
+          rounds = r
+          tt = (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache()
+        System.gc()
+        tt
+      })
+      (t, rounds)
+    }
+    val compCurve = if (sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .forall(ps => ps.exists("components".startsWith)))
+      Some((componentsBuild(baseDir), componentsBuild(workDir)))
+    else None
+
     val hnegFixedAnchors = if (sel.contains("q140_hard_negatives"))
       Some(time({
         val base = graft.operators.Similarity.labeledQvecs(
@@ -188,6 +221,10 @@ object ScalingBench {
         s""""blown_q139_fixed_bench":$v,""").getOrElse("") +
       hnegFixedAnchors.map(v =>
         s""""blown_q140_fixed_anchors":$v,""").getOrElse("") +
+      compCurve.map { case ((tb, rb), (tx, rx)) =>
+        s""""components_base":$tb,"components_blown":$tx,""" +
+        s""""components_rounds_base":$rb,"components_rounds_blown":$rx,"""
+      }.getOrElse("") +
       budgetSkew.map { case (k, v) => s""""$k":$v,""" }.mkString +
       s""""samples":$samples,"base_dir":"$baseDir"}""")
     spark.stop()

@@ -86,18 +86,57 @@ class OperatorSpec extends SparkSpec {
     assert(viaAgg.count() == emb.count() * 5)
   }
 
-  test("connected components: min-label fixpoint over a chain, a triangle, and a pair") {
+  test("connected components: star-contraction fixpoint over a chain, a triangle, and a pair") {
     import spark.implicits._
     import graft.operators.Dedup
-    // the 1-2-3-4 chain has diameter 3, so the label needs several
-    // propagation rounds — exercises the convergence loop, not just one
-    // neighbor hop
+    // the 1-2-3-4 chain has diameter 3, so the contraction needs more
+    // than one round — exercises the convergence loop, not just one hop
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("star-contraction finishes a deep path graph in O(log n) rounds") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // r8 verdict item 1: min-label propagation needs rounds = DIAMETER —
+    // a 256-vertex path would take ~255 dependent rounds; large-star/
+    // small-star contraction is O(log n) regardless of diameter. A
+    // self-pair rides along to pin the singleton path.
+    val n = 256
+    val pairs = ((0L until (n - 1).toLong).map(i => (i, i + 1)) :+ (999L, 999L))
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n + 1)
+    assert(out.filter(_._1 != 999L).forall(_._2 == 0L),
+      "the path is one component labeled by its minimum")
+    assert(out.contains((999L, 999L)), "self-pair vertex survives as a singleton")
+    assert(rounds <= 12,
+      s"diameter-${n - 1} path must contract in O(log n) rounds, took $rounds")
+  }
+
+  test("the near-dup components intermediate is built once and shared by its five consumers") {
+    // r8 verdict item 2: q76/q87/q135/q136 share one corpus components
+    // build; q145 shares one survivor-set build. Run all five and count
+    // actual pipeline constructions.
+    import graft.operators.Dedup
+    Dedup.NearDupCache.reset()
+    val before = Dedup.NearDupCache.builds.get()
+    for (q <- Seq("q76_neardup_components", "q87_canonical_keep",
+        "q135_leakage_safe_split", "q136_priority_collapse",
+        "q145_dedup_funnel"))
+      SparkEntry.queries(q)(spark, Sf).count()
+    assert(Dedup.NearDupCache.builds.get() - before == 2L,
+      "expected exactly two component builds: corpus + exact-survivors")
+    // and the memoized frame is still alive and consistent after reuse
+    val a = SparkEntry.queries("q76_neardup_components")(spark, Sf).count()
+    assert(Dedup.NearDupCache.builds.get() - before == 2L,
+      "a repeat consumer must not rebuild")
+    assert(a > 0)
   }
 
   test("connected components == union-find on random graphs") {
