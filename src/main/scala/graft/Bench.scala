@@ -87,23 +87,31 @@ object Bench {
       val tCount = median(Seq.fill(samples)(sample(_.count())))
       (name, tChecksum, tCount)
     }
+    // Per-query seconds at 3 decimals on stdout: millisecond precision is
+    // well inside this box's ±25% run-to-run noise, and the driver's
+    // stdout scrape has a length cap — r8's driver file kept only the
+    // tail 61 of 152 timings of the full-precision double line. The
+    // compact stdout line (~5 KB: one rounded map + aggregate legacy
+    // total) is the driver-facing record; the FILE below carries the
+    // complete uncompacted JSON including the per-query legacy-count map.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(sel: ((String, Double, Double)) => (String, Double)): String =
-      results.map(sel).map { case (k, v) => "\"" + k + "\":" + v }
+      results.map(sel).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val qs = json(r => (r._1, r._2))
     val qsCount = json(r => (r._1, r._3))
     val total = results.map(_._2).sum
     val totalCount = results.map(_._3).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_legacy_count":$totalCount,"queries_legacy_count":$qsCount,"failed":$failedJson,"sf":"$sfDir","samples":$samples}"""
-    println(line)
-    // Also land the line in a FILE: the driver's stdout scrape has
-    // truncated past rounds into `"parsed": null`, and a file survives
-    // any log clipping (same JSON, one line). Default is cwd-relative —
-    // the record belongs to the checkout the run came from, not a
-    // baked-in absolute path.
+    val tail = s""""value_legacy_count":${r3(totalCount)},"failed":$failedJson,"sf":"$sfDir","samples":$samples"""
+    val stdoutLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$tail}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_legacy_count":$qsCount,$tail}"""
+    println(stdoutLine)
+    // Also land the FULL record in a file: a file survives any log
+    // clipping. Default is cwd-relative — the record belongs to the
+    // checkout the run came from, not a baked-in absolute path.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
