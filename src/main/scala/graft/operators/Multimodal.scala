@@ -157,6 +157,85 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** ---- real-codec tier (r9) ----------------------------------------
+    *
+    * Everything above models media as opaque bytes with a FAKE decode;
+    * this tier runs a REAL image codec end-to-end: a minimal 24-bit BMP
+    * encoder (the one raster format writable in ~30 lines with no
+    * libraries) feeds `javax.imageio.ImageIO` — the JDK's actual BMP
+    * decoder — partition-locally. Pixel values are a deterministic
+    * integer function of (doc_id, x, y), so the DuckDB oracle can
+    * recompute the decoded width/height/pixel-sum as pure arithmetic:
+    * the oracle checks digest/dimension INTEGERS while the Spark path
+    * exercises genuine binary encode→decode. Closes SURVEY §2.10's
+    * "decode is simulated" caveat.
+    */
+
+  /** Minimal 24-bit bottom-up BMP: 54-byte header + BGR rows padded to
+    * 4 bytes. Channel formulas (mod 256): blue = 7x+13y+doc_id,
+    * green = 3x+5y, red = x+y.
+    */
+  private[graft] def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // BMP stores rows bottom-up
+      var x = 0
+      while (x < w) {
+        buf.put(((x * 7 + y * 13 + docId) % 256).toByte)
+        buf.put(((x * 3 + y * 5) % 256).toByte)
+        buf.put(((x + y) % 256).toByte)
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  /** Real decode output: dimensions the CODEC reports plus an exact
+    * all-channel pixel sum (BIGINT — max 64·48·3·255 per image, far
+    * inside range).
+    */
+  case class DecodedImage(doc_id: Long, img_w: Long, img_h: Long, px_sum: Long)
+
+  /** The real-codec decode stage: ImageIO (JDK BMP plugin) per row,
+    * partition-local like every decoder here. An undecodable payload
+    * raises — silent nulls would hide corruption (the q131/q149
+    * raise-don't-drift discipline).
+    */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable media for doc ${r.doc_id}")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(r.doc_id, img.getWidth.toLong, img.getHeight.toLong, sum)
+      }
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     // q54 [north star]: binary media column + stubbed decode/feature stage.
     "q54_multimodal_stub" -> ((spark, dir) => {
@@ -228,9 +307,41 @@ object Multimodal extends QueryGroup {
             .as("n_dupes"))
         .orderBy("doc_id")
     }),
+
+    // q152 [north star, r9]: REAL-CODEC decode — per-document 24-bit BMPs
+    // (width from n_chars, height from doc_id, deterministic pixels) are
+    // encoded in-engine and decoded by the JDK's actual ImageIO BMP
+    // reader, partition-locally; the output is the codec-REPORTED
+    // dimensions plus an exact pixel sum. The oracle recomputes all
+    // three as integer arithmetic, so a green row proves the encode →
+    // real-decode round trip bit-exactly. Scale: narrow mapPartitions
+    // both ways, ≤9 KB per image, decode parallelism = partition count.
+    "q152_bmp_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeBmp(id, (1 + nc % 64).toInt, (1 + id % 48).toInt))
+        }
+      decodeImages(spark, media).toDF().orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q152: the decoded dimensions/pixel-sum as pure integer arithmetic —
+    // the cross join fans to ≤ w·h rows per doc (≤ 3072), summed back.
+    "q152_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, 1 + n_chars % 64 AS w, 1 + doc_id % 48 AS h
+        |           FROM documents),
+        |p AS (SELECT d.doc_id, d.w, d.h,
+        |        (x.k*7 + y.k*13 + d.doc_id) % 256
+        |          + (x.k*3 + y.k*5) % 256 + (x.k + y.k) % 256 AS v
+        |      FROM d, generate_series(0, 63) x(k), generate_series(0, 47) y(k)
+        |      WHERE x.k < d.w AND y.k < d.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q54_multimodal_stub" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

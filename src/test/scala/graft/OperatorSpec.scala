@@ -1227,6 +1227,27 @@ class OperatorSpec extends SparkSpec {
     assert(byDoc(2L).length == 2, "short media keeps its natural frame count")
   }
 
+  test("BMP encode -> ImageIO decode round-trips pixel-exactly, including padded widths") {
+    import graft.operators.Multimodal
+    // real-codec tier: the hand-rolled encoder must be byte-correct BMP
+    // (bottom-up rows, 4-byte row padding) for the JDK decoder to return
+    // the exact planted channel values at every coordinate. Widths 3/5
+    // exercise nonzero row padding; 4 exercises none; 1x1 the degenerate.
+    for ((w, h) <- Seq((3, 2), (4, 1), (5, 48), (64, 48), (1, 1))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeBmp(7L, w, h)))
+      assert(img != null, s"ImageIO failed to decode ${w}x$h")
+      assert(img.getWidth == w && img.getHeight == h,
+        s"decoded ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == (x + y) % 256, s"red($x,$y) w=$w h=$h")
+        assert(((rgb >> 8) & 0xff) == (x * 3 + y * 5) % 256, s"green($x,$y) w=$w h=$h")
+        assert((rgb & 0xff) == (x * 7 + y * 13 + 7) % 256, s"blue($x,$y) w=$w h=$h")
+      }
+    }
+  }
+
   test("q148's histogram rank-cut reproduces q138's kept flags exactly") {
     // same 30% rule, same score — (doc_id → kept) must agree row-for-row
     val viaHistogram = SparkEntry
