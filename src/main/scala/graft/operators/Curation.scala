@@ -705,6 +705,61 @@ object Curation extends QueryGroup {
             / 512.0).cast("long").as("seq_id"))
         .orderBy("doc_id")
     }),
+
+    // q153 [north star, r9]: DSIR-style IMPORTANCE REWEIGHTING (Xie et
+    // al., "Data Selection for Language Models via Importance
+    // Resampling", NeurIPS'23 — the hashed-feature importance-weight
+    // family): score every document by how much its hashed-unigram
+    // profile looks like a TARGET distribution (here the corpus's
+    // English subset — the "formal text" exemplar set) vs the RAW
+    // corpus distribution. Exactness discipline: instead of the paper's
+    // log-probability ratio (fp, engine-divergent), each token
+    // contributes the cross-multiplied numerator
+    //   cnt_target(bucket)·N_raw − cnt_raw(bucket)·N_target
+    // — the exact-BIGINT sign-preserving surrogate of
+    // p_t(bucket) − p_r(bucket) (the q83/q112 log-free stance); a doc's
+    // score is the sum over its tokens, and selected = score > 0 (a
+    // FIXED threshold — no global rank window to hot-spot; quota-based
+    // selection composes with the q146/q148 histogram discipline).
+    // Scale shape: one token explode + one 128-row bucket table
+    // (broadcast) + per-doc partial agg; the only corpus-sized shuffle
+    // keys on doc_id. BIGINT bound: |term| ≤ N_t·N_r and a doc sums ≤
+    // its token count of them — raise_error past N_t·N_r·maxTok ≥ 2^62
+    // (≈ N ≤ 3·10⁷ tokens at maxTok 10⁴; beyond that a deployment
+    // switches to the double log-ratio, losing oracle-exactness).
+    "q153_importance_reweight" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val toks = docs
+        .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+            lit(128L)))
+      val stats = toks.groupBy(col("bucket"))
+        .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+          count(lit(1)).as("cnt_r"))
+      val totals = stats.agg(sum(col("cnt_t")).as("n_t"),
+        sum(col("cnt_r")).as("n_r"))
+      val guarded = stats.crossJoin(broadcast(totals))
+        .withColumn("chk",
+          when(col("n_t") * col("n_r") >= 461168601842738790L, // 2^62/10^4
+            raise_error(lit("q153 importance numerators exceed the BIGINT " +
+              "exactness bound; switch to the double log-ratio tier")))
+            .otherwise(lit(null).cast("string")))
+        .select(col("bucket"),
+          (col("cnt_t") * col("n_r") - col("cnt_r") * col("n_t")).as("term"),
+          col("chk"))
+      val scores = toks
+        .join(broadcast(guarded), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term")).as("score"))
+      docs.select(col("doc_id"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"),
+          (coalesce(col("score"), lit(0L)) > 0L).cast("long").as("selected"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -1021,5 +1076,26 @@ object Curation extends QueryGroup {
         |SELECT doc_id, source, n_tokens,
         |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q153: the same cross-multiplied importance numerators — md5-bucket
+    // hashing, target = the English subset, raw = the whole corpus.
+    "q153_importance_reweight" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_target,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, is_target,
+        |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 128 AS bucket
+        |  FROM t),
+        |s AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt_r
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT SUM(cnt_t) AS n_t, SUM(cnt_r) AS n_r FROM s),
+        |g AS (SELECT bucket, cnt_t * n_r - cnt_r * n_t AS term FROM s, tot),
+        |sc AS (SELECT b.doc_id, SUM(g.term) AS score
+        |       FROM b JOIN g USING (bucket) GROUP BY b.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+        |  CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS selected
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -487,6 +487,49 @@ object Similarity extends QueryGroup {
       quantizedTop1(Tables(spark, dir, "embeddings"),
         maxRows = MaxExactAllPairs)),
 
+    // q154 [north star, r9]: K-CENTER GREEDY CORESET (Gonzalez'85 2-approx
+    // max-min diversity, the geometric backbone of coreset/diversity data
+    // selection — e.g. herding/k-center active-learning selection): pick
+    // k=8 centers by repeatedly taking the point FARTHEST from the chosen
+    // set, then assign every vector to its nearest center. All distances
+    // are exact BIGINT squared-L2 over the q84 int8 quantization
+    // (d2 = x·x − 2·x·c + c·c, integer identity with Σ(aᵢ−bᵢ)² — zero fp
+    // tie hazard, the q85 discipline), so the greedy's argmax ties and
+    // the final assignment are bit-deterministic: farthest ties → lowest
+    // vec_id, nearest ties → lowest center id. Scale shape: k passes,
+    // each map-only expression work + a partial-aggregating max_by — the
+    // driver holds k ids+vectors only (k·dim model state, the q91
+    // centroid stance); no corpus-sized window, no pair join anywhere.
+    "q154_kcenter_coreset" -> ((spark, dir) => {
+      val k = 8
+      val q = graft.CachePool.track(
+        withQuantized(Tables(spark, dir, "embeddings"))
+          .withColumn("xx", VectorOps.dot(col("qvec"), col("qvec"))))
+      def d2To(cv: Array[Long]): Column = {
+        val cc = cv.map(x => x * x).sum
+        col("xx") - lit(2L) * VectorOps.dot(col("qvec"), typedlit(cv.toSeq)) +
+          lit(cc)
+      }
+      val seed = q.orderBy("vec_id").select(col("vec_id"), col("qvec")).head()
+      var centers =
+        Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
+      while (centers.size < k) {
+        val mind2 = centers.map(c => d2To(c._2)).reduce(least(_, _))
+        val next = q
+          .agg(max_by(struct(col("vec_id"), col("qvec")),
+            struct(mind2.as("d"), (-col("vec_id")).as("t"))).as("nc"))
+          .select(col("nc.vec_id"), col("nc.qvec")).head()
+        centers :+= ((next.getLong(0), next.getSeq[Long](1).toArray))
+      }
+      val best = least(centers.map { case (cid, cv) =>
+        struct(d2To(cv).as("d2"), lit(cid).as("center_id"))
+      }: _*)
+      q.select(col("vec_id"),
+          best.getField("center_id").as("center_id"),
+          best.getField("d2").as("d2"))
+        .orderBy("vec_id")
+    }),
+
     // q43 [north star]: brute-force cosine top-k (the exactness
     // baseline) — the 10-query instance of cosineTopK.
     "q43_cosine_topk" -> ((spark, dir) => {
@@ -1135,6 +1178,36 @@ object Similarity extends QueryGroup {
       s"""SELECT vec_id,
          |  $projCols
          |FROM $qvecSql q ORDER BY vec_id""".stripMargin
+    },
+    // q154 mirror: the same greedy unrolled as chained CTEs — c1 = lowest
+    // vec_id, c_{i+1} = argmax of the running min-distance (ties lowest
+    // id), assignment by (d2, center id) rank. Integer d2 via Σ(aᵢ−bᵢ)²,
+    // which equals the engine's x·x − 2·x·c + c·c identity exactly.
+    "q154_kcenter_coreset" -> {
+      val k = 8
+      def qd2(a: String, b: String): String =
+        s"""list_reduce(list_transform(range(1, len($a) + 1),
+           |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+      val sb = new StringBuilder
+      sb ++= s"WITH q AS (SELECT vec_id, qvec FROM $qvecSql t),\n"
+      sb ++= "c1 AS (SELECT vec_id, qvec FROM q ORDER BY vec_id LIMIT 1),\n"
+      sb ++= s"m1 AS (SELECT q.vec_id, q.qvec, ${qd2("q.qvec", "c1.qvec")} AS md FROM q, c1),\n"
+      for (i <- 2 to k) {
+        sb ++= s"c$i AS (SELECT vec_id, qvec FROM m${i - 1} ORDER BY md DESC, vec_id LIMIT 1),\n"
+        if (i < k)
+          sb ++= s"m$i AS (SELECT m.vec_id, m.qvec, least(m.md, ${qd2("m.qvec", s"c$i.qvec")}) AS md FROM m${i - 1} m, c$i),\n"
+      }
+      sb ++= (1 to k).map(i => s"SELECT vec_id, qvec FROM c$i")
+        .mkString("centers AS (", " UNION ALL ", "),\n")
+      sb ++= s"""a AS (SELECT q.vec_id, c.vec_id AS center_id,
+                |    ${qd2("q.qvec", "c.qvec")} AS d2,
+                |    row_number() OVER (PARTITION BY q.vec_id
+                |      ORDER BY ${qd2("q.qvec", "c.qvec")}, c.vec_id) AS rk
+                |  FROM q, centers c)
+                |SELECT vec_id, CAST(center_id AS BIGINT) AS center_id,
+                |  CAST(d2 AS BIGINT) AS d2
+                |FROM a WHERE rk = 1 ORDER BY vec_id""".stripMargin
+      sb.toString
     },
     "q85_quantized_ann" ->
       s"""WITH q AS (SELECT * FROM $qvecSql t),

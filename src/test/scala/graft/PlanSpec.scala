@@ -426,6 +426,24 @@ class PlanSpec extends SparkSpec {
       "q140's top-3 cut must partial-aggregate")
   }
 
+  test("r9 additions: q153 broadcasts its bucket stats; q154 assigns map-only") {
+    // q153: the 128-row bucket table joins by broadcast; the only
+    // corpus-sized shuffle keys on doc_id (the per-doc score agg)
+    val p153 = plan("q153_importance_reweight")
+    assert(p153.contains("BroadcastHashJoin"),
+      "the 128-bucket stats table must broadcast onto the token stream")
+    assert(!p153.contains("CartesianProduct"))
+    assert(p153.contains("hashpartitioning(doc_id"),
+      "the score rollup must key on doc_id")
+    // q154: the final assignment is pure expression work against k
+    // literal centers — no join, no window, no pair stage; the only
+    // shuffle is the presentation sort
+    val p154 = plan("q154_kcenter_coreset")
+    assert(!p154.contains("Join") && !p154.contains("Window"),
+      "k-center assignment must be map-only against literal centers")
+    assert(!p154.contains("CartesianProduct"))
+  }
+
   test("q141 keys its rank window on the cluster id") {
     val p = plan("q141_cluster_outlier_prune")
     // the window partitions on the cluster key (per-partition work is
