@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -760,7 +761,171 @@ object Curation extends QueryGroup {
           (coalesce(col("score"), lit(0L)) > 0L).cast("long").as("selected"))
         .orderBy("doc_id")
     }),
+
+    // q155 [north star, r9]: ERASURE-LIST SCRUB via a BLOOM-GATED
+    // anti-join — the GDPR/opt-out propagation pass every production
+    // corpus runs: given a list of erased subjects, drop every record
+    // they own, corpus-wide. The 100 TB shape: an anti-join against the
+    // list shuffles the WHOLE corpus if planned naively (the list is
+    // too big to broadcast-join once it holds 10⁸ subjects). The fix is
+    // the classic Bloom gate — the same trick Spark's own runtime
+    // bloom-filter join injects, made explicit and oracle-checkable:
+    //  1. build: each denied key sets BloomK bit positions in a
+    //     BloomBits-wide bitset, OR-folded by a (≤ BloomBits/64)-row
+    //     partial aggregate and collected as DRIVER MODEL STATE (2048
+    //     longs = 16 KB here — the q91 centroid stance);
+    //  2. probe: a MAP-ONLY pass flags rows whose key has all BloomK
+    //     bits set. No false negatives by construction (build and probe
+    //     evaluate the same expressions), so the unflagged majority —
+    //     (1 − |deny|/|keys| − fpp) of the corpus — passes through with
+    //     ZERO shuffle;
+    //  3. only the flagged sliver meets the exact anti-join, which
+    //     kills the false positives, so the RESULT is exact and the
+    //     DuckDB oracle is a plain hash-gate predicate.
+    // fpp = (1 − e^(−K·n/m))^K ≈ 1e-16 at n=15 keys here; geometry
+    // scales as m ≈ 10·|deny| bits (fpp ≈ 1%), shipped as a broadcast
+    // variable rather than a plan literal once |deny| ≳ 10⁶. The deny
+    // list is hash-gated (~10% of users) for reproducibility; a real
+    // deployment reads its erasure table instead.
+    "q155_erasure_scrub" -> ((spark, dir) => {
+      val tagged = erasureTagged(spark, dir)
+      tagged.filter(col("might"))
+        .join(erasureDenyList(spark, dir), Seq("user_id"), "left_anti")
+        .unionByName(tagged.filter(!col("might")))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // q156 [north star, r9]: CONSISTENT PSEUDONYMIZATION — q70 masks
+    // PII destructively (every number → "<NUM>"); this is the
+    // join-preserving variant a training corpus actually ships with:
+    // each identifier is replaced by a DETERMINISTIC token (keyed md5,
+    // HMAC-shaped) so the same entity gets the same pseudonym in every
+    // record — cross-record joins, dedup keys, and co-occurrence stats
+    // survive the scrub, while the raw identifier never leaves the
+    // expression. Per-match replacement with a match-dependent value is
+    // not regexp_replace-expressible, so the rebuild interleaves the
+    // split segments with the pseudonymized matches:
+    //   split(props, ID)      → n+1 segments (trailing empties kept)
+    //   regexp_extract_all    → n matches, in order
+    //   zip_with(segs, toks)  → seg_i ++ pseudo(tok_i) (last tok NULL
+    //                           → coalesce ''), array_join = the text.
+    // Both engines agree on split-edge semantics (leading/trailing
+    // empty segments — verified against DuckDB's regexp_split_to_array).
+    // Scale: pure per-row expression work fused into the scan — zero
+    // shuffles before the presentation sort.
+    "q156_pseudonymize" -> ((spark, dir) => {
+      val segs = split(col("props"), "[0-9]+", -1)
+      val toks = regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))
+      val zipped = zip_with(segs, toks, (s, t) =>
+        concat(s, coalesce(concat(lit("id_"),
+          substring(md5(concat(lit("pseu:"), t)), 1, 8)), lit(""))))
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          array_join(zipped, "").as("scrubbed"),
+          concat(lit("u_"), substring(md5(concat(lit("pseu:"),
+            col("user_id").cast("string"))), 1, 8)).as("user_pseudo"),
+          size(toks).cast("long").as("n_ids"))
+        .orderBy("event_id")
+    }),
+
+    // q157 [north star, r9]: UNIMAX capped-epoch language allocation
+    // (Chung et al., "UniMax: Fairer and More Effective Language
+    // Sampling for Large-Scale Multilingual Pretraining", ICLR'23) —
+    // the mixing rule that q93's temperature flattening approximates:
+    // visit languages ASCENDING by size and give each
+    //   alloc_l = min(cap·s_l, remaining_budget / remaining_langs)
+    // so low-resource languages are capped at `cap` epochs (here 1.2,
+    // as the exact integer 6·s//5) and the budget they can't absorb
+    // redistributes to larger ones. The recurrence is genuinely
+    // sequential (min of a running remainder — no closed window form),
+    // but its state is |langs| rows: MODEL-STATE-SIZED, so the greedy
+    // runs on the driver over the collected per-language totals (the
+    // q91 stance; guarded), and everything corpus-sized stays in the
+    // one partial-aggregating groupBy. All-BIGINT arithmetic (floor
+    // division on both engines); the DuckDB oracle unrolls the same
+    // greedy as a recursive CTE. Budget = one corpus pass; epochs_bp =
+    // allocated epochs in basis points (alloc·10⁴/s, exact).
+    "q157_unimax_mix" -> ((spark, dir) => {
+      val perLang = Tables(spark, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(TextOps.wsTokenCount(col("text"))), lit(0L))
+            .as("n_tokens"))
+        .orderBy(col("n_tokens"), col("lang"))
+        .collect()
+      require(perLang.length <= 10000,
+        s"q157: ${perLang.length} languages exceed the driver model-state " +
+          "bound; shard the allocation by language family")
+      val budget = perLang.map(_.getLong(2)).sum
+      var rem = budget
+      var left = perLang.length.toLong
+      val rows = perLang.map { r =>
+        val (lang, nDocs, s) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val alloc = math.min(6L * s / 5L, rem / left)
+        rem -= alloc
+        left -= 1L
+        (lang, nDocs, s, alloc, if (s == 0L) 0L else alloc * 10000L / s)
+      }
+      import spark.implicits._
+      rows.toSeq
+        .toDF("lang", "n_docs", "n_tokens", "alloc_tokens", "epochs_bp")
+        .orderBy("lang")
+    }),
   )
+
+  /** Bloom geometry for q155: m = 2^17 bits (2048 longs of driver
+    * state), K = 5 probes. At the documented production geometry the
+    * bitset grows with the deny list (m ≈ 10·n → fpp ≈ 1%) and ships as
+    * a broadcast variable; the fixed literal keeps this tier codegen'd.
+    */
+  private[graft] val BloomBits = 1 << 17
+  private[graft] val BloomK = 5
+
+  /** Position of probe j for key `c` — xxhash64 domain-separated by the
+    * probe index, folded into [0, BloomBits). Build and probe share this
+    * exact expression, which is what makes false negatives impossible.
+    */
+  private def bloomPos(c: org.apache.spark.sql.Column, j: Int) =
+    pmod(xxhash64(concat(lit(s"bloom$j:"), c.cast("string"))),
+      lit(BloomBits.toLong))
+
+  /** q155's hash-gated stand-in for the erasure table (~10% of users). */
+  private[graft] def erasureDenyList(
+      spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(spark, dir, "events").select(col("user_id")).distinct()
+      .filter(substring(md5(concat(lit("erase:"),
+        col("user_id").cast("string"))), 1, 2) < "1a")
+
+  /** q155's probe pass: every event tagged with `might` = the Bloom
+    * verdict. Split out so OperatorSpec can assert the filter's two
+    * load-bearing properties directly (no false negatives; pruning).
+    */
+  private[graft] def erasureTagged(
+      spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val built = erasureDenyList(spark, dir)
+      .select(explode(array((0 until BloomK).map(j =>
+        bloomPos(col("user_id"), j)): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+          .as("mask"))
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+      .collect()
+    val bitset = new Array[Long](BloomBits / 64)
+    built.foreach(r => bitset(r.getInt(0)) = r.getLong(1))
+    val might = (0 until BloomK).map { j =>
+      val pos = bloomPos(col("user_id"), j)
+      call_function("shiftright",
+        element_at(col("bf"), shiftright(pos, 6).cast("int") + 1),
+        pmod(pos, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    ev.withColumn("bf", typedLit(bitset.toSeq))
+      .withColumn("might", might)
+      .drop("bf")
+  }
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
     * query comment above for the scale analysis.
@@ -1097,5 +1262,58 @@ object Curation extends QueryGroup {
         |  CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS selected
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q155: the Bloom gate is a pure pre-filter (no false negatives by
+    // construction, false positives killed by the exact anti-join), so
+    // the oracle is the plain hash-gate survivor predicate.
+    "q155_erasure_scrub" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE substring(md5('erase:' || CAST(user_id AS VARCHAR)), 1, 2) >= '1a'
+        |ORDER BY event_id""".stripMargin,
+    // q156: same interleave rebuild — n+1 split segments (index past the
+    // match list → NULL → coalesce '') zipped with the pseudonymized
+    // matches. DuckDB keeps leading/trailing empty segments like Java's
+    // split(limit=-1), so the concatenation is lossless on both engines.
+    "q156_pseudonymize" ->
+      """SELECT event_id,
+        |  array_to_string(list_transform(range(1, len(segs) + 1),
+        |    i -> segs[i] ||
+        |         coalesce('id_' || substring(md5('pseu:' || toks[i]), 1, 8), '')),
+        |    '') AS scrubbed,
+        |  'u_' || substring(md5('pseu:' || CAST(user_id AS VARCHAR)), 1, 8)
+        |    AS user_pseudo,
+        |  CAST(len(toks) AS BIGINT) AS n_ids
+        |FROM (SELECT event_id, user_id,
+        |        regexp_split_to_array(props, '[0-9]+') AS segs,
+        |        regexp_extract_all(props, '[0-9]+') AS toks
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+    // q157: the same ascending greedy unrolled as a recursive CTE —
+    // cap = 6·s//5 (1.2 epochs, exact), budget = one corpus pass,
+    // integer floor division throughout.
+    "q157_unimax_mix" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n_docs, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS rk,
+        |        CAST(count(*) OVER () AS BIGINT) AS n_langs,
+        |        CAST((SELECT SUM(n_tokens) FROM s) AS BIGINT) AS budget
+        |      FROM s),
+        |rec(rk, lang, n_docs, n_tokens, alloc, rem) AS (
+        |  SELECT r.rk, r.lang, r.n_docs, r.n_tokens,
+        |         least(6 * r.n_tokens // 5, r.budget // r.n_langs),
+        |         r.budget - least(6 * r.n_tokens // 5, r.budget // r.n_langs)
+        |  FROM r WHERE r.rk = 1
+        |  UNION ALL
+        |  SELECT r.rk, r.lang, r.n_docs, r.n_tokens,
+        |         least(6 * r.n_tokens // 5, p.rem // (r.n_langs - p.rk)),
+        |         p.rem - least(6 * r.n_tokens // 5, p.rem // (r.n_langs - p.rk))
+        |  FROM rec p JOIN r ON r.rk = p.rk + 1)
+        |SELECT lang, n_docs, n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE alloc * 10000 // n_tokens END AS BIGINT) AS epochs_bp
+        |FROM rec ORDER BY lang""".stripMargin,
   )
 }
