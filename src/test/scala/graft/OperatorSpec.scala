@@ -1360,6 +1360,74 @@ class OperatorSpec extends SparkSpec {
       "sum of canonical frames must equal the distinct-frame count")
   }
 
+  test("q155's Bloom gate never drops a true member and actually prunes") {
+    import graft.operators.Curation
+    val tagged = Curation.erasureTagged(spark, Sf)
+    val deny = Curation.erasureDenyList(spark, Sf)
+    // no false negatives: every deny-listed user's events probe `might`
+    assert(tagged.join(deny, "user_id").filter(!col("might")).count() == 0,
+      "a deny-listed event escaped the Bloom gate — false negative")
+    // the gate is a gate: the exact anti-join only ever sees the flagged
+    // sliver, which must be far smaller than the corpus (deny list is
+    // ~10% of users; fpp at this geometry is negligible)
+    val total = tagged.count()
+    val flagged = tagged.filter(col("might")).count()
+    assert(flagged < total / 2, s"Bloom gate stopped pruning: $flagged/$total")
+    // end-to-end: bloom-gate + exact verify == the plain anti-join
+    val viaBloom = SparkEntry.queries("q155_erasure_scrub")(spark, Sf)
+    val naive = Tables(spark, Sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(deny, Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    assert(viaBloom.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(viaBloom).count() == 0,
+      "bloom-pruned scrub drifted from the exact anti-join")
+  }
+
+  test("q156 pseudonymization is consistent, id-free, and skeleton-lossless") {
+    val out = SparkEntry.queries("q156_pseudonymize")(spark, Sf)
+      .join(Tables(spark, Sf, "events")
+        .select(col("event_id"), col("props"), col("user_id")), "event_id")
+    // join preservation: one pseudonym per user, everywhere
+    val perUser = out.groupBy(col("user_id"))
+      .agg(countDistinct(col("user_pseudo")).as("n"))
+      .filter(col("n") =!= 1L).count()
+    assert(perUser == 0, "a user received two different pseudonyms")
+    // distinct users keep distinct pseudonyms (no 8-hex collision here)
+    val users = out.select(col("user_id")).distinct().count()
+    val pseudos = out.select(col("user_pseudo")).distinct().count()
+    assert(users == pseudos, s"pseudonym collision: $users users, $pseudos pseudonyms")
+    // skeleton losslessness: strip pseudonym tokens from the scrub and
+    // raw identifiers from the original — the remaining text is equal,
+    // so nothing but the identifiers was touched
+    val broken = out.filter(
+      regexp_replace(col("scrubbed"), "id_[0-9a-f]{8}", "") =!=
+        regexp_replace(col("props"), "[0-9]+", "")).count()
+    assert(broken == 0, "scrub altered non-identifier text")
+    // and the count of replacements matches the count of identifiers
+    val miscount = out.filter(col("n_ids") =!=
+      size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))).count()
+    assert(miscount == 0, "n_ids drifted from the identifier count")
+  }
+
+  test("q157 UniMax allocation respects the budget, the cap, and monotone fairness") {
+    val rows = SparkEntry.queries("q157_unimax_mix")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val budget = rows.map(_._2).sum
+    // conservation: never over-allocates the one-pass budget
+    assert(rows.map(_._3).sum <= budget, "allocated more than the budget")
+    rows.foreach { case (lang, s, alloc, bp) =>
+      // per-language epoch cap: alloc ≤ 6s/5 (1.2 epochs), bp ≤ 12000
+      assert(alloc <= 6L * s / 5L, s"$lang over its epoch cap")
+      assert(bp <= 12000L, s"$lang epochs_bp $bp over the 1.2-epoch cap")
+    }
+    // monotone fairness: visiting ascending by size, a larger language
+    // never receives less than a smaller one (water-filling invariant)
+    val bySize = rows.sortBy(r => (r._2, r._1)).map(_._3)
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a <= b },
+      "allocation is not monotone in language size")
+  }
+
   test("q151's distributed scan equals q82's window packing, at any partition count") {
     def rows(name: String) = SparkEntry.queries(name)(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getString(1),
