@@ -63,6 +63,18 @@ object TextOps {
       distinct = false))
   }
 
+  /** Document-level Bloom candidate gate: true iff ANY element of the
+    * `array<bigint>` shingle-hash column might be in the broadcast
+    * filter — see [[graft.expressions.BloomAnyProbe]]. No false
+    * negatives, so `filter(bloomAnyContain(...))` keeps a SUPERSET of
+    * the docs an exact set-membership join would flag.
+    */
+  def bloomAnyContain(keys: Column,
+      bits: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.BloomAnyProbe(toExpression(keys), bits))
+  }
+
   /** MinHash signature over pre-hashed shingles: all permutations `a*h+b`
     * (wraparound) min-reduced in one codegen'd pass — see
     * [[graft.expressions.MinHashSig]] for the scale rationale.

@@ -762,6 +762,49 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q158 [north star, r9]: SKETCH-TIER DECONTAMINATION — q81's answer
+    // through the production Bloom geometry q155's scale note names.
+    // q81's broadcast hit-join is the right plan while the holdout
+    // shingle set fits a hashed relation; once the benchmark suite
+    // grows past ~10⁶ distinct shingles the broadcast relation is GBs
+    // and the join flips to a corpus-wide shuffle. This tier keeps the
+    // corpus side MAP-ONLY at any holdout size:
+    //  1. build: `stat.bloomFilter` tree-aggregates the holdout's
+    //     distinct shingle hashes into an fpp=1% sketch (~10 bits/key —
+    //     120 MB at 10⁸ keys, vs the multi-GB hashed relation), shipped
+    //     once per executor as a BROADCAST of the serialized bits;
+    //  2. probe: BloomAnyProbe gates whole DOCUMENTS on their
+    //     shingle-hash ARRAY (first hit short-circuits) — a per-row
+    //     scan expression, so the clean majority of the corpus never
+    //     reaches an explode, join, or shuffle. No false negatives by
+    //     sketch contract ⇒ the gated set is a superset of q81's;
+    //  3. verify: only the flagged sliver explodes into q81's exact
+    //     hit-join, killing the false positives — the result and the
+    //     oracle are exactly q81's. Membership ≡ q81 and the
+    //     no-false-negative property are pinned in OperatorSpec; the
+    //     probe-below-explode plan shape in PlanSpec.
+    "q158_decontaminate_bloom" -> ((spark, dir) => {
+      val isVal = substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 2) >= "cd"
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), isVal.as("is_val"),
+          TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
+      val holdout = graft.CachePool.track(
+        docs.filter(col("is_val")).select(explode(col("sh")).as("g")).distinct())
+      val bf = holdout.stat.bloomFilter("g",
+        math.max(holdout.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bits = spark.sparkContext.broadcast(bos.toByteArray)
+      docs.filter(!col("is_val"))
+        .filter(TextOps.bloomAnyContain(col("sh"), bits))
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(holdout, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // q155 [north star, r9]: ERASURE-LIST SCRUB via a BLOOM-GATED
     // anti-join — the GDPR/opt-out propagation pass every production
     // corpus runs: given a list of erased subjects, drop every record
@@ -1262,6 +1305,20 @@ object Curation extends QueryGroup {
         |  CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS selected
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q158: the sketch gate is a pure pre-filter (superset in, exact
+    // verify out), so the oracle is exactly q81's — same holdout split,
+    // same trigram membership, same counts.
+    "q158_decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+        |  substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) >= 'cd' AS is_val
+        |  FROM documents),
+        |sh AS (SELECT doc_id, is_val,
+        |  unnest(list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g FROM w),
+        |vs AS (SELECT DISTINCT g FROM sh WHERE is_val)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        |FROM sh s JOIN vs ON s.g = vs.g WHERE NOT s.is_val
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // q155: the Bloom gate is a pure pre-filter (no false negatives by
     // construction, false positives killed by the exact anti-join), so
     // the oracle is the plain hash-gate survivor predicate.

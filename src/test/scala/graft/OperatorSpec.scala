@@ -1384,6 +1384,35 @@ class OperatorSpec extends SparkSpec {
       "bloom-pruned scrub drifted from the exact anti-join")
   }
 
+  test("q158's sketch gate reproduces q81's contamination exactly; the probe never lies negative") {
+    import graft.functions.TextOps
+    // end-to-end: bloom-gated two-phase ≡ the broadcast hit-join tier
+    val viaBloom = SparkEntry.queries("q158_decontaminate_bloom")(spark, Sf)
+    val viaJoin = SparkEntry.queries("q81_decontaminate")(spark, Sf)
+    assert(viaBloom.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaBloom).count() == 0,
+      "sketch-tier membership drifted from the exact hit-join")
+    // sketch contract, probed directly through the expression: every
+    // inserted key answers true (scalar mode)...
+    val keys = spark.range(1000).select((col("id") * 2654435761L).as("k"))
+    val bf = keys.stat.bloomFilter("k", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bits = spark.sparkContext.broadcast(bos.toByteArray)
+    assert(keys.filter(!TextOps.bloomAnyContain(col("k"), bits)).count() == 0,
+      "a member key probed false — the sketch broke its no-false-negative contract")
+    // ...and non-member ARRAYS pass the gate at ~the configured fpp,
+    // not wholesale (array mode; 3 probes/row → expect ~3% flagged)
+    val junk = spark.range(1000).select(array((col("id") + 1000000L) * 7L,
+      (col("id") + 2000000L) * 11L, (col("id") + 3000000L) * 13L).as("ks"))
+    val fp = junk.filter(TextOps.bloomAnyContain(col("ks"), bits)).count()
+    assert(fp < 200, s"Bloom gate stopped pruning: $fp/1000 non-members flagged")
+    // null array → null → filtered out, never a crash or a hit
+    val withNull = spark.range(2).select(
+      when(col("id") === 0, array(lit(1L))).as("ks"))
+    assert(withNull.filter(TextOps.bloomAnyContain(col("ks"), bits)).count() <= 1)
+  }
+
   test("q156 pseudonymization is consistent, id-free, and skeleton-lossless") {
     val out = SparkEntry.queries("q156_pseudonymize")(spark, Sf)
       .join(Tables(spark, Sf, "events")

@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
       s"q75 must plan a RANGE frame, not ROWS:\n${p75.take(1500)}")
   }
 
+  test("rank-filter top-k pushes a partial WindowGroupLimit below the shuffle") {
+    // q26's row_number() <= 3 must NOT sort whole groups: Spark 4's
+    // InferWindowGroupLimit should insert WindowGroupLimit(Partial)
+    // BEFORE the partition exchange (each map task forwards at most k
+    // rows per group) and WindowGroupLimit(Final) after — the built-in
+    // per-group top-k pushdown this engine relies on instead of a
+    // custom exec. If a refactor rephrases the filter so the rule stops
+    // matching, every map task ships its full groups: the 100 TB
+    // regression this pin exists to catch.
+    val p = plan("q26_topk_per_group")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"partial+final WindowGroupLimit missing from q26:\n${p.take(2000)}")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"WindowGroupLimit must run in partial+final mode:\n${p.take(2000)}")
+  }
+
   test("repetition stats shuffle nothing but the final presentation sort") {
     val p = plan("q77_repetition")
     assert(!p.contains("hashpartitioning"),
@@ -128,6 +144,21 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"holdout side should broadcast under AQE:\n${p.take(1500)}")
+  }
+
+  test("q158's Bloom probe gates the corpus BELOW the explode (prune-before-fanout)") {
+    val p = SparkEntry.queries("q158_decontaminate_bloom")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_any_probe"),
+      s"the sketch gate vanished from the plan:\n${p.take(1500)}")
+    // tree prints root-first, so a DEEPER node has a LARGER string
+    // index: the probe filter must sit under the train-side Generate —
+    // bloom-negative documents are dropped before the shingle fanout,
+    // which is the whole point of the sketch tier
+    val gen = p.indexOf("Generate")
+    val probe = p.indexOf("bloom_any_probe")
+    assert(gen >= 0 && probe > gen,
+      s"probe filter is not below the explode:\n${p.take(1500)}")
   }
 
   test("k-means assignment is map-only against centroid literals — no join, no n*k shuffle") {
