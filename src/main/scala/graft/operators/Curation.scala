@@ -805,6 +805,30 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q159 [north star, r9]: DUPLICATED-SPAN SCRUB — the REWRITE tier
+    // of q90's Lee-et-al. substring-memorization measure (and the
+    // span-level sibling of q97's chunk dedup): remove from every
+    // document each token covered by a 5-gram that occurs more than
+    // once CORPUS-WIDE (boilerplate headers, licence blocks, repeated
+    // intros — the spans an LM memorizes verbatim). Production systems
+    // do this with suffix arrays at 50-gram granularity; the fixed-n
+    // positional-shingle formulation is the same semantics at the
+    // fixture's scale of repetition, and — unlike a suffix array — it
+    // is pure relational algebra: (1) positional 5-gram hashes per doc
+    // (per-row expression); (2) global occurrence counts — ONE narrow
+    // shuffle keyed on the gram hash, partial-aggregated map-side;
+    // (3) dup grams (count>1, a small fraction — ~5% here) join back
+    // to the positional explode (AQE broadcasts the dup set while it
+    // fits, and it shrinks relative to the corpus as dedup upstream
+    // improves); (4) per-doc dup-start lists (groupBy doc_id, bounded
+    // by doc length) drive an index-aware filter over the token array —
+    // token i survives iff no dup 5-gram starting in [i-4, i] covers
+    // it. The rebuild is per-row expression work (short-circuit exists
+    // per token; a deployment at book-length docs interval-merges the
+    // starts first). Same gram-hash identity assumption as q46/q58/q90.
+    "q159_dupspan_scrub" -> ((spark, dir) =>
+      dupspanScrub(Tables(spark, dir, "documents"), 5)),
+
     // q155 [north star, r9]: ERASURE-LIST SCRUB via a BLOOM-GATED
     // anti-join — the GDPR/opt-out propagation pass every production
     // corpus runs: given a list of erased subjects, drop every record
@@ -968,6 +992,36 @@ object Curation extends QueryGroup {
     ev.withColumn("bf", typedLit(bitset.toSeq))
       .withColumn("might", might)
       .drop("bf")
+  }
+
+  /** q159's operator over any `(doc_id, text)`-shaped corpus — see the
+    * query comment above for the scale analysis.
+    */
+  private[graft] def dupspanScrub(
+      corpus: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val docs = graft.CachePool.track(
+      corpus
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ws"))
+        .withColumn("ph", TextOps.shingleHashesAll(col("ws"), n)))
+    val dup = docs.select(explode(col("ph")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1L).select(col("g"))
+    val starts = docs.select(col("doc_id"), posexplode(col("ph")))
+      .join(dup, col("col") === col("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+    val st = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(col("ws"), (t, i) =>
+      !exists(st, p => p <= i && i <= p + lit(n - 1)))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"),
+        (TextOps.wsTokenCount(col("text")) -
+          when(col("text").isNull, lit(null).cast("long"))
+            .otherwise(size(kept).cast("long"))).as("n_removed"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(kept, " ")).as("text_clean"))
+      .orderBy("doc_id")
   }
 
   /** q97's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -1305,6 +1359,27 @@ object Curation extends QueryGroup {
         |  CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS selected
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q159: same positional-gram df → dup-start lists → index-aware
+    // token filter, on gram STRINGS (the usual hash-identity mirror).
+    // DuckDB's list_filter lambda index is 1-based, hence the i-1.
+    "q159_dupspan_scrub" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        |q0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-4,0)+1),
+        |  i -> {'pos': i-1, 'g': ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]})) AS u FROM w),
+        |q AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM q0),
+        |d AS (SELECT g FROM q GROUP BY g HAVING count(*) > 1),
+        |s AS (SELECT q.doc_id, list(q.pos) AS starts FROM q JOIN d USING (g) GROUP BY q.doc_id),
+        |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(s.starts, []) AS starts
+        |      FROM w LEFT JOIN s USING (doc_id)),
+        |r AS (SELECT doc_id, text, ws,
+        |        list_filter(ws, (x, i) ->
+        |          len(list_filter(starts, p -> p <= i-1 AND i-1 <= p+4)) = 0) AS kept
+        |      FROM k)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE COALESCE(array_to_string(kept, ' '), '') END AS text_clean
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q158: the sketch gate is a pure pre-filter (superset in, exact
     // verify out), so the oracle is exactly q81's — same holdout split,
     // same trigram membership, same counts.

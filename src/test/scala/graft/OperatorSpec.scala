@@ -1413,6 +1413,40 @@ class OperatorSpec extends SparkSpec {
     assert(withNull.filter(TextOps.bloomAnyContain(col("ks"), bits)).count() <= 1)
   }
 
+  test("q159 removes exactly the tokens covered by cross-corpus duplicate spans") {
+    import spark.implicits._
+    // docs 1 and 2 share the 5-gram "alpha beta gamma delta epsilon";
+    // doc 3 is fully unique; doc 4 is too short to form any 5-gram;
+    // doc 5 has NULL text. Nothing else repeats.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon one two three four five six"),
+      (2L, "seven eight alpha beta gamma delta epsilon nine ten eleven"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, "tiny doc"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.operators.Curation.dupspanScrub(corpus, 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // shared span excised from BOTH owners, flanks intact
+    assert(out(1L).getString(3) == "one two three four five six")
+    assert(out(1L).getLong(2) == 5L)
+    assert(out(2L).getString(3) == "seven eight nine ten eleven")
+    assert(out(2L).getLong(2) == 5L)
+    // unique and sub-width docs pass through untouched
+    assert(out(3L).getLong(2) == 0L && out(3L).getString(3) == "u1 u2 u3 u4 u5 u6 u7 u8")
+    assert(out(4L).getLong(2) == 0L && out(4L).getString(3) == "tiny doc")
+    // NULL text propagates as NULL, not as an empty rewrite
+    assert(out(5L).isNullAt(1) && out(5L).isNullAt(2) && out(5L).isNullAt(3))
+    // conservation on the real fixture: clean token count + removed =
+    // original, and removal never exceeds the doc
+    val fx = SparkEntry.queries("q159_dupspan_scrub")(spark, Sf)
+      .filter(col("n_tokens").isNotNull)
+      .filter(col("n_removed") < 0L || col("n_removed") > col("n_tokens") ||
+        (col("n_tokens") - col("n_removed")) =!=
+          when(col("text_clean") === "", 0L)
+            .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+    assert(fx.count() == 0, "token conservation broke on the fixture")
+  }
+
   test("q156 pseudonymization is consistent, id-free, and skeleton-lossless") {
     val out = SparkEntry.queries("q156_pseudonymize")(spark, Sf)
       .join(Tables(spark, Sf, "events")
