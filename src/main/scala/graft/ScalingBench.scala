@@ -94,7 +94,8 @@ object ScalingBench {
       "q141_cluster_outlier_prune", "q142_perplexity_buckets",
       "q144_cross_dump_neardup", "q146_global_token_budget",
       "q147_source_budget_scalable", "q148_quality_gate_scalable",
-      "q149_temperature_mix_scalable", "q151_pack_sequences_scalable")
+      "q149_temperature_mix_scalable", "q151_pack_sequences_scalable",
+      "q158_decontaminate_bloom", "q159_dupspan_scrub")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

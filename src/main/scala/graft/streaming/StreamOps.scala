@@ -163,6 +163,34 @@ object StreamOps {
       .dropDuplicates("new_id", "c_id")
   }
 
+  /** Ingest-time erasure enforcement — q155/q158's Bloom discipline on
+    * the stream: records owned by a deny-listed subject never enter the
+    * corpus in the first place (the cheapest place to honor an opt-out;
+    * the batch scrubs remain for retroactive erasure). The deny list is
+    * a STATIC side: its Bloom bits are built once at stream start
+    * (`stat.bloomFilter` tree-aggregate, broadcast once per executor)
+    * and probed per record as a map-only expression — the bloom-negative
+    * majority of each micro-batch passes through with no join at all;
+    * only flagged records meet the stream-static LEFT ANTI join that
+    * kills the sketch's false positives. No false negatives by sketch
+    * contract ⇒ nothing deny-listed ever slips through the fast path.
+    * (Deny-list CHANGES need a stream restart — the standard static-side
+    * caveat, same as the corpus side of incrementalDedupStream.)
+    */
+  def erasureScrubStream(events: DataFrame, denyList: DataFrame): DataFrame = {
+    val spark = denyList.sparkSession
+    val keys = denyList.select(col("user_id")).distinct()
+    val bf = keys.stat.bloomFilter("user_id", math.max(keys.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bits = spark.sparkContext.broadcast(bos.toByteArray)
+    val might = graft.functions.TextOps.bloomAnyContain(col("user_id"), bits)
+    val verified = events.filter(might)
+      .join(keys, Seq("user_id"), "left_anti")
+    events.filter(!might)
+      .unionByName(verified.select(events.columns.map(col).toSeq: _*))
+  }
+
   def deconStream(vectors: DataFrame, benchmark: DataFrame): DataFrame = {
     val bench = graft.operators.Similarity.deconStage(benchmark)
       .select(col("vec_id").as("b_id"), col("qvec").as("b_qvec"),

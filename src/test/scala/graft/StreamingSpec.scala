@@ -617,6 +617,28 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("ingest-time erasure gate: deny-listed subjects never enter, the rest pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val deny = Seq(7L, 9L).toDF("user_id")
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.erasureScrubStream(
+        ms.toDF().toDF("event_id", "user_id", "event_type"), deny).writeStream
+      .format("memory").queryName("erasure_out")
+      .outputMode("append").start()
+    ms.addData((1L, 7L, "view"), (2L, 8L, "view"), (3L, 9L, "buy"))
+    q.processAllAvailable()
+    // second micro-batch: a denied re-arrival and a fresh subject
+    ms.addData((4L, 7L, "buy"), (5L, 10L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("erasure_out")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    // 1/3/4 belong to deny-listed users 7 and 9 — gone on ingest; the
+    // bloom fast path (no join) carried 2 and 5 through untouched
+    assert(out == Set(2L, 5L))
+  }
+
   test("streaming chunk dedup == batch q97 kept set on doc-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
