@@ -192,6 +192,48 @@ object Behavior extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // q160 [north star, r9]: SESSION-TRANSCRIPT rendering — the
+    // behavior-log → training-corpus bridge (chat/interaction logs
+    // become SFT documents): each (user, session) under q125's
+    // 30-minute-gap rule is rendered as one text document, the
+    // event-type sequence in (ts, event_id) order, plus the span and
+    // size metadata a downstream packer (q82/q151) consumes. The
+    // transcript is STRINGS ONLY (event types) — doubles never enter
+    // the rendered text, so the rewrite is bit-deterministic on both
+    // engines. Scale: q125's one user-keyed window shuffle, then one
+    // (user, session) partial agg whose per-key width is bounded by
+    // the session itself (the 30-min gap rule caps how much one key
+    // can accumulate; a bot session pathologically long is exactly
+    // what the q99-style gates drop upstream). The in-group ordering
+    // rides a struct array_sort — (us, event_id) is a total order, so
+    // collect_list's arrival nondeterminism is sorted away.
+    "q160_session_transcripts" -> ((spark, dir) => {
+      val order = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val cum = order.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(order) > 1800L * 1000000L, 1L)
+            .when(lag(col("us"), 1).over(order).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(cum))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("t_start"),
+          max(col("us")).as("t_end"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))),
+            t => t.getField("event_type")), " ").as("transcript"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("t_start"), col("t_end"), col("transcript"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // q117 [CLOSURE]: EXACT anomaly flags over daily activity — each
     // (user, day) is flagged when its event count sits more than 2
     // population-σ from the user's own mean. The z-test is
@@ -379,6 +421,27 @@ object Behavior extends QueryGroup {
         |    AS session_seq,
         |  brk AS session_start
         |FROM b ORDER BY event_id""".stripMargin,
+    // q160: q125's sessionization, then one ordered string_agg per
+    // session — STRING_AGG with ORDER BY mirrors the struct-sorted
+    // collect_list exactly because (us, event_id) is a total order.
+    "q160_session_transcripts" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, event_id, event_type, us,
+        |        CAST(CASE WHEN lag(us, 1) OVER w IS NULL THEN 1
+        |                  WHEN us - lag(us, 1) OVER w > 1800000000 THEN 1
+        |                  ELSE 0 END AS BIGINT) AS brk
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM b)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS t_start,
+        |  CAST(max(us) AS BIGINT) AS t_end,
+        |  string_agg(event_type, ' ' ORDER BY us, event_id) AS transcript
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q120_rolling_actives" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |x AS (SELECT user_id, d + CAST(k AS INT) AS day

@@ -1447,6 +1447,31 @@ class OperatorSpec extends SparkSpec {
     assert(fx.count() == 0, "token conservation broke on the fixture")
   }
 
+  test("q160 transcripts reconcile with q125's sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val tr = SparkEntry.queries("q160_session_transcripts")(spark, Sf)
+    // per-(user, session) inventory ≡ q125's assignment
+    val a = tr.select(col("user_id"), col("session_seq"), col("n_events"))
+    val b = SparkEntry.queries("q125_session_ids")(spark, Sf)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "transcript inventory drifted from q125's session assignment")
+    // the rendering is complete: exactly n_events tokens per transcript
+    assert(tr.filter(size(split(col("transcript"), " ")).cast("long")
+      =!= col("n_events")).count() == 0,
+      "a transcript dropped or duplicated events")
+    // sessions are genuinely gap-separated: consecutive sessions of a
+    // user sit more than 30 minutes apart, and spans are well-formed
+    assert(tr.filter(col("t_start") > col("t_end")).count() == 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_seq"))
+    val overlapping = tr.withColumn("prev_end", lag(col("t_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(col("t_start") - col("prev_end") <= 1800L * 1000000L)
+    assert(overlapping.count() == 0,
+      "two sessions of one user are not separated by the 30-minute gap")
+  }
+
   test("q156 pseudonymization is consistent, id-free, and skeleton-lossless") {
     val out = SparkEntry.queries("q156_pseudonymize")(spark, Sf)
       .join(Tables(spark, Sf, "events")
