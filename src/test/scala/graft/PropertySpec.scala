@@ -127,4 +127,35 @@ class PropertySpec extends SparkSpec {
     val hiHi = rows.filter { case ((x, y), _) => x >= 32 && y >= 32 }.map(_._2).min
     assert(loLo < hiHi)
   }
+
+  test("BloomAnyProbe never lies negative, for arbitrary key sets") {
+    // the q155/q158/erasureScrubStream safety property: a true member
+    // (scalar mode) — or any array containing one — always probes true,
+    // whatever the key distribution; the empty array can never hit.
+    // False-positive RATE is geometry-dependent and covered by the
+    // fixture-level pruning assertions; the no-false-negative side must
+    // hold unconditionally or the fast path silently drops exact hits.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import org.apache.spark.util.sketch.BloomFilter
+    forAllSeeded(Gen.nonEmptyListOf(
+        Gen.choose(Long.MinValue, Long.MaxValue))) { keys =>
+      val bf = BloomFilter.create(math.max(keys.size.toLong, 1L), 0.01)
+      keys.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bits = spark.sparkContext.broadcast(bos.toByteArray)
+      try {
+        keys.foreach { k =>
+          assert(graft.expressions.BloomAnyProbe(Literal(k), bits)
+            .eval(null) == true, s"member $k probed false")
+        }
+        val arr = Literal.create(Seq(keys.head, keys.head ^ 0x5a5a5a5aL),
+          ArrayType(LongType))
+        assert(graft.expressions.BloomAnyProbe(arr, bits).eval(null) == true)
+        val empty = Literal.create(Seq.empty[Long], ArrayType(LongType))
+        assert(graft.expressions.BloomAnyProbe(empty, bits).eval(null) == false)
+      } finally bits.destroy()
+    }
+  }
 }
