@@ -829,6 +829,58 @@ object Curation extends QueryGroup {
     "q159_dupspan_scrub" -> ((spark, dir) =>
       dupspanScrub(Tables(spark, dir, "documents"), 5)),
 
+    // q161 [north star, r9]: GREEDY MAX-COVERAGE selection — the
+    // SUBMODULAR-coverage member of the selection-objective triad
+    // (budget: q146–q149; metric diversity: q154; coverage: here): pick
+    // k=6 docs maximizing the union of distinct trigram shingles — the
+    // classic (1−1/e)-approximate greedy for facility-location-style
+    // data selection (pick the doc with the largest MARGINAL coverage,
+    // repeat). Nemhauser et al.'78 guarantee; the shape instruction
+    // tuning selections (coverage of skills/topics) actually run.
+    // Scale = the q154/q91 stance: the covered set is MODEL STATE
+    // (⋃ of k docs' shingles, bounded by k·doc-length, not the corpus),
+    // embedded per round as an array literal; each round is ONE map-only
+    // pass — marginal = |sh \ covered| per row (O(|sh|+|covered|)
+    // per-row expression) — finished by a partial-aggregating max_by
+    // (ties → lowest doc_id); no join, no window, no pair stage ever
+    // forms. Already-picked docs are excluded so a zero-marginal tail
+    // still selects fresh docs deterministically. The oracle unrolls
+    // the same greedy as chained CTEs, bit-exact integer gains.
+    "q161_maxcover_select" -> ((spark, dir) => {
+      val k = 6
+      val docs = graft.CachePool.track(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0))
+      var covered = Set.empty[Long]
+      var picked = Vector.empty[Long]
+      var picks = Vector.empty[(Long, Long, Long, Long)]
+      var total = 0L
+      (1 to k).foreach { r =>
+        val marg =
+          if (covered.isEmpty) size(col("sh")).cast("long")
+          else size(array_except(col("sh"),
+            typedlit(covered.toSeq.sorted))).cast("long")
+        val pool =
+          if (picked.isEmpty) docs
+          else docs.filter(!col("doc_id").isin(picked: _*))
+        val w = pool
+          .agg(max_by(struct(col("doc_id"), col("sh")),
+            struct(marg.as("m"), (-col("doc_id")).as("t"))).as("w"))
+          .select(col("w.doc_id"), col("w.sh")).head()
+        val sh = w.getSeq[Long](1)
+        val gain = sh.count(h => !covered.contains(h)).toLong
+        covered ++= sh
+        total += gain
+        picked :+= w.getLong(0)
+        picks :+= ((r.toLong, w.getLong(0), gain, total))
+      }
+      import spark.implicits._
+      picks.toDF("sel_rank", "doc_id", "gain", "covered_total")
+        .orderBy("sel_rank")
+    }),
+
     // q155 [north star, r9]: ERASURE-LIST SCRUB via a BLOOM-GATED
     // anti-join — the GDPR/opt-out propagation pass every production
     // corpus runs: given a list of erased subjects, drop every record
@@ -1359,6 +1411,61 @@ object Curation extends QueryGroup {
         |  CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS selected
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q161: the same greedy unrolled as chained CTEs on gram STRINGS
+    // (hash-identity mirror) — sN picks round N's winner over the docs
+    // not yet picked, cN accumulates the covered union; ties break to
+    // the lowest doc_id on both engines (ORDER BY gain DESC, doc_id).
+    "q161_maxcover_select" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |s1 AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS gain FROM d
+        |       ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT sh AS cov FROM s1),
+        |s2 AS (SELECT d.doc_id, d.sh,
+        |         CAST(len(list_filter(d.sh, g -> NOT list_contains(c1.cov, g))) AS BIGINT) AS gain
+        |       FROM d, c1 WHERE d.doc_id NOT IN (SELECT doc_id FROM s1)
+        |       ORDER BY gain DESC, d.doc_id LIMIT 1),
+        |c2 AS (SELECT list_distinct(flatten([c1.cov, s2.sh])) AS cov FROM c1, s2),
+        |s3 AS (SELECT d.doc_id, d.sh,
+        |         CAST(len(list_filter(d.sh, g -> NOT list_contains(c2.cov, g))) AS BIGINT) AS gain
+        |       FROM d, c2 WHERE d.doc_id NOT IN (
+        |         SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2)
+        |       ORDER BY gain DESC, d.doc_id LIMIT 1),
+        |c3 AS (SELECT list_distinct(flatten([c2.cov, s3.sh])) AS cov FROM c2, s3),
+        |s4 AS (SELECT d.doc_id, d.sh,
+        |         CAST(len(list_filter(d.sh, g -> NOT list_contains(c3.cov, g))) AS BIGINT) AS gain
+        |       FROM d, c3 WHERE d.doc_id NOT IN (
+        |         SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+        |         UNION ALL SELECT doc_id FROM s3)
+        |       ORDER BY gain DESC, d.doc_id LIMIT 1),
+        |c4 AS (SELECT list_distinct(flatten([c3.cov, s4.sh])) AS cov FROM c3, s4),
+        |s5 AS (SELECT d.doc_id, d.sh,
+        |         CAST(len(list_filter(d.sh, g -> NOT list_contains(c4.cov, g))) AS BIGINT) AS gain
+        |       FROM d, c4 WHERE d.doc_id NOT IN (
+        |         SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+        |         UNION ALL SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM s4)
+        |       ORDER BY gain DESC, d.doc_id LIMIT 1),
+        |c5 AS (SELECT list_distinct(flatten([c4.cov, s5.sh])) AS cov FROM c4, s5),
+        |s6 AS (SELECT d.doc_id, d.sh,
+        |         CAST(len(list_filter(d.sh, g -> NOT list_contains(c5.cov, g))) AS BIGINT) AS gain
+        |       FROM d, c5 WHERE d.doc_id NOT IN (
+        |         SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+        |         UNION ALL SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM s4
+        |         UNION ALL SELECT doc_id FROM s5)
+        |       ORDER BY gain DESC, d.doc_id LIMIT 1),
+        |u AS (SELECT 1 AS sel_rank, doc_id, gain FROM s1
+        |      UNION ALL SELECT 2, doc_id, gain FROM s2
+        |      UNION ALL SELECT 3, doc_id, gain FROM s3
+        |      UNION ALL SELECT 4, doc_id, gain FROM s4
+        |      UNION ALL SELECT 5, doc_id, gain FROM s5
+        |      UNION ALL SELECT 6, doc_id, gain FROM s6)
+        |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id, gain,
+        |  CAST(SUM(gain) OVER (ORDER BY sel_rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS covered_total
+        |FROM u ORDER BY sel_rank""".stripMargin,
     // q159: same positional-gram df → dup-start lists → index-aware
     // token filter, on gram STRINGS (the usual hash-identity mirror).
     // DuckDB's list_filter lambda index is 1-based, hence the i-1.

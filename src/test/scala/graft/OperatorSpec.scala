@@ -1447,6 +1447,28 @@ class OperatorSpec extends SparkSpec {
     assert(fx.count() == 0, "token conservation broke on the fixture")
   }
 
+  test("q161 greedy coverage: gains non-increasing, picks distinct, totals conserve") {
+    import graft.functions.TextOps
+    val rows = SparkEntry.queries("q161_maxcover_select")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // no doc is ever selected twice
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // submodularity: the greedy's marginal gains are non-increasing
+    val gains = rows.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"marginal gains increased: ${gains.mkString(",")}")
+    // covered_total is exactly the running sum of gains
+    assert(gains.scanLeft(0L)(_ + _).tail.toSeq == rows.map(_._4).toSeq)
+    // round 1 takes the globally richest document
+    val maxSh = Tables(spark, Sf, "documents")
+      .select(size(TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
+        .cast("long").as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(gains.head == maxSh,
+      "round 1 must take the document with the most distinct shingles")
+  }
+
   test("q160 transcripts reconcile with q125's sessionization") {
     import org.apache.spark.sql.expressions.Window
     val tr = SparkEntry.queries("q160_session_transcripts")(spark, Sf)
