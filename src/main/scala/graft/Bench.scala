@@ -87,30 +87,50 @@ object Bench {
       val tCount = median(Seq.fill(samples)(sample(_.count())))
       (name, tChecksum, tCount)
     }
-    // Per-query seconds at 3 decimals on stdout: millisecond precision is
-    // well inside this box's ±25% run-to-run noise, and the driver's
-    // stdout scrape has a length cap — r8's driver file kept only the
-    // tail 61 of 152 timings of the full-precision double line. The
-    // compact stdout line (~5 KB: one rounded map + aggregate legacy
-    // total) is the driver-facing record; the FILE below carries the
-    // complete uncompacted JSON including the per-query legacy-count map.
+    // The driver's stdout scrape keeps only the LAST 2000 chars of the
+    // line, so a full named per-query map (8+ KB at 162 queries) gets
+    // clipped — and WHICH map survives the clip depends on print order.
+    // That exact failure produced r9's phantom "regression": r8's tail
+    // kept the END of the line (the legacy count() map), r9's compacted
+    // line printed only the checksum map, and the two consumers got
+    // compared against each other (count() lets Catalyst prune the
+    // expensive expression work; checksum forces it — a 4-9x built-in
+    // gap on expression-heavy queries). The stdout line is therefore
+    // now GUARANTEED to fit the scrape window: totals + failures +
+    // BOTH consumer columns as integer-millisecond arrays index-aligned
+    // with the ascii-sorted query names (~4 chars/query instead of ~30),
+    // each explicitly labeled with its consumer. The named full-precision
+    // maps live in the FILE record below, which survives any clipping.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(sel: ((String, Double, Double)) => (String, Double)): String =
       results.map(sel).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
+    def msArray(sel: ((String, Double, Double)) => Double): String =
+      results.map(sel).map(v => math.round(v * 1000).toString)
+        .mkString("[", ",", "]")
     val qs = json(r => (r._1, r._2))
     val qsCount = json(r => (r._1, r._3))
     val total = results.map(_._2).sum
     val totalCount = results.map(_._3).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tail = s""""value_legacy_count":${r3(totalCount)},"failed":$failedJson,"sf":"$sfDir","samples":$samples"""
-    val stdoutLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$tail}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val stdoutLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""consumer":"checksum","n_queries":${results.size},""" +
+        s""""queries_file":"$out",""" +
+        s""""note":"ms arrays align with ascii-sorted query names; legacy_count lets Catalyst prune unconsumed work - never compare it with checksum",""" +
+        s""""checksum_ms":${msArray(_._2)},"legacy_count_ms":${msArray(_._3)},$tail}"""
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_legacy_count":$qsCount,$tail}"""
-    println(stdoutLine)
+    // Hard guarantee against future growth: if the line ever outgrows the
+    // scrape window, drop the secondary consumer's array rather than let
+    // the clip choose what survives.
+    println(
+      if (stdoutLine.length <= 1950) stdoutLine
+      else stdoutLine.replaceFirst(""","legacy_count_ms":\[[0-9,]*\]""", ""))
     // Also land the FULL record in a file: a file survives any log
     // clipping. Default is cwd-relative — the record belongs to the
     // checkout the run came from, not a baked-in absolute path.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
