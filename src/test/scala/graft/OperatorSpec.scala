@@ -362,14 +362,15 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("q49"), "refusal must name the scale path")
   }
 
-  test("q19 approx distinct within rsd bounds of exact (its declared check)") {
-    val approx = SparkEntry.queries("q19_approx_distinct")(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q19 approx distinct self-validates: exact matches q18, every group within bound") {
+    val rows = SparkEntry.queries("q19_approx_distinct")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
     val exact = SparkEntry.queries("q18_distinct_count")(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    rows.foreach { case (k, (nd, ok)) =>
+      assert(nd == exact(k), s"$k: q19's exact column drifted from q18")
+      assert(ok, s"$k: HLL estimate outside its 3-rsd bound")
     }
   }
 
@@ -1467,6 +1468,72 @@ class OperatorSpec extends SparkSpec {
       .agg(max(col("n"))).head().getLong(0)
     assert(gains.head == maxSh,
       "round 1 must take the document with the most distinct shingles")
+  }
+
+  test("q159 interval-merged rebuild == brute-force span coverage on a boilerplate-heavy long doc") {
+    import spark.implicits._
+    val n = 5
+    // doc 1 is "book-length": a long, highly repetitive boilerplate run
+    // (every one of its 5-grams also occurs in doc 2 → one giant chain
+    // of overlapping dup spans, the case the interval merge exists for)
+    // followed by a unique tail; doc 3 is short and clean
+    val boiler = (1 to 300).map(i => s"b${i % 7}").mkString(" ")
+    val d1 = boiler + " " + (1 to 200).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((1L, d1), (2L, boiler), (3L, "z1 z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.dupspanScrub(corpus, n)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // brute-force oracle: corpus-wide positional n-gram counts → dup
+    // spans → per-token coverage, over token STRINGS (gram-hash
+    // identity == string identity absent collisions, the operator's
+    // own documented assumption)
+    val toks = Map(1L -> d1.split(" "), 2L -> boiler.split(" "),
+      3L -> "z1 z2 z3 z4 z5 z6".split(" "))
+    val grams = toks.toSeq.flatMap { case (id, ws) =>
+      ws.sliding(n).filter(_.length == n).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) }
+    }
+    val dupSet = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+    toks.foreach { case (id, ws) =>
+      val covered = Array.fill(ws.length)(false)
+      grams.filter(g => g._1 == id && dupSet(g._3)).foreach { case (_, p, _) =>
+        (p until math.min(p + n, ws.length)).foreach(covered(_) = true)
+      }
+      val keptToks = ws.indices.filterNot(covered).map(ws)
+      val (nTok, nRem, clean) = out(id)
+      assert(nTok == ws.length.toLong, s"doc $id token count")
+      assert(nRem == covered.count(identity).toLong,
+        s"doc $id removed-count drifted from brute force")
+      assert(clean == keptToks.mkString(" "),
+        s"doc $id rebuilt text drifted from brute force")
+    }
+    // the merge actually merged: doc 1's 296 overlapping dup spans form
+    // ONE chain covering exactly the 300 boilerplate tokens (the bridge
+    // grams into the unique tail occur once and scrub nothing)
+    assert(out(1L)._2 == 300L, s"expected the full chain scrubbed, got ${out(1L)._2}")
+    assert(out(2L)._2 == 300L && out(3L)._2 == 0L)
+  }
+
+  test("q161 greedy terminates with the selected prefix when the pool runs dry") {
+    import spark.implicits._
+    // three eligible docs, k=6: rounds 4-6 see an empty pool and the
+    // greedy must return the three selected rows (it NPE'd here pre-r10)
+    val tiny = Seq(
+      (1L, "a b c d e f"),      // 4 trigram shingles
+      (2L, "a b c"),            // 1, subset of doc 1's first
+      (3L, "x y z w"),          // 2, disjoint
+      (4L, "q")                 // no trigram — never eligible
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Curation.maxcoverSelect(tiny, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"greedy order drifted: ${rows.mkString(",")}")
+    // doc 2's shingle is covered by doc 1 → zero marginal gain, but it
+    // is still selected (fresh-doc rule) before the pool is exhausted
+    assert(rows.map(_._3).toSeq == Seq(4L, 2L, 0L),
+      s"gains drifted: ${rows.mkString(",")}")
   }
 
   test("q160 transcripts reconcile with q125's sessionization") {

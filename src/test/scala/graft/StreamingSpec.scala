@@ -352,6 +352,116 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ranged blob fetch: Range honored, ignored-Range degraded, 5xx absorbed, 404 loud") {
+    import spark.implicits._
+    val payload = "0123456789abcdef" * 8 // 128 ASCII bytes
+    val stub = new graft.streaming.BlobApiStub(name =>
+      if (name == "packed/shard-0.bin") Some(payload.getBytes("UTF-8")) else None)
+    try {
+      val fetcher = new graft.streaming.HttpBlobFetcher(
+        stub.baseUrl, maxAttempts = 4, backoffMs = 5L)
+      // 206 path: exactly the requested slice
+      assert(new String(fetcher.fetchRange("/blobs/packed/shard-0.bin", 16, 16),
+        "UTF-8") == payload.substring(16, 32))
+      // failure injection: two 500s, then service — retry absorbs both
+      stub.failNext.set(2)
+      assert(new String(fetcher.fetchRange("/blobs/packed/shard-0.bin", 0, 4),
+        "UTF-8") == "0123")
+      // a server that ignores Range (RFC-legal): 200 + full body must
+      // degrade to the identical slice client-side
+      stub.honorRange = false
+      assert(new String(fetcher.fetchRange("/blobs/packed/shard-0.bin", 16, 16),
+        "UTF-8") == payload.substring(16, 32))
+      stub.honorRange = true
+      // a missing blob is an error, not a silent empty record
+      intercept[java.io.IOException] {
+        fetcher.fetchRange("/blobs/missing.bin", 0, 4)
+      }
+      // end-to-end through the Spark operator: distributed manifest,
+      // pooled partition-local fetch, one mid-job 500 absorbed
+      val manifest = Seq(
+        graft.operators.Multimodal.RangedPointer(
+          1L, "/blobs/packed/shard-0.bin", 0L, 16L),
+        graft.operators.Multimodal.RangedPointer(
+          2L, "/blobs/packed/shard-0.bin", 64L, 32L)).toDS()
+      stub.failNext.set(1)
+      val rows = graft.operators.Multimodal.derefRanged(spark, manifest,
+          new graft.streaming.HttpBlobFetcher(stub.baseUrl, backoffMs = 5L))
+        .collect().map(r => (r.doc_id, r.n_bytes, r.blob_md5)).sortBy(_._1)
+      def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(rows.toSeq == Seq(
+        (1L, 16L, md5(payload.substring(0, 16))),
+        (2L, 32L, md5(payload.substring(64, 96)))))
+    } finally stub.stop()
+  }
+
+  test("kinesis resharding: split + merge mid-stream lose nothing and duplicate nothing") {
+    // r9 verdict item 3. The reference hard-codes exactly 2 shards
+    // (app.py:92-93), so the first production reshard silently strands
+    // records on the new children. Here a split and a merge land WHILE
+    // the query runs — with an in-flight tail still unread on the split
+    // parent — and the consumer must drain parent tails from their
+    // cursors and pick every child up at cursor 0.
+    val stream = "unit-reshard-stream"
+    KinesisStubRegistry.clear(stream)
+    val store = new InMemoryDocumentStore
+    val ckpt = Files.createTempDirectory("graft-kinesis-reshard-").toString
+    def startQuery() = TagPipeline.start(spark,
+      WireSource.kinesis(spark, stream, "us-east-1", maxFetchPerShard = 2),
+      store, ckpt, trigger = Trigger.ProcessingTime(0),
+      storeKey = "kinesis-reshard")
+    // two shards exist before start, like the reference's fixed pair
+    KinesisStubRegistry.put(stream, "shard-a", gz(story("PRE")), t(0))
+    KinesisStubRegistry.put(stream, "shard-b", gz(story("PRE2")), t(0))
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable() // LATEST snapshot: PRE/PRE2 never read
+      (1 to 3).foreach(i =>
+        KinesisStubRegistry.put(stream, "shard-a", gz(story(s"A$i")), t(i)))
+      KinesisStubRegistry.put(stream, "shard-b", gz(story("B1")), t(1))
+      q1.processAllAvailable()
+      // SPLIT with an in-flight tail: A4 lands on the parent, the split
+      // closes it, then records land on the children — all must arrive
+      KinesisStubRegistry.put(stream, "shard-a", gz(story("A4")), t(4))
+      KinesisStubRegistry.splitShard(stream, "shard-a", "shard-a1", "shard-a2")
+      intercept[IllegalArgumentException] {
+        KinesisStubRegistry.put(stream, "shard-a", gz(story("DEAD")), t(5))
+      }
+      (1 to 3).foreach(i =>
+        KinesisStubRegistry.put(stream, "shard-a1", gz(story(s"C$i")), t(5 + i)))
+      KinesisStubRegistry.put(stream, "shard-a2", gz(story("D1")), t(9))
+      q1.processAllAvailable()
+      (Seq("A4", "D1") ++ (1 to 3).map(i => s"C$i")).foreach(id =>
+        assert(store.get(id).exists(_.taxonomy.get.tags.get == Seq(AutoTag)),
+          s"$id lost across the split"))
+    } finally q1.stop()
+    // MERGE while the consumer is DOWN, with unread tails on both
+    // parents — the restart must drain both from the checkpoint and
+    // find the merged child at cursor 0
+    KinesisStubRegistry.put(stream, "shard-a1", gz(story("C4")), t(10))
+    KinesisStubRegistry.put(stream, "shard-b", gz(story("B2")), t(10))
+    KinesisStubRegistry.mergeShards(stream, "shard-a1", "shard-a2", "shard-m")
+    (1 to 3).foreach(i =>
+      KinesisStubRegistry.put(stream, "shard-m", gz(story(s"M$i")), t(10 + i)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      (Seq("C4", "B2") ++ (1 to 3).map(i => s"M$i")).foreach(id =>
+        assert(store.get(id).exists(_.taxonomy.get.tags.get == Seq(AutoTag)),
+          s"$id lost across the merge/restart"))
+      // exactly-once inventory: every post-start record tagged once,
+      // neither pre-start record ever read
+      assert(store.get("PRE").isEmpty && store.get("PRE2").isEmpty,
+        "LATEST must not read pre-start records")
+      assert(store.size == 14,
+        s"expected 14 tagged docs (A1-3+B1 pre-split, A4+C1-3+D1 split-era, C4+B2+M1-3 merge-era), got ${store.size}")
+    } finally {
+      q2.stop()
+      KinesisStubRegistry.clear(stream)
+    }
+  }
+
   test("http-backed store: TagPipeline end-to-end, transient 5xx absorbed by retry, idempotent across redelivery") {
     // r8 verdict item 3: the tag.py:12-29 seam as a real pooled-client
     // HTTP store with If-Match optimistic concurrency, driven through
@@ -637,6 +747,27 @@ class StreamingSpec extends SparkSpec {
     // 1/3/4 belong to deny-listed users 7 and 9 — gone on ingest; the
     // bloom fast path (no join) carried 2 and 5 through untouched
     assert(out == Set(2L, 5L))
+  }
+
+  test("ingest-time erasure gate keeps NULL-keyed rows (exact anti-join parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val deny = Seq(7L).toDF("user_id")
+    val ms = MemoryStream[(Long, Option[Long], String)]
+    val q = StreamOps.erasureScrubStream(
+        ms.toDF().toDF("event_id", "user_id", "event_type"), deny).writeStream
+      .format("memory").queryName("erasure_null_out")
+      .outputMode("append").start()
+    ms.addData((1L, Some(7L), "view"), (2L, None, "view"), (3L, Some(8L), "buy"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("erasure_null_out")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    // a NULL user_id never equals a deny key, so the exact anti-join
+    // keeps row 2 — the bloom-gated split must route the probe's NULL
+    // verdict down the pass-through branch, not drop it from both
+    // branches (the r9 advice's latent divergence)
+    assert(out == Set(2L, 3L))
   }
 
   test("streaming chunk dedup == batch q97 kept set on doc-ordered arrival") {
