@@ -1055,9 +1055,6 @@ object Curation extends QueryGroup {
     val dup = docs.select(explode(col("ph")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1L).select(col("g"))
-    val starts = docs.select(col("doc_id"), posexplode(col("ph")))
-      .join(dup, col("col") === col("g"))
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
     // INTERVAL-MERGE the dup-start list before the per-token filter (r9
     // verdict item 7): boilerplate runs produce long chains of
     // overlapping [p, p+n-1] spans, and the previous exists-over-starts
@@ -1066,14 +1063,22 @@ object Curation extends QueryGroup {
     // collapses to one interval: sort the starts, mark run HEADS
     // (first, or a gap beyond contiguity: p > prev + n) and run ENDS
     // (last, or next > p + n), zip them into disjoint [head, end+n-1]
-    // intervals — all per-row HOF expressions, so the PLAN (and the
-    // oracle, which checks kept tokens, not intervals) is unchanged;
-    // the per-token scan now costs O(|merged runs|), with |merged| ==
-    // |distinct coverage gaps| ≪ |starts| exactly when documents are
-    // boilerplate-heavy. (The production path at 50-gram granularity is
-    // a suffix array; this keeps the relational formulation honest at
-    // book length.)
-    val st = sort_array(coalesce(col("starts"), array().cast("array<int>")))
+    // intervals. The per-token scan then costs O(|merged runs|), with
+    // |merged| ≪ |starts| exactly when documents are boilerplate-heavy.
+    // (Production at 50-gram granularity uses a suffix array; this
+    // keeps the relational formulation honest at book length.)
+    //
+    // PLACEMENT IS LOAD-BEARING: the merge must evaluate once per DOC,
+    // on the aggregation side of the join — an expression referenced
+    // inside a HOF lambda re-evaluates PER ELEMENT (no CSE across
+    // lambda invocations), and CollapseProject re-inlines a
+    // same-side withColumn into its single consumer, so staging the
+    // merge above the join put the whole sort+merge inside the
+    // per-token lambda: O(len·starts log starts), measured 11× WORSE
+    // at sf0.1. Below the join, the optimizer cannot pull the
+    // expression across the Join node and the lambda reads a bound
+    // attribute.
+    val st = sort_array(col("starts"))
     val heads = filter(st, (p, i) =>
       i === lit(0) || p > element_at(st, i) + lit(n))
     val ends = filter(st, (p, i) =>
@@ -1081,16 +1086,23 @@ object Curation extends QueryGroup {
         coalesce(element_at(st, i + lit(2)) > p + lit(n), lit(true)))
     val merged = zip_with(heads, ends,
       (s, e) => struct(s.as("s"), (e + lit(n - 1)).as("e")))
+    val spans = docs.select(col("doc_id"), posexplode(col("ph")))
+      .join(dup, col("col") === col("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+      .select(col("doc_id"), merged.as("mg"))
+    val mg = coalesce(col("mg"),
+      array().cast("array<struct<s:int,e:int>>"))
     val kept = filter(col("ws"), (t, i) =>
-      !exists(merged, iv => iv("s") <= i && i <= iv("e")))
-    docs.join(starts, Seq("doc_id"), "left")
+      !exists(mg, iv => iv("s") <= i && i <= iv("e")))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", kept)
       .select(col("doc_id"),
         TextOps.wsTokenCount(col("text")).as("n_tokens"),
         (TextOps.wsTokenCount(col("text")) -
           when(col("text").isNull, lit(null).cast("long"))
-            .otherwise(size(kept).cast("long"))).as("n_removed"),
+            .otherwise(size(col("kept")).cast("long"))).as("n_removed"),
         when(col("text").isNull, lit(null).cast("string"))
-          .otherwise(array_join(kept, " ")).as("text_clean"))
+          .otherwise(array_join(col("kept"), " ")).as("text_clean"))
       .orderBy("doc_id")
   }
 

@@ -10,12 +10,16 @@ import graft.Tables
 /** Multimodal-column plumbing — north star: treat image/audio/video as
   * opaque `binary` columns with typed metadata.
   *
-  * The decode step is STUBBED (this container ships no image/audio codecs)
-  * with a deterministic fake derived from the bytes; everything around it —
-  * the binary column, the typed `Dataset` schema, the `mapPartitions`
-  * batch shape (one decoder instance per partition, the same shape a
-  * Pandas-UDF/mapInPandas pipeline has per Arrow batch), the partition-
-  * preserving execution — is real and oracle-checked.
+  * The q54/q56/q63 tier STUBS the codec call with a deterministic fake
+  * derived from the bytes; everything around it — the binary column, the
+  * typed `Dataset` schema, the `mapPartitions` batch shape (one decoder
+  * instance per partition, the same shape a Pandas-UDF/mapInPandas
+  * pipeline has per Arrow batch), the partition-preserving execution —
+  * is real and oracle-checked. The REAL-CODEC tier below runs actual
+  * JDK codecs end-to-end: BMP (q152) and PNG (q162) via ImageIO, WAV
+  * PCM (q164) via javax.sound.sampled — only VIDEO decode remains a
+  * stub (the JDK ships no video codec; a deployment wires ffmpeg/JavaCV
+  * into the same mapPartitions seam).
   *
   * Reference anchor: the >1 MB payload S3-pointer side channel
   * (`app.py:43-46`) is the same pattern — a column that *refers to* a blob
@@ -231,6 +235,70 @@ object Multimodal extends QueryGroup {
     bos.toByteArray
   }
 
+  /** Minimal PCM WAV (RIFF): 44-byte canonical header + little-endian
+    * 16-bit mono samples, s_i = ((doc_id·31 + i·7) mod 4096) − 2048 —
+    * integer-deterministic, so the decode oracle is pure arithmetic.
+    * This is the AUDIO sibling of [[encodeBmp]]/[[encodePng]]: the JDK
+    * ships a real WAV codec (`javax.sound.sampled`), which closes the
+    * "audio decode is a stub" caveat the same way q152 closed raster.
+    */
+  private[graft] def encodeWav(docId: Long, nSamples: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((docId * 31 + i.toLong * 7) % 4096) - 2048).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real audio decode output: format fields as the CODEC reports them
+    * plus exact BIGINT sample count and sample sum.
+    */
+  case class DecodedAudio(doc_id: Long, sample_rate: Long, channels: Long,
+      n_samples: Long, sample_sum: Long)
+
+  /** The real-codec audio decode stage: `javax.sound.sampled` parses the
+    * RIFF container and streams PCM frames, partition-locally. Undecodable
+    * payloads raise (the q152 raise-don't-drift stance).
+    */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+        val bytes = in.readAllBytes()
+        in.close()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          // little-endian int16 per the codec-reported format
+          sum += ((bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)).toShort.toLong
+          i += 2
+        }
+        DecodedAudio(r.doc_id, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, bytes.length.toLong / 2, sum)
+      }
+    }
+  }
+
   /** Real decode output: dimensions the CODEC reports plus an exact
     * all-channel pixel sum (BIGINT — max 64·48·3·255 per image, far
     * inside range).
@@ -341,6 +409,24 @@ object Multimodal extends QueryGroup {
           MediaRow(id, encodePng(id, (1 + nc % 48).toInt, (1 + id % 64).toInt))
         }
       decodeImages(spark, media).toDF().orderBy("doc_id")
+    }),
+
+    // q164 [north star, r10]: real AUDIO-codec decode — per-document
+    // PCM WAVs (sample count from n_chars, values integer-deterministic)
+    // encoded in-engine and decoded by the JDK's actual WAV codec
+    // (javax.sound.sampled RIFF parser), partition-locally; output is
+    // the codec-REPORTED format plus exact sample count/sum, all BIGINT.
+    // With q152/q162 this leaves only video decode stubbed (no JDK
+    // video codec exists; the deployment note stands).
+    "q164_wav_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeWav(id, (64 + nc % 512).toInt))
+        }
+      decodeAudio(spark, media).toDF().orderBy("doc_id")
     }),
 
     // q163 [REF app.py:43-46, r10]: RANGED blob fetch over the wire —
@@ -473,6 +559,17 @@ object Multimodal extends QueryGroup {
         |SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
         |  CAST(SUM(v) AS BIGINT) AS px_sum
         |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // q164: the decoded format/sample arithmetic — n = 64 + n_chars%512
+    // samples of ((doc_id·31 + i·7) mod 4096) − 2048, all integers.
+    "q164_wav_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + n_chars % 512 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n,
+        |        ((d.doc_id*31 + i.k*7) % 4096) - 2048 AS v
+        |      FROM d, generate_series(0, 574) i(k) WHERE i.k < d.n)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sample_sum
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // q163: rebuild each served payload (ASCII: decimal id + ';'
     // repeated, truncated to 128 + id % 128 bytes), slice the requested
     // [offset, offset+length) range 1-indexed, md5 it. offset+length ≤
