@@ -136,5 +136,10 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
+    // See Verify: the wire stubs' JDK HttpServer dispatcher thread is
+    // non-daemon; exit explicitly so the bench JVM cannot hang after
+    // the JSON line is already out.
+    System.out.flush()
+    sys.exit(0)
   }
 }

@@ -229,5 +229,7 @@ object ScalingBench {
       budgetSkew.map { case (k, v) => s""""$k":$v,""" }.mkString +
       s""""samples":$samples,"base_dir":"$baseDir"}""")
     spark.stop()
+    System.out.flush()
+    sys.exit(0) // wire stubs' non-daemon HttpServer thread must not pin the JVM
   }
 }

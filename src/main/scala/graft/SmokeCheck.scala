@@ -23,5 +23,7 @@ object SmokeCheck {
     }
     println(s"SMOKE oracleSql entries=${SparkEntry.oracleSql.size} queries=${SparkEntry.queries.size}")
     spark.stop()
+    System.out.flush()
+    sys.exit(0) // wire stubs' non-daemon HttpServer thread must not pin the JVM
   }
 }

@@ -62,5 +62,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // The wire queries lazily start in-process stub endpoints whose JDK
+    // HttpServer dispatcher thread is non-daemon — without an explicit
+    // exit the dump JVM completes all work and then hangs forever,
+    // stalling the whole correctness run. fork := true makes this safe.
+    System.out.flush()
+    sys.exit(0)
   }
 }

@@ -246,8 +246,22 @@ object Dedup extends QueryGroup {
     * q144's batch pipeline and its streaming twin.
     */
   private[graft] def minhashSigs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("sh"),
-      TextOps.minhashSignature(col("sh"), perms).as("sig"))
+    minhashSigs(docs, Nil)
+
+  /** [[minhashSigs]] carrying extra pass-through columns (the streaming
+    * watermarked tier threads the event-time column through the
+    * pipeline rather than re-joining the stream to itself for it).
+    */
+  private[graft] def minhashSigs(docs: DataFrame, carry: Seq[String]): DataFrame =
+    docs.select(col("doc_id") +: col("sh") +:
+      TextOps.minhashSignature(col("sh"), perms).as("sig") +:
+      carry.map(col): _*)
+
+  /** [[shingled]] carrying extra pass-through columns. */
+  private[graft] def shingled(df: DataFrame, carry: Seq[String]): DataFrame =
+    df.select(col("doc_id") +:
+      TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh") +:
+      carry.map(col): _*)
 
   /** `(doc_id, band, bh)` band-key rows from a signature frame. */
   private[graft] def minhashBandRows(s: DataFrame): DataFrame = s

@@ -299,6 +299,94 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** Multi-frame ANIMATED GIF via the JDK's real GIF codec — the
+    * closest thing the JDK ships to a video codec: LZW-compressed
+    * frames behind a container the READER must demux (getNumImages +
+    * per-frame read), i.e. the frame-sampling shape q56 stubs, run
+    * against an actual temporal codec. Frames are TYPE_BYTE_GRAY
+    * (gray ⊆ the GIF 256-entry palette ⇒ LOSSLESS round trip), pixel
+    * g = (x·7 + y·13 + f·31 + doc_id) mod 256 — integer-deterministic
+    * for the oracle.
+    */
+  private[graft] def encodeGif(docId: Long, w: Int, h: Int,
+      nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((x * 7 + y * 13 + f * 31 + docId) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Frame-demuxed decode output: codec-reported frame inventory plus
+    * exact per-document pixel sum across all frames (one gray channel).
+    */
+  case class DecodedFrames(doc_id: Long, n_frames: Long, frame_w: Long,
+      frame_h: Long, px_sum: Long)
+
+  /** The temporal-codec decode stage: the JDK GIF READER demuxes the
+    * frame sequence (getNumImages forces a full container scan) and
+    * decodes each LZW frame; partition-local, one reader per row.
+    */
+  def decodeGifFrames(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedFrames] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"undecodable GIF for doc ${r.doc_id}")
+        var sum = 0L
+        var w = 0L
+        var h = 0L
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          w = img.getWidth.toLong
+          h = img.getHeight.toLong
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += img.getRaster.getSample(x, y, 0).toLong
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        reader.dispose()
+        iis.close()
+        DecodedFrames(r.doc_id, n.toLong, w, h, sum)
+      }
+    }
+  }
+
   /** Real decode output: dimensions the CODEC reports plus an exact
     * all-channel pixel sum (BIGINT — max 64·48·3·255 per image, far
     * inside range).
@@ -411,6 +499,27 @@ object Multimodal extends QueryGroup {
       decodeImages(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q165 [north star, r10]: real TEMPORAL-codec frame demux — q56's
+    // frame-sampling shape against the JDK's actual GIF codec: animated
+    // GIFs (2-5 frames, LZW-compressed gray frames) encoded in-engine,
+    // then the READER demuxes the container (getNumImages) and decodes
+    // every frame; output = codec-reported frame inventory + exact
+    // pixel sum, oracle pure integer arithmetic (gray palette ⇒
+    // lossless). This narrows the video caveat to: true interframe
+    // codecs (H.264 etc.) still need ffmpeg/JavaCV wired into this
+    // exact mapPartitions seam.
+    "q165_gif_frames" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeGif(id, (8 + nc % 16).toInt, (6 + id % 10).toInt,
+            (2 + id % 4).toInt))
+        }
+      decodeGifFrames(spark, media).toDF().orderBy("doc_id")
+    }),
+
     // q164 [north star, r10]: real AUDIO-codec decode — per-document
     // PCM WAVs (sample count from n_chars, values integer-deterministic)
     // encoded in-engine and decoded by the JDK's actual WAV codec
@@ -439,12 +548,16 @@ object Multimodal extends QueryGroup {
     "q163_ranged_blob_fetch" -> ((spark, dir) => {
       import spark.implicits._
       val fetcher = new graft.streaming.HttpBlobFetcher(blobServer.baseUrl)
-      // a wire-bound stage's throughput IS its partition count: the
-      // manifest arrives in scan-sized partitions (ONE at small SF —
-      // 6000 sequential round trips), so spread it to the session's
-      // full parallelism before fetching. The shuffle moves only the
-      // thin pointer rows, never blob bytes.
+      // the production shape fetches the NEW BATCH's blobs (q103's
+      // split discipline, ~20% here), not the whole corpus per run —
+      // and a wire-bound stage's throughput IS its partition count: the
+      // manifest arrives in scan-sized partitions (ONE at small SF ⇒
+      // thousands of sequential round trips), so spread it to the
+      // session's full parallelism before fetching. The shuffle moves
+      // only the thin pointer rows, never blob bytes.
       val manifest = Tables(spark, dir, "documents")
+        .filter(substring(md5(concat(lit("fetch:"),
+          col("doc_id").cast("string"))), 1, 2) >= "cd")
         .select(col("doc_id"),
           concat(lit("/blobs/doc/"), col("doc_id").cast("string"),
             lit(".bin")).as("path"),
@@ -559,6 +672,20 @@ object Multimodal extends QueryGroup {
         |SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
         |  CAST(SUM(v) AS BIGINT) AS px_sum
         |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // q165: frame inventory + pixel arithmetic — w = 8 + n_chars%16,
+    // h = 6 + doc_id%10, frames = 2 + doc_id%4, gray g = (7x+13y+31f+id)%256.
+    "q165_gif_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + n_chars % 16 AS w, 6 + doc_id % 10 AS h,
+        |             2 + doc_id % 4 AS nf FROM documents),
+        |p AS (SELECT d.doc_id, d.nf, d.w, d.h,
+        |        (x.k*7 + y.k*13 + f.k*31 + d.doc_id) % 256 AS v
+        |      FROM d, generate_series(0, 23) x(k), generate_series(0, 15) y(k),
+        |           generate_series(0, 5) f(k)
+        |      WHERE x.k < d.w AND y.k < d.h AND f.k < d.nf)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum
+        |FROM p GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin,
     // q164: the decoded format/sample arithmetic — n = 64 + n_chars%512
     // samples of ((doc_id·31 + i·7) mod 4096) − 2048, all integers.
     "q164_wav_decode" ->
@@ -582,7 +709,9 @@ object Multimodal extends QueryGroup {
         |     1, CAST(128 + doc_id % 128 AS INT)),
         |   CAST(doc_id % 32 + 1 AS INT), CAST(16 + doc_id % 64 AS INT)))
         |   AS blob_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents
+        |WHERE substring(md5('fetch:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+        |ORDER BY doc_id""".stripMargin,
     // q152: the decoded dimensions/pixel-sum as pure integer arithmetic —
     // the cross join fans to ≤ w·h rows per doc (≤ 3072), summed back.
     "q152_bmp_decode" ->

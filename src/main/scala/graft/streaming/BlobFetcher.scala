@@ -13,6 +13,18 @@ import java.time.Duration
   * idempotent consumers).
   */
 private[streaming] object HttpRetry {
+  /** Daemon-thread pool for the in-process stub endpoints: the session
+    * holds them in lazy vals with no lifecycle hook (the real endpoint
+    * is remote), so their worker threads must never pin the JVM open
+    * after `main` returns — a non-daemon pool here hangs every
+    * Verify/Bench run that touched a wire query.
+    */
+  def daemonPool(n: Int): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+      val t = new Thread(r)
+      t.setDaemon(true)
+      t
+    })
   def send[T](client: HttpClient, req: HttpRequest,
       handler: HttpResponse.BodyHandler[T],
       maxAttempts: Int, backoffMs: Long): HttpResponse[T] = {
@@ -122,7 +134,7 @@ class BlobApiStub(payload: String => Option[Array[Byte]]) {
   server.createContext("/blobs", (x: HttpExchange) => handle(x))
   // sized for local[32] clients fetching concurrently — a starved pool
   // here would misread as fetch-stage slowness in the bench
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32))
+  server.setExecutor(HttpRetry.daemonPool(32))
   server.start()
 
   def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"

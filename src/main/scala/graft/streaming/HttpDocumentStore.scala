@@ -185,7 +185,7 @@ class DraftApiStub {
   private val server = HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/documents", (x: HttpExchange) => handle(x))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  server.setExecutor(HttpRetry.daemonPool(4))
   server.start()
 
   def baseUrl: String =

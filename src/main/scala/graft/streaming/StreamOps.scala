@@ -129,7 +129,37 @@ object StreamOps {
     * stream. Batch≡stream pinned in StreamingSpec.
     */
   def crossDumpNearDupStream(newDocs: DataFrame,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame): DataFrame =
+    crossDumpVerifiedPairs(newDocs, corpus, Nil)
+      .dropDuplicates("new_id", "c_id")
+
+  /** Watermarked variant of [[crossDumpNearDupStream]] — the BOUNDED-
+    * STATE tier its exact sibling's comment promises: when the dedup
+    * horizon is temporal (a re-crawl window, not all of time), the
+    * per-pair state is evicted once the watermark passes the pair's
+    * event time + `delay`, so state is O(pairs within the horizon)
+    * instead of O(all pairs ever). The trade is explicit: a pair
+    * re-arriving AFTER eviction re-emits (at-least-once per horizon),
+    * and rows older than the watermark are dropped as late — both
+    * pinned in StreamingSpec. `newDocs` must carry an event-time `ts`.
+    */
+  def crossDumpNearDupStreamWatermarked(newDocs: DataFrame,
+      corpus: DataFrame, delay: String): DataFrame =
+    // The watermark is declared at the source side. Caveat to know:
+    // Catalyst pushes content predicates (the bloom gate, the Jaccard
+    // verify's upstream filters) BELOW the EventTimeWatermark node, so
+    // event-time stats — and therefore watermark advancement — come
+    // from rows that SURVIVE filtering, exactly as in any filtered
+    // Structured Streaming pipeline. A stream of only non-matching
+    // docs keeps the watermark (and state eviction) parked; state
+    // stays bounded as long as matches keep flowing, which is the
+    // regime the operator exists for.
+    crossDumpVerifiedPairs(newDocs.withWatermark("ts", delay),
+        corpus, Seq("ts"))
+      .dropDuplicatesWithinWatermark("new_id", "c_id")
+
+  private def crossDumpVerifiedPairs(newDocs: DataFrame,
+      corpus: DataFrame, carry: Seq[String]): DataFrame = {
     import graft.operators.Dedup
     val cs = Dedup.shingled(corpus).filter(size(col("sh")) > 0)
     val cBandsRaw = Dedup.minhashBandRows(Dedup.minhashSigs(cs))
@@ -152,25 +182,26 @@ object StreamOps {
     // bucket key; the corpus cap is computed on the static side alone).
     val bits = graft.functions.TextOps.bloomBits(
       cBands.select(xxhash64(col("bh"), col("band")).as("k")), "k")
-    // the arriving doc's shingle set rides the band explode (32× within
-    // the micro-batch) — re-joining the stream to itself for `sh` would
+    // the arriving doc's shingle set (and any carried columns, e.g. the
+    // watermarked tier's event time) rides the band explode (32× within
+    // the micro-batch) — re-joining the stream to itself for them would
     // be a stream-stream join, which this stays free of
+    val carryCols = carry.map(col)
     val nBands = Dedup.minhashSigs(
-        Dedup.shingled(newDocs).filter(size(col("sh")) > 0))
+        Dedup.shingled(newDocs, carry).filter(size(col("sh")) > 0), carry)
       .filter(graft.functions.TextOps.bloomAnyContain(
         Dedup.bandKeyArray(col("sig")), bits))
-      .select(col("doc_id"), col("sh").as("a_sh"), posexplode(
+      .select(col("doc_id") +: col("sh").as("a_sh") +: posexplode(
         org.apache.spark.sql.graftbridge.toColumn(
           graft.expressions.BandHashes(
             org.apache.spark.sql.graftbridge.toExpression(col("sig")),
-            Dedup.NumBands, Dedup.RowsPerBand))))
-      .select(col("doc_id"), col("a_sh"), col("pos").as("band"),
-        col("col").as("bh"))
+            Dedup.NumBands, Dedup.RowsPerBand))) +: carryCols: _*)
+      .select(col("doc_id") +: col("a_sh") +: col("pos").as("band") +:
+        col("col").as("bh") +: carryCols: _*)
     nBands.join(cBands, Seq("band", "bh"))
       .filter(graft.functions.TextOps.jaccard(col("a_sh"), col("b_sh"))
         >= Dedup.JaccardTau)
-      .select(col("doc_id").as("new_id"), col("c_id"))
-      .dropDuplicates("new_id", "c_id")
+      .select(col("doc_id").as("new_id") +: col("c_id") +: carryCols: _*)
   }
 
   /** Ingest-time erasure enforcement — q155/q158's Bloom discipline on

@@ -128,6 +128,31 @@ class PropertySpec extends SparkSpec {
     assert(loLo < hiHi)
   }
 
+  test("q144's packed band keys: probe-side array == build-side row keys, doc by doc") {
+    // the consistency q144's exactness argument rests on: the per-doc
+    // bandKeyArray (probe side, below the explode) must produce EXACTLY
+    // the xxhash64(bh, band) values the exploded band-row build side
+    // produces — any drift (argument order, type widths, band indexing)
+    // would make the Bloom gate silently drop true candidates.
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import spark.implicits._
+    val docs = graft.operators.Dedup.shingled(
+        Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"),
+          (3L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+    val sigs = graft.operators.Dedup.minhashSigs(docs)
+    val probe = sigs.select(col("doc_id"),
+        graft.operators.Dedup.bandKeyArray(col("sig")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val build = graft.operators.Dedup.minhashBandRows(sigs)
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("bh"), col("band")).as("k"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toVector).toMap
+    assert(probe == build,
+      "bandKeyArray drifted from the exploded band-row key expression")
+  }
+
   test("BloomAnyProbe never lies negative, for arbitrary key sets") {
     // the q155/q158/erasureScrubStream safety property: a true member
     // (scalar mode) — or any array containing one — always probes true,
