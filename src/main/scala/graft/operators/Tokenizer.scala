@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+
+/** Subword-tokenizer surface: corpus-level BPE merge training and
+  * whole-corpus tokenization — the "train the tokenizer, then tokenize
+  * the corpus" step every LLM data pipeline runs between curation and
+  * packing (Sennrich et al., ACL'16).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - the ONLY corpus-sized work in training is the word-frequency
+  *    aggregation — one `groupBy(word).count` with map-side partial
+  *    aggregation, the same shuffle q44 does. BPE training proper runs
+  *    on the word-TYPE frequency dict, never on the corpus: the dict is
+  *    capped to the top-`VocabCap` types (frequency-desc, word-asc —
+  *    deterministic), collected as bounded MODEL STATE (the kmeansCore /
+  *    q154 discipline), and the `MergeRounds` greedy rounds are pure
+  *    driver arithmetic over ≤ VocabCap short strings. This is how
+  *    production BPE trainers work too — the type dict, not the token
+  *    stream, is the training input.
+  *  - tokenization (q167) is MAP-ONLY: the learned merge table is
+  *    embedded as k literal `replace` steps in a per-word expression
+  *    chain (whole-stage codegen'd, no UDF), so the corpus pass has no
+  *    shuffle at all — per-doc outputs come straight off the scan. At a
+  *    real vocab size the per-occurrence chain would be replaced by a
+  *    broadcast word→segment-count map for the capped types (covering
+  *    the frequency mass) with the chain as the open-vocab fallback;
+  *    at k = MergeRounds the direct chain is the simpler honest form.
+  *
+  * Merge semantics, identical on both engines by construction: a word is
+  * the space-joined character sequence wrapped in sentinel spaces
+  * (" h e l l o "); applying merge (a, b) is the non-overlapping
+  * left-to-right string replace of " a b " with " ab " — Java
+  * `String.replace` and DuckDB `replace` share exactly that contract
+  * (verified on the overlapping " a a a " case), and the wrapping spaces
+  * make token boundaries unambiguous even after multi-character merges.
+  * Tie-breaks are total: best pair = highest weighted count, then
+  * lexicographically smallest (left, right); dict cap = highest
+  * frequency, then smallest word.
+  *
+  * Reference scope: the reference's pipeline (washingtonpost/
+  * arc-kinesis-tagging app.py:33-41) tokenizes headlines naively before
+  * tagging; this is that step grown into the trainable-subword form a
+  * training-data pipeline needs.
+  */
+object Tokenizer extends QueryGroup {
+
+  /** Word-type dict cap — top-V by (freq desc, word asc). */
+  val VocabCap = 24
+  /** Greedy merge rounds learned / applied. */
+  val MergeRounds = 12
+
+  /** One learned merge: rank (1-based), pair, concatenation, weighted
+    * pair count at selection time.
+    */
+  final case class Merge(rank: Long, left: String, right: String,
+      merged: String, count: Long)
+
+  /** " h e l l o " — the sentinel-wrapped spaced character form. */
+  private def spaced(w: String): String =
+    " " + w.map(_.toString).mkString(" ") + " "
+
+  /** Greedy BPE over a word-type frequency dict (driver model state,
+    * ≤ [[VocabCap]] entries). Runs exactly [[MergeRounds]] rounds and
+    * fails loudly if the dict runs out of pairs first — a silent short
+    * merge table would diverge from the unrolled oracle.
+    */
+  private[graft] def bpeTrain(dict: Seq[(String, Long)],
+      rounds: Int = MergeRounds): Seq[Merge] = {
+    var d = dict.map { case (w, f) => (spaced(w), f) }
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    while (r <= rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      d.foreach { case (s, f) =>
+        val toks = s.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < toks.length - 1) {
+          counts((toks(i), toks(i + 1))) =
+            counts.getOrElse((toks(i), toks(i + 1)), 0L) + f
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"BPE dict ran out of adjacent pairs at round $r/$rounds")
+      val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      merges += Merge(r.toLong, a, b, a + b, c)
+      d = d.map { case (s, f) => (s.replace(s" $a $b ", s" $a$b "), f) }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /** The distributed trainer front half: corpus → word-type frequency
+    * dict, capped to [[VocabCap]] (one map-side-combining shuffle; the
+    * orderBy+limit is a TakeOrdered over word TYPES, not corpus rows).
+    */
+  private[graft] def wordDict(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word"))
+      .limit(VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Per-word BPE token count as a codegen'd expression chain: spaced
+    * chars, then the k learned merges as literal replaces, then count
+    * surviving tokens. `w` is a lambda variable — everything else in the
+    * chain is literal, so per-element re-evaluation does exactly the
+    * intended per-word work (the q159 HOF lesson).
+    */
+  private def bpeTokenCount(w: Column, merges: Seq[Merge]): Column = {
+    val sp = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+    val applied = merges.foldLeft(sp) { (acc, m) =>
+      call_function("replace", acc,
+        lit(s" ${m.left} ${m.right} "), lit(s" ${m.merged} "))
+    }
+    size(filter(split(trim(applied), " "), t => t =!= "")).cast("long")
+  }
+
+  def queries: Map[String, Q] = Map(
+    // q166 [north star, r10]: BPE merge-table training. Corpus work =
+    // one word-frequency shuffle; the greedy itself runs over the capped
+    // type dict as driver model state. Output = the ordered merge table
+    // (all-integer/string → bit-deterministic).
+    "q166_bpe_train" -> ((spark, dir) => {
+      import spark.implicits._
+      bpeTrain(wordDict(spark, dir))
+        .toDF("rank", "pair_left", "pair_right", "merged", "pair_count")
+        .orderBy("rank")
+    }),
+
+    // q167 [north star, r10]: whole-corpus BPE tokenization with the
+    // freshly trained merges — MAP-ONLY over the scan (the merge chain
+    // is embedded literals; no join, no shuffle, per-doc row out).
+    // NULL text → NULL counts (wsTokenCount discipline).
+    "q167_bpe_tokenize" -> ((spark, dir) => {
+      val merges = bpeTrain(wordDict(spark, dir))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
+          aggregate(
+            transform(TextOps.tokens(col("text")),
+              w => bpeTokenCount(w, merges)),
+            lit(0L), (acc, x) => acc + x).as("n_bpe"))
+        .orderBy("doc_id")
+    }))
+
+  /** The q166 chain as DuckDB CTEs: d0 = the capped dict in spaced form,
+    * then per round r: pair counts (lateral unnest over adjacent index
+    * pairs) → best pair (count desc, pair asc) → dict with the merge
+    * applied. MATERIALIZED is load-bearing: each d_r is referenced twice
+    * (next round's pair count + next round's replace), so inlined CTEs
+    * would re-evaluate the whole prefix exponentially.
+    */
+  private def oracleMergeCtes: String = {
+    val rounds = (1 to MergeRounds).map { r =>
+      val prev = s"d${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a, b, SUM(f) AS c FROM (
+         |    SELECT dd.f, dd.l[i] AS a, dd.l[i+1] AS b
+         |    FROM (SELECT f, list_filter(string_split(s,' '), x -> x <> '') AS l FROM $prev) dd,
+         |         UNNEST(generate_series(1, len(dd.l)-1)) AS t(i))
+         |  GROUP BY a, b),
+         |b$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT replace(d.s, ' '||b.a||' '||b.b||' ', ' '||b.a||b.b||' ') AS s, d.f
+         |       FROM $prev d CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MergeRounds)
+      .map(r => s"SELECT $r AS rank, a, b, c FROM b$r").mkString(" UNION ALL ")
+    s"""wf AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS f
+       |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+       |  GROUP BY word ORDER BY f DESC, word LIMIT $VocabCap),
+       |d0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, f FROM wf),
+       |$rounds,
+       |m AS MATERIALIZED ($union)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q166_bpe_train" ->
+      s"""WITH RECURSIVE $oracleMergeCtes
+         |SELECT CAST(rank AS BIGINT) AS rank, a AS pair_left, b AS pair_right,
+         |  a||b AS merged, CAST(c AS BIGINT) AS pair_count
+         |FROM m ORDER BY rank""".stripMargin,
+    // q167: the merge chain re-derived, then applied to every word via a
+    // rank-indexed recursive CTE (step r applies merge r); per-doc sum of
+    // surviving token counts; LEFT JOIN restores NULL-text docs as NULL.
+    "q167_bpe_tokenize" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |dw AS (
+         |  SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) t),
+         |ap AS (
+         |  SELECT doc_id, s, 0 AS r FROM dw
+         |  UNION ALL
+         |  SELECT a.doc_id, replace(a.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s, a.r + 1
+         |  FROM ap a JOIN m ON m.rank = a.r + 1),
+         |perdoc AS (
+         |  SELECT doc_id, SUM(len(list_filter(string_split(trim(s),' '), x -> x <> ''))) AS n_bpe
+         |  FROM ap WHERE r = $MergeRounds GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
+         |  CAST(p.n_bpe AS BIGINT) AS n_bpe
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+}

@@ -1625,4 +1625,80 @@ class OperatorSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("q166 BPE trainer: hand-traced greedy on a tiny dict; invariants at sf") {
+    import graft.operators.Tokenizer
+    // "aaab"×3 + "ab"×2: round 1 pairs = {(a,a):6, (a,b):5} → merge (a,a);
+    // the left-to-right replace turns " a a a b " into " aa a b " (the
+    // overlap-consumption case), so round 2 pairs = {(aa,a):3, (a,b):3+2}
+    // → merge (a,b) at weighted count 5
+    val m = Tokenizer.bpeTrain(Seq(("aaab", 3L), ("ab", 2L)), rounds = 2)
+    assert(m(0).left == "a" && m(0).right == "a" && m(0).count == 6L)
+    assert(m(1).left == "a" && m(1).right == "b" && m(1).merged == "ab"
+      && m(1).count == 5L, s"round-2 selection drifted: ${m(1)}")
+    // corpus-level invariants
+    val rows = SparkEntry.queries("q166_bpe_train")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to Tokenizer.MergeRounds).toSeq)
+    rows.foreach { case (rk, l, rt, mg, c) =>
+      assert(mg == l + rt, s"rank $rk merged != left+right")
+      assert(c > 0L, s"rank $rk non-positive pair count")
+      assert(!l.contains(" ") && !rt.contains(" "))
+    }
+  }
+
+  test("q167 BPE tokenize: expression chain == driver-side reference segmenter") {
+    import graft.operators.Tokenizer
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    // reference: same spaced-replace pipeline in plain Scala
+    def refCount(text: String): Long = text.split(" ", -1).map { w =>
+      if (w.isEmpty) 0L
+      else {
+        var s = " " + w.map(_.toString).mkString(" ") + " "
+        merges.foreach(m => s = s.replace(s" ${m.left} ${m.right} ", s" ${m.merged} "))
+        s.split(" ").count(_.nonEmpty).toLong
+      }
+    }.sum
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val out = SparkEntry.queries("q167_bpe_tokenize")(spark, Sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.length == docs.size)
+    out.foreach { case (id, nWs, nBpe) =>
+      docs(id) match {
+        case None => assert(nWs == -1L && nBpe == -1L, s"doc $id: NULL text must yield NULLs")
+        case Some(t) =>
+          assert(nBpe == refCount(t), s"doc $id: chain != reference")
+          assert(nBpe >= nWs, s"doc $id: fewer BPE tokens than words")
+          assert(nBpe <= t.count(_ != ' ').toLong, s"doc $id: more tokens than chars")
+      }
+    }
+  }
+
+  test("q167 is map-only: no shuffle in the tokenize pass") {
+    val df = SparkEntry.queries("q167_bpe_tokenize")(spark, Sf)
+    // the trailing orderBy is presentation; everything upstream of it
+    // must be exchange-free (scan → project). Count Exchanges: the only
+    // one allowed is the range partitioning for the final sort.
+    df.collect()
+    // walk the final (AQE-unwrapped) tree — the printed form repeats the
+    // initial plan and would double-count
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // ShuffleQueryStageExec is a LEAF wrapping its materialized Exchange,
+    // so counting both names over the tree cannot double-count one shuffle
+    val exchanges = root.collectWithSubqueries {
+      case e if e.nodeName.contains("Exchange") ||
+        e.nodeName.contains("ShuffleQueryStage") => e
+    }.size
+    assert(exchanges <= 1,
+      s"tokenization should shuffle at most once (final sort), got $exchanges:\n${root.toString.take(1200)}")
+  }
 }
