@@ -387,6 +387,91 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** q168's expected-pixel formula: a TRIANGLE wave (period 510, slopes
+    * ±{3,5,17}) — continuous everywhere, so the JDK's LOSSY JPEG codec
+    * sees smooth gradients and its reconstruction error stays small and
+    * bounded; a modulo wrap here would put a 255→0 cliff through every
+    * block and blow the tolerance with ringing.
+    */
+  private[graft] def mjpegExpected(docId: Long, x: Int, y: Int, f: Int): Int = {
+    val v = ((x * 3 + y * 5 + f * 17 + docId) % 510).toInt
+    math.abs(v - 255)
+  }
+
+  /** Per-doc MJPEG-AVI: `nf` gray frames JPEG-encoded by the JDK codec
+    * and muxed by [[Avi.mux]].
+    */
+  private[graft] def encodeMjpegAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] = {
+    val frames = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, mjpegExpected(docId, x, y, f))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    Avi.mux(frames, w, h, fps = 5)
+  }
+
+  /** MJPEG decode output: container-reported inventory plus the
+    * self-validating fidelity verdict (the q19 discipline — the lossy
+    * codec's raw pixels can never hash-match a SQL oracle, so what
+    * hashes is the exact container facts plus a tolerance check the
+    * engine computes from its own decode; the oracle emits literal
+    * TRUE and the row goes red the day demux or decode breaks).
+    */
+  case class DecodedVideo(doc_id: Long, n_frames: Long, frame_w: Long,
+      frame_h: Long, within_tol: Boolean)
+
+  /** Demux the AVI container ([[Avi.demux]] — generic RIFF walk), decode
+    * every '00dc' frame with the JDK JPEG codec, and check mean absolute
+    * reconstruction error ≤ 4 gray levels against the source formula.
+    * Header/stream frame-count consistency is enforced in-line.
+    */
+  def decodeMjpegVideos(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedVideo] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val frames = Avi.demux(r.media)
+        require(frames.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
+        require(Avi.headerTotalFrames(r.media) == frames.size,
+          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
+        var w = 0; var h = 0
+        var absErr = 0L; var nPx = 0L
+        frames.zipWithIndex.foreach { case (jpeg, f) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          require(img != null, s"undecodable JPEG frame $f, doc ${r.doc_id}")
+          w = img.getWidth; h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              absErr += math.abs(img.getRaster.getSample(x, y, 0) -
+                mjpegExpected(r.doc_id, x, y, f)).toLong
+              nPx += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        DecodedVideo(r.doc_id, frames.size.toLong, w.toLong, h.toLong,
+          within_tol = absErr <= 4L * nPx)
+      }
+    }
+  }
+
   /** Real decode output: dimensions the CODEC reports plus an exact
     * all-channel pixel sum (BIGINT — max 64·48·3·255 per image, far
     * inside range).
@@ -508,6 +593,27 @@ object Multimodal extends QueryGroup {
     // lossless). This narrows the video caveat to: true interframe
     // codecs (H.264 etc.) still need ffmpeg/JavaCV wired into this
     // exact mapPartitions seam.
+    // q168 [north star, r10]: Motion-JPEG VIDEO — a published container
+    // (RIFF/AVI, muxed in-engine to spec: hdrl/strl headers, movi frame
+    // chunks, idx1 index) demuxed by a generic RIFF walker, each frame
+    // decoded by the JDK's real LOSSY JPEG codec. Inventory columns are
+    // exact; fidelity is the self-validating within_tol verdict (mean
+    // abs err ≤ 4 gray levels vs the triangle-wave source). With
+    // q152/q162/q164/q165 the remaining video caveat is interframe
+    // PREDICTION (H.264 etc.) — a codec the JDK does not ship; the
+    // mapPartitions seam is where ffmpeg/JavaCV plugs in.
+    "q168_mjpeg_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeMjpegAvi(id, (16 + nc % 17).toInt,
+            (16 + id % 13).toInt, (2 + id % 3).toInt))
+        }
+      decodeMjpegVideos(spark, media).toDF().orderBy("doc_id")
+    }),
+
     "q165_gif_frames" -> ((spark, dir) => {
       import spark.implicits._
       val media = Tables(spark, dir, "documents")
@@ -672,6 +778,15 @@ object Multimodal extends QueryGroup {
         |SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
         |  CAST(SUM(v) AS BIGINT) AS px_sum
         |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // q168: exact container inventory (the dimension/frame formulas) +
+    // the fidelity verdict as literal TRUE — the q19 self-validating
+    // discipline for a lossy codec whose raw pixels can't cross engines.
+    "q168_mjpeg_video" ->
+      """SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST(16 + n_chars % 17 AS BIGINT) AS frame_w,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS frame_h,
+        |  TRUE AS within_tol
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q165: frame inventory + pixel arithmetic — w = 8 + n_chars%16,
     // h = 6 + doc_id%10, frames = 2 + doc_id%4, gray g = (7x+13y+31f+id)%256.
     "q165_gif_frames" ->

@@ -1282,6 +1282,50 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
+    import graft.operators.Avi
+    val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),
+      Array.tabulate[Byte](40)(i => (i + 5).toByte),
+      Array[Byte](1)) // odd length exercises even-byte chunk padding
+    val avi = Avi.mux(frames, 16, 16, fps = 5)
+    // magic + demux fidelity: '00dc' payloads come back byte-identical
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val out = Avi.demux(avi)
+    assert(out.size == frames.size)
+    frames.zip(out).zipWithIndex.foreach { case ((exp, got), i) =>
+      assert(java.util.Arrays.equals(exp, got), s"frame $i payload drifted")
+    }
+    // the avih header's dwTotalFrames must agree with the movi stream
+    assert(Avi.headerTotalFrames(avi) == frames.size)
+    // malformed input fails loudly, never returns partial frames
+    intercept[IllegalArgumentException] {
+      Avi.demux(java.util.Arrays.copyOfRange(avi, 0, avi.length - 6))
+    }
+    intercept[IllegalArgumentException] { Avi.demux("nope".getBytes) }
+  }
+
+  test("q168 MJPEG fidelity: the lossy decode stays within tolerance with margin") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // a denser check than the query's boolean: decode one doc's AVI
+    // locally and measure the actual mean error, to know the tolerance
+    // isn't green by luck (want ≤ 2 where the gate allows 4)
+    val avi = Multimodal.encodeMjpegAvi(9L, 24, 20, 3)
+    val frames = graft.operators.Avi.demux(avi)
+    assert(frames.size == 3)
+    var err = 0L; var n = 0L
+    frames.zipWithIndex.foreach { case (jpeg, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        err += math.abs(img.getRaster.getSample(x, y, 0) -
+          Multimodal.mjpegExpected(9L, x, y, f)).toLong
+        n += 1
+      }
+    }
+    assert(err <= 2L * n, s"mean abs error ${err.toDouble / n} leaves no margin under the 4.0 gate")
+  }
+
   test("q153 importance scores separate the target distribution from the raw corpus") {
     // the discriminative property the DSIR-style weight exists for: docs
     // drawn from the target (English) subset must average a higher
