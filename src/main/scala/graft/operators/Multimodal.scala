@@ -593,6 +593,44 @@ object Multimodal extends QueryGroup {
     // lossless). This narrows the video caveat to: true interframe
     // codecs (H.264 etc.) still need ffmpeg/JavaCV wired into this
     // exact mapPartitions seam.
+    // q169 [north star, r10]: WARC crawl ingest — the format a 100 TB
+    // web corpus actually arrives in (CommonCrawl ships WARC). Docs are
+    // packed ~30/file into spec-shaped WARC files (warcinfo + response
+    // records, HTTP/1.1 payloads, CRLF discipline), then each file is
+    // byte-level stream-parsed (Content-Length-driven, never regex over
+    // the file), the HTTP message validated (status + Content-Length
+    // cross-check), and <main> content extracted with boilerplate
+    // (nav/footer/head) dropped. Parallelism unit = the FILE, the real
+    // CommonCrawl processing model; the pack stage here is test
+    // scaffolding (production reads existing WARCs off the store).
+    // text_md5 equality with the oracle's md5(text) proves the whole
+    // mux→parse→extract loop is byte-lossless.
+    "q169_warc_extract" -> ((spark, dir) => {
+      import spark.implicits._
+      val files = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("shard", pmod(col("doc_id"), lit(16)))
+        .as[(Long, String, Long)]
+        .groupByKey(_._3)
+        .mapGroups { (_, it) =>
+          Warc.build(it.map(t => (t._1, t._2)).toArray.sortBy(_._1).toSeq)
+        }
+      files.flatMap { bytes =>
+        Warc.parse(bytes).filter(_.warcType == "response").map { r =>
+          val html = Warc.httpBody(r.payload)
+          val text = Warc.extractMain(html)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+          (r.recordId.stripPrefix("urn:doc:").toLong,
+            r.contentLength.toLong, html.length.toLong,
+            text.length.toLong, md5)
+        }
+      }.toDF("doc_id", "content_length", "html_len", "n_extracted_chars",
+        "text_md5")
+        .orderBy("doc_id")
+    }),
+
     // q168 [north star, r10]: Motion-JPEG VIDEO — a published container
     // (RIFF/AVI, muxed in-engine to spec: hdrl/strl headers, movi frame
     // chunks, idx1 index) demuxed by a generic RIFF walker, each frame
@@ -778,6 +816,28 @@ object Multimodal extends QueryGroup {
         |SELECT doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
         |  CAST(SUM(v) AS BIGINT) AS px_sum
         |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // q169: the oracle rebuilds the byte-identical HTML + HTTP message
+    // with string concatenation and measures the same lengths; md5(text)
+    // equality pins the extract loop lossless end-to-end.
+    "q169_warc_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>doc ' || doc_id ||
+        |    '</title></head><body><nav>nav links</nav><main><p>' || text ||
+        |    '</p></main><footer>footer</footer></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, text, html,
+        |    'HTTP/1.1 200 OK' || chr(13)||chr(10) ||
+        |    'Content-Type: text/html' || chr(13)||chr(10) ||
+        |    'Content-Length: ' || length(html) || chr(13)||chr(10) ||
+        |    chr(13)||chr(10) || html AS http
+        |  FROM h)
+        |SELECT doc_id, CAST(length(http) AS BIGINT) AS content_length,
+        |  CAST(length(html) AS BIGINT) AS html_len,
+        |  CAST(length(text) AS BIGINT) AS n_extracted_chars,
+        |  md5(text) AS text_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q168: exact container inventory (the dimension/frame formulas) +
     // the fidelity verdict as literal TRUE — the q19 self-validating
     // discipline for a lossy codec whose raw pixels can't cross engines.

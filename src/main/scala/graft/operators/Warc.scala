@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** WARC (ISO 28500) writer and streaming record parser for the
+  * crawl-ingest tier (q169): the on-disk format a 100 TB web corpus
+  * actually arrives in (CommonCrawl ships WARC), where each file packs
+  * thousands of records and the unit of parallelism is the FILE — one
+  * sequential streaming parse per task, Content-Length-driven, never a
+  * whole-file regex.
+  *
+  * The writer emits a leading `warcinfo` record then one `response`
+  * record per document (WARC headers + an HTTP/1.1 response payload +
+  * HTML body), all fields deterministic. The parser is byte-level:
+  * header block to the first CRLFCRLF, `Content-Length` bytes of
+  * payload, the two record-separator CRLFs, repeat — malformed input
+  * fails loudly (truncated payload, missing separator, bad magic).
+  */
+private[graft] object Warc {
+
+  final case class WarcRecord(warcType: String, recordId: String,
+      contentLength: Int, payload: Array[Byte])
+
+  private val CRLF = "\r\n"
+
+  /** The deterministic HTML page for a doc — must stay byte-identical
+    * to the SQL template in q169's oracle.
+    */
+  def htmlFor(docId: Long, text: String): String =
+    s"<html><head><title>doc $docId</title></head><body><nav>nav links" +
+      s"</nav><main><p>$text</p></main><footer>footer</footer></body></html>"
+
+  /** The HTTP/1.1 response message wrapping the HTML (the WARC record's
+    * payload; its length is the record's Content-Length).
+    */
+  def httpResponseFor(html: String): String =
+    s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF" +
+      s"Content-Length: ${html.length}$CRLF$CRLF$html"
+
+  private def record(warcType: String, recordId: String,
+      extraHeaders: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val head = (Seq(
+      "WARC/1.0",
+      s"WARC-Type: $warcType",
+      s"WARC-Record-ID: <$recordId>",
+      "WARC-Date: 2026-01-01T00:00:00Z") ++
+      extraHeaders.map { case (k, v) => s"$k: $v" } ++
+      Seq(s"Content-Length: ${payload.length}", "", "")).mkString(CRLF)
+    val out = new ByteArrayOutputStream()
+    out.write(head.getBytes(US_ASCII))
+    out.write(payload)
+    out.write(s"$CRLF$CRLF".getBytes(US_ASCII))
+    out.toByteArray
+  }
+
+  /** One WARC file: warcinfo + a response record per (doc_id, text). */
+  def build(docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record("warcinfo", "urn:warcinfo:graft", Nil,
+      s"software: graft$CRLF".getBytes(US_ASCII)))
+    docs.foreach { case (id, text) =>
+      val http = httpResponseFor(htmlFor(id, text))
+      out.write(record("response", s"urn:doc:$id",
+        Seq("WARC-Target-URI" -> s"http://example.org/doc/$id",
+          "Content-Type" -> "application/http;msgtype=response"),
+        http.getBytes(US_ASCII)))
+    }
+    out.toByteArray
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Streaming parse of a whole WARC file into its records. */
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val records = Seq.newBuilder[WarcRecord]
+    var p = 0
+    while (p < bytes.length) {
+      val hEnd = indexOfCrlfCrlf(bytes, p)
+      require(hEnd >= 0, s"no header terminator after offset $p")
+      val headerBlock = new String(bytes, p, hEnd - p, US_ASCII)
+      val lines = headerBlock.split(CRLF)
+      require(lines.headOption.contains("WARC/1.0"),
+        s"bad WARC version line at offset $p: '${lines.headOption.getOrElse("")}'")
+      val headers = lines.tail.map { l =>
+        val i = l.indexOf(':')
+        require(i > 0, s"malformed WARC header '$l'")
+        l.substring(0, i).trim -> l.substring(i + 1).trim
+      }.toMap
+      val len = headers.getOrElse("Content-Length",
+        sys.error(s"record at $p missing Content-Length")).toInt
+      val payloadStart = hEnd + 4
+      require(payloadStart + len <= bytes.length,
+        s"truncated payload at offset $payloadStart (want $len bytes)")
+      val payload =
+        java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)
+      val sep = payloadStart + len
+      require(sep + 4 <= bytes.length &&
+        bytes(sep) == '\r' && bytes(sep + 1) == '\n' &&
+        bytes(sep + 2) == '\r' && bytes(sep + 3) == '\n',
+        s"missing record separator after payload at $sep")
+      records += WarcRecord(
+        headers.getOrElse("WARC-Type", "?"),
+        headers.getOrElse("WARC-Record-ID", "?").stripPrefix("<").stripSuffix(">"),
+        len, payload)
+      p = sep + 4
+    }
+    records.result()
+  }
+
+  /** Split an HTTP message into (status line, headers, body) and return
+    * the body; validates the HTTP Content-Length against the actual
+    * body length (a real parser's cross-check, not trust).
+    */
+  def httpBody(payload: Array[Byte]): String = {
+    val hEnd = indexOfCrlfCrlf(payload, 0)
+    require(hEnd >= 0, "no HTTP header terminator")
+    val head = new String(payload, 0, hEnd, US_ASCII)
+    val lines = head.split(CRLF)
+    require(lines.head.startsWith("HTTP/1.1 200"), s"unexpected status '${lines.head}'")
+    val cl = lines.tail.collectFirst {
+      case l if l.toLowerCase.startsWith("content-length:") =>
+        l.substring(l.indexOf(':') + 1).trim.toInt
+    }.getOrElse(sys.error("HTTP message missing Content-Length"))
+    val body = new String(payload, hEnd + 4, payload.length - hEnd - 4, US_ASCII)
+    require(body.length == cl,
+      s"HTTP Content-Length $cl != body length ${body.length}")
+    body
+  }
+
+  /** Main-content extraction: the `<main>` subtree with tags stripped —
+    * boilerplate (nav/footer/head) never reaches the corpus. Anchored,
+    * not a generic boilerplate classifier: the synthetic pages are
+    * regular; production swaps in a trafilatura-style extractor at the
+    * same seam.
+    */
+  def extractMain(html: String): String = {
+    val a = html.indexOf("<main>")
+    val b = html.indexOf("</main>")
+    require(a >= 0 && b > a, "no <main> element")
+    html.substring(a + 6, b).replaceAll("<[^>]*>", "")
+  }
+}

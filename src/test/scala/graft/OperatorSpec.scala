@@ -1282,6 +1282,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("WARC build -> parse: record inventory, byte-lossless extraction, malformed input loud") {
+    import graft.operators.Warc
+    val docs = Seq((3L, "alpha beta gamma"), (7L, "delta"), (11L, "x y z w"))
+    val warc = Warc.build(docs)
+    val recs = Warc.parse(warc)
+    // leading warcinfo + one response per doc, in order
+    assert(recs.map(_.warcType) == Seq("warcinfo", "response", "response", "response"))
+    recs.tail.zip(docs).foreach { case (r, (id, text)) =>
+      assert(r.recordId == s"urn:doc:$id")
+      val html = Warc.httpBody(r.payload)
+      assert(r.contentLength == r.payload.length,
+        "WARC Content-Length must equal actual payload bytes")
+      assert(Warc.extractMain(html) == text,
+        s"doc $id extraction not lossless")
+      assert(!html.contains("</main>nav") && Warc.extractMain(html) == text)
+      // boilerplate never leaks into the extract
+      assert(!Warc.extractMain(html).contains("nav links"))
+      assert(!Warc.extractMain(html).contains("footer"))
+    }
+    // truncation inside a payload and a chopped separator both raise
+    intercept[IllegalArgumentException] {
+      Warc.parse(java.util.Arrays.copyOfRange(warc, 0, warc.length - 3))
+    }
+    intercept[IllegalArgumentException] { Warc.parse("WARC/9.9\r\n\r\n".getBytes) }
+    // an HTTP message lying about its Content-Length is caught
+    val lying = ("HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort").getBytes
+    intercept[IllegalArgumentException] { Warc.httpBody(lying) }
+  }
+
   test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
     import graft.operators.Avi
     val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),
