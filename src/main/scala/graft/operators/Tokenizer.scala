@@ -140,14 +140,18 @@ object Tokenizer extends QueryGroup {
     // NULL text → NULL counts (wsTokenCount discipline).
     "q167_bpe_tokenize" -> ((spark, dir) => {
       val merges = bpeTrain(wordDict(spark, dir))
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
-          aggregate(
-            transform(TextOps.tokens(col("text")),
-              w => bpeTokenCount(w, merges)),
-            lit(0L), (acc, x) => acc + x).as("n_bpe"))
-        .orderBy("doc_id")
+      tokenized(Tables(spark, dir, "documents"), merges).orderBy("doc_id")
     }))
+
+  /** The tokenize projection itself — shared verbatim by batch q167 and
+    * the streaming ingest twin (`StreamOps.bpeTokenizeStream`), so
+    * batch≡stream equality is structural, not re-implemented.
+    */
+  private[graft] def tokenized(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
+      aggregate(
+        transform(TextOps.tokens(col("text")), w => bpeTokenCount(w, merges)),
+        lit(0L), (acc, x) => acc + x).as("n_bpe"))
 
   /** The q166 chain as DuckDB CTEs: d0 = the capped dict in spaced form,
     * then per round r: pair counts (lateral unnest over adjacent index

@@ -247,4 +247,40 @@ object StreamOps {
           lit(49L) * col("aa") * col("bb"))
       .select(col("vec_id"), col("b_id"))
   }
+
+  /** Ingest-time BPE tokenization — q167's streaming twin. The merge
+    * table is STATIC model state (trained offline by q166; a tokenizer
+    * change is a redeploy, exactly as in production), so the stream side
+    * is a stateless map-only projection: no state store, no watermark,
+    * every micro-batch independent. Batch≡stream equality is STRUCTURAL
+    * — both sides call the same `Tokenizer.tokenized` projection.
+    */
+  def bpeTokenizeStream(docs: DataFrame,
+      merges: Seq[graft.operators.Tokenizer.Merge]): DataFrame =
+    graft.operators.Tokenizer.tokenized(docs, merges)
+
+  /** Streaming WARC ingest — q169's twin for the arriving-dump shape:
+    * crawl dumps land as FILES on a stream (Structured Streaming's file
+    * source model — `readStream.format("binaryFile")` in deployment;
+    * any (file_id, content binary) frame here), and each micro-batch
+    * flatMaps file → parsed response records → extracted main content.
+    * Stateless append: a WARC file is self-contained, so there is no
+    * cross-batch state, and task retry is idempotent (same file → same
+    * rows). Malformed files fail the task loudly, surfacing the bad
+    * dump rather than silently skipping it.
+    */
+  def warcExtractStream(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("content")).as[Array[Byte]].flatMap { bytes =>
+      graft.operators.Warc.parse(bytes)
+        .filter(_.warcType == "response")
+        .map { r =>
+          val html = graft.operators.Warc.httpBody(r.payload)
+          val text = graft.operators.Warc.extractMain(html)
+          (r.recordId.stripPrefix("urn:doc:").toLong,
+            r.contentLength.toLong, text.length.toLong, text)
+        }
+    }.toDF("doc_id", "content_length", "n_extracted_chars", "text")
+  }
 }

@@ -1026,6 +1026,63 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${batch.keySet -- streamed.keySet}")
     assert(streamed.nonEmpty, "fixture must produce at least one hit")
   }
+
+  test("streaming BPE tokenize == batch q167 on the same docs (static merge table)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.bpeTokenizeStream(
+        ms.toDF().toDF("doc_id", "text"), merges).writeStream
+      .format("memory").queryName("bpe_out")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpe_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q167_bpe_tokenize")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "streamed tokenize drifted from batch q167")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming WARC ingest: per-file parse is batch-equal, malformed dump fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Warc
+    val fileA = Warc.build(Seq((1L, "alpha beta"), (2L, "gamma")))
+    val fileB = Warc.build(Seq((5L, "delta epsilon zeta")))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamOps.warcExtractStream(
+        ms.toDF().toDF("file_id", "content")).writeStream
+      .format("memory").queryName("warc_out")
+      .outputMode("append").start()
+    ms.addData((10L, fileA)); q.processAllAvailable()
+    ms.addData((11L, fileB)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("warc_out")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(rows == Map(1L -> "alpha beta", 2L -> "gamma",
+      5L -> "delta epsilon zeta"), s"extracted drift: $rows")
+    // a truncated dump must surface as a query failure, not silence
+    val ms2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = graft.streaming.StreamOps.warcExtractStream(
+        ms2.toDF().toDF("file_id", "content")).writeStream
+      .format("memory").queryName("warc_bad_out")
+      .outputMode("append").start()
+    ms2.addData((12L, java.util.Arrays.copyOfRange(fileA, 0, fileA.length - 5)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage != null)
+  }
 }
 
 object StreamingSpec {
