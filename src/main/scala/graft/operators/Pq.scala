@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product quantization (Jégou et al., TPAMI'11) — the compression tier
+  * a billion-vector ANN index actually runs on (FAISS's PQ/IVF-PQ scan):
+  * the 64-dim int8 embedding splits into `SubSpaces` contiguous
+  * subspaces, each with its own `K`-centroid codebook (per-subspace
+  * Lloyd's, q91's exact discipline), and every vector compresses to
+  * `SubSpaces` small codes. Search is ADC (asymmetric distance
+  * computation): per probe, a `SubSpaces`×`K` distance table is computed
+  * ONCE, and each corpus vector's approximate distance is just
+  * `SubSpaces` table lookups + adds — no per-pair vector math.
+  *
+  * Scale shape:
+  *  - codebook training: per subspace, the corpus contributes one
+  *    partial-aggregating (cluster, pos) BIGINT-sum pass per iteration
+  *    (k·subdim rows to the driver — MODEL state, the kmeansCore
+  *    stance); assignment is a codegen'd [[graft.expressions.NearestCentroid]]
+  *    map over centroid literals. No shuffle ever carries vectors.
+  *  - encode (q170): ONE map-only pass — all four subspace argmins are
+  *    literal-centroid expressions in a single projection. At 100 TB the
+  *    codes are 4 longs/vector vs 64 — the 16× scan-size reduction is
+  *    the operator's point.
+  *  - ADC search (q171): probes are the QUERY WORKLOAD (bounded, the
+  *    q139/q140 broadcast-benchmark stance) — their distance tables are
+  *    driver-computed arrays broadcast in a literal frame; the corpus
+  *    side does a broadcast cross-join + 4 `element_at` lookups + a
+  *    fixed-order 4-term add, then a per-probe top-k partial aggregate.
+  *    The corpus is scanned once, map-only, reading ONLY the code
+  *    columns (the PQ promise).
+  *
+  * Exactness discipline (every value cross-engine bit-identical):
+  * centroid components are BIGINT-sum/count double divisions; distances
+  * are the NearestCentroid fold `(x·x − 2·x·c) + c·c`; ADC table entries
+  * are sequential folds of `(p_i − c_i)²`; the 4-term ADC sum is added
+  * in written order on both engines; ranking tie-breaks on vec_id. The
+  * oracle unrolls all four Lloyd loops as chained CTEs (q91's mirror,
+  * parameterized by subspace slice).
+  */
+object Pq extends QueryGroup {
+
+  val SubSpaces = 4
+  val SubDim = 16 // 64-dim embeddings / 4
+  val K = 8
+  val Iters = 2
+  val TopK = 10
+  /** md5('pqprobe:'||vec_id) prefix gate — ~3% of vectors are probes. */
+  val ProbeGate = "f8"
+
+  private def selfDot(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  private def ncStruct(xd: Column,
+      cents: Seq[(Long, Array[Double])]): Column =
+    org.apache.spark.sql.graftbridge.toColumn(
+      graft.expressions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.toExpression(xd),
+        cents.map(_._1).toArray,
+        cents.map(_._2).toArray,
+        cents.map(c => selfDot(c._2)).toArray))
+
+  /** The m-th subspace slice of the quantized vector, as doubles. */
+  private def xdSlice(m: Int): Column =
+    transform(slice(col("qvec"), m * SubDim + 1, SubDim), _.cast("double"))
+
+  /** Train the m-th subspace codebook: init = the K smallest vec_ids'
+    * subvectors; `Iters` rounds of assign (NearestCentroid literals) +
+    * exact BIGINT (cluster, pos) sum recompute. Returns final centroids
+    * sorted by cluster id. A cluster that loses every member drops out —
+    * identically on the oracle side.
+    */
+  private def trainSub(base: DataFrame, m: Int): Seq[(Long, Array[Double])] = {
+    val q = base.select(col("vec_id"),
+      slice(col("qvec"), m * SubDim + 1, SubDim).as("qsub"),
+      xdSlice(m).as("xd"))
+    var cents: Seq[(Long, Array[Double])] =
+      q.orderBy("vec_id").limit(K).select(col("xd")).collect()
+        .zipWithIndex
+        .map { case (r, j) => (j.toLong, r.getSeq[Double](0).toArray) }
+        .toSeq
+    var it = 0
+    while (it < Iters) {
+      val sums = q
+        .withColumn("a", ncStruct(col("xd"), cents))
+        .select(coalesce(col("a.cluster"), lit(-1L)).as("cluster"),
+          posexplode(col("qsub")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .collect() // K·SubDim rows — model state, not data
+      cents = sums.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (j, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach { r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
+          }
+          (j, arr)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** The quantized base frame, cached once per query (both the four
+    * training loops and the encode pass read it).
+    */
+  private def quantizedBase(spark: SparkSession, dir: String): DataFrame =
+    graft.CachePool.track(
+      Similarity.withQuantized(Tables(spark, dir, "embeddings")))
+
+  /** (vec_id, code0..code3) — one map-only projection over the base. */
+  private def encoded(base: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    base.select(col("vec_id") +:
+      books.zipWithIndex.map { case (cents, m) =>
+        coalesce(ncStruct(xdSlice(m), cents).getField("cluster"), lit(-1L))
+          .as(s"code$m")
+      }: _*)
+
+  /** All four trained codebooks (tests reuse this to rebuild the
+    * reference reconstruction).
+    */
+  private[graft] def trainedBooks(spark: SparkSession,
+      dir: String): Seq[Seq[(Long, Array[Double])]] = {
+    val base = quantizedBase(spark, dir)
+    (0 until SubSpaces).map(m => trainSub(base, m))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // q170 [north star, r10]: PQ encode — train 4 subspace codebooks,
+    // then compress every vector to 4 codes in one map pass.
+    "q170_pq_encode" -> ((spark, dir) => {
+      val base = quantizedBase(spark, dir)
+      val books = (0 until SubSpaces).map(m => trainSub(base, m))
+      encoded(base, books).orderBy("vec_id")
+    }),
+
+    // q171 [north star, r10]: ADC top-k — per gated probe, a driver-side
+    // distance table (K doubles per subspace) broadcast as literals;
+    // corpus side = 4 map lookups + a fixed-order add + per-probe top-k.
+    "q171_pq_adc_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      val base = quantizedBase(spark, dir)
+      val books = (0 until SubSpaces).map(m => trainSub(base, m))
+      val probes = base
+        .filter(substring(md5(concat(lit("pqprobe:"),
+          col("vec_id").cast("string"))), 1, 2) >= ProbeGate)
+        .select(col("vec_id"), col("qvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      require(probes.nonEmpty, "probe gate selected no vectors")
+      // per probe × subspace: dt[j] = Σ_i (p_i − c_{j,i})², the exact
+      // sequential fold the oracle mirrors; keyed by cluster id in a map
+      // (ids need not be contiguous if a cluster emptied)
+      val probeDt = probes.toSeq.map { case (pid, qv) =>
+        val dts = (0 until SubSpaces).map { m =>
+          books(m).map { case (cid, c) =>
+            var s = 0.0; var i = 0
+            while (i < SubDim) {
+              val d = qv(m * SubDim + i).toDouble - c(i)
+              s += d * d; i += 1
+            }
+            (cid, s)
+          }
+        }
+        (pid, dts(0).toMap, dts(1).toMap, dts(2).toMap, dts(3).toMap)
+      }.toDF("p_id", "dt0", "dt1", "dt2", "dt3")
+      val codes = encoded(base, books)
+      val adc = codes.crossJoin(broadcast(probeDt))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id"),
+          (element_at(col("dt0"), col("code0")) +
+            element_at(col("dt1"), col("code1")) +
+            element_at(col("dt2"), col("code2")) +
+            element_at(col("dt3"), col("code3"))).as("dd"))
+      import org.apache.spark.sql.expressions.Window
+      adc.withColumn("rk", row_number().over(
+          Window.partitionBy(col("p_id")).orderBy(col("dd"), col("vec_id"))))
+        .filter(col("rk") <= TopK)
+        .select(col("p_id"), col("rk").cast("long").as("rk"), col("vec_id"))
+        .orderBy("p_id", "rk")
+    }))
+
+  // ---- oracle: the four Lloyd loops unrolled (q91's mirror per slice) ----
+
+  private def subQ(m: Int): String = {
+    val a = m * SubDim + 1; val b = (m + 1) * SubDim
+    s"""q$m AS MATERIALIZED (SELECT vec_id, qvec[$a:$b] AS qsub,
+       |  list_transform(qvec[$a:$b], v -> CAST(v AS DOUBLE)) AS xd
+       |  FROM ${Similarity.qvecSql} z$m)""".stripMargin
+  }
+
+  private def dotD(a: String, b: String): String = Similarity.dot(a, b)
+
+  private def aSql(m: Int, cents: String): String =
+    s"""SELECT vec_id, cluster, d2 FROM (
+       |  SELECT a.vec_id, c.cluster,
+       |    (${dotD("a.xd", "a.xd")} - 2.0 * ${dotD("a.xd", "c.cvec")}
+       |      + ${dotD("c.cvec", "c.cvec")}) AS d2,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      (${dotD("a.xd", "a.xd")} - 2.0 * ${dotD("a.xd", "c.cvec")}
+       |        + ${dotD("c.cvec", "c.cvec")}), c.cluster) AS rk
+       |  FROM q$m a CROSS JOIN $cents c) t WHERE rk = 1""".stripMargin
+
+  private def rSql(m: Int, assigned: String): String =
+    s"""SELECT cluster,
+       |  list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY pos) AS cvec
+       |FROM (SELECT cluster, struct_extract(u, 'pos') AS pos,
+       |        SUM(struct_extract(u, 'v')) AS s, COUNT(*) AS cnt
+       |      FROM (SELECT a.cluster,
+       |              unnest(list_transform(range(1, len(q$m.qsub) + 1),
+       |                i -> {'pos': i, 'v': q$m.qsub[i]})) AS u
+       |            FROM $assigned a JOIN q$m ON q$m.vec_id = a.vec_id) mm
+       |      GROUP BY 1, 2) g
+       |GROUP BY cluster""".stripMargin
+
+  /** CTE chain for subspace m ending in fin_m (vec_id, cluster). */
+  private def chain(m: Int): String =
+    s"""${subQ(m)},
+       |c0_$m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+       |         xd AS cvec
+       |       FROM (SELECT vec_id, xd FROM q$m ORDER BY vec_id LIMIT $K) s),
+       |a0_$m AS MATERIALIZED (${aSql(m, s"c0_$m")}),
+       |c1_$m AS MATERIALIZED (${rSql(m, s"a0_$m")}),
+       |a1_$m AS MATERIALIZED (${aSql(m, s"c1_$m")}),
+       |c2_$m AS MATERIALIZED (${rSql(m, s"a1_$m")}),
+       |fin_$m AS MATERIALIZED (${aSql(m, s"c2_$m")})""".stripMargin
+
+  private def codesCte: String = {
+    val chains = (0 until SubSpaces).map(chain).mkString(",\n")
+    val joins = (1 until SubSpaces)
+      .map(m => s"JOIN fin_$m f$m USING (vec_id)").mkString(" ")
+    s"""$chains,
+       |codes AS MATERIALIZED (
+       |  SELECT f0.vec_id,
+       |    ${(0 until SubSpaces).map(m => s"f$m.cluster AS code$m").mkString(", ")}
+       |  FROM fin_0 f0 $joins)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q170_pq_encode" ->
+      s"""WITH $codesCte
+         |SELECT vec_id,
+         |  ${(0 until SubSpaces).map(m => s"CAST(code$m AS BIGINT) AS code$m").mkString(", ")}
+         |FROM codes ORDER BY vec_id""".stripMargin,
+    // q171: probe distance tables from the final centroids (the same
+    // (p_i − c_i)² sequential fold), 4 keyed joins (one per subspace),
+    // the SAME written-order 4-term add, rank by (distance, vec_id).
+    "q171_pq_adc_topk" -> {
+      val dts = (0 until SubSpaces).map { m =>
+        s"""SELECT p.p_id, $m AS m, c.cluster,
+           |  list_reduce(list_transform(range(1, ${SubDim + 1}),
+           |    i -> (CAST(pq.qsub[i] AS DOUBLE) - c.cvec[i])
+           |       * (CAST(pq.qsub[i] AS DOUBLE) - c.cvec[i])), (x, y) -> x + y) AS dtv
+           |FROM probes p JOIN q$m pq ON pq.vec_id = p.p_id CROSS JOIN c2_$m c""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH $codesCte,
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS p_id FROM q0
+         |  WHERE substring(md5('pqprobe:' || CAST(vec_id AS VARCHAR)), 1, 2) >= '$ProbeGate'),
+         |dt AS MATERIALIZED ($dts),
+         |adc AS (
+         |  SELECT co.vec_id, p.p_id,
+         |    ((d0.dtv + d1.dtv) + d2.dtv) + d3.dtv AS dd
+         |  FROM codes co CROSS JOIN probes p
+         |  JOIN dt d0 ON d0.p_id = p.p_id AND d0.m = 0 AND d0.cluster = co.code0
+         |  JOIN dt d1 ON d1.p_id = p.p_id AND d1.m = 1 AND d1.cluster = co.code1
+         |  JOIN dt d2 ON d2.p_id = p.p_id AND d2.m = 2 AND d2.cluster = co.code2
+         |  JOIN dt d3 ON d3.p_id = p.p_id AND d3.m = 3 AND d3.cluster = co.code3
+         |  WHERE co.vec_id <> p.p_id),
+         |rk AS (SELECT p_id, vec_id,
+         |         row_number() OVER (PARTITION BY p_id ORDER BY dd, vec_id) AS rk
+         |       FROM adc)
+         |SELECT p_id, CAST(rk AS BIGINT) AS rk, vec_id
+         |FROM rk WHERE rk <= $TopK ORDER BY p_id, rk""".stripMargin
+    })
+}

@@ -261,7 +261,7 @@ object Similarity extends QueryGroup {
       when(mx > 0.0, floor(x.cast("double") / mx * 127.0 + 0.5))
         .otherwise(lit(0L)))
 
-  private def withQuantized(emb: DataFrame): DataFrame =
+  private[graft] def withQuantized(emb: DataFrame): DataFrame =
     emb
       .withColumn("mx",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
@@ -1029,7 +1029,7 @@ object Similarity extends QueryGroup {
     """list_reduce(list_transform(range(1, len(%A) + 1),
       |  i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)), (x, y) -> x + y)"""
       .stripMargin
-  private def dot(a: String, b: String): String =
+  private[graft] def dot(a: String, b: String): String =
     dotSql.replace("%A", a).replace("%B", b)
   private def cosSql(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
@@ -1084,13 +1084,13 @@ object Similarity extends QueryGroup {
 
   // integer dot over two qvec-typed lists — the BIGINT twin of dotSql
   // (q85/q109/q113 mirrors; no doubles anywhere)
-  private def qdot(a: String, b: String): String =
+  private[graft] def qdot(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
        |  i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
 
   // q84/q85 mirror: same staged max-abs + half-up rule as quantizeInt8;
   // the quantized dot is BIGINT arithmetic, so q85's scores are exact.
-  private val qvecSql =
+  private[graft] val qvecSql =
     """(SELECT vec_id,
       |   CASE WHEN mx > 0.0
       |     THEN list_transform(embedding,
