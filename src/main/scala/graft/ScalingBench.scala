@@ -95,7 +95,9 @@ object ScalingBench {
       "q144_cross_dump_neardup", "q146_global_token_budget",
       "q147_source_budget_scalable", "q148_quality_gate_scalable",
       "q149_temperature_mix_scalable", "q151_pack_sequences_scalable",
-      "q158_decontaminate_bloom", "q159_dupspan_scrub")
+      "q158_decontaminate_bloom", "q159_dupspan_scrub",
+      "q166_bpe_train", "q167_bpe_tokenize", "q169_warc_extract",
+      "q170_pq_encode", "q171_pq_adc_topk")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full
@@ -197,6 +199,23 @@ object ScalingBench {
       Some((componentsBuild(baseDir), componentsBuild(workDir)))
     else None
 
+    // q171 deployment shape: the probe set is the QUERY WORKLOAD —
+    // fixed-size while the corpus grows. The registered md5 gate selects
+    // ~3% of vec_ids, so the blown row carries 10× probes × 10× corpus
+    // (~100× ADC pairs — a gate artifact, q139's pattern); the true
+    // curve probes the blown corpus with only the BASE corpus's gated
+    // ids (codebooks still trained on the blown corpus).
+    val adcFixedProbes = if (sel.contains("q171_pq_adc_topk"))
+      Some(time({
+        val blownBase = graft.operators.Similarity.withQuantized(
+          Tables(spark, workDir, "embeddings"))
+        val books = (0 until graft.operators.Pq.SubSpaces)
+          .map(m => graft.operators.Pq.trainSub(blownBase, m))
+        graft.operators.Pq.adcTopk(blownBase, books,
+          graft.operators.Pq.probeGateCol && col("vec_id") < 100000000L)
+      }))
+    else None
+
     val hnegFixedAnchors = if (sel.contains("q140_hard_negatives"))
       Some(time({
         val base = graft.operators.Similarity.labeledQvecs(
@@ -222,6 +241,8 @@ object ScalingBench {
         s""""blown_q139_fixed_bench":$v,""").getOrElse("") +
       hnegFixedAnchors.map(v =>
         s""""blown_q140_fixed_anchors":$v,""").getOrElse("") +
+      adcFixedProbes.map(v =>
+        s""""blown_q171_fixed_probes":$v,""").getOrElse("") +
       compCurve.map { case ((tb, rb), (tx, rx)) =>
         s""""components_base":$tb,"components_blown":$tx,""" +
         s""""components_rounds_base":$rb,"components_rounds_blown":$rx,"""

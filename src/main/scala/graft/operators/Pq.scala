@@ -76,7 +76,7 @@ object Pq extends QueryGroup {
     * sorted by cluster id. A cluster that loses every member drops out —
     * identically on the oracle side.
     */
-  private def trainSub(base: DataFrame, m: Int): Seq[(Long, Array[Double])] = {
+  private[graft] def trainSub(base: DataFrame, m: Int): Seq[(Long, Array[Double])] = {
     val q = base.select(col("vec_id"),
       slice(col("qvec"), m * SubDim + 1, SubDim).as("qsub"),
       xdSlice(m).as("xd"))
@@ -145,12 +145,27 @@ object Pq extends QueryGroup {
     // distance table (K doubles per subspace) broadcast as literals;
     // corpus side = 4 map lookups + a fixed-order add + per-probe top-k.
     "q171_pq_adc_topk" -> ((spark, dir) => {
-      import spark.implicits._
       val base = quantizedBase(spark, dir)
-      val books = (0 until SubSpaces).map(m => trainSub(base, m))
-      val probes = base
-        .filter(substring(md5(concat(lit("pqprobe:"),
-          col("vec_id").cast("string"))), 1, 2) >= ProbeGate)
+      adcTopk(base, (0 until SubSpaces).map(m => trainSub(base, m)),
+        probeGateCol)
+    }))
+
+  /** The registered probe-workload gate (~3% of vec_ids). */
+  private[graft] def probeGateCol: Column =
+    substring(md5(concat(lit("pqprobe:"),
+      col("vec_id").cast("string"))), 1, 2) >= ProbeGate
+
+  /** q171's body with the probe predicate as a parameter — the scaling
+    * bench's fixed-workload counterfactual reuses it (in deployment the
+    * probe set is the query load, fixed-size while the corpus grows; the
+    * registered gate grows WITH the fixture, a gate artifact).
+    */
+  private[graft] def adcTopk(base: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], probePred: Column): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val probes = base
+        .filter(probePred)
         .select(col("vec_id"), col("qvec"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -185,7 +200,7 @@ object Pq extends QueryGroup {
         .filter(col("rk") <= TopK)
         .select(col("p_id"), col("rk").cast("long").as("rk"), col("vec_id"))
         .orderBy("p_id", "rk")
-    }))
+  }
 
   // ---- oracle: the four Lloyd loops unrolled (q91's mirror per slice) ----
 
