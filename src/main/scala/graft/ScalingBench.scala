@@ -207,8 +207,13 @@ object ScalingBench {
     // ids (codebooks still trained on the blown corpus).
     val adcFixedProbes = if (sel.contains("q171_pq_adc_topk"))
       Some(time({
-        val blownBase = graft.operators.Similarity.withQuantized(
-          Tables(spark, workDir, "embeddings"))
+        // track() matters: the registered path caches the quantized
+        // frame, and the 4×Iters training passes re-read it — an
+        // uncached frame here times parquet re-scans, not ADC (first
+        // measurement: 8.3 s vs the registered 3.2 s for LESS work)
+        val blownBase = CachePool.track(
+          graft.operators.Similarity.withQuantized(
+            Tables(spark, workDir, "embeddings")))
         val books = (0 until graft.operators.Pq.SubSpaces)
           .map(m => graft.operators.Pq.trainSub(blownBase, m))
         graft.operators.Pq.adcTopk(blownBase, books,

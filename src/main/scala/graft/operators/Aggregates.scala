@@ -177,6 +177,53 @@ object Aggregates extends QueryGroup {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // q172 [r10]: QUANTILE SKETCH, self-validating (the q19 discipline,
+    // completing the sketch family: HLL q19, Bloom q155/q158, quantiles
+    // here). Spark's percentile_approx is a KLL-style mergeable sketch
+    // whose contract is a RANK guarantee: with accuracy a, the returned
+    // element's exact rank is within n/a of the target rank. The raw
+    // estimate is engine-specific and can never hash-match, so what
+    // hashes is the contract itself: the estimate's exact rank interval
+    // [count(<apx)+1, count(<=apx)], recomputed against the true data
+    // in-plan, must intersect target ± n/a (+1 slack for the discrete
+    // boundary). Oracle emits literal TRUE; the row goes red the day the
+    // sketch breaks its published bound. One pass builds the sketches
+    // (map-side partial merge — the mergeability IS the 100 TB story,
+    // same as every production quantile monitor), one broadcast-join
+    // pass ranks the estimates.
+    "q172_quantile_sketch" -> ((spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val apx = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9)), lit(1000)).as("apx"),
+          count(lit(1)).as("n"))
+      val eps = 1.0 / 1000
+      def ok(p: Double, idx: Int): org.apache.spark.sql.Column = {
+        val target = lit(p) * col("n").cast("double")
+        val slack = lit(eps) * col("n").cast("double") + lit(1.0)
+        val lo = col(s"r_lt$idx").cast("double") + lit(1.0) // rank interval lower
+        val hi = col(s"r_le$idx").cast("double")            // rank interval upper
+        lo <= target + slack && hi >= target - slack
+      }
+      ev.join(broadcast(apx), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          first(col("n")).as("n"),
+          sum(when(col("value") < element_at(col("apx"), 1), 1L)
+            .otherwise(0L)).as("r_lt0"),
+          sum(when(col("value") <= element_at(col("apx"), 1), 1L)
+            .otherwise(0L)).as("r_le0"),
+          sum(when(col("value") < element_at(col("apx"), 2), 1L)
+            .otherwise(0L)).as("r_lt1"),
+          sum(when(col("value") <= element_at(col("apx"), 2), 1L)
+            .otherwise(0L)).as("r_le1"))
+        .select(col("event_type"), col("n"),
+          ok(0.5, 0).as("p50_within_bound"), ok(0.9, 1).as("p90_within_bound"))
+        .orderBy("event_type")
+    }),
+
     // q126 [CLOSURE]: statistical CO-MOMENTS per group — Pearson
     // correlation and sample covariance between the event value and its
     // JSON payload's k field (the "are these two metrics related"
@@ -337,6 +384,14 @@ object Aggregates extends QueryGroup {
         | ROUND(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk,
         | ROUND(stddev_samp(value), 4) AS sd_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q172: the contract is what hashes — group sizes plus the literal
+    // bound verdicts Spark computes by ranking its own sketch estimates
+    // against the true data (q19's discipline for the quantile sketch).
+    "q172_quantile_sketch" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | TRUE AS p50_within_bound, TRUE AS p90_within_bound
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q121_exact_percentile" ->
       """SELECT o_orderstatus,
         | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -115,7 +115,7 @@ object Pq extends QueryGroup {
       Similarity.withQuantized(Tables(spark, dir, "embeddings")))
 
   /** (vec_id, code0..code3) — one map-only projection over the base. */
-  private def encoded(base: DataFrame,
+  private[graft] def encoded(base: DataFrame,
       books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
     base.select(col("vec_id") +:
       books.zipWithIndex.map { case (cents, m) =>

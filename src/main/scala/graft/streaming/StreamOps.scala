@@ -259,6 +259,18 @@ object StreamOps {
       merges: Seq[graft.operators.Tokenizer.Merge]): DataFrame =
     graft.operators.Tokenizer.tokenized(docs, merges)
 
+  /** Ingest-time PQ encoding — q170's streaming twin: arriving vectors
+    * compress to their 4 subspace codes against STATIC codebooks
+    * (trained offline by q170's loop; a codebook change is an index
+    * rebuild, exactly as in FAISS deployments). Stateless map-only —
+    * the same literal-centroid projection as batch, so batch≡stream is
+    * structural. The input frame needs q84's `qvec` column
+    * ([[graft.operators.Similarity.withQuantized]] upstream).
+    */
+  def pqEncodeStream(quantized: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    graft.operators.Pq.encoded(quantized, books)
+
   /** Streaming WARC ingest — q169's twin for the arriving-dump shape:
     * crawl dumps land as FILES on a stream (Structured Streaming's file
     * source model — `readStream.format("binaryFile")` in deployment;

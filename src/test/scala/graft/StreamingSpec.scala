@@ -1052,6 +1052,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming PQ encode == batch q170 codes (static codebooks)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Pq, Similarity}
+    val books = Pq.trainedBooks(spark, Sf)
+    val rows = Similarity.withQuantized(Tables(spark, Sf, "embeddings"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val ms = MemoryStream[(Long, Seq[Long])]
+    val q = graft.streaming.StreamOps.pqEncodeStream(
+        ms.toDF().toDF("vec_id", "qvec"), books).writeStream
+      .format("memory").queryName("pq_out")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 to Pq.SubSpaces).map(r.getLong).toSeq).toMap
+    val streamed = keyed(spark.table("pq_out"))
+    val batch = keyed(SparkEntry.queries("q170_pq_encode")(spark, Sf))
+    assert(streamed == batch, "streamed PQ codes drifted from batch q170")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming WARC ingest: per-file parse is batch-equal, malformed dump fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
