@@ -50,6 +50,9 @@ object Pq extends QueryGroup {
   val TopK = 10
   /** md5('pqprobe:'||vec_id) prefix gate — ~3% of vectors are probes. */
   val ProbeGate = "f8"
+  /** q173's coarse quantizer: cell count and probed cells per query. */
+  val CoarseK = 8
+  val NProbe = 2
 
   private def selfDot(c: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -76,12 +79,20 @@ object Pq extends QueryGroup {
     * sorted by cluster id. A cluster that loses every member drops out —
     * identically on the oracle side.
     */
-  private[graft] def trainSub(base: DataFrame, m: Int): Seq[(Long, Array[Double])] = {
+  private[graft] def trainSub(base: DataFrame, m: Int): Seq[(Long, Array[Double])] =
+    trainSlice(base, m * SubDim + 1, SubDim, K)
+
+  /** The same exact Lloyd loop over an arbitrary 1-based slice of qvec —
+    * subspace codebooks use (m·SubDim+1, SubDim); q173's COARSE
+    * quantizer uses the whole vector (1, SubSpaces·SubDim).
+    */
+  private[graft] def trainSlice(base: DataFrame, from: Int, len: Int,
+      k: Int): Seq[(Long, Array[Double])] = {
     val q = base.select(col("vec_id"),
-      slice(col("qvec"), m * SubDim + 1, SubDim).as("qsub"),
-      xdSlice(m).as("xd"))
+      slice(col("qvec"), from, len).as("qsub"),
+      transform(slice(col("qvec"), from, len), _.cast("double")).as("xd"))
     var cents: Seq[(Long, Array[Double])] =
-      q.orderBy("vec_id").limit(K).select(col("xd")).collect()
+      q.orderBy("vec_id").limit(k).select(col("xd")).collect()
         .zipWithIndex
         .map { case (r, j) => (j.toLong, r.getSeq[Double](0).toArray) }
         .toSeq
@@ -148,7 +159,90 @@ object Pq extends QueryGroup {
       val base = quantizedBase(spark, dir)
       adcTopk(base, (0 until SubSpaces).map(m => trainSub(base, m)),
         probeGateCol)
+    }),
+
+    // q173 [north star, r10]: IVF + ADC — the composed FAISS index
+    // shape. A COARSE full-dimension quantizer (same exact Lloyd loop,
+    // CoarseK cells) partitions the corpus; each probe scans only its
+    // NProbe nearest cells' vectors with q171's ADC lookups. At 100 TB
+    // the cell column is a partition key: a probe touches NProbe/CoarseK
+    // of the corpus (here 1/4), and the scan still reads only code
+    // columns. This is IVF-Flat over raw-vector PQ codes; production
+    // IVF-PQ encodes RESIDUALS (x − cell centroid) for tighter tables —
+    // residual centroids are rationals with per-cell denominators, so
+    // the exact-integer recompute discipline doesn't carry; the
+    // refinement needs tolerance-based verification at the same seam.
+    "q173_ivf_adc" -> ((spark, dir) => {
+      val base = quantizedBase(spark, dir)
+      val coarse = trainSlice(base, 1, SubSpaces * SubDim, CoarseK)
+      val books = (0 until SubSpaces).map(m => trainSub(base, m))
+      ivfAdcTopk(base, coarse, books, probeGateCol)
     }))
+
+  /** IVF-gated ADC: corpus rows carry their coarse cell; each probe's
+    * broadcast row carries its NProbe nearest cells (driver-computed
+    * with NearestCentroid's exact fold + (d2, cell) tie-break), and the
+    * ADC join filters on cell membership before ranking.
+    */
+  private[graft] def ivfAdcTopk(base: DataFrame,
+      coarse: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]], probePred: Column): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val probes = base.filter(probePred)
+      .select(col("vec_id"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(probes.nonEmpty, "probe gate selected no vectors")
+    def nearestCells(qv: Array[Long]): Seq[Long] = {
+      val xd = qv.map(_.toDouble)
+      var xdot = 0.0
+      var i = 0
+      while (i < xd.length) { xdot += xd(i) * xd(i); i += 1 }
+      coarse.map { case (cid, c) =>
+        var acc = 0.0; var cc = 0.0
+        i = 0
+        while (i < xd.length) { acc += xd(i) * c(i); cc += c(i) * c(i); i += 1 }
+        ((xdot - 2.0 * acc) + cc, cid)
+      }.sortBy(identity).take(NProbe).map(_._2)
+    }
+    val probeDt = probes.toSeq.map { case (pid, qv) =>
+      val dts = (0 until SubSpaces).map { m =>
+        books(m).map { case (cid, c) =>
+          var s = 0.0; var i = 0
+          while (i < SubDim) {
+            val d = qv(m * SubDim + i).toDouble - c(i)
+            s += d * d; i += 1
+          }
+          (cid, s)
+        }.toMap
+      }
+      (pid, nearestCells(qv), dts(0), dts(1), dts(2), dts(3))
+    }.toDF("p_id", "cells", "dt0", "dt1", "dt2", "dt3")
+    // one projection carries codes AND the coarse cell (encoded() drops
+    // qvec, so the cell argmin must ride the same select)
+    val codes = base.select(col("vec_id") +:
+      coalesce(ncStruct(transform(col("qvec"), _.cast("double")), coarse)
+        .getField("cluster"), lit(-1L)).as("cell") +:
+      books.zipWithIndex.map { case (cents, m) =>
+        coalesce(ncStruct(xdSlice(m), cents).getField("cluster"), lit(-1L))
+          .as(s"code$m")
+      }: _*)
+    val adc = codes.crossJoin(broadcast(probeDt))
+      .filter(col("vec_id") =!= col("p_id") &&
+        array_contains(col("cells"), col("cell")))
+      .select(col("p_id"), col("vec_id"),
+        (element_at(col("dt0"), col("code0")) +
+          element_at(col("dt1"), col("code1")) +
+          element_at(col("dt2"), col("code2")) +
+          element_at(col("dt3"), col("code3"))).as("dd"))
+    import org.apache.spark.sql.expressions.Window
+    adc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(col("dd"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("p_id"), col("rk").cast("long").as("rk"), col("vec_id"))
+      .orderBy("p_id", "rk")
+  }
 
   /** The registered probe-workload gate (~3% of vec_ids). */
   private[graft] def probeGateCol: Column =
@@ -202,18 +296,16 @@ object Pq extends QueryGroup {
         .orderBy("p_id", "rk")
   }
 
-  // ---- oracle: the four Lloyd loops unrolled (q91's mirror per slice) ----
+  // ---- oracle: the Lloyd loops unrolled (q91's mirror per slice) ----
 
-  private def subQ(m: Int): String = {
-    val a = m * SubDim + 1; val b = (m + 1) * SubDim
-    s"""q$m AS MATERIALIZED (SELECT vec_id, qvec[$a:$b] AS qsub,
-       |  list_transform(qvec[$a:$b], v -> CAST(v AS DOUBLE)) AS xd
-       |  FROM ${Similarity.qvecSql} z$m)""".stripMargin
-  }
+  private def subQ(tag: String, from: Int, to: Int): String =
+    s"""q$tag AS MATERIALIZED (SELECT vec_id, qvec[$from:$to] AS qsub,
+       |  list_transform(qvec[$from:$to], v -> CAST(v AS DOUBLE)) AS xd
+       |  FROM ${Similarity.qvecSql} z$tag)""".stripMargin
 
   private def dotD(a: String, b: String): String = Similarity.dot(a, b)
 
-  private def aSql(m: Int, cents: String): String =
+  private def aSql(tag: String, cents: String): String =
     s"""SELECT vec_id, cluster, d2 FROM (
        |  SELECT a.vec_id, c.cluster,
        |    (${dotD("a.xd", "a.xd")} - 2.0 * ${dotD("a.xd", "c.cvec")}
@@ -221,31 +313,37 @@ object Pq extends QueryGroup {
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |      (${dotD("a.xd", "a.xd")} - 2.0 * ${dotD("a.xd", "c.cvec")}
        |        + ${dotD("c.cvec", "c.cvec")}), c.cluster) AS rk
-       |  FROM q$m a CROSS JOIN $cents c) t WHERE rk = 1""".stripMargin
+       |  FROM q$tag a CROSS JOIN $cents c) t WHERE rk = 1""".stripMargin
 
-  private def rSql(m: Int, assigned: String): String =
+  private def rSql(tag: String, assigned: String): String =
     s"""SELECT cluster,
        |  list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY pos) AS cvec
        |FROM (SELECT cluster, struct_extract(u, 'pos') AS pos,
        |        SUM(struct_extract(u, 'v')) AS s, COUNT(*) AS cnt
        |      FROM (SELECT a.cluster,
-       |              unnest(list_transform(range(1, len(q$m.qsub) + 1),
-       |                i -> {'pos': i, 'v': q$m.qsub[i]})) AS u
-       |            FROM $assigned a JOIN q$m ON q$m.vec_id = a.vec_id) mm
+       |              unnest(list_transform(range(1, len(q$tag.qsub) + 1),
+       |                i -> {'pos': i, 'v': q$tag.qsub[i]})) AS u
+       |            FROM $assigned a JOIN q$tag ON q$tag.vec_id = a.vec_id) mm
        |      GROUP BY 1, 2) g
        |GROUP BY cluster""".stripMargin
 
-  /** CTE chain for subspace m ending in fin_m (vec_id, cluster). */
-  private def chain(m: Int): String =
-    s"""${subQ(m)},
-       |c0_$m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+  /** CTE chain for one codebook (tag, 1-based slice, k) ending in
+    * fin_tag (vec_id, cluster) — subspace books and q173's coarse
+    * quantizer share it.
+    */
+  private def chain(tag: String, from: Int, to: Int, k: Int): String =
+    s"""${subQ(tag, from, to)},
+       |c0_$tag AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
        |         xd AS cvec
-       |       FROM (SELECT vec_id, xd FROM q$m ORDER BY vec_id LIMIT $K) s),
-       |a0_$m AS MATERIALIZED (${aSql(m, s"c0_$m")}),
-       |c1_$m AS MATERIALIZED (${rSql(m, s"a0_$m")}),
-       |a1_$m AS MATERIALIZED (${aSql(m, s"c1_$m")}),
-       |c2_$m AS MATERIALIZED (${rSql(m, s"a1_$m")}),
-       |fin_$m AS MATERIALIZED (${aSql(m, s"c2_$m")})""".stripMargin
+       |       FROM (SELECT vec_id, xd FROM q$tag ORDER BY vec_id LIMIT $k) s),
+       |a0_$tag AS MATERIALIZED (${aSql(tag, s"c0_$tag")}),
+       |c1_$tag AS MATERIALIZED (${rSql(tag, s"a0_$tag")}),
+       |a1_$tag AS MATERIALIZED (${aSql(tag, s"c1_$tag")}),
+       |c2_$tag AS MATERIALIZED (${rSql(tag, s"a1_$tag")}),
+       |fin_$tag AS MATERIALIZED (${aSql(tag, s"c2_$tag")})""".stripMargin
+
+  private def chain(m: Int): String =
+    chain(m.toString, m * SubDim + 1, (m + 1) * SubDim, K)
 
   private def codesCte: String = {
     val chains = (0 until SubSpaces).map(chain).mkString(",\n")
@@ -294,5 +392,50 @@ object Pq extends QueryGroup {
          |       FROM adc)
          |SELECT p_id, CAST(rk AS BIGINT) AS rk, vec_id
          |FROM rk WHERE rk <= $TopK ORDER BY p_id, rk""".stripMargin
+    },
+    // q173: the q171 oracle plus a fifth chain (tag "c", whole vector,
+    // CoarseK) — corpus cells from fin_c, each probe's NProbe nearest
+    // cells ranked by the same assign-d2 expression, and the ADC join
+    // additionally keyed on cell membership.
+    "q173_ivf_adc" -> {
+      val dim = SubSpaces * SubDim
+      val dts = (0 until SubSpaces).map { m =>
+        s"""SELECT p.p_id, $m AS m, c.cluster,
+           |  list_reduce(list_transform(range(1, ${SubDim + 1}),
+           |    i -> (CAST(pq.qsub[i] AS DOUBLE) - c.cvec[i])
+           |       * (CAST(pq.qsub[i] AS DOUBLE) - c.cvec[i])), (x, y) -> x + y) AS dtv
+           |FROM probes p JOIN q$m pq ON pq.vec_id = p.p_id CROSS JOIN c2_$m c""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH $codesCte,
+         |${chain("c", 1, dim, CoarseK)},
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS p_id FROM q0
+         |  WHERE substring(md5('pqprobe:' || CAST(vec_id AS VARCHAR)), 1, 2) >= '$ProbeGate'),
+         |pcells AS MATERIALIZED (
+         |  SELECT p_id, cluster AS cell FROM (
+         |    SELECT p.p_id, c.cluster,
+         |      row_number() OVER (PARTITION BY p.p_id ORDER BY
+         |        (${dotD("pq.xd", "pq.xd")} - 2.0 * ${dotD("pq.xd", "c.cvec")}
+         |          + ${dotD("c.cvec", "c.cvec")}), c.cluster) AS rk
+         |    FROM probes p JOIN qc pq ON pq.vec_id = p.p_id
+         |    CROSS JOIN c2_c c) t WHERE rk <= $NProbe),
+         |dt AS MATERIALIZED ($dts),
+         |adc AS (
+         |  SELECT co.vec_id, p.p_id,
+         |    ((d0.dtv + d1.dtv) + d2.dtv) + d3.dtv AS dd
+         |  FROM codes co
+         |  JOIN fin_c fc ON fc.vec_id = co.vec_id
+         |  CROSS JOIN probes p
+         |  JOIN pcells pc ON pc.p_id = p.p_id AND pc.cell = fc.cluster
+         |  JOIN dt d0 ON d0.p_id = p.p_id AND d0.m = 0 AND d0.cluster = co.code0
+         |  JOIN dt d1 ON d1.p_id = p.p_id AND d1.m = 1 AND d1.cluster = co.code1
+         |  JOIN dt d2 ON d2.p_id = p.p_id AND d2.m = 2 AND d2.cluster = co.code2
+         |  JOIN dt d3 ON d3.p_id = p.p_id AND d3.m = 3 AND d3.cluster = co.code3
+         |  WHERE co.vec_id <> p.p_id),
+         |rnk AS (SELECT p_id, vec_id,
+         |         row_number() OVER (PARTITION BY p_id ORDER BY dd, vec_id) AS rk
+         |       FROM adc)
+         |SELECT p_id, CAST(rk AS BIGINT) AS rk, vec_id
+         |FROM rnk WHERE rk <= $TopK ORDER BY p_id, rk""".stripMargin
     })
 }

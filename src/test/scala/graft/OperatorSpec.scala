@@ -1437,6 +1437,66 @@ class OperatorSpec extends SparkSpec {
       s"PQ reconstruction MSE $mse not below corpus variance $variance")
   }
 
+  test("q173 IVF+ADC == driver-side reference: cell pruning + ADC ranking") {
+    import graft.operators.{Pq, Similarity}
+    val base = Similarity.withQuantized(Tables(spark, Sf, "embeddings"))
+    val vecs = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
+    val books = (0 until Pq.SubSpaces).map(m => Pq.trainSub(base, m))
+    // reference model: NearestCentroid's exact fold for cells and codes
+    def d2(xd: Array[Double], c: Array[Double]): Double = {
+      var xdot = 0.0; var acc = 0.0; var cc = 0.0; var i = 0
+      while (i < xd.length) {
+        xdot += xd(i) * xd(i); acc += xd(i) * c(i); cc += c(i) * c(i); i += 1
+      }
+      (xdot - 2.0 * acc) + cc
+    }
+    def argminId(xd: Array[Double], cents: Seq[(Long, Array[Double])]): Long =
+      cents.map { case (id, c) => (d2(xd, c), id) }
+        .reduceLeft((a, b) => if (b._1 < a._1) b else a)._2 // strict <, asc scan
+    def cellOf(v: Array[Long]): Long = argminId(v.map(_.toDouble), coarse)
+    def codesOf(v: Array[Long]): Seq[Long] = (0 until Pq.SubSpaces).map { m =>
+      argminId(v.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim).map(_.toDouble),
+        books(m))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def probeGate(id: Long): Boolean = md.digest(s"pqprobe:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 2) >= Pq.ProbeGate
+    val cellMap = vecs.map { case (id, v) => id -> cellOf(v) }
+    val codeMap = vecs.map { case (id, v) => id -> codesOf(v) }
+    val out = SparkEntry.queries("q173_ivf_adc")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      assert(probeGate(p), s"non-gated probe $p in the output")
+      val pv = vecs(p)
+      val probedCells = coarse.map { case (cid, c) =>
+        (d2(pv.map(_.toDouble), c), cid)
+      }.sorted.take(Pq.NProbe).map(_._2).toSet
+      // pruning: every hit's cell is a probed cell
+      rows.foreach { case (_, _, v) =>
+        assert(probedCells.contains(cellMap(v)), s"probe $p hit $v outside its cells")
+      }
+      // full ranking equality vs the reference ADC over probed cells
+      val ref = vecs.keys
+        .filter(x => x != p && probedCells.contains(cellMap(x))).toSeq
+        .map { x =>
+          val dd = (0 until Pq.SubSpaces).map { m =>
+            val c = books(m).find(_._1 == codeMap(x)(m)).get._2
+            var s = 0.0; var i = 0
+            while (i < Pq.SubDim) {
+              val d = pv(m * Pq.SubDim + i).toDouble - c(i); s += d * d; i += 1
+            }
+            s
+          }.reduceLeft(_ + _)
+          (dd, x)
+        }.sorted.take(Pq.TopK).map(_._2)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == ref,
+        s"probe $p: IVF-ADC ranking != reference")
+    }
+  }
+
   test("q153 importance scores separate the target distribution from the raw corpus") {
     // the discriminative property the DSIR-style weight exists for: docs
     // drawn from the target (English) subset must average a higher
