@@ -100,7 +100,13 @@ object Tokenizer extends QueryGroup {
     * orderBy+limit is a TakeOrdered over word TYPES, not corpus rows).
     */
   private[graft] def wordDict(spark: SparkSession, dir: String): Seq[(String, Long)] =
-    Tables(spark, dir, "documents")
+    wordDictOf(Tables(spark, dir, "documents"))
+
+  /** [[wordDict]] over an arbitrary (doc_id, text) frame — q174 trains
+    * on its gated+deduped pipeline stage.
+    */
+  private[graft] def wordDictOf(docs: DataFrame): Seq[(String, Long)] =
+    docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("word"))
@@ -160,7 +166,12 @@ object Tokenizer extends QueryGroup {
     * (next round's pair count + next round's replace), so inlined CTEs
     * would re-evaluate the whole prefix exponentially.
     */
-  private def oracleMergeCtes: String = {
+  private def oracleMergeCtes: String = oracleMergeCtes("documents")
+
+  /** The trainer chain over an arbitrary (doc_id, text) CTE/table —
+    * q174's composed pipeline trains on its gated+deduped stage.
+    */
+  private[graft] def oracleMergeCtes(src: String): String = {
     val rounds = (1 to MergeRounds).map { r =>
       val prev = s"d${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -177,7 +188,7 @@ object Tokenizer extends QueryGroup {
       .map(r => s"SELECT $r AS rank, a, b, c FROM b$r").mkString(" UNION ALL ")
     s"""wf AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS f
-       |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+       |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM $src) t
        |  GROUP BY word ORDER BY f DESC, word LIMIT $VocabCap),
        |d0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, f FROM wf),
        |$rounds,
@@ -195,19 +206,26 @@ object Tokenizer extends QueryGroup {
     // surviving token counts; LEFT JOIN restores NULL-text docs as NULL.
     "q167_bpe_tokenize" ->
       s"""WITH RECURSIVE $oracleMergeCtes,
-         |dw AS (
-         |  SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-         |        FROM documents WHERE text IS NOT NULL) t),
-         |ap AS (
-         |  SELECT doc_id, s, 0 AS r FROM dw
-         |  UNION ALL
-         |  SELECT a.doc_id, replace(a.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s, a.r + 1
-         |  FROM ap a JOIN m ON m.rank = a.r + 1),
-         |perdoc AS (
-         |  SELECT doc_id, SUM(len(list_filter(string_split(trim(s),' '), x -> x <> ''))) AS n_bpe
-         |  FROM ap WHERE r = $MergeRounds GROUP BY doc_id)
+         |${oracleApplyCtes("documents")}
          |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
          |  CAST(p.n_bpe AS BIGINT) AS n_bpe
          |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+
+  /** The tokenize-application CTEs (`dw` → recursive `ap` → `perdoc`)
+    * over an arbitrary source, ending in perdoc(doc_id, n_bpe). Assumes
+    * the merge CTE chain (`m`) is already in scope.
+    */
+  private[graft] def oracleApplyCtes(src: String): String =
+    s"""dw AS (
+       |  SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |        FROM $src WHERE text IS NOT NULL) t),
+       |ap AS (
+       |  SELECT doc_id, s, 0 AS r FROM dw
+       |  UNION ALL
+       |  SELECT a.doc_id, replace(a.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s, a.r + 1
+       |  FROM ap a JOIN m ON m.rank = a.r + 1),
+       |perdoc AS (
+       |  SELECT doc_id, SUM(len(list_filter(string_split(trim(s),' '), x -> x <> ''))) AS n_bpe
+       |  FROM ap WHERE r = $MergeRounds GROUP BY doc_id)""".stripMargin
 }

@@ -20,7 +20,8 @@ import java.nio.charset.StandardCharsets.US_ASCII
 private[graft] object Warc {
 
   final case class WarcRecord(warcType: String, recordId: String,
-      contentLength: Int, payload: Array[Byte])
+      contentLength: Int, payload: Array[Byte],
+      headers: Map[String, String])
 
   private val CRLF = "\r\n"
 
@@ -55,15 +56,24 @@ private[graft] object Warc {
   }
 
   /** One WARC file: warcinfo + a response record per (doc_id, text). */
-  def build(docs: Seq[(Long, String)]): Array[Byte] = {
+  def build(docs: Seq[(Long, String)]): Array[Byte] =
+    buildTagged(docs.map { case (id, t) => (id, t, Nil) })
+
+  /** [[build]] with per-doc extra WARC headers — the metadata sidecar a
+    * real crawl carries in the record header block (q174 threads lang
+    * and source through `WARC-Graft-*` headers instead of re-joining
+    * the corpus for them downstream).
+    */
+  def buildTagged(
+      docs: Seq[(Long, String, Seq[(String, String)])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(record("warcinfo", "urn:warcinfo:graft", Nil,
       s"software: graft$CRLF".getBytes(US_ASCII)))
-    docs.foreach { case (id, text) =>
+    docs.foreach { case (id, text, extra) =>
       val http = httpResponseFor(htmlFor(id, text))
       out.write(record("response", s"urn:doc:$id",
         Seq("WARC-Target-URI" -> s"http://example.org/doc/$id",
-          "Content-Type" -> "application/http;msgtype=response"),
+          "Content-Type" -> "application/http;msgtype=response") ++ extra,
         http.getBytes(US_ASCII)))
     }
     out.toByteArray
@@ -110,7 +120,7 @@ private[graft] object Warc {
       records += WarcRecord(
         headers.getOrElse("WARC-Type", "?"),
         headers.getOrElse("WARC-Record-ID", "?").stripPrefix("<").stripSuffix(">"),
-        len, payload)
+        len, payload, headers)
       p = sep + 4
     }
     records.result()

@@ -1497,6 +1497,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q174 pipeline: gate honored, dedup keeps lowest, packing arithmetic self-consistent") {
+    import graft.operators.Pipeline
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    val out = SparkEntry.queries("q174_crawl_to_training")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // gate: every surviving doc passes; every gated-out doc is absent
+    val surviving = out.map(_._1).toSet
+    out.foreach { case (id, _, lang, _, _) =>
+      val (text, origLang) = docs(id)
+      assert(lang == origLang, s"doc $id lang drifted through the WARC headers")
+      assert(text.exists(_.length >= Pipeline.MinChars) &&
+        Pipeline.Langs.contains(lang), s"doc $id should have been gated out")
+    }
+    docs.foreach { case (id, (text, lang)) =>
+      val passes = text.exists(_.length >= Pipeline.MinChars) &&
+        Pipeline.Langs.contains(lang)
+      if (passes && !surviving.contains(id))
+        assert(docs.exists { case (id2, (t2, _)) => id2 < id && t2 == text &&
+          surviving.contains(id2) },
+          s"doc $id passed the gate but vanished without a lower-id surviving duplicate")
+    }
+    // packing: recompute seq_id from the output's own (source, doc_id,
+    // n_bpe) order — formula consistency, not oracle duplication
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, _, nBpe, seqId) =>
+        assert(seqId == cum / Pipeline.SeqLen,
+          s"doc $id in $src: seq_id $seqId != floor($cum/${Pipeline.SeqLen})")
+        cum += nBpe
+      }
+    }
+  }
+
   test("q153 importance scores separate the target distribution from the raw corpus") {
     // the discriminative property the DSIR-style weight exists for: docs
     // drawn from the target (English) subset must average a higher
