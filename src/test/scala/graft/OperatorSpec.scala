@@ -1931,26 +1931,53 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("q167 is map-only: no shuffle in the tokenize pass") {
-    val df = SparkEntry.queries("q167_bpe_tokenize")(spark, Sf)
-    // the trailing orderBy is presentation; everything upstream of it
-    // must be exchange-free (scan → project). Count Exchanges: the only
-    // one allowed is the range partitioning for the final sort.
+  // shared shuffle-count pin: walk the final (AQE-unwrapped) tree — the
+  // printed form repeats the initial plan and would double-count; a
+  // ShuffleQueryStageExec is a LEAF wrapping its materialized Exchange,
+  // so counting both names cannot double-count one shuffle.
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect()
-    // walk the final (AQE-unwrapped) tree — the printed form repeats the
-    // initial plan and would double-count
     val root = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case other => other
     }
-    // ShuffleQueryStageExec is a LEAF wrapping its materialized Exchange,
-    // so counting both names over the tree cannot double-count one shuffle
-    val exchanges = root.collectWithSubqueries {
+    root.collectWithSubqueries {
       case e if e.nodeName.contains("Exchange") ||
         e.nodeName.contains("ShuffleQueryStage") => e
     }.size
+  }
+
+  test("q167 is map-only: no shuffle in the tokenize pass") {
+    // the trailing orderBy is presentation; everything upstream of it
+    // must be exchange-free (scan → project) — at most the final sort's
+    // range partitioning may shuffle.
+    val exchanges = shuffleCount(SparkEntry.queries("q167_bpe_tokenize")(spark, Sf))
     assert(exchanges <= 1,
-      s"tokenization should shuffle at most once (final sort), got $exchanges:\n${root.toString.take(1200)}")
+      s"tokenization should shuffle at most once (final sort), got $exchanges")
+  }
+
+  test("q170 encode and q171 ADC never shuffle vectors: at most the final sort/window exchange") {
+    // PQ's whole point at 100 TB: after training (bounded model-state
+    // collects), the corpus-side passes are map-only. q170's plan may
+    // shuffle once (presentation sort); q171's may shuffle twice (the
+    // per-probe window + final sort) — but NEVER a vector-carrying
+    // join exchange (the probe side is broadcast).
+    val enc = shuffleCount(SparkEntry.queries("q170_pq_encode")(spark, Sf))
+    assert(enc <= 1, s"PQ encode should be map-only + sort, got $enc exchanges")
+    val adcDf = SparkEntry.queries("q171_pq_adc_topk")(spark, Sf)
+    val adc = shuffleCount(adcDf)
+    assert(adc <= 2, s"ADC should shuffle only for window+sort, got $adc exchanges")
+    val plan = adcDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n${plan.take(1200)}")
+  }
+
+  test("q172's rank pass broadcasts the sketch estimates (no sort-merge join)") {
+    val df = SparkEntry.queries("q172_quantile_sketch")(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-group estimates are tiny — the rank join must broadcast:\n${plan.take(1200)}")
   }
 }
