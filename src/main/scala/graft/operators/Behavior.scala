@@ -32,7 +32,42 @@ object Behavior extends QueryGroup {
 
   private val HourUs = 3600L * 1000000L
 
+  /** q175's noisy-pair margin filter, in exact cents. */
+  val MinMarginCents = 500L
+
   def queries: Map[String, Q] = Map(
+    // q175 [north star, r10]: PREFERENCE-PAIR construction — the
+    // behavior-log → RLHF/DPO bridge (q160 renders SFT transcripts;
+    // this mines (chosen, rejected) item pairs from implicit feedback).
+    // Per (user, item=props.k): engagement = exact SUM of value in
+    // integer cents (value carries 2 decimals; a double sum's low bits
+    // are association-order-dependent and would diverge cross-engine).
+    // Per user with ≥2 distinct items: chosen = highest-scored item
+    // (ties → lowest k), rejected = lowest-scored (ties → highest k),
+    // kept only when the margin ≥ MinMarginCents — the standard noisy-
+    // pair filter. Scale: two partial-aggregating shuffles (user,k →
+    // user), no windows over the corpus, no joins.
+    "q175_preference_pairs" -> ((spark, dir) => {
+      Tables(spark, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("user_id"), col("k"))
+        .agg(sum(col("cents")).as("s"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          max_by(col("k"), struct(col("s"), (-col("k")).as("t"))).as("chosen_k"),
+          max(struct(col("s"), (-col("k")).as("t"))).getField("s").as("cs"),
+          min_by(col("k"), struct(col("s"), (-col("k")).as("t"))).as("rejected_k"),
+          min(struct(col("s"), (-col("k")).as("t"))).getField("s").as("rs"))
+        .filter(col("n_items") >= 2 &&
+          col("cs") - col("rs") >= MinMarginCents)
+        .select(col("user_id"), col("chosen_k"), col("rejected_k"),
+          (col("cs") - col("rs")).as("margin_cents"), col("n_items"))
+        .orderBy("user_id")
+    }),
     // q107 [CLOSURE]: sequential conversion funnel view → click →
     // purchase, each step within one hour of the previous step's first
     // completion. `stage` counts completed steps; step timestamps are
@@ -334,6 +369,33 @@ object Behavior extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q175: same exact-cents scoring; chosen/rejected re-derived with
+    // deterministic row_number tie-breaks ((s DESC, k ASC) / (s ASC,
+    // k DESC) ≡ max/min of the (s, −k) struct).
+    "q175_preference_pairs" ->
+      s"""WITH scored AS (
+         |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |    SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT user_id, k, s,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY s DESC, k ASC) AS top,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY s ASC, k DESC) AS bot,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n_items
+         |  FROM scored),
+         |pairs AS (
+         |  SELECT t.user_id, t.k AS chosen_k, b.k AS rejected_k,
+         |    t.s - b.s AS margin_cents, t.n_items
+         |  FROM ranked t JOIN ranked b
+         |    ON t.user_id = b.user_id AND t.top = 1 AND b.bot = 1)
+         |SELECT user_id, chosen_k, rejected_k,
+         |  CAST(margin_cents AS BIGINT) AS margin_cents,
+         |  CAST(n_items AS BIGINT) AS n_items
+         |FROM pairs
+         |WHERE n_items >= 2 AND margin_cents >= $MinMarginCents
+         |ORDER BY user_id""".stripMargin,
     "q107_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS view_us FROM e

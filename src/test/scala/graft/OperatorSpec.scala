@@ -1534,6 +1534,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q175 preference pairs: chosen/rejected are the true extremes, margin filter honored") {
+    import graft.operators.Behavior
+    val scores = Tables(spark, Sf, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .filter(col("k").isNotNull)
+      .collect().groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> rows.groupBy(_.getLong(1))
+          .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+      }
+    val out = SparkEntry.queries("q175_preference_pairs")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (u, chosen, rejected, margin, nItems) =>
+      val s = scores(u)
+      assert(chosen != rejected)
+      assert(nItems == s.size.toLong)
+      // true extremes with the declared tie-breaks
+      val top = s.toSeq.maxBy { case (k, v) => (v, -k) }
+      val bot = s.toSeq.minBy { case (k, v) => (v, -k) }
+      assert(chosen == top._1 && rejected == bot._1,
+        s"user $u: ($chosen,$rejected) != reference (${top._1},${bot._1})")
+      assert(margin == top._2 - bot._2 && margin >= Behavior.MinMarginCents)
+    }
+    // the filter actually excludes someone (fixture sanity)
+    val excluded = scores.keySet -- out.map(_._1).toSet
+    excluded.foreach { u =>
+      val s = scores(u)
+      val ok = s.size >= 2 &&
+        s.values.max - s.values.min >= Behavior.MinMarginCents
+      assert(!ok, s"user $u passes the margin filter but was excluded")
+    }
+  }
+
   test("q153 importance scores separate the target distribution from the raw corpus") {
     // the discriminative property the DSIR-style weight exists for: docs
     // drawn from the target (English) subset must average a higher
