@@ -122,12 +122,17 @@ object Bench {
         s""""note":"ms arrays align with ascii-sorted query names; legacy_count lets Catalyst prune unconsumed work - never compare it with checksum",""" +
         s""""checksum_ms":${msArray(_._2)},"legacy_count_ms":${msArray(_._3)},$tail}"""
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_legacy_count":$qsCount,$tail}"""
-    // Hard guarantee against future growth: if the line ever outgrows the
-    // scrape window, drop the secondary consumer's array rather than let
-    // the clip choose what survives.
-    println(
+    // Hard guarantee against future growth: if the line outgrows the
+    // scrape window, drop the secondary consumer's array; if that is
+    // STILL too long (the fallback itself must be re-checked — r10
+    // review finding), drop both ms arrays and keep the scalar record,
+    // so the clip can never choose what survives.
+    val fit1 =
       if (stdoutLine.length <= 1950) stdoutLine
-      else stdoutLine.replaceFirst(""","legacy_count_ms":\[[0-9,]*\]""", ""))
+      else stdoutLine.replaceFirst(""","legacy_count_ms":\[[0-9,]*\]""", "")
+    println(
+      if (fit1.length <= 1950) fit1
+      else fit1.replaceFirst(""","checksum_ms":\[[0-9,]*\]""", ""))
     // Also land the FULL record in a file: a file survives any log
     // clipping. Default is cwd-relative — the record belongs to the
     // checkout the run came from, not a baked-in absolute path.

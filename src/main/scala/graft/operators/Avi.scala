@@ -93,6 +93,10 @@ private[graft] object Avi {
       while (p + 8 <= end) {
         val id = cc(avi, p)
         val size = readLe32(avi, p + 4)
+        // negative size would both pass the bound check (it SHRINKS the
+        // left side) and advance p by zero — an infinite loop, not a
+        // loud failure (r10 review finding)
+        require(size >= 0, s"negative chunk size $size for $id at $p")
         require(p + 8 + size <= end, s"truncated chunk $id at $p")
         if (id == "LIST") {
           val listType = cc(avi, p + 8)
@@ -118,6 +122,7 @@ private[graft] object Avi {
       while (q + 8 <= end && found < 0) {
         val id = cc(avi, q)
         val size = readLe32(avi, q + 4)
+        require(size >= 0, s"negative chunk size $size for $id at $q")
         if (id == "LIST") walk(q + 12, q + 8 + size)
         else if (id == "avih") found = readLe32(avi, q + 8 + 16)
         q += 8 + size + (size % 2)

@@ -52,7 +52,12 @@ object Behavior extends QueryGroup {
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
-        .filter(col("k").isNotNull)
+        // value NULLs are excluded EXPLICITLY: an all-NULL item would
+        // make s NULL, and Spark's struct min ranks NULL first while the
+        // oracle's ORDER BY ranks it last — the one place the two
+        // engines' NULL orderings would silently pick different
+        // 'rejected' items (r10 review finding)
+        .filter(col("k").isNotNull && col("cents").isNotNull)
         .groupBy(col("user_id"), col("k"))
         .agg(sum(col("cents")).as("s"))
         .groupBy(col("user_id"))
@@ -378,6 +383,7 @@ object Behavior extends QueryGroup {
          |    SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s
          |  FROM events
          |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |    AND value IS NOT NULL
          |  GROUP BY 1, 2),
          |ranked AS (
          |  SELECT user_id, k, s,

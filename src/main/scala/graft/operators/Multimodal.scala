@@ -354,36 +354,41 @@ object Multimodal extends QueryGroup {
       media: Dataset[MediaRow]): Dataset[DecodedFrames] = {
     import spark.implicits._
     media.mapPartitions { it =>
+      // ONE reader per partition (the registry lookup + allocation per
+      // row was waste; setInput resets the reader's state per document),
+      // streams closed in finally so a bad row can't leak them; the
+      // reader is disposed when the partition's iterator is exhausted
+      // (the by-name RHS of ++ runs after the last element).
+      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
       it.map { r =>
-        val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"undecodable GIF for doc ${r.doc_id}")
-        var sum = 0L
-        var w = 0L
-        var h = 0L
-        var f = 0
-        while (f < n) {
-          val img = reader.read(f)
-          w = img.getWidth.toLong
-          h = img.getHeight.toLong
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              sum += img.getRaster.getSample(x, y, 0).toLong
-              x += 1
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          require(n > 0, s"undecodable GIF for doc ${r.doc_id}")
+          var sum = 0L
+          var w = 0L
+          var h = 0L
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            w = img.getWidth.toLong
+            h = img.getHeight.toLong
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRaster.getSample(x, y, 0).toLong
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            f += 1
           }
-          f += 1
-        }
-        reader.dispose()
-        iis.close()
-        DecodedFrames(r.doc_id, n.toLong, w, h, sum)
-      }
+          DecodedFrames(r.doc_id, n.toLong, w, h, sum)
+        } finally iis.close()
+      } ++ { reader.dispose(); Iterator.empty }
     }
   }
 
@@ -617,14 +622,11 @@ object Multimodal extends QueryGroup {
           Warc.build(it.map(t => (t._1, t._2)).toArray.sortBy(_._1).toSeq)
         }
       files.flatMap { bytes =>
-        Warc.parse(bytes).filter(_.warcType == "response").map { r =>
-          val html = Warc.httpBody(r.payload)
-          val text = Warc.extractMain(html)
+        Warc.responses(bytes).map { e =>
           val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes("US-ASCII")).map("%02x".format(_)).mkString
-          (r.recordId.stripPrefix("urn:doc:").toLong,
-            r.contentLength.toLong, html.length.toLong,
-            text.length.toLong, md5)
+            .digest(e.text.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+          (e.docId, e.contentLength, e.html.length.toLong,
+            e.text.length.toLong, md5)
         }
       }.toDF("doc_id", "content_length", "html_len", "n_extracted_chars",
         "text_md5")

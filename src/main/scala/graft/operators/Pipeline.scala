@@ -57,11 +57,10 @@ object Pipeline extends QueryGroup {
       // ingest: parse records, validate HTTP, extract main content,
       // read the metadata sidecar off the record headers
       val parsed = files.flatMap { bytes =>
-        Warc.parse(bytes).filter(_.warcType == "response").map { r =>
-          val text = Warc.extractMain(Warc.httpBody(r.payload))
-          (r.recordId.stripPrefix("urn:doc:").toLong, text,
-            r.headers.getOrElse("WARC-Graft-Lang", "?"),
-            r.headers.getOrElse("WARC-Graft-Source", "?"))
+        Warc.responses(bytes).map { e =>
+          (e.docId, e.text,
+            e.headers.getOrElse("WARC-Graft-Lang", "?"),
+            e.headers.getOrElse("WARC-Graft-Source", "?"))
         }
       }.toDF("doc_id", "text", "lang", "source")
       // curation gate

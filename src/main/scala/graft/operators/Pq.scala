@@ -186,15 +186,45 @@ object Pq extends QueryGroup {
     */
   private[graft] def ivfAdcTopk(base: DataFrame,
       coarse: Seq[(Long, Array[Double])],
-      books: Seq[Seq[(Long, Array[Double])]], probePred: Column): DataFrame = {
+      books: Seq[Seq[(Long, Array[Double])]], probePred: Column): DataFrame =
+    adcCore(base, books, probePred, Some(coarse))
+
+  /** The registered probe-workload gate (~3% of vec_ids). */
+  private[graft] def probeGateCol: Column =
+    substring(md5(concat(lit("pqprobe:"),
+      col("vec_id").cast("string"))), 1, 2) >= ProbeGate
+
+  /** q171's body with the probe predicate as a parameter — the scaling
+    * bench's fixed-workload counterfactual reuses it (in deployment the
+    * probe set is the query load, fixed-size while the corpus grows; the
+    * registered gate grows WITH the fixture, a gate artifact).
+    */
+  private[graft] def adcTopk(base: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], probePred: Column): DataFrame =
+    adcCore(base, books, probePred, None)
+
+  /** The ONE ADC scan both q171 (no coarse gate) and q173 (IVF cells)
+    * run — a single copy so the exactness-bearing pieces (the dt fold,
+    * the 4-term add order, the (dd, vec_id) tie-break) cannot drift
+    * between the two queries (r10 review finding). With `coarse` set,
+    * corpus rows carry their cell, each probe its NProbe nearest cells,
+    * and the ADC join filters on membership; without, the filter is
+    * vacuously true (every row in the one implicit cell).
+    */
+  private def adcCore(base: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], probePred: Column,
+      coarseOpt: Option[Seq[(Long, Array[Double])]]): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val probes = base.filter(probePred)
+    val probes = base
+      .filter(probePred)
       .select(col("vec_id"), col("qvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(probes.nonEmpty, "probe gate selected no vectors")
-    def nearestCells(qv: Array[Long]): Seq[Long] = {
+    // NearestCentroid's exact fold + (d2, id) tie-break, driver-side —
+    // the probe's nprobe cell short-list
+    def nearestCells(qv: Array[Long], coarse: Seq[(Long, Array[Double])]): Seq[Long] = {
       val xd = qv.map(_.toDouble)
       var xdot = 0.0
       var i = 0
@@ -206,6 +236,10 @@ object Pq extends QueryGroup {
         ((xdot - 2.0 * acc) + cc, cid)
       }.sortBy(identity).take(NProbe).map(_._2)
     }
+    // per probe × subspace: dt[j] = Σ_i (p_i − c_{j,i})², the exact
+    // sequential fold the oracle mirrors; keyed by cluster id in a map
+    // (ids need not be contiguous if a cluster emptied). cells = [0] in
+    // the ungated mode, matching the constant cell below.
     val probeDt = probes.toSeq.map { case (pid, qv) =>
       val dts = (0 until SubSpaces).map { m =>
         books(m).map { case (cid, c) =>
@@ -217,13 +251,18 @@ object Pq extends QueryGroup {
           (cid, s)
         }.toMap
       }
-      (pid, nearestCells(qv), dts(0), dts(1), dts(2), dts(3))
+      val cells = coarseOpt.map(nearestCells(qv, _)).getOrElse(Seq(0L))
+      (pid, cells, dts(0), dts(1), dts(2), dts(3))
     }.toDF("p_id", "cells", "dt0", "dt1", "dt2", "dt3")
     // one projection carries codes AND the coarse cell (encoded() drops
     // qvec, so the cell argmin must ride the same select)
-    val codes = base.select(col("vec_id") +:
-      coalesce(ncStruct(transform(col("qvec"), _.cast("double")), coarse)
-        .getField("cluster"), lit(-1L)).as("cell") +:
+    val cellCol = coarseOpt match {
+      case Some(coarse) => coalesce(
+        ncStruct(transform(col("qvec"), _.cast("double")), coarse)
+          .getField("cluster"), lit(-1L))
+      case None => lit(0L)
+    }
+    val codes = base.select(col("vec_id") +: cellCol.as("cell") +:
       books.zipWithIndex.map { case (cents, m) =>
         coalesce(ncStruct(xdSlice(m), cents).getField("cluster"), lit(-1L))
           .as(s"code$m")
@@ -242,58 +281,6 @@ object Pq extends QueryGroup {
       .filter(col("rk") <= TopK)
       .select(col("p_id"), col("rk").cast("long").as("rk"), col("vec_id"))
       .orderBy("p_id", "rk")
-  }
-
-  /** The registered probe-workload gate (~3% of vec_ids). */
-  private[graft] def probeGateCol: Column =
-    substring(md5(concat(lit("pqprobe:"),
-      col("vec_id").cast("string"))), 1, 2) >= ProbeGate
-
-  /** q171's body with the probe predicate as a parameter — the scaling
-    * bench's fixed-workload counterfactual reuses it (in deployment the
-    * probe set is the query load, fixed-size while the corpus grows; the
-    * registered gate grows WITH the fixture, a gate artifact).
-    */
-  private[graft] def adcTopk(base: DataFrame,
-      books: Seq[Seq[(Long, Array[Double])]], probePred: Column): DataFrame = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    val probes = base
-        .filter(probePred)
-        .select(col("vec_id"), col("qvec"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      require(probes.nonEmpty, "probe gate selected no vectors")
-      // per probe × subspace: dt[j] = Σ_i (p_i − c_{j,i})², the exact
-      // sequential fold the oracle mirrors; keyed by cluster id in a map
-      // (ids need not be contiguous if a cluster emptied)
-      val probeDt = probes.toSeq.map { case (pid, qv) =>
-        val dts = (0 until SubSpaces).map { m =>
-          books(m).map { case (cid, c) =>
-            var s = 0.0; var i = 0
-            while (i < SubDim) {
-              val d = qv(m * SubDim + i).toDouble - c(i)
-              s += d * d; i += 1
-            }
-            (cid, s)
-          }
-        }
-        (pid, dts(0).toMap, dts(1).toMap, dts(2).toMap, dts(3).toMap)
-      }.toDF("p_id", "dt0", "dt1", "dt2", "dt3")
-      val codes = encoded(base, books)
-      val adc = codes.crossJoin(broadcast(probeDt))
-        .filter(col("vec_id") =!= col("p_id"))
-        .select(col("p_id"), col("vec_id"),
-          (element_at(col("dt0"), col("code0")) +
-            element_at(col("dt1"), col("code1")) +
-            element_at(col("dt2"), col("code2")) +
-            element_at(col("dt3"), col("code3"))).as("dd"))
-      import org.apache.spark.sql.expressions.Window
-      adc.withColumn("rk", row_number().over(
-          Window.partitionBy(col("p_id")).orderBy(col("dd"), col("vec_id"))))
-        .filter(col("rk") <= TopK)
-        .select(col("p_id"), col("rk").cast("long").as("rk"), col("vec_id"))
-        .orderBy("p_id", "rk")
   }
 
   // ---- oracle: the Lloyd loops unrolled (q91's mirror per slice) ----

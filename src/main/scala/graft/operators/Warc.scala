@@ -70,6 +70,13 @@ private[graft] object Warc {
     out.write(record("warcinfo", "urn:warcinfo:graft", Nil,
       s"software: graft$CRLF".getBytes(US_ASCII)))
     docs.foreach { case (id, text, extra) =>
+      // loud, not lossy: US_ASCII getBytes would silently substitute '?'
+      // for unmappable chars, corrupting the corpus while the byte-length
+      // Content-Lengths kept lining up (r10 review finding). The whole
+      // byte≡char length discipline (oracle compares length() in CHARS)
+      // is an ASCII contract — enforce it at the write.
+      require(text.forall(_ < 128),
+        s"doc $id: non-ASCII text cannot round-trip the ASCII WARC encoding")
       val http = httpResponseFor(htmlFor(id, text))
       out.write(record("response", s"urn:doc:$id",
         Seq("WARC-Target-URI" -> s"http://example.org/doc/$id",
@@ -78,6 +85,22 @@ private[graft] object Warc {
     }
     out.toByteArray
   }
+
+  /** One parsed response record, post-validation: doc id (from the
+    * record id), the WARC Content-Length, the HTML, the extracted main
+    * text, and the raw record headers. The SINGLE extraction loop shared
+    * by batch q169, the streaming twin, and the q174 pipeline — so the
+    * batch≡stream claim is structural (the Tokenizer.tokenized stance).
+    */
+  final case class Extracted(docId: Long, contentLength: Long,
+      html: String, text: String, headers: Map[String, String])
+
+  def responses(bytes: Array[Byte]): Seq[Extracted] =
+    parse(bytes).filter(_.warcType == "response").map { r =>
+      val html = httpBody(r.payload)
+      Extracted(r.recordId.stripPrefix("urn:doc:").toLong,
+        r.contentLength.toLong, html, extractMain(html), r.headers)
+    }
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from

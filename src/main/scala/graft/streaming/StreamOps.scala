@@ -285,14 +285,9 @@ object StreamOps {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col("content")).as[Array[Byte]].flatMap { bytes =>
-      graft.operators.Warc.parse(bytes)
-        .filter(_.warcType == "response")
-        .map { r =>
-          val html = graft.operators.Warc.httpBody(r.payload)
-          val text = graft.operators.Warc.extractMain(html)
-          (r.recordId.stripPrefix("urn:doc:").toLong,
-            r.contentLength.toLong, text.length.toLong, text)
-        }
+      graft.operators.Warc.responses(bytes).map { e =>
+        (e.docId, e.contentLength, e.text.length.toLong, e.text)
+      }
     }.toDF("doc_id", "content_length", "n_extracted_chars", "text")
   }
 }
