@@ -123,8 +123,12 @@ private[graft] object Avi {
         val id = cc(avi, q)
         val size = readLe32(avi, q + 4)
         require(size >= 0, s"negative chunk size $size for $id at $q")
+        require(q + 8 + size <= end, s"truncated chunk $id at $q")
         if (id == "LIST") walk(q + 12, q + 8 + size)
-        else if (id == "avih") found = readLe32(avi, q + 8 + 16)
+        else if (id == "avih") {
+          require(size >= 20, s"avih chunk too small ($size bytes)")
+          found = readLe32(avi, q + 8 + 16)
+        }
         q += 8 + size + (size % 2)
       }
     }

@@ -73,8 +73,7 @@ object Dedup extends QueryGroup {
     * MinHash and Jaccard verification need — see ShingleHashes scaladoc).
     */
   private[graft] def shingled(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("sh"))
+    shingled(df, Nil)
 
   /** Spread an under-split scan across the cluster before the (narrow,
     * compute-heavy) shingle+signature pipeline: a scan with fewer splits

@@ -357,9 +357,12 @@ object Multimodal extends QueryGroup {
       // ONE reader per partition (the registry lookup + allocation per
       // row was waste; setInput resets the reader's state per document),
       // streams closed in finally so a bad row can't leak them; the
-      // reader is disposed when the partition's iterator is exhausted
-      // (the by-name RHS of ++ runs after the last element).
+      // reader is disposed on TASK COMPLETION — not iterator exhaustion,
+      // which a limit()/take() consumer may never reach (r10 review
+      // finding).
       val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
@@ -388,7 +391,7 @@ object Multimodal extends QueryGroup {
           }
           DecodedFrames(r.doc_id, n.toLong, w, h, sum)
         } finally iis.close()
-      } ++ { reader.dispose(); Iterator.empty }
+      }
     }
   }
 
@@ -621,12 +624,18 @@ object Multimodal extends QueryGroup {
         .mapGroups { (_, it) =>
           Warc.build(it.map(t => (t._1, t._2)).toArray.sortBy(_._1).toSeq)
         }
-      files.flatMap { bytes =>
-        Warc.responses(bytes).map { e =>
-          val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(e.text.getBytes("US-ASCII")).map("%02x".format(_)).mkString
-          (e.docId, e.contentLength, e.html.length.toLong,
-            e.text.length.toLong, md5)
+      files.mapPartitions { it =>
+        // one digest instance per partition (provider lookup per record
+        // was hot-loop waste — the derefRanged reset() pattern)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { bytes =>
+          Warc.responses(bytes).map { e =>
+            md.reset()
+            val md5 = md.digest(e.text.getBytes("US-ASCII"))
+              .map("%02x".format(_)).mkString
+            (e.docId, e.contentLength, e.html.length.toLong,
+              e.text.length.toLong, md5)
+          }
         }
       }.toDF("doc_id", "content_length", "html_len", "n_extracted_chars",
         "text_md5")

@@ -45,7 +45,14 @@ object Pipeline extends QueryGroup {
       // crawl scaffolding: pack into 16 WARC shards, metadata in headers
       val files = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .filter(col("text").isNotNull)
+        // metadata completeness is a PACK precondition: a NULL lang or
+        // source would interpolate as the literal string "null" in the
+        // WARC header and come back as a real string — diverging from
+        // the oracle's SQL NULL (r10 review finding). Records missing
+        // their sidecar are quarantined at the pack, mirrored in the
+        // oracle's WHERE.
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull)
         .withColumn("shard", pmod(col("doc_id"), lit(16)))
         .as[(Long, String, String, String, Long)]
         .groupByKey(_._5)
@@ -97,7 +104,8 @@ object Pipeline extends QueryGroup {
     "q174_crawl_to_training" ->
       s"""WITH RECURSIVE gated AS MATERIALIZED (
          |  SELECT doc_id, text, lang, source FROM documents
-         |  WHERE text IS NOT NULL AND length(text) >= $MinChars
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+         |    AND length(text) >= $MinChars
          |    AND lang IN (${Langs.map(l => s"'$l'").mkString(", ")})),
          |dd AS MATERIALIZED (
          |  SELECT doc_id, text, lang, source FROM (

@@ -125,14 +125,20 @@ object Pq extends QueryGroup {
     graft.CachePool.track(
       Similarity.withQuantized(Tables(spark, dir, "embeddings")))
 
-  /** (vec_id, code0..code3) — one map-only projection over the base. */
+  /** (vec_id [, extra...], code0..code3) — one map-only projection over
+    * the base. `extra` lets q173's coarse-cell argmin ride the SAME
+    * projection (the code-column expressions exist exactly once, so
+    * q170's codes can never drift from the ADC queries' — r10 review
+    * finding).
+    */
   private[graft] def encoded(base: DataFrame,
-      books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
-    base.select(col("vec_id") +:
+      books: Seq[Seq[(Long, Array[Double])]],
+      extra: Seq[Column] = Nil): DataFrame =
+    base.select(col("vec_id") +: (extra ++
       books.zipWithIndex.map { case (cents, m) =>
         coalesce(ncStruct(xdSlice(m), cents).getField("cluster"), lit(-1L))
           .as(s"code$m")
-      }: _*)
+      }): _*)
 
   /** All four trained codebooks (tests reuse this to rebuild the
     * reference reconstruction).
@@ -262,11 +268,7 @@ object Pq extends QueryGroup {
           .getField("cluster"), lit(-1L))
       case None => lit(0L)
     }
-    val codes = base.select(col("vec_id") +: cellCol.as("cell") +:
-      books.zipWithIndex.map { case (cents, m) =>
-        coalesce(ncStruct(xdSlice(m), cents).getField("cluster"), lit(-1L))
-          .as(s"code$m")
-      }: _*)
+    val codes = encoded(base, books, Seq(cellCol.as("cell")))
     val adc = codes.crossJoin(broadcast(probeDt))
       .filter(col("vec_id") =!= col("p_id") &&
         array_contains(col("cells"), col("cell")))

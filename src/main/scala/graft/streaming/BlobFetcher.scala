@@ -98,7 +98,7 @@ class HttpBlobFetcher(
       .GET().build()
     val r = HttpRetry.send(client, req,
       HttpResponse.BodyHandlers.ofByteArray(), maxAttempts, backoffMs)
-    r.statusCode() match {
+    val bytes = r.statusCode() match {
       case 206 => r.body()
       case 200 =>
         val b = r.body()
@@ -107,6 +107,17 @@ class HttpBlobFetcher(
       case c => throw new java.io.IOException(
         s"blob fetch failed: GET $baseUrl$path [$offset,+$length) -> $c")
     }
+    // loud, not short: a manifest range must lie INSIDE the blob. A
+    // server capping a partially-out-of-range 206 at EOF (or the
+    // 200-degrade slicing short) would otherwise return fewer bytes and
+    // corrupt md5s downstream silently — and the two paths would differ
+    // on the error case (416 vs empty) where the contract says they are
+    // byte-identical (r10 review finding).
+    if (bytes.length != length)
+      throw new java.io.IOException(
+        s"short blob read: GET $baseUrl$path [$offset,+$length) returned " +
+          s"${bytes.length} bytes — manifest range outside the blob?")
+    bytes
   }
 }
 
@@ -178,6 +189,11 @@ class BlobApiStub(payload: String => Option[Array[Byte]]) {
     }
   } catch {
     case e: Throwable =>
-      reply(x, 500, s"""{"error":"${e.getMessage}"}""".getBytes(UTF_8))
+      // best-effort 500: if headers already went out (client hung up
+      // mid-body-write), a second sendResponseHeaders would itself throw
+      // inside the dispatcher — swallow that and just close the exchange
+      // (r10 review finding)
+      try reply(x, 500, s"""{"error":"${e.getMessage}"}""".getBytes(UTF_8))
+      catch { case _: Throwable => x.close() }
   }
 }
