@@ -1306,6 +1306,10 @@ class OperatorSpec extends SparkSpec {
       Warc.parse(java.util.Arrays.copyOfRange(warc, 0, warc.length - 3))
     }
     intercept[IllegalArgumentException] { Warc.parse("WARC/9.9\r\n\r\n".getBytes) }
+    // non-ASCII text must raise at the WRITE — the US_ASCII encoder would
+    // otherwise silently substitute '?' and corrupt the corpus while all
+    // the Content-Lengths still lined up
+    intercept[IllegalArgumentException] { Warc.build(Seq((9L, "café"))) }
     // an HTTP message lying about its Content-Length is caught
     val lying = ("HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort").getBytes
     intercept[IllegalArgumentException] { Warc.httpBody(lying) }

@@ -421,6 +421,21 @@ class StreamingSpec extends SparkSpec {
       intercept[java.io.IOException] {
         fetcher.fetchRange("/blobs/missing.bin", 0, 4)
       }
+      // a manifest range past the blob end is LOUD on both server modes:
+      // the honoring server caps the 206 at EOF (short slice) and the
+      // ignoring server's degrade slices short — both must raise, and
+      // identically (the r10 short-read guard)
+      intercept[java.io.IOException] {
+        fetcher.fetchRange("/blobs/packed/shard-0.bin", 120, 16)
+      }
+      stub.honorRange = false
+      intercept[java.io.IOException] {
+        fetcher.fetchRange("/blobs/packed/shard-0.bin", 120, 16)
+      }
+      intercept[java.io.IOException] { // fully out of range, degraded mode
+        fetcher.fetchRange("/blobs/packed/shard-0.bin", 256, 8)
+      }
+      stub.honorRange = true
       // end-to-end through the Spark operator: distributed manifest,
       // pooled partition-local fetch, one mid-job 500 absorbed
       val manifest = Seq(
