@@ -39,6 +39,8 @@ private[graft] object Avi {
 
   /** Mux pre-encoded JPEG frames (same dimensions) into an AVI file. */
   def mux(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    require(frames.nonEmpty, "cannot mux an empty frame list")
+    require(fps > 0, s"fps must be positive, got $fps")
     val maxFrame = frames.map(_.length).max
     val avih = chunk("avih",
       le32(1000000 / fps) ++ le32(maxFrame * fps) ++ le32(0) ++
@@ -86,7 +88,10 @@ private[graft] object Avi {
     require(avi.length >= 12 && cc(avi, 0) == "RIFF" && cc(avi, 8) == "AVI ",
       "not a RIFF/AVI file")
     val riffSize = readLe32(avi, 4)
-    require(8 + riffSize <= avi.length, "truncated RIFF payload")
+    // riffSize is attacker-controlled: negative (or Int-overflow via
+    // 8 + size) values must fail loudly, not walk an empty/garbage range
+    require(riffSize >= 4 && 8L + riffSize <= avi.length,
+      s"bad RIFF payload size $riffSize for ${avi.length}-byte input")
     val frames = Seq.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var p = start
@@ -97,7 +102,7 @@ private[graft] object Avi {
         // left side) and advance p by zero — an infinite loop, not a
         // loud failure (r10 review finding)
         require(size >= 0, s"negative chunk size $size for $id at $p")
-        require(p + 8 + size <= end, s"truncated chunk $id at $p")
+        require(p + 8L + size <= end, s"truncated chunk $id at $p")
         if (id == "LIST") {
           val listType = cc(avi, p + 8)
           walk(p + 12, p + 8 + size, inMovi || listType == "movi")
@@ -115,6 +120,10 @@ private[graft] object Avi {
     * — lets tests pin header/stream consistency.
     */
   def headerTotalFrames(avi: Array[Byte]): Int = {
+    require(avi.length >= 12 && cc(avi, 0) == "RIFF" && cc(avi, 8) == "AVI ",
+      "not a RIFF/AVI file")
+    require(readLe32(avi, 4) >= 4 && 8L + readLe32(avi, 4) <= avi.length,
+      "bad RIFF payload size")
     var p = 12
     var found = -1
     def walk(start: Int, end: Int): Unit = {
@@ -123,7 +132,7 @@ private[graft] object Avi {
         val id = cc(avi, q)
         val size = readLe32(avi, q + 4)
         require(size >= 0, s"negative chunk size $size for $id at $q")
-        require(q + 8 + size <= end, s"truncated chunk $id at $q")
+        require(q + 8L + size <= end, s"truncated chunk $id at $q")
         if (id == "LIST") walk(q + 12, q + 8 + size)
         else if (id == "avih") {
           require(size >= 20, s"avih chunk too small ($size bytes)")

@@ -834,7 +834,8 @@ object Multimodal extends QueryGroup {
       """WITH h AS (
         |  SELECT doc_id, text,
         |    '<html><head><title>doc ' || doc_id ||
-        |    '</title></head><body><nav>nav links</nav><main><p>' || text ||
+        |    '</title></head><body><nav>nav links</nav><main><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
         |    '</p></main><footer>footer</footer></body></html>' AS html
         |  FROM documents WHERE text IS NOT NULL),
         |m AS (

@@ -222,6 +222,11 @@ object Pq extends QueryGroup {
       coarseOpt: Option[Seq[(Long, Array[Double])]]): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
+    // the dt tuple columns and the 4-term ADC add below are spelled out
+    // for SubSpaces = 4; a changed constant would otherwise compile and
+    // silently sum only 4 of the subspace distances
+    require(SubSpaces == 4,
+      s"adcCore's dt/ADC expressions are written for 4 subspaces, got $SubSpaces")
     val probes = base
       .filter(probePred)
       .select(col("vec_id"), col("qvec"))

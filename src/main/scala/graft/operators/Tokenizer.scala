@@ -60,9 +60,20 @@ object Tokenizer extends QueryGroup {
   final case class Merge(rank: Long, left: String, right: String,
       merged: String, count: Long)
 
-  /** " h e l l o " — the sentinel-wrapped spaced character form. */
-  private def spaced(w: String): String =
+  /** " h e l l o " — the sentinel-wrapped spaced character form.
+    *
+    * The supported alphabet is printable non-space ASCII, enforced
+    * LOUDLY: outside it, the three splitting paths diverge (this
+    * per-UTF-16-char split vs Java regex '(.)' — which skips \r\n and
+    * splits astral pairs — vs DuckDB RE2 '.', which skips only \n), and
+    * the learned merge table would silently disagree with the engine's
+    * own tokenization. Same stance as the WARC writer's ASCII gate.
+    */
+  private def spaced(w: String): String = {
+    require(w.forall(c => c > ' ' && c < 127),
+      s"BPE dict word outside the printable-ASCII alphabet: '$w'")
     " " + w.map(_.toString).mkString(" ") + " "
+  }
 
   /** Greedy BPE over a word-type frequency dict (driver model state,
     * ≤ [[VocabCap]] entries). Runs exactly [[MergeRounds]] rounds and

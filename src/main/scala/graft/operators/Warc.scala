@@ -25,12 +25,25 @@ private[graft] object Warc {
 
   private val CRLF = "\r\n"
 
+  /** HTML entity-escaping for text embedded in the page body — without
+    * it, document text containing '<x>' or '</main>' would be silently
+    * eaten by the tag-stripping extractor (markup injection, the classic
+    * round-trip corruption). The oracle applies the same three replaces
+    * in SQL. Order matters: '&' first, or the escapes double-escape.
+    */
+  def escapeHtml(text: String): String =
+    text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def unescapeHtml(s: String): String =
+    s.replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+
   /** The deterministic HTML page for a doc — must stay byte-identical
-    * to the SQL template in q169's oracle.
+    * to the SQL template in q169's oracle (which escapes the text with
+    * the same replace chain).
     */
   def htmlFor(docId: Long, text: String): String =
     s"<html><head><title>doc $docId</title></head><body><nav>nav links" +
-      s"</nav><main><p>$text</p></main><footer>footer</footer></body></html>"
+      s"</nav><main><p>${escapeHtml(text)}</p></main><footer>footer</footer></body></html>"
 
   /** The HTTP/1.1 response message wrapping the HTML (the WARC record's
     * payload; its length is the record's Content-Length).
@@ -179,6 +192,6 @@ private[graft] object Warc {
     val a = html.indexOf("<main>")
     val b = html.indexOf("</main>")
     require(a >= 0 && b > a, "no <main> element")
-    html.substring(a + 6, b).replaceAll("<[^>]*>", "")
+    unescapeHtml(html.substring(a + 6, b).replaceAll("<[^>]*>", ""))
   }
 }

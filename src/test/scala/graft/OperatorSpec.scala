@@ -1310,6 +1310,14 @@ class OperatorSpec extends SparkSpec {
     // otherwise silently substitute '?' and corrupt the corpus while all
     // the Content-Lengths still lined up
     intercept[IllegalArgumentException] { Warc.build(Seq((9L, "café"))) }
+    // markup-laden text round-trips LOSSLESSLY via entity escaping — an
+    // embedded '</main>' or '<x>' must neither truncate the extract nor
+    // be eaten by the tag strip (markup injection, r10 review finding)
+    val hostile = "a </main> b <x> c &amp; d <nav>boiler</nav> e"
+    val rt = Warc.parse(Warc.build(Seq((13L, hostile))))
+      .filter(_.warcType == "response")
+      .map(r => Warc.extractMain(Warc.httpBody(r.payload)))
+    assert(rt == Seq(hostile), s"hostile text corrupted: $rt")
     // an HTTP message lying about its Content-Length is caught
     val lying = ("HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort").getBytes
     intercept[IllegalArgumentException] { Warc.httpBody(lying) }
