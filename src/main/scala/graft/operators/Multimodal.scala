@@ -601,22 +601,27 @@ object Multimodal extends QueryGroup {
     // lossless). This narrows the video caveat to: true interframe
     // codecs (H.264 etc.) still need ffmpeg/JavaCV wired into this
     // exact mapPartitions seam.
-    // q169 [north star, r10]: WARC crawl ingest — the format a 100 TB
-    // web corpus actually arrives in (CommonCrawl ships WARC). Docs are
-    // packed ~30/file into spec-shaped WARC files (warcinfo + response
-    // records, HTTP/1.1 payloads, CRLF discipline), then each file is
-    // byte-level stream-parsed (Content-Length-driven, never regex over
-    // the file), the HTTP message validated (status + Content-Length
-    // cross-check), and <main> content extracted with boilerplate
-    // (nav/footer/head) dropped. Parallelism unit = the FILE, the real
-    // CommonCrawl processing model; the pack stage here is test
-    // scaffolding (production reads existing WARCs off the store).
-    // text_md5 equality with the oracle's md5(text) proves the whole
-    // mux→parse→extract loop is byte-lossless.
+    // q169 [north star, r10; r11 UTF-8]: WARC crawl ingest — the format
+    // a 100 TB web corpus actually arrives in (CommonCrawl ships WARC).
+    // Docs are packed ~30/file into spec-shaped WARC files (warcinfo +
+    // response records, HTTP/1.1 payloads, CRLF discipline), then each
+    // file is byte-level stream-parsed (Content-Length-driven, never
+    // regex over the file), the HTTP message validated (status +
+    // Content-Length cross-check), and <main> content extracted with
+    // boilerplate (nav/footer/head) dropped. Parallelism unit = the
+    // FILE, the real CommonCrawl processing model; the pack stage here
+    // is test scaffolding (production reads existing WARCs off the
+    // store). r11: the whole format runs on OCTETS (the WARC/HTTP spec
+    // unit) and every document carries a non-ASCII probe suffix
+    // (em-dash, Latin-1, CJK, a dingbat — multi-byte UTF-8 of 2/3
+    // widths), so the hash match proves REAL-crawl text round-trips:
+    // octet_length on both engines where lengths are bytes, code-point
+    // length where they are characters, md5 over the UTF-8 bytes.
     "q169_warc_extract" -> ((spark, dir) => {
       import spark.implicits._
       val files = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"))
         .filter(col("text").isNotNull)
         .withColumn("shard", pmod(col("doc_id"), lit(16)))
         .as[(Long, String, Long)]
@@ -631,13 +636,13 @@ object Multimodal extends QueryGroup {
         it.flatMap { bytes =>
           Warc.responses(bytes).map { e =>
             md.reset()
-            val md5 = md.digest(e.text.getBytes("US-ASCII"))
+            val md5 = md.digest(e.text.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
-            (e.docId, e.contentLength, e.html.length.toLong,
-              e.text.length.toLong, md5)
+            (e.docId, e.contentLength, Warc.octets(e.html).toLong,
+              e.text.codePointCount(0, e.text.length).toLong, md5)
           }
         }
-      }.toDF("doc_id", "content_length", "html_len", "n_extracted_chars",
+      }.toDF("doc_id", "content_length", "html_octets", "n_extracted_chars",
         "text_md5")
         .orderBy("doc_id")
     }),
@@ -828,25 +833,31 @@ object Multimodal extends QueryGroup {
         |  CAST(SUM(v) AS BIGINT) AS px_sum
         |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // q169: the oracle rebuilds the byte-identical HTML + HTTP message
-    // with string concatenation and measures the same lengths; md5(text)
-    // equality pins the extract loop lossless end-to-end.
+    // with string concatenation and measures the same lengths — octet
+    // lengths where the format counts bytes (every Content-Length, the
+    // payload slice), code-point length for the extracted text; md5
+    // (UTF-8 bytes on both engines) pins the extract loop lossless.
+    // (DuckDB spells octet_length-of-VARCHAR as strlen.)
     "q169_warc_extract" ->
-      """WITH h AS (
+      s"""WITH h AS (
+        |  SELECT doc_id, text || '${Warc.NonAsciiProbe}' AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |h2 AS (
         |  SELECT doc_id, text,
         |    '<html><head><title>doc ' || doc_id ||
         |    '</title></head><body><nav>nav links</nav><main><p>' ||
         |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
         |    '</p></main><footer>footer</footer></body></html>' AS html
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM h),
         |m AS (
         |  SELECT doc_id, text, html,
         |    'HTTP/1.1 200 OK' || chr(13)||chr(10) ||
-        |    'Content-Type: text/html' || chr(13)||chr(10) ||
-        |    'Content-Length: ' || length(html) || chr(13)||chr(10) ||
+        |    'Content-Type: text/html; charset=utf-8' || chr(13)||chr(10) ||
+        |    'Content-Length: ' || strlen(html) || chr(13)||chr(10) ||
         |    chr(13)||chr(10) || html AS http
-        |  FROM h)
-        |SELECT doc_id, CAST(length(http) AS BIGINT) AS content_length,
-        |  CAST(length(html) AS BIGINT) AS html_len,
+        |  FROM h2)
+        |SELECT doc_id, CAST(strlen(http) AS BIGINT) AS content_length,
+        |  CAST(strlen(html) AS BIGINT) AS html_octets,
         |  CAST(length(text) AS BIGINT) AS n_extracted_chars,
         |  md5(text) AS text_md5
         |FROM m ORDER BY doc_id""".stripMargin,

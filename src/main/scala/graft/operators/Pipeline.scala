@@ -43,8 +43,14 @@ object Pipeline extends QueryGroup {
     "q174_crawl_to_training" -> ((spark, dir) => {
       import spark.implicits._
       // crawl scaffolding: pack into 16 WARC shards, metadata in headers
+      // r11: every doc carries the non-ASCII probe suffix (the q169
+      // stance) so the END-TO-END composition — WARC octets, gate,
+      // md5 dedup, BPE train+apply, packing — is proven on the
+      // multi-byte text a real crawl ships, not just ASCII.
       val files = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .select(col("doc_id"),
+          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"),
+          col("lang"), col("source"))
         // metadata completeness is a PACK precondition: a NULL lang or
         // source would interpolate as the literal string "null" in the
         // WARC header and come back as a real string — diverging from
@@ -102,10 +108,13 @@ object Pipeline extends QueryGroup {
     // parameterized q166 trainer chain and q167 apply chain over the
     // curated stage → the q82 packing window.
     "q174_crawl_to_training" ->
-      s"""WITH RECURSIVE gated AS MATERIALIZED (
-         |  SELECT doc_id, text, lang, source FROM documents
-         |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
-         |    AND length(text) >= $MinChars
+      s"""WITH RECURSIVE src AS MATERIALIZED (
+         |  SELECT doc_id, text || '${Warc.NonAsciiProbe}' AS text, lang, source
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+         |gated AS MATERIALIZED (
+         |  SELECT doc_id, text, lang, source FROM src
+         |  WHERE length(text) >= $MinChars
          |    AND lang IN (${Langs.map(l => s"'$l'").mkString(", ")})),
          |dd AS MATERIALIZED (
          |  SELECT doc_id, text, lang, source FROM (

@@ -53,6 +53,16 @@ object Pq extends QueryGroup {
   /** q173's coarse quantizer: cell count and probed cells per query. */
   val CoarseK = 8
   val NProbe = 2
+  /** Hard ceiling on the collected probe workload: probes are BOUNDED
+    * QUERY STATE (the q139/q140 broadcast-benchmark stance — in
+    * deployment the probe set is the query load, fixed-size while the
+    * corpus grows), and each probe materializes SubSpaces×K dt doubles
+    * into the broadcast. Without the ceiling, a corpus-proportional
+    * probe predicate (like the registered md5 gate at a real SF) is a
+    * driver OOM hiding behind a fixture-sized fixture — the q157/q48
+    * loud-guard discipline, applied here (r10 verdict item 2).
+    */
+  val MaxProbes = 4096
 
   private def selfDot(c: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -233,6 +243,11 @@ object Pq extends QueryGroup {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(probes.nonEmpty, "probe gate selected no vectors")
+    require(probes.length <= MaxProbes,
+      s"probe workload ${probes.length} exceeds MaxProbes=$MaxProbes — " +
+        "ADC probes are bounded query state (driver-collected, dt-table " +
+        "broadcast); a corpus-proportional probe set needs the batched " +
+        "deployment gate, not a bigger collect")
     // NearestCentroid's exact fold + (d2, id) tie-break, driver-side —
     // the probe's nprobe cell short-list
     def nearestCells(qv: Array[Long], coarse: Seq[(Long, Array[Double])]): Seq[Long] = {
@@ -274,14 +289,25 @@ object Pq extends QueryGroup {
       case None => lit(0L)
     }
     val codes = encoded(base, books, Seq(cellCol.as("cell")))
+    // dd is NULL exactly when a code is missing from its dt map — i.e.
+    // the -1 emptied-cluster sentinel (or a codebook/encode drift). The
+    // ranking window orders NULLS FIRST, so a NULL dd would silently
+    // rank rk=1 for every probe instead of failing; raise instead
+    // (raise-don't-drift, r10 ADVICE finding).
+    val ddRaw = element_at(col("dt0"), col("code0")) +
+      element_at(col("dt1"), col("code1")) +
+      element_at(col("dt2"), col("code2")) +
+      element_at(col("dt3"), col("code3"))
     val adc = codes.crossJoin(broadcast(probeDt))
       .filter(col("vec_id") =!= col("p_id") &&
         array_contains(col("cells"), col("cell")))
       .select(col("p_id"), col("vec_id"),
-        (element_at(col("dt0"), col("code0")) +
-          element_at(col("dt1"), col("code1")) +
-          element_at(col("dt2"), col("code2")) +
-          element_at(col("dt3"), col("code3"))).as("dd"))
+        when(ddRaw.isNull, raise_error(concat(
+          lit("PQ ADC: vector "), col("vec_id").cast("string"),
+          lit(" carries a code outside a probe's distance table " +
+            "(emptied codebook cluster?) — refusing to rank")))
+          .cast("double"))
+          .otherwise(ddRaw).as("dd"))
     import org.apache.spark.sql.expressions.Window
     adc.withColumn("rk", row_number().over(
         Window.partitionBy(col("p_id")).orderBy(col("dd"), col("vec_id"))))

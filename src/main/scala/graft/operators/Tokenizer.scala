@@ -62,18 +62,39 @@ object Tokenizer extends QueryGroup {
 
   /** " h e l l o " — the sentinel-wrapped spaced character form.
     *
-    * The supported alphabet is printable non-space ASCII, enforced
-    * LOUDLY: outside it, the three splitting paths diverge (this
-    * per-UTF-16-char split vs Java regex '(.)' — which skips \r\n and
-    * splits astral pairs — vs DuckDB RE2 '.', which skips only \n), and
-    * the learned merge table would silently disagree with the engine's
-    * own tokenization. Same stance as the WARC writer's ASCII gate.
+    * The supported alphabet (r11): any BMP character that is not a
+    * space, a C0/C1 control (incl. \r, \n, NEL), DEL, a Unicode line
+    * separator, or a surrogate half. On that alphabet the three
+    * splitting paths agree exactly — this per-UTF-16-char split, Java
+    * regex '(.)' (skips line terminators, one match per code point),
+    * and DuckDB RE2 '.' (skips \n, one match per code point) — because
+    * every allowed char is one UTF-16 unit AND one code point AND
+    * matched by both engines' '.'. Outside it they diverge ('.' skips
+    * \r on Java but not RE2; astral chars are 2 UTF-16 units here but 1
+    * RE2 match), so out-of-alphabet input fails LOUDLY rather than
+    * silently learning a merge table the engine's own tokenization
+    * disagrees with. The `OutOfAlphabetRe` rlike gate in [[tokenized]]
+    * enforces the SAME contract on the whole-corpus tokenize path (r11 —
+    * previously only dict words were gated, leaving the corpus side a
+    * silent divergence surface).
     */
+  private[graft] def inAlphabet(c: Char): Boolean =
+    c > ' ' && c != '\u007f' && !(c >= '\u0080' && c <= '\u009f') &&
+      c != '\u2028' && c != '\u2029' && !Character.isSurrogate(c)
+
   private def spaced(w: String): String = {
-    require(w.forall(c => c > ' ' && c < 127),
-      s"BPE dict word outside the printable-ASCII alphabet: '$w'")
+    require(w.forall(inAlphabet),
+      s"BPE dict word outside the supported alphabet: '$w'")
     " " + w.map(_.toString).mkString(" ") + " "
   }
+
+  /** Java-regex form of the [[inAlphabet]] complement (plus astral code
+    * points), applied per DOC on the tokenize path: one `rlike` per row,
+    * loud `raise_error` naming the doc on a hit. Space is allowed at
+    * the doc level (it is the word separator).
+    */
+  private val OutOfAlphabetRe =
+    "[\\x00-\\x1f\\x7f-\\x9f\\u2028\\u2029]|[\\x{10000}-\\x{10FFFF}]"
 
   /** Greedy BPE over a word-type frequency dict (driver model state,
     * ≤ [[VocabCap]] entries). Runs exactly [[MergeRounds]] rounds and
@@ -162,13 +183,24 @@ object Tokenizer extends QueryGroup {
 
   /** The tokenize projection itself — shared verbatim by batch q167 and
     * the streaming ingest twin (`StreamOps.bpeTokenizeStream`), so
-    * batch≡stream equality is structural, not re-implemented.
+    * batch≡stream equality is structural, not re-implemented. The text
+    * feeding the BPE chain passes the loud alphabet gate first (one
+    * rlike per doc; NULL text sails through to the NULL-count path) —
+    * the corpus side now enforces the same contract the dict side
+    * always did, instead of silently diverging on \r/astral input.
     */
-  private[graft] def tokenized(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+  private[graft] def tokenized(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val gatedText = when(col("text").rlike(OutOfAlphabetRe),
+      raise_error(concat(
+        lit("BPE tokenize: doc "), col("doc_id").cast("string"),
+        lit(" contains out-of-alphabet characters (control/line-separator/" +
+          "astral) — per-char splits diverge cross-engine on them"))))
+      .otherwise(col("text"))
     docs.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
       aggregate(
-        transform(TextOps.tokens(col("text")), w => bpeTokenCount(w, merges)),
+        transform(TextOps.tokens(gatedText), w => bpeTokenCount(w, merges)),
         lit(0L), (acc, x) => acc + x).as("n_bpe"))
+  }
 
   /** The q166 chain as DuckDB CTEs: d0 = the capped dict in spaced form,
     * then per round r: pair counts (lateral unnest over adjacent index

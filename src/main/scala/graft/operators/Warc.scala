@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.io.ByteArrayOutputStream
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 
 /** WARC (ISO 28500) writer and streaming record parser for the
   * crawl-ingest tier (q169): the on-disk format a 100 TB web corpus
@@ -16,6 +16,18 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * header block to the first CRLFCRLF, `Content-Length` bytes of
   * payload, the two record-separator CRLFs, repeat — malformed input
   * fails loudly (truncated payload, missing separator, bad magic).
+  *
+  * Encoding discipline (r11): the whole format runs on OCTETS, as the
+  * WARC spec requires — every `Content-Length` counts UTF-8 bytes, the
+  * payload slice is byte-addressed, and the HTTP body cross-check
+  * compares byte counts, so non-ASCII documents (the overwhelming
+  * majority of a real CommonCrawl dump) round-trip losslessly. The
+  * record HEADER block stays ASCII by spec (field names, URIs, dates);
+  * document text flows only through the byte-counted payload. The one
+  * remaining loud refusal is an unpaired UTF-16 surrogate: Java's
+  * `getBytes(UTF_8)` would silently substitute '?' for it (corrupting
+  * the corpus while every Content-Length still lined up), so the writer
+  * rejects malformed UTF-16 at the source instead.
   */
 private[graft] object Warc {
 
@@ -24,6 +36,21 @@ private[graft] object Warc {
       headers: Map[String, String])
 
   private val CRLF = "\r\n"
+
+  /** Deterministic non-ASCII decoration the crawl-tier queries (q169,
+    * q174) append to every document: em-dash + Latin-1 + CJK + a dingbat
+    * cover 2- and 3-byte UTF-8 widths (all BMP, so Java UTF-16 length ≡
+    * code-point count ≡ DuckDB `length`). The fixture corpus is ASCII;
+    * a real CommonCrawl dump is overwhelmingly not — this makes every
+    * crawl-tier hash match a proof that multi-byte text round-trips the
+    * octet-counted format losslessly.
+    */
+  val NonAsciiProbe: String = " — naïve 東京 ✓"
+
+  /** UTF-8 octet count of a string — the number every Content-Length in
+    * the format carries (the oracle's `octet_length`).
+    */
+  def octets(s: String): Int = s.getBytes(UTF_8).length
 
   /** HTML entity-escaping for text embedded in the page body — without
     * it, document text containing '<x>' or '</main>' would be silently
@@ -46,11 +73,14 @@ private[graft] object Warc {
       s"</nav><main><p>${escapeHtml(text)}</p></main><footer>footer</footer></body></html>"
 
   /** The HTTP/1.1 response message wrapping the HTML (the WARC record's
-    * payload; its length is the record's Content-Length).
+    * payload; its length is the record's Content-Length). The HTTP
+    * Content-Length counts the body's UTF-8 OCTETS (RFC 9110 §8.6 —
+    * octets, never characters), matching `octet_length(html)` on the
+    * oracle side.
     */
   def httpResponseFor(html: String): String =
-    s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF" +
-      s"Content-Length: ${html.length}$CRLF$CRLF$html"
+    s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
+      s"Content-Length: ${octets(html)}$CRLF$CRLF$html"
 
   private def record(warcType: String, recordId: String,
       extraHeaders: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
@@ -72,6 +102,28 @@ private[graft] object Warc {
   def build(docs: Seq[(Long, String)]): Array[Byte] =
     buildTagged(docs.map { case (id, t) => (id, t, Nil) })
 
+  /** Loud, not lossy: `getBytes(UTF_8)` silently substitutes '?' for an
+    * unpaired surrogate — the corpus would corrupt while every
+    * byte-counted Content-Length kept lining up. Reject malformed UTF-16
+    * at the write instead (the r10 ASCII-mangling stance, carried over
+    * to the one case UTF-8 itself cannot represent).
+    */
+  private def requireEncodable(id: Long, text: String): Unit = {
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        require(i + 1 < text.length && Character.isLowSurrogate(text.charAt(i + 1)),
+          s"doc $id: unpaired high surrogate at char $i cannot encode to UTF-8")
+        i += 2
+      } else {
+        require(!Character.isLowSurrogate(c),
+          s"doc $id: unpaired low surrogate at char $i cannot encode to UTF-8")
+        i += 1
+      }
+    }
+  }
+
   /** [[build]] with per-doc extra WARC headers — the metadata sidecar a
     * real crawl carries in the record header block (q174 threads lang
     * and source through `WARC-Graft-*` headers instead of re-joining
@@ -83,27 +135,22 @@ private[graft] object Warc {
     out.write(record("warcinfo", "urn:warcinfo:graft", Nil,
       s"software: graft$CRLF".getBytes(US_ASCII)))
     docs.foreach { case (id, text, extra) =>
-      // loud, not lossy: US_ASCII getBytes would silently substitute '?'
-      // for unmappable chars, corrupting the corpus while the byte-length
-      // Content-Lengths kept lining up (r10 review finding). The whole
-      // byte≡char length discipline (oracle compares length() in CHARS)
-      // is an ASCII contract — enforce it at the write.
-      require(text.forall(_ < 128),
-        s"doc $id: non-ASCII text cannot round-trip the ASCII WARC encoding")
+      requireEncodable(id, text)
       val http = httpResponseFor(htmlFor(id, text))
       out.write(record("response", s"urn:doc:$id",
         Seq("WARC-Target-URI" -> s"http://example.org/doc/$id",
           "Content-Type" -> "application/http;msgtype=response") ++ extra,
-        http.getBytes(US_ASCII)))
+        http.getBytes(UTF_8)))
     }
     out.toByteArray
   }
 
   /** One parsed response record, post-validation: doc id (from the
-    * record id), the WARC Content-Length, the HTML, the extracted main
-    * text, and the raw record headers. The SINGLE extraction loop shared
-    * by batch q169, the streaming twin, and the q174 pipeline — so the
-    * batch≡stream claim is structural (the Tokenizer.tokenized stance).
+    * record id), the WARC Content-Length (octets), the HTML, the
+    * extracted main text, and the raw record headers. The SINGLE
+    * extraction loop shared by batch q169, the streaming twin, and the
+    * q174 pipeline — so the batch≡stream claim is structural (the
+    * Tokenizer.tokenized stance).
     */
   final case class Extracted(docId: Long, contentLength: Long,
       html: String, text: String, headers: Map[String, String])
@@ -125,7 +172,10 @@ private[graft] object Warc {
     -1
   }
 
-  /** Streaming parse of a whole WARC file into its records. */
+  /** Streaming parse of a whole WARC file into its records. The header
+    * block is ASCII by spec; Content-Length counts payload OCTETS, so
+    * the payload slice is byte-addressed and UTF-8-agnostic.
+    */
   def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
     val records = Seq.newBuilder[WarcRecord]
     var p = 0
@@ -163,8 +213,9 @@ private[graft] object Warc {
   }
 
   /** Split an HTTP message into (status line, headers, body) and return
-    * the body; validates the HTTP Content-Length against the actual
-    * body length (a real parser's cross-check, not trust).
+    * the body; validates the HTTP Content-Length (OCTETS, per RFC 9110)
+    * against the actual body byte count (a real parser's cross-check,
+    * not trust), then decodes the body as UTF-8.
     */
   def httpBody(payload: Array[Byte]): String = {
     val hEnd = indexOfCrlfCrlf(payload, 0)
@@ -176,10 +227,10 @@ private[graft] object Warc {
       case l if l.toLowerCase.startsWith("content-length:") =>
         l.substring(l.indexOf(':') + 1).trim.toInt
     }.getOrElse(sys.error("HTTP message missing Content-Length"))
-    val body = new String(payload, hEnd + 4, payload.length - hEnd - 4, US_ASCII)
-    require(body.length == cl,
-      s"HTTP Content-Length $cl != body length ${body.length}")
-    body
+    val bodyBytes = payload.length - hEnd - 4
+    require(bodyBytes == cl,
+      s"HTTP Content-Length $cl != body octet count $bodyBytes")
+    new String(payload, hEnd + 4, bodyBytes, UTF_8)
   }
 
   /** Main-content extraction: the `<main>` subtree with tags stripped —

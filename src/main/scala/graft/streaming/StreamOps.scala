@@ -286,7 +286,8 @@ object StreamOps {
     import spark.implicits._
     files.select(col("content")).as[Array[Byte]].flatMap { bytes =>
       graft.operators.Warc.responses(bytes).map { e =>
-        (e.docId, e.contentLength, e.text.length.toLong, e.text)
+        (e.docId, e.contentLength,
+          e.text.codePointCount(0, e.text.length).toLong, e.text)
       }
     }.toDF("doc_id", "content_length", "n_extracted_chars", "text")
   }

@@ -1306,10 +1306,28 @@ class OperatorSpec extends SparkSpec {
       Warc.parse(java.util.Arrays.copyOfRange(warc, 0, warc.length - 3))
     }
     intercept[IllegalArgumentException] { Warc.parse("WARC/9.9\r\n\r\n".getBytes) }
-    // non-ASCII text must raise at the WRITE — the US_ASCII encoder would
-    // otherwise silently substitute '?' and corrupt the corpus while all
-    // the Content-Lengths still lined up
-    intercept[IllegalArgumentException] { Warc.build(Seq((9L, "café"))) }
+    // non-ASCII text round-trips losslessly under the octet discipline
+    // (r11): Content-Lengths count UTF-8 bytes, so 2- and 3-byte chars
+    // survive the whole mux→parse→extract loop
+    val utf8Text = "café — 東京 déjà-vu ✓ ü"
+    val utf8Rt = Warc.parse(Warc.build(Seq((9L, utf8Text))))
+    val resp9 = utf8Rt.find(_.warcType == "response").get
+    assert(resp9.contentLength == resp9.payload.length,
+      "octet Content-Length must count the actual payload bytes")
+    assert(resp9.contentLength >
+      Warc.httpBody(resp9.payload).length,
+      "a multi-byte payload must have more octets than chars")
+    assert(Warc.extractMain(Warc.httpBody(resp9.payload)) == utf8Text,
+      "UTF-8 text corrupted in the WARC round trip")
+    // the one thing UTF-8 cannot carry — an unpaired surrogate — must
+    // raise at the WRITE (getBytes would silently substitute '?' and
+    // corrupt the corpus while every Content-Length still lined up)
+    intercept[IllegalArgumentException] {
+      Warc.build(Seq((9L, "bad \ud800 half")))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.build(Seq((9L, "bad \udc00 half")))
+    }
     // markup-laden text round-trips LOSSLESSLY via entity escaping — an
     // embedded '</main>' or '<x>' must neither truncate the extract nor
     // be eaten by the tag strip (markup injection, r10 review finding)
@@ -1520,14 +1538,17 @@ class OperatorSpec extends SparkSpec {
     assert(out.nonEmpty)
     // gate: every surviving doc passes; every gated-out doc is absent
     val surviving = out.map(_._1).toSet
+    // the pipeline appends the non-ASCII probe suffix before the gate
+    // (r11) — the reference gate length must include it
+    val sufLen = graft.operators.Warc.NonAsciiProbe.length
     out.foreach { case (id, _, lang, _, _) =>
       val (text, origLang) = docs(id)
       assert(lang == origLang, s"doc $id lang drifted through the WARC headers")
-      assert(text.exists(_.length >= Pipeline.MinChars) &&
+      assert(text.exists(_.length + sufLen >= Pipeline.MinChars) &&
         Pipeline.Langs.contains(lang), s"doc $id should have been gated out")
     }
     docs.foreach { case (id, (text, lang)) =>
-      val passes = text.exists(_.length >= Pipeline.MinChars) &&
+      val passes = text.exists(_.length + sufLen >= Pipeline.MinChars) &&
         Pipeline.Langs.contains(lang)
       if (passes && !surviving.contains(id))
         assert(docs.exists { case (id2, (t2, _)) => id2 < id && t2 == text &&
@@ -1946,6 +1967,48 @@ class OperatorSpec extends SparkSpec {
       assert(c > 0L, s"rank $rk non-positive pair count")
       assert(!l.contains(" ") && !rt.contains(" "))
     }
+  }
+
+  test("BPE alphabet gate (r11): BMP non-ASCII trains and tokenizes; control/astral loud") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    // widened alphabet: multi-byte BMP words train fine — "東京東京"×3
+    // gives round-1 pairs {(東,京):6, (京,東):3} → merge (東,京); the
+    // non-overlapping left-to-right replace consumes the shared space,
+    // so " 東 京 東 京 " → " 東京 東 京 " and round 2 ties (東京,東):3
+    // vs (東,京):3 — lexicographic tie-break picks (東,京) again
+    val m = Tokenizer.bpeTrain(Seq(("東京東京", 3L), ("naïve", 2L)), rounds = 2)
+    assert(m(0).left == "東" && m(0).right == "京" && m(0).count == 6L)
+    assert(m(1).left == "東" && m(1).right == "京" && m(1).count == 3L,
+      s"round-2 selection drifted: ${m(1)}")
+    // dict words with chars the engines' per-char splits disagree on
+    // still refuse loudly
+    intercept[IllegalArgumentException] {
+      Tokenizer.bpeTrain(Seq(("a\rb", 1L)), rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Tokenizer.bpeTrain(Seq(("g𝄞clef", 1L)), rounds = 1) // astral
+    }
+    // corpus-side gate (the r10 ADVICE divergence surface): a doc whose
+    // TEXT carries \r or an astral char fails the tokenize pass loudly
+    // instead of silently diverging from the oracle's RE2 split
+    val merges = Tokenizer.bpeTrain(Seq(("ab", 2L)), rounds = 1)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    for (bad <- Seq("bad\rtext", "ok g𝄞clef")) {
+      val docs = Seq((1L, "ab ab"), (2L, bad)).toDF("doc_id", "text")
+      val ex = intercept[Exception] {
+        Tokenizer.tokenized(docs, merges).collect()
+      }
+      assert(msgs(ex).contains("out-of-alphabet"),
+        s"expected the loud alphabet gate for '$bad', got: ${msgs(ex)}")
+    }
+    // NULL text still sails through to the NULL-count path
+    val nulls = Seq((1L, "ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Tokenizer.tokenized(nulls, merges).orderBy("doc_id").collect()
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2))
   }
 
   test("q167 BPE tokenize: expression chain == driver-side reference segmenter") {

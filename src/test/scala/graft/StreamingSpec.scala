@@ -1096,7 +1096,10 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.Warc
     val fileA = Warc.build(Seq((1L, "alpha beta"), (2L, "gamma")))
-    val fileB = Warc.build(Seq((5L, "delta epsilon zeta")))
+    // fileB carries multi-byte UTF-8 (2- and 3-byte widths) — the
+    // octet-counted format must round-trip it on the stream path too
+    val fileB = Warc.build(Seq((5L, "delta epsilon zeta"),
+      (6L, "naïve 東京 ✓ résumé")))
     val ms = MemoryStream[(Long, Array[Byte])]
     val q = graft.streaming.StreamOps.warcExtractStream(
         ms.toDF().toDF("file_id", "content")).writeStream
@@ -1108,7 +1111,8 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("warc_out")
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
     assert(rows == Map(1L -> "alpha beta", 2L -> "gamma",
-      5L -> "delta epsilon zeta"), s"extracted drift: $rows")
+      5L -> "delta epsilon zeta", 6L -> "naïve 東京 ✓ résumé"),
+      s"extracted drift: $rows")
     // a truncated dump must surface as a query failure, not silence
     val ms2 = MemoryStream[(Long, Array[Byte])]
     val q2 = graft.streaming.StreamOps.warcExtractStream(
