@@ -480,6 +480,89 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** ---- temporal-prediction video tier (r11, q176) ------------------
+    *
+    * The source signal for the GVC fixture: base spatial gradient
+    * bounded to [0,199] plus a small time-varying term bounded to
+    * [0,48] — every sample stays in 8-bit range AND every frame-to-
+    * frame delta stays within [-48,48] ⊂ [-128,127], so the P-frame
+    * residual encoding is exact by construction (enforced loudly at
+    * encode). Pure integer arithmetic → the DuckDB oracle recomputes
+    * both the reconstructed pixel sum and the residual-magnitude sum.
+    */
+  private[graft] def gvcExpected(docId: Long, x: Int, y: Int, f: Int): Int =
+    ((x * 3 + y * 7 + docId) % 200).toInt +
+      ((x + y + f * 11 + docId) % 7).toInt * 8
+
+  /** Per-doc GVC-AVI: `nf` gray frames — frame 0 intra, the rest
+    * prediction residuals — muxed with fourcc 'GVC1' and an idx1 whose
+    * AVIIF_KEYFRAME flags mark ONLY the intra frame (the seek contract
+    * a predictive stream's container must honor).
+    */
+  private[graft] def encodeGvcAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] = {
+    val rasters = (0 until nf).map { f =>
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { a(y * w + x) = gvcExpected(docId, x, y, f); x += 1 }
+        y += 1
+      }
+      a
+    }
+    Avi.mux(Gvc.encodeFrames(rasters, w, h), w, h, fps = 5,
+      codec = "GVC1", keyframes = Some(0 until nf map (_ == 0)))
+  }
+
+  /** q176 decode output: container inventory + intra-frame count + the
+    * EXACT reconstructed pixel sum and stored-residual magnitude sum
+    * (all BIGINT — the oracle recomputes every column arithmetically;
+    * unlike lossy q168 there is no tolerance verdict to hide behind).
+    */
+  case class DecodedPframe(doc_id: Long, n_frames: Long, frame_w: Long,
+      frame_h: Long, n_key: Long, px_sum: Long, resid_abs_sum: Long)
+
+  /** Demux the 'GVC1' AVI, cross-check the container's keyframe index
+    * against the payloads' own intra/predicted magic, then run the
+    * stateful prediction-threading decode ([[Gvc.decodeFrames]]) and
+    * report exact reconstruction facts. Partition-local like every
+    * decoder here.
+    */
+  def decodeGvcVideos(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedPframe] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payloads = Avi.demux(r.media)
+        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
+        require(Avi.headerTotalFrames(r.media) == payloads.size,
+          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
+        val (w, h) = Avi.headerDims(r.media)
+        val flags = Avi.idx1Flags(r.media)
+        require(flags.size == payloads.size,
+          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val frames = Gvc.decodeFrames(payloads, w, h)
+        // the container index must agree with the stream: a player
+        // seeking to a flagged frame would otherwise decode garbage
+        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
+          require(fr.isKey == ((fl & 0x10) != 0),
+            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
+              "with the stream's intra/predicted magic")
+        }
+        var pxSum = 0L
+        var residAbs = 0L
+        frames.foreach { fr =>
+          var i = 0
+          while (i < fr.raster.length) { pxSum += fr.raster(i); i += 1 }
+          residAbs += fr.residAbsSum
+        }
+        DecodedPframe(r.doc_id, payloads.size.toLong, w.toLong, h.toLong,
+          frames.count(_.isKey).toLong, pxSum, residAbs)
+      }
+    }
+  }
+
   /** Real decode output: dimensions the CODEC reports plus an exact
     * all-channel pixel sum (BIGINT — max 64·48·3·255 per image, far
     * inside range).
@@ -666,6 +749,31 @@ object Multimodal extends QueryGroup {
             (16 + id % 13).toInt, (2 + id % 3).toInt))
         }
       decodeMjpegVideos(spark, media).toDF().orderBy("doc_id")
+    }),
+
+    // q176 [north star, r11]: interframe-PREDICTION video — the one
+    // codec capability q168 left stubbed. Per-doc 'GVC1' AVI streams
+    // (intra keyframe + P-frames carrying ±residuals vs the previous
+    // RECONSTRUCTED frame) are muxed with a spec-honest idx1 keyframe
+    // index, then decoded by threading reconstruction state across the
+    // stream — the stateful loop every H.264-class decoder runs, with
+    // the container index cross-checked against the stream's own
+    // intra/predicted magic. Residuals are unquantized, so the oracle
+    // recomputes the reconstructed pixel sum AND the stored residual
+    // magnitude sum as pure integer arithmetic — exact, not a
+    // tolerance verdict. H.264 proper = this decoder loop + quantized
+    // transforms + motion search; ffmpeg/JavaCV swaps in at this exact
+    // mapPartitions seam.
+    "q176_pframe_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeGvcAvi(id, (16 + nc % 16).toInt,
+            (12 + id % 11).toInt, (3 + id % 3).toInt))
+        }
+      decodeGvcVideos(spark, media).toDF().orderBy("doc_id")
     }),
 
     "q165_gif_frames" -> ((spark, dir) => {
@@ -861,6 +969,30 @@ object Multimodal extends QueryGroup {
         |  CAST(length(text) AS BIGINT) AS n_extracted_chars,
         |  md5(text) AS text_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q176: every column exact integer arithmetic — px = spatial
+    // gradient (mod 200) + temporal term (mod 7)·8; the residual
+    // magnitude between consecutive frames is the temporal term's
+    // difference (the spatial part cancels). n_key = 1 by construction
+    // (one intra frame per stream).
+    "q176_pframe_video" ->
+      """WITH d AS (SELECT doc_id, 16 + n_chars % 16 AS w, 12 + doc_id % 11 AS h,
+        |             3 + doc_id % 3 AS nf FROM documents),
+        |p AS (SELECT d.doc_id, d.nf, d.w, d.h,
+        |        ((x.k*3 + y.k*7 + d.doc_id) % 200)
+        |          + ((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8 AS v,
+        |        CASE WHEN f.k = 0 THEN 0 ELSE
+        |          abs(((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8
+        |            - ((x.k + y.k + (f.k-1)*11 + d.doc_id) % 7) * 8) END AS r
+        |      FROM d, generate_series(0, 30) x(k), generate_series(0, 21) y(k),
+        |           generate_series(0, 4) f(k)
+        |      WHERE x.k < d.w AND y.k < d.h AND f.k < d.nf)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  CAST(1 AS BIGINT) AS n_key,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM(r) AS BIGINT) AS resid_abs_sum
+        |FROM p GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin,
+
     // q168: exact container inventory (the dimension/frame formulas) +
     // the fidelity verdict as literal TRUE — the q19 self-validating
     // discipline for a lossy codec whose raw pixels can't cross engines.

@@ -1341,6 +1341,56 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Warc.httpBody(lying) }
   }
 
+  test("GVC temporal prediction (q176): exact reconstruction, residual stream honest, container index consistent") {
+    import graft.operators.{Avi, Gvc, Multimodal}
+    val (w, h, nf, doc) = (9, 5, 4, 77L)
+    val rasters = (0 until nf).map { f =>
+      Array.tabulate(w * h)(i => Multimodal.gvcExpected(doc, i % w, i / w, f))
+    }
+    val payloads = Gvc.encodeFrames(rasters, w, h)
+    // the stream IS keyframe + residuals: frame 0 intra, later payloads
+    // store cur − prev (+128), not the raw frame
+    assert(payloads.head(0) == Gvc.MagicKey &&
+      payloads.tail.forall(_(0) == Gvc.MagicPred))
+    for (f <- 1 until nf; i <- 0 until w * h)
+      assert((payloads(f)(i + 1) & 0xff) - 128 == rasters(f)(i) - rasters(f - 1)(i))
+    // prediction-threaded decode reconstructs every frame EXACTLY
+    val decoded = Gvc.decodeFrames(payloads, w, h)
+    decoded.zip(rasters).foreach { case (d, r) =>
+      assert(d.raster.sameElements(r), "P-frame reconstruction drifted")
+    }
+    assert(decoded.head.residAbsSum == 0L && decoded.tail.forall(_.residAbsSum > 0L))
+    // container: idx1 marks ONLY the intra frame as seekable
+    val avi = Multimodal.encodeGvcAvi(doc, w, h, nf)
+    assert(Avi.idx1Flags(avi).map(f => (f & 0x10) != 0) ==
+      (0 until nf).map(_ == 0))
+    assert(Avi.headerDims(avi) == ((w, h)))
+    // loudness: a predicted frame with no history; a keyframe-flag lie
+    intercept[IllegalArgumentException] {
+      Gvc.decodeFrames(payloads.tail, w, h)
+    }
+    intercept[IllegalArgumentException] { // payload size vs container dims
+      Gvc.decodeFrames(payloads, w + 1, h)
+    }
+    // residuals outside the byte range refuse rather than clamp
+    intercept[IllegalArgumentException] {
+      Gvc.encodeFrames(Seq(Array.fill(4)(0), Array.fill(4)(200)), 2, 2)
+    }
+    // an idx1 that flags a P-frame as a keyframe is caught by the
+    // decode stage's cross-check (a seeking player would decode garbage)
+    val lyingAvi = Avi.mux(payloads, w, h, fps = 5, codec = "GVC1",
+      keyframes = Some(Seq.fill(nf)(true)))
+    val ds = spark.createDataset(Seq(Multimodal.MediaRow(doc, lyingAvi)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val ex = intercept[Exception] {
+      Multimodal.decodeGvcVideos(spark, ds).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("idx1 keyframe flag disagrees"))
+  }
+
   test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
     import graft.operators.Avi
     val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),
@@ -1525,6 +1575,81 @@ class OperatorSpec extends SparkSpec {
       assert(rows.sortBy(_._2).map(_._3).toSeq == ref,
         s"probe $p: IVF-ADC ranking != reference")
     }
+  }
+
+  test("q177 residual IVF-PQ: residual SSE beats whole-vector PQ with margin (independent reference)") {
+    import graft.operators.{Pq, Similarity}
+    val base = Similarity.withQuantized(Tables(spark, Sf, "embeddings"))
+    val vecs = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray.map(_.toDouble))
+      .toMap
+    def d2(x: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { val d = x(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def argmin(x: Array[Double], cents: Seq[(Long, Array[Double])]): (Long, Double) =
+      cents.map { case (id, c) => (d2(x, c), id) }
+        .reduceLeft((a, b) => if (b._1 < a._1) b else a) match {
+        case (d, id) => (id, d)
+      }
+    // cell inventory: the ENGINE's exact-fold coarse quantizer (the q173
+    // test's discipline — bit-identical assignment arithmetic)
+    val coarseE = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
+    def foldD2(x: Array[Double], c: Array[Double]): Double = {
+      var xdot = 0.0; var acc = 0.0; var cc = 0.0; var i = 0
+      while (i < x.length) {
+        xdot += x(i) * x(i); acc += x(i) * c(i); cc += c(i) * c(i); i += 1
+      }
+      (xdot - 2.0 * acc) + cc
+    }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> coarseE.map { case (cid, c) => (foldD2(v, c), cid) }
+        .reduceLeft((a, b) => if (b._1 < a._1) b else a)._2
+    }
+    // residuals against the engine's coarse centroids; the SSE
+    // comparison runs on an INDEPENDENT plain-Scala Lloyd (same
+    // init/tie-break discipline, its own arithmetic) so the engine is
+    // not grading its own homework
+    def lloyd(pts: Seq[(Long, Array[Double])], k: Int): Seq[(Long, Array[Double])] = {
+      var cents: Seq[(Long, Array[Double])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), j) => (j.toLong, v.clone()) }
+      for (_ <- 0 until Pq.Iters) {
+        cents = pts.map { case (_, v) => (argmin(v, cents)._1, v) }
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (j, vs) =>
+            val m = new Array[Double](vs.head._2.length)
+            vs.foreach(t => for (i <- m.indices) m(i) += t._2(i))
+            for (i <- m.indices) m(i) /= vs.length
+            (j, m)
+          }
+      }
+      cents
+    }
+    val resid = vecs.map { case (id, v) =>
+      id -> v.zip(coarseE.find(_._1 == cellOf(id)).get._2).map(t => t._1 - t._2)
+    }
+    def subSse(data: Map[Long, Array[Double]]): Double =
+      (0 until Pq.SubSpaces).map { m =>
+        val pts = data.toSeq.sortBy(_._1).map { case (id, v) =>
+          (id, v.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim))
+        }
+        val book = lloyd(pts, Pq.K)
+        pts.map { case (_, x) => argmin(x, book)._2 }.sum
+      }.sum
+    val ssePq = subSse(vecs)
+    val sseIvf = subSse(resid)
+    // the refinement's falsifiable promise, with real margin: residual
+    // encoding must cut reconstruction SSE, not merely tie
+    assert(sseIvf < ssePq * 0.99,
+      f"residual PQ SSE $sseIvf%.1f not below whole-vector PQ $ssePq%.1f by ≥1%%")
+    // the registered query agrees: verdict TRUE everywhere, cells exact
+    val out = SparkEntry.queries("q177_residual_ivfpq")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty && out.forall(_._3), "q177 verdict not TRUE")
+    val refCells = cellOf.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(out.map(t => t._1 -> t._2).toMap == refCells,
+      "q177 cell inventory != engine-fold coarse assignment")
+    assert(out.map(_._2).sum == vecs.size.toLong)
   }
 
   test("q174 pipeline: gate honored, dedup keeps lowest, packing arithmetic self-consistent") {
