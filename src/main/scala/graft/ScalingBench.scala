@@ -97,7 +97,9 @@ object ScalingBench {
       "q149_temperature_mix_scalable", "q151_pack_sequences_scalable",
       "q158_decontaminate_bloom", "q159_dupspan_scrub",
       "q166_bpe_train", "q167_bpe_tokenize", "q169_warc_extract",
-      "q170_pq_encode", "q171_pq_adc_topk")
+      "q170_pq_encode", "q171_pq_adc_topk",
+      "q177_residual_ivfpq", "q178_bpe_tokenize_vocab",
+      "q179_dupspan_scrub_sa")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

@@ -1055,6 +1055,23 @@ object Curation extends QueryGroup {
     val dup = docs.select(explode(col("ph")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1L).select(col("g"))
+    val spans0 = docs.select(col("doc_id"), posexplode(col("ph")))
+      .join(dup, col("col") === col("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+    scrubRebuild(docs, spans0, n)
+  }
+
+  /** The dup-span REBUILD shared by q159 (positional-hash dup detection)
+    * and q179 (suffix-doubling dup detection): interval-merge each doc's
+    * dup-start list, then filter its token array index-aware and emit
+    * the (n_tokens, n_removed, text_clean) contract. `docs` carries
+    * (doc_id, text, ws); `starts` is (doc_id, starts: array<int>) for
+    * the docs with ≥1 duplicated n-gram start.
+    */
+  private[operators] def scrubRebuild(
+      docs: org.apache.spark.sql.DataFrame,
+      startsDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
     // INTERVAL-MERGE the dup-start list before the per-token filter (r9
     // verdict item 7): boilerplate runs produce long chains of
     // overlapping [p, p+n-1] spans, and the previous exists-over-starts
@@ -1086,10 +1103,7 @@ object Curation extends QueryGroup {
         coalesce(element_at(st, i + lit(2)) > p + lit(n), lit(true)))
     val merged = zip_with(heads, ends,
       (s, e) => struct(s.as("s"), (e + lit(n - 1)).as("e")))
-    val spans = docs.select(col("doc_id"), posexplode(col("ph")))
-      .join(dup, col("col") === col("g"))
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
-      .select(col("doc_id"), merged.as("mg"))
+    val spans = startsDf.select(col("doc_id"), merged.as("mg"))
     val mg = coalesce(col("mg"),
       array().cast("array<struct<s:int,e:int>>"))
     val kept = filter(col("ws"), (t, i) =>

@@ -160,6 +160,17 @@ object Tokenizer extends QueryGroup {
     size(filter(split(trim(applied), " "), t => t =!= "")).cast("long")
   }
 
+  /** The BPE segment count of one word, driver-side — the SAME spaced/
+    * replace/count pipeline the expression chain runs, in plain Scala.
+    * Precomputes the vocab-map entries for [[tokenizedVocab]] (model
+    * state: ≤ VocabCap small longs).
+    */
+  private[graft] def segmentCount(w: String, merges: Seq[Merge]): Long = {
+    var s = spaced(w)
+    merges.foreach(m => s = s.replace(s" ${m.left} ${m.right} ", s" ${m.merged} "))
+    s.split(" ").count(_.nonEmpty).toLong
+  }
+
   def queries: Map[String, Q] = Map(
     // q166 [north star, r10]: BPE merge-table training. Corpus work =
     // one word-frequency shuffle; the greedy itself runs over the capped
@@ -179,6 +190,25 @@ object Tokenizer extends QueryGroup {
     "q167_bpe_tokenize" -> ((spark, dir) => {
       val merges = bpeTrain(wordDict(spark, dir))
       tokenized(Tables(spark, dir, "documents"), merges).orderBy("doc_id")
+    }),
+
+    // q178 [north star, r11]: the PRODUCTION-vocab apply shape q167's
+    // scaladoc names — at a 50k vocab a per-occurrence replace chain is
+    // 50k string passes per word, so production tokenizers look each
+    // known word up in a broadcast word→segment-count map (the capped
+    // type dict covers the corpus's frequency mass) and run the chain
+    // only as the OPEN-VOCAB fallback for tail words. Here the map is a
+    // literal (driver-precomputed by the same spaced/replace/count
+    // pipeline), the lookup is `element_at` + `coalesce` to the chain —
+    // still map-only, still zero joins. The oracle is VERBATIM q167's:
+    // the two strategies must be semantically indistinguishable, and
+    // the hash match proves the fast path computes exactly what the
+    // reference chain computes.
+    "q178_bpe_tokenize_vocab" -> ((spark, dir) => {
+      val dict = wordDict(spark, dir)
+      val merges = bpeTrain(dict)
+      tokenizedVocab(Tables(spark, dir, "documents"), merges, dict)
+        .orderBy("doc_id")
     }))
 
   /** The tokenize projection itself — shared verbatim by batch q167 and
@@ -189,16 +219,35 @@ object Tokenizer extends QueryGroup {
     * the corpus side now enforces the same contract the dict side
     * always did, instead of silently diverging on \r/astral input.
     */
-  private[graft] def tokenized(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val gatedText = when(col("text").rlike(OutOfAlphabetRe),
+  private def gatedText: Column =
+    when(col("text").rlike(OutOfAlphabetRe),
       raise_error(concat(
         lit("BPE tokenize: doc "), col("doc_id").cast("string"),
         lit(" contains out-of-alphabet characters (control/line-separator/" +
           "astral) — per-char splits diverge cross-engine on them"))))
       .otherwise(col("text"))
+
+  private[graft] def tokenized(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     docs.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
       aggregate(
         transform(TextOps.tokens(gatedText), w => bpeTokenCount(w, merges)),
+        lit(0L), (acc, x) => acc + x).as("n_bpe"))
+
+  /** q178's projection: per word, a literal-map lookup of the
+    * precomputed segment count with the replace chain as the open-vocab
+    * fallback. Same loud alphabet gate, same NULL discipline, same
+    * output contract as [[tokenized]] — only the physical strategy for
+    * in-vocab words differs.
+    */
+  private[graft] def tokenizedVocab(docs: DataFrame, merges: Seq[Merge],
+      dict: Seq[(String, Long)]): DataFrame = {
+    val vocabMap = map(dict.flatMap { case (w, _) =>
+      Seq(lit(w), lit(segmentCount(w, merges)))
+    }: _*)
+    docs.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
+      aggregate(
+        transform(TextOps.tokens(gatedText), w =>
+          coalesce(element_at(vocabMap, w), bpeTokenCount(w, merges))),
         lit(0L), (acc, x) => acc + x).as("n_bpe"))
   }
 
@@ -248,6 +297,15 @@ object Tokenizer extends QueryGroup {
     // rank-indexed recursive CTE (step r applies merge r); per-doc sum of
     // surviving token counts; LEFT JOIN restores NULL-text docs as NULL.
     "q167_bpe_tokenize" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |${oracleApplyCtes("documents")}
+         |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
+         |  CAST(p.n_bpe AS BIGINT) AS n_bpe
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q178: verbatim the q167 oracle — the vocab-map strategy must be
+    // semantically indistinguishable from the reference chain; only the
+    // physical plan differs.
+    "q178_bpe_tokenize_vocab" ->
       s"""WITH RECURSIVE $oracleMergeCtes,
          |${oracleApplyCtes("documents")}
          |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,

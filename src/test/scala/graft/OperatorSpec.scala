@@ -1652,6 +1652,33 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_._2).sum == vecs.size.toLong)
   }
 
+  test("q179 suffix-doubling scrub: membership ≡ q159's gram formulation at n=50; exact classes loud") {
+    import graft.operators.{Curation, SuffixScrub}
+    // the verdict contract: the prefix-doubling tier must compute the
+    // SAME scrub as the positional-gram tier at the same granularity —
+    // row-identical output on the shared fixture
+    val viaGrams = Curation.dupspanScrub(
+      Tables(spark, Sf, "documents"), SuffixScrub.N)
+      .collect().map(_.toSeq).toSeq
+    val viaSa = SparkEntry.queries("q179_dupspan_scrub_sa")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSa == viaGrams,
+      "suffix-doubling scrub membership drifted from the gram tier at n=50")
+    // the fixture exercises the operator: duplicated 50-gram spans exist
+    val removed = viaSa.map(r => r(2) match {
+      case l: Long => l
+      case _ => 0L
+    }).sum
+    assert(removed > 0L, "fixture has no duplicated 50-gram spans to scrub")
+    // the Stride guard is loud, not silent
+    intercept[IllegalArgumentException] {
+      val wide = spark.range(1).selectExpr("id AS doc_id",
+        s"array_join(transform(sequence(1, ${SuffixScrub.Stride.toInt + 1}), " +
+          "x -> 'w'), ' ') AS text")
+      SuffixScrub.saDupspanScrub(wide, SuffixScrub.N).collect()
+    }
+  }
+
   test("q174 pipeline: gate honored, dedup keeps lowest, packing arithmetic self-consistent") {
     import graft.operators.Pipeline
     val docs = Tables(spark, Sf, "documents")
@@ -2191,6 +2218,31 @@ class OperatorSpec extends SparkSpec {
     val exchanges = shuffleCount(SparkEntry.queries("q167_bpe_tokenize")(spark, Sf))
     assert(exchanges <= 1,
       s"tokenization should shuffle at most once (final sort), got $exchanges")
+  }
+
+  test("q178 vocab-map tokenize: row-identical to q167's chain, map entries honest, still map-only") {
+    import graft.operators.Tokenizer
+    // the fast path and the reference chain must be indistinguishable
+    val chain = SparkEntry.queries("q167_bpe_tokenize")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val vocab = SparkEntry.queries("q178_bpe_tokenize_vocab")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(vocab == chain, "vocab-map tokenize diverged from the chain")
+    // every dict word's precomputed segment count == the chain's result
+    // for that word in isolation (the map's honesty, word by word)
+    val dict = Tokenizer.wordDict(spark, Sf)
+    val merges = Tokenizer.bpeTrain(dict)
+    dict.foreach { case (w, _) =>
+      var s = " " + w.map(_.toString).mkString(" ") + " "
+      merges.foreach(m => s = s.replace(s" ${m.left} ${m.right} ", s" ${m.merged} "))
+      assert(Tokenizer.segmentCount(w, merges) ==
+        s.split(" ").count(_.nonEmpty).toLong, s"map entry for '$w' dishonest")
+    }
+    // the literal map adds no join: still at most the presentation sort
+    val exchanges = shuffleCount(
+      SparkEntry.queries("q178_bpe_tokenize_vocab")(spark, Sf))
+    assert(exchanges <= 1,
+      s"vocab tokenize should stay map-only (≤1 exchange), got $exchanges")
   }
 
   test("q170 encode and q171 ADC never shuffle vectors: at most the final sort/window exchange") {
