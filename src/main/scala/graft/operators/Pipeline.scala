@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextOps
 
 /** The whole training-data pipeline as ONE composed dataflow — the
   * "could a user run their pipeline on this library" demonstration:
@@ -13,122 +14,270 @@ import graft.Tables
   *     → streaming record parse + HTTP validation + main-content extract
   *     → language/length gate
   *     → exact dedup (content hash, keep-lowest)
+  *     → benchmark holdout split + Bloom DECONTAMINATION (q158's
+  *       geometry at the published 13-gram width: the val split leaves
+  *       the corpus and any train doc sharing a 13-gram with it drops)
+  *     → ERASURE scrub (q155's Bloom deny-list mechanism keyed on
+  *       doc_id: sketch gate → exact anti-join verify)
   *     → BPE tokenizer TRAINED ON THE CURATED CORPUS
   *     → whole-corpus tokenization
   *     → 512-token sequence packing per source
   *
   * Each stage is the already-proven operator (q169 WARC loop, q42's
-  * dedup discipline, q166/q167 BPE, q82's packing formula) — what q174
-  * adds is the COMPOSITION: stage boundaries carry exactly the columns
-  * the next stage needs (lang/source ride the WARC record headers, the
-  * real crawl's metadata sidecar, instead of re-joining the corpus), and
-  * the oracle is the same composition in SQL (gate + QUALIFY-style dedup
-  * feeding the parameterized q166/q167 CTE builders, then the q82
-  * window).
+  * dedup discipline, q158's sketch-gate-then-verify, q155's deny-list
+  * split, q166/q167 BPE, q82's packing formula) — what q174 adds is the
+  * COMPOSITION: stage boundaries carry exactly the columns the next
+  * stage needs (lang/source ride the WARC record headers, the real
+  * crawl's metadata sidecar, instead of re-joining the corpus), and the
+  * oracle is the same composition in SQL. q180 publishes the funnel's
+  * per-source attrition table — the data-card shape q145 established
+  * for the dedup cascade, here over the FULL curation funnel, sharing
+  * the staged dataflow with q174 so audit and detail cannot drift.
   *
   * Scale: the WARC pack is test scaffolding (production reads existing
-  * dumps; parallelism = file count); the gate and tokenize are map-only;
-  * dedup is one hash-keyed shuffle; BPE training is one word-frequency
-  * shuffle + driver greedy; packing is one source-keyed window (the
-  * q82-vs-q151 trade is documented there — at a hot-source 100 TB the
-  * q151 scan decomposition replaces the window verbatim).
+  * dumps; parallelism = file count); the gate and tokenize are
+  * map-only; dedup is one hash-keyed shuffle; decon keeps the corpus
+  * side map-only behind the Bloom gate (only the flagged sliver
+  * explodes); erasure is a broadcast-sketch gate + anti-join on the
+  * tiny might-set; BPE training is one word-frequency shuffle + driver
+  * greedy; packing is one source-keyed window (the q82-vs-q151 trade is
+  * documented there — at a hot-source 100 TB the q151 scan
+  * decomposition replaces the window verbatim).
   */
 object Pipeline extends QueryGroup {
 
   val MinChars = 200
   val Langs = Seq("en", "de")
   val SeqLen = 512
+  /** Benchmark holdout split gate (q158's): md5('split:'||doc_id) ≥ this
+    * hex prefix → the doc is HOLDOUT (benchmark), not training data.
+    */
+  val ValGate = "cd"
+  /** Decontamination n-gram width: the published 13-gram overlap rule
+    * (GPT-3 appx C / PaLM decontamination). Trigrams — q158's benchmark
+    * fixture width — are far too aggressive for a whole-corpus drop
+    * stage: on this small-vocabulary corpus every train doc shares some
+    * trigram with the holdout and the funnel empties (measured — 401 of
+    * 401 train docs flagged); 13-gram collisions mean real leakage.
+    */
+  val DeconGram = 13
+  /** Erasure deny gate: md5('erase:'||doc_id) < this prefix → the doc is
+    * on the (fixture-derived) right-to-be-forgotten deny list, ~3%.
+    */
+  val EraseGate = "08"
+
+  /** The staged dataflow shared by q174 and q180. Every frame carries
+    * (doc_id, text, lang, source).
+    */
+  private[graft] final case class Stages(parsed: DataFrame, gated: DataFrame,
+      dd: DataFrame, train: DataFrame, decon: DataFrame, clean: DataFrame)
+
+  private[graft] def stages(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Stages = {
+    import spark.implicits._
+    // crawl scaffolding: pack into 16 WARC shards, metadata in headers.
+    // r11: every doc carries the non-ASCII probe suffix (the q169
+    // stance) so the end-to-end composition is proven on the multi-byte
+    // text a real crawl ships, not just ASCII. Metadata completeness is
+    // a PACK precondition: a NULL lang or source would interpolate as
+    // the literal string "null" in the WARC header and come back as a
+    // real string — diverging from the oracle's SQL NULL (r10 review
+    // finding). Records missing their sidecar are quarantined at the
+    // pack, mirrored in the oracle's WHERE.
+    val files = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"),
+        col("lang"), col("source"))
+      .filter(col("text").isNotNull && col("lang").isNotNull &&
+        col("source").isNotNull)
+      .withColumn("shard", pmod(col("doc_id"), lit(16)))
+      .as[(Long, String, String, String, Long)]
+      .groupByKey(_._5)
+      .mapGroups { (_, it) =>
+        Warc.buildTagged(it.toArray.sortBy(_._1).map(t =>
+          (t._1, t._2, Seq("WARC-Graft-Lang" -> t._3,
+            "WARC-Graft-Source" -> t._4))).toSeq)
+      }
+    // ingest: parse records, validate HTTP, extract main content,
+    // read the metadata sidecar off the record headers
+    val parsed = files.flatMap { bytes =>
+      Warc.responses(bytes).map { e =>
+        (e.docId, e.text,
+          e.headers.getOrElse("WARC-Graft-Lang", "?"),
+          e.headers.getOrElse("WARC-Graft-Source", "?"))
+      }
+    }.toDF("doc_id", "text", "lang", "source")
+    // curation gate
+    val gated = parsed.filter(length(col("text")) >= MinChars &&
+      col("lang").isin(Langs.map(l => l: Any): _*))
+    // exact dedup: content hash, keep the lowest doc_id
+    val dw = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val dd = graft.CachePool.track(
+      gated.withColumn("rn", row_number().over(dw))
+        .filter(col("rn") === 1).drop("rn"))
+    // decontamination (q158's Bloom geometry on the deduped stage): the
+    // holdout split is the benchmark — it leaves the corpus — and any
+    // surviving train doc sharing a 13-gram with it is contaminated.
+    // Corpus side stays map-only behind the no-false-negative sketch
+    // gate; only the flagged sliver explodes into the exact verify join.
+    val isVal = substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 2) >= ValGate
+    val withSh = graft.CachePool.track(
+      dd.withColumn("is_val", isVal)
+        .withColumn("sh", TextOps.shingleHashes(TextOps.tokens(col("text")), DeconGram)))
+    val holdout = graft.CachePool.track(
+      withSh.filter(col("is_val")).select(explode(col("sh")).as("g")).distinct())
+    val bits = TextOps.bloomBits(holdout, "g")
+    val train = withSh.filter(!col("is_val"))
+    val contaminated = train
+      .filter(TextOps.bloomAnyContain(col("sh"), bits))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(holdout, "g")
+      .select(col("doc_id")).distinct()
+    val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // erasure (q155's mechanism keyed on doc_id): broadcast Bloom over
+    // the deny list gates the corpus; the might-set verifies against
+    // the exact list with an anti-join, the rest passes through — same
+    // sketch, same split-verify shape, one Bloom code path engine-wide.
+    val deny = decon.select(col("doc_id"))
+      .filter(substring(md5(concat(lit("erase:"),
+        col("doc_id").cast("string"))), 1, 2) < EraseGate)
+    val dbits = TextOps.bloomBits(deny, "doc_id")
+    val tagged = decon.withColumn("might",
+      TextOps.bloomAnyContain(col("doc_id"), dbits))
+    val clean = tagged.filter(col("might") <=> true)
+      .join(deny, Seq("doc_id"), "left_anti")
+      .unionByName(tagged.filter(!(col("might") <=> true)))
+      .drop("might")
+    def strip(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("text"), col("lang"), col("source"))
+    Stages(parsed, gated, strip(dd), strip(train), strip(decon),
+      graft.CachePool.track(strip(clean)))
+  }
+
+  /** The funnel stages as chained SQL CTEs ending in `clean` — shared
+    * verbatim by the q174 and q180 oracles so the two cannot drift.
+    * Trigram strings mirror the engine's shingle HASHES (q158's
+    * hash-identity stance); the Bloom gates are pure pre-filters
+    * (no false negatives + exact verify), so the SQL is the plain
+    * predicate form — exactly how q155/q158 oracle themselves.
+    */
+  private def funnelCtes: String =
+    s"""src AS MATERIALIZED (
+       |  SELECT doc_id, text || '${Warc.NonAsciiProbe}' AS text, lang, source
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+       |gated AS MATERIALIZED (
+       |  SELECT doc_id, text, lang, source FROM src
+       |  WHERE length(text) >= $MinChars
+       |    AND lang IN (${Langs.map(l => s"'$l'").mkString(", ")})),
+       |dd AS MATERIALIZED (
+       |  SELECT doc_id, text, lang, source FROM (
+       |    SELECT g.*, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id) AS rn FROM gated g) t
+       |  WHERE rn = 1),
+       |tri AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '$ValGate' AS is_val,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(text,' '))-${DeconGram - 1},0)+1),
+       |      i -> array_to_string(string_split(text,' ')[i:i+${DeconGram - 1}], ' ')))) AS g
+       |  FROM dd),
+       |hold AS MATERIALIZED (SELECT DISTINCT g FROM tri WHERE is_val),
+       |train AS MATERIALIZED (
+       |  SELECT * FROM dd
+       |  WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '$ValGate'),
+       |cont AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id FROM tri t JOIN hold USING (g)
+       |  WHERE NOT t.is_val),
+       |decon AS MATERIALIZED (
+       |  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |clean AS MATERIALIZED (
+       |  SELECT * FROM decon
+       |  WHERE substring(md5('erase:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '$EraseGate')""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q174_crawl_to_training" -> ((spark, dir) => {
-      import spark.implicits._
-      // crawl scaffolding: pack into 16 WARC shards, metadata in headers
-      // r11: every doc carries the non-ASCII probe suffix (the q169
-      // stance) so the END-TO-END composition — WARC octets, gate,
-      // md5 dedup, BPE train+apply, packing — is proven on the
-      // multi-byte text a real crawl ships, not just ASCII.
-      val files = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"),
-          col("lang"), col("source"))
-        // metadata completeness is a PACK precondition: a NULL lang or
-        // source would interpolate as the literal string "null" in the
-        // WARC header and come back as a real string — diverging from
-        // the oracle's SQL NULL (r10 review finding). Records missing
-        // their sidecar are quarantined at the pack, mirrored in the
-        // oracle's WHERE.
-        .filter(col("text").isNotNull && col("lang").isNotNull &&
-          col("source").isNotNull)
-        .withColumn("shard", pmod(col("doc_id"), lit(16)))
-        .as[(Long, String, String, String, Long)]
-        .groupByKey(_._5)
-        .mapGroups { (_, it) =>
-          Warc.buildTagged(it.toArray.sortBy(_._1).map(t =>
-            (t._1, t._2, Seq("WARC-Graft-Lang" -> t._3,
-              "WARC-Graft-Source" -> t._4))).toSeq)
-        }
-      // ingest: parse records, validate HTTP, extract main content,
-      // read the metadata sidecar off the record headers
-      val parsed = files.flatMap { bytes =>
-        Warc.responses(bytes).map { e =>
-          (e.docId, e.text,
-            e.headers.getOrElse("WARC-Graft-Lang", "?"),
-            e.headers.getOrElse("WARC-Graft-Source", "?"))
-        }
-      }.toDF("doc_id", "text", "lang", "source")
-      // curation gate
-      val gated = parsed.filter(length(col("text")) >= MinChars &&
-        col("lang").isin(Langs.map(l => l: Any): _*))
-      // exact dedup: content hash, keep the lowest doc_id
-      val dw = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val dd = graft.CachePool.track(
-        gated.withColumn("rn", row_number().over(dw))
-          .filter(col("rn") === 1).drop("rn"))
-      // tokenizer trained on the CURATED corpus (what production does —
-      // training the tokenizer on pre-curation text bakes boilerplate
-      // into the vocab), then map-only tokenization
-      val merges = Tokenizer.bpeTrain(Tokenizer.wordDictOf(dd))
-      val toks = Tokenizer.tokenized(dd, merges)
+      val st = stages(spark, dir)
+      // tokenizer trained on the FULLY CURATED corpus (the production
+      // order — training the tokenizer on pre-curation text bakes
+      // boilerplate, benchmark leakage, and erased content into the
+      // vocab), then map-only tokenization
+      val merges = Tokenizer.bpeTrain(Tokenizer.wordDictOf(st.clean))
+      val toks = Tokenizer.tokenized(st.clean, merges)
         .select(col("doc_id"), col("n_bpe"))
       // 512-token sequence packing per source (q82's formula over BPE
       // counts instead of whitespace counts)
       val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dd.select(col("doc_id"), col("source"), col("lang"))
+      st.clean.select(col("doc_id"), col("source"), col("lang"))
         .join(toks, "doc_id")
         .withColumn("cum", sum(col("n_bpe")).over(pw))
         .select(col("doc_id"), col("source"), col("lang"), col("n_bpe"),
           floor((col("cum") - col("n_bpe")).cast("double") / SeqLen.toDouble)
             .cast("long").as("seq_id"))
         .orderBy("doc_id")
+    }),
+
+    // q180 [north star, r11]: the PIPELINE ATTRITION AUDIT — q145's
+    // data-card shape over the full curation funnel: per source, how
+    // many docs survive each gate (parsed → lang/length gate → exact
+    // dedup → holdout split → decontamination → erasure). Shares the
+    // staged dataflow with q174, so the audit and the per-doc detail
+    // are structurally the same computation (reconciliation pinned in
+    // OperatorSpec: q180's n_clean per source == q174's row counts).
+    // Six partial-aggregating rollups to |sources| rows + broadcast
+    // joins — the audit costs one pass per stage boundary, never a
+    // corpus-sized join.
+    "q180_pipeline_audit" -> ((spark, dir) => {
+      val st = stages(spark, dir)
+      def cnt(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("source")).agg(count(lit(1)).as(name))
+      cnt(st.parsed, "n_parsed")
+        .join(cnt(st.gated, "n_gated"), Seq("source"), "left")
+        .join(cnt(st.dd, "n_dedup"), Seq("source"), "left")
+        .join(cnt(st.train, "n_train"), Seq("source"), "left")
+        .join(cnt(st.decon, "n_decon"), Seq("source"), "left")
+        .join(cnt(st.clean, "n_clean"), Seq("source"), "left")
+        .select(col("source"),
+          col("n_parsed"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_train"), lit(0L)).as("n_train"),
+          coalesce(col("n_decon"), lit(0L)).as("n_decon"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+        .orderBy("source")
     }))
 
   def oracles: Map[String, String] = Map(
-    // the same composition in SQL: gate → windowed dedup → the
-    // parameterized q166 trainer chain and q167 apply chain over the
-    // curated stage → the q82 packing window.
+    // the same composition in SQL: the shared funnel CTEs feeding the
+    // parameterized q166/q167 CTE builders, then the q82 packing window.
     "q174_crawl_to_training" ->
-      s"""WITH RECURSIVE src AS MATERIALIZED (
-         |  SELECT doc_id, text || '${Warc.NonAsciiProbe}' AS text, lang, source
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
-         |gated AS MATERIALIZED (
-         |  SELECT doc_id, text, lang, source FROM src
-         |  WHERE length(text) >= $MinChars
-         |    AND lang IN (${Langs.map(l => s"'$l'").mkString(", ")})),
-         |dd AS MATERIALIZED (
-         |  SELECT doc_id, text, lang, source FROM (
-         |    SELECT g.*, row_number() OVER (PARTITION BY md5(text)
-         |      ORDER BY doc_id) AS rn FROM gated g) t
-         |  WHERE rn = 1),
-         |${Tokenizer.oracleMergeCtes("dd")},
-         |${Tokenizer.oracleApplyCtes("dd")},
+      s"""WITH RECURSIVE $funnelCtes,
+         |${Tokenizer.oracleMergeCtes("clean")},
+         |${Tokenizer.oracleApplyCtes("clean")},
          |packed AS (
          |  SELECT d.doc_id, d.source, d.lang, p.n_bpe,
          |    SUM(p.n_bpe) OVER (PARTITION BY d.source ORDER BY d.doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM dd d JOIN perdoc p USING (doc_id))
+         |  FROM clean d JOIN perdoc p USING (doc_id))
          |SELECT doc_id, source, lang, CAST(n_bpe AS BIGINT) AS n_bpe,
          |  CAST(floor(CAST(cum - n_bpe AS DOUBLE) / $SeqLen.0) AS BIGINT) AS seq_id
-         |FROM packed ORDER BY doc_id""".stripMargin)
+         |FROM packed ORDER BY doc_id""".stripMargin,
+    "q180_pipeline_audit" ->
+      s"""WITH $funnelCtes
+         |SELECT p.source,
+         |  CAST(p.n AS BIGINT) AS n_parsed,
+         |  CAST(COALESCE(g.n, 0) AS BIGINT) AS n_gated,
+         |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dedup,
+         |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_train,
+         |  CAST(COALESCE(dc.n, 0) AS BIGINT) AS n_decon,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clean
+         |FROM      (SELECT source, count(*) AS n FROM src   GROUP BY source) p
+         |LEFT JOIN (SELECT source, count(*) AS n FROM gated GROUP BY source) g USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM dd    GROUP BY source) d USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM train GROUP BY source) t USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM decon GROUP BY source) dc USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM clean GROUP BY source) c USING (source)
+         |ORDER BY p.source""".stripMargin)
 }

@@ -1679,33 +1679,46 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("q174 pipeline: gate honored, dedup keeps lowest, packing arithmetic self-consistent") {
-    import graft.operators.Pipeline
-    val docs = Tables(spark, Sf, "documents")
-      .select(col("doc_id"), col("text"), col("lang")).collect()
-      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+  test("q174 pipeline: full-funnel membership == driver reference; packing arithmetic self-consistent") {
+    import graft.operators.{Pipeline, Warc}
+    val raw = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        Option(r.getString(3))))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex2(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    }
+    // driver-side reference of the WHOLE extended funnel (r11): suffix →
+    // gate → keep-lowest dedup → holdout split → 13-gram decon → erasure
+    val suffixed = raw.collect { case (id, Some(t), Some(l), Some(s)) =>
+      (id, t + Warc.NonAsciiProbe, l, s)
+    }
+    val gated = suffixed.filter { case (_, t, l, _) =>
+      t.length >= Pipeline.MinChars && Pipeline.Langs.contains(l)
+    }
+    val dedup = gated.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    val (vals, train) = dedup.partition { case (id, _, _, _) =>
+      md5hex2(s"split:$id") >= Pipeline.ValGate
+    }
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").sliding(Pipeline.DeconGram)
+        .filter(_.length == Pipeline.DeconGram).map(_.toSeq).toSet
+    val holdGrams = vals.flatMap(v => grams(v._2)).toSet
+    val decon = train.filter(d => grams(d._2).intersect(holdGrams).isEmpty)
+    val clean = decon.filter(d => md5hex2(s"erase:${d._1}") >= Pipeline.EraseGate)
+    val expect = clean.map(_._1).toSet
     val out = SparkEntry.queries("q174_crawl_to_training")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4)))
     assert(out.nonEmpty)
-    // gate: every surviving doc passes; every gated-out doc is absent
-    val surviving = out.map(_._1).toSet
-    // the pipeline appends the non-ASCII probe suffix before the gate
-    // (r11) — the reference gate length must include it
-    val sufLen = graft.operators.Warc.NonAsciiProbe.length
-    out.foreach { case (id, _, lang, _, _) =>
-      val (text, origLang) = docs(id)
-      assert(lang == origLang, s"doc $id lang drifted through the WARC headers")
-      assert(text.exists(_.length + sufLen >= Pipeline.MinChars) &&
-        Pipeline.Langs.contains(lang), s"doc $id should have been gated out")
-    }
-    docs.foreach { case (id, (text, lang)) =>
-      val passes = text.exists(_.length + sufLen >= Pipeline.MinChars) &&
-        Pipeline.Langs.contains(lang)
-      if (passes && !surviving.contains(id))
-        assert(docs.exists { case (id2, (t2, _)) => id2 < id && t2 == text &&
-          surviving.contains(id2) },
-          s"doc $id passed the gate but vanished without a lower-id surviving duplicate")
+    assert(out.map(_._1).toSet == expect,
+      "q174 survivor set != driver-side funnel reference")
+    // metadata rode the WARC headers losslessly
+    val meta = suffixed.map(d => d._1 -> (d._3, d._4)).toMap
+    out.foreach { case (id, src, lang, _, _) =>
+      assert((lang, src) == meta(id), s"doc $id metadata drifted")
     }
     // packing: recompute seq_id from the output's own (source, doc_id,
     // n_bpe) order — formula consistency, not oracle duplication
@@ -1717,6 +1730,23 @@ class OperatorSpec extends SparkSpec {
         cum += nBpe
       }
     }
+    // q180's audit reconciles with q174's detail: per-source n_clean ==
+    // the detail row counts, and attrition is monotone stage to stage
+    val audit = SparkEntry.queries("q180_pipeline_audit")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(audit.nonEmpty)
+    val detailBySrc = out.groupBy(_._2).map { case (s, rs) => s -> rs.length.toLong }
+    audit.foreach { case (s, p, g, d, t, dc, c) =>
+      assert(p >= g && g >= d && d >= t && t >= dc && dc >= c,
+        s"source $s: attrition not monotone ($p,$g,$d,$t,$dc,$c)")
+      assert(c == detailBySrc.getOrElse(s, 0L),
+        s"source $s: audit n_clean $c != q174 detail rows")
+    }
+    // the funnel's new stages actually fire on the fixture
+    assert(audit.map(_._5).sum > audit.map(_._6).sum ||
+      audit.map(_._6).sum > audit.map(_._7).sum,
+      "neither decon nor erasure removed anything — fixture not exercising the stages")
   }
 
   test("q175 preference pairs: chosen/rejected are the true extremes, margin filter honored") {
