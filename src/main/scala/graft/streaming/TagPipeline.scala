@@ -67,11 +67,21 @@ object TagPipeline {
       trigger: Trigger = PollInterval,
       storeKey: String = "default"): StreamingQuery = {
     DocumentStore.register(storeKey, store)
-    val projected = EventDecoder.decodeAndFilter(wire)
-      // exactly-once tagging under redelivery: state-backed dedup, state
-      // aged out by the watermark (10 min ≫ any redelivery window).
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("id")
+    // exactly-once tagging under redelivery: state-backed dedup, state
+    // aged out by the watermark (10 min ≫ any redelivery window). A
+    // source that already defined its own event-time watermark (e.g.
+    // the KPL-deaggregating consumer's subsequence dedup) keeps it —
+    // Spark disallows REdefining a watermark downstream of a stateful
+    // operator, and chaining the id-dedup under the existing watermark
+    // is exactly the intended semantics.
+    val hasWatermark = wire.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    val decoded = EventDecoder.decodeAndFilter(wire)
+    val projected =
+      (if (hasWatermark) decoded else decoded.withWatermark("ts", "10 minutes"))
+        .dropDuplicatesWithinWatermark("id")
     projected.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -40,6 +40,44 @@ object WireSource {
         col("shardId").as("shard"),
         col("approximateArrivalTimestamp").as("ts"))
 
+  /** [[kinesis]] with KCL-equivalent KPL DEAGGREGATION (r11): a real
+    * high-throughput stream ships KPL-aggregated records (many user
+    * records per Kinesis record, the public magic+protobuf+md5 format —
+    * [[Kpl]]), which the plain consumer would hand downstream as opaque
+    * blobs. This factory flatMaps each record through the deaggregator
+    * (magic-less records pass through as single user records) and then
+    * runs the KCL's subsequence-checkpoint semantics Spark-natively: a
+    * watermark-bounded dedup on (shard, sequence, subsequence), so a
+    * restart that re-reads a partially-processed aggregate — or a
+    * producer retry that re-ships one — never re-delivers a user record
+    * inside the horizon. Deaggregation is per-row expression work
+    * (stateless, partition-local); only the dedup carries state, aged
+    * out by the watermark.
+    */
+  def kinesisKpl(spark: SparkSession, streamName: String, region: String,
+      maxFetchPerShard: Int = 20,
+      dedupHorizon: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .format("aws-kinesis")
+      .option("kinesis.streamName", streamName)
+      .option("kinesis.region", region)
+      .option("kinesis.consumerType", "GetRecords")
+      .option("kinesis.startingPosition", "LATEST")
+      .option("kinesis.executor.maxFetchRecordsPerShard", maxFetchPerShard)
+      .load()
+      .select(col("data"), col("partitionKey"), col("shardId"),
+        col("sequenceNumber"), col("approximateArrivalTimestamp"))
+      .as[(Array[Byte], String, String, String, java.sql.Timestamp)]
+    raw.flatMap { case (data, pk, shard, seq, ts) =>
+      Kpl.deaggregate(data, pk).map(ur =>
+        (ur.data, shard, seq, ur.subSeq, ts))
+    }.toDF("data", "shard", "seq", "sub_seq", "ts")
+      .withWatermark("ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("shard", "seq", "sub_seq")
+      .select(col("data"), col("shard"), col("ts"))
+  }
+
   /** Bounded replay of an event-log parquet (batch ≡ stream): re-encodes
     * the events table as wire frames — the test/backfill source.
     */
