@@ -41,8 +41,26 @@ object TagPipeline {
     * HTTP/DB connection. A failed lookup never fails the batch
     * (`app.py:71-75`): unknown ids create fresh docs.
     */
-  def enrichAndUpsert(storeKey: String, tag: Tag)(
+  def enrichAndUpsert(storeKey: String, tag: Tag,
+      exactlyOnce: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
+    // EXACTLY-ONCE tier (r11, closing the delivery-semantics gap vs the
+    // reference's fire-and-forget PUT, tag.py:28): foreachBatch is
+    // at-least-once — after a crash between the sink writes and the
+    // engine's checkpoint commit, the whole batch REPLAYS with the same
+    // batchId. The standard recipe is a batchId-keyed idempotent commit
+    // marker IN THE SINK STORE (same failure domain as the writes): a
+    // replayed batch whose marker exists is skipped wholesale, so even
+    // NON-idempotent effects run once per batchId. Marker is written
+    // strictly AFTER the data writes — a crash inside the batch leaves
+    // no marker and the replay re-runs it (which is why the per-row
+    // update stays idempotent too: markers make replays cheap and give
+    // once-per-batch semantics; idempotence covers the partial-batch
+    // crash window).
+    if (exactlyOnce &&
+        DocumentStore.resolve(storeKey).get(commitMarkerId(storeKey, batchId))
+          .nonEmpty)
+      return
     batch.select(col("id")).na.drop().distinct()
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val store = DocumentStore.resolve(storeKey)
@@ -55,7 +73,16 @@ object TagPipeline {
             DocumentStore.modifyAns(cur.getOrElse(AnsDoc(id, None, None)), tag))
         }
       }
+    if (exactlyOnce)
+      DocumentStore.resolve(storeKey)
+        .upsert(AnsDoc(commitMarkerId(storeKey, batchId), Some(batchId), None))
   }
+
+  /** Reserved-id commit marker for the exactly-once ledger — lives in
+    * the sink store itself so marker and data share a failure domain.
+    */
+  private[graft] def commitMarkerId(storeKey: String, batchId: Long): String =
+    s"__batch_commit:$storeKey:$batchId"
 
   /** Full streaming job: wire frame in, upserts out.
     *
@@ -65,7 +92,8 @@ object TagPipeline {
   def start(spark: SparkSession, wire: DataFrame, store: DocumentStore,
       checkpointDir: String, tag: Tag = AutoTag,
       trigger: Trigger = PollInterval,
-      storeKey: String = "default"): StreamingQuery = {
+      storeKey: String = "default",
+      exactlyOnce: Boolean = false): StreamingQuery = {
     DocumentStore.register(storeKey, store)
     // exactly-once tagging under redelivery: state-backed dedup, state
     // aged out by the watermark (10 min ≫ any redelivery window). A
@@ -86,7 +114,7 @@ object TagPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch(enrichAndUpsert(storeKey, tag) _)
+      .foreachBatch(enrichAndUpsert(storeKey, tag, exactlyOnce) _)
       .start()
   }
 
