@@ -100,13 +100,18 @@ object Pipeline extends QueryGroup {
       }
     // ingest: parse records, validate HTTP, extract main content,
     // read the metadata sidecar off the record headers
-    val parsed = files.flatMap { bytes =>
-      Warc.responses(bytes).map { e =>
-        (e.docId, e.text,
-          e.headers.getOrElse("WARC-Graft-Lang", "?"),
-          e.headers.getOrElse("WARC-Graft-Source", "?"))
-      }
-    }.toDF("doc_id", "text", "lang", "source")
+    // cached: the pack+parse chain is the costliest stage and BOTH
+    // consumers re-read it (q174's dedup input via gated, q180's
+    // n_parsed/n_gated rollups) — uncached, each q180 rollup would
+    // re-run the whole WARC loop
+    val parsed = graft.CachePool.track(
+      files.flatMap { bytes =>
+        Warc.responses(bytes).map { e =>
+          (e.docId, e.text,
+            e.headers.getOrElse("WARC-Graft-Lang", "?"),
+            e.headers.getOrElse("WARC-Graft-Source", "?"))
+        }
+      }.toDF("doc_id", "text", "lang", "source"))
     // curation gate
     val gated = parsed.filter(length(col("text")) >= MinChars &&
       col("lang").isin(Langs.map(l => l: Any): _*))

@@ -60,7 +60,8 @@ object SuffixScrub extends QueryGroup {
     val docs = graft.CachePool.track(
       corpus.select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("ws")))
-    val maxLen = docs.agg(max(size(col("ws")))).head().getInt(0)
+    val maxLen =
+      docs.agg(coalesce(max(size(col("ws"))), lit(0))).head().getInt(0)
     require(maxLen.toLong < Stride,
       s"doc with $maxLen tokens exceeds Stride=$Stride — positions would " +
         "collide across documents; raise Stride for this corpus")
