@@ -2291,6 +2291,16 @@ class OperatorSpec extends SparkSpec {
       s"probe side must broadcast:\n${plan.take(1200)}")
   }
 
+  test("q177's output pass never shuffles vectors: one partial-aggregating cell rollup + sort") {
+    // after the bounded model-state trainings, the registered output is
+    // the per-cell inventory: a partial-aggregating count keyed on the
+    // cell id (only (cell, count) partials cross the wire — never xd or
+    // resid arrays) plus the presentation sort.
+    val out = shuffleCount(SparkEntry.queries("q177_residual_ivfpq")(spark, Sf))
+    assert(out <= 2,
+      s"q177 output should shuffle only for the cell rollup + sort, got $out")
+  }
+
   test("q172's rank pass broadcasts the sketch estimates (no sort-merge join)") {
     val df = SparkEntry.queries("q172_quantile_sketch")(spark, Sf)
     df.collect()

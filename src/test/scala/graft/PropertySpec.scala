@@ -183,4 +183,50 @@ class PropertySpec extends SparkSpec {
       } finally bits.destroy()
     }
   }
+
+  test("KPL aggregate/deaggregate round-trips arbitrary payloads, keys, and counts") {
+    import graft.streaming.Kpl
+    val genRec = for {
+      pk <- Gen.oneOf(Gen.identifier.map(_.take(12)), Gen.const("naïve-東京")) // incl. multi-byte pk
+      n <- Gen.choose(0, 64)
+      data <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (pk, data.toArray)
+    forAllSeeded(Gen.choose(1, 12).flatMap(Gen.listOfN(_, genRec))) { recs =>
+      val back = Kpl.deaggregate(Kpl.aggregate(recs), "unused")
+      assert(back.length == recs.length)
+      back.zip(recs).zipWithIndex.foreach { case ((u, (pk, data)), i) =>
+        assert(u.partitionKey == pk, s"pk drift at $i")
+        assert(u.data.sameElements(data), s"payload drift at $i")
+        assert(u.subSeq == i.toLong, s"subseq drift at $i")
+      }
+    }
+  }
+
+  test("GVC encode/decode round-trips any raster sequence whose deltas fit a byte") {
+    import graft.operators.Gvc
+    val genSeq = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 8)
+      nf <- Gen.choose(1, 5)
+      base <- Gen.listOfN(w * h, Gen.choose(60, 190))
+      deltas <- Gen.listOfN(nf - 1, Gen.listOfN(w * h, Gen.choose(-50, 50)))
+    } yield {
+      val frames = deltas.scanLeft(base.toArray) { (prev, d) =>
+        prev.zip(d).map { case (p, dd) =>
+          math.max(0, math.min(255, p + dd))
+        }
+      }
+      (w, h, frames)
+    }
+    forAllSeeded(genSeq) { case (w, h, frames) =>
+      // clamping keeps samples in range but may push a delta outside the
+      // byte range only if |clamped diff| > 127 — impossible at ±50
+      val decoded = Gvc.decodeFrames(Gvc.encodeFrames(frames, w, h), w, h)
+      assert(decoded.length == frames.length)
+      decoded.zip(frames).foreach { case (d, f) =>
+        assert(d.raster.sameElements(f), "reconstruction drift")
+      }
+      assert(decoded.head.isKey && decoded.tail.forall(!_.isKey))
+    }
+  }
 }
