@@ -91,6 +91,13 @@ private[graft] object Warc {
       "WARC-Date: 2026-01-01T00:00:00Z") ++
       extraHeaders.map { case (k, v) => s"$k: $v" } ++
       Seq(s"Content-Length: ${payload.length}", "", "")).mkString(CRLF)
+    // the header BLOCK is ASCII by spec — but getBytes(US_ASCII) would
+    // silently '?'-mangle a non-ASCII metadata value (e.g. a q174
+    // sidecar header), the exact corruption class the octet discipline
+    // exists to prevent; refuse loudly instead (r11 review finding)
+    require(head.forall(_ < 128),
+      s"record $recordId: non-ASCII in the WARC header block — header " +
+        "values must be ASCII (encode metadata, don't mangle it)")
     val out = new ByteArrayOutputStream()
     out.write(head.getBytes(US_ASCII))
     out.write(payload)
