@@ -151,13 +151,20 @@ object Tokenizer extends QueryGroup {
     * chain is literal, so per-element re-evaluation does exactly the
     * intended per-word work (the q159 HOF lesson).
     */
-  private def bpeTokenCount(w: Column, merges: Seq[Merge]): Column = {
+  private def bpeTokenCount(w: Column, merges: Seq[Merge]): Column =
+    size(bpeSegments(w, merges)).cast("long")
+
+  /** The per-word segmentation itself (array of surviving tokens) —
+    * [[bpeTokenCount]] is its size; q181's vocab export explodes it for
+    * corpus-wide token frequencies.
+    */
+  private def bpeSegments(w: Column, merges: Seq[Merge]): Column = {
     val sp = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
     val applied = merges.foldLeft(sp) { (acc, m) =>
       call_function("replace", acc,
         lit(s" ${m.left} ${m.right} "), lit(s" ${m.merged} "))
     }
-    size(filter(split(trim(applied), " "), t => t =!= "")).cast("long")
+    filter(split(trim(applied), " "), t => t =!= "")
   }
 
   /** The BPE segment count of one word, driver-side — the SAME spaced/
@@ -209,6 +216,47 @@ object Tokenizer extends QueryGroup {
       val merges = bpeTrain(dict)
       tokenizedVocab(Tables(spark, dir, "documents"), merges, dict)
         .orderBy("doc_id")
+    }),
+
+    // q181 [north star, r11]: VOCAB EXPORT — the artifact a tokenizer
+    // actually ships (what a user hands the training job): the token
+    // inventory with ids (base alphabet in binary order, then merged
+    // tokens in merge-rank order — the standard BPE id assignment) plus
+    // each token's CORPUS-WIDE frequency under the real segmentation
+    // (the statistic vocab-truncation and sampling decisions read).
+    // Scale shape: the alphabet is bounded driver model state (loud cap);
+    // frequencies are one map-only segmentation pass (the q167 chain
+    // returning the token ARRAY) + one token-keyed partial-aggregating
+    // shuffle; the vocab table itself is a broadcast-sized join probe.
+    // Exactness: Σ freq ≡ Σ q167.n_bpe by construction — pinned in
+    // OperatorSpec as a cross-query conservation law.
+    "q181_vocab_export" -> ((spark, dir) => {
+      val merges = bpeTrain(wordDict(spark, dir))
+      val words = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+      val freq = words
+        .select(explode(bpeSegments(col("w"), merges)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      // base alphabet: distinct chars over corpus words via the SAME
+      // '(.)' split the chain uses, binary-sorted; bounded model state
+      val alphabet = words
+        .select(explode(filter(
+          split(regexp_replace(col("w"), "(.)", "$1 "), " "),
+          c => c =!= "")).as("ch"))
+        .distinct().orderBy("ch")
+        .collect().map(_.getString(0)).toSeq
+      require(alphabet.size <= 4096,
+        s"alphabet of ${alphabet.size} chars exceeds the model-state cap — " +
+          "a byte-level base vocab is the production answer past this")
+      val ids: Seq[(String, Long)] =
+        alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+          merges.map(m => (m.merged, alphabet.size + m.rank - 1))
+      val vocab = spark.createDataFrame(ids).toDF("token", "token_id")
+      vocab.join(freq, Seq("token"), "left")
+        .select(col("token_id"), col("token"),
+          coalesce(col("freq"), lit(0L)).as("freq"))
+        .orderBy("token_id")
     }))
 
   /** The tokenize projection itself — shared verbatim by batch q167 and
@@ -310,7 +358,32 @@ object Tokenizer extends QueryGroup {
          |${oracleApplyCtes("documents")}
          |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
          |  CAST(p.n_bpe AS BIGINT) AS n_bpe
-         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q181: token frequencies from the SAME recursive apply chain's
+    // final segmentations (ap at r = MergeRounds); ids = binary-ordered
+    // base chars then merge-rank order; LEFT JOIN keeps never-used
+    // vocab entries at freq 0.
+    "q181_vocab_export" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |${oracleApplyCtes("documents")},
+         |tf AS (SELECT tok, COUNT(*) AS freq FROM (
+         |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
+         |         FROM ap WHERE r = $MergeRounds) t GROUP BY tok),
+         |alpha AS (SELECT DISTINCT unnest(list_filter(
+         |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
+         |            x -> x <> '')) AS ch
+         |          FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                FROM documents WHERE text IS NOT NULL) ww),
+         |base AS (SELECT ch AS token,
+         |           row_number() OVER (ORDER BY ch) - 1 AS token_id FROM alpha),
+         |nb AS (SELECT COUNT(*) AS n FROM base),
+         |vocab AS (SELECT token, token_id FROM base
+         |          UNION ALL
+         |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m)
+         |SELECT CAST(v.token_id AS BIGINT) AS token_id, v.token,
+         |  CAST(COALESCE(tf.freq, 0) AS BIGINT) AS freq
+         |FROM vocab v LEFT JOIN tf ON tf.tok = v.token
+         |ORDER BY token_id""".stripMargin)
 
   /** The tokenize-application CTEs (`dw` → recursive `ap` → `perdoc`)
     * over an arbitrary source, ending in perdoc(doc_id, n_bpe). Assumes

@@ -2275,6 +2275,31 @@ class OperatorSpec extends SparkSpec {
       s"vocab tokenize should stay map-only (≤1 exchange), got $exchanges")
   }
 
+  test("q181 vocab export: id layout honest, token conservation vs q167, segmentation closed over the vocab") {
+    import graft.operators.Tokenizer
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    // the fixture's merged strings are distinct — the Σfreq conservation
+    // below relies on it (a duplicate string would double-join its freq)
+    assert(merges.map(_.merged).distinct.size == merges.size)
+    val out = SparkEntry.queries("q181_vocab_export")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // ids are dense 0..n-1; base chars are single chars in binary order,
+    // then the merged tokens in merge-rank order
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+    val (base, merged) = out.partition(_._2.length == 1)
+    assert(base.map(_._2).toSeq == base.map(_._2).sorted.toSeq)
+    assert(merged.map(_._2).toSeq == merges.map(_.merged))
+    // conservation: every corpus token lands in exactly one vocab row,
+    // so Σ freq ≡ Σ q167 n_bpe over non-null docs
+    val nBpeTotal = SparkEntry.queries("q167_bpe_tokenize")(spark, Sf)
+      .agg(sum(col("n_bpe"))).head().getLong(0)
+    assert(out.map(_._3).sum == nBpeTotal,
+      s"vocab freqs ${out.map(_._3).sum} != corpus BPE tokens $nBpeTotal")
+    // base chars all appear in the corpus (freq > 0 by construction —
+    // the alphabet is corpus-derived)
+    assert(base.forall(_._3 >= 0L) && out.map(_._3).sum > 0L)
+  }
+
   test("q170 encode and q171 ADC never shuffle vectors: at most the final sort/window exchange") {
     // PQ's whole point at 100 TB: after training (bounded model-state
     // collects), the corpus-side passes are map-only. q170's plan may
