@@ -44,6 +44,7 @@ object GraftFunctions {
     one("gunzip_to_string")(GunzipToString(_)),
     one("simhash64")(graft.expressions.SimHash64(_)),
     one("fingerprint_hash")(graft.expressions.FingerprintHash(_)),
+    one("nfc_normalize")(graft.expressions.NfcNormalize(_)),
     two("shingle_hashes") { (ws, n) =>
       val width = n match {
         case Literal(v: Int, _) => v

@@ -36,6 +36,15 @@ object TextOps {
     toColumn(graft.expressions.JaccardSim(toExpression(a), toExpression(b)))
   }
 
+  /** Unicode NFC normalization in one codegen'd native pass — see
+    * [[graft.expressions.NfcNormalize]] for why this must run before
+    * any hash-keyed stage on multilingual corpora.
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.NfcNormalize(toExpression(text)))
+  }
+
   /** English stopwords used by the language-ID heuristic. */
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is")

@@ -29,7 +29,38 @@ object TextAnalysis extends QueryGroup {
     */
   val SpanWidth = 5
 
+  /** Canonically-DECOMPOSED probe suffix for q182: 'e'+U+0301 and
+    * 'i'+U+0308 are byte-distinct from but canonically equal to é/ï —
+    * exactly how real crawls ship mixed-normalization text. Guarantees
+    * every fixture doc exercises an actual compose (changed = true).
+    */
+  private val DenormProbe = " cafe\u0301 nai\u0308ve"
+
   def queries: Map[String, Q] = Map(
+    // q182 [north star, r11]: Unicode NFC NORMALIZATION — the
+    // multilingual primitive every hash-keyed stage assumes: composed
+    // and decomposed forms of the same text are byte-distinct but
+    // canonically equal, so an un-normalized corpus leaks duplicates
+    // past content-hash dedup, shingle hashing, and every md5 gate.
+    // Spark ships no normalization function and a Scala UDF would break
+    // codegen — this is the custom-Expression tier
+    // ([[graft.expressions.NfcNormalize]], real doGenCode, already-NFC
+    // fast path returns the input object). Map-only; the oracle is
+    // DuckDB's utf8proc nfc_normalize — both implement UAX #15, and the
+    // md5-of-normalized hash match proves byte-level agreement.
+    "q182_nfc_normalize" -> ((spark, dir) => {
+      val raw = concat(col("text"), lit(DenormProbe))
+      val norm = TextOps.nfc(raw)
+      Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          octet_length(raw).cast("long").as("octets_raw"),
+          octet_length(norm).cast("long").as("octets_nfc"),
+          (norm =!= raw).as("changed"),
+          md5(norm).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q44 [CLOSURE]: tokenize + term frequency.
     "q44_token_tf" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
@@ -702,6 +733,19 @@ object TextAnalysis extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q182: DuckDB's utf8proc NFC vs Java's Normalizer — same UAX #15
+    // algorithm/data; md5-of-normalized pins byte-level agreement. The
+    // probe suffix is spelled with chr() so the SQL file itself cannot
+    // be accidentally re-normalized by an editor.
+    "q182_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id, CAST(strlen(raw) AS BIGINT) AS octets_raw,
+        |  CAST(strlen(norm) AS BIGINT) AS octets_nfc,
+        |  norm <> raw AS changed, md5(norm) AS nfc_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q129_textrank" -> textrankSql,
     "q123_pmi_pairs" ->
       """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w

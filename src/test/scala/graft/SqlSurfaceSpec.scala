@@ -61,6 +61,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaDf.getLong(1) == viaSql.getLong(1))
   }
 
+  test("nfc_normalize callable from SQL: composes decomposed text, ASCII/NFC unchanged, NULL-safe") {
+    GraftFunctions.register(spark)
+    // decomposed 'cafe'+U+0301 in, composed U+00E9 expected — spelled
+    // with escapes so no editor can silently re-normalize the source
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301'), nfc_normalize('plain ascii'), " +
+        "nfc_normalize(CAST(NULL AS STRING)), " +
+        "octet_length('cafe\u0301'), octet_length(nfc_normalize('cafe\u0301'))")
+      .collect().head
+    assert(r.getString(0) == "caf\u00e9", "decomposed input must compose")
+    assert(r.getString(1) == "plain ascii")
+    assert(r.isNullAt(2), "NULL must propagate")
+    assert(r.getInt(3) == 6 && r.getInt(4) == 5,
+      "NFC must shrink the 2-codepoint form to the composed byte length")
+    // interpreted eval agrees with the generated code path, and the
+    // already-NFC fast path returns the INPUT OBJECT (zero allocation)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = UTF8String.fromString("already caf\u00e9 NFC")
+    val out = graft.expressions.NfcNormalize(Literal(in,
+      org.apache.spark.sql.types.StringType)).eval(null)
+    assert(out.asInstanceOf[AnyRef] eq in.asInstanceOf[AnyRef],
+      "already-NFC input should pass through by reference")
+  }
+
   test("tag_set_agg callable from SQL, idempotent under duplicate rows") {
     GraftFunctions.register(spark)
     val out = spark.sql(
