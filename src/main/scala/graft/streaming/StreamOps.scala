@@ -259,6 +259,18 @@ object StreamOps {
       merges: Seq[graft.operators.Tokenizer.Merge]): DataFrame =
     graft.operators.Tokenizer.tokenized(docs, merges)
 
+  /** Ingest-time NFC normalization — q182's streaming twin, and the
+    * place production actually runs it: text is normalized ONCE at the
+    * door so every downstream hash-keyed stage (dedup, shingles, md5
+    * gates) sees one canonical byte form; normalizing later means every
+    * pre-normalization artifact (checkpoints, caches, dedup state) is
+    * keyed on bytes that no longer exist. Stateless map-only over the
+    * same codegen expression as batch — batch≡stream structural.
+    */
+  def nfcNormalizeStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextOps.nfc(col("text")).as("text"))
+
   /** Ingest-time PQ encoding — q170's streaming twin: arriving vectors
     * compress to their 4 subspace codes against STATIC codebooks
     * (trained offline by q170's loop; a codebook change is an index

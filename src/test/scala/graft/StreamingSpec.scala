@@ -1237,6 +1237,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming NFC normalization: ingest-time compose is batch-equal, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // decomposed forms arriving on the stream compose exactly as the
+    // batch expression would — per-row equality incl. a mixed batch.
+    // Inputs spelled with escapes (decomposed) so no editor can
+    // silently re-normalize the source file.
+    val rows = Seq((1L, "cafe\u0301 latte"), (2L, "plain ascii"),
+      (3L, "nai\u0308ve mix cafe\u0301"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.nfcNormalizeStream(
+        ms.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("nfc_out")
+      .outputMode("append").start()
+    ms.addData(rows); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nfc_out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextOps.nfc(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, "stream/batch NFC drift")
+    assert(streamed(1L) == "caf\u00e9 latte" &&
+      streamed(3L) == "na\u00efve mix caf\u00e9",
+      s"decomposed input did not compose: $streamed")
+  }
+
   test("streaming WARC ingest: per-file parse is batch-equal, malformed dump fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
