@@ -80,6 +80,11 @@ object TagPipeline {
 
   /** Reserved-id commit marker for the exactly-once ledger — lives in
     * the sink store itself so marker and data share a failure domain.
+    * The key is (storeKey, batchId): batchIds are per-QUERY counters, so
+    * one storeKey must belong to one streaming query — two queries
+    * sharing a storeKey would collide markers and silently skip each
+    * other's batches (register each query under its own key, as every
+    * call site here does).
     */
   private[graft] def commitMarkerId(storeKey: String, batchId: Long): String =
     s"__batch_commit:$storeKey:$batchId"
