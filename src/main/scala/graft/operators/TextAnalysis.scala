@@ -61,6 +61,19 @@ object TextAnalysis extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q183 [north star, r11]: CORPUS RELEASE MANIFEST — the integrity
+    // artifact a dataset release ships next to its data card: per
+    // source, the doc inventory, NULL accounting, total octets, and an
+    // ORDER-INDEPENDENT content checksum (bit_xor of each doc's 60-bit
+    // md5 prefix — commutative, so it is partition-order-stable AND
+    // incrementally maintainable: adding/removing a doc xors its hash
+    // in/out, no rescan). One partial-aggregating rollup to |sources|
+    // rows; any single-doc corruption flips the checksum (pinned in
+    // OperatorSpec). The 60-bit md5→BIGINT bridge is the q47/simhashMd5
+    // cross-engine identity.
+    "q183_corpus_manifest" -> ((spark, dir) =>
+      manifestOf(Tables(spark, dir, "documents"))),
+
     // q44 [CLOSURE]: tokenize + term frequency.
     "q44_token_tf" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
@@ -732,7 +745,27 @@ object TextAnalysis extends QueryGroup {
        |FROM top ORDER BY rank""".stripMargin
   }
 
+  /** q183's rollup over any `(text, source)`-shaped frame — the spec's
+    * corruption-detection property runs it over a tampered copy.
+    */
+  private[graft] def manifestOf(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(octet_length(col("text")).cast("long")).as("total_octets"),
+        bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long")).as("content_xor"))
+      .orderBy("source")
+
   def oracles: Map[String, String] = Map(
+    // q183: same rollup; bit_xor skips NULLs on both engines (the
+    // n_null_text column accounts for them explicitly).
+    "q183_corpus_manifest" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_octets,
+        |  CAST(bit_xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)) AS BIGINT) AS content_xor
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q182: DuckDB's utf8proc NFC vs Java's Normalizer — same UAX #15
     // algorithm/data; md5-of-normalized pins byte-level agreement. The
     // probe suffix is spelled with chr() so the SQL file itself cannot

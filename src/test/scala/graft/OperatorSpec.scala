@@ -2300,6 +2300,33 @@ class OperatorSpec extends SparkSpec {
     assert(base.forall(_._3 >= 0L) && out.map(_._3).sum > 0L)
   }
 
+  test("q183 manifest: partition-order-stable checksum, flips on any single-doc tamper") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, Sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.manifestOf(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+    val base = rows(docs)
+    assert(base.nonEmpty)
+    // order independence: a reshuffled corpus yields the identical
+    // manifest (the xor combine is commutative — the release property)
+    assert(rows(docs.repartition(3, col("doc_id"))) == base,
+      "manifest must not depend on partitioning/arrival order")
+    // tamper detection: flip ONE doc's text — that source's checksum
+    // (and octets) move, every other source's row is untouched
+    val victim = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source")).orderBy("doc_id").head()
+    val tampered = rows(docs.withColumn("text",
+      when(col("doc_id") === victim.getLong(0),
+        concat(col("text"), lit(" x"))).otherwise(col("text"))))
+    assert(tampered(victim.getString(1))._4 != base(victim.getString(1))._4,
+      "single-doc tamper did not flip the source checksum")
+    (base.keySet - victim.getString(1)).foreach { s =>
+      assert(tampered(s) == base(s), s"untouched source $s drifted")
+    }
+  }
+
   test("q170 encode and q171 ADC never shuffle vectors: at most the final sort/window exchange") {
     // PQ's whole point at 100 TB: after training (bounded model-state
     // collects), the corpus-side passes are map-only. q170's plan may
