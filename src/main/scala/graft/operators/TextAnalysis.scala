@@ -74,6 +74,31 @@ object TextAnalysis extends QueryGroup {
     "q183_corpus_manifest" -> ((spark, dir) =>
       manifestOf(Tables(spark, dir, "documents"))),
 
+    // q184 [north star, r11]: INCREMENTAL manifest maintenance — the
+    // reason q183's checksum is an XOR: when a 100 TB release takes a
+    // point fix (a new dump lands, a retraction batch leaves), the
+    // manifest updates from STORED PER-SOURCE PARTIALS plus the delta's
+    // partials — counts/octets add signed, the xor is its own inverse
+    // (retracting a doc = xor its hash again) — and the old corpus is
+    // NEVER rescanned. Registered as: old dump (md5 'dump:' < 'cd')
+    // minus retractions ('retract:' < '10', ⊂ old) plus the new dump,
+    // combined purely from the three partial frames; the oracle
+    // recomputes the manifest over the FINAL corpus directly, so the
+    // hash match proves the incremental combine is EXACT, not an
+    // approximation of a rescan.
+    "q184_manifest_incremental" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      def gate(prefix: String) =
+        substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+      val old = docs.filter(gate("dump:") < "cd")
+      val removed = old.filter(gate("retract:") < "10")
+      val delta = docs.filter(gate("dump:") >= "cd")
+      combineManifestPartials(Seq(
+        (manifestPartials(old), 1L),
+        (manifestPartials(removed), -1L),
+        (manifestPartials(delta), 1L)))
+    }),
+
     // q44 [CLOSURE]: tokenize + term frequency.
     "q44_token_tf" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
@@ -749,15 +774,56 @@ object TextAnalysis extends QueryGroup {
     * corruption-detection property runs it over a tampered copy.
     */
   private[graft] def manifestOf(docs: DataFrame): DataFrame =
+    manifestPartials(docs).orderBy("source")
+
+  /** The per-source manifest PARTIALS (q183 without the presentation
+    * sort) — the stored state q184's incremental combine maintains.
+    */
+  private[graft] def manifestPartials(docs: DataFrame): DataFrame =
     docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
         sum(octet_length(col("text")).cast("long")).as("total_octets"),
         bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
           .cast("long")).as("content_xor"))
+
+  /** Combine signed partial frames into the final manifest: counts and
+    * octets add with their sign; the xor needs NO sign (self-inverse —
+    * retracting re-xors the same hash). Sources whose net inventory
+    * hits zero leave the manifest, exactly as a full recompute would
+    * drop them. Touches ONLY the |sources|-row partials — the
+    * incremental-view-maintenance contract.
+    */
+  private[graft] def combineManifestPartials(
+      parts: Seq[(DataFrame, Long)]): DataFrame =
+    parts.map { case (p, sgn) =>
+      p.select(col("source"), (col("n_docs") * sgn).as("n_docs"),
+        (col("n_null_text") * sgn).as("n_null_text"),
+        (col("total_octets") * sgn).as("total_octets"), col("content_xor"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_null_text")).as("n_null_text"),
+        sum(col("total_octets")).as("total_octets"),
+        bit_xor(col("content_xor")).as("content_xor"))
+      .filter(col("n_docs") > 0L)
       .orderBy("source")
 
   def oracles: Map[String, String] = Map(
+    // q184: the oracle takes the OTHER road — recompute the manifest
+    // over the final corpus directly; the hash match proves the
+    // engine's partial-combine path is exactly equivalent to a rescan.
+    "q184_manifest_incremental" ->
+      """WITH fin AS (
+        |  SELECT * FROM documents
+        |  WHERE (substring(md5('dump:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |         AND substring(md5('retract:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10')
+        |     OR substring(md5('dump:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd')
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_octets,
+        |  CAST(bit_xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)) AS BIGINT) AS content_xor
+        |FROM fin GROUP BY source ORDER BY source""".stripMargin,
     // q183: same rollup; bit_xor skips NULLs on both engines (the
     // n_null_text column accounts for them explicitly).
     "q183_corpus_manifest" ->

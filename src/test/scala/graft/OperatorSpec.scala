@@ -2327,6 +2327,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q184 incremental manifest: combine of MATERIALIZED partials == full recompute; retraction honest") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{md5 => _, _}
+    val docs = Tables(spark, Sf, "documents")
+    def gate(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+    val old = docs.filter(gate("dump:") < "cd")
+    val removed = old.filter(gate("retract:") < "10")
+    val delta = docs.filter(gate("dump:") >= "cd")
+    // the IVM contract: freeze each partial to DRIVER ROWS and rebuild
+    // literal frames — the combine then provably cannot read any corpus
+    // row, only the |sources|-row state a store would hold
+    def frozen(df: org.apache.spark.sql.DataFrame) = {
+      val rows = TextAnalysis.manifestPartials(df).collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        TextAnalysis.manifestPartials(df).schema)
+    }
+    val viaPartials = TextAnalysis.combineManifestPartials(Seq(
+      (frozen(old), 1L), (frozen(removed), -1L), (frozen(delta), 1L)))
+      .collect().map(_.toSeq).toSeq
+    // reference: rescan the final corpus
+    val finalDocs = old.join(removed.select(col("doc_id")), Seq("doc_id"),
+      "left_anti").unionByName(delta)
+    val rescan = TextAnalysis.manifestOf(finalDocs).collect().map(_.toSeq).toSeq
+    assert(viaPartials == rescan,
+      "incremental combine drifted from the full rescan")
+    // the fixture actually retracts something, and the registered query
+    // agrees with the frozen-partial path
+    assert(removed.count() > 0L, "fixture retracts nothing")
+    val registered = SparkEntry.queries("q184_manifest_incremental")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(registered == rescan)
+  }
+
   test("q170 encode and q171 ADC never shuffle vectors: at most the final sort/window exchange") {
     // PQ's whole point at 100 TB: after training (bounded model-state
     // collects), the corpus-side passes are map-only. q170's plan may
