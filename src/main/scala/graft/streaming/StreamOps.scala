@@ -271,6 +271,22 @@ object StreamOps {
     docs.select(col("doc_id"),
       graft.functions.TextOps.nfc(col("text")).as("text"))
 
+  /** Running corpus manifest — q183's streaming twin: the integrity
+    * monitor a LIVE corpus keeps as docs arrive. A per-source stateful
+    * aggregation in update mode: counts/octets accumulate, the content
+    * checksum xor-folds — the same commutative combine q184 exploits,
+    * which is exactly what makes it a valid STREAMING aggregate (merge
+    * order is arbitrary across micro-batches). State is |sources| rows,
+    * not the corpus.
+    */
+  def manifestStream(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(octet_length(col("text")).cast("long")).as("total_octets"),
+        bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long")).as("content_xor"))
+
   /** Ingest-time PQ encoding — q170's streaming twin: arriving vectors
     * compress to their 4 subspace codes against STATIC codebooks
     * (trained offline by q170's loop; a codebook change is an index

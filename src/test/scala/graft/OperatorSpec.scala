@@ -2387,6 +2387,19 @@ class OperatorSpec extends SparkSpec {
       s"q177 output should shuffle only for the cell rollup + sort, got $out")
   }
 
+  test("manifest tier plan shapes: q182 map-only, q183 one rollup, q184 partials-only combine") {
+    assert(shuffleCount(SparkEntry.queries("q182_nfc_normalize")(spark, Sf)) <= 1,
+      "NFC normalization must stay map-only (+presentation sort)")
+    assert(shuffleCount(SparkEntry.queries("q183_corpus_manifest")(spark, Sf)) <= 2,
+      "manifest must be one partial-aggregating rollup (+sort)")
+    // q184: three partial rollups + the combine agg + sort — but never
+    // a corpus-row-carrying join (no join at all, in fact)
+    val df = SparkEntry.queries("q184_manifest_incremental")(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q184 must combine by union+agg, not join")
+  }
+
   test("q172's rank pass broadcasts the sketch estimates (no sort-merge join)") {
     val df = SparkEntry.queries("q172_quantile_sketch")(spark, Sf)
     df.collect()

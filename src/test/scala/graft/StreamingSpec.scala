@@ -1237,6 +1237,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).orNull, r.getString(2)))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.manifestStream(
+        ms.toDF().toDF("doc_id", "text", "source")).writeStream
+      .format("memory").queryName("manifest_out")
+      .outputMode("complete").start()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("manifest_out")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val batch = SparkEntry.queries("q183_corpus_manifest")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(streamed == batch,
+      "streaming running manifest drifted from batch q183")
+  }
+
   test("streaming NFC normalization: ingest-time compose is batch-equal, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
