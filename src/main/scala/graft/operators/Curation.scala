@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -685,25 +685,8 @@ object Curation extends QueryGroup {
       val docs = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.wsTokenCount(col("text")).as("n_tokens"))
-      val ranged = docs
-        .repartitionByRange(col("source"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("pid"), col("source"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = ranged.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
-      // lcum is nondecreasing within the group, so max(lcum) is the
-      // group total (NULL-token rows add nothing on either engine)
-      val offs = local.groupBy(col("pid"), col("source"))
-        .agg(max(col("lcum")).as("ptot"))
-        .withColumn("off", coalesce(sum(col("ptot")).over(
-          Window.partitionBy(col("source")).orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("source"), col("off"))
-      local.join(broadcast(offs), Seq("pid", "source"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          floor((col("off") + col("lcum") - col("n_tokens")).cast("double")
-            / 512.0).cast("long").as("seq_id"))
+      scanPack(docs, "n_tokens", 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"))
         .orderBy("doc_id")
     }),
 
@@ -970,6 +953,46 @@ object Curation extends QueryGroup {
     * previously NPE'd (r9 advice); the unrolled oracle's k-th CTE comes
     * back empty in exactly the same situation.
     */
+  /** The q151 DISTRIBUTED PREFIX SCAN as a reusable packing kernel
+    * (r12) — shared by q151 and the composed pipeline's hot-source-proof
+    * variant (q185), so the scan decomposition is a library piece, not a
+    * one-query demo:
+    *   1. range-partition by (source, doc_id) — partition p holds a
+    *      contiguous key slice;
+    *   2. partition-LOCAL cumsums via a (pid, source)-keyed window —
+    *      each window partition is ~n/P rows no matter how hot one
+    *      source is (q82's window holds the whole source);
+    *   3. per-(pid, source) totals → per-source offsets over the
+    *      P×|sources|-row totals frame (tiny, broadcast back);
+    *   4. cum = offset + local cum; seq_id = floor((cum − w)/seqLen).
+    * Values are partition-count-independent (offsets absorb any range
+    * boundary placement). Input needs (doc_id, source, wCol [+ any
+    * passthrough columns]); output = input columns + seq_id.
+    */
+  private[graft] def scanPack(docs: DataFrame, wCol: String,
+      seqLen: Int): DataFrame = {
+    val ranged = docs
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("lcum", sum(col(wCol)).over(wLocal))
+    // lcum is nondecreasing within the group, so max(lcum) is the
+    // group total (NULL-weight rows add nothing on either engine)
+    val offs = local.groupBy(col("pid"), col("source"))
+      .agg(max(col("lcum")).as("ptot"))
+      .withColumn("off", coalesce(sum(col("ptot")).over(
+        Window.partitionBy(col("source")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("source"), col("off"))
+    local.join(broadcast(offs), Seq("pid", "source"))
+      .withColumn("seq_id",
+        floor((col("off") + col("lcum") - col(wCol)).cast("double")
+          / seqLen.toDouble).cast("long"))
+      .drop("pid", "lcum", "off")
+  }
+
   private[graft] def maxcoverSelect(
       corpus: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {

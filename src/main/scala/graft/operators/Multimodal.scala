@@ -707,10 +707,28 @@ object Multimodal extends QueryGroup {
           concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"))
         .filter(col("text").isNotNull)
         .withColumn("shard", pmod(col("doc_id"), lit(16)))
+        // iterator-to-iterator pack (r12, the q174 discipline): shuffle
+        // clusters + orders (spillable external sort); the task streams
+        // contiguous equal-shard runs into the record writer with no
+        // whole-shard buffering
+        .repartition(16, col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
         .as[(Long, String, Long)]
-        .groupByKey(_._3)
-        .mapGroups { (_, it) =>
-          Warc.build(it.map(t => (t._1, t._2)).toArray.sortBy(_._1).toSeq)
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[Array[Byte]] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): Array[Byte] = {
+              val shard = buf.head._3
+              val run = new Iterator[(Long, String, Seq[(String, String)])] {
+                def hasNext: Boolean = buf.hasNext && buf.head._3 == shard
+                def next(): (Long, String, Seq[(String, String)]) = {
+                  val t = buf.next(); (t._1, t._2, Nil)
+                }
+              }
+              Warc.buildTagged(run)
+            }
+          }
         }
       files.mapPartitions { it =>
         // one digest instance per partition (provider lookup per record

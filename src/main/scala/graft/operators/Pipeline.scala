@@ -91,12 +91,34 @@ object Pipeline extends QueryGroup {
       .filter(col("text").isNotNull && col("lang").isNotNull &&
         col("source").isNotNull)
       .withColumn("shard", pmod(col("doc_id"), lit(16)))
+      // ITERATOR-TO-ITERATOR pack (r12, replacing groupByKey.mapGroups
+      // + it.toArray — the one whole-shard task buffering in a
+      // registered path): the shuffle does the clustering (repartition
+      // by shard) and the ORDERING (sortWithinPartitions — Spark's
+      // external sort, spillable), so the task just streams contiguous
+      // runs of equal shard into the record writer, holding one record
+      // in flight, never the shard's rows. Same bytes: runs are sorted
+      // by doc_id exactly as the old in-task sortBy was.
+      .repartition(16, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Long, String, String, String, Long)]
-      .groupByKey(_._5)
-      .mapGroups { (_, it) =>
-        Warc.buildTagged(it.toArray.sortBy(_._1).map(t =>
-          (t._1, t._2, Seq("WARC-Graft-Lang" -> t._3,
-            "WARC-Graft-Source" -> t._4))).toSeq)
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[Byte]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Array[Byte] = {
+            val shard = buf.head._5
+            val run = new Iterator[(Long, String, Seq[(String, String)])] {
+              def hasNext: Boolean = buf.hasNext && buf.head._5 == shard
+              def next(): (Long, String, Seq[(String, String)]) = {
+                val t = buf.next()
+                (t._1, t._2, Seq("WARC-Graft-Lang" -> t._3,
+                  "WARC-Graft-Source" -> t._4))
+              }
+            }
+            Warc.buildTagged(run)
+          }
+        }
       }
     // ingest: parse records, validate HTTP, extract main content,
     // read the metadata sidecar off the record headers
@@ -201,26 +223,52 @@ object Pipeline extends QueryGroup {
        |  SELECT * FROM decon
        |  WHERE substring(md5('erase:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '$EraseGate')""".stripMargin
 
+  /** The funnel's tokenized pack input, shared by q174 and q185:
+    * tokenizer trained on the FULLY CURATED corpus (the production
+    * order — training the tokenizer on pre-curation text bakes
+    * boilerplate, benchmark leakage, and erased content into the
+    * vocab), then map-only tokenization, joined back to the survivor
+    * metadata. Output: (doc_id, source, lang, n_bpe).
+    */
+  private def packInput(st: Stages): DataFrame = {
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDictOf(st.clean))
+    val toks = Tokenizer.tokenized(st.clean, merges)
+      .select(col("doc_id"), col("n_bpe"))
+    st.clean.select(col("doc_id"), col("source"), col("lang"))
+      .join(toks, "doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q174_crawl_to_training" -> ((spark, dir) => {
       val st = stages(spark, dir)
-      // tokenizer trained on the FULLY CURATED corpus (the production
-      // order — training the tokenizer on pre-curation text bakes
-      // boilerplate, benchmark leakage, and erased content into the
-      // vocab), then map-only tokenization
-      val merges = Tokenizer.bpeTrain(Tokenizer.wordDictOf(st.clean))
-      val toks = Tokenizer.tokenized(st.clean, merges)
-        .select(col("doc_id"), col("n_bpe"))
       // 512-token sequence packing per source (q82's formula over BPE
-      // counts instead of whitespace counts)
+      // counts instead of whitespace counts); the q82-vs-q151 trade is
+      // this window — q185 is the same composition with the hot-source-
+      // proof q151 scan swapped in
       val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      st.clean.select(col("doc_id"), col("source"), col("lang"))
-        .join(toks, "doc_id")
+      packInput(st)
         .withColumn("cum", sum(col("n_bpe")).over(pw))
         .select(col("doc_id"), col("source"), col("lang"), col("n_bpe"),
           floor((col("cum") - col("n_bpe")).cast("double") / SeqLen.toDouble)
             .cast("long").as("seq_id"))
+        .orderBy("doc_id")
+    }),
+
+    // q185 [north star, r12]: the composed pipeline PACKED AT SCALE —
+    // q174's funnel with the final packing done by q151's distributed
+    // prefix scan instead of the source-keyed window (r11 verdict item
+    // 2: at a real 100 TB crawl one hot source makes q174's window
+    // partition corpus-sized; the scan's window partitions are ~n/P
+    // rows regardless of source skew). Same packing rule, same values —
+    // the oracle is VERBATIM q174's, so the membership identity is
+    // hash-proven, and the plan shape (range partition + (pid,source)
+    // local windows + broadcast offsets) is PlanSpec-pinned.
+    "q185_crawl_to_training_scan" -> ((spark, dir) => {
+      val st = stages(spark, dir)
+      Curation.scanPack(packInput(st), "n_bpe", SeqLen)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_bpe"),
+          col("seq_id"))
         .orderBy("doc_id")
     }),
 
@@ -254,21 +302,28 @@ object Pipeline extends QueryGroup {
         .orderBy("source")
     }))
 
+  /** The composed funnel+tokenize+pack oracle — shared VERBATIM by q174
+    * and q185 (same rule, different physical packing strategy), so the
+    * two variants' equivalence is itself hash-proven.
+    */
+  private def crawlToTrainingOracle: String =
+    s"""WITH RECURSIVE $funnelCtes,
+       |${Tokenizer.oracleMergeCtes("clean")},
+       |${Tokenizer.oracleApplyCtes("clean")},
+       |packed AS (
+       |  SELECT d.doc_id, d.source, d.lang, p.n_bpe,
+       |    SUM(p.n_bpe) OVER (PARTITION BY d.source ORDER BY d.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM clean d JOIN perdoc p USING (doc_id))
+       |SELECT doc_id, source, lang, CAST(n_bpe AS BIGINT) AS n_bpe,
+       |  CAST(floor(CAST(cum - n_bpe AS DOUBLE) / $SeqLen.0) AS BIGINT) AS seq_id
+       |FROM packed ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the same composition in SQL: the shared funnel CTEs feeding the
     // parameterized q166/q167 CTE builders, then the q82 packing window.
-    "q174_crawl_to_training" ->
-      s"""WITH RECURSIVE $funnelCtes,
-         |${Tokenizer.oracleMergeCtes("clean")},
-         |${Tokenizer.oracleApplyCtes("clean")},
-         |packed AS (
-         |  SELECT d.doc_id, d.source, d.lang, p.n_bpe,
-         |    SUM(p.n_bpe) OVER (PARTITION BY d.source ORDER BY d.doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM clean d JOIN perdoc p USING (doc_id))
-         |SELECT doc_id, source, lang, CAST(n_bpe AS BIGINT) AS n_bpe,
-         |  CAST(floor(CAST(cum - n_bpe AS DOUBLE) / $SeqLen.0) AS BIGINT) AS seq_id
-         |FROM packed ORDER BY doc_id""".stripMargin,
+    "q174_crawl_to_training" -> crawlToTrainingOracle,
+    "q185_crawl_to_training_scan" -> crawlToTrainingOracle,
     "q180_pipeline_audit" ->
       s"""WITH $funnelCtes
          |SELECT p.source,

@@ -62,9 +62,17 @@ object SuffixScrub extends QueryGroup {
         TextOps.tokens(col("text")).as("ws")))
     val maxLen =
       docs.agg(coalesce(max(size(col("ws"))), lit(0))).head().getInt(0)
-    require(maxLen.toLong < Stride,
-      s"doc with $maxLen tokens exceeds Stride=$Stride — positions would " +
-        "collide across documents; raise Stride for this corpus")
+    // The guard must cover not just raw positions but every SHIFTED
+    // lookup: doubling rounds read gpos+d (d ≤ L ≤ n) and the gram
+    // pairing reads gpos+(n−L), so a doc of length in (Stride−n, Stride)
+    // would have windows whose shifted neighbors wrap into the NEXT
+    // doc's position range — forming cross-document equivalence classes
+    // and a silently wrong scrub (r11 advisory). maxLen + n ≤ Stride
+    // keeps every shift inside the per-doc gap.
+    require(maxLen.toLong + n <= Stride,
+      s"doc with $maxLen tokens leaves no $n-token gap below " +
+        s"Stride=$Stride — shifted positions would collide across " +
+        "documents; raise Stride for this corpus")
     val pos0 = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
@@ -79,25 +87,46 @@ object SuffixScrub extends QueryGroup {
     // and cuts the plan back to a leaf — the standard discipline for
     // iterative dataflows (at cluster scale: checkpoint() to the
     // reliable store instead, same seam).
-    var p = pos0.join(c1, "tok").select(col("gpos"), col("cls"))
+    var active = pos0.join(c1, "tok").select(col("gpos"), col("cls"))
       .localCheckpoint()
+    // SINGLETON PRUNING (Manber–Myers's refinement, r12): a class of
+    // size 1 is FINAL — its suffix is already distinguished from every
+    // other, and because cls = min gpos of the class, a singleton's cls
+    // equals its own gpos and never changes in any later round (its
+    // (cls, cls2) group is always exactly itself). So after each round,
+    // count-1 positions exit the active set into a finalized pool; in
+    // real text most positions are unique after 2–3 rounds, so the
+    // expensive later shuffles carry only the still-ambiguous residue.
+    // Finalized positions still serve as SHIFT NEIGHBORS (cls_d(i+d)
+    // for an active i), so the shifted side unions the pool back in —
+    // a union of ≤⌈log₂L⌉ checkpointed leaves, constant per round.
+    // Class values are unchanged vs the unpruned algorithm (singletons
+    // never join a non-singleton's group either way), so membership —
+    // and the q179 hash — is identical by construction.
+    var finals = Seq.empty[DataFrame]
     var d = 1
     while (d < L) {
+      val all = finals.foldLeft(active)(_ unionByName _)
       // cls of the suffix d tokens later; a missing neighbor (doc end /
       // doc gap) pairs with a per-position-unique NEGATIVE sentinel, so
       // by induction every too-short suffix stays a singleton class
-      val shifted = p.select((col("gpos") - d).as("gpos"),
+      val shifted = all.select((col("gpos") - d).as("gpos"),
         col("cls").as("cls2"))
-      val paired = p.join(shifted, Seq("gpos"), "left")
+      val paired = active.join(shifted, Seq("gpos"), "left")
         .select(col("gpos"), col("cls"),
           coalesce(col("cls2"), -col("gpos") - 1).as("cls2"))
       val nc = paired.groupBy(col("cls"), col("cls2"))
-        .agg(min(col("gpos")).as("ncls"))
-      p = paired.join(nc, Seq("cls", "cls2"))
-        .select(col("gpos"), col("ncls").as("cls"))
+        .agg(min(col("gpos")).as("ncls"), count(lit(1)).as("cnt"))
+      val joined = paired.join(nc, Seq("cls", "cls2"))
+        .select(col("gpos"), col("ncls").as("cls"), col("cnt"))
         .localCheckpoint()
+      finals = finals :+ joined.filter(col("cnt") === 1L)
+        .select(col("gpos"), col("cls"))
+      active = joined.filter(col("cnt") > 1L)
+        .select(col("gpos"), col("cls"))
       d *= 2
     }
+    val p = finals.foldLeft(active)(_ unionByName _)
     // exact n-gram class: two overlapping depth-L blocks cover [i, i+n);
     // the inner join drops positions whose second block has no row
     // (window past the corpus tail — those cannot be dup-starts)

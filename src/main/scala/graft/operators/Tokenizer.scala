@@ -232,6 +232,16 @@ object Tokenizer extends QueryGroup {
     // OperatorSpec as a cross-query conservation law.
     "q181_vocab_export" -> ((spark, dir) => {
       val merges = bpeTrain(wordDict(spark, dir))
+      // LOUD in-builder guard (r11 advisory): the export's token→id map
+      // and the Σfreq≡Σn_bpe conservation law both assume merged token
+      // STRINGS are distinct — two merges CAN produce the same string
+      // (a+bc and ab+c), and the freq join would then double-count that
+      // token under both ids, a silent divergence. Engine-side refusal,
+      // not just a fixture assert.
+      require(merges.map(_.merged).distinct.size == merges.size,
+        "q181 vocab export: duplicate merged token strings in the merge " +
+          s"table (${merges.map(_.merged).mkString(", ")}) — token ids " +
+          "would be ambiguous and corpus freqs double-joined")
       val words = Tables(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
@@ -249,6 +259,13 @@ object Tokenizer extends QueryGroup {
       require(alphabet.size <= 4096,
         s"alphabet of ${alphabet.size} chars exceeds the model-state cap — " +
           "a byte-level base vocab is the production answer past this")
+      // base/merged disjointness: structurally guaranteed (merged =
+      // left+right, both nonempty ⇒ length ≥ 2; alphabet entries are
+      // single chars) — asserted loudly anyway, same discipline as the
+      // distinctness guard above
+      require(merges.forall(m => !alphabet.contains(m.merged)),
+        "q181 vocab export: a merged token collides with a base-alphabet " +
+          "char — token ids would be ambiguous")
       val ids: Seq[(String, Long)] =
         alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
           merges.map(m => (m.merged, alphabet.size + m.rank - 1))

@@ -135,13 +135,20 @@ private[graft] object Warc {
     * real crawl carries in the record header block (q174 threads lang
     * and source through `WARC-Graft-*` headers instead of re-joining
     * the corpus for them downstream).
+    *
+    * Takes an ITERATOR-compatible input and writes each record to the
+    * output buffer as it streams (r12): the writer never holds the
+    * shard's rows — only the one record in flight plus the file bytes
+    * being produced, which ARE the artifact (a production pack writes
+    * the same bytes to an output stream; the in-memory array is this
+    * sandbox's stand-in for that file handle).
     */
   def buildTagged(
-      docs: Seq[(Long, String, Seq[(String, String)])]): Array[Byte] = {
+      docs: IterableOnce[(Long, String, Seq[(String, String)])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(record("warcinfo", "urn:warcinfo:graft", Nil,
       s"software: graft$CRLF".getBytes(US_ASCII)))
-    docs.foreach { case (id, text, extra) =>
+    docs.iterator.foreach { case (id, text, extra) =>
       requireEncodable(id, text)
       val http = httpResponseFor(htmlFor(id, text))
       out.write(record("response", s"urn:doc:$id",

@@ -42,7 +42,7 @@ object TagPipeline {
     * (`app.py:71-75`): unknown ids create fresh docs.
     */
   def enrichAndUpsert(storeKey: String, tag: Tag,
-      exactlyOnce: Boolean = false)(
+      exactlyOnce: Boolean = false, runNs: String = "")(
       batch: DataFrame, batchId: Long): Unit = {
     // EXACTLY-ONCE tier (r11, closing the delivery-semantics gap vs the
     // reference's fire-and-forget PUT, tag.py:28): foreachBatch is
@@ -58,8 +58,8 @@ object TagPipeline {
     // once-per-batch semantics; idempotence covers the partial-batch
     // crash window).
     if (exactlyOnce &&
-        DocumentStore.resolve(storeKey).get(commitMarkerId(storeKey, batchId))
-          .nonEmpty)
+        DocumentStore.resolve(storeKey)
+          .get(commitMarkerId(storeKey, batchId, runNs)).nonEmpty)
       return
     batch.select(col("id")).na.drop().distinct()
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -75,19 +75,34 @@ object TagPipeline {
       }
     if (exactlyOnce)
       DocumentStore.resolve(storeKey)
-        .upsert(AnsDoc(commitMarkerId(storeKey, batchId), Some(batchId), None))
+        .upsert(AnsDoc(commitMarkerId(storeKey, batchId, runNs),
+          Some(batchId), None))
   }
 
   /** Reserved-id commit marker for the exactly-once ledger — lives in
     * the sink store itself so marker and data share a failure domain.
-    * The key is (storeKey, batchId): batchIds are per-QUERY counters, so
-    * one storeKey must belong to one streaming query — two queries
-    * sharing a storeKey would collide markers and silently skip each
-    * other's batches (register each query under its own key, as every
-    * call site here does).
+    * The key is (storeKey, runNs, batchId): batchIds are per-CHECKPOINT
+    * counters that reset to 0 when a query restarts against a fresh or
+    * cleared checkpoint dir, so without the run namespace stale markers
+    * from a prior run against the same store would silently swallow the
+    * new run's batches (r11 advisory). [[start]] derives runNs from the
+    * checkpoint path — same checkpoint ⇒ same namespace (replays
+    * dedup), new checkpoint ⇒ fresh namespace (nothing swallowed).
+    * One storeKey still belongs to one streaming query at a time — two
+    * CONCURRENT queries sharing a storeKey+checkpoint would collide.
     */
-  private[graft] def commitMarkerId(storeKey: String, batchId: Long): String =
-    s"__batch_commit:$storeKey:$batchId"
+  private[graft] def commitMarkerId(storeKey: String, batchId: Long,
+      runNs: String = ""): String =
+    s"__batch_commit:$storeKey:$runNs:$batchId"
+
+  /** Run namespace for the exactly-once marker ledger: a stable digest
+    * of the checkpoint location (the object whose lifetime defines the
+    * batchId counter's lifetime).
+    */
+  private[graft] def runNamespace(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 
   /** Full streaming job: wire frame in, upserts out.
     *
@@ -119,7 +134,9 @@ object TagPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch(enrichAndUpsert(storeKey, tag, exactlyOnce) _)
+      .foreachBatch(
+        enrichAndUpsert(storeKey, tag, exactlyOnce,
+          runNamespace(checkpointDir)) _)
       .start()
   }
 

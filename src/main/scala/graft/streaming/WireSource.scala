@@ -48,9 +48,15 @@ object WireSource {
     * (magic-less records pass through as single user records) and then
     * runs the KCL's subsequence-checkpoint semantics Spark-natively: a
     * watermark-bounded dedup on (shard, sequence, subsequence), so a
-    * restart that re-reads a partially-processed aggregate — or a
-    * producer retry that re-ships one — never re-delivers a user record
-    * inside the horizon. Deaggregation is per-row expression work
+    * restart or replay that RE-READS the same Kinesis record (same
+    * sequence number, partially-processed aggregate) never re-delivers
+    * a user record inside the horizon. A producer RETRY that re-ships
+    * an aggregate is a different case — Kinesis assigns the re-shipped
+    * record a NEW sequence number, so this dedup cannot absorb it; that
+    * duplicate is handled downstream by the pipeline's event-id dedup
+    * and the idempotent tag append (exactly the KCL's contract too:
+    * subsequence checkpoints cover consumer-side replays, producer
+    * dedup is the application's job). Deaggregation is per-row expression work
     * (stateless, partition-local); only the dedup carries state, aged
     * out by the watermark.
     */

@@ -1747,6 +1747,14 @@ class OperatorSpec extends SparkSpec {
     assert(audit.map(_._5).sum > audit.map(_._6).sum ||
       audit.map(_._6).sum > audit.map(_._7).sum,
       "neither decon nor erasure removed anything — fixture not exercising the stages")
+    // q185 (the q151-scan packing variant) is row-for-row q174: same
+    // funnel, same packing RULE, different physical strategy — the
+    // hot-source-proof composition must be value-identical (r12)
+    val scan = SparkEntry.queries("q185_crawl_to_training_scan")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(scan.toSeq == out.toSeq,
+      "q185 scan-packed pipeline != q174 window-packed pipeline")
   }
 
   test("q175 preference pairs: chosen/rejected are the true extremes, margin filter honored") {

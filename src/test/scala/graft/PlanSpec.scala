@@ -661,4 +661,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the P×|sources|-row offsets frame must broadcast")
   }
+
+  test("q185's composed packing uses the scan, zero source-keyed corpus windows") {
+    // r11 verdict item 2: the composed pipeline must pack hot-source-
+    // proof — the q151 scan shape (range partition + (pid,source) local
+    // windows + broadcast offsets), with NO window partitioned on source
+    // alone anywhere in the corpus-sized path (the per-source offsets
+    // window runs over the tiny P×|sources| totals frame, keyed
+    // hashpartitioning(source ...) AFTER the pid-keyed local pass).
+    val p = plan("q185_crawl_to_training_scan")
+    assert(p.contains("rangepartitioning(source"),
+      "pack input must range-partition on (source, doc_id)")
+    assert(p.contains("hashpartitioning(pid"),
+      "local cumsum must key on (pid, source)")
+    // q174's hot-source window would show as a corpus Sort+Window keyed
+    // hashpartitioning(source) BELOW the pid stage; the scan variant
+    // keys every corpus-sized exchange on pid or range — the only
+    // source-alone hash exchange feeds the bounded offsets window
+    val sourceOnly =
+      "hashpartitioning\\(source[^,)]*#\\d+L?(, \\d+)?\\)".r.findAllIn(p).size
+    assert(sourceOnly <= 1,
+      s"expected at most the offsets window's source-keyed exchange, got $sourceOnly:\n$p")
+  }
 }

@@ -555,7 +555,8 @@ class StreamingSpec extends SparkSpec {
     q1.stop()
     val afterFirst = updates.get()
     assert(afterFirst >= 2, s"expected the two docs tagged, got $afterFirst updates")
-    assert(store.get(TagPipeline.commitMarkerId("exactly-once", 0L)).nonEmpty,
+    assert(store.get(TagPipeline.commitMarkerId("exactly-once", 0L,
+        TagPipeline.runNamespace(ckpt))).nonEmpty,
       "batch 0 commit marker missing")
     // crash window: sink writes landed, engine commit did not
     val commits = java.nio.file.Paths.get(ckpt, "commits")
@@ -588,6 +589,22 @@ class StreamingSpec extends SparkSpec {
     assert(store.get("Z").exists(_.taxonomy.get.tags.get == Seq(AutoTag)),
       "post-recovery batch lost")
     assert(updates.get() > afterFirst, "post-recovery batch never ran")
+    // FRESH checkpoint dir against the SAME store: batchIds reset to 0,
+    // so without the run-namespaced marker key the stale batch-0 marker
+    // above would silently swallow the new run's first batch (r11
+    // advisory). The checkpoint-path namespace keeps the ledgers apart.
+    val beforeFresh = updates.get()
+    val ckpt2 = Files.createTempDirectory("graft-exactly-once2-").toString
+    val ms2 = MemoryStream[Wire]
+    val q3 = TagPipeline.start(spark, ms2.toDF(), store, ckpt2,
+      trigger = Trigger.ProcessingTime(0), storeKey = "exactly-once",
+      exactlyOnce = true)
+    ms2.addData(ev(story("W"), 3))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(store.get("W").exists(_.taxonomy.get.tags.get == Seq(AutoTag)),
+      "fresh-checkpoint run's batch 0 swallowed by a stale marker")
+    assert(updates.get() > beforeFresh, "fresh-checkpoint batch never ran")
   }
 
   test("KPL aggregation: wire-format round trip, digest loud, non-aggregated passthrough") {
