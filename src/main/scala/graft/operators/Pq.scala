@@ -261,21 +261,7 @@ object Pq extends QueryGroup {
   private[graft] def residualIvfPq(base: DataFrame,
       coarse: Seq[(Long, Array[Double])],
       books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
-    val xd = transform(col("qvec"), _.cast("double"))
-    val centMap = map_from_arrays(
-      array(coarse.map(c => lit(c._1)): _*),
-      array(coarse.map(c => array(c._2.map(lit): _*)): _*))
-    val withResid = graft.CachePool.track(
-      base.select(col("vec_id"), xd.as("xd"),
-          coalesce(ncStruct(xd, coarse).getField("cluster"), lit(-1L))
-            .as("cell"))
-        .withColumn("resid",
-          zip_with(col("xd"), element_at(centMap, col("cell")),
-            (a, b) => a - b)))
-    val residBooks = (0 until SubSpaces).map { m =>
-      trainVecD(withResid.select(col("vec_id"),
-        slice(col("resid"), m * SubDim + 1, SubDim).as("xd")), K)
-    }
+    val (withResid, residBooks) = residualParts(base, coarse)
     def sse(src: Column, bks: Seq[Seq[(Long, Array[Double])]]): Column =
       (0 until SubSpaces).map { m =>
         ncStruct(slice(src, m * SubDim + 1, SubDim), bks(m)).getField("d2")
@@ -291,6 +277,33 @@ object Pq extends QueryGroup {
       .select(col("cell"), col("n_vecs"),
         lit(ivfSse < pqSse).as("mse_improved"))
       .orderBy("cell")
+  }
+
+  /** q177's shared internals: the cached residual frame (vec_id, xd,
+    * cell, resid) and the four residual-trained subspace codebooks —
+    * exposed so the recall fixture (OperatorSpec) can rebuild the
+    * residual-ADC ranking and measure recall@k against brute force,
+    * guaranteed to use the exact codebooks the registered query trains.
+    */
+  private[graft] def residualParts(base: DataFrame,
+      coarse: Seq[(Long, Array[Double])])
+      : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
+    val xd = transform(col("qvec"), _.cast("double"))
+    val centMap = map_from_arrays(
+      array(coarse.map(c => lit(c._1)): _*),
+      array(coarse.map(c => array(c._2.map(lit): _*)): _*))
+    val withResid = graft.CachePool.track(
+      base.select(col("vec_id"), xd.as("xd"),
+          coalesce(ncStruct(xd, coarse).getField("cluster"), lit(-1L))
+            .as("cell"))
+        .withColumn("resid",
+          zip_with(col("xd"), element_at(centMap, col("cell")),
+            (a, b) => a - b)))
+    val residBooks = (0 until SubSpaces).map { m =>
+      trainVecD(withResid.select(col("vec_id"),
+        slice(col("resid"), m * SubDim + 1, SubDim).as("xd")), K)
+    }
+    (withResid, residBooks)
   }
 
   /** IVF-gated ADC: corpus rows carry their coarse cell; each probe's

@@ -1457,12 +1457,11 @@ class OperatorSpec extends SparkSpec {
     // reconstruct(x) concatenates x's per-subspace centroids. A
     // driver-side reference implementation rebuilds the whole ranking
     // from (codes, codebooks) and must reproduce the query's top-k
-    // exactly. (A RECALL floor would be the wrong invariant here: the
-    // synthetic embeddings are near-uniform — pairwise distances
-    // concentrate within ~2× — so no 12-bit quantizer can recall true
-    // neighbors; verified against an independent NumPy PQ giving the
-    // same ~5%. On clustered real embeddings recall is the benchmark;
-    // on this fixture the identity is what's checkable.)
+    // exactly. (On THIS near-uniform driver fixture the identity is
+    // what's checkable; RECALL is measured and floor-pinned on the
+    // planted-cluster AnnFixture — see the "planted-neighbor recall"
+    // test: cluster-recall@10 ≥ 0.95 for q171/q173/q177, residual
+    // twin-recall@10 ≥ 0.60 — r11 verdict item 1.)
     val vecs = Similarity.withQuantized(Tables(spark, Sf, "embeddings"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     val books = Pq.trainedBooks(spark, Sf)
@@ -2414,5 +2413,133 @@ class OperatorSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"the per-group estimates are tiny — the rank join must broadcast:\n${plan.take(1200)}")
+  }
+
+  test("planted-neighbor recall: every ANN tier hits its measured floor on clustered embeddings") {
+    // r11 verdict item 1: the ANN family was proven exact against its
+    // own definitions but recall@k was unverifiable on the near-uniform
+    // driver fixture. AnnFixture plants unambiguous neighbor structure
+    // (seeded clusters + twin pairs); here each tier's recall against
+    // brute-force truth is a PINNED floor. Floors are a few points
+    // below the deterministic measured values (the fixture is seeded,
+    // so these are contracts, not statistics) — see the inline measured
+    // numbers.
+    import graft.operators.{Pq, Similarity}
+    val fix = AnnFixture.planted(spark)
+    val n = AnnFixture.N
+
+    // brute-force truth (q43's cosineTopK operator, k=1 per vector)
+    val bf1 = Similarity.cosineTopK(fix, fix, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // fixture sanity: the planted twin IS the brute-force top-1
+    val twinOk = bf1.count { case (q, t) => t == AnnFixture.twinOf(q) }
+    assert(twinOk == n,
+      s"planted twin not the brute-force top-1 for ${n - twinOk}/$n vectors — fixture broken")
+
+    def recall1(rows: Array[(Long, Long)]): Double =
+      rows.count { case (a, b) => bf1(a) == b }.toDouble / n
+
+    // q49 sign-LSH at the registered width policy
+    val lshR = recall1(Similarity.annLsh(fix, Similarity.lshBits(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    // q59 single-probe IVF and q68 multi-probe, same √n quantizer
+    val k = Similarity.ivfK(n)
+    val ivf1R = recall1(Similarity.ivfTop1(fix, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val ivf2R = recall1(Similarity.ivfTop1Probe2(fix, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+
+    // PQ tiers: 20 MID-RANGE probes (10 twin pairs across all 8
+    // clusters) — mid-range so the (dd, vec_id) tie-break cannot hand
+    // a code-colliding twin its rank for free (probes 0..19 would have
+    // the lowest-id twins, and twin@10 would measure the tie-break,
+    // not the quantizer)
+    val base = graft.CachePool.track(Similarity.withQuantized(fix))
+    val books = (0 until Pq.SubSpaces).map(m => Pq.trainSub(base, m))
+    val probeLo = 1000L
+    val nProbes = 20
+    val probePred = col("vec_id") >= probeLo &&
+      col("vec_id") < probeLo + nProbes
+    def top10(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (p, rs) =>
+          p -> rs.sortBy(_._2).map(_._3).toSeq
+        }
+    def twinR(t: Map[Long, Seq[Long]]): Double =
+      t.count { case (p, ids) => ids.contains(AnnFixture.twinOf(p)) }
+        .toDouble / t.size
+    def clusterR(t: Map[Long, Seq[Long]]): Double =
+      t.map { case (p, ids) =>
+        ids.count(i => AnnFixture.clusterOf(i) == AnnFixture.clusterOf(p))
+          .toDouble / ids.size
+      }.sum / t.size
+    val adcT = top10(Pq.adcTopk(base, books, probePred))
+    val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
+    val ivfAdcT = top10(Pq.ivfAdcTopk(base, coarse, books, probePred))
+
+    // q177 residual IVF-PQ: rebuild the residual-ADC ranking driver-side
+    // from the registered query's own parts (cells + residual codebooks)
+    val (withResid, residBooks) = Pq.residualParts(base, coarse)
+    val wr = withResid.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](1).toArray, r.getLong(2), r.getSeq[Double](3).toArray))
+    val coarseArr = coarse.toMap
+    def sub(v: Array[Double], m: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, m * Pq.SubDim, (m + 1) * Pq.SubDim)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // per-vector residual codes: argmin over each residual book
+    val codes = wr.map { case (id, _, _, resid) =>
+      id -> (0 until Pq.SubSpaces).map { m =>
+        residBooks(m).minBy { case (cid, cw) => (d2(sub(resid, m), cw), cid) }
+      }.toArray
+    }.toMap
+    val residT = wr.filter(x => x._1 >= probeLo && x._1 < probeLo + nProbes)
+      .map { case (pid, pxd, _, _) =>
+      val pcells = coarse.map { case (cid, c) => (d2(pxd, c), cid) }
+        .sorted.take(Pq.NProbe).map(_._2).toSet
+      val ranked = wr.filter(x => x._1 != pid && pcells.contains(x._3))
+        .map { case (xid, _, xcell, _) =>
+          val presid = pxd.zip(coarseArr(xcell)).map { case (a, b) => a - b }
+          val dd = (0 until Pq.SubSpaces).map { m =>
+            d2(sub(presid, m), codes(xid)(m)._2)
+          }.sum
+          (dd, xid)
+        }.sorted.take(Pq.TopK).map(_._2).toSeq
+      pid -> ranked
+    }.toMap
+
+    info(f"recall@1  lsh=$lshR%.3f ivf1=$ivf1R%.3f ivf2=$ivf2R%.3f")
+    info(f"twin@10   adc=${twinR(adcT)}%.3f ivfadc=${twinR(ivfAdcT)}%.3f resid=${twinR(residT)}%.3f")
+    info(f"cluster@10 adc=${clusterR(adcT)}%.3f ivfadc=${clusterR(ivfAdcT)}%.3f resid=${clusterR(residT)}%.3f")
+
+    // ---- pinned floors (measured on the seeded fixture; floors sit a
+    // few points under the deterministic measured values) ----
+    // measured: lsh 0.753, ivf1 0.878, ivf2 0.972
+    assert(lshR >= 0.72, s"q49 LSH recall@1 $lshR below the 0.72 floor")
+    assert(ivf1R >= 0.85, s"q59 IVF recall@1 $ivf1R below the 0.85 floor")
+    assert(ivf2R >= ivf1R,
+      s"q68 probe-2 recall $ivf2R must dominate q59's $ivf1R")
+    assert(ivf2R >= 0.95, s"q68 recall@1 $ivf2R below the 0.95 floor")
+    // measured: all three cluster@10 = 1.000 — a 12-bit code budget
+    // recalls the NEIGHBORHOOD perfectly on clustered data
+    assert(clusterR(adcT) >= 0.95,
+      s"q171 ADC cluster-recall@10 ${clusterR(adcT)} below the 0.95 floor")
+    assert(clusterR(ivfAdcT) >= 0.95,
+      s"q173 IVF-ADC cluster-recall@10 ${clusterR(ivfAdcT)} below the 0.95 floor")
+    assert(clusterR(residT) >= 0.95,
+      s"q177 residual cluster-recall@10 ${clusterR(residT)} below the 0.95 floor")
+    // measured: raw-PQ twin@10 = 0.000 (K=8 codewords/subspace ≈ one
+    // per cluster, so cluster members share code tuples and the twin is
+    // indistinguishable) vs RESIDUAL twin@10 = 0.650 — the same code
+    // budget spent on residuals resolves within-cluster structure raw
+    // PQ structurally cannot. This is q177's SSE verdict at recall
+    // level: pin both the dominance and the absolute floor.
+    assert(twinR(residT) >= twinR(adcT) - 1e-9,
+      s"q177 residual twin-recall ${twinR(residT)} must not lose to raw PQ's ${twinR(adcT)}")
+    assert(twinR(residT) >= 0.60,
+      s"q177 residual twin-recall@10 ${twinR(residT)} below the 0.60 floor")
   }
 }
