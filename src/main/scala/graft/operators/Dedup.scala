@@ -517,6 +517,38 @@ object Dedup extends QueryGroup {
           .filter(size(col("sh")) > 0)))
     }
 
+  /** The stored exact-dedup STATE a dump contributes: its (content-hash,
+    * doc_id) index rows — computed ONCE at dump-ingest time (the only
+    * moment the dump's text is read) and kept as the survivor table's
+    * backing state. Id-LEVEL state is what makes the keeper (min doc_id)
+    * exactly maintainable under retraction: MIN is not self-maintainable
+    * from (min, count) alone — retracting the stored minimum requires
+    * knowing the next-smallest member, which only the id-level index has
+    * (the classic IVM result for MIN/MAX under deletions). Each state
+    * row is 32 hash bytes + one id — the index, never the corpus.
+    */
+  private[graft] def dedupState(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+
+  /** Combine signed per-dump state frames into the exact-dedup survivor
+    * table (q42's output shape): net membership per (hash, id) — an
+    * insertion (+1) and its retraction (−1) cancel — then keeper = min
+    * surviving id per hash. Touches ONLY the state frames: the
+    * incremental-view-maintenance contract q184 established for the
+    * manifest, applied to the dedup state (the second leg of the
+    * release-surface IVM triad).
+    */
+  private[graft] def combineDedupState(
+      parts: Seq[(DataFrame, Long)]): DataFrame =
+    parts.map { case (p, sgn) =>
+      p.select(col("h"), col("doc_id"), lit(sgn).as("w"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("h"), col("doc_id")).agg(sum(col("w")).as("net"))
+      .filter(col("net") > 0L)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
   def queries: Map[String, Q] = Map(
     // q42 [CLOSURE of tag.py:39 set-dedup semantics]: exact content dedup.
     "q42_exact_dedup" -> ((spark, dir) =>
@@ -524,6 +556,34 @@ object Dedup extends QueryGroup {
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("keep_id")),
+
+    // q186 [north star, r12]: INCREMENTAL dedup-state maintenance — the
+    // q184 signed-partial IVM discipline applied to the exact-dedup
+    // survivor set: when a release takes a point fix (a new dump lands,
+    // a retraction batch leaves), the sha256→keeper table updates from
+    // the STORED per-dump (hash, id) index rows plus the delta's — the
+    // old corpus TEXT is never re-read/re-hashed (at 100 TB, rescanning
+    // to re-derive dedup state is the cost IVM exists to avoid). The
+    // id-level state is load-bearing: retracting a group's stored
+    // keeper promotes the next-smallest surviving member, which only
+    // the index knows (see [[dedupState]]). The oracle takes the OTHER
+    // road — q42 over the final corpus directly — so the hash match
+    // proves combine ≡ rescan EXACTLY; OperatorSpec freezes the state
+    // frames to driver rows before combining (the combine provably
+    // cannot read a corpus row) and pins keeper succession on a
+    // retracted-keeper fixture.
+    "q186_dedup_state_incremental" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      def gate(prefix: String) =
+        substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+      val old = docs.filter(gate("ddump:") < "cd")
+      val removed = old.filter(gate("dretract:") < "10")
+      val delta = docs.filter(gate("ddump:") >= "cd")
+      combineDedupState(Seq(
+        (dedupState(old), 1L),
+        (dedupState(removed), -1L),
+        (dedupState(delta), 1L)))
+    }),
 
     // q46 [north star]: MinHash + LSH near-duplicate pairs, exact-verified.
     "q46_minhash_neardup" -> ((spark, dir) =>
@@ -892,6 +952,17 @@ object Dedup extends QueryGroup {
     "q42_exact_dedup" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // q186: the oracle rescans the FINAL corpus (old minus retractions
+    // plus delta) and runs q42 over it — the road the engine's
+    // partial-combine path must agree with exactly.
+    "q186_dedup_state_incremental" ->
+      """WITH fin AS (
+        |  SELECT * FROM documents
+        |  WHERE (substring(md5('ddump:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |         AND substring(md5('dretract:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10')
+        |     OR substring(md5('ddump:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd')
+        |SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM fin GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // q47's mirror: identical 60-bit md5-derived token hashes, the same
     // +1/−1 bit votes (order-independent sums), the same band split. A
     // NULL text propagates NULL through split/hash/bands on BOTH engines

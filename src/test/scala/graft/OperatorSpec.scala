@@ -2334,6 +2334,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q186 incremental dedup state: frozen-state combine == q42 rescan; retracted keeper promotes next id") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, Sf, "documents")
+    def gate(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+    val old = docs.filter(gate("ddump:") < "cd")
+    val removed = old.filter(gate("dretract:") < "10")
+    val delta = docs.filter(gate("ddump:") >= "cd")
+    // the IVM contract: freeze each dump's (hash, id) state to DRIVER
+    // ROWS and rebuild literal frames — the combine then provably reads
+    // only stored index rows, never a corpus row
+    def frozen(df: org.apache.spark.sql.DataFrame) = {
+      val st = Dedup.dedupState(df)
+      spark.createDataFrame(spark.sparkContext.parallelize(st.collect().toSeq),
+        st.schema)
+    }
+    val viaState = Dedup.combineDedupState(Seq(
+      (frozen(old), 1L), (frozen(removed), -1L), (frozen(delta), 1L)))
+      .collect().map(_.toSeq).toSeq
+    // reference: q42 over a rescan of the final corpus
+    val finalDocs = old.join(removed.select(col("doc_id")), Seq("doc_id"),
+      "left_anti").unionByName(delta)
+    val rescan = finalDocs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id").collect().map(_.toSeq).toSeq
+    assert(viaState == rescan,
+      "incremental dedup-state combine drifted from the q42 rescan")
+    assert(removed.count() > 0L, "fixture retracts nothing")
+    val registered = SparkEntry.queries("q186_dedup_state_incremental")(
+      spark, Sf).collect().map(_.toSeq).toSeq
+    assert(registered == rescan)
+
+    // keeper succession: retracting a group's stored keeper must promote
+    // the next-smallest SURVIVING member — the case (min, count)-only
+    // state cannot answer, and the reason the state is id-level. Literal
+    // frames only; group "y" also gains a new member from the delta.
+    import spark.implicits._
+    val oldB = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val retractB = Seq((1L, "x")).toDF("doc_id", "text")
+    val deltaB = Seq((4L, "y"), (5L, "z")).toDF("doc_id", "text")
+    val out = Dedup.combineDedupState(Seq(
+      (Dedup.dedupState(oldB), 1L), (Dedup.dedupState(retractB), -1L),
+      (Dedup.dedupState(deltaB), 1L)))
+      .select(col("keep_id"), col("n_dups"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 1L), (3L, 2L), (5L, 1L)),
+      s"keeper succession broken: $out")
+  }
+
   test("q184 incremental manifest: combine of MATERIALIZED partials == full recompute; retraction honest") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.functions.{md5 => _, _}
