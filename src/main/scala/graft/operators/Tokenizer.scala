@@ -232,49 +232,116 @@ object Tokenizer extends QueryGroup {
     // OperatorSpec as a cross-query conservation law.
     "q181_vocab_export" -> ((spark, dir) => {
       val merges = bpeTrain(wordDict(spark, dir))
-      // LOUD in-builder guard (r11 advisory): the export's token→id map
-      // and the Σfreq≡Σn_bpe conservation law both assume merged token
-      // STRINGS are distinct — two merges CAN produce the same string
-      // (a+bc and ab+c), and the freq join would then double-count that
-      // token under both ids, a silent divergence. Engine-side refusal,
-      // not just a fixture assert.
-      require(merges.map(_.merged).distinct.size == merges.size,
-        "q181 vocab export: duplicate merged token strings in the merge " +
-          s"table (${merges.map(_.merged).mkString(", ")}) — token ids " +
-          "would be ambiguous and corpus freqs double-joined")
-      val words = Tables(spark, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-      val freq = words
-        .select(explode(bpeSegments(col("w"), merges)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      // base alphabet: distinct chars over corpus words via the SAME
-      // '(.)' split the chain uses, binary-sorted; bounded model state
-      val alphabet = words
-        .select(explode(filter(
-          split(regexp_replace(col("w"), "(.)", "$1 "), " "),
-          c => c =!= "")).as("ch"))
-        .distinct().orderBy("ch")
-        .collect().map(_.getString(0)).toSeq
-      require(alphabet.size <= 4096,
-        s"alphabet of ${alphabet.size} chars exceeds the model-state cap — " +
-          "a byte-level base vocab is the production answer past this")
-      // base/merged disjointness: structurally guaranteed (merged =
-      // left+right, both nonempty ⇒ length ≥ 2; alphabet entries are
-      // single chars) — asserted loudly anyway, same discipline as the
-      // distinctness guard above
-      require(merges.forall(m => !alphabet.contains(m.merged)),
-        "q181 vocab export: a merged token collides with a base-alphabet " +
-          "char — token ids would be ambiguous")
-      val ids: Seq[(String, Long)] =
-        alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
-          merges.map(m => (m.merged, alphabet.size + m.rank - 1))
-      val vocab = spark.createDataFrame(ids).toDF("token", "token_id")
-      vocab.join(freq, Seq("token"), "left")
+      val docs = Tables(spark, dir, "documents")
+      vocabTable(spark, docs, merges)
+        .join(tokenFreqPartials(docs, merges), Seq("token"), "left")
+        .select(col("token_id"), col("token"),
+          coalesce(col("freq"), lit(0L)).as("freq"))
+        .orderBy("token_id")
+    }),
+
+    // q188 [north star, r12]: INCREMENTAL vocab-frequency maintenance —
+    // the q184/q186 signed-partial IVM discipline applied to the shipped
+    // vocab artifact, completing the release-surface IVM triad
+    // (manifest, dedup state, vocab). The production scenario: the
+    // tokenizer is FROZEN (vocab/merges trained before the fix — the
+    // contract every downstream consumer depends on), and when the
+    // release takes a point fix the per-token corpus frequencies update
+    // from STORED per-dump token partials plus the delta's — counts add
+    // signed, the old corpus is never re-segmented (at 100 TB the
+    // map-only tokenize pass is the expensive part; IVM makes a point
+    // fix cost |delta|, not |corpus|). The oracle takes the OTHER road
+    // (re-segment the FINAL corpus with the same frozen vocab), so the
+    // hash match proves combine ≡ rescan exactly; OperatorSpec freezes
+    // the partials to driver rows before combining.
+    "q188_vocab_incremental" -> ((spark, dir) => {
+      val merges = bpeTrain(wordDict(spark, dir))
+      val docs = Tables(spark, dir, "documents")
+      def gate(prefix: String) =
+        substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+      val old = docs.filter(gate("vdump:") < "cd")
+      val removed = old.filter(gate("vretract:") < "10")
+      val delta = docs.filter(gate("vdump:") >= "cd")
+      val net = combineTokenFreq(Seq(
+        (tokenFreqPartials(old, merges), 1L),
+        (tokenFreqPartials(removed, merges), -1L),
+        (tokenFreqPartials(delta, merges), 1L)))
+      vocabTable(spark, docs, merges)
+        .join(net, Seq("token"), "left")
         .select(col("token_id"), col("token"),
           coalesce(col("freq"), lit(0L)).as("freq"))
         .orderBy("token_id")
     }))
+
+  /** The per-dump token-frequency PARTIALS a release stores beside each
+    * dump (q181 without the vocab join): one map-only segmentation pass
+    * over the dump + one token-keyed partial-aggregating rollup — the
+    * state q188's incremental combine maintains. Every output token is
+    * in the vocab by construction: a surviving segment is either a
+    * single corpus char (base alphabet) or a string only a merge can
+    * produce.
+    */
+  private[graft] def tokenFreqPartials(docs: DataFrame,
+      merges: Seq[Merge]): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .select(explode(bpeSegments(col("w"), merges)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+
+  /** Combine signed per-dump token partials into net corpus frequencies.
+    * Counts add with their sign (an insertion and its retraction
+    * cancel); touches ONLY the |vocab|-sized partial frames — the
+    * incremental-view-maintenance contract.
+    */
+  private[graft] def combineTokenFreq(
+      parts: Seq[(DataFrame, Long)]): DataFrame =
+    parts.map { case (p, sgn) =>
+      p.select(col("token"), (col("freq") * sgn).as("freq"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
+
+  /** The token→id inventory (base alphabet in binary order, then merged
+    * tokens in merge-rank order — the standard BPE id assignment), with
+    * the loud ambiguity guards. Shared by q181 and q188 (the frozen
+    * vocab a point fix must NOT retrain).
+    */
+  private[graft] def vocabTable(spark: SparkSession, docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    // LOUD guard (r11 advisory): the export's token→id map and the
+    // Σfreq≡Σn_bpe conservation law both assume merged token STRINGS
+    // are distinct — two merges CAN produce the same string (a+bc and
+    // ab+c), and the freq join would then double-count that token under
+    // both ids, a silent divergence. Engine-side refusal, not just a
+    // fixture assert.
+    require(merges.map(_.merged).distinct.size == merges.size,
+      "vocab export: duplicate merged token strings in the merge " +
+        s"table (${merges.map(_.merged).mkString(", ")}) — token ids " +
+        "would be ambiguous and corpus freqs double-joined")
+    // base alphabet: distinct chars over corpus words via the SAME
+    // '(.)' split the chain uses, binary-sorted; bounded model state
+    val alphabet = docs
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .select(explode(filter(
+        split(regexp_replace(col("w"), "(.)", "$1 "), " "),
+        c => c =!= "")).as("ch"))
+      .distinct().orderBy("ch")
+      .collect().map(_.getString(0)).toSeq
+    require(alphabet.size <= 4096,
+      s"alphabet of ${alphabet.size} chars exceeds the model-state cap — " +
+        "a byte-level base vocab is the production answer past this")
+    // base/merged disjointness: structurally guaranteed (merged =
+    // left+right, both nonempty ⇒ length ≥ 2; alphabet entries are
+    // single chars) — asserted loudly anyway, same discipline as the
+    // distinctness guard above
+    require(merges.forall(m => !alphabet.contains(m.merged)),
+      "vocab export: a merged token collides with a base-alphabet " +
+        "char — token ids would be ambiguous")
+    val ids: Seq[(String, Long)] =
+      alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+        merges.map(m => (m.merged, alphabet.size + m.rank - 1))
+    spark.createDataFrame(ids).toDF("token", "token_id")
+  }
 
   /** The tokenize projection itself — shared verbatim by batch q167 and
     * the streaming ingest twin (`StreamOps.bpeTokenizeStream`), so
@@ -380,6 +447,36 @@ object Tokenizer extends QueryGroup {
     // final segmentations (ap at r = MergeRounds); ids = binary-ordered
     // base chars then merge-rank order; LEFT JOIN keeps never-used
     // vocab entries at freq 0.
+    // q188: the oracle re-segments the FINAL corpus (old minus
+    // retractions plus delta) with the SAME frozen vocab (merges and
+    // alphabet both trained on the full documents table) — the road the
+    // engine's signed-partial combine must agree with exactly.
+    "q188_vocab_incremental" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |fin AS (
+         |  SELECT * FROM documents
+         |  WHERE (substring(md5('vdump:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |         AND substring(md5('vretract:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10')
+         |     OR substring(md5('vdump:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'),
+         |${oracleApplyCtes("fin")},
+         |tf AS (SELECT tok, COUNT(*) AS freq FROM (
+         |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
+         |         FROM ap WHERE r = $MergeRounds) t GROUP BY tok),
+         |alpha AS (SELECT DISTINCT unnest(list_filter(
+         |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
+         |            x -> x <> '')) AS ch
+         |          FROM (SELECT unnest(string_split(text,' ')) AS w
+         |                FROM documents WHERE text IS NOT NULL) ww),
+         |base AS (SELECT ch AS token,
+         |           row_number() OVER (ORDER BY ch) - 1 AS token_id FROM alpha),
+         |nb AS (SELECT COUNT(*) AS n FROM base),
+         |vocab AS (SELECT token, token_id FROM base
+         |          UNION ALL
+         |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m)
+         |SELECT CAST(v.token_id AS BIGINT) AS token_id, v.token,
+         |  CAST(COALESCE(tf.freq, 0) AS BIGINT) AS freq
+         |FROM vocab v LEFT JOIN tf ON tf.tok = v.token
+         |ORDER BY token_id""".stripMargin,
     "q181_vocab_export" ->
       s"""WITH RECURSIVE $oracleMergeCtes,
          |${oracleApplyCtes("documents")},

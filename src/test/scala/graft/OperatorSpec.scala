@@ -2334,6 +2334,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q188 incremental vocab: frozen-partial combine == frozen-vocab re-segmentation; conservation holds") {
+    import graft.operators.Tokenizer
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val docs = Tables(spark, Sf, "documents")
+    def gate(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+    val old = docs.filter(gate("vdump:") < "cd")
+    val removed = old.filter(gate("vretract:") < "10")
+    val delta = docs.filter(gate("vdump:") >= "cd")
+    // freeze each dump's token partials to DRIVER ROWS and rebuild
+    // literal frames — the combine provably reads only stored partials
+    def frozen(df: org.apache.spark.sql.DataFrame) = {
+      val p = Tokenizer.tokenFreqPartials(df, merges)
+      spark.createDataFrame(spark.sparkContext.parallelize(p.collect().toSeq),
+        p.schema)
+    }
+    val viaPartials = Tokenizer.combineTokenFreq(Seq(
+      (frozen(old), 1L), (frozen(removed), -1L), (frozen(delta), 1L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: re-segment the FINAL corpus with the same frozen vocab
+    val finalDocs = old.join(removed.select(col("doc_id")), Seq("doc_id"),
+      "left_anti").unionByName(delta)
+    val rescan = Tokenizer.tokenFreqPartials(finalDocs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaPartials.filter(_._2 != 0L) == rescan,
+      "incremental token-frequency combine drifted from the rescan")
+    assert(removed.count() > 0L, "fixture retracts nothing")
+    // conservation on the final corpus: Σ freq ≡ Σ n_bpe (every corpus
+    // token lands in exactly one vocab row, still true post-fix)
+    val sumFreq = SparkEntry.queries("q188_vocab_incremental")(spark, Sf)
+      .agg(sum(col("freq"))).head().getLong(0)
+    val sumBpe = Tokenizer.tokenized(finalDocs, merges)
+      .agg(sum(col("n_bpe"))).head().getLong(0)
+    assert(sumFreq == sumBpe,
+      s"conservation broken post-fix: vocab freqs $sumFreq vs n_bpe $sumBpe")
+  }
+
   test("q186 incremental dedup state: frozen-state combine == q42 rescan; retracted keeper promotes next id") {
     import graft.operators.Dedup
     val docs = Tables(spark, Sf, "documents")
