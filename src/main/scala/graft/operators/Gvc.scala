@@ -33,6 +33,24 @@ private[graft] object Gvc {
 
   val MagicKey: Byte = 'K'
   val MagicPred: Byte = 'P'
+  val MagicQuant: Byte = 'Q'
+
+  /** Uniform quantizer step for the q187 lossy tier. Residuals are
+    * stored as `round(r / QStep)`, so the per-pixel reconstruction
+    * error is bounded by QStep/2 at EVERY frame — the encoder predicts
+    * against the decoder's own reconstruction (closed-loop prediction,
+    * the discipline that keeps quantization error from accumulating
+    * across the P-frame chain; open-loop prediction drifts linearly).
+    */
+  val QStep = 4
+
+  /** Deterministic round-half-up of d/QStep via floor division — the
+    * same arithmetic DuckDB's `floor((d + 2)/4.0)` computes, so the
+    * whole quantized reconstruction is oracle-exact.
+    */
+  private[graft] def qround(d: Int): Int = Math.floorDiv(d + QStep / 2, QStep)
+
+  private def clamp255(v: Int): Int = math.max(0, math.min(255, v))
 
   /** Encode gray rasters (w·h ints, row-major) into GVC frame payloads:
     * frame 0 intra, the rest predicted against the previous frame.
@@ -115,5 +133,235 @@ private[graft] object Gvc {
       prev = raster
       DecodedFrame(p(0) == MagicKey, raster, residAbs)
     }
+  }
+
+  /** ---- quantized-residual tier (r12, q187) -------------------------
+    *
+    * q176 ships lossless residuals; a real codec's rate win comes from
+    * QUANTIZING them and entropy-coding the (now highly skewed) symbol
+    * stream. This tier is both steps in their minimal honest form:
+    * uniform quantization with closed-loop prediction (error ≤ QStep/2
+    * per pixel at every frame, no drift) and a real canonical-Huffman
+    * entropy coder over the quantized symbols. H.264 swaps the
+    * per-pixel quantizer for quantized DCT blocks and the Huffman table
+    * for CAVLC/CABAC — same decode loop, same container.
+    */
+
+  /** Encode with quantized residuals: frame 0 intra (raw, exact), later
+    * frames magic 'Q' + Huffman-coded `qround(cur − recon(prev))+128`
+    * symbols. The encoder maintains the DECODER's reconstruction
+    * (closed loop) — quantizing against the pristine previous frame
+    * would let error accumulate down the chain.
+    */
+  def encodeQuantFrames(frames: Seq[Array[Int]], w: Int, h: Int): Seq[Array[Byte]] = {
+    require(frames.nonEmpty, "cannot encode an empty frame list")
+    var recon: Array[Int] = null
+    frames.zipWithIndex.map { case (cur, f) =>
+      require(cur.length == w * h,
+        s"frame $f raster length ${cur.length} != $w*$h")
+      if (f == 0) {
+        val out = new Array[Byte](1 + w * h)
+        out(0) = MagicKey
+        var i = 0
+        while (i < cur.length) {
+          require(cur(i) >= 0 && cur(i) <= 255,
+            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
+          out(i + 1) = cur(i).toByte
+          i += 1
+        }
+        recon = cur.toArray
+        out
+      } else {
+        val syms = new Array[Int](w * h)
+        var i = 0
+        while (i < cur.length) {
+          val q = qround(cur(i) - recon(i))
+          require(q >= -127 && q <= 127,
+            s"frame $f quantized residual $q at $i outside the symbol range")
+          syms(i) = q + 128
+          recon(i) = clamp255(recon(i) + q * QStep)
+          i += 1
+        }
+        val coded = Huff.encode(syms)
+        val out = new Array[Byte](1 + coded.length)
+        out(0) = MagicQuant
+        System.arraycopy(coded, 0, out, 1, coded.length)
+        out
+      }
+    }
+  }
+
+  /** One decoded quantized frame: intra flag, reconstructed raster, the
+    * sum of |quantized residual| symbols actually stored, and the wire
+    * payload size (the rate side of the rate-distortion verdict).
+    */
+  final case class DecodedQuantFrame(isKey: Boolean, raster: Array[Int],
+      qAbsSum: Long, payloadBytes: Long)
+
+  /** Decode 'Q' streams, threading reconstruction state exactly like
+    * [[decodeFrames]] but through the entropy decoder + dequantizer.
+    * Malformed streams fail loudly (bad magic, 'Q' with no history,
+    * symbol count disagreeing with container dims).
+    */
+  def decodeQuantFrames(payloads: Seq[Array[Byte]], w: Int,
+      h: Int): Seq[DecodedQuantFrame] = {
+    var prev: Array[Int] = null
+    payloads.zipWithIndex.map { case (p, f) =>
+      val raster = new Array[Int](w * h)
+      p(0) match {
+        case MagicKey =>
+          require(p.length == 1 + w * h,
+            s"frame $f keyframe payload ${p.length} bytes != 1 + $w*$h")
+          var i = 0
+          while (i < raster.length) { raster(i) = p(i + 1) & 0xff; i += 1 }
+          prev = raster
+          DecodedQuantFrame(isKey = true, raster, 0L, p.length.toLong)
+        case MagicQuant =>
+          require(prev != null, s"quantized frame $f with no decoded history")
+          val syms = Huff.decode(p, 1)
+          require(syms.length == w * h,
+            s"frame $f decodes ${syms.length} symbols != $w*$h (stream corrupt)")
+          var qAbs = 0L
+          var i = 0
+          while (i < raster.length) {
+            val q = syms(i) - 128
+            qAbs += math.abs(q).toLong
+            raster(i) = clamp255(prev(i) + q * QStep)
+            i += 1
+          }
+          prev = raster
+          DecodedQuantFrame(isKey = false, raster, qAbs, p.length.toLong)
+        case m =>
+          sys.error(s"frame $f: unknown GVC-Q frame magic 0x${"%02x".format(m)}")
+      }
+    }
+  }
+}
+
+/** Canonical-Huffman entropy coder over byte symbols — the real
+  * (losslessly invertible) entropy stage of the q187 codec tier, built
+  * on the published canonical-code construction (Huffman '52; canonical
+  * form as in DEFLATE/JPEG): code LENGTHS come from the frequency tree,
+  * code VALUES are reassigned canonically by (length, symbol), so the
+  * table serializes as one length byte per present symbol and both
+  * sides rebuild identical codebooks.
+  *
+  * Wire format: [nSymbols-1: u8][nSymbols × (symbol: u8, len: u8)]
+  * [symbolCount: u32 BE][bitstream, MSB-first, zero-padded]. The
+  * single-symbol stream degenerates to len 0 and an empty bitstream.
+  * Everything is deterministic: tree ties break on the smallest symbol
+  * reachable in a subtree, so the same input always codes to the same
+  * bytes on every JVM.
+  */
+private[graft] object Huff {
+
+  /** Code lengths per symbol via deterministic Huffman merging: nodes
+    * ordered by (weight, smallest contained symbol); each merge deepens
+    * every leaf under the two merged nodes. O(n²) with n ≤ 256 — model
+    * state, not data-path work.
+    */
+  private def codeLengths(freq: Array[Long]): Array[Int] = {
+    val lens = new Array[Int](256)
+    val nodes = scala.collection.mutable.ArrayBuffer.from(
+      (0 until 256).filter(freq(_) > 0L).map(s => (freq(s), s, List(s))))
+    require(nodes.nonEmpty, "cannot build a Huffman code over no symbols")
+    if (nodes.size == 1) return lens // single symbol: len 0 sentinel
+    while (nodes.size > 1) {
+      nodes.sortInPlaceBy { case (w, tie, _) => (w, tie) }
+      val (w1, t1, l1) = nodes.remove(0)
+      val (w2, t2, l2) = nodes.remove(0)
+      (l1 ++ l2).foreach(s => lens(s) += 1)
+      nodes.append((w1 + w2, math.min(t1, t2), l1 ++ l2))
+    }
+    lens
+  }
+
+  /** Canonical code assignment: symbols sorted by (len, symbol) get
+    * consecutive codes, shifting left at each length increase.
+    */
+  private def canonicalCodes(
+      symLens: Seq[(Int, Int)]): Map[Int, (Int, Int)] = {
+    val sorted = symLens.sortBy { case (s, l) => (l, s) }
+    var code = 0
+    var prevLen = sorted.head._2
+    sorted.map { case (s, l) =>
+      code <<= (l - prevLen)
+      prevLen = l
+      val e = (s, (code, l))
+      code += 1
+      e
+    }.toMap
+  }
+
+  def encode(syms: Array[Int]): Array[Byte] = {
+    require(syms.nonEmpty, "cannot entropy-code an empty symbol stream")
+    val freq = new Array[Long](256)
+    syms.foreach { s =>
+      require(s >= 0 && s < 256, s"symbol $s outside the byte alphabet")
+      freq(s) += 1L
+    }
+    val lens = codeLengths(freq)
+    val present = (0 until 256).filter(freq(_) > 0L)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(present.size - 1)
+    present.foreach { s => out.write(s); out.write(lens(s)) }
+    // u32 BE symbol count
+    out.write((syms.length >>> 24) & 0xff); out.write((syms.length >>> 16) & 0xff)
+    out.write((syms.length >>> 8) & 0xff); out.write(syms.length & 0xff)
+    if (present.size > 1) {
+      val codes = canonicalCodes(present.map(s => (s, lens(s))))
+      var acc = 0L
+      var nbits = 0
+      syms.foreach { s =>
+        val (c, l) = codes(s)
+        acc = (acc << l) | (c.toLong & ((1L << l) - 1))
+        nbits += l
+        while (nbits >= 8) {
+          out.write(((acc >>> (nbits - 8)) & 0xff).toInt)
+          nbits -= 8
+        }
+      }
+      if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Inverse of [[encode]] starting at `off`; fails loudly on a
+    * truncated table, an over-long code walk, or a short bitstream.
+    */
+  def decode(bytes: Array[Byte], off: Int): Array[Int] = {
+    var p = off
+    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    val n = u8() + 1
+    val symLens = (0 until n).map(_ => (u8(), u8()))
+    val count = (u8() << 24) | (u8() << 16) | (u8() << 8) | u8()
+    require(count >= 0, "negative symbol count — stream corrupt")
+    val outArr = new Array[Int](count)
+    if (n == 1) {
+      java.util.Arrays.fill(outArr, symLens.head._1)
+      return outArr
+    }
+    require(symLens.forall(_._2 > 0),
+      "zero code length in a multi-symbol table — stream corrupt")
+    val codes = canonicalCodes(symLens).map { case (s, (c, l)) => ((l, c), s) }
+    val maxLen = symLens.map(_._2).max
+    var emitted = 0
+    var cur = 0
+    var curLen = 0
+    var bitPos = 0
+    val bitLimit = (bytes.length - p) * 8
+    while (emitted < count) {
+      require(bitPos < bitLimit, "bitstream exhausted before symbol count met")
+      val bit = (bytes(p + (bitPos >> 3)) >> (7 - (bitPos & 7))) & 1
+      bitPos += 1
+      cur = (cur << 1) | bit
+      curLen += 1
+      codes.get((curLen, cur)) match {
+        case Some(s) => outArr(emitted) = s; emitted += 1; cur = 0; curLen = 0
+        case None => require(curLen <= maxLen,
+          s"code walk exceeded max length $maxLen — stream corrupt")
+      }
+    }
+    outArr
   }
 }

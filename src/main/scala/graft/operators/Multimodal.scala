@@ -515,6 +515,92 @@ object Multimodal extends QueryGroup {
       codec = "GVC1", keyframes = Some(0 until nf map (_ == 0)))
   }
 
+  /** Per-doc quantized-residual GVC-AVI (q187): the same source rasters
+    * as [[encodeGvcAvi]], but P-frames carry QUANTIZED residuals run
+    * through the canonical-Huffman entropy coder — fourcc 'GVQ1'.
+    */
+  private[graft] def encodeGvqAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] = {
+    val rasters = (0 until nf).map { f =>
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { a(y * w + x) = gvcExpected(docId, x, y, f); x += 1 }
+        y += 1
+      }
+      a
+    }
+    Avi.mux(Gvc.encodeQuantFrames(rasters, w, h), w, h, fps = 5,
+      codec = "GVQ1", keyframes = Some(0 until nf map (_ == 0)))
+  }
+
+  /** q187 decode output: container inventory + EXACT closed-loop
+    * reconstruction facts (px_sum / error sums / quantized-residual
+    * magnitude — all BIGINT, recomputed by the oracle's unrolled
+    * recurrence) plus the rate verdict `coded_lt_raw` (entropy-coded
+    * P-frame bytes strictly below raw — the one column only the engine
+    * can measure, the q168 self-validating discipline).
+    */
+  case class DecodedQuantVideo(doc_id: Long, n_frames: Long, frame_w: Long,
+      frame_h: Long, n_key: Long, px_sum: Long, err_abs_sum: Long,
+      max_abs_err: Long, qresid_abs_sum: Long, coded_lt_raw: Boolean)
+
+  /** Demux 'GVQ1', cross-check the keyframe index, run the quantized
+    * decode loop ([[Gvc.decodeQuantFrames]] — entropy decode →
+    * dequantize → closed-loop reconstruction), and report exact
+    * distortion facts against the synthesized source ([[gvcExpected]],
+    * the q168 comparison discipline) plus the measured rate.
+    */
+  def decodeQuantVideos(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedQuantVideo] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payloads = Avi.demux(r.media)
+        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
+        require(Avi.headerTotalFrames(r.media) == payloads.size,
+          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
+        val (w, h) = Avi.headerDims(r.media)
+        val flags = Avi.idx1Flags(r.media)
+        require(flags.size == payloads.size,
+          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val frames = Gvc.decodeQuantFrames(payloads, w, h)
+        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
+          require(fr.isKey == ((fl & 0x10) != 0),
+            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
+              "with the stream's intra/quantized magic")
+        }
+        var pxSum = 0L
+        var errSum = 0L
+        var maxErr = 0L
+        var qAbs = 0L
+        var codedP = 0L
+        frames.zipWithIndex.foreach { case (fr, f) =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = fr.raster(y * w + x)
+              val e = math.abs(v - gvcExpected(r.doc_id, x, y, f)).toLong
+              pxSum += v
+              errSum += e
+              if (e > maxErr) maxErr = e
+              x += 1
+            }
+            y += 1
+          }
+          qAbs += fr.qAbsSum
+          if (!fr.isKey) codedP += fr.payloadBytes
+        }
+        val rawP = (payloads.size - 1).toLong * (w.toLong * h + 1)
+        DecodedQuantVideo(r.doc_id, payloads.size.toLong, w.toLong, h.toLong,
+          frames.count(_.isKey).toLong, pxSum, errSum, maxErr, qAbs,
+          coded_lt_raw = codedP < rawP)
+      }
+    }
+  }
+
   /** q176 decode output: container inventory + intra-frame count + the
     * EXACT reconstructed pixel sum and stored-residual magnitude sum
     * (all BIGINT — the oracle recomputes every column arithmetically;
@@ -794,6 +880,33 @@ object Multimodal extends QueryGroup {
       decodeGvcVideos(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q187 [north star, r12]: QUANTIZED-residual video — the
+    // rate-distortion step q176 deliberately left out, completing the
+    // honest temporal-codec story: P-frame residuals are uniformly
+    // quantized with CLOSED-LOOP prediction (encoder predicts against
+    // the decoder's own reconstruction, so error stays ≤ QStep/2 per
+    // pixel at every frame — no drift down the chain) and entropy-coded
+    // with a real canonical-Huffman coder (losslessly inverted by the
+    // decoder, loudly). Distortion columns are EXACT: the quantizer is
+    // integer floor-division arithmetic, so the oracle replays the whole
+    // closed-loop recurrence (unrolled per frame) and recomputes px_sum
+    // / err_abs_sum / max_abs_err / qresid_abs_sum to the bit. Rate is
+    // the one engine-measured column: coded_lt_raw pins entropy-coded
+    // P-frame bytes strictly below raw (q168's self-validating
+    // discipline). H.264 = this loop with quantized DCT blocks + CABAC;
+    // same mapPartitions seam, same container.
+    "q187_quantized_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeGvqAvi(id, (16 + nc % 16).toInt,
+            (12 + id % 11).toInt, (3 + id % 3).toInt))
+        }
+      decodeQuantVideos(spark, media).toDF().orderBy("doc_id")
+    }),
+
     "q165_gif_frames" -> ((spark, dir) => {
       import spark.implicits._
       val media = Tables(spark, dir, "documents")
@@ -944,6 +1057,47 @@ object Multimodal extends QueryGroup {
     }),
   )
 
+  /** The q187 oracle: per-pixel source values c0..c4 from the fixture
+    * formula, then the closed-loop quantized recurrence unrolled frame
+    * by frame (q_f from c_f and r_{f-1}, r_f clamped), aggregated with
+    * nf-guards for the variable frame count (nf ∈ {3,4,5}, so frames
+    * 1–2 always exist).
+    */
+  private def gvqOracleSql: String = {
+    def cf(f: Int) =
+      s"((x*3 + y*7 + doc_id) % 200) + ((x + y + $f*11 + doc_id) % 7) * 8 AS c$f"
+    val cDefs = (0 to 4).map(cf).mkString(",\n        ")
+    // chained sub-CTEs: q_f needs r_{f-1}; r_f needs q_f
+    val steps = (1 to 4).map { f =>
+      s"""sq$f AS (SELECT *, CAST(floor((c$f - r${f - 1} + 2) / 4.0) AS BIGINT) AS q$f FROM sr${f - 1}),
+         |sr$f AS (SELECT *, GREATEST(0, LEAST(255, r${f - 1} + 4*q$f)) AS r$f FROM sq$f)""".stripMargin
+    }.mkString(",\n")
+    def guarded(expr: Int => String): String =
+      s"${expr(1)} + ${expr(2)} + CASE WHEN nf > 3 THEN ${expr(3)} ELSE 0 END" +
+        s" + CASE WHEN nf > 4 THEN ${expr(4)} ELSE 0 END"
+    s"""WITH d AS (SELECT doc_id, 16 + n_chars % 16 AS w, 12 + doc_id % 11 AS h,
+       |             3 + doc_id % 3 AS nf FROM documents),
+       |px AS (SELECT d.doc_id, d.nf, d.w, d.h, x.k AS x, y.k AS y
+       |       FROM d, generate_series(0, 30) x(k), generate_series(0, 21) y(k)
+       |       WHERE x.k < d.w AND y.k < d.h),
+       |c AS (SELECT *,
+       |        $cDefs
+       |      FROM px),
+       |sr0 AS (SELECT *, c0 AS r0 FROM c),
+       |$steps
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+       |  CAST(1 AS BIGINT) AS n_key,
+       |  CAST(SUM(r0 + ${guarded(f => s"r$f")}) AS BIGINT) AS px_sum,
+       |  CAST(SUM(${guarded(f => s"abs(r$f - c$f)")}) AS BIGINT) AS err_abs_sum,
+       |  CAST(MAX(GREATEST(abs(r1 - c1), abs(r2 - c2),
+       |        CASE WHEN nf > 3 THEN abs(r3 - c3) ELSE 0 END,
+       |        CASE WHEN nf > 4 THEN abs(r4 - c4) ELSE 0 END)) AS BIGINT) AS max_abs_err,
+       |  CAST(SUM(${guarded(f => s"abs(q$f)")}) AS BIGINT) AS qresid_abs_sum,
+       |  TRUE AS coded_lt_raw
+       |FROM sr4 GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // q162: q152's integer-arithmetic oracle with the swapped dimension
     // formulas (w from n_chars % 48, h from doc_id % 64).
@@ -987,6 +1141,13 @@ object Multimodal extends QueryGroup {
         |  CAST(length(text) AS BIGINT) AS n_extracted_chars,
         |  md5(text) AS text_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q187: the oracle REPLAYS the closed-loop quantized reconstruction
+    // — keyframe exact, then per P-frame q_f = floor((c_f − r_{f−1} +
+    // 2)/4) (the engine's Math.floorDiv round-half-up) and r_f =
+    // clamp(r_{f−1} + 4·q_f) — unrolled over the max 5 frames, so every
+    // distortion column is exact integer arithmetic. Only the entropy-
+    // coded byte count is engine-measured (coded_lt_raw literal TRUE).
+    "q187_quantized_video" -> gvqOracleSql,
     // q176: every column exact integer arithmetic — px = spatial
     // gradient (mod 200) + temporal term (mod 7)·8; the residual
     // magnitude between consecutive frames is the temporal term's

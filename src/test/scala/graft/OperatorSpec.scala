@@ -1391,6 +1391,47 @@ class OperatorSpec extends SparkSpec {
     assert(msgs(ex).contains("idx1 keyframe flag disagrees"))
   }
 
+  test("GVC-Q quantized tier (q187): error bounded at every frame, entropy stage lossless, rate below raw, corruption loud") {
+    import graft.operators.{Gvc, Huff, Multimodal}
+    val (w, h, nf, doc) = (16, 12, 5, 41L)
+    val rasters = (0 until nf).map { f =>
+      Array.tabulate(w * h)(i => Multimodal.gvcExpected(doc, i % w, i / w, f))
+    }
+    val payloads = Gvc.encodeQuantFrames(rasters, w, h)
+    assert(payloads.head(0) == Gvc.MagicKey &&
+      payloads.tail.forall(_(0) == Gvc.MagicQuant))
+    val decoded = Gvc.decodeQuantFrames(payloads, w, h)
+    // closed-loop prediction: |recon − src| ≤ QStep/2 at EVERY frame —
+    // including the last, where open-loop quantization would have
+    // accumulated (nf−1)·QStep/2 of drift
+    decoded.zip(rasters).zipWithIndex.foreach { case ((d, r), f) =>
+      val maxErr = d.raster.zip(r).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= Gvc.QStep / 2, s"frame $f error $maxErr exceeds bound")
+    }
+    assert(decoded.head.qAbsSum == 0L && decoded.tail.forall(_.qAbsSum > 0L))
+    // rate: entropy-coded P payloads strictly below the raw frame bytes
+    val codedP = payloads.tail.map(_.length.toLong).sum
+    assert(codedP < (nf - 1).toLong * (w * h + 1),
+      s"entropy coding did not compress: $codedP bytes")
+    // the entropy stage itself is LOSSLESS: exact round-trip on skewed,
+    // uniform, and degenerate single-symbol streams
+    for (syms <- Seq(
+        Array.fill(500)(128) ++ Array.fill(20)(130) ++ Array.fill(3)(90),
+        Array.tabulate(256)(identity),
+        Array.fill(77)(42))) {
+      assert(Huff.decode(Huff.encode(syms), 0).sameElements(syms),
+        "Huffman round-trip broke")
+    }
+    // loudness: 'Q' with no keyframe history; a truncated bitstream
+    intercept[IllegalArgumentException] {
+      Gvc.decodeQuantFrames(payloads.tail, w, h)
+    }
+    intercept[IllegalArgumentException] {
+      Gvc.decodeQuantFrames(
+        payloads.init :+ payloads.last.dropRight(4), w, h)
+    }
+  }
+
   test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
     import graft.operators.Avi
     val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),

@@ -202,6 +202,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GVC-Q: error <= QStep/2 at every frame on arbitrary rasters; Huffman round-trips arbitrary symbol streams") {
+    import graft.operators.{Gvc, Huff}
+    val genSeq = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 8)
+      nf <- Gen.choose(1, 5)
+      frames <- Gen.listOfN(nf, Gen.listOfN(w * h, Gen.choose(0, 255)))
+    } yield (w, h, frames.map(_.toArray))
+    forAllSeeded(genSeq) { case (w, h, frames) =>
+      // fully arbitrary rasters (no delta bound — quantized symbols span
+      // ±64 at QStep 4, inside the ±127 symbol range); the closed loop
+      // must still bound error per frame with zero drift
+      val decoded = Gvc.decodeQuantFrames(
+        Gvc.encodeQuantFrames(frames, w, h), w, h)
+      assert(decoded.length == frames.length)
+      assert(decoded.head.raster.sameElements(frames.head)) // intra exact
+      decoded.zip(frames).foreach { case (d, f) =>
+        d.raster.zip(f).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= Gvc.QStep / 2, "quantization bound broken")
+        }
+      }
+    }
+    val genSyms = Gen.choose(1, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const(128), 2 -> Gen.choose(120, 136), 1 -> Gen.choose(0, 255))))
+    forAllSeeded(genSyms) { syms =>
+      val a = syms.toArray
+      assert(Huff.decode(Huff.encode(a), 0).sameElements(a),
+        "Huffman round-trip broke")
+    }
+  }
+
   test("GVC encode/decode round-trips any raster sequence whose deltas fit a byte") {
     import graft.operators.Gvc
     val genSeq = for {
