@@ -39,6 +39,20 @@ object GraftFunctions {
 
   /** All (identifier, info, builder) triples this library contributes. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("json_tag_append"),
+      new ExpressionInfo(getClass.getName, "json_tag_append"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "json_tag_append expects 3 arguments (json, slug, text)")
+        def asLit(e: Expression, what: String): String = e match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"json_tag_append $what must be a literal string, got ${other.sql}")
+        }
+        graft.expressions.JsonTagAppend(children(0),
+          asLit(children(1), "slug"), asLit(children(2), "text"))
+      }),
     two("vec_dot")(VecDot(_, _)),
     two("jaccard_sim")(graft.expressions.JaccardSim(_, _)),
     one("gunzip_to_string")(GunzipToString(_)),

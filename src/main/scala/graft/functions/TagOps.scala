@@ -32,4 +32,15 @@ object TagOps {
     */
   def slugify(text: Column): Column =
     regexp_replace(lower(text), " ", "-")
+
+  /** Open-schema tag append over a RAW ANS JSON column — the byte-
+    * preserving splice ([[graft.streaming.RawAns]], `tag.py:64`'s
+    * "modify only what you understand, preserve the rest") as a fused
+    * codegen expression. The tag is a construction-time constant, like
+    * the reference's (`tag.py:59-62`).
+    */
+  def appendTagRaw(json: Column, slug: String, text: String): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.JsonTagAppend(toExpression(json), slug, text))
+  }
 }

@@ -61,6 +61,13 @@ object Relational extends QueryGroup {
         .orderBy("event_id")),
 
     // q03 [REF app.py:40-46]: JSON payload -> typed struct (PERMISSIVE).
+    // Open-schema note: from_json DECLARES only the fields the pipeline
+    // reads (the reference's .get() probes) — unknown fields are
+    // invisible here by design, which is fine for the READ side. The
+    // WRITE-BACK side must not round-trip through this schema (it would
+    // drop everything undeclared): q189 / RawAns is the passthrough
+    // discipline — the raw JSON string is the source of truth and edits
+    // are byte-preserving splices (tag.py:64, SURVEY §1.3).
     "q03_json_parse" -> ((spark, dir) =>
       Tables(spark, dir, "events")
         .select(col("event_id"),
@@ -69,11 +76,57 @@ object Relational extends QueryGroup {
         .orderBy("event_id")),
 
     // q04 [REF tag.py:21-27]: struct -> JSON for the writeback body.
+    // to_json re-serializes only DECLARED fields — the open-schema
+    // write-back (preserving fields the pipeline does not understand)
+    // is q189's splice, not a parse/re-serialize round trip.
     "q04_json_serialize" -> ((spark, dir) =>
       Tables(spark, dir, "events")
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"))).as("js"))
         .orderBy("event_id")),
+
+    // q189 [REF tag.py:64, r12]: OPEN-SCHEMA tag append — the
+    // reference's real write-back contract: the stored ANS document
+    // goes back WHOLE with only taxonomy.tags touched, so fields the
+    // consumer has never heard of (ANS schemas evolve weekly) survive
+    // byte-level. A typed parse → modify → re-serialize round trip
+    // CANNOT honor this (it drops/reorders everything undeclared);
+    // the engine edits the raw text with a single contiguous splice
+    // (RawAns, fused via the JsonTagAppend codegen expression — zero
+    // UDFs). The fixture exercises all five splice arms — no taxonomy,
+    // taxonomy without tags, populated tags, already-tagged (returns
+    // the input object itself), tags:null — with an unknown subtree
+    // whose string values contain decoy braces/brackets/escaped quotes
+    // and the word "taxonomy". The oracle constructs the EXPECTED
+    // post-splice bytes independently per arm, so the hash match pins
+    // the splice contract byte-for-byte cross-engine.
+    "q189_raw_tag_append" -> ((spark, dir) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val unknown = concat(
+        lit("\"extra\":{\"note\":\"skip \\\" taxonomy {[\",\"n\":"), id,
+        lit("}"))
+      val pre = concat(lit("{\"_id\":\"d"), id, lit("\","))
+      val tagLit = "{\"slug\":\"kinesis-autotag\",\"text\":\"kinesis autotag\"}"
+      val raw =
+        when(m === 0, concat(pre, unknown, lit("}")))
+          .when(m === 1, concat(pre, lit("\"taxonomy\":{\"version\":"), id,
+            lit("},"), unknown, lit("}")))
+          .when(m === 2, concat(pre,
+            lit("\"taxonomy\":{\"tags\":[{\"slug\":\"other\",\"text\":\"o\"}]},"),
+            unknown, lit("}")))
+          .when(m === 3, concat(pre,
+            lit("\"taxonomy\":{\"tags\":[" + tagLit + "]},"), unknown, lit("}")))
+          .otherwise(concat(pre, lit("\"taxonomy\":{\"tags\":null,\"note\":1},"),
+            unknown, lit("}")))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("tagged", TagOps.appendTagRaw(col("raw"),
+          "kinesis-autotag", "kinesis autotag"))
+        .select(col("doc_id"), col("tagged"),
+          (col("tagged") =!= col("raw")).as("changed"))
+        .orderBy("doc_id")
+    }),
 
     // q05 [REF app.py:56]: conjunctive equality/range filter.
     "q05_filter_conjunctive" -> ((spark, dir) =>
@@ -276,6 +329,32 @@ object Relational extends QueryGroup {
       "SELECT event_id, CAST(json_extract(props,'$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q04_json_serialize" ->
       """SELECT event_id, '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js FROM events ORDER BY event_id""",
+    // q189: the oracle constructs the EXPECTED post-splice document per
+    // arm by string concatenation — it never parses JSON, so agreement
+    // with the engine's scanner-driven splice is a genuine cross-check
+    // of the contract (insert at the end of the understood container,
+    // comma iff non-empty, untouched bytes identical). Arm m=3 is
+    // already tagged: expected output == the input bytes.
+    "q189_raw_tag_append" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 5 AS m, CAST(doc_id AS VARCHAR) AS id,
+        |    '"extra":{"note":"skip \" taxonomy {[","n":'
+        |      || CAST(doc_id AS VARCHAR) || '}' AS unk,
+        |    '{"_id":"d' || CAST(doc_id AS VARCHAR) || '",' AS pre,
+        |    '{"slug":"kinesis-autotag","text":"kinesis autotag"}' AS tag
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN pre || unk || ',"taxonomy":{"tags":[' || tag || ']}}'
+        |    WHEN 1 THEN pre || '"taxonomy":{"version":' || id
+        |                || ',"tags":[' || tag || ']},' || unk || '}'
+        |    WHEN 2 THEN pre || '"taxonomy":{"tags":[{"slug":"other","text":"o"},'
+        |                || tag || ']},' || unk || '}'
+        |    WHEN 3 THEN pre || '"taxonomy":{"tags":[' || tag || ']},' || unk || '}'
+        |    ELSE pre || '"taxonomy":{"tags":[' || tag || '],"note":1},' || unk || '}'
+        |  END AS tagged,
+        |  m <> 3 AS changed
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q05_filter_conjunctive" ->
       "SELECT event_id, user_id, event_type, value, props FROM events WHERE event_type = 'signup' AND value > 100.0 AND user_id < 100 ORDER BY event_id",
     "q06_nested_projection" ->

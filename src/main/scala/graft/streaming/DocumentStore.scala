@@ -68,6 +68,53 @@ class InMemoryDocumentStore extends DocumentStore {
   }
 }
 
+/** Raw-JSON document store — the open-schema production shape: the
+  * store holds the WHOLE ANS document as TEXT (fields the pipeline has
+  * never heard of included), and the tagger edits it via [[RawAns]]'s
+  * byte-preserving splice instead of a typed round trip (`tag.py:64`'s
+  * "modify only what you understand, preserve the rest"; the
+  * [[InMemoryDocumentStore]]'s typed AnsDoc model would silently drop
+  * every undeclared field on write-back). Same CAS `update` contract.
+  */
+class InMemoryRawDocumentStore extends Serializable {
+  private val m = new ConcurrentHashMap[String, String]()
+  def get(id: String): Option[String] = Option(m.get(id))
+  def upsert(id: String, doc: String): Unit = m.put(id, doc)
+  def snapshot: Map[String, String] = m.asScala.toMap
+  def size: Int = m.size
+
+  /** Optimistic read-modify-write, value-equality CAS — see
+    * [[InMemoryDocumentStore.update]].
+    */
+  def update(id: String)(f: Option[String] => String): String = {
+    while (true) {
+      val cur = Option(m.get(id))
+      val next = f(cur)
+      val committed = cur match {
+        case None    => m.putIfAbsent(id, next) == null
+        case Some(c) => m.replace(id, c, next)
+      }
+      if (committed) return next
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object InMemoryRawDocumentStore {
+  /** Executor-side registry, same pattern as [[DocumentStore.resolve]]. */
+  private val registry = new ConcurrentHashMap[String, InMemoryRawDocumentStore]()
+
+  def register(key: String, store: InMemoryRawDocumentStore): Unit =
+    registry.put(key, store)
+
+  def resolve(key: String): InMemoryRawDocumentStore = {
+    val s = registry.get(key)
+    require(s != null,
+      s"no raw document store registered under '$key' in this JVM")
+    s
+  }
+}
+
 /** Durable file-backed store: one file per document under `root`,
   * written temp-then-ATOMIC_MOVE so an upsert is all-or-nothing and
   * last-writer-wins — the durability half of the reference's PUT

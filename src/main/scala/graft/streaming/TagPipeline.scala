@@ -104,6 +104,26 @@ object TagPipeline {
       .digest(checkpointDir.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
 
+  /** The shared source half of [[start]]/[[startRaw]]: decode + the
+    * documented filter + watermarked id-dedup (exactly-once tagging
+    * under redelivery; state aged out by the watermark, 10 min ≫ any
+    * redelivery window). A source that already defined its own
+    * event-time watermark (e.g. the KPL-deaggregating consumer's
+    * subsequence dedup) keeps it — Spark disallows REdefining a
+    * watermark downstream of a stateful operator, and chaining the
+    * id-dedup under the existing watermark is exactly the intended
+    * semantics.
+    */
+  private def dedupedStream(wire: DataFrame): DataFrame = {
+    val hasWatermark = wire.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    val decoded = EventDecoder.decodeAndFilter(wire)
+    (if (hasWatermark) decoded else decoded.withWatermark("ts", "10 minutes"))
+      .dropDuplicatesWithinWatermark("id")
+  }
+
   /** Full streaming job: wire frame in, upserts out.
     *
     * @param wire streaming DataFrame with (data binary, shard string,
@@ -115,28 +135,54 @@ object TagPipeline {
       storeKey: String = "default",
       exactlyOnce: Boolean = false): StreamingQuery = {
     DocumentStore.register(storeKey, store)
-    // exactly-once tagging under redelivery: state-backed dedup, state
-    // aged out by the watermark (10 min ≫ any redelivery window). A
-    // source that already defined its own event-time watermark (e.g.
-    // the KPL-deaggregating consumer's subsequence dedup) keeps it —
-    // Spark disallows REdefining a watermark downstream of a stateful
-    // operator, and chaining the id-dedup under the existing watermark
-    // is exactly the intended semantics.
-    val hasWatermark = wire.queryExecution.logical.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
-      case _ => false
-    }
-    val decoded = EventDecoder.decodeAndFilter(wire)
-    val projected =
-      (if (hasWatermark) decoded else decoded.withWatermark("ts", "10 minutes"))
-        .dropDuplicatesWithinWatermark("id")
-    projected.writeStream
+    dedupedStream(wire).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch(
         enrichAndUpsert(storeKey, tag, exactlyOnce,
           runNamespace(checkpointDir)) _)
+      .start()
+  }
+
+  /** Raw-JSON foreachBatch body: the OPEN-SCHEMA write-back (`tag.py:64`
+    * / q189's splice) against a store of WHOLE documents — every byte a
+    * previous writer stored survives, including fields this pipeline
+    * does not declare. Unknown ids initialize to the minimal `{_id}`
+    * doc, then the splice creates `taxonomy.tags` (`app.py:71-75`'s
+    * never-fail-the-batch contract). Same partition-local registry
+    * resolution as [[enrichAndUpsert]].
+    */
+  def enrichAndUpsertRaw(storeKey: String, tag: Tag)(
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.select(col("id")).na.drop().distinct()
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val store = InMemoryRawDocumentStore.resolve(storeKey)
+        rows.foreach { row =>
+          val id = row.getString(0)
+          store.update(id)(cur => RawAns.appendTagIfAbsent(
+            cur.getOrElse(RawAns.minimalDoc(id)), tag))
+        }
+      }
+  }
+
+  /** [[start]]'s open-schema twin: same source/decode/dedup stages, but
+    * the sink edits RAW documents via the byte-preserving splice — the
+    * write path a production consumer runs when stored documents carry
+    * fields the pipeline does not declare (ANS schemas evolve; the
+    * typed sink would drop them). Byte-level preservation under
+    * streaming redelivery is pinned in StreamingSpec.
+    */
+  def startRaw(spark: SparkSession, wire: DataFrame,
+      store: InMemoryRawDocumentStore, checkpointDir: String,
+      tag: Tag = AutoTag, trigger: Trigger = PollInterval,
+      storeKey: String = "default-raw"): StreamingQuery = {
+    InMemoryRawDocumentStore.register(storeKey, store)
+    dedupedStream(wire).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(enrichAndUpsertRaw(storeKey, tag) _)
       .start()
   }
 

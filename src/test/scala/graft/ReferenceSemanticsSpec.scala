@@ -118,6 +118,84 @@ class ReferenceSemanticsSpec extends SparkSpec {
       Set("first", "repub", "nocreated"))
   }
 
+  /** Asserts `after` is `before` with exactly ONE contiguous edit and
+    * returns (removed, inserted) — the byte-level-preservation pin:
+    * every byte outside the single edit region is identical. A pure
+    * insertion removes ""; the only other removal the splice contract
+    * permits is the understood "null" token.
+    */
+  private def singleSplice(before: String, after: String): (String, String) = {
+    var p = 0
+    while (p < before.length && p < after.length &&
+      before.charAt(p) == after.charAt(p)) p += 1
+    var s = 0
+    while (s < before.length - p && s < after.length - p &&
+      before.charAt(before.length - 1 - s) == after.charAt(after.length - 1 - s))
+      s += 1
+    val removed = before.substring(p, before.length - s)
+    assert(removed.isEmpty || removed == "null",
+      s"bytes outside the understood subtree changed: removed '$removed'")
+    (removed, after.substring(p, after.length - s))
+  }
+
+  test("8. schema drift: unknown nested fields survive decode → tag-append → serialize BYTE-identical (tag.py:64)") {
+    import graft.streaming.RawAns
+    // the store document carries nested fields this library has never
+    // heard of — including decoy braces/brackets and the word
+    // "taxonomy" inside string values, and a non-ASCII subtree
+    val stored =
+      """{"_id":"ABC","weird":{"deep":[1,2,{"x":"tax\"onomy }]{"}],"u":"π café"},""" +
+        """"taxonomy":{"version":7,"tags":[{"slug":"other","text":"o"}]},"later":null}"""
+    // the full chain: wire event decodes (the READ side probes only
+    // declared fields), its id addresses the stored doc, the WRITE side
+    // splices the raw text
+    val ev = EventDecoder.decode(wire(gz(fullEvent) -> "s1")).collect().head
+    assert(ev.getAs[String]("id") == "ABC")
+    val tagged = RawAns.appendTagIfAbsent(stored, AutoTag)
+    val (rem, ins) = singleSplice(stored, tagged)
+    assert(rem.isEmpty && ins == "," + RawAns.tagJson(AutoTag),
+      s"insertion is not the canonical tag: $ins")
+    // idempotent, and the second apply returns the SAME string object
+    assert(RawAns.appendTagIfAbsent(tagged, AutoTag) eq tagged)
+    // a slug spelled with \u escapes still counts as present (the
+    // document's author may escape anything; comparison is unescaped)
+    val escaped = "{\"_id\":\"E\",\"taxonomy\":{\"tags\":[" +
+      "{\"slug\":\"kinesis-autota\\u0067\",\"text\":\"t\"}]}}"
+    assert(RawAns.appendTagIfAbsent(escaped, AutoTag) eq escaped)
+    // a "taxonomy" nested in another subtree is opaque bytes: the real
+    // taxonomy is created at top level, body untouched
+    val decoy = """{"_id":"D","body":{"taxonomy":{"tags":[]}},"n":1}"""
+    val taggedDecoy = RawAns.appendTagIfAbsent(decoy, AutoTag)
+    assert(singleSplice(decoy, taggedDecoy)._2 ==
+      ",\"taxonomy\":{\"tags\":[" + RawAns.tagJson(AutoTag) + "]}")
+    // all remaining splice arms stay single-edit byte-preserving
+    for (doc <- Seq(
+        """{"_id":"A"}""",                                // no taxonomy
+        """{"_id":"A","taxonomy":{}}""",                  // empty taxonomy
+        """{"_id":"A","taxonomy":{"v":1}}""",             // taxonomy, no tags
+        """{"_id":"A","taxonomy":{"tags":[]}}""",         // empty tags
+        """{"_id":"A","taxonomy":null}""",                // null taxonomy
+        """{"_id":"A","taxonomy":{"tags":null}}""",       // null tags
+        """{ "_id" : "A" , "taxonomy" : { "tags" : [ ] } }""")) { // whitespace
+      val out = RawAns.appendTagIfAbsent(doc, AutoTag)
+      val spliced = singleSplice(doc, out)._2
+      assert(spliced.contains(AutoTag.slug), s"no tag spliced into $doc")
+      assert(RawAns.appendTagIfAbsent(out, AutoTag) eq out,
+        s"not idempotent on $doc")
+    }
+    // structure the tagger does not understand refuses loudly rather
+    // than silently destroying it
+    intercept[IllegalArgumentException] {
+      RawAns.appendTagIfAbsent("""{"taxonomy":{"tags":"oops"}}""", AutoTag)
+    }
+    intercept[IllegalArgumentException] {
+      RawAns.appendTagIfAbsent("""["not","an","object"]""", AutoTag)
+    }
+    intercept[IllegalArgumentException] {
+      RawAns.appendTagIfAbsent("""{"unbalanced":{""", AutoTag)
+    }
+  }
+
   test("decoder fuzz: arbitrary byte payloads never crash the stage, rows always survive") {
     val rnd = new scala.util.Random(7)
     val garbage: Seq[Array[Byte]] =

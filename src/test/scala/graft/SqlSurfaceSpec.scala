@@ -86,6 +86,30 @@ class SqlSurfaceSpec extends SparkSpec {
       "already-NFC input should pass through by reference")
   }
 
+  test("json_tag_append callable from SQL: splices, idempotent, NULL-safe, literal-args enforced") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT json_tag_append('{"_id":"A","x":{"y":[1]}}', 'kinesis-autotag', 'kinesis autotag'),
+        |  json_tag_append('{"_id":"A","taxonomy":{"tags":[{"slug":"kinesis-autotag","text":"kinesis autotag"}]}}',
+        |                  'kinesis-autotag', 'kinesis autotag'),
+        |  json_tag_append(CAST(NULL AS STRING), 'kinesis-autotag', 'kinesis autotag')""".stripMargin)
+      .collect().head
+    assert(r.getString(0) ==
+      """{"_id":"A","x":{"y":[1]},"taxonomy":{"tags":[{"slug":"kinesis-autotag","text":"kinesis autotag"}]}}""")
+    assert(r.getString(1) ==
+      """{"_id":"A","taxonomy":{"tags":[{"slug":"kinesis-autotag","text":"kinesis autotag"}]}}""")
+    assert(r.isNullAt(2), "NULL must propagate")
+    // a non-literal slug is rejected clearly at analysis, not with an
+    // opaque internal error at runtime
+    val ex = intercept[Exception] {
+      spark.sql("SELECT json_tag_append('{}', lower('X'), 't')").collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("literal string"))
+  }
+
   test("tag_set_agg callable from SQL, idempotent under duplicate rows") {
     GraftFunctions.register(spark)
     val out = spark.sql(

@@ -63,6 +63,36 @@ class StreamingSpec extends SparkSpec {
     assert(store.size == 2)
   }
 
+  test("open-schema tag pipeline: raw store docs keep unknown fields BYTE-identical across streaming tag write-back") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Wire]
+    val store = new graft.streaming.InMemoryRawDocumentStore
+    // the stored doc carries fields this pipeline has never heard of —
+    // including decoy structure inside string values
+    val seeded = """{"_id":"A","unknown":{"deep":[1,{"s":"tax\"onomy ]}"}],"u":"π café"},""" +
+      """"taxonomy":{"rev":9,"tags":[{"slug":"x","text":"x"}]},"later":null}"""
+    store.upsert("A", seeded)
+    val ckpt = Files.createTempDirectory("graft-raw-ckpt-").toString
+    val q = TagPipeline.startRaw(spark, ms.toDF(), store, ckpt,
+      trigger = Trigger.ProcessingTime(0), storeKey = "raw-test")
+    ms.addData(ev(story("A"), 0), ev(story("B"), 1))
+    q.processAllAvailable()
+    // redelivery: dedup + splice idempotence ⇒ byte-stable
+    ms.addData(ev(story("A"), 2))
+    q.processAllAvailable()
+    q.stop()
+    // hand-written expected bytes (NOT derived via RawAns — a circular
+    // check would pass on any splice bug): the tag lands before the
+    // tags array's ']', every other byte identical
+    val expectedA = """{"_id":"A","unknown":{"deep":[1,{"s":"tax\"onomy ]}"}],"u":"π café"},""" +
+      """"taxonomy":{"rev":9,"tags":[{"slug":"x","text":"x"},""" +
+      """{"slug":"kinesis-autotag","text":"kinesis autotag"}]},"later":null}"""
+    assert(store.get("A").get == expectedA, "unknown fields not byte-preserved")
+    assert(store.get("B").get ==
+      """{"_id":"B","taxonomy":{"tags":[{"slug":"kinesis-autotag","text":"kinesis autotag"}]}}""")
+    assert(store.size == 2)
+  }
+
   test("kinesis contract: WireSource.kinesis end-to-end through TagPipeline (LATEST skip + per-shard fetch cap)") {
     val stream = "unit-tag-events"
     KinesisStubRegistry.clear(stream)
