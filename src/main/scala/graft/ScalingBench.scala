@@ -99,7 +99,9 @@ object ScalingBench {
       "q166_bpe_train", "q167_bpe_tokenize", "q169_warc_extract",
       "q170_pq_encode", "q171_pq_adc_topk",
       "q177_residual_ivfpq", "q178_bpe_tokenize_vocab",
-      "q179_dupspan_scrub_sa", "q181_vocab_export", "q183_corpus_manifest")
+      "q179_dupspan_scrub_sa", "q181_vocab_export", "q183_corpus_manifest",
+      "q186_dedup_state_incremental", "q187_quantized_video",
+      "q188_vocab_incremental", "q189_raw_tag_append")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full
