@@ -210,19 +210,24 @@ object Dedup extends QueryGroup {
     * recompute the whole shingle pipeline. Unordered — callers add
     * their presentation sort.
     */
+  /** 32 LSH band keys per doc in one native pass (position == band id)
+    * over a `(doc_id, …, sig)` frame — shared by q46's self-join
+    * pipeline and q190's incremental discovery join.
+    */
+  private[graft] def bandTable(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+      org.apache.spark.sql.graftbridge.toColumn(
+        graft.expressions.BandHashes(
+          org.apache.spark.sql.graftbridge.toExpression(col("sig")),
+          NumBands, RowsPerBand))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+
   private[graft] def minhashNearDupPairs(docs: DataFrame): DataFrame = {
     val sigs = graft.CachePool.track(
       docs.select(col("doc_id"), col("sh"),
         TextOps.minhashSignature(col("sh"), perms).as("sig")))
-    // 32 band keys per doc in one native pass (position == band id);
-    // candidate pairs share any (band, hash) bucket.
-    val bands = sigs
-      .select(col("doc_id"), posexplode(
-        org.apache.spark.sql.graftbridge.toColumn(
-          graft.expressions.BandHashes(
-            org.apache.spark.sql.graftbridge.toExpression(col("sig")),
-            NumBands, RowsPerBand))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    // candidate pairs share any (band, hash) bucket
+    val bands = bandTable(sigs)
     // capped bucket expansion — one shuffle, skew-proof (MaxLshBucket)
     val cands = bandedCandidates(bands, MaxLshBucket)
     // Exact verification: true Jaccard over the shingle sets.
@@ -549,7 +554,92 @@ object Dedup extends QueryGroup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** The incremental near-dup combine (q190): given the OLD dump's
+    * stored text-free LSH state (`(doc_id, sh)` shingle-hash index —
+    * computed once at dump ingest, the only moment text is read), the
+    * retraction id batch, the delta dump's state, and the old dump's
+    * stored verified pair set, produce the final corpus's near-dup
+    * pairs WITHOUT re-shingling a single old document:
+    *
+    *  - retraction only DELETES pairs (filter stored pairs to
+    *    both-endpoints-surviving — two anti-join gates);
+    *  - insertion only ADDS pairs with ≥1 delta endpoint (old∕delta id
+    *    spaces are disjoint): discovered by banding the delta state
+    *    against the NET index — an asymmetric equi-join on (band, hash)
+    *    like q144's cross-dump gate, |delta|×occupancy work, never a
+    *    corpus self-join — then exact-Jaccard-verified over the net
+    *    `sh` sets. Net-side buckets beyond [[MaxLshBucket]] are
+    *    dropped whole (q46's skew surrender, same cap).
+    *
+    * Signatures/bands are DERIVED from the stored `sh` state by pure
+    * expression work — state rows, never corpus text. The oracle
+    * re-derives uncapped exact all-pairs Jaccard over the final corpus
+    * (q46's oracle shape), so the hash match proves the incremental
+    * road ≡ the rescan road exactly.
+    */
+  private[graft] def combineNearDupState(oldState: DataFrame,
+      removedIds: DataFrame, deltaState: DataFrame,
+      storedPairs: DataFrame): DataFrame = {
+    val survivors = oldState.join(removedIds, Seq("doc_id"), "left_anti")
+    val net = graft.CachePool.track(
+      survivors.unionByName(deltaState)
+        .select(col("doc_id"), col("sh"),
+          TextOps.minhashSignature(col("sh"), perms).as("sig")))
+    val netBands = bandTable(net)
+    // skew guard: the net-side bucket occupancy cap (dropped whole past
+    // MaxLshBucket — q46's documented surrender, inactive on this corpus)
+    val keptBuckets = netBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= MaxLshBucket)
+      .select(col("band"), col("bh"))
+    val deltaBands = bandTable(net.join(
+      deltaState.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val cands = deltaBands.select(col("band"), col("bh"), col("doc_id").as("n_id"))
+      .join(keptBuckets, Seq("band", "bh"), "left_semi")
+      .join(netBands.select(col("band"), col("bh"), col("doc_id").as("c_id")),
+        Seq("band", "bh"))
+      .filter(col("n_id") =!= col("c_id"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"))
+      .distinct()
+    val a = net.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = net.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val fresh = cands.join(a, "a_id").join(b, "b_id")
+      .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= JaccardTau)
+      .select(col("a_id"), col("b_id"))
+    storedPairs
+      .join(survivors.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(survivors.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      .unionByName(fresh)
+      // USING-joins move the join key to the front — re-pin the column
+      // ORDER (names are already right; positional consumers care)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    // q190 [north star, r12]: INCREMENTAL near-dup maintenance — the
+    // IVM discipline (q184/q186/q188) extended to the LSH tier, the
+    // daily-crawl-refresh shape: when a point fix lands, the verified
+    // near-dup pair set updates from the STORED per-dump shingle-hash
+    // index + stored pairs; no old document is re-shingled (at 100 TB
+    // the shingle+signature pass over the old corpus is the cost this
+    // exists to avoid — the delta pays |delta|×bucket-occupancy, the
+    // retraction pays two anti-joins). See [[combineNearDupState]];
+    // OperatorSpec freezes state and pairs to driver rows (the combine
+    // provably cannot read corpus text) and pins a retraction that
+    // severs a stored pair + a delta that bridges old survivors.
+    "q190_neardup_incremental" -> ((spark, dir) => {
+      val base = shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+        .filter(size(col("sh")) > 0)
+      def gate(prefix: String) =
+        substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+      val old = base.filter(gate("ldump:") < "cd")
+      val removedIds = old.filter(gate("lretract:") < "10").select(col("doc_id"))
+      val delta = base.filter(gate("ldump:") >= "cd")
+      combineNearDupState(old, removedIds, delta,
+        minhashNearDupPairs(old))
+    }),
+
     // q42 [CLOSURE of tag.py:39 set-dedup semantics]: exact content dedup.
     "q42_exact_dedup" -> ((spark, dir) =>
       Tables(spark, dir, "documents")
@@ -952,6 +1042,29 @@ object Dedup extends QueryGroup {
     "q42_exact_dedup" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // q190: the oracle re-derives UNCAPPED exact all-pairs Jaccard over
+    // a rescan of the final corpus (q46's oracle shape) — the road the
+    // engine's stored-state combine must agree with exactly; green also
+    // re-proves the banded discovery's recall is complete on this
+    // corpus (the q46/q144 stance).
+    "q190_neardup_incremental" ->
+      """WITH fin AS (
+        |  SELECT * FROM documents
+        |  WHERE (substring(md5('ldump:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |         AND substring(md5('lretract:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10')
+        |     OR substring(md5('ldump:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM fin),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT p.a_id, p.b_id
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     // q186: the oracle rescans the FINAL corpus (old minus retractions
     // plus delta) and runs q42 over it — the road the engine's
     // partial-combine path must agree with exactly.

@@ -2412,6 +2412,58 @@ class OperatorSpec extends SparkSpec {
       s"conservation broken post-fix: vocab freqs $sumFreq vs n_bpe $sumBpe")
   }
 
+  test("q190 incremental near-dup: frozen-state combine == q46 rescan; retraction severs, delta bridges") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, Sf, "documents")
+    def gate(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+    def shingleOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shingled(df).filter(size(col("sh")) > 0)
+    val old = shingleOf(docs.filter(gate("ldump:") < "cd"))
+    val removedIds = old.filter(gate("lretract:") < "10").select(col("doc_id"))
+    val delta = shingleOf(docs.filter(gate("ldump:") >= "cd"))
+    // freeze the text-free state (shingle-hash index + verified pairs)
+    // to DRIVER ROWS and rebuild literal frames — the combine provably
+    // reads stored state only, never corpus text
+    def frozen(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(spark.sparkContext.parallelize(df.collect().toSeq),
+        df.schema)
+    val viaState = Dedup.combineNearDupState(frozen(old), frozen(removedIds),
+      frozen(delta), frozen(Dedup.minhashNearDupPairs(old)))
+      .collect().map(_.toSeq).toSeq
+    // reference: full q46 pipeline over a rescan of the final corpus
+    val finalDocs = docs.filter(
+      (gate("ldump:") < "cd" && gate("lretract:") >= "10") ||
+        gate("ldump:") >= "cd")
+    val rescan = Dedup.minhashNearDupPairs(shingleOf(finalDocs))
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    assert(viaState == rescan,
+      "incremental near-dup combine drifted from the q46 rescan")
+    assert(removedIds.count() > 0L, "fixture retracts nothing")
+    val registered = SparkEntry.queries("q190_neardup_incremental")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(registered == rescan)
+
+    // surgical fixture (literal frames only): a retraction SEVERS the
+    // stored (1,2) pair; the delta BRIDGES old survivors (1,4), (3,5),
+    // (3,6) and pairs within itself (5,6)
+    import spark.implicits._
+    val t1 = "a b c d e f g h"
+    val t3 = "p q r s t u v w"
+    val oldB = shingleOf(Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text"))
+    val deltaB = shingleOf(Seq(
+      (4L, "a b c d e f g x"), (5L, t3), (6L, "p q r s t u v y"))
+      .toDF("doc_id", "text"))
+    val storedB = Dedup.minhashNearDupPairs(oldB)
+    assert(storedB.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)), "old-dump stored pairs unexpected")
+    val out = Dedup.combineNearDupState(oldB, Seq(2L).toDF("doc_id"),
+      deltaB, storedB)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 4L), (3L, 5L), (3L, 6L), (5L, 6L)),
+      s"sever/bridge semantics broken: $out")
+  }
+
   test("q186 incremental dedup state: frozen-state combine == q42 rescan; retracted keeper promotes next id") {
     import graft.operators.Dedup
     val docs = Tables(spark, Sf, "documents")
