@@ -135,6 +135,160 @@ private[graft] object Gvc {
     }
   }
 
+  /** ---- motion-compensated tier (r12, q191) -------------------------
+    *
+    * q176/q187 decode P-frames with a ZERO motion field; the real
+    * encoder-side machinery of every video codec is motion SEARCH:
+    * find, per frame, the displacement of the previous reconstruction
+    * that minimizes the residual, transmit (mv, residual-vs-shifted-
+    * prediction). This tier does that honestly: exhaustive SAD search
+    * over a [-SearchR, SearchR]² window with a deterministic tie-break,
+    * TOROIDAL reference indexing (the exact-arithmetic analogue of the
+    * edge padding real codecs use for unrestricted MVs — every pixel
+    * stays predictable, so the oracle is exact), lossless residuals.
+    * Because residuals are lossless, reconstruction is exact for ANY
+    * mv the search returns — and the residual-magnitude column is
+    * therefore the search-optimality pin: the oracle computes the
+    * residual sum AT the texture-aligned displacement, and the encoder
+    * MINIMIZES that sum, so the hash matches iff the search found a
+    * displacement at least as good (H.264 = this loop per block with
+    * sub-pel refinement + rate-distortion lambda).
+    */
+
+  val MagicMotion: Byte = 'M'
+
+  /** Motion search radius (candidates = (2R+1)² per frame). */
+  val SearchR = 3
+
+  private def mod(a: Int, m: Int): Int = ((a % m) + m) % m
+
+  /** One encoded motion frame: wire layout
+    * [magic 'M'][mx+128][my+128][w·h residual bytes, +128 offset] where
+    * prediction(x,y) = prevRecon((x+mx) mod w, (y+my) mod h).
+    */
+  def encodeMotionFrames(frames: Seq[Array[Int]], w: Int, h: Int): Seq[Array[Byte]] = {
+    require(frames.nonEmpty, "cannot encode an empty frame list")
+    frames.zipWithIndex.map { case (cur, f) =>
+      require(cur.length == w * h,
+        s"frame $f raster length ${cur.length} != $w*$h")
+      if (f == 0) {
+        val out = new Array[Byte](1 + w * h)
+        out(0) = MagicKey
+        var i = 0
+        while (i < cur.length) {
+          require(cur(i) >= 0 && cur(i) <= 255,
+            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
+          out(i + 1) = cur(i).toByte
+          i += 1
+        }
+        out
+      } else {
+        val prev = frames(f - 1) // lossless residuals ⇒ recon ≡ source
+        def sad(mx: Int, my: Int): Long = {
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += math.abs(cur(y * w + x) -
+                prev(mod(y + my, h) * w + mod(x + mx, w))).toLong
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }
+        // exhaustive search, deterministic tie-break: best SAD, then
+        // smallest |mx|+|my|, then my, then mx
+        var best = (Long.MaxValue, Int.MaxValue, 0, 0)
+        var my = -SearchR
+        while (my <= SearchR) {
+          var mx = -SearchR
+          while (mx <= SearchR) {
+            val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
+            if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
+            mx += 1
+          }
+          my += 1
+        }
+        val (_, _, bmy, bmx) = best
+        val out = new Array[Byte](3 + w * h)
+        out(0) = MagicMotion
+        out(1) = (bmx + 128).toByte
+        out(2) = (bmy + 128).toByte
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = cur(y * w + x) -
+              prev(mod(y + bmy, h) * w + mod(x + bmx, w))
+            require(r >= -128 && r <= 127,
+              s"frame $f motion residual $r outside the byte range")
+            out(3 + y * w + x) = (r + 128).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** One decoded motion frame: intra flag, reconstruction, the motion
+    * vector the stream carried, and the stored residual magnitude (the
+    * search-optimality witness — see the tier scaladoc).
+    */
+  final case class DecodedMotionFrame(isKey: Boolean, raster: Array[Int],
+      mx: Int, my: Int, residAbsSum: Long)
+
+  /** Decode 'M' streams: apply the transmitted motion vector to the
+    * previous RECONSTRUCTION (toroidal), add residuals. Loud on bad
+    * magic, missing history, out-of-window vectors, short payloads.
+    */
+  def decodeMotionFrames(payloads: Seq[Array[Byte]], w: Int,
+      h: Int): Seq[DecodedMotionFrame] = {
+    var prev: Array[Int] = null
+    payloads.zipWithIndex.map { case (p, f) =>
+      val raster = new Array[Int](w * h)
+      p(0) match {
+        case MagicKey =>
+          require(p.length == 1 + w * h,
+            s"frame $f keyframe payload ${p.length} bytes != 1 + $w*$h")
+          var i = 0
+          while (i < raster.length) { raster(i) = p(i + 1) & 0xff; i += 1 }
+          prev = raster
+          DecodedMotionFrame(isKey = true, raster, 0, 0, 0L)
+        case MagicMotion =>
+          require(prev != null, s"motion frame $f with no decoded history")
+          require(p.length == 3 + w * h,
+            s"frame $f motion payload ${p.length} bytes != 3 + $w*$h")
+          val mx = (p(1) & 0xff) - 128
+          val my = (p(2) & 0xff) - 128
+          require(math.abs(mx) <= SearchR && math.abs(my) <= SearchR,
+            s"frame $f motion vector ($mx,$my) outside the search window")
+          var residAbs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (p(3 + y * w + x) & 0xff) - 128
+              residAbs += math.abs(r).toLong
+              val v = prev(mod(y + my, h) * w + mod(x + mx, w)) + r
+              require(v >= 0 && v <= 255,
+                s"frame $f reconstructs sample $v — stream corrupt")
+              raster(y * w + x) = v
+              x += 1
+            }
+            y += 1
+          }
+          prev = raster
+          DecodedMotionFrame(isKey = false, raster, mx, my, residAbs)
+        case m =>
+          sys.error(s"frame $f: unknown GVC-M frame magic 0x${"%02x".format(m)}")
+      }
+    }
+  }
+
   /** ---- quantized-residual tier (r12, q187) -------------------------
     *
     * q176 ships lossless residuals; a real codec's rate win comes from

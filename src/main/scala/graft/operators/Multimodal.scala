@@ -535,6 +535,103 @@ object Multimodal extends QueryGroup {
       codec = "GVQ1", keyframes = Some(0 until nf map (_ == 0)))
   }
 
+  /** ---- motion-compensated tier fixture (r12, q191) -----------------
+    *
+    * A scrolling world: an APERIODIC texture (the u·v cross term defeats
+    * any translational self-similarity, so no wrong displacement can
+    * match it) plus q176's small time-varying term, displaced per frame
+    * by a bounded per-frame motion vector with toroidal wraparound.
+    * Every sample stays in [0, 247] and the motion-compensated residual
+    * is exactly the temporal term's difference — bounded ±48, formula-
+    * computable, which is what makes the oracle's search-optimality pin
+    * exact (see the Gvc motion-tier scaladoc).
+    */
+  private[graft] def gvmMv(docId: Long, f: Int): (Int, Int) =
+    (((docId + f) % 5).toInt - 2, ((docId * 3 + f) % 5).toInt - 2)
+
+  /** World content at world coords (u, v), frame f. The texture
+    * multipliers are primes ≫ 200 (mod-200 steps of 119/129/107 per
+    * unit displacement), so any wrong displacement's per-pixel texture
+    * mismatch sweeps the residue ring — mean |mismatch| ≈ 50/pixel vs
+    * the temporal term's ≈ 27/pixel at the aligned displacement, a
+    * ~16 σ search margin (unit coefficients measured ambiguous: a
+    * wrong vector's mismatch was a slow ramp that beat the aligned
+    * SAD on half the docs).
+    */
+  private[graft] def gvmExpected(docId: Long, u: Int, v: Int, f: Int): Int =
+    ((u.toLong * 7919 + v.toLong * 104729 + u.toLong * v * 7907 +
+      docId * 31) % 200).toInt +
+      ((u + v + f * 11 + docId) % 7).toInt * 8
+
+  /** Per-doc motion GVC-AVI: frames show the world at cumulative
+    * displacement Σ mv (toroidal), muxed with fourcc 'GVM1'; the
+    * encoder SEARCHES for the displacement — it is never told it.
+    */
+  private[graft] def encodeGvmAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] = {
+    var sx = 0
+    var sy = 0
+    val rasters = (0 until nf).map { f =>
+      if (f > 0) {
+        val (mx, my) = gvmMv(docId, f)
+        sx = ((sx + mx) % w + w) % w
+        sy = ((sy + my) % h + h) % h
+      }
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          a(y * w + x) = gvmExpected(docId, (x + sx) % w, (y + sy) % h, f)
+          x += 1
+        }
+        y += 1
+      }
+      a
+    }
+    Avi.mux(Gvc.encodeMotionFrames(rasters, w, h), w, h, fps = 5,
+      codec = "GVM1", keyframes = Some(0 until nf map (_ == 0)))
+  }
+
+  /** Demux 'GVM1', cross-check the keyframe index, run the motion-
+    * compensated decode ([[Gvc.decodeMotionFrames]]) and report exact
+    * reconstruction facts — same output shape as q176 ([[DecodedPframe]]):
+    * px_sum pins reconstruction, resid_abs_sum pins SEARCH OPTIMALITY
+    * (the encoder minimizes it; the oracle computes it at the
+    * texture-aligned displacement).
+    */
+  def decodeMotionVideos(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedPframe] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payloads = Avi.demux(r.media)
+        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
+        require(Avi.headerTotalFrames(r.media) == payloads.size,
+          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
+        val (w, h) = Avi.headerDims(r.media)
+        val flags = Avi.idx1Flags(r.media)
+        require(flags.size == payloads.size,
+          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val frames = Gvc.decodeMotionFrames(payloads, w, h)
+        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
+          require(fr.isKey == ((fl & 0x10) != 0),
+            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
+              "with the stream's intra/motion magic")
+        }
+        var pxSum = 0L
+        var residAbs = 0L
+        frames.foreach { fr =>
+          var i = 0
+          while (i < fr.raster.length) { pxSum += fr.raster(i); i += 1 }
+          residAbs += fr.residAbsSum
+        }
+        DecodedPframe(r.doc_id, payloads.size.toLong, w.toLong, h.toLong,
+          frames.count(_.isKey).toLong, pxSum, residAbs)
+      }
+    }
+  }
+
   /** q187 decode output: container inventory + EXACT closed-loop
     * reconstruction facts (px_sum / error sums / quantized-residual
     * magnitude — all BIGINT, recomputed by the oracle's unrolled
@@ -880,6 +977,32 @@ object Multimodal extends QueryGroup {
       decodeGvcVideos(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q191 [north star, r12]: MOTION-COMPENSATED video — the encoder-
+    // side machinery q176/q187 left out (their motion field is zero):
+    // per P-frame an exhaustive SAD search over the ±3 window finds the
+    // displacement of the previous reconstruction that minimizes the
+    // residual; the stream carries (mv, residual-vs-shifted-prediction).
+    // The fixture is a scrolling aperiodic texture, so the oracle can
+    // pin the SEARCH itself: residuals at the texture-aligned
+    // displacement are exactly the temporal term's difference (formula-
+    // computable), the encoder MINIMIZES the residual sum, and
+    // reconstruction is exact for any vector — so resid_abs_sum hashes
+    // iff the search found a displacement at least as good as the true
+    // one. OperatorSpec additionally pins the decoded vectors against
+    // the true per-frame shifts. H.264 = this loop per macroblock with
+    // sub-pel refinement + rate-distortion weighting; same seam.
+    "q191_motion_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeGvmAvi(id, (16 + nc % 16).toInt,
+            (12 + id % 11).toInt, (3 + id % 3).toInt))
+        }
+      decodeMotionVideos(spark, media).toDF().orderBy("doc_id")
+    }),
+
     // q187 [north star, r12]: QUANTIZED-residual video — the
     // rate-distortion step q176 deliberately left out, completing the
     // honest temporal-codec story: P-frame residuals are uniformly
@@ -1141,6 +1264,30 @@ object Multimodal extends QueryGroup {
         |  CAST(length(text) AS BIGINT) AS n_extracted_chars,
         |  md5(text) AS text_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q191: the oracle sums over WORLD coordinates (the per-frame
+    // displacement is a bijection of the pixel grid, so Σ over (x,y)
+    // ≡ Σ over (u,v)): px = aperiodic texture + temporal term; the
+    // residual magnitude at the texture-aligned displacement is the
+    // temporal term's difference — the encoder minimizes resid_abs_sum,
+    // so the hash pins search optimality (see the registration note).
+    "q191_motion_video" ->
+      """WITH d AS (SELECT doc_id, 16 + n_chars % 16 AS w, 12 + doc_id % 11 AS h,
+        |             3 + doc_id % 3 AS nf FROM documents),
+        |p AS (SELECT d.doc_id, d.nf, d.w, d.h,
+        |        ((x.k*7919 + y.k*104729 + x.k*y.k*7907 + d.doc_id*31) % 200)
+        |          + ((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8 AS v,
+        |        CASE WHEN f.k = 0 THEN 0 ELSE
+        |          abs(((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8
+        |            - ((x.k + y.k + (f.k-1)*11 + d.doc_id) % 7) * 8) END AS r
+        |      FROM d, generate_series(0, 30) x(k), generate_series(0, 21) y(k),
+        |           generate_series(0, 4) f(k)
+        |      WHERE x.k < d.w AND y.k < d.h AND f.k < d.nf)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  CAST(1 AS BIGINT) AS n_key,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM(r) AS BIGINT) AS resid_abs_sum
+        |FROM p GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin,
     // q187: the oracle REPLAYS the closed-loop quantized reconstruction
     // — keyframe exact, then per P-frame q_f = floor((c_f − r_{f−1} +
     // 2)/4) (the engine's Math.floorDiv round-half-up) and r_f =

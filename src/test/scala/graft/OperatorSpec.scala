@@ -1432,6 +1432,49 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("GVC-M motion tier (q191): search finds the true displacement, reconstruction exact, corruption loud") {
+    import graft.operators.{Gvc, Multimodal}
+    val (w, h, nf, doc) = (20, 15, 5, 13L)
+    var sx = 0
+    var sy = 0
+    val rasters = (0 until nf).map { f =>
+      if (f > 0) {
+        val (mx, my) = Multimodal.gvmMv(doc, f)
+        sx = ((sx + mx) % w + w) % w
+        sy = ((sy + my) % h + h) % h
+      }
+      Array.tabulate(w * h)(i =>
+        Multimodal.gvmExpected(doc, ((i % w) + sx) % w, ((i / w) + sy) % h, f))
+    }
+    val payloads = Gvc.encodeMotionFrames(rasters, w, h)
+    assert(payloads.head(0) == Gvc.MagicKey &&
+      payloads.tail.forall(_(0) == Gvc.MagicMotion))
+    val decoded = Gvc.decodeMotionFrames(payloads, w, h)
+    // the search recovers the TRUE per-frame displacement (it was never
+    // told it), and motion-compensated reconstruction is exact
+    decoded.zipWithIndex.drop(1).foreach { case (d, f) =>
+      assert((d.mx, d.my) == Multimodal.gvmMv(doc, f),
+        s"frame $f search found (${d.mx},${d.my}), true ${Multimodal.gvmMv(doc, f)}")
+      assert(d.raster.sameElements(rasters(f)), s"frame $f reconstruction drifted")
+      // the stream carries only the temporal term's residual — far less
+      // than the frame energy (the compression story of motion search)
+      assert(d.residAbsSum > 0L && d.residAbsSum < rasters(f).map(_.toLong).sum / 2)
+    }
+    // loudness: motion frame with no history; an out-of-window vector;
+    // a truncated payload
+    intercept[IllegalArgumentException] {
+      Gvc.decodeMotionFrames(payloads.tail, w, h)
+    }
+    val badMv = payloads(1).clone()
+    badMv(1) = (Gvc.SearchR + 1 + 128).toByte
+    intercept[IllegalArgumentException] {
+      Gvc.decodeMotionFrames(Seq(payloads.head, badMv), w, h)
+    }
+    intercept[IllegalArgumentException] {
+      Gvc.decodeMotionFrames(Seq(payloads.head, payloads(1).dropRight(1)), w, h)
+    }
+  }
+
   test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
     import graft.operators.Avi
     val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),

@@ -234,6 +234,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GVC-M: motion encode/decode round-trips arbitrary rasters exactly, whatever vector the search picks") {
+    import graft.operators.Gvc
+    // values in [64, 190] keep EVERY possible residual in [-126, 126],
+    // so the round trip is exact for ANY displacement the search
+    // chooses on arbitrary (motion-free, noisy) content — the lossless-
+    // residual guarantee the q191 oracle leans on
+    val genSeq = for {
+      w <- Gen.choose(7, 14)
+      h <- Gen.choose(7, 12)
+      nf <- Gen.choose(1, 4)
+      frames <- Gen.listOfN(nf, Gen.listOfN(w * h, Gen.choose(64, 190)))
+    } yield (w, h, frames.map(_.toArray))
+    forAllSeeded(genSeq) { case (w, h, frames) =>
+      val decoded = Gvc.decodeMotionFrames(
+        Gvc.encodeMotionFrames(frames, w, h), w, h)
+      assert(decoded.length == frames.length)
+      decoded.zip(frames).foreach { case (d, f) =>
+        assert(d.raster.sameElements(f), "motion reconstruction drift")
+      }
+      assert(decoded.head.isKey && decoded.tail.forall(!_.isKey))
+      decoded.tail.foreach(d =>
+        assert(math.abs(d.mx) <= Gvc.SearchR && math.abs(d.my) <= Gvc.SearchR))
+    }
+  }
+
   test("GVC encode/decode round-trips any raster sequence whose deltas fit a byte") {
     import graft.operators.Gvc
     val genSeq = for {
