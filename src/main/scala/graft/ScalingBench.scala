@@ -102,7 +102,8 @@ object ScalingBench {
       "q179_dupspan_scrub_sa", "q181_vocab_export", "q183_corpus_manifest",
       "q186_dedup_state_incremental", "q187_quantized_video",
       "q188_vocab_incremental", "q189_raw_tag_append",
-      "q190_neardup_incremental", "q191_motion_video")
+      "q190_neardup_incremental", "q191_motion_video",
+      "q192_ivf_state_incremental")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

@@ -249,7 +249,62 @@ object Pq extends QueryGroup {
       val coarse = trainSlice(base, 1, SubSpaces * SubDim, CoarseK)
       val books = (0 until SubSpaces).map(m => trainSub(base, m))
       residualIvfPq(base, coarse, books)
+    }),
+
+    // q192 [north star, r12]: INCREMENTAL IVF index maintenance — the
+    // IVM discipline (q184/q186/q188/q190) applied to the ANN index,
+    // the first operational question a production vector store faces:
+    // vectors arrive and get deleted daily, and rebuilding the index is
+    // the cost maintenance exists to avoid. The coarse quantizer is
+    // FROZEN (q188's stance: retraining is a rebuild, not maintenance —
+    // and the contract every stored code depends on); per-dump state =
+    // the (vec_id, cell) assignment rows, computed map-only at ingest
+    // against the frozen centroids; a point fix updates the per-cell
+    // inventory (counts + min id + order-independent id-xor, q183's
+    // checksum discipline) from signed state partials alone — no vector
+    // is ever re-embedded or re-assigned. Oracle takes the other road:
+    // the unrolled-Lloyd chain assigns the FULL corpus, then filters to
+    // the final corpus and aggregates — hash match proves combine ≡
+    // rescan. OperatorSpec freezes state to literal frames (the combine
+    // provably reads no vector).
+    "q192_ivf_state_incremental" -> ((spark, dir) => {
+      val base = quantizedBase(spark, dir)
+      val coarse = trainSlice(base, 1, SubSpaces * SubDim, CoarseK)
+      val assigned = ivfAssign(base, coarse)
+      def gate(prefix: String) =
+        substring(md5(concat(lit(prefix), col("vec_id").cast("string"))), 1, 2)
+      val old = assigned.filter(gate("idump:") < "cd")
+      val removed = old.filter(gate("iretract:") < "10")
+      val delta = assigned.filter(gate("idump:") >= "cd")
+      combineIvfState(Seq((old, 1L), (removed, -1L), (delta, 1L)))
     }))
+
+  /** The stored IVF assignment state a dump contributes: one map-only
+    * pass against the FROZEN coarse centroids (literal broadcast), one
+    * (vec_id, cell) row per vector — the index, never the vector.
+    */
+  private[graft] def ivfAssign(base: DataFrame,
+      coarse: Seq[(Long, Array[Double])]): DataFrame =
+    base.select(col("vec_id"),
+      coalesce(ncStruct(transform(col("qvec"), _.cast("double")), coarse)
+        .getField("cluster"), lit(-1L)).as("cell"))
+
+  /** Combine signed per-dump assignment state into the final per-cell
+    * inventory: net membership per (cell, vec_id), then counts + min id
+    * + the order-independent id xor (incrementally maintainable for the
+    * same reason q183's checksum is). Touches ONLY state rows.
+    */
+  private[graft] def combineIvfState(
+      parts: Seq[(DataFrame, Long)]): DataFrame =
+    parts.map { case (p, sgn) =>
+      p.select(col("cell"), col("vec_id"), lit(sgn).as("w"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("cell"), col("vec_id")).agg(sum(col("w")).as("net"))
+      .filter(col("net") > 0L)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        bit_xor(col("vec_id")).as("id_xor"))
+      .orderBy("cell")
 
   /** q177's body: assign cells, form residuals, train residual subspace
     * codebooks with the same Lloyd discipline, then compare summed
@@ -498,6 +553,21 @@ object Pq extends QueryGroup {
          |SELECT CAST(cluster AS BIGINT) AS cell,
          |  CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS mse_improved
          |FROM fin_c GROUP BY cluster ORDER BY cell""".stripMargin,
+    // q192: the oracle assigns the FULL corpus with the same unrolled
+    // Lloyd chain (the frozen quantizer), filters to the final corpus,
+    // and aggregates per cell — the rescan road the engine's signed
+    // state combine must agree with exactly.
+    "q192_ivf_state_incremental" ->
+      s"""WITH ${chain("c", 1, SubSpaces * SubDim, CoarseK)}
+         |SELECT CAST(cluster AS BIGINT) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+         |  CAST(bit_xor(vec_id) AS BIGINT) AS id_xor
+         |FROM fin_c
+         |WHERE (substring(md5('idump:' || CAST(vec_id AS VARCHAR)), 1, 2) < 'cd'
+         |       AND substring(md5('iretract:' || CAST(vec_id AS VARCHAR)), 1, 2) >= '10')
+         |   OR substring(md5('idump:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'cd'
+         |GROUP BY cluster ORDER BY cell""".stripMargin,
     "q170_pq_encode" ->
       s"""WITH $codesCte
          |SELECT vec_id,

@@ -2455,6 +2455,43 @@ class OperatorSpec extends SparkSpec {
       s"conservation broken post-fix: vocab freqs $sumFreq vs n_bpe $sumBpe")
   }
 
+  test("q192 incremental IVF index: frozen-state combine == frozen-quantizer rescan; no vector read in the combine") {
+    import graft.operators.{Pq, Similarity}
+    val base = graft.CachePool.track(
+      Similarity.withQuantized(Tables(spark, Sf, "embeddings")))
+    val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
+    val assigned = Pq.ivfAssign(base, coarse)
+    def gate(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("vec_id").cast("string"))), 1, 2)
+    val old = assigned.filter(gate("idump:") < "cd")
+    val removed = old.filter(gate("iretract:") < "10")
+    val delta = assigned.filter(gate("idump:") >= "cd")
+    // freeze the (vec_id, cell) state to DRIVER ROWS and rebuild
+    // literal frames — the combine provably reads index rows only,
+    // never a vector
+    def frozen(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(spark.sparkContext.parallelize(df.collect().toSeq),
+        df.schema)
+    val viaState = Pq.combineIvfState(Seq(
+      (frozen(old), 1L), (frozen(removed), -1L), (frozen(delta), 1L)))
+      .collect().map(_.toSeq).toSeq
+    // reference: re-assign the FINAL corpus against the same frozen
+    // centroids and aggregate
+    val finalAssigned = assigned.filter(
+      (gate("idump:") < "cd" && gate("iretract:") >= "10") ||
+        gate("idump:") >= "cd")
+    val rescan = finalAssigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        bit_xor(col("vec_id")).as("id_xor"))
+      .orderBy("cell").collect().map(_.toSeq).toSeq
+    assert(viaState == rescan,
+      "incremental IVF-state combine drifted from the rescan")
+    assert(removed.count() > 0L, "fixture retracts nothing")
+    val registered = SparkEntry.queries("q192_ivf_state_incremental")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(registered == rescan)
+  }
+
   test("q190 incremental near-dup: frozen-state combine == q46 rescan; retraction severs, delta bridges") {
     import graft.operators.Dedup
     val docs = Tables(spark, Sf, "documents")
