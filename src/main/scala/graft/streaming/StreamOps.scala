@@ -287,6 +287,50 @@ object StreamOps {
         bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
           .cast("long")).as("content_xor"))
 
+  /** Per-group state for [[dedupStateStream]]: the dup GROUP's id
+    * multiset (net insert/retract counts) + a per-key version counter
+    * so downstream consumers can order a key's updates.
+    */
+  case class DedupGroupState(members: Map[Long, Long], ver: Long)
+
+  /** Live exact-dedup survivor maintenance — q186's streaming twin: the
+    * sha256→keeper table a LIVE corpus maintains as dump inserts (+1)
+    * and retraction batches (−1) arrive as a changelog stream of
+    * `(h, doc_id, w)` rows. Keyed on the content hash via
+    * flatMapGroupsWithState; per-key state is the group's id multiset —
+    * bounded by DUP-GROUP size, and id-level for the exact reason q186
+    * proves: retracting the stored keeper must promote the
+    * next-smallest surviving member, which (min, count) state cannot
+    * answer. Emits the group's current (keeper, size) on every touch;
+    * an emptied group emits a tombstone (keep_id −1, n_dups 0) — the
+    * delete event a changelog consumer applies. Cross-batch convergence
+    * to the q186 batch combine is pinned in StreamingSpec.
+    * NULL-content docs carry no hash key to route by and stay out of
+    * the stream tier (the batch tiers report them under the NULL group).
+    */
+  def dedupStateStream(updates: DataFrame): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    updates.select(col("h"), col("doc_id"), col("w"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupGroupState, (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (h, rows, gs) =>
+        val st = gs.getOption.getOrElse(DedupGroupState(Map.empty, 0L))
+        val next = rows.foldLeft(st.members) { case (m, (_, id, w)) =>
+          val n = m.getOrElse(id, 0L) + w
+          if (n == 0L) m - id else m.updated(id, n)
+        }
+        val live = next.filter(_._2 > 0L)
+        val ver = st.ver + 1L
+        gs.update(DedupGroupState(next, ver))
+        if (live.isEmpty) Iterator.single((h, -1L, 0L, ver))
+        else Iterator.single((h, live.keys.min, live.size.toLong, ver))
+      }
+      .toDF("h", "keep_id", "n_dups", "ver")
+  }
+
   /** Ingest-time PQ encoding — q170's streaming twin: arriving vectors
     * compress to their 4 subspace codes against STATIC codebooks
     * (trained offline by q170's loop; a codebook change is an index

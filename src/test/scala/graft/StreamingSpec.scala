@@ -1350,6 +1350,47 @@ class StreamingSpec extends SparkSpec {
       f"PQ codes unstable across twin jitter: $stability%.3f < 0.95")
   }
 
+  test("streaming dedup state: dump/retract changelog converges to q186's batch combine; severed keeper promotes live") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables(spark, Sf, "documents").filter(col("text").isNotNull)
+    def gate(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+    val old = docs.filter(gate("ddump:") < "cd")
+    val removed = old.filter(gate("dretract:") < "10")
+    val delta = docs.filter(gate("ddump:") >= "cd")
+    def updates(df: org.apache.spark.sql.DataFrame, w: Long) =
+      df.select(sha2(col("text"), 256).as("h"), col("doc_id"), lit(w).as("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamOps.dedupStateStream(
+        ms.toDF().toDF("h", "doc_id", "w")).writeStream
+      .format("memory").queryName("dstate_out")
+      .outputMode("update").start()
+    // the dump lands, the retraction batch lands, the new dump lands —
+    // three separate micro-batches, exactly the release point fix
+    ms.addData(updates(old, 1L)); q.processAllAvailable()
+    ms.addData(updates(removed, -1L)); q.processAllAvailable()
+    ms.addData(updates(delta, 1L)); q.processAllAvailable()
+    q.stop()
+    // changelog materialization: last update per key (max ver), deletes
+    // (tombstones) dropped
+    val streamed = spark.table("dstate_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (h, rows) =>
+        val last = rows.maxBy(_._4)
+        (h, last._2, last._3)
+      }.filter(_._3 > 0L).toSet
+    val batch = Dedup.combineDedupState(Seq(
+      (Dedup.dedupState(old), 1L), (Dedup.dedupState(removed), -1L),
+      (Dedup.dedupState(delta), 1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "streaming dedup-state changelog drifted from the q186 batch combine")
+    assert(removed.count() > 0L, "fixture retracts nothing")
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
