@@ -210,24 +210,12 @@ object Dedup extends QueryGroup {
     * recompute the whole shingle pipeline. Unordered — callers add
     * their presentation sort.
     */
-  /** 32 LSH band keys per doc in one native pass (position == band id)
-    * over a `(doc_id, …, sig)` frame — shared by q46's self-join
-    * pipeline and q190's incremental discovery join.
-    */
-  private[graft] def bandTable(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), posexplode(
-      org.apache.spark.sql.graftbridge.toColumn(
-        graft.expressions.BandHashes(
-          org.apache.spark.sql.graftbridge.toExpression(col("sig")),
-          NumBands, RowsPerBand))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-
   private[graft] def minhashNearDupPairs(docs: DataFrame): DataFrame = {
     val sigs = graft.CachePool.track(
       docs.select(col("doc_id"), col("sh"),
         TextOps.minhashSignature(col("sh"), perms).as("sig")))
     // candidate pairs share any (band, hash) bucket
-    val bands = bandTable(sigs)
+    val bands = minhashBandRows(sigs)
     // capped bucket expansion — one shuffle, skew-proof (MaxLshBucket)
     val cands = bandedCandidates(bands, MaxLshBucket)
     // Exact verification: true Jaccard over the shingle sets.
@@ -585,13 +573,28 @@ object Dedup extends QueryGroup {
       survivors.unionByName(deltaState)
         .select(col("doc_id"), col("sh"),
           TextOps.minhashSignature(col("sh"), perms).as("sig")))
-    val netBands = bandTable(net)
-    // skew guard: the net-side bucket occupancy cap (dropped whole past
-    // MaxLshBucket — q46's documented surrender, inactive on this corpus)
+    val netBands = minhashBandRows(net)
+    // Skew/CONTRACT guard: q46's rescan road drops over-cap buckets
+    // WHOLE, so once any net bucket crosses MaxLshBucket the
+    // combine ≡ rescan identity cannot hold (the old dump's stored
+    // pairs may include members of a bucket the rescan would now
+    // surrender) — a silent divergence surface, so the combine REFUSES
+    // loudly instead of dropping (the q48/q157 loud-guard discipline;
+    // inactive on this corpus, max bucket ≈ 4). The deploy answer past
+    // the cap is q46's own: a >MaxLshBucket template cluster is a
+    // clustering problem handled at REBUILD time, not pairwise
+    // maintenance.
     val keptBuckets = netBands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= MaxLshBucket)
+      .agg(count(lit(1)).as("n"))
+      // guard lives in a FILTER predicate (a projected column would be
+      // pruned away and the raise_error never evaluated)
+      .filter(when(col("n") > MaxLshBucket, raise_error(concat(
+        lit("q190 combine: net LSH bucket of "), col("n").cast("string"),
+        lit(s" docs exceeds MaxLshBucket=$MaxLshBucket — the combine ≡ " +
+          "rescan contract no longer holds; re-mine this cluster at " +
+          "rebuild time")))).otherwise(lit(true)))
       .select(col("band"), col("bh"))
-    val deltaBands = bandTable(net.join(
+    val deltaBands = minhashBandRows(net.join(
       deltaState.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val cands = deltaBands.select(col("band"), col("bh"), col("doc_id").as("n_id"))
       .join(keptBuckets, Seq("band", "bh"), "left_semi")

@@ -39,22 +39,24 @@ trait DocumentStore extends Serializable {
   def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc
 }
 
-/** JVM-local store (driver + executors share the JVM under local[k], the
-  * same reachability a foreachBatch HTTP client has on a cluster).
+/** Shared internals for the two JVM-local stores (typed AnsDoc and raw
+  * JSON): ONE implementation of the optimistic read-modify-write loop
+  * and of the executor-side registry, so a fix to either semantics
+  * applies to both stores (extracted r12 after the raw store initially
+  * copy-pasted them).
+  *
+  * The CAS: commit succeeds only if the entry still VALUE-equals the
+  * snapshot `f` was computed from (an ABA with equal values is a no-op
+  * by definition here, since `f` depends only on the value).
   */
-class InMemoryDocumentStore extends DocumentStore {
-  private val m = new ConcurrentHashMap[String, AnsDoc]()
-  def get(id: String): Option[AnsDoc] = Option(m.get(id))
-  def upsert(doc: AnsDoc): Unit = m.put(doc._id, doc)
-  def snapshot: Seq[AnsDoc] = m.values.asScala.toSeq
+private[streaming] class CasMap[V <: AnyRef] extends Serializable {
+  private val m = new ConcurrentHashMap[String, V]()
+  def get(id: String): Option[V] = Option(m.get(id))
+  def put(id: String, v: V): Unit = m.put(id, v)
+  def values: Seq[V] = m.values.asScala.toSeq
+  def entries: Map[String, V] = m.asScala.toMap
   def size: Int = m.size
-
-  /** Classic CAS loop: commit succeeds only if the entry still equals
-    * the snapshot `f` was computed from (value equality — an ABA with
-    * equal values is a no-op by definition here, since `f` depends only
-    * on the value).
-    */
-  override def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc = {
+  def update(id: String)(f: Option[V] => V): V = {
     while (true) {
       val cur = Option(m.get(id))
       val next = f(cur)
@@ -66,6 +68,35 @@ class InMemoryDocumentStore extends DocumentStore {
     }
     throw new IllegalStateException("unreachable")
   }
+}
+
+/** Executor-side store registry — task closures capture a KEY and
+  * resolve it partition-locally (see [[DocumentStore.resolve]]'s
+  * scaladoc for why stores must never ride a task closure).
+  */
+private[streaming] class StoreRegistry[S](what: String) {
+  private val r = new ConcurrentHashMap[String, S]()
+  def register(key: String, store: S): Unit = r.put(key, store)
+  def resolve(key: String): S = {
+    val s = r.get(key)
+    require(s != null,
+      s"no $what registered under '$key' in this JVM — on a real " +
+        "cluster, register a connection-backed store in an executor plugin")
+    s
+  }
+}
+
+/** JVM-local store (driver + executors share the JVM under local[k], the
+  * same reachability a foreachBatch HTTP client has on a cluster).
+  */
+class InMemoryDocumentStore extends DocumentStore {
+  private val m = new CasMap[AnsDoc]
+  def get(id: String): Option[AnsDoc] = m.get(id)
+  def upsert(doc: AnsDoc): Unit = m.put(doc._id, doc)
+  def snapshot: Seq[AnsDoc] = m.values
+  def size: Int = m.size
+  override def update(id: String)(f: Option[AnsDoc] => AnsDoc): AnsDoc =
+    m.update(id)(f)
 }
 
 /** Raw-JSON document store — the open-schema production shape: the
@@ -77,42 +108,24 @@ class InMemoryDocumentStore extends DocumentStore {
   * every undeclared field on write-back). Same CAS `update` contract.
   */
 class InMemoryRawDocumentStore extends Serializable {
-  private val m = new ConcurrentHashMap[String, String]()
-  def get(id: String): Option[String] = Option(m.get(id))
+  private val m = new CasMap[String]
+  def get(id: String): Option[String] = m.get(id)
   def upsert(id: String, doc: String): Unit = m.put(id, doc)
-  def snapshot: Map[String, String] = m.asScala.toMap
+  def snapshot: Map[String, String] = m.entries
   def size: Int = m.size
 
-  /** Optimistic read-modify-write, value-equality CAS — see
-    * [[InMemoryDocumentStore.update]].
+  /** Optimistic read-modify-write, value-equality CAS (shared
+    * [[CasMap]] semantics with the typed store).
     */
-  def update(id: String)(f: Option[String] => String): String = {
-    while (true) {
-      val cur = Option(m.get(id))
-      val next = f(cur)
-      val committed = cur match {
-        case None    => m.putIfAbsent(id, next) == null
-        case Some(c) => m.replace(id, c, next)
-      }
-      if (committed) return next
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  def update(id: String)(f: Option[String] => String): String = m.update(id)(f)
 }
 
 object InMemoryRawDocumentStore {
-  /** Executor-side registry, same pattern as [[DocumentStore.resolve]]. */
-  private val registry = new ConcurrentHashMap[String, InMemoryRawDocumentStore]()
-
+  private val registry = new StoreRegistry[InMemoryRawDocumentStore](
+    "raw document store")
   def register(key: String, store: InMemoryRawDocumentStore): Unit =
-    registry.put(key, store)
-
-  def resolve(key: String): InMemoryRawDocumentStore = {
-    val s = registry.get(key)
-    require(s != null,
-      s"no raw document store registered under '$key' in this JVM")
-    s
-  }
+    registry.register(key, store)
+  def resolve(key: String): InMemoryRawDocumentStore = registry.resolve(key)
 }
 
 /** Durable file-backed store: one file per document under `root`,
@@ -298,17 +311,12 @@ object DocumentStore {
     * connection pools. Local mode shares one JVM, so tests observe the
     * same instance the driver registered.
     */
-  private val registry = new ConcurrentHashMap[String, DocumentStore]()
+  private val registry = new StoreRegistry[DocumentStore]("DocumentStore")
 
-  def register(key: String, store: DocumentStore): Unit = registry.put(key, store)
+  def register(key: String, store: DocumentStore): Unit =
+    registry.register(key, store)
 
-  def resolve(key: String): DocumentStore = {
-    val s = registry.get(key)
-    require(s != null,
-      s"no DocumentStore registered under '$key' in this JVM — on a real " +
-        "cluster, register a connection-backed store in an executor plugin")
-    s
-  }
+  def resolve(key: String): DocumentStore = registry.resolve(key)
 
   /** The reference's `modify_ans` with the intended (bug-fixed) semantics:
     * append `tag` iff absent; a missing taxonomy or missing tags list

@@ -313,6 +313,10 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     updates.select(col("h"), col("doc_id"), col("w"))
+      // enforce the documented contract rather than assuming the
+      // producer did: a NULL content hash (sha2 of NULL text) has no
+      // key to route by and must not mint a null-keyed state group
+      .filter(col("h").isNotNull)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[DedupGroupState, (String, Long, Long, Long)](

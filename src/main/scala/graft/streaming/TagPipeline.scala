@@ -153,8 +153,16 @@ object TagPipeline {
     * never-fail-the-batch contract). Same partition-local registry
     * resolution as [[enrichAndUpsert]].
     */
-  def enrichAndUpsertRaw(storeKey: String, tag: Tag)(
+  def enrichAndUpsertRaw(storeKey: String, tag: Tag,
+      exactlyOnce: Boolean = false, runNs: String = "")(
       batch: DataFrame, batchId: Long): Unit = {
+    // same exactly-once ledger as the typed sink ([[enrichAndUpsert]]):
+    // a batchId-keyed commit marker in the SAME store, namespaced by the
+    // checkpoint-derived run id, written strictly after the data writes
+    if (exactlyOnce &&
+        InMemoryRawDocumentStore.resolve(storeKey)
+          .get(commitMarkerId(storeKey, batchId, runNs)).nonEmpty)
+      return
     batch.select(col("id")).na.drop().distinct()
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val store = InMemoryRawDocumentStore.resolve(storeKey)
@@ -164,6 +172,10 @@ object TagPipeline {
             cur.getOrElse(RawAns.minimalDoc(id)), tag))
         }
       }
+    if (exactlyOnce)
+      InMemoryRawDocumentStore.resolve(storeKey)
+        .upsert(commitMarkerId(storeKey, batchId, runNs),
+          RawAns.minimalDoc(commitMarkerId(storeKey, batchId, runNs)))
   }
 
   /** [[start]]'s open-schema twin: same source/decode/dedup stages, but
@@ -176,13 +188,15 @@ object TagPipeline {
   def startRaw(spark: SparkSession, wire: DataFrame,
       store: InMemoryRawDocumentStore, checkpointDir: String,
       tag: Tag = AutoTag, trigger: Trigger = PollInterval,
-      storeKey: String = "default-raw"): StreamingQuery = {
+      storeKey: String = "default-raw",
+      exactlyOnce: Boolean = false): StreamingQuery = {
     InMemoryRawDocumentStore.register(storeKey, store)
     dedupedStream(wire).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch(enrichAndUpsertRaw(storeKey, tag) _)
+      .foreachBatch(enrichAndUpsertRaw(storeKey, tag, exactlyOnce,
+        runNamespace(checkpointDir)) _)
       .start()
   }
 

@@ -1391,6 +1391,31 @@ class StreamingSpec extends SparkSpec {
     assert(removed.count() > 0L, "fixture retracts nothing")
   }
 
+  test("raw-sink exactly-once ledger: a committed batchId is skipped wholesale, marker written after the data") {
+    import spark.implicits._
+    val store = new graft.streaming.InMemoryRawDocumentStore
+    graft.streaming.InMemoryRawDocumentStore.register("raw-eo", store)
+    val batch = Seq("A", "B").toDF("id")
+    TagPipeline.enrichAndUpsertRaw("raw-eo", AutoTag,
+      exactlyOnce = true, runNs = "ns1")(batch, 7L)
+    assert(store.get("A").nonEmpty && store.get("B").nonEmpty)
+    assert(store.get(TagPipeline.commitMarkerId("raw-eo", 7L, "ns1")).nonEmpty,
+      "commit marker missing after the batch")
+    val sizeAfter = store.size
+    // the replayed batch (same batchId, same run) is skipped WHOLESALE —
+    // even a tag change (a non-idempotent stand-in) leaves no trace
+    TagPipeline.enrichAndUpsertRaw("raw-eo", Tag("other", "other"),
+      exactlyOnce = true, runNs = "ns1")(batch, 7L)
+    assert(store.size == sizeAfter)
+    assert(!store.get("A").get.contains("other"),
+      "replayed committed batch re-executed its effects")
+    // a FRESH run namespace (new checkpoint dir) is not swallowed by the
+    // stale marker (the r11 advisory case, raw tier)
+    TagPipeline.enrichAndUpsertRaw("raw-eo", Tag("other", "other"),
+      exactlyOnce = true, runNs = "ns2")(batch, 7L)
+    assert(store.get("A").get.contains("other"))
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
