@@ -690,6 +690,43 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q193 [north star, r12]: deterministic EPOCH SHUFFLE + trainer
+    // shard assignment — the step between a packed corpus and the
+    // GPUs, which every large training run needs and no ad-hoc
+    // `ORDER BY rand()` can provide: the order must be (a) a fresh
+    // pseudo-random permutation PER EPOCH, (b) bit-reproducible from
+    // the seed alone (resume/debug/replication), (c) shardable so each
+    // data-parallel worker reads a disjoint slice with no coordination.
+    // Mechanism: rank key = md5(seed, epoch, doc_id) — a different
+    // deterministic permutation per epoch; shard = rank-key prefix mod
+    // S (workers need no directory, just their index); within-shard
+    // position = one window ranked by the key. Scale: the only
+    // corpus-sized work is the (epoch, shard)-partitioned window, each
+    // partition |corpus|/S wide — and S grows with the corpus in
+    // deployment (shards are fixed-size files, the q59 K∝n policy), so
+    // per-reducer width is constant; no global sort, no driver state.
+    // Every doc appears exactly once per epoch, permutations differ
+    // across epochs, shards balance to the hash's binomial — all
+    // pinned in OperatorSpec.
+    "q193_epoch_shuffle" -> ((spark, dir) => {
+      val epochs = 2
+      val shards = 4
+      val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+      val e = broadcast(
+        spark.range(epochs).toDF("epoch"))
+      docs.crossJoin(e)
+        .withColumn("rk", md5(concat(lit("shuffle:"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+        .withColumn("shard",
+          conv(substring(col("rk"), 1, 15), 16, 10).cast("long") % shards)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"))
+            .orderBy(col("rk"), col("doc_id"))).cast("long"))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
+    }),
+
     // q153 [north star, r9]: DSIR-style IMPORTANCE REWEIGHTING (Xie et
     // al., "Data Selection for Language Models via Importance
     // Resampling", NeurIPS'23 — the hashed-feature importance-weight
@@ -1446,6 +1483,22 @@ object Curation extends QueryGroup {
         |    THEN error('q149 candidate pool smaller than the quota boundary')
         |    ELSE rk <= quota END
         |ORDER BY doc_id""".stripMargin,
+    // q193: the identical seeded-permutation construction in SQL —
+    // same rank key, same prefix-mod shard, same within-shard rank.
+    "q193_epoch_shuffle" ->
+      """WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+        |b AS (SELECT e.epoch, d.doc_id,
+        |        md5('shuffle:' || CAST(e.epoch AS VARCHAR) || ':'
+        |            || CAST(d.doc_id AS VARCHAR)) AS rk
+        |      FROM documents d CROSS JOIN e),
+        |s AS (SELECT epoch, doc_id, rk,
+        |        CAST('0x' || substring(rk, 1, 15) AS BIGINT) % 4 AS shard
+        |      FROM b)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |         ORDER BY rk, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin,
     // q151: q82's naive per-source prefix-sum rule — the distributed
     // scan must reproduce the exact same running totals.
     "q151_pack_sequences_scalable" ->

@@ -2455,6 +2455,39 @@ class OperatorSpec extends SparkSpec {
       s"conservation broken post-fix: vocab freqs $sumFreq vs n_bpe $sumBpe")
   }
 
+  test("q193 epoch shuffle: one appearance per doc per epoch, epochs permute differently, shards balanced, deterministic") {
+    val out = SparkEntry.queries("q193_epoch_shuffle")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables(spark, Sf, "documents").count()
+    // every doc exactly once per epoch
+    assert(out.length == 2 * nDocs)
+    (0L to 1L).foreach { e =>
+      val docs = out.filter(_._1 == e).map(_._4)
+      assert(docs.length == nDocs && docs.distinct.length == nDocs,
+        s"epoch $e is not a permutation of the corpus")
+    }
+    // the two epochs read the corpus in genuinely different orders
+    def order(e: Long) = out.filter(_._1 == e)
+      .sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(order(0L) != order(1L), "epochs produced the same permutation")
+    // shard balance: hash-binomial, loosely pinned (expected n/S ± a few σ)
+    (0L to 1L).foreach { e =>
+      val sizes = out.filter(_._1 == e).groupBy(_._2).map(_._2.length)
+      assert(sizes.size == 4, s"epoch $e lost a shard")
+      assert(sizes.max <= 2 * sizes.min,
+        s"epoch $e shard skew ${sizes.mkString(",")}")
+    }
+    // positions are dense 1..|shard| within every (epoch, shard)
+    out.groupBy(t => (t._1, t._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"non-dense positions in $k")
+    }
+    // bit-reproducible from the seed alone
+    val again = SparkEntry.queries("q193_epoch_shuffle")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq, "shuffle is not deterministic")
+  }
+
   test("q192 incremental IVF index: frozen-state combine == frozen-quantizer rescan; no vector read in the combine") {
     import graft.operators.{Pq, Similarity}
     val base = graft.CachePool.track(
