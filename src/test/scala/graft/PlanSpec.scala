@@ -662,6 +662,40 @@ class PlanSpec extends SparkSpec {
       "the P×|sources|-row offsets frame must broadcast")
   }
 
+  test("r12 IVM/codec/shuffle tier plan shapes: map-only splice, no-join combines, broadcast vocab probe") {
+    // q189: the raw tag splice is one codegen'd map pass — the
+    // presentation sort is the only exchange
+    val df189 = SparkEntry.queries("q189_raw_tag_append")(spark, Sf)
+    df189.collect()
+    val p189 = df189.queryExecution.executedPlan.toString
+    assert(!p189.contains("Join"), "q189 must be map-only (no join)")
+    // q186/q192: signed-state combines are union + partial aggs — never
+    // a corpus-row-carrying join (no join at all, like q184)
+    for (q <- Seq("q186_dedup_state_incremental", "q192_ivf_state_incremental")) {
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+        s"$q must combine by union+agg, not join")
+    }
+    // q188: the only join is the |vocab|-row id probe — it must
+    // broadcast, never shuffle the token partials by vocab
+    val df188 = SparkEntry.queries("q188_vocab_incremental")(spark, Sf)
+    df188.collect()
+    val p188 = df188.queryExecution.executedPlan.toString
+    assert(p188.contains("BroadcastHashJoin"),
+      "q188's vocab-id probe must broadcast")
+    assert(!p188.contains("SortMergeJoin"),
+      "q188 must not sort-merge anything")
+    // q187/q191: codec tiers are partition-local byte work — only the
+    // presentation sort exchanges
+    for (q <- Seq("q187_quantized_video", "q191_motion_video")) {
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+        s"$q decode must be partition-local (no join)")
+    }
+  }
+
   test("q185's composed packing uses the scan, zero source-keyed corpus windows") {
     // r11 verdict item 2: the composed pipeline must pack hot-source-
     // proof — the q151 scan shape (range partition + (pid,source) local
