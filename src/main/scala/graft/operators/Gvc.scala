@@ -289,6 +289,171 @@ private[graft] object Gvc {
     }
   }
 
+  /** ---- per-block motion tier (r12, q194) ---------------------------
+    *
+    * q191 transmits ONE vector per frame; real codecs partition the
+    * frame into blocks and search a vector PER BLOCK, because different
+    * regions move differently (that is what "macroblock" means). This
+    * tier runs exactly that: the frame splits into [[BlockRows]]-row
+    * bands of blocks, each block gets its own exhaustive SAD search and
+    * its own transmitted vector, and compensation applies each block's
+    * vector to its own rows. Same toroidal reference rule, lossless
+    * residuals, and therefore the same oracle identity as q191: the
+    * residual-magnitude column pins every block's search optimality at
+    * once (the encoder minimizes each block's residual independently;
+    * the oracle computes the sum at the per-region true displacements).
+    */
+
+  val MagicBlock: Byte = 'B'
+
+  /** Rows per motion block. */
+  val BlockRows = 4
+
+  /** Encode with per-block motion: frame 0 intra; later frames magic
+    * 'B' + per-block (mx+128, my+128) pairs + w·h residual bytes, each
+    * block's residuals against ITS vector's shifted prediction.
+    */
+  def encodeBlockMotionFrames(frames: Seq[Array[Int]], w: Int,
+      h: Int): Seq[Array[Byte]] = {
+    require(frames.nonEmpty, "cannot encode an empty frame list")
+    require(h % BlockRows == 0,
+      s"frame height $h not a multiple of $BlockRows-row motion blocks")
+    val nb = h / BlockRows
+    frames.zipWithIndex.map { case (cur, f) =>
+      require(cur.length == w * h,
+        s"frame $f raster length ${cur.length} != $w*$h")
+      if (f == 0) {
+        val out = new Array[Byte](1 + w * h)
+        out(0) = MagicKey
+        var i = 0
+        while (i < cur.length) {
+          require(cur(i) >= 0 && cur(i) <= 255,
+            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
+          out(i + 1) = cur(i).toByte
+          i += 1
+        }
+        out
+      } else {
+        val prev = frames(f - 1)
+        val out = new Array[Byte](1 + 2 * nb + w * h)
+        out(0) = MagicBlock
+        var b = 0
+        while (b < nb) {
+          val y0 = b * BlockRows
+          def sad(mx: Int, my: Int): Long = {
+            var s = 0L
+            var y = y0
+            while (y < y0 + BlockRows) {
+              var x = 0
+              while (x < w) {
+                s += math.abs(cur(y * w + x) -
+                  prev(mod(y + my, h) * w + mod(x + mx, w))).toLong
+                x += 1
+              }
+              y += 1
+            }
+            s
+          }
+          var best = (Long.MaxValue, Int.MaxValue, 0, 0)
+          var my = -SearchR
+          while (my <= SearchR) {
+            var mx = -SearchR
+            while (mx <= SearchR) {
+              val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
+              if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
+              mx += 1
+            }
+            my += 1
+          }
+          val (_, _, bmy, bmx) = best
+          out(1 + 2 * b) = (bmx + 128).toByte
+          out(2 + 2 * b) = (bmy + 128).toByte
+          var y = y0
+          while (y < y0 + BlockRows) {
+            var x = 0
+            while (x < w) {
+              val r = cur(y * w + x) -
+                prev(mod(y + bmy, h) * w + mod(x + bmx, w))
+              require(r >= -128 && r <= 127,
+                s"frame $f block $b residual $r outside the byte range")
+              out(1 + 2 * nb + y * w + x) = (r + 128).toByte
+              x += 1
+            }
+            y += 1
+          }
+          b += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** One decoded block-motion frame: intra flag, reconstruction, the
+    * per-block vectors the stream carried, and the stored residual
+    * magnitude (the all-blocks search-optimality witness).
+    */
+  final case class DecodedBlockFrame(isKey: Boolean, raster: Array[Int],
+      mvs: Seq[(Int, Int)], residAbsSum: Long)
+
+  /** Decode 'B' streams: per block, apply ITS transmitted vector to the
+    * previous reconstruction, add that block's residuals. Loud on bad
+    * magic, history, sizes, or out-of-window vectors.
+    */
+  def decodeBlockMotionFrames(payloads: Seq[Array[Byte]], w: Int,
+      h: Int): Seq[DecodedBlockFrame] = {
+    require(h % BlockRows == 0,
+      s"frame height $h not a multiple of $BlockRows-row motion blocks")
+    val nb = h / BlockRows
+    var prev: Array[Int] = null
+    payloads.zipWithIndex.map { case (p, f) =>
+      val raster = new Array[Int](w * h)
+      p(0) match {
+        case MagicKey =>
+          require(p.length == 1 + w * h,
+            s"frame $f keyframe payload ${p.length} bytes != 1 + $w*$h")
+          var i = 0
+          while (i < raster.length) { raster(i) = p(i + 1) & 0xff; i += 1 }
+          prev = raster
+          DecodedBlockFrame(isKey = true, raster, Seq.empty, 0L)
+        case MagicBlock =>
+          require(prev != null, s"block-motion frame $f with no decoded history")
+          require(p.length == 1 + 2 * nb + w * h,
+            s"frame $f payload ${p.length} bytes != 1 + 2*$nb + $w*$h")
+          val mvs = (0 until nb).map { b =>
+            val mx = (p(1 + 2 * b) & 0xff) - 128
+            val my = (p(2 + 2 * b) & 0xff) - 128
+            require(math.abs(mx) <= SearchR && math.abs(my) <= SearchR,
+              s"frame $f block $b vector ($mx,$my) outside the search window")
+            (mx, my)
+          }
+          var residAbs = 0L
+          var b = 0
+          while (b < nb) {
+            val (mx, my) = mvs(b)
+            var y = b * BlockRows
+            while (y < (b + 1) * BlockRows) {
+              var x = 0
+              while (x < w) {
+                val r = (p(1 + 2 * nb + y * w + x) & 0xff) - 128
+                residAbs += math.abs(r).toLong
+                val v = prev(mod(y + my, h) * w + mod(x + mx, w)) + r
+                require(v >= 0 && v <= 255,
+                  s"frame $f reconstructs sample $v — stream corrupt")
+                raster(y * w + x) = v
+                x += 1
+              }
+              y += 1
+            }
+            b += 1
+          }
+          prev = raster
+          DecodedBlockFrame(isKey = false, raster, mvs, residAbs)
+        case m =>
+          sys.error(s"frame $f: unknown GVC-B frame magic 0x${"%02x".format(m)}")
+      }
+    }
+  }
+
   /** ---- quantized-residual tier (r12, q187) -------------------------
     *
     * q176 ships lossless residuals; a real codec's rate win comes from

@@ -632,6 +632,98 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** ---- per-block motion fixture (r12, q194) ------------------------
+    *
+    * Two horizontal bands scrolling at DIFFERENT velocities — the
+    * content a single frame-wide vector cannot compensate, which is
+    * exactly why codecs search per block. Bands are block-aligned
+    * ([[Gvc.BlockRows]]-row blocks; h is a multiple of 4 by
+    * construction and the band split h1 = 4·⌊h/8⌋), each scrolls
+    * horizontally only (rows never change band), textures carry the
+    * q191 prime-multiplier aperiodicity plus a band term, and the
+    * temporal term rides the world coordinates — so per-block residuals
+    * at the band-true velocities are exactly the temporal difference,
+    * the same oracle identity as q191.
+    */
+  private[graft] def gvbBandVel(docId: Long, band: Int, f: Int): Int =
+    if (band == 0) ((docId + f) % 5).toInt - 2
+    else ((3 * docId + 2 * f) % 5).toInt - 2
+
+  /** World content at world-x `u`, row `y`, band `band`, frame f. */
+  private[graft] def gvbExpected(docId: Long, u: Int, y: Int, band: Int,
+      f: Int): Int =
+    ((u.toLong * 7919 + y.toLong * 104729 + u.toLong * y * 7907 +
+      docId * 31 + band * 4999L) % 200).toInt +
+      ((u + y + f * 11 + docId) % 7).toInt * 8
+
+  /** Per-doc block-motion GVC-AVI (fourcc 'GVB1'): two bands, two
+    * independent scroll velocities; the encoder searches each block's
+    * vector — it is never told either velocity.
+    */
+  private[graft] def encodeGvbAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] = {
+    val h1 = (h / 8) * 4
+    var sx0 = 0
+    var sx1 = 0
+    val rasters = (0 until nf).map { f =>
+      if (f > 0) {
+        sx0 = ((sx0 + gvbBandVel(docId, 0, f)) % w + w) % w
+        sx1 = ((sx1 + gvbBandVel(docId, 1, f)) % w + w) % w
+      }
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val band = if (y < h1) 0 else 1
+        val sx = if (band == 0) sx0 else sx1
+        var x = 0
+        while (x < w) {
+          a(y * w + x) = gvbExpected(docId, (x + sx) % w, y, band, f)
+          x += 1
+        }
+        y += 1
+      }
+      a
+    }
+    Avi.mux(Gvc.encodeBlockMotionFrames(rasters, w, h), w, h, fps = 5,
+      codec = "GVB1", keyframes = Some(0 until nf map (_ == 0)))
+  }
+
+  /** Demux 'GVB1', cross-check the keyframe index, run the per-block
+    * motion decode and report exact reconstruction facts (q191's
+    * output shape; resid_abs_sum pins EVERY block's search at once).
+    */
+  def decodeBlockVideos(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedPframe] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payloads = Avi.demux(r.media)
+        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
+        require(Avi.headerTotalFrames(r.media) == payloads.size,
+          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
+        val (w, h) = Avi.headerDims(r.media)
+        val flags = Avi.idx1Flags(r.media)
+        require(flags.size == payloads.size,
+          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val frames = Gvc.decodeBlockMotionFrames(payloads, w, h)
+        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
+          require(fr.isKey == ((fl & 0x10) != 0),
+            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
+              "with the stream's intra/block-motion magic")
+        }
+        var pxSum = 0L
+        var residAbs = 0L
+        frames.foreach { fr =>
+          var i = 0
+          while (i < fr.raster.length) { pxSum += fr.raster(i); i += 1 }
+          residAbs += fr.residAbsSum
+        }
+        DecodedPframe(r.doc_id, payloads.size.toLong, w.toLong, h.toLong,
+          frames.count(_.isKey).toLong, pxSum, residAbs)
+      }
+    }
+  }
+
   /** q187 decode output: container inventory + EXACT closed-loop
     * reconstruction facts (px_sum / error sums / quantized-residual
     * magnitude — all BIGINT, recomputed by the oracle's unrolled
@@ -977,6 +1069,28 @@ object Multimodal extends QueryGroup {
       decodeGvcVideos(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q194 [north star, r12]: PER-BLOCK motion compensation — the
+    // macroblock machinery: two bands of the frame scroll at DIFFERENT
+    // velocities, so no frame-wide vector can compensate both; the
+    // encoder searches a vector per 4-row block and transmits all of
+    // them. Same lossless-residual oracle identity as q191, now pinning
+    // EVERY block's search at once: any block whose search missed its
+    // band's true velocity would inflate resid_abs_sum above the
+    // formula value (per-block residuals at the band-true displacement
+    // are exactly the temporal difference). OperatorSpec additionally
+    // pins each block's decoded vector against its band's velocity.
+    "q194_block_motion_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeGvbAvi(id, (16 + nc % 16).toInt,
+            (4 * (3 + id % 6)).toInt, (3 + id % 3).toInt))
+        }
+      decodeBlockVideos(spark, media).toDF().orderBy("doc_id")
+    }),
+
     // q191 [north star, r12]: MOTION-COMPENSATED video — the encoder-
     // side machinery q176/q187 left out (their motion field is zero):
     // per P-frame an exhaustive SAD search over the ±3 window finds the
@@ -1264,6 +1378,32 @@ object Multimodal extends QueryGroup {
         |  CAST(length(text) AS BIGINT) AS n_extracted_chars,
         |  md5(text) AS text_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q194: q191's world-coordinate identity per BAND (each band
+    // scrolls rigidly, so Σ over (x,y) ≡ Σ over (u,y) within a band);
+    // px adds the band term to the texture, the residual magnitude is
+    // band-independent (the temporal difference), h = 4·(3 + id%6) and
+    // the band split h1 = 4·⌊h/8⌋. DuckDB '/' is float division — the
+    // integer split uses '//'.
+    "q194_block_motion_video" ->
+      """WITH d AS (SELECT doc_id, 16 + n_chars % 16 AS w,
+        |             4 * (3 + doc_id % 6) AS h, 3 + doc_id % 3 AS nf,
+        |             4 * ((4 * (3 + doc_id % 6)) // 8) AS h1 FROM documents),
+        |p AS (SELECT d.doc_id, d.nf, d.w, d.h,
+        |        ((x.k*7919 + y.k*104729 + x.k*y.k*7907 + d.doc_id*31
+        |          + (CASE WHEN y.k < d.h1 THEN 0 ELSE 1 END) * 4999) % 200)
+        |          + ((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8 AS v,
+        |        CASE WHEN f.k = 0 THEN 0 ELSE
+        |          abs(((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8
+        |            - ((x.k + y.k + (f.k-1)*11 + d.doc_id) % 7) * 8) END AS r
+        |      FROM d, generate_series(0, 30) x(k), generate_series(0, 31) y(k),
+        |           generate_series(0, 4) f(k)
+        |      WHERE x.k < d.w AND y.k < d.h AND f.k < d.nf)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  CAST(1 AS BIGINT) AS n_key,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM(r) AS BIGINT) AS resid_abs_sum
+        |FROM p GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin,
     // q191: the oracle sums over WORLD coordinates (the per-frame
     // displacement is a bijection of the pixel grid, so Σ over (x,y)
     // ≡ Σ over (u,v)): px = aperiodic texture + temporal term; the

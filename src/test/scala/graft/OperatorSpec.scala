@@ -1475,6 +1475,50 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("GVC-B block motion (q194): each block's search finds its band's velocity, one vector cannot serve both") {
+    import graft.operators.{Gvc, Multimodal}
+    val (w, h, nf, doc) = (20, 16, 4, 29L)
+    val h1 = (h / 8) * 4
+    var sx0 = 0
+    var sx1 = 0
+    val rasters = (0 until nf).map { f =>
+      if (f > 0) {
+        sx0 = ((sx0 + Multimodal.gvbBandVel(doc, 0, f)) % w + w) % w
+        sx1 = ((sx1 + Multimodal.gvbBandVel(doc, 1, f)) % w + w) % w
+      }
+      Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        val band = if (y < h1) 0 else 1
+        val sx = if (band == 0) sx0 else sx1
+        Multimodal.gvbExpected(doc, (x + sx) % w, y, band, f)
+      }
+    }
+    val payloads = Gvc.encodeBlockMotionFrames(rasters, w, h)
+    val decoded = Gvc.decodeBlockMotionFrames(payloads, w, h)
+    decoded.zipWithIndex.drop(1).foreach { case (d, f) =>
+      // every block recovered ITS band's true velocity (it was told
+      // neither), and the two bands genuinely move differently on at
+      // least one frame (asserted below)
+      d.mvs.zipWithIndex.foreach { case ((mx, my), b) =>
+        val band = if (b * Gvc.BlockRows < h1) 0 else 1
+        assert((mx, my) == ((Multimodal.gvbBandVel(doc, band, f), 0)),
+          s"frame $f block $b (band $band) found ($mx,$my)")
+      }
+      assert(d.raster.sameElements(rasters(f)), s"frame $f reconstruction drifted")
+    }
+    assert((1 until nf).exists(f =>
+      Multimodal.gvbBandVel(doc, 0, f) != Multimodal.gvbBandVel(doc, 1, f)),
+      "fixture degenerate: bands never diverge")
+    // loudness: an unaligned height; a truncated vector table
+    intercept[IllegalArgumentException] {
+      Gvc.encodeBlockMotionFrames(Seq(Array.fill(20 * 10)(1)), 20, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Gvc.decodeBlockMotionFrames(
+        Seq(payloads.head, payloads(1).dropRight(1)), w, h)
+    }
+  }
+
   test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
     import graft.operators.Avi
     val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),
