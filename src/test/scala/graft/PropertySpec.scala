@@ -32,6 +32,89 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RawAns splice on arbitrary generated documents: valid JSON out, tag exactly once, unknown subtrees AST-identical, single byte edit, idempotent") {
+    import graft.streaming.RawAns
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val om = new ObjectMapper() // INDEPENDENT JSON implementation (Jackson)
+    // JSON string bodies assembled from safe pieces: raw chars plus
+    // valid escapes plus decoy structure ("taxonomy", braces, brackets)
+    val genStrBody: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf("\\\"", "\\\\", "\\n", "\\u0041"),
+      1 -> Gen.oneOf("{", "}", "[", "]", ":", ",", " ", "taxonomy",
+        "slug", "π"))).map(_.mkString)
+    def genLeaf: Gen[String] = Gen.oneOf(
+      genStrBody.map(s => "\"" + s + "\""),
+      Gen.chooseNum(-999999L, 999999L).map(_.toString),
+      Gen.oneOf("true", "false", "null"))
+    def genValue(depth: Int): Gen[String] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(3 -> genLeaf,
+        1 -> Gen.lzy(genObj(depth - 1)), 1 -> Gen.lzy(genArr(depth - 1)))
+    def genMember(depth: Int): Gen[String] = for {
+      // nested keys MAY be "taxonomy" (decoys the scanner must treat as
+      // opaque bytes); escape-spelled keys too
+      k <- Gen.oneOf(Gen.identifier.map(_.take(8)), Gen.const("taxonomy"),
+        Gen.const("tax\\u006fnomy"))
+      v <- genValue(depth)
+    } yield "\"" + k + "\":" + v
+    def genObj(depth: Int): Gen[String] =
+      Gen.listOf(genMember(depth)).map(_.mkString("{", ",", "}"))
+    def genArr(depth: Int): Gen[String] =
+      Gen.listOf(genValue(depth)).map(_.mkString("[", ",", "]"))
+    // top-level: _id + unknown members (never top-level "taxonomy") +
+    // one of the six taxonomy arms + more unknown members
+    val genTaxArm: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.const("\"taxonomy\":null"),
+      Gen.const("\"taxonomy\":{}"),
+      Gen.const("\"taxonomy\":{\"v\":1}"),
+      Gen.const("\"taxonomy\":{\"tags\":null}"),
+      genValue(1).map(v => "\"taxonomy\":{\"tags\":[" +
+        "{\"slug\":\"other\",\"text\":\"o\",\"extra\":" + v + "}]}"),
+      Gen.const("\"taxonomy\":{\"tags\":[" + RawAns.tagJson(AutoTag) + "]}"))
+    // top-level unknown members must not UNESCAPE to "taxonomy" (RawAns
+    // compares unescaped keys, so "taxonomy" IS the taxonomy key);
+    // plain identifiers filtered by name are safe
+    def genTopMember: Gen[String] = for {
+      k <- Gen.identifier.map(_.take(8)).suchThat(_ != "taxonomy")
+      v <- genValue(2)
+    } yield "\"" + k + "\":" + v
+    val genDocJson: Gen[String] = for {
+      pre <- Gen.listOf(genTopMember)
+      arm <- genTaxArm
+      post <- Gen.listOf(genTopMember)
+    } yield ("\"_id\":\"d1\"" +: (pre ++ (if (arm.isEmpty) Nil else Seq(arm))
+      ++ post)).mkString("{", ",", "}")
+    forAllSeeded(genDocJson) { doc =>
+      val out = RawAns.appendTagIfAbsent(doc, AutoTag)
+      // 1. output parses under an independent JSON implementation
+      val outTree = om.readTree(out)
+      val inTree = om.readTree(doc)
+      // 2. the tag slug appears exactly once in taxonomy.tags
+      val tags = outTree.get("taxonomy").get("tags")
+      val slugCount = (0 until tags.size()).count(i =>
+        tags.get(i).has("slug") &&
+          tags.get(i).get("slug").asText() == AutoTag.slug)
+      assert(slugCount == 1, s"tag not exactly-once in $out")
+      // 3. everything OUTSIDE taxonomy is AST-identical
+      inTree.asInstanceOf[ObjectNode].remove("taxonomy")
+      outTree.asInstanceOf[ObjectNode].remove("taxonomy")
+      assert(inTree == outTree, s"unknown subtree drift:\n$doc\n$out")
+      // 4. single contiguous byte edit, removing at most "null"
+      var p = 0
+      while (p < doc.length && p < out.length && doc(p) == out(p)) p += 1
+      var s = 0
+      while (s < doc.length - p && s < out.length - p &&
+        doc(doc.length - 1 - s) == out(out.length - 1 - s)) s += 1
+      val removed = doc.substring(p, doc.length - s)
+      assert(removed.isEmpty || removed == "null",
+        s"non-splice edit (removed '$removed') on:\n$doc")
+      // 5. idempotent by reference
+      assert(RawAns.appendTagIfAbsent(out, AutoTag) eq out)
+    }
+  }
+
   test("modifyAns is idempotent: f(f(d)) == f(d)") {
     forAllSeeded(Gen.zip(genDoc, genTag)) { case (d, t) =>
       val once = DocumentStore.modifyAns(d, t)
