@@ -238,7 +238,80 @@ object Pipeline extends QueryGroup {
       .join(toks, "doc_id")
   }
 
+  /** q195's per-artifact audit row: canonicalize each artifact row to a
+    * sentinel-separated string (every column explicitly
+    * coalesced+stringified — concat_ws's NULL-skipping would let
+    * (null, x) and (x) collide), md5→60-bit, then the q183
+    * order-independent xor + a row count.
+    */
+  private def auditRow(name: String, df: DataFrame,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(conv(substring(md5(concat(cols.flatMap(c =>
+        Seq(lit("\u0001"), coalesce(c.cast("string"), lit("<null>")))): _*)),
+        1, 15), 16, 10).cast("long").as("rh"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("rh")).as("content_xor"))
+      .select(lit(name).as("artifact"), col("n_rows"), col("content_xor"))
+
   def queries: Map[String, Q] = Map(
+    // q195 [north star, r12]: the RELEASE POINT FIX as one operation —
+    // the IVM family's composition capstone: one shared dump/retraction
+    // gate drives ALL FOUR maintained release artifacts (q183 manifest,
+    // q186 dedup survivor state, q188 vocab frequencies, q192 IVF index
+    // inventory), each updated via its incremental combine from stored
+    // partials, and the output is the release AUDIT a data card ships:
+    // per artifact, the row count and an order-independent content
+    // checksum over canonicalized rows. The oracle recomputes every
+    // artifact via its RESCAN road (q42 rollup, q183 rollup, the
+    // frozen-vocab re-segmentation, the unrolled-Lloyd assignment) and
+    // derives the same checksums — one hash match proving the whole
+    // point fix coheres across the release surface. Tokenizer and
+    // coarse quantizer stay FROZEN (trained on the full corpus — the
+    // q188/q192 stance).
+    "q195_release_point_fix" -> ((spark, dir) => {
+      def gateDoc(prefix: String) = substring(md5(concat(lit(prefix),
+        col("doc_id").cast("string"))), 1, 2)
+      def gateVec(prefix: String) = substring(md5(concat(lit(prefix),
+        col("vec_id").cast("string"))), 1, 2)
+      val docs = Tables(spark, dir, "documents")
+      val oldD = docs.filter(gateDoc("rdump:") < "cd")
+      val remD = oldD.filter(gateDoc("rretract:") < "10")
+      val newD = docs.filter(gateDoc("rdump:") >= "cd")
+      val manifest = TextAnalysis.combineManifestPartials(Seq(
+        (TextAnalysis.manifestPartials(oldD), 1L),
+        (TextAnalysis.manifestPartials(remD), -1L),
+        (TextAnalysis.manifestPartials(newD), 1L)))
+      val dedup = Dedup.combineDedupState(Seq(
+        (Dedup.dedupState(oldD), 1L), (Dedup.dedupState(remD), -1L),
+        (Dedup.dedupState(newD), 1L)))
+      val merges = Tokenizer.bpeTrain(Tokenizer.wordDictOf(docs))
+      val vocab = Tokenizer.vocabTable(spark, docs, merges)
+        .join(Tokenizer.combineTokenFreq(Seq(
+          (Tokenizer.tokenFreqPartials(oldD, merges), 1L),
+          (Tokenizer.tokenFreqPartials(remD, merges), -1L),
+          (Tokenizer.tokenFreqPartials(newD, merges), 1L))),
+          Seq("token"), "left")
+        .select(col("token_id"), col("token"),
+          coalesce(col("freq"), lit(0L)).as("freq"))
+      val base = graft.CachePool.track(
+        Similarity.withQuantized(Tables(spark, dir, "embeddings")))
+      val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
+      val assigned = Pq.ivfAssign(base, coarse)
+      val oldV = assigned.filter(gateVec("rdump:") < "cd")
+      val remV = oldV.filter(gateVec("rretract:") < "10")
+      val newV = assigned.filter(gateVec("rdump:") >= "cd")
+      val ivf = Pq.combineIvfState(Seq(
+        (oldV, 1L), (remV, -1L), (newV, 1L)))
+      auditRow("dedup_state", dedup,
+        Seq(col("h"), col("keep_id"), col("n_dups")))
+        .unionByName(auditRow("ivf_index", ivf,
+          Seq(col("cell"), col("n_vecs"), col("min_vec"), col("id_xor"))))
+        .unionByName(auditRow("manifest", manifest,
+          Seq(col("source"), col("n_docs"), col("n_null_text"),
+            col("total_octets"), col("content_xor"))))
+        .unionByName(auditRow("vocab", vocab,
+          Seq(col("token_id"), col("token"), col("freq"))))
+        .orderBy("artifact")
+    }),
     "q174_crawl_to_training" -> ((spark, dir) => {
       val st = stages(spark, dir)
       // 512-token sequence packing per source (q82's formula over BPE
@@ -319,7 +392,77 @@ object Pipeline extends QueryGroup {
        |  CAST(floor(CAST(cum - n_bpe AS DOUBLE) / $SeqLen.0) AS BIGINT) AS seq_id
        |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** q195's oracle: every artifact recomputed via its RESCAN road —
+    * q42/q183 rollups over the final corpus, the frozen-vocab
+    * re-segmentation (q188's shape), the unrolled-Lloyd assignment
+    * (q192's shape) — then the same canonical-row md5 → 60-bit → xor
+    * audit. chr(1) is the engine side's \\u0001 separator; every
+    * column is explicitly stringified (NULLs to '<null>') so column
+    * boundaries can never collide.
+    */
+  private def releasePointFixOracle: String = {
+    def canon(cols: Seq[String]): String =
+      cols.map(c => s"chr(1) || COALESCE(CAST($c AS VARCHAR), '<null>')")
+        .mkString(" || ")
+    def aud(name: String, src: String, cols: Seq[String]): String =
+      s"""SELECT '$name' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(CAST('0x' || substring(md5(${canon(cols)}), 1, 15)
+         |    AS BIGINT)) AS BIGINT) AS content_xor
+         |FROM $src""".stripMargin
+    s"""WITH RECURSIVE ${Tokenizer.oracleMergeCtes("documents")},
+       |fin AS (
+       |  SELECT * FROM documents
+       |  WHERE (substring(md5('rdump:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |         AND substring(md5('rretract:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10')
+       |     OR substring(md5('rdump:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'),
+       |${Tokenizer.oracleApplyCtes("fin")},
+       |tf AS (SELECT tok, COUNT(*) AS freq FROM (
+       |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
+       |         FROM ap WHERE r = ${Tokenizer.MergeRounds}) t GROUP BY tok),
+       |alpha AS (SELECT DISTINCT unnest(list_filter(
+       |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
+       |            x -> x <> '')) AS ch
+       |          FROM (SELECT unnest(string_split(text,' ')) AS w
+       |                FROM documents WHERE text IS NOT NULL) ww),
+       |vbase AS (SELECT ch AS token,
+       |            row_number() OVER (ORDER BY ch) - 1 AS token_id FROM alpha),
+       |nb AS (SELECT COUNT(*) AS n FROM vbase),
+       |vocab AS (SELECT token, token_id FROM vbase
+       |          UNION ALL
+       |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m),
+       |vrows AS (SELECT v.token_id, v.token, COALESCE(tf.freq, 0) AS freq
+       |          FROM vocab v LEFT JOIN tf ON tf.tok = v.token),
+       |ddr AS (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_dups FROM fin GROUP BY 1),
+       |man AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       |          CAST(SUM(strlen(text)) AS BIGINT) AS total_octets,
+       |          CAST(bit_xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)) AS BIGINT) AS content_xor
+       |        FROM fin GROUP BY source),
+       |${Pq.chain("c", 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)},
+       |ii AS (SELECT CAST(cluster AS BIGINT) AS cell,
+       |         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |         CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+       |         CAST(bit_xor(vec_id) AS BIGINT) AS id_xor
+       |       FROM fin_c
+       |       WHERE (substring(md5('rdump:' || CAST(vec_id AS VARCHAR)), 1, 2) < 'cd'
+       |              AND substring(md5('rretract:' || CAST(vec_id AS VARCHAR)), 1, 2) >= '10')
+       |          OR substring(md5('rdump:' || CAST(vec_id AS VARCHAR)), 1, 2) >= 'cd'
+       |       GROUP BY cluster),
+       |aud AS (
+       |  ${aud("dedup_state", "ddr", Seq("h", "keep_id", "n_dups"))}
+       |  UNION ALL
+       |  ${aud("ivf_index", "ii", Seq("cell", "n_vecs", "min_vec", "id_xor"))}
+       |  UNION ALL
+       |  ${aud("manifest", "man",
+            Seq("source", "n_docs", "n_null_text", "total_octets", "content_xor"))}
+       |  UNION ALL
+       |  ${aud("vocab", "vrows", Seq("token_id", "token", "freq"))})
+       |SELECT artifact, n_rows, content_xor FROM aud ORDER BY artifact""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q195_release_point_fix" -> releasePointFixOracle,
     // the same composition in SQL: the shared funnel CTEs feeding the
     // parameterized q166/q167 CTE builders, then the q82 packing window.
     "q174_crawl_to_training" -> crawlToTrainingOracle,

@@ -517,7 +517,7 @@ object Pq extends QueryGroup {
     * fin_tag (vec_id, cluster) — subspace books and q173's coarse
     * quantizer share it.
     */
-  private def chain(tag: String, from: Int, to: Int, k: Int): String =
+  private[graft] def chain(tag: String, from: Int, to: Int, k: Int): String =
     s"""${subQ(tag, from, to)},
        |c0_$tag AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
        |         xd AS cvec
