@@ -335,6 +335,50 @@ object StreamOps {
       .toDF("h", "keep_id", "n_dups", "ver")
   }
 
+  /** Live vocab-frequency maintenance — q188's streaming twin: per-token
+    * corpus frequencies as dump inserts (+freq) and retractions (−freq)
+    * arrive as a changelog of per-dump token partials. A plain stateful
+    * aggregation in update/complete mode — counts add signed, which is
+    * exactly what makes the q188 combine a valid streaming aggregate;
+    * state is \|vocab\| rows. Convergence to the batch combine is pinned
+    * in StreamingSpec.
+    */
+  def vocabFreqStream(updates: DataFrame): DataFrame =
+    updates.groupBy(col("token"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** Live IVF index-inventory maintenance — q192's streaming twin: the
+    * per-cell inventory as (cell, vec_id, ±1) assignment changelog rows
+    * arrive. Per-cell keyed state via flatMapGroupsWithState holding
+    * the cell's id multiset (bounded by CELL size — id-level for
+    * q192's min_vec, the q186 reason) + a version counter; emits the
+    * cell's current (n_vecs, min_vec, id_xor) on every touch and a
+    * tombstone when a cell empties. Convergence pinned in StreamingSpec.
+    */
+  def ivfStateStream(updates: DataFrame): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    updates.select(col("cell"), col("vec_id"), col("w"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupGroupState, (Long, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (cell, rows, gs) =>
+        val st = gs.getOption.getOrElse(DedupGroupState(Map.empty, 0L))
+        val next = rows.foldLeft(st.members) { case (m, (_, id, w)) =>
+          val n = m.getOrElse(id, 0L) + w
+          if (n == 0L) m - id else m.updated(id, n)
+        }
+        val live = next.filter(_._2 > 0L).keys
+        val ver = st.ver + 1L
+        gs.update(DedupGroupState(next, ver))
+        if (live.isEmpty) Iterator.single((cell, 0L, -1L, 0L, ver))
+        else Iterator.single((cell, live.size.toLong, live.min,
+          live.foldLeft(0L)(_ ^ _), ver))
+      }
+      .toDF("cell", "n_vecs", "min_vec", "id_xor", "ver")
+  }
+
   /** Ingest-time PQ encoding — q170's streaming twin: arriving vectors
     * compress to their 4 subspace codes against STATIC codebooks
     * (trained offline by q170's loop; a codebook change is an index

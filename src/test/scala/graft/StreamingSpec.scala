@@ -1416,6 +1416,74 @@ class StreamingSpec extends SparkSpec {
     assert(store.get("A").get.contains("other"))
   }
 
+  test("streaming vocab + IVF state: point-fix changelogs converge to the q188/q192 batch combines") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Pq, Similarity, Tokenizer}
+    // --- vocab frequencies: three signed token-partial batches ---
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val docs = Tables(spark, Sf, "documents")
+    def gateD(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+    val oldD = docs.filter(gateD("vdump:") < "cd")
+    val remD = oldD.filter(gateD("vretract:") < "10")
+    val newD = docs.filter(gateD("vdump:") >= "cd")
+    def parts(df: org.apache.spark.sql.DataFrame, w: Long) =
+      Tokenizer.tokenFreqPartials(df, merges)
+        .select(col("token"), (col("freq") * w).as("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val msV = MemoryStream[(String, Long)]
+    val qv = graft.streaming.StreamOps.vocabFreqStream(
+        msV.toDF().toDF("token", "freq")).writeStream
+      .format("memory").queryName("vfreq_out").outputMode("complete").start()
+    msV.addData(parts(oldD, 1L)); qv.processAllAvailable()
+    msV.addData(parts(remD, -1L)); qv.processAllAvailable()
+    msV.addData(parts(newD, 1L)); qv.processAllAvailable()
+    qv.stop()
+    val streamedV = spark.table("vfreq_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchV = Tokenizer.combineTokenFreq(Seq(
+      (Tokenizer.tokenFreqPartials(oldD, merges), 1L),
+      (Tokenizer.tokenFreqPartials(remD, merges), -1L),
+      (Tokenizer.tokenFreqPartials(newD, merges), 1L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedV == batchV, "streaming vocab freqs drifted from q188's combine")
+
+    // --- IVF inventory: three signed assignment batches ---
+    val base = graft.CachePool.track(
+      Similarity.withQuantized(Tables(spark, Sf, "embeddings")))
+    val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
+    val assigned = Pq.ivfAssign(base, coarse)
+    def gateV(prefix: String) = substring(org.apache.spark.sql.functions.md5(
+      concat(lit(prefix), col("vec_id").cast("string"))), 1, 2)
+    val oldA = assigned.filter(gateV("idump:") < "cd")
+    val remA = oldA.filter(gateV("iretract:") < "10")
+    val newA = assigned.filter(gateV("idump:") >= "cd")
+    def arows(df: org.apache.spark.sql.DataFrame, w: Long) =
+      df.select(col("cell"), col("vec_id"), lit(w).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val msI = MemoryStream[(Long, Long, Long)]
+    val qi = graft.streaming.StreamOps.ivfStateStream(
+        msI.toDF().toDF("cell", "vec_id", "w")).writeStream
+      .format("memory").queryName("ivfst_out").outputMode("update").start()
+    msI.addData(arows(oldA, 1L)); qi.processAllAvailable()
+    msI.addData(arows(remA, -1L)); qi.processAllAvailable()
+    msI.addData(arows(newA, 1L)); qi.processAllAvailable()
+    qi.stop()
+    val streamedI = spark.table("ivfst_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).map { case (c, rows) =>
+        val last = rows.maxBy(_._5)
+        (c, last._2, last._3, last._4)
+      }.filter(_._2 > 0L).toSet
+    val batchI = Pq.combineIvfState(Seq(
+      (oldA, 1L), (remA, -1L), (newA, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamedI == batchI, "streaming IVF inventory drifted from q192's combine")
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
