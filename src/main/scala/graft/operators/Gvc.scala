@@ -454,6 +454,150 @@ private[graft] object Gvc {
     }
   }
 
+  /** ---- full P-frame tier (r12, q196): motion + quantization +
+    * entropy, composed ------------------------------------------------
+    *
+    * q187 quantizes with a zero motion field; q191/q194 move without
+    * quantizing. A real codec's P-frame does BOTH at once, and the
+    * composition has a subtlety neither piece shows alone: the motion
+    * search must run against the decoder's QUANTIZED reconstruction
+    * (closed loop end to end — searching against the pristine source
+    * would quantize residuals the decoder can't reproduce), and the
+    * quantized residual is taken against the SHIFTED reconstruction.
+    * Wire: magic 'V' + (mx+128, my+128) + canonical-Huffman-coded
+    * quantized residual symbols. The oracle stays exact through the
+    * world-coordinate identity: with the texture-aligned vector, motion
+    * compensation aligns WORLD points, so the closed-loop recurrence
+    * runs independently per world point — exactly q187's unrolled
+    * recurrence with the scrolling fixture's content formula.
+    */
+
+  val MagicFull: Byte = 'V'
+
+  def encodeFullFrames(frames: Seq[Array[Int]], w: Int,
+      h: Int): Seq[Array[Byte]] = {
+    require(frames.nonEmpty, "cannot encode an empty frame list")
+    var recon: Array[Int] = null
+    frames.zipWithIndex.map { case (cur, f) =>
+      require(cur.length == w * h,
+        s"frame $f raster length ${cur.length} != $w*$h")
+      if (f == 0) {
+        val out = new Array[Byte](1 + w * h)
+        out(0) = MagicKey
+        var i = 0
+        while (i < cur.length) {
+          require(cur(i) >= 0 && cur(i) <= 255,
+            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
+          out(i + 1) = cur(i).toByte
+          i += 1
+        }
+        recon = cur.toArray
+        out
+      } else {
+        val ref = recon // the decoder's state, NOT the pristine source
+        def sad(mx: Int, my: Int): Long = {
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += math.abs(cur(y * w + x) -
+                ref(mod(y + my, h) * w + mod(x + mx, w))).toLong
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }
+        var best = (Long.MaxValue, Int.MaxValue, 0, 0)
+        var my = -SearchR
+        while (my <= SearchR) {
+          var mx = -SearchR
+          while (mx <= SearchR) {
+            val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
+            if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
+            mx += 1
+          }
+          my += 1
+        }
+        val (_, _, bmy, bmx) = best
+        val syms = new Array[Int](w * h)
+        val next = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pred = ref(mod(y + bmy, h) * w + mod(x + bmx, w))
+            val q = qround(cur(y * w + x) - pred)
+            require(q >= -127 && q <= 127,
+              s"frame $f quantized residual $q outside the symbol range")
+            syms(y * w + x) = q + 128
+            next(y * w + x) = clamp255(pred + q * QStep)
+            x += 1
+          }
+          y += 1
+        }
+        recon = next
+        val coded = Huff.encode(syms)
+        val out = new Array[Byte](3 + coded.length)
+        out(0) = MagicFull
+        out(1) = (bmx + 128).toByte
+        out(2) = (bmy + 128).toByte
+        System.arraycopy(coded, 0, out, 3, coded.length)
+        out
+      }
+    }
+  }
+
+  /** One decoded full P-frame: intra flag, reconstruction, motion
+    * vector, |quantized residual| sum, and the wire payload size.
+    */
+  final case class DecodedFullFrame(isKey: Boolean, raster: Array[Int],
+      mx: Int, my: Int, qAbsSum: Long, payloadBytes: Long)
+
+  def decodeFullFrames(payloads: Seq[Array[Byte]], w: Int,
+      h: Int): Seq[DecodedFullFrame] = {
+    var prev: Array[Int] = null
+    payloads.zipWithIndex.map { case (p, f) =>
+      val raster = new Array[Int](w * h)
+      p(0) match {
+        case MagicKey =>
+          require(p.length == 1 + w * h,
+            s"frame $f keyframe payload ${p.length} bytes != 1 + $w*$h")
+          var i = 0
+          while (i < raster.length) { raster(i) = p(i + 1) & 0xff; i += 1 }
+          prev = raster
+          DecodedFullFrame(isKey = true, raster, 0, 0, 0L, p.length.toLong)
+        case MagicFull =>
+          require(prev != null, s"full P-frame $f with no decoded history")
+          val mx = (p(1) & 0xff) - 128
+          val my = (p(2) & 0xff) - 128
+          require(math.abs(mx) <= SearchR && math.abs(my) <= SearchR,
+            s"frame $f motion vector ($mx,$my) outside the search window")
+          val syms = Huff.decode(p, 3)
+          require(syms.length == w * h,
+            s"frame $f decodes ${syms.length} symbols != $w*$h (stream corrupt)")
+          var qAbs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val q = syms(y * w + x) - 128
+              qAbs += math.abs(q).toLong
+              raster(y * w + x) = clamp255(
+                prev(mod(y + my, h) * w + mod(x + mx, w)) + q * QStep)
+              x += 1
+            }
+            y += 1
+          }
+          prev = raster
+          DecodedFullFrame(isKey = false, raster, mx, my, qAbs, p.length.toLong)
+        case m =>
+          sys.error(s"frame $f: unknown GVC-V frame magic 0x${"%02x".format(m)}")
+      }
+    }
+  }
+
   /** ---- quantized-residual tier (r12, q187) -------------------------
     *
     * q176 ships lossless residuals; a real codec's rate win comes from

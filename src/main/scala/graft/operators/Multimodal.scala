@@ -563,15 +563,12 @@ object Multimodal extends QueryGroup {
       docId * 31) % 200).toInt +
       ((u + v + f * 11 + docId) % 7).toInt * 8
 
-  /** Per-doc motion GVC-AVI: frames show the world at cumulative
-    * displacement Σ mv (toroidal), muxed with fourcc 'GVM1'; the
-    * encoder SEARCHES for the displacement — it is never told it.
-    */
-  private[graft] def encodeGvmAvi(docId: Long, w: Int, h: Int,
-      nf: Int): Array[Byte] = {
+  /** The scrolling-world raster sequence (shared by q191 and q196). */
+  private[graft] def gvmRasters(docId: Long, w: Int, h: Int,
+      nf: Int): Seq[Array[Int]] = {
     var sx = 0
     var sy = 0
-    val rasters = (0 until nf).map { f =>
+    (0 until nf).map { f =>
       if (f > 0) {
         val (mx, my) = gvmMv(docId, f)
         sx = ((sx + mx) % w + w) % w
@@ -589,8 +586,76 @@ object Multimodal extends QueryGroup {
       }
       a
     }
-    Avi.mux(Gvc.encodeMotionFrames(rasters, w, h), w, h, fps = 5,
-      codec = "GVM1", keyframes = Some(0 until nf map (_ == 0)))
+  }
+
+  /** Per-doc motion GVC-AVI: frames show the world at cumulative
+    * displacement Σ mv (toroidal), muxed with fourcc 'GVM1'; the
+    * encoder SEARCHES for the displacement — it is never told it.
+    */
+  private[graft] def encodeGvmAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] =
+    Avi.mux(Gvc.encodeMotionFrames(gvmRasters(docId, w, h, nf), w, h),
+      w, h, fps = 5, codec = "GVM1", keyframes = Some(0 until nf map (_ == 0)))
+
+  /** Per-doc FULL-P-frame AVI (q196, fourcc 'GVV1'): the same scrolling
+    * world, encoded with motion + closed-loop quantization + entropy
+    * coding composed.
+    */
+  private[graft] def encodeGvvAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] =
+    Avi.mux(Gvc.encodeFullFrames(gvmRasters(docId, w, h, nf), w, h),
+      w, h, fps = 5, codec = "GVV1", keyframes = Some(0 until nf map (_ == 0)))
+
+  /** Demux 'GVV1' and run the composed decode ([[Gvc.decodeFullFrames]]);
+    * q187's output shape ([[DecodedQuantVideo]]) over the motion
+    * fixture — the oracle replays the world-point closed-loop
+    * recurrence and the rate verdict is engine-measured.
+    */
+  def decodeFullVideos(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedQuantVideo] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payloads = Avi.demux(r.media)
+        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
+        require(Avi.headerTotalFrames(r.media) == payloads.size,
+          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
+        val (w, h) = Avi.headerDims(r.media)
+        val flags = Avi.idx1Flags(r.media)
+        require(flags.size == payloads.size,
+          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val frames = Gvc.decodeFullFrames(payloads, w, h)
+        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
+          require(fr.isKey == ((fl & 0x10) != 0),
+            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
+              "with the stream's intra/full-P magic")
+        }
+        // the per-frame expected source: the scrolling world at the
+        // cumulative displacement (the q168 comparison discipline)
+        val src = gvmRasters(r.doc_id, w, h, payloads.size)
+        var pxSum = 0L
+        var errSum = 0L
+        var maxErr = 0L
+        var qAbs = 0L
+        var codedP = 0L
+        frames.zipWithIndex.foreach { case (fr, f) =>
+          var i = 0
+          while (i < fr.raster.length) {
+            val e = math.abs(fr.raster(i) - src(f)(i)).toLong
+            pxSum += fr.raster(i)
+            errSum += e
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          qAbs += fr.qAbsSum
+          if (!fr.isKey) codedP += fr.payloadBytes
+        }
+        val rawP = (payloads.size - 1).toLong * (w.toLong * h + 1)
+        DecodedQuantVideo(r.doc_id, payloads.size.toLong, w.toLong, h.toLong,
+          frames.count(_.isKey).toLong, pxSum, errSum, maxErr, qAbs,
+          coded_lt_raw = codedP < rawP)
+      }
+    }
   }
 
   /** Demux 'GVM1', cross-check the keyframe index, run the motion-
@@ -1069,6 +1134,33 @@ object Multimodal extends QueryGroup {
       decodeGvcVideos(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q196 [north star, r12]: the FULL P-frame pipeline — motion +
+    // closed-loop quantization + entropy coding COMPOSED, which is
+    // what a real codec's P-frame actually is (q187 quantizes with a
+    // zero motion field; q191 moves losslessly). The composition's
+    // subtlety: the search runs against the decoder's QUANTIZED
+    // reconstruction and residuals are taken against the SHIFTED
+    // reconstruction — closed loop end to end, so error stays ≤
+    // QStep/2 with zero drift even while the content scrolls. Exact
+    // oracle via the world-coordinate identity: aligned motion
+    // compensation makes the closed-loop recurrence per-WORLD-point —
+    // q187's unrolled replay with q191's content formula — so px_sum /
+    // err_abs_sum / max_abs_err / qresid_abs_sum all hash exactly AND
+    // pin every frame's search (a wrong vector breaks the alignment
+    // and every column diverges). Rate stays the engine-measured
+    // verdict. H.264 = this with DCT blocks, CABAC, sub-pel.
+    "q196_full_pframe_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeGvvAvi(id, (16 + nc % 16).toInt,
+            (12 + id % 11).toInt, (3 + id % 3).toInt))
+        }
+      decodeFullVideos(spark, media).toDF().orderBy("doc_id")
+    }),
+
     // q194 [north star, r12]: PER-BLOCK motion compensation — the
     // macroblock machinery: two bands of the frame scroll at DIFFERENT
     // velocities, so no frame-wide vector can compensate both; the
@@ -1300,9 +1392,21 @@ object Multimodal extends QueryGroup {
     * nf-guards for the variable frame count (nf ∈ {3,4,5}, so frames
     * 1–2 always exist).
     */
-  private def gvqOracleSql: String = {
-    def cf(f: Int) =
-      s"((x*3 + y*7 + doc_id) % 200) + ((x + y + $f*11 + doc_id) % 7) * 8 AS c$f"
+  private def gvqOracleSql: String = quantOracleSql(f =>
+    s"((x*3 + y*7 + doc_id) % 200) + ((x + y + $f*11 + doc_id) % 7) * 8 AS c$f")
+
+  /** q196's oracle: the SAME closed-loop recurrence replay as q187's —
+    * with the texture-aligned vector, motion compensation aligns world
+    * points, so the recurrence runs per world point and only the
+    * content formula changes (q191's scrolling world). The hash also
+    * pins every frame's SEARCH: a wrong vector breaks the alignment
+    * and every downstream column diverges.
+    */
+  private def gvvOracleSql: String = quantOracleSql(f =>
+    s"((x*7919 + y*104729 + x*y*7907 + doc_id*31) % 200)" +
+      s" + ((x + y + $f*11 + doc_id) % 7) * 8 AS c$f")
+
+  private def quantOracleSql(cf: Int => String): String = {
     val cDefs = (0 to 4).map(cf).mkString(",\n        ")
     // chained sub-CTEs: q_f needs r_{f-1}; r_f needs q_f
     val steps = (1 to 4).map { f =>
@@ -1435,6 +1539,7 @@ object Multimodal extends QueryGroup {
     // distortion column is exact integer arithmetic. Only the entropy-
     // coded byte count is engine-measured (coded_lt_raw literal TRUE).
     "q187_quantized_video" -> gvqOracleSql,
+    "q196_full_pframe_video" -> gvvOracleSql,
     // q176: every column exact integer arithmetic — px = spatial
     // gradient (mod 200) + temporal term (mod 7)·8; the residual
     // magnitude between consecutive frames is the temporal term's

@@ -1519,6 +1519,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("GVC-V full P-frame (q196): search tracks motion on quantized recon, error bounded, rate below raw") {
+    import graft.operators.{Gvc, Multimodal}
+    val (w, h, nf, doc) = (20, 15, 5, 61L)
+    val rasters = Multimodal.gvmRasters(doc, w, h, nf)
+    val payloads = Gvc.encodeFullFrames(rasters, w, h)
+    assert(payloads.head(0) == Gvc.MagicKey &&
+      payloads.tail.forall(_(0) == Gvc.MagicFull))
+    val decoded = Gvc.decodeFullFrames(payloads, w, h)
+    decoded.zipWithIndex.drop(1).foreach { case (d, f) =>
+      // the search recovered the true displacement even though its
+      // reference is the QUANTIZED reconstruction (±QStep/2 noise)
+      assert((d.mx, d.my) == Multimodal.gvmMv(doc, f),
+        s"frame $f search found (${d.mx},${d.my})")
+      // closed loop end to end: error bounded at EVERY frame while the
+      // content scrolls — no drift through motion + quantization
+      val maxErr = d.raster.zip(rasters(f)).map {
+        case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= Gvc.QStep / 2, s"frame $f error $maxErr exceeds bound")
+      // entropy-coded P payload strictly below raw
+      assert(d.payloadBytes < w * h + 1, s"frame $f did not compress")
+    }
+    // corruption loudness: no history; truncated stream
+    intercept[IllegalArgumentException] {
+      Gvc.decodeFullFrames(payloads.tail, w, h)
+    }
+    intercept[IllegalArgumentException] {
+      Gvc.decodeFullFrames(payloads.init :+ payloads.last.dropRight(4), w, h)
+    }
+  }
+
   test("AVI mux -> RIFF demux: frame payloads byte-exact, header consistent, truncation loud") {
     import graft.operators.Avi
     val frames = Seq(Array.tabulate[Byte](33)(i => (i * 3).toByte),
