@@ -59,6 +59,7 @@ object GraftFunctions {
     one("simhash64")(graft.expressions.SimHash64(_)),
     one("fingerprint_hash")(graft.expressions.FingerprintHash(_)),
     one("nfc_normalize")(graft.expressions.NfcNormalize(_)),
+    one("json_schema_profile")(graft.expressions.JsonSchemaProfile(_)),
     two("shingle_hashes") { (ws, n) =>
       val width = n match {
         case Literal(v: Int, _) => v

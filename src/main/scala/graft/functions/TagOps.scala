@@ -43,4 +43,14 @@ object TagOps {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
     toColumn(graft.expressions.JsonTagAppend(toExpression(json), slug, text))
   }
+
+  /** Per-document schema-drift profile: array of `path<U+0001>type`
+    * entries for every top-level member and one nested level
+    * ([[graft.expressions.JsonSchemaProfile]] — the MEASUREMENT leg of
+    * the open-schema discipline).
+    */
+  def schemaProfile(json: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.JsonSchemaProfile(toExpression(json)))
+  }
 }

@@ -128,6 +128,41 @@ object Relational extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q197 [north star, r12]: SCHEMA-DRIFT PROFILE — the measurement
+    // leg of the open-schema discipline (q03/q04 read declared fields,
+    // q189 writes preserving unknowns, this is how the consumer SEES
+    // the producer evolve): per (path, JSON type), how many documents
+    // carry it — a new field, a removed field, or a type change shows
+    // up as a row appearing/disappearing/splitting, which is the
+    // dashboard a real ANS consumer checks in week one. The fixture
+    // evolves the event payload across four arms (legacy / added field
+    // / type change + nested addition / deprecation + null). Engine
+    // side is the JsonSchemaProfile codegen expression (RawAns's
+    // scanner — unescaped keys, loud on malformed docs) + one
+    // partial-aggregating rollup; oracle = DuckDB's independent JSON
+    // implementation (json_keys/json_type over pointer paths; its
+    // dynamic-path json_type conflates JSON null with missing, but
+    // keys from json_keys always exist, so COALESCE(…,'NULL') is
+    // exact).
+    "q197_schema_drift_profile" -> ((spark, dir) => {
+      val id = col("event_id").cast("string")
+      val kv = (col("event_id") % 100).cast("string")
+      val m = col("event_id") % 4
+      val js = when(m === 0, concat(lit("{\"k\":"), kv, lit("}")))
+        .when(m === 1, concat(lit("{\"k\":"), kv,
+          lit(",\"ref\":\"r"), id, lit("\"}")))
+        .when(m === 2, concat(lit("{\"k\":\""), kv,
+          lit("\",\"meta\":{\"v\":2,\"tags\":[1,2]}}")))
+        .otherwise(lit("{\"ref\":null,\"meta\":{\"v\":true}}"))
+      Tables(spark, dir, "events")
+        .select(explode(TagOps.schemaProfile(js)).as("e"))
+        .select(split(col("e"), "\u0001").getItem(0).as("path"),
+          split(col("e"), "\u0001").getItem(1).as("jtype"))
+        .groupBy(col("path"), col("jtype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("path", "jtype")
+    }),
+
     // q05 [REF app.py:56]: conjunctive equality/range filter.
     "q05_filter_conjunctive" -> ((spark, dir) =>
       Tables(spark, dir, "events")
@@ -329,6 +364,39 @@ object Relational extends QueryGroup {
       "SELECT event_id, CAST(json_extract(props,'$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q04_json_serialize" ->
       """SELECT event_id, '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js FROM events ORDER BY event_id""",
+    // q197: DuckDB's own JSON implementation enumerates keys and types
+    // over the same constructed payloads — an independent profiler the
+    // engine's scanner must agree with. Pointer paths ('/k'): the
+    // dotted '$.k' dynamic-path form also conflates JSON null with
+    // missing; keys from json_keys always exist, so COALESCE(…,'NULL')
+    // recovers the JSON-null type exactly.
+    "q197_schema_drift_profile" ->
+      """WITH r AS (SELECT event_id,
+        |        CASE event_id % 4
+        |          WHEN 0 THEN '{"k":' || CAST(event_id % 100 AS VARCHAR) || '}'
+        |          WHEN 1 THEN '{"k":' || CAST(event_id % 100 AS VARCHAR)
+        |                      || ',"ref":"r' || CAST(event_id AS VARCHAR) || '"}'
+        |          WHEN 2 THEN '{"k":"' || CAST(event_id % 100 AS VARCHAR)
+        |                      || '","meta":{"v":2,"tags":[1,2]}}'
+        |          ELSE '{"ref":null,"meta":{"v":true}}'
+        |        END AS js
+        |      FROM events),
+        |tk AS (SELECT js, unnest(json_keys(js)) AS k FROM r),
+        |t1 AS (SELECT js, k, COALESCE(json_type(js, '/' || k), 'NULL') AS jt FROM tk),
+        |top AS (SELECT k AS path,
+        |         CASE jt WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+        |           WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+        |           WHEN 'NULL' THEN 'null' ELSE 'number' END AS jtype FROM t1),
+        |n1 AS (SELECT js, k, unnest(json_keys(js, '/' || k)) AS ck
+        |       FROM t1 WHERE jt = 'OBJECT'),
+        |nested AS (SELECT k || '.' || ck AS path,
+        |         CASE COALESCE(json_type(js, '/' || k || '/' || ck), 'NULL')
+        |           WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+        |           WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+        |           WHEN 'NULL' THEN 'null' ELSE 'number' END AS jtype FROM n1),
+        |allp AS (SELECT * FROM top UNION ALL SELECT * FROM nested)
+        |SELECT path, jtype, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM allp GROUP BY path, jtype ORDER BY path, jtype""".stripMargin,
     // q189: the oracle constructs the EXPECTED post-splice document per
     // arm by string concatenation — it never parses JSON, so agreement
     // with the engine's scanner-driven splice is a genuine cross-check

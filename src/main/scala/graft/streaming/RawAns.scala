@@ -202,6 +202,43 @@ object RawAns {
   private def isNull(s: String, m: Member): Boolean =
     s.substring(m.vStart, m.vEnd) == "null"
 
+  /** JSON type tag of the value starting at `i` (first non-ws char). */
+  private def typeOf(s: String, i: Int): String = s.charAt(i) match {
+    case '"' => "string"
+    case '{' => "object"
+    case '[' => "array"
+    case 't' | 'f' => "boolean"
+    case 'n' => "null"
+    case _ => "number"
+  }
+
+  /** SCHEMA-DRIFT PROFILE of one raw document: (path, type) for every
+    * top-level member and — one level down — every member of an
+    * object-valued top-level member ("parent.child"). This is how an
+    * open-schema consumer SEES an evolving producer (the q03/q04
+    * declared read + q189 preserving write + this measuring profile are
+    * the three legs of the open-schema discipline): a new field, a
+    * removed field, or a type change shows up as a (path, type) row
+    * appearing/disappearing/splitting in the corpus rollup. Keys are
+    * UNESCAPED (the same comparison rule the splicer uses); malformed
+    * documents refuse loudly.
+    */
+  def profile(json: String): Seq[(String, String)] = {
+    val start = skipWs(json, 0)
+    if (start >= json.length || json.charAt(start) != '{')
+      err("document is not a JSON object")
+    val (top, topClose) = scanObject(json, start)
+    if (skipWs(json, topClose + 1) != json.length)
+      err("trailing content after the document object")
+    top.flatMap { m =>
+      val t = typeOf(json, m.vStart)
+      (m.key, t) +: (if (t == "object")
+        scanObject(json, m.vStart)._1.map(c =>
+          (m.key + "." + c.key, typeOf(json, c.vStart)))
+      else Nil)
+    }
+  }
+
   /** Append `tag` to the raw document iff absent — see the object
     * scaladoc for the full splice contract. Returns the INPUT STRING
     * (reference-identical) when the tag is already present.

@@ -196,6 +196,28 @@ class ReferenceSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("8b. schema-drift profile: unescaped keys, nested decoys one level only, loud on malformed (q197)") {
+    import graft.streaming.RawAns
+    // escape-spelled key unescapes; types from the value's first token;
+    // nesting profiled exactly one level down (deeper stays opaque)
+    val doc = "{\"_id\":\"A\",\"tax\\u006fnomy\":null," +
+      "\"meta\":{\"deep\":{\"x\":1},\"arr\":[1],\"s\":\"v\",\"b\":true}," +
+      "\"n\":-4.5}"
+    val p = RawAns.profile(doc)
+    assert(p == Seq(
+      ("_id", "string"), ("taxonomy", "null"), ("meta", "object"),
+      ("meta.deep", "object"), ("meta.arr", "array"), ("meta.s", "string"),
+      ("meta.b", "boolean"), ("n", "number")), s"profile drift: $p")
+    intercept[IllegalArgumentException] { RawAns.profile("[1,2]") }
+    intercept[IllegalArgumentException] { RawAns.profile("{\"a\":1} x") }
+    // SQL surface parity
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT json_schema_profile('{\"a\":{\"b\":[]}}')").collect().head
+      .getSeq[String](0)
+    assert(got == Seq("a\u0001object", "a.b\u0001array"))
+  }
+
   test("decoder fuzz: arbitrary byte payloads never crash the stage, rows always survive") {
     val rnd = new scala.util.Random(7)
     val garbage: Seq[Array[Byte]] =
