@@ -62,17 +62,9 @@ private[graft] object Gvc {
     frames.zipWithIndex.map { case (cur, f) =>
       require(cur.length == w * h,
         s"frame $f raster length ${cur.length} != $w*$h")
-      val out = new Array[Byte](1 + w * h)
-      if (f == 0) {
-        out(0) = MagicKey
-        var i = 0
-        while (i < cur.length) {
-          require(cur(i) >= 0 && cur(i) <= 255,
-            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
-          out(i + 1) = cur(i).toByte
-          i += 1
-        }
-      } else {
+      if (f == 0) encodeIntra(cur)
+      else {
+        val out = new Array[Byte](1 + w * h)
         out(0) = MagicPred
         val prev = frames(f - 1)
         var i = 0
@@ -84,8 +76,8 @@ private[graft] object Gvc {
           out(i + 1) = (r + 128).toByte
           i += 1
         }
+        out
       }
-      out
     }
   }
 
@@ -162,6 +154,59 @@ private[graft] object Gvc {
 
   private def mod(a: Int, m: Int): Int = ((a % m) + m) % m
 
+  /** Intra-frame encode shared by every tier: range-checked raw bytes
+    * behind [[MagicKey]].
+    */
+  private def encodeIntra(cur: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](1 + cur.length)
+    out(0) = MagicKey
+    var i = 0
+    while (i < cur.length) {
+      require(cur(i) >= 0 && cur(i) <= 255,
+        s"keyframe sample ${cur(i)} outside 8-bit range at $i")
+      out(i + 1) = cur(i).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Exhaustive motion search over rows [y0, y1) of `cur` against the
+    * toroidally-indexed reference, with the ONE deterministic tie-break
+    * every tier shares (best SAD, then smallest |mx|+|my|, then my,
+    * then mx) — extracted so the frame (q191), per-block (q194), and
+    * composed (q196) encoders can never disagree on the convention
+    * their search-optimality oracles pin.
+    */
+  private def searchVector(cur: Array[Int], ref: Array[Int], w: Int,
+      h: Int, y0: Int, y1: Int): (Int, Int) = {
+    def sad(mx: Int, my: Int): Long = {
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < w) {
+          s += math.abs(cur(y * w + x) -
+            ref(mod(y + my, h) * w + mod(x + mx, w))).toLong
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+    var best = (Long.MaxValue, Int.MaxValue, 0, 0)
+    var my = -SearchR
+    while (my <= SearchR) {
+      var mx = -SearchR
+      while (mx <= SearchR) {
+        val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
+        if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
+        mx += 1
+      }
+      my += 1
+    }
+    (best._4, best._3)
+  }
+
   /** One encoded motion frame: wire layout
     * [magic 'M'][mx+128][my+128][w·h residual bytes, +128 offset] where
     * prediction(x,y) = prevRecon((x+mx) mod w, (y+my) mod h).
@@ -171,47 +216,10 @@ private[graft] object Gvc {
     frames.zipWithIndex.map { case (cur, f) =>
       require(cur.length == w * h,
         s"frame $f raster length ${cur.length} != $w*$h")
-      if (f == 0) {
-        val out = new Array[Byte](1 + w * h)
-        out(0) = MagicKey
-        var i = 0
-        while (i < cur.length) {
-          require(cur(i) >= 0 && cur(i) <= 255,
-            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
-          out(i + 1) = cur(i).toByte
-          i += 1
-        }
-        out
-      } else {
+      if (f == 0) encodeIntra(cur)
+      else {
         val prev = frames(f - 1) // lossless residuals ⇒ recon ≡ source
-        def sad(mx: Int, my: Int): Long = {
-          var s = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              s += math.abs(cur(y * w + x) -
-                prev(mod(y + my, h) * w + mod(x + mx, w))).toLong
-              x += 1
-            }
-            y += 1
-          }
-          s
-        }
-        // exhaustive search, deterministic tie-break: best SAD, then
-        // smallest |mx|+|my|, then my, then mx
-        var best = (Long.MaxValue, Int.MaxValue, 0, 0)
-        var my = -SearchR
-        while (my <= SearchR) {
-          var mx = -SearchR
-          while (mx <= SearchR) {
-            val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
-            if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
-            mx += 1
-          }
-          my += 1
-        }
-        val (_, _, bmy, bmx) = best
+        val (bmx, bmy) = searchVector(cur, prev, w, h, 0, h)
         val out = new Array[Byte](3 + w * h)
         out(0) = MagicMotion
         out(1) = (bmx + 128).toByte
@@ -322,50 +330,15 @@ private[graft] object Gvc {
     frames.zipWithIndex.map { case (cur, f) =>
       require(cur.length == w * h,
         s"frame $f raster length ${cur.length} != $w*$h")
-      if (f == 0) {
-        val out = new Array[Byte](1 + w * h)
-        out(0) = MagicKey
-        var i = 0
-        while (i < cur.length) {
-          require(cur(i) >= 0 && cur(i) <= 255,
-            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
-          out(i + 1) = cur(i).toByte
-          i += 1
-        }
-        out
-      } else {
+      if (f == 0) encodeIntra(cur)
+      else {
         val prev = frames(f - 1)
         val out = new Array[Byte](1 + 2 * nb + w * h)
         out(0) = MagicBlock
         var b = 0
         while (b < nb) {
           val y0 = b * BlockRows
-          def sad(mx: Int, my: Int): Long = {
-            var s = 0L
-            var y = y0
-            while (y < y0 + BlockRows) {
-              var x = 0
-              while (x < w) {
-                s += math.abs(cur(y * w + x) -
-                  prev(mod(y + my, h) * w + mod(x + mx, w))).toLong
-                x += 1
-              }
-              y += 1
-            }
-            s
-          }
-          var best = (Long.MaxValue, Int.MaxValue, 0, 0)
-          var my = -SearchR
-          while (my <= SearchR) {
-            var mx = -SearchR
-            while (mx <= SearchR) {
-              val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
-              if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
-              mx += 1
-            }
-            my += 1
-          }
-          val (_, _, bmy, bmx) = best
+          val (bmx, bmy) = searchVector(cur, prev, w, h, y0, y0 + BlockRows)
           out(1 + 2 * b) = (bmx + 128).toByte
           out(2 + 2 * b) = (bmy + 128).toByte
           var y = y0
@@ -482,45 +455,11 @@ private[graft] object Gvc {
       require(cur.length == w * h,
         s"frame $f raster length ${cur.length} != $w*$h")
       if (f == 0) {
-        val out = new Array[Byte](1 + w * h)
-        out(0) = MagicKey
-        var i = 0
-        while (i < cur.length) {
-          require(cur(i) >= 0 && cur(i) <= 255,
-            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
-          out(i + 1) = cur(i).toByte
-          i += 1
-        }
         recon = cur.toArray
-        out
+        encodeIntra(cur)
       } else {
         val ref = recon // the decoder's state, NOT the pristine source
-        def sad(mx: Int, my: Int): Long = {
-          var s = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              s += math.abs(cur(y * w + x) -
-                ref(mod(y + my, h) * w + mod(x + mx, w))).toLong
-              x += 1
-            }
-            y += 1
-          }
-          s
-        }
-        var best = (Long.MaxValue, Int.MaxValue, 0, 0)
-        var my = -SearchR
-        while (my <= SearchR) {
-          var mx = -SearchR
-          while (mx <= SearchR) {
-            val cand = (sad(mx, my), math.abs(mx) + math.abs(my), my, mx)
-            if (Ordering[(Long, Int, Int, Int)].lt(cand, best)) best = cand
-            mx += 1
-          }
-          my += 1
-        }
-        val (_, _, bmy, bmx) = best
+        val (bmx, bmy) = searchVector(cur, ref, w, h, 0, h)
         val syms = new Array[Int](w * h)
         val next = new Array[Int](w * h)
         var y = 0
@@ -570,11 +509,13 @@ private[graft] object Gvc {
           DecodedFullFrame(isKey = true, raster, 0, 0, 0L, p.length.toLong)
         case MagicFull =>
           require(prev != null, s"full P-frame $f with no decoded history")
+          require(p.length >= 3,
+            s"frame $f payload ${p.length} bytes — too short for a vector")
           val mx = (p(1) & 0xff) - 128
           val my = (p(2) & 0xff) - 128
           require(math.abs(mx) <= SearchR && math.abs(my) <= SearchR,
             s"frame $f motion vector ($mx,$my) outside the search window")
-          val syms = Huff.decode(p, 3)
+          val syms = Huff.decodeStrict(p, 3)
           require(syms.length == w * h,
             s"frame $f decodes ${syms.length} symbols != $w*$h (stream corrupt)")
           var qAbs = 0L
@@ -623,17 +564,8 @@ private[graft] object Gvc {
       require(cur.length == w * h,
         s"frame $f raster length ${cur.length} != $w*$h")
       if (f == 0) {
-        val out = new Array[Byte](1 + w * h)
-        out(0) = MagicKey
-        var i = 0
-        while (i < cur.length) {
-          require(cur(i) >= 0 && cur(i) <= 255,
-            s"keyframe sample ${cur(i)} outside 8-bit range at $i")
-          out(i + 1) = cur(i).toByte
-          i += 1
-        }
         recon = cur.toArray
-        out
+        encodeIntra(cur)
       } else {
         val syms = new Array[Int](w * h)
         var i = 0
@@ -681,7 +613,7 @@ private[graft] object Gvc {
           DecodedQuantFrame(isKey = true, raster, 0L, p.length.toLong)
         case MagicQuant =>
           require(prev != null, s"quantized frame $f with no decoded history")
-          val syms = Huff.decode(p, 1)
+          val syms = Huff.decodeStrict(p, 1)
           require(syms.length == w * h,
             s"frame $f decodes ${syms.length} symbols != $w*$h (stream corrupt)")
           var qAbs = 0L
@@ -792,9 +724,31 @@ private[graft] object Huff {
   /** Inverse of [[encode]] starting at `off`; fails loudly on a
     * truncated table, an over-long code walk, or a short bitstream.
     */
-  def decode(bytes: Array[Byte], off: Int): Array[Int] = {
+  def decode(bytes: Array[Byte], off: Int): Array[Int] =
+    decodeInner(bytes, off)._1
+
+  /** [[decode]] that additionally REQUIRES the payload to end exactly
+    * where the bitstream does (trailing garbage after a frame's coded
+    * bytes is corruption, not slack — the raise-don't-drift stance).
+    */
+  def decodeStrict(bytes: Array[Byte], off: Int): Array[Int] = {
+    val (syms, consumed) = decodeInner(bytes, off)
+    require(off + consumed == bytes.length,
+      s"${bytes.length - off - consumed} trailing bytes after the " +
+        "entropy-coded stream — payload corrupt")
+    syms
+  }
+
+  /** Returns (symbols, bytes consumed from `off`). Every read is
+    * bounds-checked so truncation raises a loud requirement failure,
+    * never an index error.
+    */
+  private def decodeInner(bytes: Array[Byte], off: Int): (Array[Int], Int) = {
     var p = off
-    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    def u8(): Int = {
+      require(p < bytes.length, "entropy stream truncated — payload corrupt")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
     val n = u8() + 1
     val symLens = (0 until n).map(_ => (u8(), u8()))
     val count = (u8() << 24) | (u8() << 16) | (u8() << 8) | u8()
@@ -802,7 +756,7 @@ private[graft] object Huff {
     val outArr = new Array[Int](count)
     if (n == 1) {
       java.util.Arrays.fill(outArr, symLens.head._1)
-      return outArr
+      return (outArr, p - off)
     }
     require(symLens.forall(_._2 > 0),
       "zero code length in a multi-symbol table — stream corrupt")
@@ -825,6 +779,6 @@ private[graft] object Huff {
           s"code walk exceeded max length $maxLen — stream corrupt")
       }
     }
-    outArr
+    (outArr, p - off + (bitPos + 7) / 8)
   }
 }

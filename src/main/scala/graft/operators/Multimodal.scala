@@ -616,20 +616,9 @@ object Multimodal extends QueryGroup {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val payloads = Avi.demux(r.media)
-        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
-        require(Avi.headerTotalFrames(r.media) == payloads.size,
-          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
-        val (w, h) = Avi.headerDims(r.media)
-        val flags = Avi.idx1Flags(r.media)
-        require(flags.size == payloads.size,
-          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val (payloads, w, h, flags) = demuxChecked(r.media, r.doc_id)
         val frames = Gvc.decodeFullFrames(payloads, w, h)
-        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
-          require(fr.isKey == ((fl & 0x10) != 0),
-            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
-              "with the stream's intra/full-P magic")
-        }
+        checkKeyFlags(r.doc_id, frames.map(_.isKey), flags)
         // the per-frame expected source: the scrolling world at the
         // cumulative displacement (the q168 comparison discipline)
         val src = gvmRasters(r.doc_id, w, h, payloads.size)
@@ -670,20 +659,9 @@ object Multimodal extends QueryGroup {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val payloads = Avi.demux(r.media)
-        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
-        require(Avi.headerTotalFrames(r.media) == payloads.size,
-          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
-        val (w, h) = Avi.headerDims(r.media)
-        val flags = Avi.idx1Flags(r.media)
-        require(flags.size == payloads.size,
-          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val (payloads, w, h, flags) = demuxChecked(r.media, r.doc_id)
         val frames = Gvc.decodeMotionFrames(payloads, w, h)
-        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
-          require(fr.isKey == ((fl & 0x10) != 0),
-            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
-              "with the stream's intra/motion magic")
-        }
+        checkKeyFlags(r.doc_id, frames.map(_.isKey), flags)
         var pxSum = 0L
         var residAbs = 0L
         frames.foreach { fr =>
@@ -762,20 +740,9 @@ object Multimodal extends QueryGroup {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val payloads = Avi.demux(r.media)
-        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
-        require(Avi.headerTotalFrames(r.media) == payloads.size,
-          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
-        val (w, h) = Avi.headerDims(r.media)
-        val flags = Avi.idx1Flags(r.media)
-        require(flags.size == payloads.size,
-          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val (payloads, w, h, flags) = demuxChecked(r.media, r.doc_id)
         val frames = Gvc.decodeBlockMotionFrames(payloads, w, h)
-        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
-          require(fr.isKey == ((fl & 0x10) != 0),
-            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
-              "with the stream's intra/block-motion magic")
-        }
+        checkKeyFlags(r.doc_id, frames.map(_.isKey), flags)
         var pxSum = 0L
         var residAbs = 0L
         frames.foreach { fr =>
@@ -811,20 +778,9 @@ object Multimodal extends QueryGroup {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val payloads = Avi.demux(r.media)
-        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
-        require(Avi.headerTotalFrames(r.media) == payloads.size,
-          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
-        val (w, h) = Avi.headerDims(r.media)
-        val flags = Avi.idx1Flags(r.media)
-        require(flags.size == payloads.size,
-          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val (payloads, w, h, flags) = demuxChecked(r.media, r.doc_id)
         val frames = Gvc.decodeQuantFrames(payloads, w, h)
-        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
-          require(fr.isKey == ((fl & 0x10) != 0),
-            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
-              "with the stream's intra/quantized magic")
-        }
+        checkKeyFlags(r.doc_id, frames.map(_.isKey), flags)
         var pxSum = 0L
         var errSum = 0L
         var maxErr = 0L
@@ -863,6 +819,35 @@ object Multimodal extends QueryGroup {
   case class DecodedPframe(doc_id: Long, n_frames: Long, frame_w: Long,
       frame_h: Long, n_key: Long, px_sum: Long, resid_abs_sum: Long)
 
+  /** Shared container preamble for every video tier: demux, cross-check
+    * the avih frame count, dims, and idx1 entry count. One copy (r12 —
+    * five decoders had drifted-wording duplicates of this block; a
+    * future container invariant lands here once).
+    */
+  private def demuxChecked(media: Array[Byte], docId: Long)
+      : (Seq[Array[Byte]], Int, Int, Seq[Int]) = {
+    val payloads = Avi.demux(media)
+    require(payloads.nonEmpty, s"no frames in AVI for doc $docId")
+    require(Avi.headerTotalFrames(media) == payloads.size,
+      s"avih.dwTotalFrames != movi frame count for doc $docId")
+    val (w, h) = Avi.headerDims(media)
+    val flags = Avi.idx1Flags(media)
+    require(flags.size == payloads.size,
+      s"idx1 entry count != frame count for doc $docId")
+    (payloads, w, h, flags)
+  }
+
+  /** The keyframe-index cross-check every tier runs after decode: a
+    * player seeking to a flagged frame would otherwise decode garbage.
+    */
+  private def checkKeyFlags(docId: Long, isKey: Seq[Boolean],
+      flags: Seq[Int]): Unit =
+    isKey.zip(flags).zipWithIndex.foreach { case ((k, fl), i) =>
+      require(k == ((fl & 0x10) != 0),
+        s"doc $docId frame $i: idx1 keyframe flag disagrees with the " +
+          "stream's own frame magic")
+    }
+
   /** Demux the 'GVC1' AVI, cross-check the container's keyframe index
     * against the payloads' own intra/predicted magic, then run the
     * stateful prediction-threading decode ([[Gvc.decodeFrames]]) and
@@ -874,22 +859,11 @@ object Multimodal extends QueryGroup {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val payloads = Avi.demux(r.media)
-        require(payloads.nonEmpty, s"no frames in AVI for doc ${r.doc_id}")
-        require(Avi.headerTotalFrames(r.media) == payloads.size,
-          s"avih.dwTotalFrames != movi frame count for doc ${r.doc_id}")
-        val (w, h) = Avi.headerDims(r.media)
-        val flags = Avi.idx1Flags(r.media)
-        require(flags.size == payloads.size,
-          s"idx1 entry count != frame count for doc ${r.doc_id}")
+        val (payloads, w, h, flags) = demuxChecked(r.media, r.doc_id)
         val frames = Gvc.decodeFrames(payloads, w, h)
         // the container index must agree with the stream: a player
         // seeking to a flagged frame would otherwise decode garbage
-        frames.zip(flags).zipWithIndex.foreach { case ((fr, fl), i) =>
-          require(fr.isKey == ((fl & 0x10) != 0),
-            s"doc ${r.doc_id} frame $i: idx1 keyframe flag disagrees " +
-              "with the stream's intra/predicted magic")
-        }
+        checkKeyFlags(r.doc_id, frames.map(_.isKey), flags)
         var pxSum = 0L
         var residAbs = 0L
         frames.foreach { fr =>

@@ -287,11 +287,25 @@ object StreamOps {
         bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
           .cast("long")).as("content_xor"))
 
-  /** Per-group state for [[dedupStateStream]]: the dup GROUP's id
+  /** Per-group state for the changelog maintainers
+    * ([[dedupStateStream]], [[ivfStateStream]]): the group's id
     * multiset (net insert/retract counts) + a per-key version counter
     * so downstream consumers can order a key's updates.
     */
   case class DedupGroupState(members: Map[Long, Long], ver: Long)
+
+  /** The ONE signed-multiset fold both changelog maintainers run:
+    * apply (id, ±w) updates, dropping entries whose net count hits
+    * zero (an insert and its retraction cancel exactly). Extracted so
+    * a semantics fix can never apply to one maintainer and silently
+    * miss the other.
+    */
+  private def applySigned(m: Map[Long, Long],
+      rows: Iterator[(Long, Long)]): Map[Long, Long] =
+    rows.foldLeft(m) { case (acc, (id, w)) =>
+      val n = acc.getOrElse(id, 0L) + w
+      if (n == 0L) acc - id else acc.updated(id, n)
+    }
 
   /** Live exact-dedup survivor maintenance — q186's streaming twin: the
     * sha256→keeper table a LIVE corpus maintains as dump inserts (+1)
@@ -322,10 +336,7 @@ object StreamOps {
       .flatMapGroupsWithState[DedupGroupState, (String, Long, Long, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (h, rows, gs) =>
         val st = gs.getOption.getOrElse(DedupGroupState(Map.empty, 0L))
-        val next = rows.foldLeft(st.members) { case (m, (_, id, w)) =>
-          val n = m.getOrElse(id, 0L) + w
-          if (n == 0L) m - id else m.updated(id, n)
-        }
+        val next = applySigned(st.members, rows.map(r => (r._2, r._3)))
         val live = next.filter(_._2 > 0L)
         val ver = st.ver + 1L
         gs.update(DedupGroupState(next, ver))
@@ -365,10 +376,7 @@ object StreamOps {
       .flatMapGroupsWithState[DedupGroupState, (Long, Long, Long, Long, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (cell, rows, gs) =>
         val st = gs.getOption.getOrElse(DedupGroupState(Map.empty, 0L))
-        val next = rows.foldLeft(st.members) { case (m, (_, id, w)) =>
-          val n = m.getOrElse(id, 0L) + w
-          if (n == 0L) m - id else m.updated(id, n)
-        }
+        val next = applySigned(st.members, rows.map(r => (r._2, r._3)))
         val live = next.filter(_._2 > 0L).keys
         val ver = st.ver + 1L
         gs.update(DedupGroupState(next, ver))

@@ -1540,12 +1540,21 @@ class OperatorSpec extends SparkSpec {
       // entropy-coded P payload strictly below raw
       assert(d.payloadBytes < w * h + 1, s"frame $f did not compress")
     }
-    // corruption loudness: no history; truncated stream
+    // corruption loudness: no history; truncated stream (loud require,
+    // never an index error); a 2-byte stub; trailing garbage after the
+    // entropy-coded bytes (decodeStrict's exact-consumption pin)
     intercept[IllegalArgumentException] {
       Gvc.decodeFullFrames(payloads.tail, w, h)
     }
     intercept[IllegalArgumentException] {
       Gvc.decodeFullFrames(payloads.init :+ payloads.last.dropRight(4), w, h)
+    }
+    intercept[IllegalArgumentException] {
+      Gvc.decodeFullFrames(payloads.init :+ payloads.last.take(2), w, h)
+    }
+    intercept[IllegalArgumentException] {
+      Gvc.decodeFullFrames(payloads.init :+ (payloads.last :+ 0x7f.toByte),
+        w, h)
     }
   }
 
