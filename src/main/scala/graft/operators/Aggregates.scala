@@ -289,7 +289,103 @@ object Aggregates extends QueryGroup {
         .select(col("p.*"))
         .orderBy("col_name")
     }),
+
+    // q199 [north star, r12]: COUNT-MIN SKETCH heavy hitters (Cormode &
+    // Muthukrishnan '05) — the sub-linear-memory frequency tier between
+    // the exact token rollup (q44) and membership/cardinality sketches
+    // (Bloom q143/q158, HLL q19): d×w = 4×64 counters summarize the
+    // whole token stream, estimates read as min over d hashed cells,
+    // and CM's one-sided theorem (est ≥ true, always — every occurrence
+    // lands in all d probed cells) is enforced IN-PLAN by a raise_error
+    // filter, the self-validating-sketch discipline. Output = tokens
+    // whose CM estimate clears the total/32 heavy-hitter bar, with the
+    // exact count beside the estimate — the fixture deliberately keeps
+    // w small enough that collisions OVERestimate some tokens (the
+    // is_exact=false rows), so the hash pins CM's collision behavior,
+    // not just its happy path. Scale shape: the sketch build is one
+    // map-side-combining rollup to d·w = 256 cells (shuffle carries
+    // ≤256 rows per mapper, constant in corpus size); the probe joins
+    // the BROADCAST sketch. The exact-count leg exists to state the
+    // verdict — production probes arbitrary query tokens map-only
+    // against the broadcast sketch with no exact pass (the q143 Bloom
+    // stance); here the exact rollup is the same token-keyed linear
+    // shuffle q44 already pays.
+    "q199_countmin_heavy" -> ((spark, dir) =>
+      countMinHeavy(Tables(spark, dir, "documents"))),
   )
+
+  /** Count-min geometry: depth (independent hash rows), width (counters
+    * per row), and the heavy-hitter bar denominator (est ≥ total/32).
+    * Width is deliberately small at fixture scale so collisions are
+    * exercised; in deployment w scales with 1/ε at constant sketch
+    * size (256 → a few million cells is still broadcast-trivial).
+    */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 64L
+  private[graft] val CmHeavyDenom = 32L
+
+  /** Row-s hash of a token: exact integer on both engines — Spark
+    * conv(hex,16,10), DuckDB ('0x'||hex)::BIGINT (the q111 trick); 15
+    * hex chars = 60 bits keeps the BIGINT positive, so % ≡ pmod.
+    */
+  private def cmBucket(token: org.apache.spark.sql.Column,
+      seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit("cm"), seed.cast("string"),
+      lit(":"), token)), 1, 15), 16, 10).cast("long"), lit(CmWidth))
+
+  /** The whole-corpus token stream (the q44 universe: whitespace split,
+    * empties dropped).
+    */
+  private def cmTokens(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** The d×w cell counts — the SKETCH, and the only state the operator
+    * keeps: one partial-aggregating rollup to ≤ CmDepth·CmWidth rows.
+    * Shared VERBATIM by the batch query and the streaming maintenance
+    * twin (`StreamOps.countMinStream` — cell counts are a commutative
+    * monoid, which is exactly what makes the rollup a valid streaming
+    * aggregate), so batch ≡ stream is structural, not re-implemented.
+    */
+  private[graft] def cmCellsOfTokens(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks
+      .select(col("token"), explode(array(
+        (0 until CmDepth).map(s => lit(s)): _*)).as("seed"))
+      .groupBy(col("seed"), cmBucket(col("token"), col("seed")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  private[graft] def cmCells(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = cmCellsOfTokens(cmTokens(docs))
+
+  private[graft] def countMinHeavy(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = cmTokens(docs)
+    val cells = cmCells(docs)
+    val truec = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val probed = truec
+      .select(col("token"), col("true_cnt"), explode(array(
+        (0 until CmDepth).map(s => lit(s)): _*)).as("seed"))
+      .select(col("token"), col("true_cnt"), col("seed"),
+        cmBucket(col("token"), col("seed")).as("bucket"))
+      .join(broadcast(cells), Seq("seed", "bucket"))
+      .groupBy(col("token"))
+      .agg(min(col("c")).as("est"), min(col("true_cnt")).as("true_cnt"))
+    probed.crossJoin(broadcast(tot))
+      .filter(col("est") >= expr(s"n div $CmHeavyDenom"))
+      // CM's theorem, stated loudly in-plan: an estimate BELOW the true
+      // count means the hash rows disagree between build and probe —
+      // a silent wrong sketch, never to be returned as data
+      .filter(when(col("est") < col("true_cnt"),
+        raise_error(concat(lit("q199: count-min estimate below true count for token '"),
+          col("token"), lit("' — build/probe hash drift")))).otherwise(lit(true)))
+      .select(col("token"), col("est"), col("true_cnt"),
+        (col("est") === col("true_cnt")).as("is_exact"))
+      .orderBy(col("est").desc, col("token"))
+  }
 
   /** q126's operator over a `(event_type, value, k)` frame. Degenerate
     * groups (zero variance, or fewer than 2 non-null pairs) make Spark's
@@ -309,6 +405,32 @@ object Aggregates extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q199: the identical sketch construction — same md5 row hashes,
+    // same min-over-rows estimate, same total/32 bar — re-derived
+    // independently; the engine's in-plan est≥true guard means any
+    // cross-engine hash drift fails LOUDLY before it can mis-hash
+    "q199_countmin_heavy" ->
+      s"""WITH toks AS (
+         |  SELECT w AS token FROM (SELECT unnest(string_split(text,' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
+         |tot AS (SELECT COUNT(*) AS n FROM toks),
+         |seeds AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS seed),
+         |cells AS (
+         |  SELECT seed,
+         |    ('0x'||substring(md5('cm' || CAST(seed AS VARCHAR) || ':' || token),1,15))::BIGINT % $CmWidth AS bucket,
+         |    COUNT(*) AS c
+         |  FROM toks, seeds GROUP BY 1, 2),
+         |truec AS (SELECT token, COUNT(*) AS true_cnt FROM toks GROUP BY token),
+         |est AS (
+         |  SELECT t.token, MIN(c.c) AS est, MIN(t.true_cnt) AS true_cnt
+         |  FROM truec t, seeds s
+         |  JOIN cells c ON c.seed = s.seed
+         |   AND c.bucket = ('0x'||substring(md5('cm' || CAST(s.seed AS VARCHAR) || ':' || t.token),1,15))::BIGINT % $CmWidth
+         |  GROUP BY t.token)
+         |SELECT token, CAST(est AS BIGINT) AS est,
+         |  CAST(true_cnt AS BIGINT) AS true_cnt, est = true_cnt AS is_exact
+         |FROM est WHERE est >= (SELECT n // $CmHeavyDenom FROM tot)
+         |ORDER BY est DESC, token""".stripMargin,
     // q19: the estimate itself is engine-specific, so the CONTRACT is
     // what hashes — exact distinct + the literal bound verdict Spark
     // computes from its own HLL. A red row here means Spark's

@@ -271,6 +271,34 @@ object Tokenizer extends QueryGroup {
         .select(col("token_id"), col("token"),
           coalesce(col("freq"), lit(0L)).as("freq"))
         .orderBy("token_id")
+    }),
+
+    // q198 [north star, r12]: UNIGRAM-LM VITERBI segmentation — the
+    // OTHER production tokenizer family (SentencePiece's unigram model,
+    // Kudo ACL'18): where BPE applies a fixed merge program, unigram
+    // inference picks, per word, the GLOBALLY min-cost segmentation
+    // into vocab tokens by dynamic programming. The vocab here is the
+    // q181 artifact (base alphabet + merged tokens) with a frozen
+    // exact-integer cost table (frequency rank — the monotone −log p
+    // surrogate, the q83/q153 log-free stance); per doc the output is
+    // Σ best-cost and Σ optimal-path-count over words — both canonical
+    // DP outputs, uniquely defined under cost ties, so the surface
+    // needs zero tie-break rules to hash cross-engine. `ways` pins the
+    // whole DP structure (every optimal path counted exactly), not
+    // just the optimum. Scale shape: one token-frequency shuffle
+    // freezes the cost table (in production it is a SHIPPED artifact,
+    // loaded not retrained); segmentation is then MAP-ONLY via the
+    // UnigramViterbi codegen expression (model = |vocab| rows as an
+    // executor reference object; O(len·maxTok) integer DP per word;
+    // zero joins, zero shuffles over the corpus). Oracle: DuckDB
+    // re-derives vocab+costs from the same recursive merge chain and
+    // runs the SAME DP as a recursive CTE carrying the best/ways
+    // arrays as lists — two independent DP implementations, one hash.
+    "q198_unigram_viterbi" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val merges = bpeTrain(wordDict(spark, dir))
+      unigramSegmented(docs, unigramCosts(spark, docs, merges))
+        .orderBy("doc_id")
     }))
 
   /** The per-dump token-frequency PARTIALS a release stores beside each
@@ -299,6 +327,58 @@ object Tokenizer extends QueryGroup {
       p.select(col("token"), (col("freq") * sgn).as("freq"))
     }.reduce(_ unionByName _)
       .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
+
+  /** q198's frozen cost table: every vocab token (q181's inventory)
+    * costed by its frequency RANK — 1 = most frequent. Rank is the
+    * exact-integer monotone surrogate of −log p (libm logs are not
+    * bit-portable cross-engine; rank preserves the order structure the
+    * DP's preferences read). Bounded model state: |alphabet| + merge
+    * count rows, collected once on the driver. Tie-freeness: tokens
+    * are distinct (vocabTable's loud guards), so (freq desc, token asc)
+    * is a total order on BOTH engines — BMP-only tokens make Scala's
+    * UTF-16 compareTo, Spark's UTF8String byte order, and DuckDB's
+    * VARCHAR byte order all agree with code-point order.
+    */
+  private[graft] def unigramCosts(spark: SparkSession, docs: DataFrame,
+      merges: Seq[Merge]): Seq[(String, Long)] = {
+    val withFreq = vocabTable(spark, docs, merges)
+      .join(tokenFreqPartials(docs, merges), Seq("token"), "left")
+      .select(col("token"), coalesce(col("freq"), lit(0L)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    withFreq.sortBy { case (t, f) => (-f, t) }
+      .zipWithIndex.map { case ((t, _), i) => (t, i + 1L) }
+  }
+
+  /** The map-only corpus pass of q198: per word (same whitespace split
+    * and loud alphabet gate as the BPE path, empties dropped), the
+    * UnigramViterbi expression computes struct(cost, ways); per doc the
+    * two are summed by one `aggregate` fold. The struct lands behind a
+    * non-cheap alias in its own projection so CollapseProject cannot
+    * inline it twice (SPARK-36718) — the DP runs once per word. Docs
+    * with NULL text or zero non-empty words yield NULL cost/ways (the
+    * wsTokenCount discipline; the oracle's per-doc join misses the same
+    * rows).
+    */
+  private[graft] def unigramSegmented(docs: DataFrame,
+      vocabCosts: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val toks = vocabCosts.map(_._1).toArray
+    val cs = vocabCosts.map(_._2).toArray
+    def vit(w: Column): Column =
+      toColumn(graft.expressions.UnigramViterbi(toExpression(w), toks, cs))
+    val words = filter(TextOps.tokens(gatedText), w => w =!= "")
+    val agg = aggregate(
+      transform(words, w => vit(w)),
+      struct(lit(0L).as("c"), lit(0L).as("w")),
+      (acc, x) => struct(
+        (acc.getField("c") + x.getField("cost")).as("c"),
+        (acc.getField("w") + x.getField("ways")).as("w")))
+    docs
+      .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
+        when(col("text").isNotNull && size(words) > 0, agg).as("v"))
+      .select(col("doc_id"), col("n_ws"),
+        col("v.c").as("vit_cost"), col("v.w").as("vit_ways"))
+  }
 
   /** The token→id inventory (base alphabet in binary order, then merged
     * tokens in merge-rank order — the standard BPE id assignment), with
@@ -459,20 +539,7 @@ object Tokenizer extends QueryGroup {
          |         AND substring(md5('vretract:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10')
          |     OR substring(md5('vdump:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'),
          |${oracleApplyCtes("fin")},
-         |tf AS (SELECT tok, COUNT(*) AS freq FROM (
-         |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
-         |         FROM ap WHERE r = $MergeRounds) t GROUP BY tok),
-         |alpha AS (SELECT DISTINCT unnest(list_filter(
-         |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
-         |            x -> x <> '')) AS ch
-         |          FROM (SELECT unnest(string_split(text,' ')) AS w
-         |                FROM documents WHERE text IS NOT NULL) ww),
-         |base AS (SELECT ch AS token,
-         |           row_number() OVER (ORDER BY ch) - 1 AS token_id FROM alpha),
-         |nb AS (SELECT COUNT(*) AS n FROM base),
-         |vocab AS (SELECT token, token_id FROM base
-         |          UNION ALL
-         |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m)
+         |$oracleVocabCtes
          |SELECT CAST(v.token_id AS BIGINT) AS token_id, v.token,
          |  CAST(COALESCE(tf.freq, 0) AS BIGINT) AS freq
          |FROM vocab v LEFT JOIN tf ON tf.tok = v.token
@@ -480,24 +547,84 @@ object Tokenizer extends QueryGroup {
     "q181_vocab_export" ->
       s"""WITH RECURSIVE $oracleMergeCtes,
          |${oracleApplyCtes("documents")},
-         |tf AS (SELECT tok, COUNT(*) AS freq FROM (
-         |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
-         |         FROM ap WHERE r = $MergeRounds) t GROUP BY tok),
-         |alpha AS (SELECT DISTINCT unnest(list_filter(
-         |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
-         |            x -> x <> '')) AS ch
-         |          FROM (SELECT unnest(string_split(text,' ')) AS w
-         |                FROM documents WHERE text IS NOT NULL) ww),
-         |base AS (SELECT ch AS token,
-         |           row_number() OVER (ORDER BY ch) - 1 AS token_id FROM alpha),
-         |nb AS (SELECT COUNT(*) AS n FROM base),
-         |vocab AS (SELECT token, token_id FROM base
-         |          UNION ALL
-         |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m)
+         |$oracleVocabCtes
          |SELECT CAST(v.token_id AS BIGINT) AS token_id, v.token,
          |  CAST(COALESCE(tf.freq, 0) AS BIGINT) AS freq
          |FROM vocab v LEFT JOIN tf ON tf.tok = v.token
-         |ORDER BY token_id""".stripMargin)
+         |ORDER BY token_id""".stripMargin,
+    // q198: vocab + costs re-derived from the same recursive merge
+    // chain (rank over (freq desc, token asc) — byte order ≡ code-point
+    // order on the BMP-only alphabet), then the Viterbi DP itself as a
+    // recursive CTE: per word, iteration i appends best[i]/ways[i] to
+    // carried LIST state; candidate edges (start j, cost) per end
+    // position are pre-grouped so the recursive step is pure list
+    // expressions (list_min / filtered list_sum — no aggregates in the
+    // recursive member). An INDEPENDENT implementation of the same DP,
+    // matched hash-for-hash against the engine's codegen expression.
+    "q198_unigram_viterbi" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |${oracleApplyCtes("documents")},
+         |$oracleVocabCtes,
+         |costs AS (SELECT v.token,
+         |    CAST(row_number() OVER (ORDER BY COALESCE(tf.freq,0) DESC, v.token) AS BIGINT) AS cost
+         |  FROM vocab v LEFT JOIN tf ON tf.tok = v.token),
+         |mt AS (SELECT MAX(length(token)) AS mx FROM costs),
+         |wordsq AS (SELECT DISTINCT w AS word
+         |  FROM (SELECT unnest(string_split(text,' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
+         |pos AS (SELECT word, CAST(i AS INT) AS e
+         |  FROM wordsq, UNNEST(generate_series(1, length(word))) AS t(i)),
+         |edges AS (
+         |  SELECT p.word, p.e, CAST(j.j AS INT) AS j, c.cost
+         |  FROM pos p,
+         |       UNNEST(generate_series(GREATEST(0, p.e - (SELECT mx FROM mt)), p.e - 1)) AS j(j),
+         |       costs c
+         |  WHERE c.token = substring(p.word, CAST(j.j AS INT) + 1, p.e - CAST(j.j AS INT))),
+         |el AS (SELECT word, e, list(struct_pack(j := j, cost := cost)) AS lst
+         |       FROM edges GROUP BY word, e),
+         |dp AS (
+         |  SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS bests, [CAST(1 AS BIGINT)] AS ways
+         |  FROM wordsq
+         |  UNION ALL
+         |  SELECT d.word, d.i + 1,
+         |    list_append(d.bests, list_min([d.bests[s.j+1] + s.cost FOR s IN e.lst])),
+         |    list_append(d.ways, CAST(list_sum(
+         |      [d.ways[s.j+1] FOR s IN e.lst
+         |       IF d.bests[s.j+1] + s.cost = list_min([d.bests[x.j+1] + x.cost FOR x IN e.lst])]) AS BIGINT))
+         |  FROM dp d JOIN el e ON e.word = d.word AND e.e = d.i + 1),
+         |wres AS (SELECT word, bests[length(word)+1] AS best, ways[length(word)+1] AS ways
+         |         FROM dp WHERE i = length(word)),
+         |occ AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
+         |pd AS (SELECT o.doc_id, SUM(r.best) AS vc, SUM(r.ways) AS vw
+         |       FROM occ o JOIN wres r ON r.word = o.w GROUP BY o.doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
+         |  CAST(pd.vc AS BIGINT) AS vit_cost, CAST(pd.vw AS BIGINT) AS vit_ways
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+
+  /** The vocab-artifact CTE block shared by the q181/q188/q198 oracles:
+    * `tf` (token frequencies from `ap`'s final segmentations) and
+    * `vocab` (token→id — binary-ordered base chars, then merge-rank
+    * order). Assumes `m` (the merge chain) and `ap` (the recursive
+    * apply) are already in scope; the alphabet is always derived from
+    * the full `documents` table (the FROZEN vocab a point fix must not
+    * retrain — q188 pairs it with an `ap` over the post-fix corpus).
+    */
+  private[graft] def oracleVocabCtes: String =
+    s"""tf AS (SELECT tok, COUNT(*) AS freq FROM (
+       |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
+       |         FROM ap WHERE r = $MergeRounds) t GROUP BY tok),
+       |alpha AS (SELECT DISTINCT unnest(list_filter(
+       |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
+       |            x -> x <> '')) AS ch
+       |          FROM (SELECT unnest(string_split(text,' ')) AS w
+       |                FROM documents WHERE text IS NOT NULL) ww),
+       |base AS (SELECT ch AS token,
+       |           row_number() OVER (ORDER BY ch) - 1 AS token_id FROM alpha),
+       |nb AS (SELECT COUNT(*) AS n FROM base),
+       |vocab AS (SELECT token, token_id FROM base
+       |          UNION ALL
+       |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m)""".stripMargin
 
   /** The tokenize-application CTEs (`dw` → recursive `ap` → `perdoc`)
     * over an arbitrary source, ending in perdoc(doc_id, n_bpe). Assumes

@@ -287,6 +287,18 @@ object StreamOps {
         bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
           .cast("long")).as("content_xor"))
 
+  /** Live count-min sketch — q199's streaming twin: the d×w cell
+    * counters maintained as the token stream arrives (the monitor a
+    * live ingest keeps so "what's suddenly hot?" is answerable without
+    * a corpus pass). The rollup is `Aggregates.cmCellsOfTokens`
+    * VERBATIM — cell counts form a commutative monoid, which is exactly
+    * what makes the batch construction a valid streaming aggregate in
+    * complete/update mode; state is ≤ d·w = 256 rows, constant in
+    * stream length. Estimates probe the sink table map-only.
+    */
+  def countMinStream(toks: DataFrame): DataFrame =
+    graft.operators.Aggregates.cmCellsOfTokens(toks)
+
   /** Per-group state for the changelog maintainers
     * ([[dedupStateStream]], [[ivfStateStream]]): the group's id
     * multiset (net insert/retract counts) + a per-key version counter

@@ -260,4 +260,34 @@ class ExpressionParitySpec extends SparkSpec {
         s"$q oracle lost its mirrored exactness guard")
     }
   }
+
+  test("UnigramViterbi interpreted eval == codegen path, bit-for-bit, on corpus + adversarial words") {
+    import graft.expressions.UnigramViterbi
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.operators.Tokenizer
+    val docs = Tables(spark, Sf, "documents")
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val costs = Tokenizer.unigramCosts(spark, docs, merges)
+    val toks = costs.map(_._1).toArray
+    val cs = costs.map(_._2).toArray
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    // codegen path: through a DataFrame projection (whole-stage codegen)
+    val viaDf = words.toSeq.toDF("w")
+      .select(col("w"), org.apache.spark.sql.graftbridge.toColumn(
+        UnigramViterbi(org.apache.spark.sql.graftbridge.toExpression(col("w")),
+          toks, cs)).as("v"))
+      .select(col("w"), col("v.cost"), col("v.ways"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // interpreted path: Literal child, direct eval()
+    words.foreach { w =>
+      val row = UnigramViterbi(Literal(UTF8String.fromString(w)), toks, cs)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert((row.getLong(0), row.getLong(1)) == viaDf(w),
+        s"word '$w': interpreted ${(row.getLong(0), row.getLong(1))} != codegen ${viaDf(w)}")
+    }
+  }
 }

@@ -2917,4 +2917,139 @@ class OperatorSpec extends SparkSpec {
     assert(twinR(residT) >= 0.60,
       s"q177 residual twin-recall@10 ${twinR(residT)} below the 0.60 floor")
   }
+
+  test("q198 unigram viterbi: DP == exponential enumeration; BPE-path dominance; NULL discipline") {
+    import graft.operators.Tokenizer
+    val docs = Tables(spark, Sf, "documents")
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val costs = Tokenizer.unigramCosts(spark, docs, merges)
+    val costMap = costs.toMap
+    // THIRD implementation (after the engine DP and the oracle's
+    // recursive CTE): brute-force enumeration of every segmentation —
+    // exponential, fine at the fixture's ≤8-char words
+    val memo = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def enumBest(w: String): (Long, Long) = memo.getOrElseUpdate(w, {
+      def go(rest: String): Seq[Long] =
+        if (rest.isEmpty) Seq(0L)
+        else (1 to rest.length).flatMap { k =>
+          costMap.get(rest.take(k)).toSeq.flatMap(c => go(rest.drop(k)).map(_ + c))
+        }
+      val all = go(w)
+      assert(all.nonEmpty, s"word '$w' not coverable — fixture broken")
+      (all.min, all.count(_ == all.min).toLong)
+    })
+    val out = SparkEntry.queries("q198_unigram_viterbi")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    val docRows = docs.select("doc_id", "text").collect()
+    docRows.foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1)) {
+        assert(out(id).isEmpty, s"doc $id: NULL text must yield NULL cost/ways")
+      } else {
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) assert(out(id).isEmpty)
+        else {
+          val exp = ws.map(enumBest)
+          assert(out(id).contains((exp.map(_._1).sum, exp.map(_._2).sum)),
+            s"doc $id: engine DP ${out(id)} != enumeration " +
+              s"(${exp.map(_._1).sum}, ${exp.map(_._2).sum})")
+        }
+      }
+    }
+    // cross-family invariant: the BPE segmentation of a word is ONE
+    // candidate path (all its segments are vocab tokens), so the
+    // unigram optimum can never cost more than the BPE path
+    val distinctWords = docRows.filter(!_.isNullAt(1))
+      .flatMap(_.getString(1).split(" ")).filter(_.nonEmpty).distinct
+    distinctWords.foreach { w =>
+      var s = " " + w.map(_.toString).mkString(" ") + " "
+      merges.foreach(m => s = s.replace(s" ${m.left} ${m.right} ", s" ${m.merged} "))
+      val bpeCost = s.split(" ").filter(_.nonEmpty).map(costMap).sum
+      assert(enumBest(w)._1 <= bpeCost,
+        s"word '$w': unigram optimum ${enumBest(w)._1} exceeds BPE path $bpeCost")
+    }
+    // a genuinely multi-token optimum exists (the DP is not just
+    // whole-word lookup) and some word has >1 optimal path somewhere
+    // in the corpus — otherwise the fixture can't pin `ways`
+    assert(distinctWords.exists(w => enumBest(w)._1 > 0 && {
+      val (b, _) = enumBest(w); costMap.get(w).forall(_ > b) || !costMap.contains(w)
+    } && w.length > 1), "no word exercises a multi-token optimum")
+  }
+
+  test("q199 count-min: matches a plain-Scala reference sketch; est>=true; collisions exercised; no heavy hitter missed") {
+    val docs = Tables(spark, Sf, "documents")
+    val out = SparkEntry.queries("q199_countmin_heavy")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val tokArr = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").collect().map(_.getString(0))
+    // SECOND implementation (after the oracle's SQL): the sketch in
+    // plain Scala off java MessageDigest
+    def bucket(tok: String, seed: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm$seed:$tok".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    tokArr.foreach { t =>
+      (0 until 4).foreach { s =>
+        val k = (s, bucket(t, s)); cells(k) = cells.getOrElse(k, 0L) + 1L
+      }
+    }
+    val truec = tokArr.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bar = tokArr.length.toLong / 32L
+    out.foreach { r =>
+      val (t, est, tc) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val refEst = (0 until 4).map(s => cells((s, bucket(t, s)))).min
+      assert(est == refEst, s"token '$t': engine est $est != reference $refEst")
+      assert(tc == truec(t), s"token '$t': true count drifted")
+      assert(est >= tc, s"token '$t': CM theorem violated")
+      assert(est >= bar, s"token '$t': below the heavy-hitter bar")
+      assert(r.getBoolean(3) == (est == tc))
+    }
+    // the fixture must exercise COLLISION overestimates, or the hash
+    // pins only the happy path
+    assert(out.exists(r => !r.getBoolean(3)),
+      "no collided (est > true) heavy hitter in the fixture")
+    assert(out.exists(r => r.getBoolean(3)), "no exact heavy hitter either")
+    // CM never misses a true heavy hitter (est >= true >= bar)
+    val outToks = out.map(_.getString(0)).toSet
+    truec.filter(_._2 >= bar).keys.foreach(t =>
+      assert(outToks(t), s"true heavy hitter '$t' missing from the output"))
+  }
+
+  test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    // tie fixture from the DP literature: 'aab' = a+a+b = a+ab = aab, all cost 3
+    val toy = Seq((1L, "aab abab")).toDF("doc_id", "text")
+    val r = Tokenizer.unigramSegmented(toy,
+      Seq(("a", 1L), ("b", 1L), ("ab", 2L), ("aab", 3L))).collect().head
+    assert(r.getLong(2) == 3L + 4L, s"tie fixture cost ${r.getLong(2)}")
+    assert(r.getLong(3) == 3L + 4L, s"tie fixture ways ${r.getLong(3)}")
+    // uncoverable word → loud task failure, never a silent skip
+    val bad = Seq((1L, "zz")).toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      Tokenizer.unigramSegmented(bad, Seq(("a", 1L))).collect()
+    }
+    assert(e1.getMessage != null || e1.getCause != null)
+    // NULL text and zero-word text → NULL cost/ways (the fixture has no
+    // NULL-text doc, so the discipline is pinned here)
+    val nulls = Seq((1L, null: String), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val nr = Tokenizer.unigramSegmented(nulls, Seq(("a", 7L)))
+      .orderBy("doc_id").collect()
+    assert(nr(0).isNullAt(2) && nr(0).isNullAt(3), "NULL text must yield NULLs")
+    assert(nr(1).isNullAt(2) && nr(1).isNullAt(3), "empty text must yield NULLs")
+    assert(nr(2).getLong(2) == 7L && nr(2).getLong(3) == 1L)
+    // over-length word → loud refusal naming the cap
+    val long = Seq((1L, "a" * 65)).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Tokenizer.unigramSegmented(long, Seq(("a", 1L))).collect()
+    }
+    assert((Option(e2.getMessage) ++ Option(e2.getCause).map(_.getMessage))
+      .mkString.contains("MaxWordLen") ||
+      e2.toString.contains("MaxWordLen"))
+  }
 }

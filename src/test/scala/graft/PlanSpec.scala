@@ -696,6 +696,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q198 segments map-only: the cost model rides the expression, zero corpus joins") {
+    // the unigram DP is a codegen expression over the scan — the frozen
+    // cost table is an executor reference object, NOT a join side, so
+    // the corpus pass must show no join and no exchange before the
+    // presentation sort (the 100 TB shape: tokenize passes are map-only)
+    val df = SparkEntry.queries("q198_unigram_viterbi")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"q198 corpus pass must not join:\n${p.take(1200)}")
+    // the only exchange is the presentation sort's range partitioning
+    // (AdaptiveSparkPlan.toString repeats nodes across plan sections, so
+    // pin the KIND of exchange rather than counting occurrences)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q198 corpus pass must not shuffle by key:\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q198 must not funnel the corpus to one partition:\n${p.take(1200)}")
+    assert(p.contains("unigram_viterbi"),
+      "q198 must run through the UnigramViterbi expression")
+  }
+
   test("q185's composed packing uses the scan, zero source-keyed corpus windows") {
     // r11 verdict item 2: the composed pipeline must pack hot-source-
     // proof — the q151 scan shape (range partition + (pid,source) local

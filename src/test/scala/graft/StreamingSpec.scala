@@ -1484,6 +1484,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamedI == batchI, "streaming IVF inventory drifted from q192's combine")
   }
 
+  test("streaming count-min: live sketch converges to the batch q199 cells across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, Sf, "documents")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val q = graft.streaming.StreamOps.countMinStream(
+        ms.toDF().toDF("token")).writeStream
+      .format("memory").queryName("cm_out").outputMode("complete").start()
+    // three arrival waves — cell counts are a commutative monoid, so
+    // the running sketch must land exactly on the batch construction
+    val third = toks.length / 3
+    ms.addData(toks.take(third).toSeq); q.processAllAvailable()
+    ms.addData(toks.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    ms.addData(toks.drop(2 * third).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cm_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Aggregates.cmCells(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "live count-min sketch drifted from the batch cells")
+    assert(batch.size <= 4 * 64, "sketch state exceeded d*w cells")
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
