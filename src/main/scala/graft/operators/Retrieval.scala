@@ -41,6 +41,67 @@ object Retrieval extends QueryGroup {
   private val K1 = 1.25 // term-frequency saturation; exact in binary
   private val B = 0.75  // length-normalization strength; exact in binary
 
+  /** RRF constant k (Cormack & Clarke SIGIR'09 use 60; any positive
+    * constant preserves the method — 4 keeps the exact-integer weights
+    * below 2^33, see [[RrfLcm]]) and the fused cut depth.
+    */
+  private[graft] val RrfK = 4L
+  private[graft] val RrfLegK = 20
+  private[graft] val RrfTopK = 15
+
+  /** lcm(5..24) — the RRF denominators `RrfK + rank` for ranks 1..20.
+    * Scaling the reciprocal-rank weight 1/(k+r) by this makes every
+    * contribution an EXACT BIGINT (`RrfLcm div (k+r)`, zero remainder by
+    * construction), so the fused score is pure integer arithmetic and
+    * the cross-engine hash cannot drift on float summation order — the
+    * q83/q153 log-free stance applied to rank fusion. Scores are scaled
+    * by a shared constant, so the fused ORDER is exactly the textbook
+    * RRF order. OperatorSpec asserts the divisibility invariant and
+    * re-derives the order from exact rational arithmetic.
+    */
+  private[graft] val RrfLcm = 5354228880L
+
+  /** q200's fusion: reciprocal-rank fusion of the BM25 leg (q83's exact
+    * operator, top-20) and the dense-cosine leg (q43's exact operator,
+    * top-20, query = doc 0's embedding — the ANN contract excludes the
+    * query vector itself from its own neighbor list). A doc missing
+    * from a leg contributes 0 from that leg and carries a NULL leg rank
+    * in the output (standard RRF: absence is not rank-∞-with-weight,
+    * it is no contribution).
+    *
+    * Scale shape (100 TB): both legs are already the scale-shaped
+    * operators — BM25's one-row stats broadcast + TakeOrderedAndProject
+    * cut, cosine's broadcast query + bounded TopKAgg partial agg — so
+    * the corpus is scanned exactly twice (once per modality) with no
+    * pair joins; the fusion itself joins two ≤RrfLegK-row lists,
+    * CONSTANT work independent of corpus size. A multi-query deployment
+    * fans both legs out on q_id and fuses per q_id with the identical
+    * constant-size join.
+    */
+  private[graft] def rrfHybrid(
+      docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sparse = bm25TopK(docs, QueryTerms, RrfLegK)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val dense = Similarity.cosineTopK(
+        emb, emb.filter(col("vec_id") === 0), RrfLegK)
+      .select(col("n_id").as("doc_id"), col("rank").as("cos_rank"))
+    val contrib = (r: String) =>
+      coalesce(expr(s"$RrfLcm div ($RrfK + $r)"), lit(0L))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (contrib("bm25_rank") + contrib("cos_rank")).as("rrf_score"))
+    fused
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(RrfTopK)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("fused_rank"), col("rrf_score"),
+        col("bm25_rank"), col("cos_rank"))
+      .orderBy("fused_rank")
+  }
+
   /** BM25 top-k over `(doc_id, text)`-shaped docs for `terms`. Output
     * carries ids, ranks, and exact-integer term frequencies — never the
     * double score (QueryGroup determinism rules).
@@ -91,6 +152,21 @@ object Retrieval extends QueryGroup {
     // q83 [north star]: BM25 ranked retrieval, the 3-term/top-20 instance.
     "q83_bm25" -> ((spark, dir) =>
       bm25TopK(Tables(spark, dir, "documents"), QueryTerms, 20)),
+
+    // q200 [north star, r12]: RECIPROCAL-RANK FUSION hybrid retrieval
+    // (Cormack & Clarke, SIGIR'09) — the closure of the retrieval tier:
+    // production search over a training corpus is HYBRID (a sparse
+    // lexical leg + a dense embedding leg, fused by rank), because the
+    // two modalities fail differently and RRF needs no score
+    // calibration — only ranks. Legs are the already-verified exact
+    // operators (q83 BM25, q43 brute-force cosine); fusion weights are
+    // LCM-scaled exact integers (see RrfLcm), so the fused surface
+    // hashes cross-engine with zero float-summation risk. Output: the
+    // fused top-15 with each leg's rank beside the integer RRF score
+    // (NULL rank = absent from that leg).
+    "q200_rrf_hybrid" -> ((spark, dir) =>
+      rrfHybrid(Tables(spark, dir, "documents"),
+        Tables(spark, dir, "embeddings"))),
 
     // q130 [north star]: INVERTED-INDEX construction — the index-build
     // side of q83's query-time scoring: per vocabulary term, document
@@ -171,7 +247,55 @@ object Retrieval extends QueryGroup {
       .mkString(",\n         ")
     val tfOut = QueryTerms.indices.map(i =>
       s"CAST(tf${i + 1} AS BIGINT) AS tf${i + 1}").mkString(", ")
+    // the q83 scoring chain (shared verbatim by the q200 fusion oracle:
+    // the sparse leg of a hybrid result must be EXACTLY the standalone
+    // BM25 result, so the SQL is factored, not re-derived)
+    val bm25Ctes =
+      s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, len(ws) AS dl,
+         |        $tfSql
+         |      FROM w),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         $dfSql
+         |       FROM t),
+         |s AS (SELECT doc_id, dl, tf1, tf2, tf3, n, sumdl, df1, df2, df3,
+         |        ${QueryTerms.indices.map(i => s"(${termSql(i + 1)})").mkString("\n        + ")} AS score
+         |      FROM t, st),
+         |top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 20)"""
+        .stripMargin
+    val cosQ0 = {
+      val d = (a: String, b: String) => Similarity.dot(a, b)
+      s"(${d("q.q_emb", "e.embedding")} / (sqrt(${d("q.q_emb", "q.q_emb")}) * sqrt(${d("e.embedding", "e.embedding")})))"
+    }
     Map(
+      // q200: both legs re-derived through their standalone oracles
+      // (q83's CTEs verbatim; q43's cosine fold with query = vec 0),
+      // fused with the same lcm-scaled integer weights (// = BIGINT
+      // division in DuckDB, exact by the divisibility invariant)
+      "q200_rrf_hybrid" ->
+        s"""WITH $bm25Ctes,
+           |sp AS (SELECT doc_id,
+           |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+           |       FROM top),
+           |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+           |dcos AS (SELECT e.vec_id AS doc_id, $cosQ0 AS cos
+           |         FROM embeddings e, q WHERE e.vec_id <> 0),
+           |de AS (SELECT doc_id, cos_rank FROM (
+           |         SELECT doc_id,
+           |           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank
+           |         FROM dcos) t WHERE cos_rank <= $RrfLegK),
+           |f AS (SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+           |        sp.bm25_rank, de.cos_rank,
+           |        COALESCE($RrfLcm // ($RrfK + sp.bm25_rank), 0)
+           |          + COALESCE($RrfLcm // ($RrfK + de.cos_rank), 0) AS rrf_score
+           |      FROM sp FULL OUTER JOIN de ON de.doc_id = sp.doc_id),
+           |r AS (SELECT doc_id,
+           |        CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank,
+           |        rrf_score, bm25_rank, cos_rank
+           |      FROM f)
+           |SELECT doc_id, fused_rank, CAST(rrf_score AS BIGINT) AS rrf_score,
+           |  bm25_rank, cos_rank
+           |FROM r WHERE fused_rank <= $RrfTopK ORDER BY fused_rank""".stripMargin,
       "q130_posting_lists" ->
         """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
           |            FROM documents),
@@ -184,17 +308,7 @@ object Retrieval extends QueryGroup {
           |FROM dw JOIN v ON v.w = dw.w
           |GROUP BY v.w, v.df ORDER BY v.w""".stripMargin,
       "q83_bm25" ->
-        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |t AS (SELECT doc_id, len(ws) AS dl,
-           |        $tfSql
-           |      FROM w),
-           |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
-           |         $dfSql
-           |       FROM t),
-           |s AS (SELECT doc_id, dl, tf1, tf2, tf3, n, sumdl, df1, df2, df3,
-           |        ${QueryTerms.indices.map(i => s"(${termSql(i + 1)})").mkString("\n        + ")} AS score
-           |      FROM t, st),
-           |top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 20)
+        s"""WITH $bm25Ctes
            |SELECT doc_id,
            |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
            |  $tfOut

@@ -3020,6 +3020,80 @@ class OperatorSpec extends SparkSpec {
       assert(outToks(t), s"true heavy hitter '$t' missing from the output"))
   }
 
+  test("q200 rrf: fused order == exact-rational RRF; legs verbatim q83/q43; lcm divisibility; NULL leg discipline") {
+    import graft.operators.{Retrieval, Similarity}
+    // the lcm-exactness invariant the integer scaling rests on
+    (1 to Retrieval.RrfLegK).foreach(r =>
+      assert(Retrieval.RrfLcm % (Retrieval.RrfK + r) == 0L,
+        s"RrfLcm not divisible by ${Retrieval.RrfK + r}"))
+    val out = SparkEntry.queries("q200_rrf_hybrid")(spark, Sf).collect()
+    assert(out.length == Retrieval.RrfTopK)
+    // the legs, re-collected from the STANDALONE operators — a hybrid
+    // result's legs must be exactly the operators users run alone
+    val bm25 = SparkEntry.queries("q83_bm25")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dense = Similarity.cosineTopK(
+        Tables(spark, Sf, "embeddings"),
+        Tables(spark, Sf, "embeddings").filter(col("vec_id") === 0),
+        Retrieval.RrfLegK)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    // exact-rational reference: score = Σ 1/(K+r) as BigInt fractions,
+    // ordered by cross-multiplication — INDEPENDENT of the lcm scaling
+    def frac(rs: Seq[Long]): (BigInt, BigInt) =
+      rs.map(r => (BigInt(1), BigInt(Retrieval.RrfK + r)))
+        .foldLeft((BigInt(0), BigInt(1))) {
+          case ((n, d), (tn, td)) => (n * td + tn * d, d * td)
+        }
+    val expected = (bm25.keySet ++ dense.keySet).toSeq
+      .map(id => (id, frac(Seq(bm25.get(id), dense.get(id)).flatten.toSeq)))
+      .sortWith { case ((ida, (na, da)), (idb, (nb, db))) =>
+        val c = (na * db).compare(nb * da)
+        if (c != 0) c > 0 else ida < idb
+      }
+      .take(Retrieval.RrfTopK).map(_._1)
+    assert(out.map(_.getLong(0)).toSeq == expected,
+      "fused order drifted from the exact-rational RRF reference")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val rb = bm25.get(id)
+      val rd = dense.get(id)
+      val want = rb.map(x => Retrieval.RrfLcm / (Retrieval.RrfK + x)).getOrElse(0L) +
+        rd.map(x => Retrieval.RrfLcm / (Retrieval.RrfK + x)).getOrElse(0L)
+      assert(r.getLong(2) == want, s"doc $id: rrf_score ${r.getLong(2)} != $want")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == rb,
+        s"doc $id: bm25 leg rank drifted")
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == rd,
+        s"doc $id: cosine leg rank drifted")
+    }
+    // absence from a leg = NULL rank + zero contribution, and the
+    // corpus fixture must actually exercise single-leg docs
+    assert(out.exists(_.isNullAt(3)) || out.exists(_.isNullAt(4)),
+      "fixture never exercised a single-leg doc")
+
+    // toy fixture: deterministic BOTH-LEGS fusion (overlap at corpus
+    // scale is luck; here doc 1 is engineered into both top lists and
+    // must outrank every single-leg doc at these ranks)
+    import spark.implicits._
+    val toyDocs = Seq(
+      (0L, "filler filler"), (1L, "scan join dup"), (2L, "scan scan join"),
+      (3L, "join dup"), (4L, "filler"), (5L, "dup")).toDF("doc_id", "text")
+    val toyEmb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 0), (3L, Seq(0.1f, 0.9f), 0),
+      (4L, Seq(0.8f, 0.3f), 0), (5L, Seq(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val toy = Retrieval.rrfHybrid(toyDocs, toyEmb).collect()
+    val t1 = toy.find(_.getLong(0) == 1L).get
+    assert(!t1.isNullAt(3) && !t1.isNullAt(4),
+      "toy doc 1 must appear in BOTH legs")
+    assert(t1.getLong(2) ==
+      Retrieval.RrfLcm / (Retrieval.RrfK + t1.getLong(3)) +
+        Retrieval.RrfLcm / (Retrieval.RrfK + t1.getLong(4)),
+      "both-legs score must be the sum of both contributions")
+    assert(toy.head.getLong(0) == 1L,
+      "the both-legs doc must fuse to the top at these leg ranks")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

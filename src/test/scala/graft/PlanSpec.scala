@@ -737,4 +737,20 @@ class PlanSpec extends SparkSpec {
     assert(sourceOnly <= 1,
       s"expected at most the offsets window's source-keyed exchange, got $sourceOnly:\n$p")
   }
+
+  test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
+    // both legs keep their standalone scale shapes — the sparse cut is
+    // TakeOrderedAndProject (per-partition local 20, no global sort of
+    // the corpus) and every corpus-sized join side is a broadcast (the
+    // one-row BM25 stats, the one-vector dense query); the fusion join
+    // runs over two <=20-row lists, so NOTHING corpus-sized may appear
+    // in a pair join
+    val p = plan("q200_rrf_hybrid")
+    assert(p.contains("TakeOrderedAndProject"),
+      "sparse leg must cut via TakeOrderedAndProject")
+    assert(!p.contains("CartesianProduct"),
+      s"q200 must not plan a cartesian corpus join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus-sized join sides (stats row, query vector) must broadcast")
+  }
 }
