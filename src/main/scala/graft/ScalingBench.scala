@@ -67,6 +67,22 @@ object ScalingBench {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
 
+    // customer (q201): quasi-identifier columns copied VERBATIM — every
+    // equivalence class keeps its count and grows 10× in size, which is
+    // how a real release scales (a perturbed copy would instead create
+    // fresh classes and measure a different, artificially-fine audit);
+    // the nation dimension rides along unchanged (dims don't scale)
+    val cust = Tables(spark, baseDir, "customer")
+    (0 until Factor).map { k =>
+      if (k == 0) cust
+      else cust.select((col("c_custkey") + lit(k * 100000000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
+    Tables(spark, baseDir, "nation")
+      .write.mode("overwrite").parquet(s"$workDir/nation.parquet")
+
     // ---- timing: median-of-N checksum consumer (same as Bench) ----
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     def checksum(df: DataFrame): Unit =
@@ -106,7 +122,8 @@ object ScalingBench {
       "q192_ivf_state_incremental", "q193_epoch_shuffle",
       "q194_block_motion_video", "q195_release_point_fix",
       "q196_full_pframe_video", "q197_schema_drift_profile",
-      "q198_unigram_viterbi", "q199_countmin_heavy", "q200_rrf_hybrid")
+      "q198_unigram_viterbi", "q199_countmin_heavy", "q200_rrf_hybrid",
+      "q201_k_anonymity")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

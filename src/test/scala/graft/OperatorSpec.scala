@@ -3094,6 +3094,74 @@ class OperatorSpec extends SparkSpec {
       "the both-legs doc must fuse to the top at these leg ranks")
   }
 
+  test("q201 k-anonymity: matches a plain-Scala audit; coarsening monotone; chosen = min satisfying; loud below k; NULL = own class") {
+    import graft.operators.Privacy
+    val out = SparkEntry.queries("q201_k_anonymity")(spark, Sf).collect()
+    assert(out.length == 5)
+    // SECOND implementation (after the oracle's SQL): the whole ladder
+    // re-derived in plain Scala off collected rows
+    val regionOf = Tables(spark, Sf, "nation").collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val rows = Tables(spark, Sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def band(b: Double, w: Int): String = math.floor(b / w).toLong.toString
+    def qi(l: Int, nat: Int, seg: String, bal: Double): (String, String, String) = l match {
+      case 0 => (s"n$nat", seg, s"b100:${band(bal, 100)}")
+      case 1 => (s"n$nat", seg, s"b1000:${band(bal, 1000)}")
+      case 2 => (s"r${regionOf(nat)}", seg, s"b1000:${band(bal, 1000)}")
+      case 3 => (s"r${regionOf(nat)}", "*", s"b5000:${band(bal, 5000)}")
+      case 4 => ("*", "*", "*")
+    }
+    val ref = (0 to 4).map { l =>
+      val sizes = rows.groupBy { case (n, s, b) => qi(l, n, s, b) }
+        .values.map(_.size.toLong).toSeq
+      val viol = sizes.filter(_ < Privacy.AnonK)
+      (l.toLong, sizes.size.toLong, viol.size.toLong, viol.sum)
+    }
+    out.zip(ref).foreach { case (r, (l, nc, vc, ar)) =>
+      assert(r.getLong(0) == l)
+      assert(r.getLong(1) == nc, s"level $l: n_classes ${r.getLong(1)} != $nc")
+      assert(r.getLong(2) == vc, s"level $l: violating ${r.getLong(2)} != $vc")
+      assert(r.getLong(3) == ar, s"level $l: at-risk ${r.getLong(3)} != $ar")
+      assert(r.getBoolean(4) == (vc == 0L))
+    }
+    // strict-coarsening monotonicity: merging classes can only shrink
+    // the at-risk set, and satisfaction never reverses up the ladder
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) <= a.getLong(3),
+        s"at-risk grew from level ${a.getLong(0)} to ${b.getLong(0)}")
+      assert(!a.getBoolean(4) || b.getBoolean(4),
+        "satisfies reversed up the ladder")
+    }
+    // exactly one chosen level, and it is the MIN satisfying one
+    val chosen = out.filter(_.getBoolean(5))
+    assert(chosen.length == 1)
+    assert(chosen.head.getLong(0) == out.filter(_.getBoolean(4)).map(_.getLong(0)).min)
+    // the fixture must exercise a non-trivial ladder: level 0 violating
+    assert(!out.head.getBoolean(4), "level 0 must violate or the ladder is vacuous")
+
+    // corpus below k: every rung violates -> loud refusal, not an audit
+    import spark.implicits._
+    val tiny = Seq((1L, 3, 55.0, "BUILDING"), (2L, 3, 55.0, "BUILDING"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val nat = Tables(spark, Sf, "nation")
+    val e = intercept[Exception] {
+      Privacy.kAnonymityAudit(tiny, nat, Privacy.AnonK).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+
+    // NULL quasi-identifiers form their OWN class (6 null-balance rows
+    // clear k=5 as one class; the 5 real-value rows clear it too)
+    val nulls = ((1 to 6).map(i => (i.toLong, 3, null.asInstanceOf[java.lang.Double], "AUTO")) ++
+      (7 to 11).map(i => (i.toLong, 3, java.lang.Double.valueOf(55.0), "AUTO")))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val na = Privacy.kAnonymityAudit(nulls, nat, Privacy.AnonK).collect()
+    assert(na.head.getLong(1) == 2L && na.head.getBoolean(4),
+      "level 0 must hold exactly {null-band, 55-band} classes, both >= k")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

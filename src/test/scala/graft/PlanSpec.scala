@@ -738,6 +738,21 @@ class PlanSpec extends SparkSpec {
       s"expected at most the offsets window's source-keyed exchange, got $sourceOnly:\n$p")
   }
 
+  test("q201 audits in one Expand pass: broadcast dim join, no corpus pair join") {
+    // the ladder is one explode (Generate) into one (level, QI)-keyed
+    // partial-aggregating count; the only corpus join is the broadcast
+    // nation dimension — no sort-merge, no cartesian
+    val p = plan("q201_k_anonymity")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      "ladder must run as one Expand-style explode pass")
+    assert(p.contains("BroadcastHashJoin"),
+      "nation dim must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q201 must not plan a corpus-sized join:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "class sizes must partial-aggregate")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of
