@@ -3162,6 +3162,62 @@ class OperatorSpec extends SparkSpec {
       "level 0 must hold exactly {null-band, 55-band} classes, both >= k")
   }
 
+  test("q202 l-diversity: matches a plain-Scala audit; monotone; loud below l; NULL sensitive is a value") {
+    import graft.operators.Privacy
+    val out = SparkEntry.queries("q202_l_diversity")(spark, Sf).collect()
+    assert(out.length == 4)
+    val regionOf = Tables(spark, Sf, "nation").collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val rows = Tables(spark, Sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def band(b: Double, w: Int): String = math.floor(b / w).toLong.toString
+    def qi(l: Int, n: Int, b: Double): (String, String) = l match {
+      case 0 => (s"n$n", s"b1000:${band(b, 1000)}")
+      case 1 => (s"r${regionOf(n)}", s"b1000:${band(b, 1000)}")
+      case 2 => (s"r${regionOf(n)}", s"b5000:${band(b, 5000)}")
+      case 3 => ("*", "*")
+    }
+    (0 to 3).zip(out).foreach { case (l, r) =>
+      val cls = rows.groupBy { case (n, _, b) => qi(l, n, b) }.values
+        .map(g => (g.size.toLong, g.map(_._2).distinct.size.toLong)).toSeq
+      val viol = cls.filter(_._2 < Privacy.DivL)
+      assert(r.getLong(0) == l.toLong)
+      assert(r.getLong(1) == cls.size.toLong, s"level $l n_classes")
+      assert(r.getLong(2) == viol.size.toLong, s"level $l violating")
+      assert(r.getLong(3) == viol.map(_._1).sum, s"level $l at-risk")
+      assert(r.getLong(4) == cls.count(_._2 == 1L).toLong, s"level $l homogeneous")
+      assert(r.getBoolean(5) == viol.isEmpty)
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) <= a.getLong(3), "at-risk grew up the ladder")
+      assert(!a.getBoolean(5) || b.getBoolean(5), "satisfies reversed")
+    }
+    assert(out.count(_.getBoolean(6)) == 1)
+    assert(!out.head.getBoolean(5), "level 0 must violate or the ladder is vacuous")
+
+    // fewer than l sensitive values in the whole corpus -> loud refusal
+    import spark.implicits._
+    val nat = Tables(spark, Sf, "nation")
+    val twoSeg = (1 to 12).map(i =>
+      (i.toLong, i % 25, 50.0 * i, if (i % 2 == 0) "AUTO" else "BUILDING"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val e = intercept[Exception] {
+      Privacy.lDiversityAudit(twoSeg, nat, Privacy.DivL).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+
+    // NULL sensitive counts as a VALUE: {AUTO, <null>, BUILDING} is
+    // 3-diverse at the top rung
+    val withNull = Seq(
+      (1L, 1, 10.0, "AUTO"), (2L, 2, 20.0, null: String), (3L, 3, 30.0, "BUILDING"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val na = Privacy.lDiversityAudit(withNull, nat, Privacy.DivL).collect()
+    assert(na.last.getBoolean(5),
+      "top rung must be 3-diverse when NULL counts as its own sensitive value")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

@@ -753,6 +753,14 @@ class PlanSpec extends SparkSpec {
       "class sizes must partial-aggregate")
   }
 
+  test("q202 audits in one Expand pass: broadcast dim join, no corpus pair join") {
+    val p = plan("q202_l_diversity")
+    assert(p.contains("Generate"), "ladder must run as one explode pass")
+    assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q202 must not plan a corpus-sized join:\n${p.take(1500)}")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of
