@@ -299,6 +299,16 @@ object StreamOps {
   def countMinStream(toks: DataFrame): DataFrame =
     graft.operators.Aggregates.cmCellsOfTokens(toks)
 
+  /** Live KMV synopsis — q203's streaming twin: the k smallest distinct
+    * hashes maintained as rows arrive (a live distinct-cardinality /
+    * overlap monitor). The builder is `Sketches.kmvSynopsis` VERBATIM —
+    * min-k over a set is a commutative, associative, IDEMPOTENT monoid,
+    * so re-delivered rows are free and the batch construction is a
+    * valid complete-mode streaming aggregate with ≤ k longs of state.
+    */
+  def kmvStream(hashes: DataFrame): DataFrame =
+    graft.operators.Sketches.kmvSynopsis(hashes)
+
   /** Per-group state for the changelog maintainers
     * ([[dedupStateStream]], [[ivfStateStream]]): the group's id
     * multiset (net insert/retract counts) + a per-key version counter

@@ -3218,6 +3218,79 @@ class OperatorSpec extends SparkSpec {
       "top rung must be 3-diverse when NULL counts as its own sensitive value")
   }
 
+  test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
+    import graft.operators.Sketches
+    val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("a", "b", "union", "intersect"))
+    // SECOND implementation (after the oracle's SQL): the whole sketch
+    // in plain Scala off java MessageDigest
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(t: String): Long = java.lang.Long.parseLong(md5hex("kmv:" + t).take(15), 16)
+    val rows = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shingles = rows.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val inA = md5hex("kmvdump:" + id).head < '8'
+      (0 to ws.length - 3).map(i => (inA, ws.slice(i, i + 3).mkString(" ")))
+    }
+    val setA = shingles.filter(_._1).map(_._2).toSet
+    val setB = shingles.filterNot(_._1).map(_._2).toSet
+    val k = 128
+    val H = 1L << 60
+    def syn(s: Set[String]): Seq[Long] =
+      s.map(h60).toSeq.distinct.sorted.take(k)
+    val (sa, sb) = (syn(setA), syn(setB))
+    val (thA, thB) = (sa(k - 1), sb(k - 1))
+    val thU = math.min(thA, thB)
+    def est(m: Long, th: Long): Long =
+      math.floor((m.toDouble * H.toDouble) / th.toDouble).toLong
+    val sampA = sa.take(k - 1).toSet
+    val sampB = sb.take(k - 1).toSet
+    val mU = (sampA ++ sampB).count(_ < thU).toLong
+    val mI = (sampA & sampB).count(_ < thU).toLong
+    val ref = Map(
+      "a" -> (thA, (k - 1).toLong, est(k - 1, thA), setA.size.toLong),
+      "b" -> (thB, (k - 1).toLong, est(k - 1, thB), setB.size.toLong),
+      "union" -> (thU, mU, est(mU, thU), (setA ++ setB).size.toLong),
+      "intersect" -> (thU, mI, est(mI, thU), (setA & setB).size.toLong))
+    ref.foreach { case (m, want) =>
+      assert(out(m) == want, s"measure $m: engine ${out(m)} != reference $want")
+    }
+    // the 1/sqrt(k) error envelope, with slack: the estimate must be a
+    // real estimate, not garbage that happens to hash
+    out.foreach { case (m, (_, _, e, x)) =>
+      assert(math.abs(e - x).toDouble / x < 3.0 / math.sqrt(k),
+        s"measure $m: |$e - $x| outside 3/sqrt(k)")
+    }
+
+    // below k distinct hashes -> exact mode -> loud refusal
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      graft.operators.Sketches.kmvOverlap(tiny).collect()
+    }
+    assert(e1.getMessage != null || e1.getCause != null)
+
+    // MinKAgg laws on a deterministic sequence: distinct, sorted,
+    // bounded, idempotent, merge-order-free
+    val agg = new graft.functions.MinKAgg(8)
+    val xs = (1 to 200).map(i => ((i * 7919L) % 101) - 50)
+    val direct = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(77)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    val expect = xs.distinct.sorted.take(8)
+    assert(agg.finish(direct) == expect)
+    assert(agg.finish(merged) == expect)
+    assert(agg.finish(agg.merge(direct, direct)) == expect, "idempotence")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

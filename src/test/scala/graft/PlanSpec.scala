@@ -761,6 +761,25 @@ class PlanSpec extends SparkSpec {
       s"q202 must not plan a corpus-sized join:\n${p.take(1500)}")
   }
 
+  test("q203 sketch-only pass: bounded partial agg, no key-partitioned corpus shuffle") {
+    // the production KMV path (sketch alone, no exact legs): min-k is
+    // idempotent over the raw stream, so the ONLY exchange is the
+    // single-partition merge of <=k-long partials — never a shuffle
+    // keyed on the token/shingle
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    val df = Sketches.kmvSynopsis(
+      Sketches.tokenStream(Tables(spark, Sf, "documents"))
+        .select(Sketches.h60(col("token")).as("h")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sketch build must not shuffle by key:\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "MinKAgg must run as a partial-aggregating UDAF")
+    assert(!p.contains("Join"), "sketch build must not join")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of

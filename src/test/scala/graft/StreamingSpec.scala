@@ -1511,6 +1511,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size <= 4 * 64, "sketch state exceeded d*w cells")
   }
 
+  test("streaming KMV: live synopsis converges to the batch q203 sketch; re-delivery is free (idempotence)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Sketches
+    val docs = Tables(spark, Sf, "documents")
+    val hs = Sketches.tokenStream(docs)
+      .select(Sketches.h60(col("token")).as("h"))
+      .collect().map(_.getLong(0))
+    val ms = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.kmvStream(
+        ms.toDF().toDF("h")).writeStream
+      .format("memory").queryName("kmv_out").outputMode("complete").start()
+    val third = hs.length / 3
+    ms.addData(hs.take(third).toSeq); q.processAllAvailable()
+    ms.addData(hs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    // re-deliver wave 2 wholesale: min-k over a SET is idempotent, so
+    // the producer-retry case costs nothing and changes nothing
+    ms.addData(hs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    ms.addData(hs.drop(2 * third).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_out").collect()
+      .map(_.getSeq[Long](0)).head
+    val batch = Sketches.kmvSynopsis(
+        Sketches.tokenStream(docs).select(Sketches.h60(col("token")).as("h")))
+      .collect().map(_.getSeq[Long](0)).head
+    assert(streamed == batch, "live KMV synopsis drifted from the batch sketch")
+    assert(batch.length <= 128 && batch == batch.distinct.sorted,
+      "synopsis must be the k smallest DISTINCT hashes, ascending")
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
