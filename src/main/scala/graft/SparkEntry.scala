@@ -16,7 +16,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     Relational, Joins, Aggregates, Windows, Scalars,
     TextAnalysis, Dedup, Similarity, Multimodal, Curation, Retrieval,
-    Behavior, Tokenizer, Pq, Pipeline, SuffixScrub, Privacy, Sketches)
+    Behavior, Tokenizer, Pq, Pipeline, SuffixScrub, Privacy, Sketches,
+    Graph)
 
   /** Flagship query (the reference's whole dataflow in batch form) on
     * sf=0.001; driver smoke-checks rows>0.

@@ -3291,6 +3291,50 @@ class OperatorSpec extends SparkSpec {
     assert(agg.finish(agg.merge(direct, direct)) == expect, "idempotence")
   }
 
+  test("q204 pagerank: matches a plain-Scala fixpoint; base floor; sink discipline; deterministic") {
+    import graft.operators.Graph
+    val out = SparkEntry.queries("q204_pagerank")(spark, Sf).collect()
+    val n = out.length
+    assert(n > 0)
+    // SECOND implementation: edges + 5 integer iterations in plain Scala
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = out.map(_.getLong(0))
+    assert(ids.toSeq == ids.sorted.toSeq)
+    val idx = ids.zipWithIndex.toMap
+    val edges = ids.flatMap(u => (1 to Graph.OutDeg).map { j =>
+      val h = java.lang.Long.parseLong(md5hex(s"edge:$u:$j").take(15), 16)
+      (u, ids((h % n + n).toInt % n))
+    })
+    var r = ids.map(_ => Graph.PrScale)
+    (1 to Graph.PrIters).foreach { _ =>
+      val nxt = Array.fill(n)(Graph.PrBase)
+      edges.foreach { case (u, v) =>
+        nxt(idx(v)) += (r(idx(u)) * 85L) / (100L * Graph.OutDeg)
+      }
+      r = nxt
+    }
+    out.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getLong(2) == r(i),
+        s"doc ${row.getLong(0)}: pr ${row.getLong(2)} != reference ${r(i)}")
+    }
+    // floors: every rank >= the damping base, exactly the base for sinks
+    val indeg = edges.groupBy(_._2).view.mapValues(_.size).toMap
+    out.foreach { row =>
+      assert(row.getLong(2) >= Graph.PrBase)
+      if (!indeg.contains(row.getLong(0)))
+        assert(row.getLong(2) == Graph.PrBase,
+          s"in-degree-0 doc ${row.getLong(0)} must sit exactly at the base")
+    }
+    // the fixture must exercise both sinks and hubs
+    assert(out.exists(_.getLong(2) == Graph.PrBase), "no sink in the fixture")
+    assert(out.exists(_.getLong(2) > 2 * Graph.PrBase), "no hub in the fixture")
+    // integer mass sanity: floors only ever lose mass
+    val total = out.map(_.getLong(2)).sum
+    assert(total <= n.toLong * Graph.PrScale && total >= n.toLong * Graph.PrBase)
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

@@ -780,6 +780,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "sketch build must not join")
   }
 
+  test("q204 iterates equi-joins: no cartesian, contributions partial-aggregate on dst") {
+    val p = plan("q204_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      s"pagerank must never plan a cartesian join:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(dst") || p.contains("hashpartitioning(v"),
+      "iteration shuffles must key on the join/agg column")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "contribution sums must partial-aggregate")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of
