@@ -3335,6 +3335,74 @@ class OperatorSpec extends SparkSpec {
     assert(total <= n.toLong * Graph.PrScale && total >= n.toLong * Graph.PrBase)
   }
 
+  test("q205 symspell: matches plain-Scala brute force; all typo arms land; neighborhood theorem; lexicon cap loud") {
+    import graft.operators.Fuzzy
+    val out = SparkEntry.queries("q205_symspell_fuzzy")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // THIRD implementation (after the oracle's brute-force SQL): plain
+    // Scala levenshtein over the re-derived query/lexicon sets
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables(spark, Sf, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lex = rows.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty).distinct.toSet
+    val typos = rows.flatMap { case (id, text) =>
+      val w = text.split(" ", -1).head
+      if (w.isEmpty || w.length < 3) None
+      else md5hex("typo:" + id).head match {
+        case g if g < '4' => Some(w.take(1) + w.drop(2))
+        case g if g < '8' => Some("z" + w.drop(1))
+        case g if g < 'c' => Some(w + "q")
+        case _ => None
+      }
+    }
+    val qt = lex ++ typos
+    val ref = (for (q <- qt; w <- lex; d = lev(q, w) if d <= Fuzzy.MaxEdits)
+      yield (q, w, d.toLong)).toSet
+    assert(out.toSet == ref,
+      "SymSpell join drifted from the brute-force reference (blocking lost a pair?)")
+    // every distance tier and every typo arm must be exercised
+    assert(Set(0L, 1L, 2L).subsetOf(out.map(_._3).toSet))
+    assert(out.exists { case (t, w, d) => d == 1 && t == "z" + w.drop(1) },
+      "substitution arm missing")
+    assert(out.exists { case (t, w, d) => d == 1 && t == w + "q" },
+      "insertion arm missing")
+    assert(out.exists { case (t, w, d) =>
+      d == 1 && w.length >= 3 && t == w.take(1) + w.drop(2) },
+      "deletion arm missing")
+    // the SymSpell theorem, exercised directly on every matched pair:
+    // lev <= 2 => the deletion neighborhoods intersect
+    def nbhd(s: String): Set[String] = {
+      val one = (0 until s.length).map(i => s.take(i) + s.drop(i + 1))
+      val two = one.flatMap(t => (0 until t.length).map(i => t.take(i) + t.drop(i + 1)))
+      (Seq(s) ++ one ++ two).toSet
+    }
+    ref.foreach { case (q, w, _) =>
+      assert(nbhd(q).intersect(nbhd(w)).nonEmpty,
+        s"neighborhoods of '$q' and '$w' must intersect")
+    }
+
+    // a corpus-sized lexicon voids the broadcast contract -> loud
+    import spark.implicits._
+    val big = Seq((1L, (0 until 5000).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Fuzzy.symspellJoin(Fuzzy.queryTokens(big), Fuzzy.lexicon(big)).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

@@ -790,6 +790,17 @@ class PlanSpec extends SparkSpec {
       "contribution sums must partial-aggregate")
   }
 
+  test("q205 blocks via equi-join: broadcast dictionary, no cross join") {
+    // the whole point of SymSpell: the edit-distance join is an
+    // EQUI-join on the deletion variant — a cross join here means the
+    // blocking silently degenerated to brute force
+    val p = plan("q205_symspell_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q205 must not plan a pair join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dictionary side must broadcast into an equi hash join")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of
