@@ -83,6 +83,21 @@ object ScalingBench {
     Tables(spark, baseDir, "nation")
       .write.mode("overwrite").parquet(s"$workDir/nation.parquet")
 
+    // events (q206): each copy shifts user_id and event_id — 10× users,
+    // every user's event history byte-identical to a base user's, so
+    // per-user fold work is preserved and only the user count scales
+    // (ts written as TimestampType; Tables.normalizeEventsTs passes it
+    // through on read)
+    val ev = Tables(spark, baseDir, "events")
+    (0 until Factor).map { k =>
+      if (k == 0) ev
+      else ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+
     // ---- timing: median-of-N checksum consumer (same as Bench) ----
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     def checksum(df: DataFrame): Unit =
@@ -124,7 +139,7 @@ object ScalingBench {
       "q196_full_pframe_video", "q197_schema_drift_profile",
       "q198_unigram_viterbi", "q199_countmin_heavy", "q200_rrf_hybrid",
       "q201_k_anonymity", "q202_l_diversity", "q203_kmv_theta",
-      "q204_pagerank", "q205_symspell_fuzzy")
+      "q204_pagerank", "q205_symspell_fuzzy", "q206_ewma_anomaly")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

@@ -36,6 +36,25 @@ object Behavior extends QueryGroup {
   val MinMarginCents = 500L
 
   def queries: Map[String, Q] = Map(
+    // q206 [north star, r12]: EWMA spike/collapse detection — the
+    // SEQUENTIAL anomaly tier next to q117's population z-test (q117
+    // asks "is this day unusual for this user overall?"; this follows
+    // the TREND: "did the value jump vs its exponentially-weighted
+    // recent past?" — the online-monitoring primitive). The smoothing
+    // recurrence is exact-integer: cents (the q175 idiom), α = 1/8 so
+    // e' = ⌊(7e + v)/8⌋ is a divide-by-power-of-two (floor ≡ exact
+    // binary division — zero rounding ambiguity cross-engine), spike =
+    // v > 3e, collapse = 3v < e, both pure BIGINT predicates; the first
+    // observation seeds the state and is never flagged. Scale: ONE
+    // user-keyed shuffle; per-user fold via array_sort(collect_list)
+    // + aggregate() — bounded by the user's own history (the q160
+    // stance), map-only after the exchange, no windows over the corpus.
+    // Oracle: the identical fold as DuckDB list_reduce over the same
+    // (us, event_id)-ordered list — struct state, left fold, two
+    // independent implementations of the recurrence.
+    "q206_ewma_anomaly" -> ((spark, dir) =>
+      ewmaAnomaly(Tables(spark, dir, "events"))),
+
     // q175 [north star, r10]: PREFERENCE-PAIR construction — the
     // behavior-log → RLHF/DPO bridge (q160 renders SFT transcripts;
     // this mines (chosen, rejected) item pairs from implicit feedback).
@@ -373,7 +392,67 @@ object Behavior extends QueryGroup {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** q206's operator over a `(user_id, ts, event_id, value)` frame. */
+  private[graft] def ewmaAnomaly(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .filter(col("cents").isNotNull)
+    val init = struct(lit(0L).as("e"), lit(0L).as("a"), lit(0L).as("n"))
+    ev.groupBy(col("user_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("cents")))),
+        init,
+        (acc, x) => {
+          val v = x.getField("cents")
+          val e = acc.getField("e")
+          val n = acc.getField("n")
+          val anom = n > 0L && (v > e * 3L || v * 3L < e)
+          struct(
+            when(n === 0L, v)
+              // (7e+v)/8.0 is division by a power of two — exact in
+              // binary, so floor(double) ≡ DuckDB's integer //
+              .otherwise(floor((e * 7L + v).cast("double") / 8.0)
+                .cast("long")).as("e"),
+            (acc.getField("a") + when(anom, 1L).otherwise(0L)).as("a"),
+            (n + 1L).as("n"))
+        }).as("st"))
+      .select(col("user_id"), col("st.n").as("n_events"),
+        col("st.e").as("ewma_cents"), col("st.a").as("anomalies"))
+      .orderBy("user_id")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q206: the identical integer EWMA fold as a recursive CTE (the
+    // q198 proof shape). NOT list_reduce: DuckDB 1.0's list_reduce
+    // mis-evaluates COMPARISONS against the accumulator struct on long
+    // lists (arithmetic fields stay exact while predicate fields
+    // silently undercount — measured on this very fixture: 15 vs the
+    // true 18 anomalies for user 1, e-trace bit-exact throughout), so
+    // stateful folds with predicates must take the recursive road.
+    "q206_ewma_anomaly" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |       FROM events WHERE value IS NOT NULL),
+        |seq AS (SELECT user_id, cents,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY us, event_id) AS rn FROM ev),
+        |nu AS (SELECT user_id, COUNT(*) AS n FROM seq GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, 1 AS i, cents AS e, CAST(0 AS BIGINT) AS a
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.i + 1, (7*r.e + s.cents) // 8,
+        |         r.a + CAST(s.cents > 3*r.e OR 3*s.cents < r.e AS BIGINT)
+        |  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.i + 1)
+        |SELECT r.user_id AS user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(r.e AS BIGINT) AS ewma_cents, CAST(r.a AS BIGINT) AS anomalies
+        |FROM r JOIN nu n ON n.user_id = r.user_id AND r.i = n.n
+        |ORDER BY user_id""".stripMargin,
+
     // q175: same exact-cents scoring; chosen/rejected re-derived with
     // deterministic row_number tie-breaks ((s DESC, k ASC) / (s ASC,
     // k DESC) ≡ max/min of the (s, −k) struct).

@@ -3403,6 +3403,57 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q206 ewma: matches a plain-Scala fold; both spike and collapse fire; first observation seeds; NULL discipline") {
+    val out = SparkEntry.queries("q206_ewma_anomaly")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // THIRD implementation (after the oracle's recursive CTE): the fold
+    // in plain Scala, with spike/collapse split out to prove the
+    // fixture exercises BOTH failure directions
+    val ev = Tables(spark, Sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .filter(col("cents").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var spikes = 0L; var collapses = 0L
+    val ref = ev.groupBy(_._1).map { case (u, rows) =>
+      val vs = rows.sortBy(t => (t._2, t._3)).map(_._4)
+      var e = 0L; var a = 0L; var n = 0L
+      vs.foreach { v =>
+        if (n > 0) {
+          val sp = v > 3 * e; val cl = 3 * v < e
+          if (sp) spikes += 1
+          if (cl) collapses += 1
+          if (sp || cl) a += 1
+          e = (7 * e + v) / 8
+        } else e = v
+        n += 1
+      }
+      u -> (n, e, a)
+    }
+    assert(out == ref.toMap, "EWMA fold drifted from the plain-Scala reference")
+    assert(spikes > 0 && collapses > 0,
+      s"fixture must exercise both directions (spikes=$spikes collapses=$collapses)")
+    // toy: first observation seeds the state and is never flagged (a
+    // huge first value alone yields zero anomalies); a NULL value drops
+    // from the fold and from n_events; order rides (us, event_id)
+    import spark.implicits._
+    val toy = Seq(
+      (1L, 100L, 1L, java.lang.Double.valueOf(999.0)),
+      (1L, 200L, 2L, null.asInstanceOf[java.lang.Double]),
+      (1L, 300L, 3L, java.lang.Double.valueOf(1.0)),
+      (2L, 100L, 4L, java.lang.Double.valueOf(500000.0)))
+      .toDF("user_id", "usl", "event_id", "value")
+      .select(col("user_id"), timestamp_micros(col("usl")).as("ts"),
+        col("event_id"), col("value"))
+    val t = graft.operators.Behavior.ewmaAnomaly(toy).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1: seeds 99900, then v=100 collapses (300 < 99900);
+    // ewma = (7*99900 + 100)/8 = 87425; NULL row excluded (n=2)
+    assert(t(1L) == ((2L, 87425L, 1L)), s"toy user 1 got ${t(1L)}")
+    // user 2: single huge first observation, never flagged
+    assert(t(2L) == ((1L, 50000000L, 0L)), s"toy user 2 got ${t(2L)}")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

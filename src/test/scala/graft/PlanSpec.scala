@@ -801,6 +801,15 @@ class PlanSpec extends SparkSpec {
       "the dictionary side must broadcast into an equi hash join")
   }
 
+  test("q206 folds per user: one user-keyed shuffle, no joins, no corpus windows") {
+    val p = plan("q206_ewma_anomaly")
+    assert(p.contains("hashpartitioning(user_id"),
+      "fold must shuffle once on the user key")
+    assert(!p.contains("Join"), s"q206 must not join:\n${p.take(1200)}")
+    assert(!p.contains("Window"),
+      "the fold rides collect_list + aggregate, not a rank window")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of
