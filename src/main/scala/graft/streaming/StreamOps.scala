@@ -309,6 +309,48 @@ object StreamOps {
   def kmvStream(hashes: DataFrame): DataFrame =
     graft.operators.Sketches.kmvSynopsis(hashes)
 
+  case class EwmaState(e: Long, a: Long, n: Long)
+
+  /** Live EWMA spike/collapse monitor — q206's streaming twin: per-user
+    * (ewma, anomalies, n) advanced as events arrive, the online form of
+    * the batch fold (this is the deployment shape — EWMA exists to be
+    * maintained on a stream, the batch query is its replay). Unlike the
+    * monoid twins (q199 cells, q203 min-k) the fold is order-DEPENDENT,
+    * so the contract is explicit: within a batch rows fold in
+    * (us, event_id) order, and across batches correctness rides the
+    * source's per-key ordering (the Kinesis per-shard contract with
+    * user-keyed partitioning). Emits the user's current state on every
+    * touch; convergence to the batch q206 fold is pinned in
+    * StreamingSpec.
+    */
+  def ewmaStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .filter(col("cents").isNotNull)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (u, rows, gs) =>
+        var st = gs.getOption.getOrElse(EwmaState(0L, 0L, 0L))
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+          val v = r._4
+          st =
+            if (st.n == 0L) EwmaState(v, 0L, 1L)
+            else EwmaState((7L * st.e + v) / 8L,
+              st.a + (if (v > 3L * st.e || 3L * v < st.e) 1L else 0L),
+              st.n + 1L)
+        }
+        gs.update(st)
+        Iterator.single((u, st.n, st.e, st.a))
+      }
+      .toDF("user_id", "n_events", "ewma_cents", "anomalies")
+  }
+
   /** Per-group state for the changelog maintainers
     * ([[dedupStateStream]], [[ivfStateStream]]): the group's id
     * multiset (net insert/retract counts) + a per-key version counter

@@ -1541,6 +1541,37 @@ class StreamingSpec extends SparkSpec {
       "synopsis must be the k smallest DISTINCT hashes, ascending")
   }
 
+  test("streaming EWMA: live per-user monitor converges to the batch q206 fold across in-order waves") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables(spark, Sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._2, t._3)) // the per-key in-order arrival contract
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val q = graft.streaming.StreamOps.ewmaStream(
+        ms.toDF().toDF("user_id", "usl", "event_id", "value")
+          .select(col("user_id"), timestamp_micros(col("usl")).as("ts"),
+            col("event_id"), col("value"))).writeStream
+      .format("memory").queryName("ewma_out").outputMode("update").start()
+    val third = ev.length / 3
+    ms.addData(ev.take(third).toSeq); q.processAllAvailable()
+    ms.addData(ev.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    ms.addData(ev.drop(2 * third).toSeq); q.processAllAvailable()
+    q.stop()
+    // update mode: last row per user is the live state
+    val streamed = spark.table("ewma_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    val batch = SparkEntry.queries("q206_ewma_anomaly")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed.toMap == batch,
+      "live EWMA state drifted from the batch fold")
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
