@@ -47,8 +47,10 @@ object Sketches extends QueryGroup {
   private[graft] val KmvK = 128
   private[graft] val HashDomain = 1L << 60
 
-  private[graft] def h60(c: Column): Column =
-    conv(substring(md5(concat(lit("kmv:"), c)), 1, 15), 16, 10).cast("long")
+  private[graft] def h60(c: Column): Column = salted60("kmv:", c)
+
+  private[graft] def salted60(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10).cast("long")
 
   /** The dump gate: first md5 hex of the doc id splits the corpus into
     * the two "dumps" whose token overlap the sketch measures.
@@ -138,18 +140,127 @@ object Sketches extends QueryGroup {
       .orderBy("measure")
   }
 
+  /** HLL register count (p = 8 ⇒ m = 256; standard error 1.04/√m ≈ 6.5%)
+    * and the derived constants. The 60-bit hash splits top-8 → bucket,
+    * low-52 → rho material, so rho ∈ [1, 53] (w = 0 ⇒ 53).
+    */
+  private[graft] val HllM = 256
+  private[graft] val HllWBits = 52
+
+  /** The register build — q207's state and its streaming twin's
+    * aggregate: per bucket, max(rho). Max is a commutative, associative,
+    * IDEMPOTENT monoid (the q203 stance), so the build consumes the raw
+    * stream, partials carry ≤ m rows, and the same rollup is a valid
+    * complete-mode streaming aggregate with ≤ m rows of state.
+    */
+  private[graft] def hllRegisters(hashes: DataFrame): DataFrame = {
+    val w = pmod(col("h"), lit(1L << HllWBits))
+    // rho = leading zeros in the 52-bit w, plus 1 = 53 − bitlength(w);
+    // bitlength via the binary-string length — exact integers only
+    // (log2 is a libm call, exactly what this operator exists to avoid)
+    val rho = when(w === 0L, lit(HllWBits + 1))
+      .otherwise(lit(HllWBits + 1) - length(conv(w, 10, 2)))
+    hashes
+      .select(expr(s"h div ${1L << HllWBits}").as("bucket"),
+        rho.cast("long").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
+  }
+
+  /** q207: the full estimator over the register table. Z is the exact
+    * BIGINT Σ 2^(53−M_j) (empty buckets contribute 2^53); the estimate
+    * is the classic α_m·m²/Z with α_256 = 0.7213·256/257.079 kept as
+    * the literal rational 1846528/2570790 and the final arithmetic a
+    * FIXED double op sequence over exact integer inputs (the q203/bm25
+    * discipline — both engines run the identical IEEE ops). The
+    * small-range regime (V > 0 and raw ≤ 2.5m) needs linear counting's
+    * ln() — not bit-portable — so the operator REFUSES it loudly rather
+    * than estimating with unverifiable floats.
+    */
+  private[graft] def hllEstimate(docs: DataFrame): DataFrame = {
+    val regs = hllRegisters(
+      tokenStream(docs).select(salted60("hll:", col("token")).as("h")))
+    val folded = regs.agg(
+      count(lit(1)).as("used"),
+      sum(expr(s"shiftleft(cast(1 as bigint), cast(${HllWBits + 1} - m_j as int))"))
+        .as("z_used"))
+    val exact = tokenStream(docs).select(col("token")).distinct()
+      .agg(count(lit(1)).as("exact"))
+    folded.crossJoin(exact)
+      .select(col("used"),
+        (col("z_used") +
+          (lit(HllM.toLong) - col("used")) * lit(1L << (HllWBits + 1)))
+          .as("z"),
+        col("exact"))
+      .select(col("used"), col("z"),
+        // est = α·m²·2^53/Z with α = 1846528/2570790 and m² = 65536 —
+        // the exact op sequence mirrored in the oracle SQL
+        floor(((lit(1846528.0) * lit(65536.0)) / lit(2570790.0)) *
+          (lit((1L << (HllWBits + 1)).toDouble) / col("z").cast("double")))
+          .cast("long").as("est"),
+        col("exact"))
+      // the raw-estimator contract: outside its regime, refuse — never
+      // fall back to linear counting's ln() behind the caller's back
+      .filter(when(col("used") < HllM && col("est") <= lit((5L * HllM / 2)),
+        raise_error(lit("q207: small-range regime (empty buckets and raw " +
+          "estimate <= 2.5m) — linear counting is not bit-portable; refusing")))
+        .otherwise(lit(true)))
+      .select(lit(HllM.toLong).as("m"), col("used"), col("z"),
+        col("est"), col("exact"))
+      .orderBy("m")
+  }
+
   def queries: Map[String, Q] = Map(
     // q203 [north star, r12]: KMV/theta distinct sketch with set
     // operations — cross-dump token overlap, estimate + exact verdict.
     "q203_kmv_theta" -> ((spark, dir) =>
-      kmvOverlap(Tables(spark, dir, "documents"))))
+      kmvOverlap(Tables(spark, dir, "documents"))),
+
+    // q207 [north star, r12]: exact-arithmetic HyperLogLog — the
+    // cardinality sketch REBUILT so the estimate itself hashes
+    // cross-engine (q19 could only verdict-check Spark's built-in HLL
+    // against a bound; here registers, Z, and the estimate are all
+    // deterministic and oracle-matched value-for-value).
+    "q207_hll_exact" -> ((spark, dir) =>
+      hllEstimate(Tables(spark, dir, "documents"))))
 
   def oracles: Map[String, String] = {
     val h = (c: String) => s"('0x'||substring(md5('kmv:'||$c),1,15))::BIGINT"
     val hd = "1152921504606846976.0" // 2^60, exact in binary
     val est = (m: String, th: String) =>
       s"CAST(floor((CAST($m AS DOUBLE) * $hd) / CAST($th AS DOUBLE)) AS BIGINT)"
-    Map("q203_kmv_theta" ->
+    Map(
+      // q207: registers, Z, and the estimate re-derived — same bucket
+      // split, same binary-string rho, same BIGINT Z, same double op
+      // sequence (the raw-regime guard lives engine-side; the corpus
+      // is deep in the raw regime on both SFs)
+      "q207_hll_exact" ->
+        s"""WITH raw AS (
+           |  SELECT ws[i]||' '||ws[i+1]||' '||ws[i+2] AS token
+           |  FROM (SELECT string_split(text,' ') AS ws
+           |        FROM documents WHERE text IS NOT NULL) d,
+           |       UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+           |h AS (SELECT ('0x'||substring(md5('hll:'||token),1,15))::BIGINT AS h
+           |      FROM raw),
+           |b AS (SELECT h // ${1L << HllWBits} AS bucket,
+           |        CASE WHEN h % ${1L << HllWBits} = 0 THEN ${HllWBits + 1}
+           |             ELSE ${HllWBits + 1} - length(bin(h % ${1L << HllWBits}))
+           |        END AS rho
+           |      FROM h),
+           |regs AS (SELECT bucket, MAX(rho) AS m_j FROM b GROUP BY bucket),
+           |f AS (SELECT COUNT(*) AS used,
+           |        SUM((CAST(1 AS BIGINT) << CAST(${HllWBits + 1} - m_j AS INT))) AS z_used
+           |      FROM regs),
+           |ex AS (SELECT COUNT(DISTINCT token) AS exact FROM raw),
+           |z AS (SELECT used,
+           |        z_used + ($HllM - used) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS z
+           |      FROM f)
+           |SELECT CAST($HllM AS BIGINT) AS m, CAST(used AS BIGINT) AS used,
+           |  CAST(z AS BIGINT) AS z,
+           |  CAST(floor(((1846528.0 * 65536.0) / 2570790.0)
+           |             * (${(1L << (HllWBits + 1)).toDouble} / CAST(z AS DOUBLE))) AS BIGINT) AS est,
+           |  CAST(exact AS BIGINT) AS exact
+           |FROM z, ex ORDER BY m""".stripMargin,
+      "q203_kmv_theta" ->
       s"""WITH raw AS (
          |  SELECT substring(md5('kmvdump:'||CAST(doc_id AS VARCHAR)),1,1) < '8' AS in_a,
          |         ws[i]||' '||ws[i+1]||' '||ws[i+2] AS token

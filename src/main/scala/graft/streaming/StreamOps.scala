@@ -309,6 +309,15 @@ object StreamOps {
   def kmvStream(hashes: DataFrame): DataFrame =
     graft.operators.Sketches.kmvSynopsis(hashes)
 
+  /** Live HLL registers — q207's streaming twin: per-bucket max(rho)
+    * maintained as hashes arrive, via `Sketches.hllRegisters` VERBATIM.
+    * Max is a commutative, associative, IDEMPOTENT monoid (the q203
+    * stance), so the batch rollup is a valid complete-mode streaming
+    * aggregate with ≤ m rows of state and re-delivered rows are free.
+    */
+  def hllStream(hashes: DataFrame): DataFrame =
+    graft.operators.Sketches.hllRegisters(hashes)
+
   case class EwmaState(e: Long, a: Long, n: Long)
 
   /** Live EWMA spike/collapse monitor — q206's streaming twin: per-user

@@ -3454,6 +3454,57 @@ class OperatorSpec extends SparkSpec {
     assert(t(2L) == ((1L, 50000000L, 0L)), s"toy user 2 got ${t(2L)}")
   }
 
+  test("q207 hll: matches a plain-Scala sketch; envelope; rho law; small-range loudness") {
+    import graft.operators.Sketches
+    val out = SparkEntry.queries("q207_hll_exact")(spark, Sf).collect().head
+    val (m, used, z, est, exact) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3), out.getLong(4))
+    assert(m == 256L)
+    // SECOND implementation (after the oracle's SQL): registers, Z and
+    // the estimate in plain Scala off java MessageDigest
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingles = Tables(spark, Sf, "documents").filter(col("text").isNotNull)
+      .select(col("text")).collect().flatMap { r =>
+        val ws = r.getString(0).split(" ", -1)
+        (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" "))
+      }.toSet
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    shingles.foreach { t =>
+      val h = java.lang.Long.parseLong(md5hex("hll:" + t).take(15), 16)
+      val b = h >> 52
+      val w = h & ((1L << 52) - 1)
+      val rho = if (w == 0L) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      regs(b) = math.max(regs.getOrElse(b, 0L), rho)
+    }
+    val zRef = regs.values.map(mj => 1L << (53 - mj)).sum +
+      (256L - regs.size) * (1L << 53)
+    val estRef = math.floor(((1846528.0 * 65536.0) / 2570790.0) *
+      (9007199254740992.0 / zRef.toDouble)).toLong
+    assert(used == regs.size.toLong, s"used $used != ${regs.size}")
+    assert(z == zRef, s"Z $z != $zRef")
+    assert(est == estRef, s"est $est != $estRef")
+    assert(exact == shingles.size.toLong)
+    // the 3σ envelope (σ = 1.04/√256): a real estimate, not noise
+    assert(math.abs(est - exact).toDouble / exact < 3.0 * 1.04 / 16.0,
+      s"|$est - $exact| outside the HLL envelope")
+    // rho law on adversarial words: w == 0 ⇒ 53; bitlength inverse
+    assert((1L to 52L).forall { bits =>
+      val w = 1L << (bits - 1)
+      53L - (64 - java.lang.Long.numberOfLeadingZeros(w)) == 53L - bits
+    })
+
+    // a tiny corpus sits in the small-range regime -> loud refusal,
+    // never a silent linear-counting fallback
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Sketches.hllEstimate(tiny).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer

@@ -810,6 +810,22 @@ class PlanSpec extends SparkSpec {
       "the fold rides collect_list + aggregate, not a rank window")
   }
 
+  test("q207 registers partial-aggregate: the sketch leg never shuffles more than m rows per mapper") {
+    // the register build keys on the 256-value bucket — map-side combine
+    // collapses each partition to <= m rows before the exchange; the
+    // only other legs are the one-row fold and the exact-count verdict
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    val df = Sketches.hllRegisters(
+      Sketches.tokenStream(Tables(spark, Sf, "documents"))
+        .select(Sketches.salted60("hll:", col("token")).as("h")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "register build must partial-aggregate max(rho)")
+    assert(!p.contains("Join"), "register build must not join")
+  }
+
   test("q200 fuses top-k legs: TakeOrdered cuts, broadcast stats/query, no pair join") {
     // both legs keep their standalone scale shapes — the sparse cut is
     // TakeOrderedAndProject (per-partition local 20, no global sort of

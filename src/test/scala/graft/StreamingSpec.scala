@@ -1572,6 +1572,32 @@ class StreamingSpec extends SparkSpec {
       "live EWMA state drifted from the batch fold")
   }
 
+  test("streaming HLL: live registers converge to the batch q207 build; re-delivery is free") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Sketches
+    val hs = Sketches.tokenStream(Tables(spark, Sf, "documents"))
+      .select(Sketches.salted60("hll:", col("token")).as("h"))
+      .collect().map(_.getLong(0))
+    val ms = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.hllStream(
+        ms.toDF().toDF("h")).writeStream
+      .format("memory").queryName("hll_out").outputMode("complete").start()
+    val half = hs.length / 2
+    ms.addData(hs.take(half).toSeq); q.processAllAvailable()
+    ms.addData(hs.take(half).toSeq); q.processAllAvailable() // idempotent
+    ms.addData(hs.drop(half).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Sketches.hllRegisters(
+        Sketches.tokenStream(Tables(spark, Sf, "documents"))
+          .select(Sketches.salted60("hll:", col("token")).as("h")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "live HLL registers drifted from the batch build")
+    assert(batch.size <= 256, "register state exceeded m")
+  }
+
   test("streaming manifest: running per-source checksums converge to the batch q183 rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
