@@ -70,11 +70,71 @@ object Graph extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** HITS fixed-point scale (scores re-normalized to max = 2^20 each
+    * half-step — integer max-normalization replaces the classic L2
+    * norm, whose sqrt is not bit-portable; the ORDER structure HITS is
+    * used for survives any monotone rescale) and iteration count.
+    */
+  private[graft] val HitsScale = 1L << 20
+  private[graft] val HitsIters = 3
+
+  /** q208: HITS (Kleinberg JACM'99) on the REAL user–item bipartite
+    * graph in the event log (props.k = the touched item): hub(user) =
+    * Σ authority(item) over the user's items, authority(item) =
+    * Σ hub(user) over the item's users, alternating, each half-step
+    * max-normalized back to [0, 2^20] in pure BIGINT (⌊s·2^20/max⌋).
+    * This is the engagement-quality decomposition a curation pipeline
+    * reads: authorities = items endorsed by well-connected users,
+    * hubs = users whose attention predicts item quality.
+    *
+    * Scale shape: the dedup'd edge list is built once, repartitioned on
+    * user and cached; each half-step is one equi-join + one
+    * partial-aggregating sum + a one-row broadcast max. 2T shuffles
+    * total, linear in |E|.
+    */
+  private[graft] def hitsBipartite(events: DataFrame): DataFrame = {
+    val edges = events
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .repartition(col("user_id")).cache()
+    var auth: DataFrame = edges.select(col("item")).distinct()
+      .select(col("item"), lit(HitsScale).as("a"))
+    var hub: DataFrame = edges.sparkSession.emptyDataFrame
+    for (_ <- 1 to HitsIters) {
+      // localCheckpoint per half-step: the broadcast max re-reads its
+      // input, so without lineage truncation every half-step recomputes
+      // the whole alternating prefix — the r11 SuffixScrub lesson
+      // (measured here: 58 s → ~2 s at sf0.1)
+      val hubRaw = edges.join(auth, "item")
+        .groupBy(col("user_id")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
+      hub = hubRaw.crossJoin(broadcast(hubRaw.agg(max(col("hr")).as("hm"))))
+        .select(col("user_id"), expr(s"(hr * $HitsScale) div hm").as("h"))
+      val authRaw = edges.join(hub, "user_id")
+        .groupBy(col("item")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
+      auth = authRaw.crossJoin(broadcast(authRaw.agg(max(col("ar")).as("am"))))
+        .select(col("item"), expr(s"(ar * $HitsScale) div am").as("a"))
+    }
+    hub.select(lit("hub").as("kind"), col("user_id").as("id"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("authority").as("kind"),
+        col("item").as("id"), col("a").as("score")))
+      .orderBy("kind", "id")
+  }
+
   def queries: Map[String, Q] = Map(
     // q204 [north star, r12]: exact-integer PageRank over the corpus
     // link graph — the crawl-frontier / quality-prior centrality tier.
     "q204_pagerank" -> ((spark, dir) =>
-      pageRank(Tables(spark, dir, "documents"))))
+      pageRank(Tables(spark, dir, "documents"))),
+
+    // q208 [north star, r12]: HITS hubs/authorities on the user–item
+    // engagement graph — integer max-normalized, order-preserving.
+    "q208_hits_bipartite" -> ((spark, dir) =>
+      hitsBipartite(Tables(spark, dir, "events"))))
 
   def oracles: Map[String, String] = {
     val div = 100L * OutDeg
@@ -87,7 +147,33 @@ object Graph extends QueryGroup {
          |LEFT JOIN r${t - 1} r ON r.v = e.src
          |GROUP BY d.doc_id)""".stripMargin
     }.mkString(",\n")
-    Map("q204_pagerank" ->
+    val hits = (1 to HitsIters).map { t =>
+      val pa = if (t == 1) "a0" else s"a${t - 1}"
+      s"""h${t}r AS (SELECT user_id, SUM(a) AS hr FROM e JOIN $pa USING (item)
+         |        GROUP BY user_id),
+         |h$t AS (SELECT user_id,
+         |        (hr * $HitsScale) // (SELECT MAX(hr) FROM h${t}r) AS h
+         |      FROM h${t}r),
+         |a${t}r AS (SELECT item, SUM(h) AS ar FROM e JOIN h$t USING (user_id)
+         |        GROUP BY item),
+         |a$t AS (SELECT item,
+         |        (ar * $HitsScale) // (SELECT MAX(ar) FROM a${t}r) AS a
+         |      FROM a${t}r)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q208_hits_bipartite" ->
+        s"""WITH e AS (SELECT DISTINCT user_id,
+           |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+           |      FROM events
+           |      WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+           |a0 AS (SELECT DISTINCT item, CAST($HitsScale AS BIGINT) AS a FROM e),
+           |$hits
+           |SELECT kind, id, CAST(score AS BIGINT) AS score FROM (
+           |  SELECT 'hub' AS kind, user_id AS id, h AS score FROM h$HitsIters
+           |  UNION ALL
+           |  SELECT 'authority', item, a FROM a$HitsIters
+           |) z ORDER BY kind, id""".stripMargin,
+      "q204_pagerank" ->
       s"""WITH nc AS (SELECT COUNT(*) AS n FROM documents),
          |e AS (SELECT d.doc_id AS src,
          |        ('0x'||substring(md5('edge:'||CAST(d.doc_id AS VARCHAR)||':'||CAST(j.j AS VARCHAR)),1,15))::BIGINT

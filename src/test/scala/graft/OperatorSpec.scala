@@ -3505,6 +3505,42 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q208 hits: matches a plain-Scala fixpoint; normalization lands on the scale; both sides spread") {
+    import graft.operators.Graph
+    val out = SparkEntry.queries("q208_hits_bipartite")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // SECOND implementation: the alternating integer fixpoint in Scala
+    val edges = Tables(spark, Sf, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val items = edges.map(_._2)
+    var auth = items.map(_ -> Graph.HitsScale).toMap
+    var hub = Map.empty[Long, Long]
+    (1 to Graph.HitsIters).foreach { _ =>
+      val hr = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.toSeq.map(e => auth(e._2)).sum }
+      val hm = hr.values.max
+      hub = hr.map { case (u, s) => u -> (s * Graph.HitsScale) / hm }
+      val ar = edges.groupBy(_._2).map { case (i, es) =>
+        i -> es.toSeq.map(e => hub(e._1)).sum }
+      val am = ar.values.max
+      auth = ar.map { case (i, s) => i -> (s * Graph.HitsScale) / am }
+    }
+    val ref = hub.map { case (u, s) => ("hub", u) -> s } ++
+      auth.map { case (i, s) => ("authority", i) -> s }
+    assert(out == ref, "HITS fixpoint drifted from the plain-Scala reference")
+    // max-normalization: each side tops out exactly at the scale, and
+    // the fixture actually separates scores (no degenerate flat graph)
+    Seq("hub", "authority").foreach { k =>
+      val scores = out.collect { case ((kk, _), s) if kk == k => s }
+      assert(scores.max == Graph.HitsScale, s"$k max must sit at the scale")
+      assert(scores.min < scores.max, s"$k scores must spread")
+      assert(scores.forall(s => s >= 0L && s <= Graph.HitsScale))
+    }
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer
