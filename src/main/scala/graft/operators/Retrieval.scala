@@ -102,6 +102,45 @@ object Retrieval extends QueryGroup {
       .orderBy("fused_rank")
   }
 
+  /** q209: the L2 PROXIMITY RERANK over q200's fused candidates — the
+    * classic retrieval cascade (cheap L1 recall, expensive L2
+    * precision on a bounded candidate set): per candidate, the minimum
+    * token window covering ALL query terms (Clarke et al.'s minimal
+    * cover — terms appearing near each other beat the same terms
+    * scattered), an exact-integer score; candidates lacking a term
+    * carry NULL and sort last, ties broken by the L1 fused rank.
+    *
+    * Scale shape: the candidate set is ≤ RrfTopK rows — the rerank
+    * joins the BROADCAST candidate list against the corpus scan once
+    * to fetch text, then all window work is per-row expression
+    * arithmetic on 15 docs. L2 cost is INDEPENDENT of corpus size by
+    * construction; a deeper cascade just raises the candidate k.
+    */
+  private[graft] def proximityRerank(
+      docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = rrfHybrid(docs, emb).select(col("doc_id"), col("fused_rank"))
+    def posOf(t: String): Column =
+      filter(transform(col("ws"), (w, i) =>
+        when(w === lit(t), i + 1).otherwise(lit(null).cast("int"))),
+        x => x.isNotNull)
+    val win = array_min(flatten(transform(col("p1"), x1 =>
+      flatten(transform(col("p2"), x2 =>
+        transform(col("p3"), x3 =>
+          greatest(x1, x2, x3) - least(x1, x2, x3) + 1))))))
+    docs.join(broadcast(cand), "doc_id")
+      .select(col("doc_id"), col("fused_rank"), split(col("text"), " ").as("ws"))
+      .withColumn("p1", posOf(QueryTerms(0)))
+      .withColumn("p2", posOf(QueryTerms(1)))
+      .withColumn("p3", posOf(QueryTerms(2)))
+      .withColumn("win", win.cast("long"))
+      .withColumn("rerank", row_number().over(
+        Window.orderBy(col("win").asc_nulls_last, col("fused_rank").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("rerank"), col("win"), col("fused_rank"))
+      .orderBy("rerank")
+  }
+
   /** BM25 top-k over `(doc_id, text)`-shaped docs for `terms`. Output
     * carries ids, ranks, and exact-integer term frequencies — never the
     * double score (QueryGroup determinism rules).
@@ -166,6 +205,14 @@ object Retrieval extends QueryGroup {
     // (NULL rank = absent from that leg).
     "q200_rrf_hybrid" -> ((spark, dir) =>
       rrfHybrid(Tables(spark, dir, "documents"),
+        Tables(spark, dir, "embeddings"))),
+
+    // q209 [north star, r12]: proximity rerank — the L2 stage of the
+    // retrieval cascade over q200's fused candidates (min covering
+    // window of all query terms, exact integers, cost independent of
+    // corpus size).
+    "q209_proximity_rerank" -> ((spark, dir) =>
+      proximityRerank(Tables(spark, dir, "documents"),
         Tables(spark, dir, "embeddings"))),
 
     // q130 [north star]: INVERTED-INDEX construction — the index-build
@@ -267,35 +314,65 @@ object Retrieval extends QueryGroup {
       val d = (a: String, b: String) => Similarity.dot(a, b)
       s"(${d("q.q_emb", "e.embedding")} / (sqrt(${d("q.q_emb", "q.q_emb")}) * sqrt(${d("e.embedding", "e.embedding")})))"
     }
+    // the whole q200 fusion chain, ending in `fused` (the top-RrfTopK
+    // candidates) — shared verbatim by the q209 rerank oracle: the L2
+    // stage must rerank EXACTLY the L1 stage's candidates
+    val rrfCtes =
+      s"""$bm25Ctes,
+         |sp AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+         |       FROM top),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |dcos AS (SELECT e.vec_id AS doc_id, $cosQ0 AS cos
+         |         FROM embeddings e, q WHERE e.vec_id <> 0),
+         |de AS (SELECT doc_id, cos_rank FROM (
+         |         SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank
+         |         FROM dcos) t WHERE cos_rank <= $RrfLegK),
+         |f AS (SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+         |        sp.bm25_rank, de.cos_rank,
+         |        COALESCE($RrfLcm // ($RrfK + sp.bm25_rank), 0)
+         |          + COALESCE($RrfLcm // ($RrfK + de.cos_rank), 0) AS rrf_score
+         |      FROM sp FULL OUTER JOIN de ON de.doc_id = sp.doc_id),
+         |r AS (SELECT doc_id,
+         |        CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank,
+         |        rrf_score, bm25_rank, cos_rank
+         |      FROM f),
+         |fused AS (SELECT * FROM r WHERE fused_rank <= $RrfTopK)""".stripMargin
     Map(
       // q200: both legs re-derived through their standalone oracles
       // (q83's CTEs verbatim; q43's cosine fold with query = vec 0),
       // fused with the same lcm-scaled integer weights (// = BIGINT
       // division in DuckDB, exact by the divisibility invariant)
       "q200_rrf_hybrid" ->
-        s"""WITH $bm25Ctes,
-           |sp AS (SELECT doc_id,
-           |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
-           |       FROM top),
-           |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-           |dcos AS (SELECT e.vec_id AS doc_id, $cosQ0 AS cos
-           |         FROM embeddings e, q WHERE e.vec_id <> 0),
-           |de AS (SELECT doc_id, cos_rank FROM (
-           |         SELECT doc_id,
-           |           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank
-           |         FROM dcos) t WHERE cos_rank <= $RrfLegK),
-           |f AS (SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
-           |        sp.bm25_rank, de.cos_rank,
-           |        COALESCE($RrfLcm // ($RrfK + sp.bm25_rank), 0)
-           |          + COALESCE($RrfLcm // ($RrfK + de.cos_rank), 0) AS rrf_score
-           |      FROM sp FULL OUTER JOIN de ON de.doc_id = sp.doc_id),
-           |r AS (SELECT doc_id,
-           |        CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank,
-           |        rrf_score, bm25_rank, cos_rank
-           |      FROM f)
+        s"""WITH $rrfCtes
            |SELECT doc_id, fused_rank, CAST(rrf_score AS BIGINT) AS rrf_score,
            |  bm25_rank, cos_rank
-           |FROM r WHERE fused_rank <= $RrfTopK ORDER BY fused_rank""".stripMargin,
+           |FROM fused ORDER BY fused_rank""".stripMargin,
+      // q209: the fusion chain verbatim, then the L2 rerank — term
+      // positions via generate_series, the min covering window as the
+      // min over all position triples (the candidate set is 15 docs,
+      // so the triple product is bounded, the same shape the engine's
+      // nested transform takes)
+      "q209_proximity_rerank" ->
+        s"""WITH $rrfCtes,
+           |cd AS (SELECT f.doc_id, f.fused_rank, d.text FROM fused f
+           |       JOIN documents d ON d.doc_id = f.doc_id),
+           |ws AS (SELECT doc_id, fused_rank, string_split(text, ' ') AS w FROM cd),
+           |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS tok
+           |        FROM ws, UNNEST(generate_series(1, len(w))) AS t(i)),
+           |win AS (SELECT p1.doc_id,
+           |          MIN(GREATEST(p1.p, p2.p, p3.p) - LEAST(p1.p, p2.p, p3.p) + 1) AS win
+           |        FROM pos p1
+           |        JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.tok = '${QueryTerms(1)}'
+           |        JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.tok = '${QueryTerms(2)}'
+           |        WHERE p1.tok = '${QueryTerms(0)}'
+           |        GROUP BY p1.doc_id)
+           |SELECT c.doc_id,
+           |  CAST(row_number() OVER (ORDER BY w.win ASC NULLS LAST, c.fused_rank ASC) AS BIGINT) AS rerank,
+           |  CAST(w.win AS BIGINT) AS win, c.fused_rank
+           |FROM cd c LEFT JOIN win w ON w.doc_id = c.doc_id
+           |ORDER BY rerank""".stripMargin,
       "q130_posting_lists" ->
         """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
           |            FROM documents),

@@ -3541,6 +3541,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q209 rerank: matches a plain-Scala min-cover; permutes the L1 set; NULLs last; actually reorders") {
+    import graft.operators.Retrieval
+    val out = SparkEntry.queries("q209_proximity_rerank")(spark, Sf).collect()
+    val l1 = SparkEntry.queries("q200_rrf_hybrid")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the L2 stage reranks EXACTLY the L1 candidate set
+    assert(out.map(_.getLong(0)).toSet == l1.keySet)
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toMap == l1,
+      "fused ranks must ride through the rerank unchanged")
+    // THIRD implementation: brute-force min cover over candidate texts
+    val texts = Tables(spark, Sf, "documents")
+      .filter(col("doc_id").isin(l1.keySet.toSeq: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cover(text: String): Option[Long] = {
+      val ws = text.split(" ", -1)
+      val ps = Retrieval.QueryTerms.map(t =>
+        ws.zipWithIndex.collect { case (w, i) if w == t => i + 1 })
+      if (ps.exists(_.isEmpty)) None
+      else Some((for (a <- ps(0); b <- ps(1); c <- ps(2))
+        yield (Seq(a, b, c).max - Seq(a, b, c).min + 1).toLong).min)
+    }
+    out.foreach { r =>
+      val want = cover(texts(r.getLong(0)))
+      val got = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(got == want, s"doc ${r.getLong(0)}: window $got != $want")
+      // a 3-distinct-term cover is at least 3 tokens wide
+      got.foreach(w => assert(w >= 3L))
+    }
+    // expected order: (window asc nulls last, fused rank)
+    val expect = out.map { r =>
+      (r.getLong(0), if (r.isNullAt(2)) Long.MaxValue else r.getLong(2), r.getLong(3))
+    }.sortBy(t => (t._2, t._3)).map(_._1)
+    assert(out.sortBy(_.getLong(1)).map(_.getLong(0)).toSeq == expect.toSeq)
+    // the fixture must show the cascade DOING something: at least one
+    // candidate moves, and both windowed and term-missing docs exist
+    assert(out.exists(r => r.getLong(1) != r.getLong(3)), "rerank never moved a doc")
+    assert(out.exists(!_.isNullAt(2)) && out.exists(_.isNullAt(2)),
+      "fixture must exercise both covered and term-missing candidates")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer
