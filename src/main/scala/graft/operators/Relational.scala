@@ -46,6 +46,21 @@ object Relational extends QueryGroup {
   def queries: Map[String, Q] = Map(
     "q00_flagship" -> flagship,
 
+    // q210 [north star, r12]: RFC 4180 CSV line codec — the wire format
+    // the codec tier lacked (gzip q02, JSON q03/q04, WARC q169). Both
+    // directions are native codegen expressions (CsvEncode/CsvSplit);
+    // the decoder is a STRICT state machine that refuses malformed
+    // input loudly (a reader that "recovers" from a stray quote
+    // silently mis-shifts every following column). NULL ↔ empty
+    // unquoted field and "" ↔ quoted empty keep the codec a bijection,
+    // and the round-trip identity is enforced IN-PLAN by raise_error —
+    // every output row is a proven lossless encode/decode. The fixture
+    // md5-gates six arms (plain, comma, quote, newline, empty, NULL) so
+    // every quoting rule is exercised; the oracle re-derives the same
+    // lines from the same arms with SQL CASE quoting — byte-exact.
+    "q210_csv_roundtrip" -> ((spark, dir) =>
+      csvRoundtrip(Tables(spark, dir, "documents"))),
+
     // q01 [CLOSURE of app.py:16-30]: bounded scan + projection.
     "q01_scan_project" -> ((spark, dir) =>
       Tables(spark, dir, "lineitem")
@@ -340,7 +355,74 @@ object Relational extends QueryGroup {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.map(t => s"($t)").mkString(" | ")
 
+  /** q210's operator over a `(doc_id, source, text)`-shaped frame. */
+  private[graft] def csvRoundtrip(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val g = substring(md5(concat(lit("csv:"), col("doc_id").cast("string"))), 1, 1)
+    val w1 = element_at(split(col("text"), " "), 1)
+    val w2 = coalesce(element_at(split(col("text"), " "), 2), lit("y"))
+    val dirty = when(g < "3", w1)
+      .when(g < "6", concat(w1, lit(","), w2))
+      .when(g < "9", concat(w1, lit("\""), w2))
+      .when(g < "c", concat(w1, lit("\n"), w2))
+      .when(g < "e", lit(""))
+      .otherwise(lit(null).cast("string"))
+    val base = docs.select(col("doc_id"), g.as("arm"),
+      array(col("doc_id").cast("string"), col("source"), dirty).as("fields"))
+    val enc = base.select(col("doc_id"), col("arm"), col("fields"),
+      toColumn(graft.expressions.CsvEncode(toExpression(col("fields"))))
+        .as("line"))
+    val dec = enc.select(col("doc_id"), col("arm"), col("fields"), col("line"),
+      toColumn(graft.expressions.CsvSplit(toExpression(col("line"))))
+        .as("back"))
+    dec
+      // the round-trip identity, stated in-plan: any field that fails
+      // to survive encode→decode is a silent data-corruption bug, never
+      // to be returned as data
+      .filter(when(size(col("back")) =!= size(col("fields")) ||
+          !forall(zip_with(col("fields"), col("back"), (a, b) => a <=> b),
+            x => x),
+        raise_error(concat(lit("q210: CSV round-trip broke on doc "),
+          col("doc_id").cast("string"), lit(" line <"), col("line"), lit(">"))))
+        .otherwise(lit(true)))
+      .select(col("doc_id"), col("arm"), col("line"),
+        octet_length(col("line")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q210: the same six arms and the same RFC 4180 quoting rule as SQL
+    // CASE expressions — the LINES are compared byte-for-byte; the
+    // decode direction is engine-side self-validated in-plan
+    "q210_csv_roundtrip" -> {
+      val q = (f: String) =>
+        s"""CASE WHEN $f IS NULL THEN ''
+           |     WHEN $f = '' OR contains($f, ',') OR contains($f, '"')
+           |          OR contains($f, chr(10)) OR contains($f, chr(13))
+           |     THEN '"' || replace($f, '"', '""') || '"'
+           |     ELSE $f END""".stripMargin
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    substring(md5('csv:'||CAST(doc_id AS VARCHAR)),1,1) AS arm,
+         |    CAST(doc_id AS VARCHAR) AS f1, source AS f2,
+         |    string_split(text,' ')[1] AS w1,
+         |    COALESCE(string_split(text,' ')[2], 'y') AS w2
+         |  FROM documents),
+         |d AS (SELECT doc_id, arm, f1, f2,
+         |        CASE WHEN arm < '3' THEN w1
+         |             WHEN arm < '6' THEN w1 || ',' || w2
+         |             WHEN arm < '9' THEN w1 || '"' || w2
+         |             WHEN arm < 'c' THEN w1 || chr(10) || w2
+         |             WHEN arm < 'e' THEN ''
+         |             ELSE NULL END AS f3
+         |      FROM a),
+         |l AS (SELECT doc_id, arm,
+         |        ${q("f1")} || ',' || ${q("f2")} || ',' || ${q("f3")} AS line
+         |      FROM d)
+         |SELECT doc_id, arm, line, CAST(strlen(line) AS BIGINT) AS n_bytes
+         |FROM l ORDER BY doc_id""".stripMargin
+    },
     "q127_zorder_key" ->
       s"""SELECT event_id, user_id,
          |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,

@@ -261,6 +261,37 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("CsvEncode/CsvSplit interpreted eval == codegen path on every quoting shape") {
+    import graft.expressions.{CsvCodec, CsvEncode, CsvSplit}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val shapes: Seq[Seq[String]] = Seq(
+      Seq("plain", "x"), Seq("", null), Seq("a,b", "q\"q"),
+      Seq("nl\nnl", "cr\rcr"), Seq("café", null))
+    // codegen path: through a DataFrame projection
+    import spark.implicits._
+    val viaDf = shapes.map(_.toArray).toDF("fs")
+      .select(org.apache.spark.sql.graftbridge.toColumn(CsvEncode(
+        org.apache.spark.sql.graftbridge.toExpression(col("fs")))).as("line"))
+      .select(col("line"), org.apache.spark.sql.graftbridge.toColumn(CsvSplit(
+        org.apache.spark.sql.graftbridge.toExpression(col("line")))).as("back"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    // interpreted path: direct static eval
+    shapes.zip(viaDf).foreach { case (fs, (lineDf, backDf)) =>
+      val line = CsvCodec.encode(new GenericArrayData(
+        fs.map(s => if (s == null) null
+          else UTF8String.fromString(s)).toArray[Any])).toString
+      assert(line == lineDf, s"encode parity broke on $fs")
+      val a = CsvSplit(Literal(UTF8String.fromString(line))).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val back = (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+      assert(back == backDf.toSeq, s"split parity broke on <$line>")
+      assert(back == fs, s"round trip broke on $fs")
+    }
+  }
+
   test("UnigramViterbi interpreted eval == codegen path, bit-for-bit, on corpus + adversarial words") {
     import graft.expressions.UnigramViterbi
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -3582,6 +3582,52 @@ class OperatorSpec extends SparkSpec {
       "fixture must exercise both covered and term-missing candidates")
   }
 
+  test("q210 csv: bijection on adversarial fields; malformed input is loud; every arm exercised") {
+    import graft.expressions.CsvCodec
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    def enc(fs: Seq[String]): String =
+      CsvCodec.encode(new GenericArrayData(fs.map(u).toArray[Any])).toString
+    def dec(line: String): Seq[String] = {
+      val a = CsvCodec.split(u(line))
+      (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+    }
+    // bijection: encode then split returns the fields verbatim, over
+    // every quoting shape RFC 4180 has (empty vs NULL, comma, doubled
+    // quote, bare quote, CR/LF, unicode)
+    val adversarial: Seq[Seq[String]] = Seq(
+      Seq("plain", "x", "y"),
+      Seq("", null, "a,b"),
+      Seq("q\"q", "\"", "\"\""),
+      Seq("nl\nnl", "cr\rcr", ",,"),
+      Seq(null, "", "a\n\"b\",c"),
+      Seq("café", "é,é", null))
+    adversarial.foreach { fs =>
+      assert(dec(enc(fs)) == fs, s"round trip broke on $fs (line=${enc(fs)})")
+    }
+    // fixed encodings, byte for byte (the rule itself, not just the
+    // round trip): NULL -> empty unquoted, "" -> quoted empty
+    assert(enc(Seq("a", null, "b")) == "a,,b")
+    assert(enc(Seq("a", "", "b")) == "a,\"\",b")
+    assert(enc(Seq("a,b")) == "\"a,b\"")
+    assert(enc(Seq("a\"b")) == "\"a\"\"b\"")
+    // strict decoder: every malformed shape refuses loudly
+    Seq("a\"b", "\"ab\"x", "\"ab", "\"a\"\"", "x,\"y\"z").foreach { bad =>
+      intercept[IllegalArgumentException] { dec(bad) }
+    }
+    // the registered query: every arm present, in-plan identity held
+    val out = SparkEntry.queries("q210_csv_roundtrip")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val arms = out.map(_.getString(1)).toSet
+    assert(Seq("0", "3", "6", "9", "c", "e").map(_.head).forall(a =>
+      arms.exists(_.head >= a)), s"arm coverage hole: $arms")
+    assert(out.exists(_.getString(2).contains("\n")), "no newline-quoted line")
+    assert(out.exists(r => r.getString(2).contains("\"\"")),
+      "no doubled-quote line")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer
