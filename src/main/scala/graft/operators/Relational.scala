@@ -61,6 +61,20 @@ object Relational extends QueryGroup {
     "q210_csv_roundtrip" -> ((spark, dir) =>
       csvRoundtrip(Tables(spark, dir, "documents"))),
 
+    // q211 [north star, r12]: URL canonicalization (RFC 3986 §6) — the
+    // crawl-frontier key beside WARC ingest (q169): frontiers dedup on
+    // CANONICAL urls or they re-crawl case/dot/port variants as
+    // distinct pages. The UrlCanonicalize codegen expression applies
+    // the six documented rules (lowercase scheme+host, default-port
+    // strip, §5.2.4 dot-segment resolution, %HH uppercasing with loud
+    // validation, fragment strip, empty path → /); six md5-gated
+    // fixture arms exercise each rule; the oracle re-derives the same
+    // rules in SQL (a recursive-CTE segment stack for rule 3, a
+    // generated hex-pair replace chain for rule 4). Output pairs the
+    // raw and canonical forms with the per-host frontier key.
+    "q211_url_canonicalize" -> ((spark, dir) =>
+      urlCanonicalize(Tables(spark, dir, "documents"))),
+
     // q01 [CLOSURE of app.py:16-30]: bounded scan + projection.
     "q01_scan_project" -> ((spark, dir) =>
       Tables(spark, dir, "lineitem")
@@ -391,7 +405,129 @@ object Relational extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** q211's operator over a `(doc_id, text)`-shaped frame. */
+  private[graft] def urlCanonicalize(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val g = substring(md5(concat(lit("url:"), col("doc_id").cast("string"))), 1, 1)
+    val w1 = coalesce(element_at(split(col("text"), " "), 1), lit("page"))
+    val w2 = coalesce(element_at(split(col("text"), " "), 2), lit("item"))
+    val host = concat(upper(substring(w1, 1, 1)), substring(w1, 2, 100),
+      lit(".Example.COM"))
+    val raw = when(g < "3", concat(lit("HTTP://"), host, lit("/"), w1, lit("/"), w2))
+      .when(g < "6", concat(lit("http://"), lower(host), lit(":80/"), w1))
+      .when(g < "9", concat(lit("https://"), lower(host), lit(":443/"), w1,
+        lit("/../"), w2, lit("/./end")))
+      .when(g < "c", concat(lit("http://"), lower(host), lit("/p%2fq/"), w1,
+        lit("?x=%3a&y="), w2))
+      .when(g < "e", concat(lit("http://"), lower(host), lit("/"), w1,
+        lit("#sec"), w2))
+      .otherwise(concat(lit("http://"), host))
+    docs.select(col("doc_id"), g.as("arm"), raw.as("raw_url"))
+      .withColumn("canon",
+        toColumn(graft.expressions.UrlCanonicalize(
+          toExpression(col("raw_url")))))
+      .withColumn("host_key",
+        element_at(split(element_at(split(col("canon"), "://"), 2), "/"), 1))
+      .select(col("doc_id"), col("arm"), col("raw_url"), col("canon"),
+        col("host_key"))
+      .orderBy("doc_id")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q211: the six rules re-derived in SQL — scheme/host/port/fragment
+    // via string ops, dot-segment resolution as a recursive-CTE segment
+    // stack (the q198/q206 proof shape), %HH uppercasing as a generated
+    // lower→upper hex-pair replace chain
+    "q211_url_canonicalize" -> {
+      val hexL = "0123456789abcdef"
+      // DuckDB caps expression-binder recursion at 128 — chunk the 156
+      // hex-pair replaces into chained CTE stages of 50
+      val chunks = (for { a <- hexL; b <- hexL
+          pl = s"$a$b"
+          pu = pl.toUpperCase if pl != pu } yield (pl, pu))
+        .grouped(50).toSeq
+      val replCtes = chunks.zipWithIndex.map { case (ps, idx) =>
+        val i = idx + 1
+        val chain = ps.foldLeft(s"pq${i - 1}")((acc, p) =>
+          s"replace($acc, '%${p._1}', '%${p._2}')")
+        s"u$i AS (SELECT doc_id, $chain AS pq$i FROM u${i - 1})"
+      }
+      val uFirst =
+        """u0 AS (SELECT s5.doc_id, pth.path||s5.query AS pq0
+          |  FROM s5 JOIN pth ON pth.doc_id = s5.doc_id)""".stripMargin
+      val uLast = s"u${chunks.size}"
+      val pqLast = s"pq${chunks.size}"
+      s"""WITH RECURSIVE a AS (
+         |  SELECT doc_id,
+         |    substring(md5('url:'||CAST(doc_id AS VARCHAR)),1,1) AS arm,
+         |    COALESCE(string_split(text,' ')[1],'page') AS w1,
+         |    COALESCE(string_split(text,' ')[2],'item') AS w2
+         |  FROM documents),
+         |hh AS (SELECT *,
+         |    upper(substring(w1,1,1))||substring(w1,2)||'.Example.COM' AS host
+         |  FROM a),
+         |r AS (SELECT doc_id, arm,
+         |    CASE WHEN arm < '3' THEN 'HTTP://'||host||'/'||w1||'/'||w2
+         |         WHEN arm < '6' THEN 'http://'||lower(host)||':80/'||w1
+         |         WHEN arm < '9' THEN 'https://'||lower(host)||':443/'||w1||'/../'||w2||'/./end'
+         |         WHEN arm < 'c' THEN 'http://'||lower(host)||'/p%2fq/'||w1||'?x=%3a&y='||w2
+         |         WHEN arm < 'e' THEN 'http://'||lower(host)||'/'||w1||'#sec'||w2
+         |         ELSE 'http://'||host END AS raw_url
+         |  FROM hh),
+         |s1 AS (SELECT doc_id, arm, raw_url,
+         |    lower(string_split(raw_url,'://')[1]) AS scheme,
+         |    string_split(raw_url,'://')[2] AS rest0 FROM r),
+         |s2 AS (SELECT *, string_split(rest0,'#')[1] AS rest FROM s1),
+         |s3 AS (SELECT *,
+         |    CASE WHEN strpos(rest,'/')=0 AND strpos(rest,'?')=0 THEN length(rest)+1
+         |         WHEN strpos(rest,'/')=0 THEN strpos(rest,'?')
+         |         WHEN strpos(rest,'?')=0 THEN strpos(rest,'/')
+         |         ELSE LEAST(strpos(rest,'/'), strpos(rest,'?')) END AS ps
+         |  FROM s2),
+         |s4 AS (SELECT doc_id, arm, raw_url, scheme,
+         |    CASE WHEN scheme='http' AND ends_with(lower(substring(rest,1,ps-1)),':80')
+         |           THEN substring(lower(substring(rest,1,ps-1)),1,length(substring(rest,1,ps-1))-3)
+         |         WHEN scheme='https' AND ends_with(lower(substring(rest,1,ps-1)),':443')
+         |           THEN substring(lower(substring(rest,1,ps-1)),1,length(substring(rest,1,ps-1))-4)
+         |         ELSE lower(substring(rest,1,ps-1)) END AS auth,
+         |    substring(rest, ps) AS tail
+         |  FROM s3),
+         |s5 AS (SELECT *,
+         |    CASE WHEN strpos(tail,'?')=0 THEN (CASE WHEN tail='' THEN '/' ELSE tail END)
+         |         ELSE (CASE WHEN substring(tail,1,strpos(tail,'?')-1)=''
+         |               THEN '/' ELSE substring(tail,1,strpos(tail,'?')-1) END) END AS path0,
+         |    CASE WHEN strpos(tail,'?')=0 THEN '' ELSE substring(tail,strpos(tail,'?')) END AS query
+         |  FROM s4),
+         |seg AS (SELECT doc_id, CAST(i AS INT) AS i, sp[CAST(i AS INT)] AS seg, len(sp) AS n
+         |  FROM (SELECT doc_id, string_split(path0,'/') AS sp FROM s5),
+         |       UNNEST(generate_series(2, len(sp))) t(i)),
+         |st AS (
+         |  SELECT doc_id, 1 AS i, CAST([] AS VARCHAR[]) AS stack, false AS tr
+         |  FROM s5
+         |  UNION ALL
+         |  SELECT st.doc_id, st.i + 1,
+         |    CASE WHEN g.seg = '.' THEN st.stack
+         |         WHEN g.seg = '..' THEN st.stack[1:len(st.stack)-1]
+         |         ELSE list_append(st.stack, g.seg) END,
+         |    CASE WHEN g.seg = '.' OR g.seg = '..' THEN true
+         |         ELSE g.seg = '' END
+         |  FROM st JOIN seg g ON g.doc_id = st.doc_id AND g.i = st.i + 1),
+         |fin AS (SELECT st.doc_id AS doc_id, st.stack AS stack, st.tr AS tr
+         |  FROM st JOIN (SELECT doc_id, MAX(i) AS mi FROM st GROUP BY doc_id) m
+         |    ON m.doc_id = st.doc_id AND st.i = m.mi),
+         |pth AS (SELECT doc_id,
+         |    CASE WHEN tr AND NOT ends_with(p,'/') THEN p||'/' ELSE p END AS path
+         |  FROM (SELECT doc_id, '/'||array_to_string(stack,'/') AS p, tr FROM fin) z),
+         |$uFirst,
+         |${replCtes.mkString(",\n")},
+         |cn AS (SELECT s5.doc_id, s5.arm, s5.raw_url,
+         |    s5.scheme||'://'||s5.auth||$uLast.$pqLast AS canon
+         |  FROM s5 JOIN $uLast ON $uLast.doc_id = s5.doc_id)
+         |SELECT doc_id, arm, raw_url, canon,
+         |  string_split(string_split(canon,'://')[2],'/')[1] AS host_key
+         |FROM cn ORDER BY doc_id""".stripMargin
+    },
     // q210: the same six arms and the same RFC 4180 quoting rule as SQL
     // CASE expressions — the LINES are compared byte-for-byte; the
     // decode direction is engine-side self-validated in-plan

@@ -292,6 +292,21 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("UrlCanonicalize interpreted eval == codegen path on the fixture's raw urls") {
+    import graft.expressions.UrlCanonicalize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val raws = SparkEntry.queries("q211_url_canonicalize")(spark, Sf)
+      .select(col("raw_url"), col("canon")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(raws.nonEmpty)
+    raws.foreach { case (raw, viaDf) =>
+      val interp = UrlCanonicalize(Literal(UTF8String.fromString(raw)))
+        .eval(null).asInstanceOf[UTF8String].toString
+      assert(interp == viaDf, s"parity broke on <$raw>")
+    }
+  }
+
   test("UnigramViterbi interpreted eval == codegen path, bit-for-bit, on corpus + adversarial words") {
     import graft.expressions.UnigramViterbi
     import org.apache.spark.sql.catalyst.expressions.Literal

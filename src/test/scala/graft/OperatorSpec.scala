@@ -3628,6 +3628,52 @@ class OperatorSpec extends SparkSpec {
       "no doubled-quote line")
   }
 
+  test("q211 url: every rule on adversarial urls; malformed is loud; frontier-key collisions resolved") {
+    import graft.expressions.UrlCanonicalize
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): String =
+      UrlCanonicalize.canonicalize(UTF8String.fromString(s)).toString
+    // rule-by-rule fixed expectations
+    assert(c("HTTP://ExAmple.COM/Path") == "http://example.com/Path") // 1 (path case kept)
+    assert(c("http://example.com:80/a") == "http://example.com/a") // 2
+    assert(c("https://example.com:443/a") == "https://example.com/a") // 2
+    assert(c("http://example.com:8080/a") == "http://example.com:8080/a") // non-default kept
+    assert(c("http://example.com/a/b/../c/./d") == "http://example.com/a/c/d") // 3
+    assert(c("http://example.com/a/b/..") == "http://example.com/a/") // 3 trailing
+    assert(c("http://example.com/a/.") == "http://example.com/a/") // 3 trailing
+    assert(c("http://example.com/p%2fq?x=%3a") == "http://example.com/p%2Fq?x=%3A") // 4
+    assert(c("http://example.com/a#frag?not-a-query") == "http://example.com/a") // 5
+    assert(c("http://example.com") == "http://example.com/") // 6
+    assert(c("http://example.com?q=1") == "http://example.com/?q=1") // 6 + query
+    assert(c("http://example.com/a//b") == "http://example.com/a//b") // empty segs kept
+    // the canonical form is a FIXPOINT
+    Seq("HTTP://A.B:80/x/../y%2f?z=%3a#f", "https://H.I:443/.").foreach { u =>
+      assert(c(c(u)) == c(u), s"not idempotent on $u")
+    }
+    // loudness: every malformed shape refuses
+    Seq("example.com/a", "ftp://example.com/a", "http:///a",
+      "http://example.com/a%zz", "http://example.com/a%3",
+      "http://example.com/../a").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        c(bad)
+      }
+    }
+    // the registered query: all arms present; frontier-key dedup works
+    // (case/port/dot variants of the same page collapse)
+    val out = SparkEntry.queries("q211_url_canonicalize")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val arms = out.map(_.getString(1)).toSet
+    assert(arms.size >= 5, s"arm coverage hole: $arms")
+    assert(out.forall(r => r.getString(3) == c(r.getString(2))),
+      "registered output must equal the expression on the raw url")
+    assert(out.forall(r => r.getString(4) == r.getString(3)
+      .split("://")(1).split("/")(0)), "host key drifted from the canon host")
+    // the frontier-dedup claim itself: raw variants of one page
+    // collapse to a single canonical key
+    assert(c("HTTP://Ex.COM:80/a/../b") == c("http://ex.com/b"),
+      "case/port/dot variants must collapse to one frontier key")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer
