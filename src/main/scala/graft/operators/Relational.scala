@@ -75,6 +75,20 @@ object Relational extends QueryGroup {
     "q211_url_canonicalize" -> ((spark, dir) =>
       urlCanonicalize(Tables(spark, dir, "documents"))),
 
+    // q212 [north star, r12]: robots.txt rule evaluation (RFC 9309) —
+    // the POLITENESS leg completing the crawl trio (WARC ingest q169,
+    // frontier key q211, fetch permission here): per canonical URL,
+    // the most-specific matching rule decides fetchability — longest
+    // pattern wins, allow wins length ties, no match means allowed.
+    // Patterns support `*` and the `$` end anchor via the RobotsMatch
+    // codegen expression; the rule set is a dictionary-sized literal
+    // (the QueryTerms stance) so evaluation is pure map-side work with
+    // NO rules join. The fixture's seven rules exercise longest-match
+    // override, the allow-wins tie, star, anchor, escaped-path and
+    // query-string matching, and the default-allow path.
+    "q212_robots_eval" -> ((spark, dir) =>
+      robotsEval(urlCanonicalize(Tables(spark, dir, "documents")))),
+
     // q01 [CLOSURE of app.py:16-30]: bounded scan + projection.
     "q01_scan_project" -> ((spark, dir) =>
       Tables(spark, dir, "lineitem")
@@ -434,12 +448,78 @@ object Relational extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  def oracles: Map[String, String] = Map(
-    // q211: the six rules re-derived in SQL — scheme/host/port/fragment
-    // via string ops, dot-segment resolution as a recursive-CTE segment
-    // stack (the q198/q206 proof shape), %HH uppercasing as a generated
-    // lower→upper hex-pair replace chain
-    "q211_url_canonicalize" -> {
+  /** q212's rule set: (allow, raw REP pattern). Specificity = raw
+    * pattern octet length (metachars included — Google's documented
+    * tie metric); allow wins equal lengths; pattern string breaks any
+    * residual tie deterministically.
+    */
+  private[graft] val RobotsRules: Seq[(Boolean, String)] = Seq(
+    (false, "/scan"),
+    (true, "/scan/column$"),
+    (false, "*/end"),
+    (false, "/p%2Fq/"),
+    (true, "/big"),
+    (false, "/big"),
+    (false, "*&y="))
+
+  /** q212's operator over a q211-shaped `(doc_id, canon, host_key)`
+    * frame.
+    */
+  private[graft] def robotsEval(
+      urls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val withPath = urls
+      .withColumn("rest", element_at(split(col("canon"), "://"), 2))
+      .withColumn("path", expr("substring(rest, length(host_key) + 1)"))
+    val ruleArr = array(RobotsRules.map { case (allow, pat) =>
+      struct(lit(allow).as("al"), lit(pat).as("pt"),
+        lit(pat.length.toLong).as("ln"),
+        toColumn(graft.expressions.RobotsMatch(
+          toExpression(col("path")), pat)).as("m"))
+    }: _*)
+    val matched = withPath
+      .select(col("doc_id"), explode(ruleArr).as("r"))
+      .filter(col("r.m"))
+      .groupBy(col("doc_id"))
+      // lexicographic struct max = (longest, then allow, then pattern)
+      .agg(max(struct(col("r.ln").as("ln"),
+        when(col("r.al"), 1L).otherwise(0L).as("aw"),
+        col("r.pt").as("pt"))).as("w"))
+    withPath.select(col("doc_id"), col("path"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("path"),
+        coalesce(col("w.aw") === 1L, lit(true)).as("allowed"),
+        col("w.pt").as("rule"),
+        coalesce(col("w.ln"), lit(-1L)).as("rule_len"))
+      .orderBy("doc_id")
+  }
+
+  /** The ≤1-star closed-form SQL translation of a REP pattern — the
+    * oracle's independent road (the general matcher lives engine-side;
+    * the translator refuses patterns outside its closed form LOUDLY at
+    * oracle-build time rather than mis-translating).
+    */
+  private def robotsMatchSql(pat0: String): String = {
+    val anchored = pat0.endsWith("$")
+    val pat = if (anchored) pat0.dropRight(1) else pat0
+    if (!pat.contains("*")) {
+      if (anchored) s"path = '$pat'" else s"starts_with(path, '$pat')"
+    } else {
+      val parts = pat.split("\\*", -1)
+      require(parts.length == 2 && parts(0).isEmpty && !anchored,
+        s"q212 oracle translator covers leading-star unanchored patterns only, got $pat0")
+      s"contains(path, '${parts(1)}')"
+    }
+  }
+
+  def oracles: Map[String, String] = {
+    // q211's canonicalization chain (ending in `cn`), factored so the
+    // q212 politeness oracle evaluates rules over EXACTLY the frontier
+    // keys q211 produces: the six RFC 3986 rules re-derived in SQL —
+    // scheme/host/port/fragment via string ops, dot-segment resolution
+    // as a recursive-CTE segment stack (the q198/q206 proof shape),
+    // %HH uppercasing as a generated lower→upper hex-pair replace chain
+    val urlChain: String = {
       val hexL = "0123456789abcdef"
       // DuckDB caps expression-binder recursion at 128 — chunk the 156
       // hex-pair replaces into chained CTE stages of 50
@@ -458,7 +538,7 @@ object Relational extends QueryGroup {
           |  FROM s5 JOIN pth ON pth.doc_id = s5.doc_id)""".stripMargin
       val uLast = s"u${chunks.size}"
       val pqLast = s"pq${chunks.size}"
-      s"""WITH RECURSIVE a AS (
+      s"""a AS (
          |  SELECT doc_id,
          |    substring(md5('url:'||CAST(doc_id AS VARCHAR)),1,1) AS arm,
          |    COALESCE(string_split(text,' ')[1],'page') AS w1,
@@ -523,11 +603,40 @@ object Relational extends QueryGroup {
          |${replCtes.mkString(",\n")},
          |cn AS (SELECT s5.doc_id, s5.arm, s5.raw_url,
          |    s5.scheme||'://'||s5.auth||$uLast.$pqLast AS canon
-         |  FROM s5 JOIN $uLast ON $uLast.doc_id = s5.doc_id)
+         |  FROM s5 JOIN $uLast ON $uLast.doc_id = s5.doc_id)""".stripMargin
+    }
+    val robotsRuleRows = RobotsRules.map { case (allow, pat) =>
+      s"""SELECT pw.doc_id, pw.path, $allow AS al, '$pat' AS pt,
+         |      CAST(${pat.length} AS BIGINT) AS ln, ${robotsMatchSql(pat)} AS m
+         |    FROM pw""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
+    Map(
+    "q211_url_canonicalize" ->
+      s"""WITH RECURSIVE $urlChain
          |SELECT doc_id, arm, raw_url, canon,
          |  string_split(string_split(canon,'://')[2],'/')[1] AS host_key
-         |FROM cn ORDER BY doc_id""".stripMargin
-    },
+         |FROM cn ORDER BY doc_id""".stripMargin,
+    // q212: rules over the q211 chain verbatim; the winner is
+    // row_number over (length DESC, allow DESC, pattern DESC) — the
+    // same lexicographic order as the engine's struct max
+    "q212_robots_eval" ->
+      s"""WITH RECURSIVE $urlChain,
+         |pw AS (SELECT doc_id,
+         |    substring(string_split(canon,'://')[2],
+         |      length(string_split(string_split(canon,'://')[2],'/')[1]) + 1) AS path
+         |  FROM cn),
+         |rm AS (SELECT * FROM (
+         |    $robotsRuleRows
+         |  ) z WHERE m),
+         |w AS (SELECT doc_id, al, pt, ln,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY ln DESC, al DESC, pt DESC) AS rk
+         |  FROM rm)
+         |SELECT pw.doc_id, pw.path,
+         |  COALESCE(w.al, true) AS allowed, w.pt AS rule,
+         |  COALESCE(w.ln, -1) AS rule_len
+         |FROM pw LEFT JOIN w ON w.doc_id = pw.doc_id AND w.rk = 1
+         |ORDER BY pw.doc_id""".stripMargin,
     // q210: the same six arms and the same RFC 4180 quoting rule as SQL
     // CASE expressions — the LINES are compared byte-for-byte; the
     // decode direction is engine-side self-validated in-plan
@@ -697,5 +806,5 @@ object Relational extends QueryGroup {
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
         |ORDER BY o_orderkey""".stripMargin,
-  )
+  )}
 }

@@ -3674,6 +3674,53 @@ class OperatorSpec extends SparkSpec {
       "case/port/dot variants must collapse to one frontier key")
   }
 
+  test("q212 robots: matcher laws incl. multi-star; winner == plain-Scala REP; every rule class fires") {
+    import graft.expressions.RobotsMatch.matches
+    import graft.operators.Relational
+    // the general matcher, beyond the oracle's closed form: multi-star,
+    // anchored stars, empty segments, greedy completeness
+    assert(matches("/a/b/c", "/a"))
+    assert(!matches("/b/a", "/a"))
+    assert(matches("/a/b/c", "/a/*/c"))
+    assert(matches("/a/x/y/c", "/a/*/c"))
+    assert(!matches("/a/b", "/a/*/c"))
+    assert(matches("/a/b/c", "/a/*/c$"))
+    assert(!matches("/a/b/c/d", "/a/*/c$"))
+    assert(matches("/ab/cd/ef", "*b*d*f"))
+    assert(!matches("/ab/cd/ef", "*f*d"))
+    assert(matches("/abc", "/abc$"))
+    assert(!matches("/abcd", "/abc$"))
+    assert(matches("/xx", "*"))
+    assert(matches("/aa", "/a*a$")) // greedy must not overshoot
+    // winner logic vs a plain-Scala REP evaluator over the fixture
+    val out = SparkEntry.queries("q212_robots_eval")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val path = r.getString(1)
+      val hits = Relational.RobotsRules
+        .filter { case (_, p) => matches(path, p) }
+        .map { case (al, p) => (p.length.toLong, if (al) 1L else 0L, p) }
+      val want = if (hits.isEmpty) (true, None, -1L)
+      else {
+        val w = hits.max
+        (w._2 == 1L, Some(w._3), w._1)
+      }
+      assert(r.getBoolean(2) == want._1, s"doc ${r.getLong(0)} allowed drift")
+      assert((if (r.isNullAt(3)) None else Some(r.getString(3))) == want._2)
+      assert(r.getLong(4) == want._3)
+    }
+    // every rule CLASS fires on the fixture: default-allow, prefix
+    // disallow, the anchor override, star, escaped path, the allow tie
+    val rules = out.map(r => if (r.isNullAt(3)) "<none>" else r.getString(3)).toSet
+    Seq("<none>", "/scan", "/scan/column$", "*/end", "/p%2Fq/", "/big")
+      .foreach(r => assert(rules.contains(r), s"rule class $r never fired"))
+    // the two headline REP behaviors, stated directly
+    val colDoc = out.find(r => !r.isNullAt(3) && r.getString(3) == "/scan/column$").get
+    assert(colDoc.getBoolean(2), "the anchored allow must override /scan")
+    val bigDoc = out.find(r => !r.isNullAt(3) && r.getString(3) == "/big").get
+    assert(bigDoc.getBoolean(2), "equal-length tie must fall to allow")
+  }
+
   test("q198 guards: uncoverable word, over-length word, tie counting on a toy vocab") {
     import spark.implicits._
     import graft.operators.Tokenizer
