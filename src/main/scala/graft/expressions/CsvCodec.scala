@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * raw unless it is empty or contains a comma, quote, CR or LF, in
   * which case it is quoted with inner quotes doubled (RFC 4180 §2.5–7).
   * NULL encodes as the empty UNQUOTED field and the empty string as
-  * `""` — which makes the codec a BIJECTION on string-or-null fields,
-  * the property the round-trip identity (and any lossless ingest)
-  * rests on.
+  * `""` — which makes the codec a BIJECTION on string-or-null field
+  * arrays of arity ≥ 1. Arity 0 has no CSV representation at all (the
+  * empty LINE is the one-NULL-field line), so a zero-field row is
+  * refused loudly rather than silently aliased onto `[null]`.
   *
   * Decoding (`CsvSplit`, string → array<string>): a strict state
   * machine that REFUSES malformed input loudly (unbalanced quote, bare
@@ -89,6 +90,10 @@ object CsvCodec {
 
   /** Static entry shared by eval and generated code. */
   def encode(arr: ArrayData): UTF8String = {
+    if (arr.numElements() == 0)
+      throw new IllegalArgumentException(
+        "csv_encode: zero-field row has no CSV representation " +
+          "(the empty line is the one-NULL-field line)")
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < arr.numElements()) {

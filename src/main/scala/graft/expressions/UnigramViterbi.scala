@@ -83,11 +83,14 @@ case class UnigramViterbi(
 object UnigramViterbi {
 
   /** Hard word-length cap: recursion-free DP arrays stay tiny and the
-    * `ways` count stays far from BIGINT range (≤ 2^(len−1) paths). Real
+    * `ways` count provably fits a signed BIGINT — a word of len chars
+    * has ≤ 2^(len−1) segmentations, and 2^62 < 2^63−1 only holds up to
+    * len = 63 (at 64 an all-zero-cost pathological vocab overflows the
+    * count; Math.addExact would crash instead of refusing). Real
     * corpora pre-split on whitespace never approach this; a longer
     * "word" means the upstream splitter broke, which must be loud.
     */
-  val MaxWordLen = 64
+  val MaxWordLen = 63
 
   /** The frozen vocab as executor-resident model state: token → cost
     * lookup plus the max token length bounding the DP's inner loop.

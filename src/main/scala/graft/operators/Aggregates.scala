@@ -330,8 +330,8 @@ object Aggregates extends QueryGroup {
     */
   private def cmBucket(token: org.apache.spark.sql.Column,
       seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat(lit("cm"), seed.cast("string"),
-      lit(":"), token)), 1, 15), 16, 10).cast("long"), lit(CmWidth))
+    pmod(graft.functions.Hashing.md5Long60(concat(lit("cm"),
+      seed.cast("string"), lit(":"), token)), lit(CmWidth))
 
   /** The whole-corpus token stream (the q44 universe: whitespace split,
     * empties dropped).

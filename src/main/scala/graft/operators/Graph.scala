@@ -47,9 +47,8 @@ object Graph extends QueryGroup {
     val n = docs.agg(count(lit(1)).as("n"))
     docs.select(col("doc_id").as("src")).crossJoin(broadcast(n))
       .select(col("src"), explode(array((1 to OutDeg).map(j =>
-        pmod(conv(substring(md5(concat(lit("edge:"),
-          col("src").cast("string"), lit(s":$j"))), 1, 15), 16, 10)
-          .cast("long"), col("n"))): _*)).as("dst"))
+        pmod(graft.functions.Hashing.md5Long60(concat(lit("edge:"),
+          col("src").cast("string"), lit(s":$j"))), col("n"))): _*)).as("dst"))
   }
 
   private[graft] def pageRank(docs: DataFrame): DataFrame = {
@@ -101,7 +100,11 @@ object Graph extends QueryGroup {
       .repartition(col("user_id")).cache()
     var auth: DataFrame = edges.select(col("item")).distinct()
       .select(col("item"), lit(HitsScale).as("a"))
-    var hub: DataFrame = edges.sparkSession.emptyDataFrame
+    // classic uniform h₀ — always overwritten when HitsIters ≥ 1, but a
+    // real frame keeps the alternation well-defined at any iteration
+    // count (a schemaless placeholder would trap a future reorder)
+    var hub: DataFrame = edges.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(HitsScale).as("h"))
     for (_ <- 1 to HitsIters) {
       // localCheckpoint per half-step: the broadcast max re-reads its
       // input, so without lineage truncation every half-step recomputes

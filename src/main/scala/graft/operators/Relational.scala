@@ -426,7 +426,10 @@ object Relational extends QueryGroup {
     val g = substring(md5(concat(lit("url:"), col("doc_id").cast("string"))), 1, 1)
     val w1 = coalesce(element_at(split(col("text"), " "), 1), lit("page"))
     val w2 = coalesce(element_at(split(col("text"), " "), 2), lit("item"))
-    val host = concat(upper(substring(w1, 1, 1)), substring(w1, 2, 100),
+    // len = Int.MaxValue ≡ the oracle's unbounded substring(w1, 2) —
+    // a finite cap would silently truncate long first tokens and
+    // desynchronize the two engines' raw_url fixtures
+    val host = concat(upper(substring(w1, 1, 1)), substring(w1, 2, Int.MaxValue),
       lit(".Example.COM"))
     val raw = when(g < "3", concat(lit("HTTP://"), host, lit("/"), w1, lit("/"), w2))
       .when(g < "6", concat(lit("http://"), lower(host), lit(":80/"), w1))

@@ -50,7 +50,7 @@ object Sketches extends QueryGroup {
   private[graft] def h60(c: Column): Column = salted60("kmv:", c)
 
   private[graft] def salted60(salt: String, c: Column): Column =
-    conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10).cast("long")
+    graft.functions.Hashing.md5Long60(concat(lit(salt), c))
 
   /** The dump gate: first md5 hex of the doc id splits the corpus into
     * the two "dumps" whose token overlap the sketch measures.
@@ -89,7 +89,10 @@ object Sketches extends QueryGroup {
       .cast("long")
 
   private[graft] def kmvOverlap(docs: DataFrame): DataFrame = {
-    val ts = tokenStream(docs)
+    // the shingle explode is the operator's dominant map work and three
+    // legs consume it (two synopses + the exact verdict) — persist once
+    // (the annLsh CachePool shape), don't re-scan the corpus per leg
+    val ts = graft.CachePool.track(tokenStream(docs))
     val synA = kmvSynopsis(ts.filter(col("in_a"))
       .select(h60(col("token")).as("h"))).select(col("synopsis").as("syn_a"))
     val synB = kmvSynopsis(ts.filter(!col("in_a"))
@@ -177,13 +180,15 @@ object Sketches extends QueryGroup {
     * than estimating with unverifiable floats.
     */
   private[graft] def hllEstimate(docs: DataFrame): DataFrame = {
-    val regs = hllRegisters(
-      tokenStream(docs).select(salted60("hll:", col("token")).as("h")))
+    // shared shingle explode: the register build and the exact-verdict
+    // leg both consume it — persist once (the kmvOverlap stance)
+    val ts = graft.CachePool.track(tokenStream(docs))
+    val regs = hllRegisters(ts.select(salted60("hll:", col("token")).as("h")))
     val folded = regs.agg(
       count(lit(1)).as("used"),
       sum(expr(s"shiftleft(cast(1 as bigint), cast(${HllWBits + 1} - m_j as int))"))
         .as("z_used"))
-    val exact = tokenStream(docs).select(col("token")).distinct()
+    val exact = ts.select(col("token")).distinct()
       .agg(count(lit(1)).as("exact"))
     folded.crossJoin(exact)
       .select(col("used"),
@@ -199,8 +204,12 @@ object Sketches extends QueryGroup {
           .cast("long").as("est"),
         col("exact"))
       // the raw-estimator contract: outside its regime, refuse — never
-      // fall back to linear counting's ln() behind the caller's back
-      .filter(when(col("used") < HllM && col("est") <= lit((5L * HllM / 2)),
+      // fall back to linear counting's ln() behind the caller's back.
+      // est isNull (zero registers — an empty shingle stream) must hit
+      // the SAME refusal: when(NULL, raise) would silently fall through
+      // to otherwise(true) and emit a non-verdict row
+      .filter(when(col("est").isNull ||
+          (col("used") < HllM && col("est") <= lit(5L * HllM / 2)),
         raise_error(lit("q207: small-range regime (empty buckets and raw " +
           "estimate <= 2.5m) — linear counting is not bit-portable; refusing")))
         .otherwise(lit(true)))

@@ -350,7 +350,10 @@ object StreamOps {
           val v = r._4
           st =
             if (st.n == 0L) EwmaState(v, 0L, 1L)
-            else EwmaState((7L * st.e + v) / 8L,
+            // floorDiv, not /: the batch fold floors (floor(x/8.0) ≡
+            // DuckDB //), and Long./ truncates toward zero — on
+            // negative EWMA state (refund-heavy users) the two diverge
+            else EwmaState(Math.floorDiv(7L * st.e + v, 8L),
               st.a + (if (v > 3L * st.e || 3L * v < st.e) 1L else 0L),
               st.n + 1L)
         }

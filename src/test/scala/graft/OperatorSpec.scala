@@ -3424,7 +3424,7 @@ class OperatorSpec extends SparkSpec {
           if (sp) spikes += 1
           if (cl) collapses += 1
           if (sp || cl) a += 1
-          e = (7 * e + v) / 8
+          e = Math.floorDiv(7 * e + v, 8) // floor ≡ the engine's floor(x/8.0)
         } else e = v
         n += 1
       }
