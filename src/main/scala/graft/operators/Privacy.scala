@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -50,6 +51,10 @@ object Privacy extends QueryGroup {
     * sensitive values.
     */
   private[graft] val DivL = 3L
+
+  /** The t-closeness bar as an exact rational: EMD ≤ TNum/TDen. */
+  private[graft] val TNum = 1L
+  private[graft] val TDen = 8L
 
   private def s(x: Column): Column = coalesce(x.cast("string"), lit("<null>"))
   private def nat: Column = concat(lit("n"), s(col("c_nationkey")))
@@ -163,6 +168,117 @@ object Privacy extends QueryGroup {
       .orderBy("level")
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * skewness/similarity-attack closure of q201+q202: an l-diverse class
+    * can still disclose ("this class skews hard toward the top balance
+    * band"), so every class's sensitive-value DISTRIBUTION must stay
+    * within Earth-Mover's Distance t of the GLOBAL distribution. The
+    * sensitive attribute here is ORDERED — the \$1000 acctbal band — so
+    * EMD has the closed form (Li et al. §5.2, ordered-distance ground
+    * metric):
+    *
+    *   EMD(P, Q) = (1/(m−1)) · Σ_{i=1}^{m−1} |cum_i(P) − cum_i(Q)|
+    *
+    * Evaluated EXACTLY in integers by scaling both cumulatives to a
+    * common denominator: with class size n, corpus size N, the class
+    * violates iff  TDen · Σ|N·cumc_i − n·cumC_i|  >  TNum · n·N·(m−1)
+    * — all BIGINT, no division, hash-portable. The QI ladder (strict
+    * coarsenings, so `satisfies` is monotone by EMD's joint convexity:
+    * a merged class is a mixture and EMD(mixture, Q) ≤ max over parts):
+    *   0: nation × segment    1: region × segment
+    *   2: region × *          3: *   (P ≡ Q, EMD = 0 by identity)
+    *
+    * Loudness: a NULL sensitive value is REFUSED (`raise_error`) — an
+    * ordered-ground-distance EMD is undefined for an unordered sentinel,
+    * and silently pinning NULL to either end of the order would move
+    * mass through every cumulative term. A degenerate order (m < 2)
+    * is refused (the 1/(m−1) normalization vanishes). The BIGINT
+    * envelope is guarded in-plan: TDen·(m−1)·N² must fit int64 (a
+    * double-precision pre-check — exact products appear only below it).
+    *
+    * Scale shape (100 TB): ONE corpus shuffle (the level-explode into
+    * (level, QI, band) partial counts — q201's Expand shape). Everything
+    * after is DOMAIN-bounded, not corpus-bounded: the global band frame
+    * has ≤ range/width rows (broadcast), the class frame ≤ Σ_level
+    * |QI-domain_level| rows, and the per-class cumulative window holds
+    * exactly m rows. The band grid is a crossJoin against the BROADCAST
+    * band frame — never a corpus-sized window.
+    */
+  private[graft] def tClosenessAudit(
+      customer: DataFrame, nation: DataFrame,
+      tNum: Long, tDen: Long): DataFrame = {
+    val c = withRegion(customer, nation).withColumn("band",
+      when(col("c_acctbal").isNull, raise_error(lit(
+        "q214: NULL sensitive value — ordered-EMD t-closeness is " +
+          "undefined for an unordered sentinel; scrub or impute upstream")))
+        .otherwise(floor(col("c_acctbal") / lit(BalBands(1).toDouble))
+          .cast("long")))
+    // global ordered distribution — DOMAIN-bounded (≤ range/width rows),
+    // so the single-partition cumulative window is safe at any corpus size
+    val gw = Window.orderBy(col("band"))
+    val glob = c.groupBy(col("band")).agg(count(lit(1)).as("gcnt"))
+      .select(col("band"), sum(col("gcnt")).over(gw).as("cum_g"),
+        row_number().over(gw).cast("long").as("idx"))
+    val tot = glob.agg(max(col("cum_g")).as("n_total"),
+      count(lit(1)).as("m_vals"))
+    val globT = glob.crossJoin(broadcast(tot))
+      .filter(when(col("m_vals") < 2L, raise_error(lit(
+        "q214: fewer than 2 ordered sensitive values — the 1/(m-1) EMD " +
+          "normalization is degenerate; nothing to audit")))
+        .otherwise(lit(true)))
+      .filter(when(col("n_total").cast("double") * col("n_total")
+          * (col("m_vals") - 1L) * lit(tDen.toDouble) > lit(9.0e18),
+        raise_error(lit("q214: TDen*(m-1)*N^2 exceeds the exact-BIGINT " +
+          "envelope — rescale the band width or move the comparison to " +
+          "DECIMAL(38,0) before trusting this audit")))
+        .otherwise(lit(true)))
+    val seg = s(col("c_mktsegment"))
+    val ladder: Seq[(Column, Column)] =
+      Seq((nat, seg), (reg, seg), (reg, star), (star, star))
+    val exploded = c.select(explode(array(ladder.zipWithIndex.map {
+      case ((q1, q2), i) => struct(lit(i.toLong).as("level"),
+        q1.as("q1"), q2.as("q2"), col("band").as("band"))
+    }: _*)).as("g")).select(col("g.*"))
+    val clsBand = exploded.groupBy(col("level"), col("q1"), col("q2"),
+      col("band")).agg(count(lit(1)).as("cnt"))
+    val cls = clsBand.groupBy(col("level"), col("q1"), col("q2"))
+      .agg(sum(col("cnt")).as("n_class"))
+    // every class × every global band (absent bands carry cnt 0 but
+    // still contribute |N·cumc − n·cumC| terms); band frame is broadcast
+    val grid = cls.crossJoin(broadcast(globT))
+      .join(clsBand, Seq("level", "q1", "q2", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val cw = Window.partitionBy(col("level"), col("q1"), col("q2"))
+      .orderBy(col("band")) // exactly m rows per partition
+    val perClass = grid
+      .withColumn("cum_c", sum(col("cnt")).over(cw))
+      .withColumn("term", when(col("idx") < col("m_vals"),
+        abs(col("n_total") * col("cum_c") - col("n_class") * col("cum_g")))
+        .otherwise(0L))
+      .groupBy(col("level"), col("q1"), col("q2"), col("n_class"),
+        col("n_total"), col("m_vals"))
+      .agg(sum(col("term")).as("d_num"))
+      .withColumn("violates", lit(tDen) * col("d_num") >
+        lit(tNum) * col("n_class") * col("n_total") * (col("m_vals") - 1L))
+    val audit = perClass.groupBy(col("level")).agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("violates"), 1L).otherwise(0L)).as("violating_classes"),
+        sum(when(col("violates"), col("n_class")).otherwise(0L))
+          .as("records_at_risk"))
+      .withColumn("satisfies", col("violating_classes") === lit(0L))
+    val chosen = audit.filter(col("satisfies"))
+      .agg(min(col("level")).as("chosen_level"))
+    audit.crossJoin(broadcast(chosen))
+      .filter(when(col("chosen_level").isNull,
+        raise_error(lit("q214: no ladder level reaches t-closeness — " +
+          "impossible (the top rung is P ≡ Q, EMD 0); corrupted audit")))
+        .otherwise(lit(true)))
+      .select(col("level"), col("n_classes"), col("violating_classes"),
+        col("records_at_risk"), col("satisfies"),
+        (col("level") === col("chosen_level")).as("chosen"))
+      .orderBy("level")
+  }
+
   def queries: Map[String, Q] = Map(
     // q201 [north star, r12]: the k-anonymity release audit over the
     // customer table's (nation, segment, acctbal) quasi-identifiers.
@@ -174,7 +290,14 @@ object Privacy extends QueryGroup {
     // homogeneity-attack closure over the same release surface.
     "q202_l_diversity" -> ((spark, dir) =>
       lDiversityAudit(Tables(spark, dir, "customer"),
-        Tables(spark, dir, "nation"), DivL)))
+        Tables(spark, dir, "nation"), DivL)),
+
+    // q214 [north star, r12]: the t-closeness audit — the triad's
+    // skewness-attack closure, exact-integer ordered EMD vs the global
+    // sensitive distribution.
+    "q214_t_closeness" -> ((spark, dir) =>
+      tClosenessAudit(Tables(spark, dir, "customer"),
+        Tables(spark, dir, "nation"), TNum, TDen)))
 
   def oracles: Map[String, String] = {
     // the identical ladder, re-derived: same recodings, same floor/band
@@ -196,7 +319,59 @@ object Privacy extends QueryGroup {
     val dlv = drungs.zipWithIndex.map { case ((qn, qb), i) =>
       s"SELECT $i AS level, $qn AS q_nat, $qb AS q_bal, $sens AS sens FROM cn"
     }.mkString("\n  UNION ALL\n  ")
+    val trungs = Seq((nat, seg), (reg, seg), (reg, "'*'"), ("'*'", "'*'"))
+    val tlv = trungs.zipWithIndex.map { case ((q1, q2), i) =>
+      s"SELECT $i AS level, $q1 AS q1, $q2 AS q2, band FROM cn"
+    }.mkString("\n  UNION ALL\n  ")
     Map(
+      // the identical exact-integer ordered EMD, re-derived: same band
+      // arithmetic, same cumulative scaling, same rational threshold
+      "q214_t_closeness" ->
+        s"""WITH cn AS (SELECT c.*, n.n_regionkey,
+           |              CAST(floor(c_acctbal/${BalBands(1)}.0) AS BIGINT) AS band
+           |            FROM customer c
+           |            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey),
+           |gt AS (SELECT band,
+           |         SUM(gcnt) OVER (ORDER BY band) AS cum_g,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY band) AS BIGINT) AS idx
+           |       FROM (SELECT band, COUNT(*) AS gcnt FROM cn GROUP BY band)),
+           |tots AS (SELECT MAX(cum_g) AS n_total, COUNT(*) AS m_vals FROM gt),
+           |lv AS (
+           |  $tlv),
+           |cb AS (SELECT level, q1, q2, band, COUNT(*) AS cnt
+           |       FROM lv GROUP BY level, q1, q2, band),
+           |cl AS (SELECT level, q1, q2, SUM(cnt) AS n_class
+           |       FROM cb GROUP BY level, q1, q2),
+           |grid AS (SELECT cl.level, cl.q1, cl.q2, cl.n_class,
+           |           gt.band, gt.cum_g, gt.idx,
+           |           t.n_total, t.m_vals, COALESCE(cb.cnt, 0) AS cnt
+           |         FROM cl CROSS JOIN gt CROSS JOIN tots t
+           |         LEFT JOIN cb ON cb.level = cl.level AND cb.q1 = cl.q1
+           |           AND cb.q2 = cl.q2 AND cb.band = gt.band),
+           |terms AS (SELECT level, q1, q2, n_class, n_total, m_vals,
+           |            CASE WHEN idx < m_vals THEN ABS(n_total *
+           |              SUM(cnt) OVER (PARTITION BY level, q1, q2
+           |                             ORDER BY band)
+           |              - n_class * cum_g) ELSE 0 END AS term
+           |          FROM grid),
+           |pc AS (SELECT level, q1, q2, n_class,
+           |         $TDen * SUM(term) >
+           |           $TNum * n_class * n_total * (m_vals - 1) AS violates
+           |       FROM terms
+           |       GROUP BY level, q1, q2, n_class, n_total, m_vals),
+           |aud AS (SELECT level, COUNT(*) AS n_classes,
+           |          SUM(CASE WHEN violates THEN 1 ELSE 0 END) AS violating_classes,
+           |          SUM(CASE WHEN violates THEN n_class ELSE 0 END) AS records_at_risk
+           |        FROM pc GROUP BY level),
+           |ch AS (SELECT MIN(level) AS chosen_level FROM aud
+           |       WHERE violating_classes = 0)
+           |SELECT CAST(level AS BIGINT) AS level,
+           |  CAST(n_classes AS BIGINT) AS n_classes,
+           |  CAST(violating_classes AS BIGINT) AS violating_classes,
+           |  CAST(records_at_risk AS BIGINT) AS records_at_risk,
+           |  violating_classes = 0 AS satisfies,
+           |  level = (SELECT chosen_level FROM ch) AS chosen
+           |FROM aud ORDER BY level""".stripMargin,
       "q202_l_diversity" ->
         s"""WITH cn AS (SELECT c.*, n.n_regionkey FROM customer c
            |            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey),

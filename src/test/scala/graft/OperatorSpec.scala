@@ -3218,6 +3218,85 @@ class OperatorSpec extends SparkSpec {
       "top rung must be 3-diverse when NULL counts as its own sensitive value")
   }
 
+  test("q214 t-closeness: matches a plain-Scala exact-rational EMD audit; monotone; top rung EMD=0; loud on NULL/degenerate order") {
+    import graft.operators.Privacy
+    val out = SparkEntry.queries("q214_t_closeness")(spark, Sf).collect()
+    assert(out.length == 4)
+    // SECOND implementation (after the oracle's SQL): the ordered EMD
+    // re-derived in plain Scala with BigInt (no scaling shortcuts)
+    val regionOf = Tables(spark, Sf, "nation").collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val rows = Tables(spark, Sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / Privacy.BalBands(1)).toLong))
+    val bands = rows.map(_._3).distinct.sorted
+    val m = bands.length
+    val bigN = rows.length.toLong
+    val cumG = bands.map(b => rows.count(_._3 <= b).toLong)
+    def qi(l: Int, n: Int, s: String): (String, String) = l match {
+      case 0 => (s"n$n", s)
+      case 1 => (s"r${regionOf(n)}", s)
+      case 2 => (s"r${regionOf(n)}", "*")
+      case 3 => ("*", "*")
+    }
+    val ref = (0 to 3).map { l =>
+      val cls = rows.groupBy { case (n, s, _) => qi(l, n, s) }.values.map { g =>
+        val n = g.size.toLong
+        val d = (0 until m - 1).map { i =>
+          val cumc = g.count(_._3 <= bands(i)).toLong
+          (BigInt(bigN) * cumc - BigInt(n) * cumG(i)).abs
+        }.sum
+        (n, BigInt(Privacy.TDen) * d >
+          BigInt(Privacy.TNum) * n * bigN * (m - 1))
+      }.toSeq
+      val viol = cls.filter(_._2)
+      (l.toLong, cls.size.toLong, viol.size.toLong, viol.map(_._1).sum)
+    }
+    out.zip(ref).foreach { case (r, (l, nc, vc, ar)) =>
+      assert(r.getLong(0) == l)
+      assert(r.getLong(1) == nc, s"level $l: n_classes ${r.getLong(1)} != $nc")
+      assert(r.getLong(2) == vc, s"level $l: violating ${r.getLong(2)} != $vc")
+      assert(r.getLong(3) == ar, s"level $l: at-risk ${r.getLong(3)} != $ar")
+      assert(r.getBoolean(4) == (vc == 0L))
+    }
+    // EMD joint convexity: coarsening merges classes into mixtures, so
+    // the at-risk set shrinks and satisfaction never reverses up
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) <= a.getLong(3),
+        s"at-risk grew from level ${a.getLong(0)} to ${b.getLong(0)}")
+      assert(!a.getBoolean(4) || b.getBoolean(4),
+        "satisfies reversed up the ladder")
+    }
+    // top rung is P ≡ Q: EMD identically 0, always satisfies
+    assert(out.last.getBoolean(4) && out.last.getLong(2) == 0L)
+    assert(out.count(_.getBoolean(5)) == 1)
+    assert(out.filter(_.getBoolean(5)).head.getLong(0) ==
+      out.filter(_.getBoolean(4)).map(_.getLong(0)).min)
+    // fixture non-vacuous: level 0 must violate
+    assert(!out.head.getBoolean(4), "level 0 must violate or the ladder is vacuous")
+
+    import spark.implicits._
+    val nat = Tables(spark, Sf, "nation")
+    // NULL sensitive value: loud refusal (ordered EMD undefined)
+    val withNull = Seq(
+      (1L, 1, java.lang.Double.valueOf(10.0), "AUTO"),
+      (2L, 2, null.asInstanceOf[java.lang.Double], "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val e1 = intercept[Exception] {
+      Privacy.tClosenessAudit(withNull, nat, Privacy.TNum, Privacy.TDen).collect()
+    }
+    assert(e1.getMessage != null || e1.getCause != null)
+    // single band in the whole corpus: m < 2 -> loud refusal
+    val oneBand = (1 to 8).map(i => (i.toLong, i % 25, 50.0 + i, "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val e2 = intercept[Exception] {
+      Privacy.tClosenessAudit(oneBand, nat, Privacy.TNum, Privacy.TDen).collect()
+    }
+    assert(e2.getMessage != null || e2.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
