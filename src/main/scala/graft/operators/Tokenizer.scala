@@ -299,6 +299,33 @@ object Tokenizer extends QueryGroup {
       val merges = bpeTrain(wordDict(spark, dir))
       unigramSegmented(docs, unigramCosts(spark, docs, merges))
         .orderBy("doc_id")
+    }),
+
+    // q215 [north star, r12]: WORDPIECE greedy segmentation — the THIRD
+    // production subword family (Wu et al. 2016; BERT's tokenizer),
+    // completing the inference-strategy triangle the tier now spans:
+    // BPE applies a fixed MERGE PROGRAM (q167/q178), unigram picks the
+    // GLOBAL OPTIMUM by DP (q198), WordPiece walks GREEDY
+    // longest-match-first — the published algorithm, including its
+    // all-or-nothing [UNK] rule (an unmatched cursor discards the whole
+    // word's pieces) and the max_input_chars_per_word=200 UNK cap. The
+    // vocab is the SAME q181 inventory (base alphabet + merged tokens)
+    // registered on both sides (word-initial and "##" continuation) —
+    // single-char base coverage means [UNK] cannot fire on the gated
+    // corpus (pinned; the spec exercises UNK and greedy-vs-optimal
+    // suboptimality on restricted toy vocabs, where the behavior
+    // lives). Scale shape: the vocab ships as executor model state on
+    // the WordpieceGreedy codegen expression; the corpus pass is
+    // MAP-ONLY (zero joins/shuffles — q198's shape). Oracle: the same
+    // greedy walk as a recursive CTE over a precomputed
+    // longest-match-per-cursor table — an independent implementation of
+    // the same deterministic walk, one hash.
+    "q215_wordpiece" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val merges = bpeTrain(wordDict(spark, dir))
+      val inv = vocabTable(spark, docs, merges)
+        .orderBy("token_id").collect().map(_.getString(0)).toSeq
+      wordpieceSegmented(docs, inv, inv).orderBy("doc_id")
     }))
 
   /** The per-dump token-frequency PARTIALS a release stores beside each
@@ -378,6 +405,34 @@ object Tokenizer extends QueryGroup {
         when(col("text").isNotNull && size(words) > 0, agg).as("v"))
       .select(col("doc_id"), col("n_ws"),
         col("v.c").as("vit_cost"), col("v.w").as("vit_ways"))
+  }
+
+  /** The map-only corpus pass of q215: per word (same whitespace split
+    * and loud alphabet gate as the BPE/unigram paths, empties dropped),
+    * the WordpieceGreedy expression computes struct(pieces, unk); per
+    * doc both are summed by one `aggregate` fold. Same SPARK-36718
+    * projection discipline and NULL-text contract as
+    * [[unigramSegmented]].
+    */
+  private[graft] def wordpieceSegmented(docs: DataFrame,
+      initial: Seq[String], continuation: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val ini = initial.toArray
+    val con = continuation.toArray
+    def wp(w: Column): Column =
+      toColumn(graft.expressions.WordpieceGreedy(toExpression(w), ini, con))
+    val words = filter(TextOps.tokens(gatedText), w => w =!= "")
+    val agg = aggregate(
+      transform(words, w => wp(w)),
+      struct(lit(0L).as("p"), lit(0L).as("u")),
+      (acc, x) => struct(
+        (acc.getField("p") + x.getField("pieces")).as("p"),
+        (acc.getField("u") + x.getField("unk")).as("u")))
+    docs
+      .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
+        when(col("text").isNotNull && size(words) > 0, agg).as("v"))
+      .select(col("doc_id"), col("n_ws"),
+        col("v.p").as("n_wp"), col("v.u").as("n_unk"))
   }
 
   /** The token→id inventory (base alphabet in binary order, then merged
@@ -600,6 +655,49 @@ object Tokenizer extends QueryGroup {
          |       FROM occ o JOIN wres r ON r.word = o.w GROUP BY o.doc_id)
          |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
          |  CAST(pd.vc AS BIGINT) AS vit_cost, CAST(pd.vw AS BIGINT) AS vit_ways
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q215: the same greedy walk, independently — vocab inventory from
+    // the recursive merge chain (both WordPiece sides carry the same
+    // inventory here, so the longest-match table `lm` is
+    // cursor-position-independent), then the deterministic
+    // longest-match-first walk as a recursive CTE stepping one emitted
+    // piece per iteration; an unmatched cursor (lm LEFT JOIN miss) or a
+    // >200-char word collapses the word to [UNK] exactly like the
+    // engine's all-or-nothing rule.
+    "q215_wordpiece" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |$oracleVocabOnlyCtes,
+         |wtok AS (SELECT DISTINCT w AS word
+         |  FROM (SELECT unnest(string_split(text,' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
+         |pos0 AS (SELECT word, CAST(j AS INT) AS j
+         |  FROM wtok, UNNEST(generate_series(0, length(word)-1)) AS t(j)),
+         |lm AS (SELECT p.word, p.j, MAX(length(v.token)) AS l
+         |       FROM pos0 p JOIN vocab v
+         |         ON substring(p.word, p.j + 1, length(v.token)) = v.token
+         |       GROUP BY p.word, p.j),
+         |walk AS (
+         |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS n_p, FALSE AS unk
+         |  FROM wtok WHERE length(word) <= 200
+         |  UNION ALL
+         |  SELECT w.word,
+         |    CASE WHEN l.l IS NULL THEN length(w.word)
+         |         ELSE w.pos + CAST(l.l AS INT) END,
+         |    CASE WHEN l.l IS NULL THEN CAST(1 AS BIGINT) ELSE w.n_p + 1 END,
+         |    l.l IS NULL
+         |  FROM walk w LEFT JOIN lm l ON l.word = w.word AND l.j = w.pos
+         |  WHERE w.pos < length(w.word) AND NOT w.unk),
+         |wres AS (SELECT word, n_p, unk FROM walk WHERE pos = length(word)
+         |         UNION ALL
+         |         SELECT word, CAST(1 AS BIGINT) AS n_p, TRUE AS unk
+         |         FROM wtok WHERE length(word) > 200),
+         |occ AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
+         |pd AS (SELECT o.doc_id, SUM(r.n_p) AS wp,
+         |         SUM(CASE WHEN r.unk THEN 1 ELSE 0 END) AS uk
+         |       FROM occ o JOIN wres r ON r.word = o.w GROUP BY o.doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
+         |  CAST(pd.wp AS BIGINT) AS n_wp, CAST(pd.uk AS BIGINT) AS n_unk
          |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 
   /** The vocab-artifact CTE block shared by the q181/q188/q198 oracles:
@@ -614,7 +712,14 @@ object Tokenizer extends QueryGroup {
     s"""tf AS (SELECT tok, COUNT(*) AS freq FROM (
        |         SELECT unnest(list_filter(string_split(trim(s),' '), x -> x <> '')) AS tok
        |         FROM ap WHERE r = $MergeRounds) t GROUP BY tok),
-       |alpha AS (SELECT DISTINCT unnest(list_filter(
+       |$oracleVocabOnlyCtes""".stripMargin
+
+  /** The vocab INVENTORY alone (`alpha` → `vocab`), without `tf` — for
+    * oracles that need the token set but not corpus frequencies (q215's
+    * WordPiece walk); needs only `m` in scope, not `ap`.
+    */
+  private[graft] def oracleVocabOnlyCtes: String =
+    s"""alpha AS (SELECT DISTINCT unnest(list_filter(
        |            string_split(regexp_replace(w,'(.)','\\1 ','g'),' '),
        |            x -> x <> '')) AS ch
        |          FROM (SELECT unnest(string_split(text,' ')) AS w

@@ -307,6 +307,33 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("WordpieceGreedy interpreted eval == codegen path, bit-for-bit, on corpus words") {
+    import graft.expressions.WordpieceGreedy
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.operators.Tokenizer
+    val docs = Tables(spark, Sf, "documents")
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val inv = Tokenizer.vocabTable(spark, docs, merges)
+      .orderBy("token_id").collect().map(_.getString(0))
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    val viaDf = words.toSeq.toDF("w")
+      .select(col("w"), org.apache.spark.sql.graftbridge.toColumn(
+        WordpieceGreedy(org.apache.spark.sql.graftbridge.toExpression(col("w")),
+          inv, inv)).as("v"))
+      .select(col("w"), col("v.pieces"), col("v.unk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    words.foreach { w =>
+      val row = WordpieceGreedy(Literal(UTF8String.fromString(w)), inv, inv)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert((row.getLong(0), row.getLong(1)) == viaDf(w),
+        s"word '$w': interpreted ${(row.getLong(0), row.getLong(1))} != codegen ${viaDf(w)}")
+    }
+  }
+
   test("UnigramViterbi interpreted eval == codegen path, bit-for-bit, on corpus + adversarial words") {
     import graft.expressions.UnigramViterbi
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -3297,6 +3297,98 @@ class OperatorSpec extends SparkSpec {
     assert(e2.getMessage != null || e2.getCause != null)
   }
 
+  test("q215 wordpiece: matches a plain-Scala greedy walk; greedy >= DP optimum; UNK all-or-nothing; 200-char cap; model guards") {
+    import graft.operators.Tokenizer
+    import graft.expressions.WordpieceGreedy
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables(spark, Sf, "documents")
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val inv = Tokenizer.vocabTable(spark, docs, merges)
+      .orderBy("token_id").collect().map(_.getString(0)).toSeq
+    val invSet = inv.toSet
+    val maxTok = inv.map(_.length).max
+    // THIRD implementation (after the engine expression and the
+    // oracle's recursive CTE): the greedy walk in plain Scala
+    def greedy(w: String): (Long, Long) = {
+      if (w.length > WordpieceGreedy.MaxWordChars) return (1L, 1L)
+      var pos = 0; var p = 0L
+      while (pos < w.length) {
+        val len = (math.min(w.length - pos, maxTok) to 1 by -1)
+          .find(k => invSet.contains(w.substring(pos, pos + k))).getOrElse(0)
+        if (len == 0) return (1L, 1L)
+        p += 1L; pos += len
+      }
+      (p, 0L)
+    }
+    val out = SparkEntry.queries("q215_wordpiece")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    val docRows = docs.select("doc_id", "text").collect()
+    docRows.foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1)) assert(out(id).isEmpty, s"doc $id: NULL text must yield NULLs")
+      else {
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) assert(out(id).isEmpty)
+        else {
+          val g = ws.map(greedy)
+          assert(out(id).contains((g.map(_._1).sum, g.map(_._2).sum)),
+            s"doc $id: engine ${out(id)} != plain-Scala greedy")
+        }
+      }
+    }
+    // single-char base coverage: [UNK] cannot fire on the gated corpus
+    assert(out.values.flatten.forall(_._2 == 0L),
+      "UNK fired on the full-inventory vocab — base coverage broken")
+    // cross-family invariant: greedy longest-match-first is NEVER
+    // better than the uniform-cost DP optimum (q198's expression with
+    // all costs = 1 computes the min piece count over the same vocab)
+    val distinctWords = docRows.filter(!_.isNullAt(1))
+      .flatMap(_.getString(1).split(" ")).filter(_.nonEmpty).distinct
+    val uniform = inv.toArray
+    val ones = Array.fill(inv.size)(1L)
+    distinctWords.foreach { w =>
+      val opt = graft.expressions.UnigramViterbi(
+        Literal(UTF8String.fromString(w)), uniform, ones)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        .getLong(0)
+      assert(greedy(w)._1 >= opt,
+        s"word '$w': greedy ${greedy(w)._1} beat the DP optimum $opt — impossible")
+    }
+    // greedy is genuinely suboptimal somewhere OR the pinned toy shows
+    // it: initial {ab,a}, cont {bcd,c,d} on "abcd" — greedy takes ab
+    // then c,d (3 pieces); the optimum a+bcd is 2. The published
+    // algorithm is greedy; this pins that we implement IT, not the DP.
+    def toy(w: String, ini: Seq[String], con: Seq[String]): (Long, Long) = {
+      val row = WordpieceGreedy(Literal(UTF8String.fromString(w)),
+        ini.toArray, con.toArray)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      (row.getLong(0), row.getLong(1))
+    }
+    assert(toy("abcd", Seq("ab", "a"), Seq("bcd", "c", "d")) == (3L, 0L),
+      "greedy must take ab+c+d (3), not the optimal a+bcd (2)")
+    // UNK all-or-nothing: matched prefix pieces are DISCARDED
+    assert(toy("abc", Seq("ab"), Seq("c")) == (2L, 0L))
+    assert(toy("abd", Seq("ab"), Seq("c")) == (1L, 1L),
+      "unmatched cursor after a match must collapse the WHOLE word to [UNK]")
+    assert(toy("xab", Seq("ab"), Seq("a", "b", "x")) == (1L, 1L),
+      "no word-initial match must be [UNK] even if continuations cover it")
+    // position sides are distinct vocabularies
+    assert(toy("aa", Seq("a"), Seq.empty[String]) == (1L, 1L),
+      "an empty continuation side must UNK any multi-piece word")
+    // the 200-char published cap maps to UNK without scanning
+    assert(toy("a" * 201, Seq("a"), Seq("a")) == (1L, 1L))
+    assert(toy("a" * 200, Seq("a"), Seq("a")) == (200L, 0L))
+    // model guards: duplicates and empty pieces refused loudly
+    intercept[Exception] { toy("a", Seq("a", "a"), Seq("a")) }
+    intercept[Exception] { toy("a", Seq("a", ""), Seq("a")) }
+    intercept[Exception] {
+      WordpieceGreedy(Literal(UTF8String.fromString("a")),
+        Array.empty[String], Array("a")).eval(null)
+    }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()

@@ -696,6 +696,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q215 segments map-only: the two-sided vocab rides the expression, zero corpus joins") {
+    // same 100 TB contract as q198: the WordPiece vocab is an executor
+    // reference object on the codegen expression, never a join side —
+    // the corpus pass must show no join and no key shuffle before the
+    // presentation sort
+    val df = SparkEntry.queries("q215_wordpiece")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"q215 corpus pass must not join:\n${p.take(1200)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q215 corpus pass must not shuffle by key:\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q215 must not funnel the corpus to one partition:\n${p.take(1200)}")
+    assert(p.contains("wordpiece_greedy"),
+      "q215 must run through the WordpieceGreedy expression")
+  }
+
   test("q198 segments map-only: the cost model rides the expression, zero corpus joins") {
     // the unigram DP is a codegen expression over the scan — the frozen
     // cost table is an executor reference object, NOT a join side, so
