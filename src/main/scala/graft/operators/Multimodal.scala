@@ -911,6 +911,201 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** ---- perceptual-hash image near-dup tier (r12) --------------------
+    *
+    * The IMAGE sibling of the text near-dup family (q46 MinHash, q47
+    * SimHash): a multimodal training corpus is full of re-encoded,
+    * re-brightened, lightly-edited copies of the same image, and
+    * byte-level dedup (q42) sees none of them. dHash (difference hash —
+    * the published average/difference perceptual-hash family): downscale
+    * to a (W+1)×H grid of cell luma sums, emit one bit per horizontally
+    * adjacent cell pair (left > right), Hamming distance ≈ visual
+    * difference. Uniform brightness shifts cancel in the comparison —
+    * the invariance that makes the hash PERCEPTUAL, pinned in the spec.
+    *
+    * Exactness: cells here are exact integer block sums (the fixture's
+    * image dims are grid multiples, so no fractional resampling enters),
+    * and comparing SUMS of equal-size blocks is comparing means — every
+    * bit is integer-derived on both engines.
+    *
+    * Scale shape (100 TB): hashing is partition-local decode work (the
+    * mapPartitions seam above); the near-dup join NEVER goes all-pairs —
+    * the 64-bit hash splits into [[DhashBands]] 16-bit bands and
+    * candidates come from the banded equi-join (one hash-keyed shuffle).
+    * By pigeonhole this is EXACT-complete, not probabilistic: distance ≤
+    * [[DhashMaxHamming]] < DhashBands flips can't touch all 4 bands, so
+    * every qualifying pair shares at least one band verbatim (pinned
+    * against brute force in the spec).
+    */
+
+  /** dHash grid geometry: 9×8 comparison grid of 4×4-pixel cells. */
+  private[graft] val DhashGridW = 9
+  private[graft] val DhashGridH = 8
+  private[graft] val DhashCell = 4
+  private[graft] val DhashImgW = DhashGridW * DhashCell // 36
+  private[graft] val DhashImgH = DhashGridH * DhashCell // 32
+
+  /** Fixture group count (near-dup cluster = doc_id mod this). */
+  private[graft] val DhashGroups = 11L
+
+  /** Near-dup threshold; with [[DhashBands]] > this, banding is exact. */
+  private[graft] val DhashMaxHamming = 3L
+  private[graft] val DhashBands = 4
+
+  /** The group-signature bit behind the fixture's cell-level walk: a
+    * Knuth-multiplicative scramble chosen (searched, not guessed) so
+    * every pair of the 11 group signatures differs in ≥ 25 of 64 bits —
+    * cross-group Hamming stays ≫ the threshold even after the ≤ 2
+    * member flips below. Max operand ~1.2e3 · 2654435761 ≈ 3.2e12:
+    * exact in BIGINT on both engines.
+    */
+  private[graft] def dhashGroupBit(gid: Long, gx: Int, gy: Int): Boolean =
+    (gid * 13 + gx * 11 + gy * 5 + gx * gx * gy + gy * gy * gid) *
+      2654435761L / 268435456L % 2 == 1
+
+  /** Cell luma level: a ±12 walk across grid columns driven by the
+    * group bits — every horizontal neighbor differs by exactly 12/px
+    * (block-sum margin 192), so the ±1 per-pixel member noise (≤ ±16
+    * per block) can never flip a bit, while the +30 column-8 boost
+    * (+480) deterministically flips exactly the bits it targets.
+    * Levels stay in [32, 224]; pixels in [31, 255] — clip-free.
+    */
+  private[graft] def dhashLevel(gid: Long, gx: Int, gy: Int): Int = {
+    var lvl = 128
+    var j = 0
+    while (j < gx) {
+      lvl += (if (dhashGroupBit(gid, j, gy)) -12 else 12)
+      j += 1
+    }
+    lvl
+  }
+
+  /** The fixture pixel: group walk level + per-member sub-margin noise
+    * (a distinct re-render per doc that must NOT move the hash) + the
+    * member%3==1 column-8 boost (a visible edit that flips ≤ 2 bits —
+    * the true NEAR-dup, nonzero distance, still under threshold).
+    */
+  private[graft] def dhashPixel(docId: Long, x: Int, y: Int): Int = {
+    val gid = docId % DhashGroups
+    val member = docId / DhashGroups
+    val gx = x / DhashCell
+    val gy = y / DhashCell
+    val boost =
+      if (gx == DhashGridW - 1 && member % 3 == 1 && (gy + gid) % 4 == 0) 30
+      else 0
+    dhashLevel(gid, gx, gy) +
+      (((x.toLong * y + member) % 3) - 1).toInt + boost
+  }
+
+  /** Grayscale BMP fixture (r = g = b = pixel level, so the decoder's
+    * integer luma (299r+587g+114b)/1000 returns the level exactly).
+    */
+  private[graft] def encodeBmpDhash(docId: Long): Array[Byte] = {
+    val w = DhashImgW
+    val h = DhashImgH
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // BMP stores rows bottom-up
+      var x = 0
+      while (x < w) {
+        val v = dhashPixel(docId, x, y).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  /** Pack the 64 comparison bits (bit gy·8+gx set iff cell (gx,gy)
+    * outweighs its right neighbor) — shared by the decode path and the
+    * spec's formula-side third implementation.
+    */
+  private[graft] def dhash64(cellSums: Array[Array[Long]]): Long = {
+    var h = 0L
+    var gy = 0
+    while (gy < DhashGridH) {
+      var gx = 0
+      while (gx < DhashGridW - 1) {
+        if (cellSums(gy)(gx) > cellSums(gy)(gx + 1))
+          h |= 1L << (gy * (DhashGridW - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Real-codec perceptual hashing: ImageIO decode (partition-local),
+    * exact integer luma block sums, [[dhash64]]. Wrong-geometry or
+    * undecodable payloads raise (the q152 raise-don't-drift stance).
+    */
+  def perceptualHashes(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable media for doc ${r.doc_id}")
+        require(img.getWidth == DhashImgW && img.getHeight == DhashImgH,
+          s"doc ${r.doc_id}: dHash fixture must be ${DhashImgW}x$DhashImgH, " +
+            s"got ${img.getWidth}x${img.getHeight}")
+        val sums = Array.ofDim[Long](DhashGridH, DhashGridW)
+        var y = 0
+        while (y < DhashImgH) {
+          var x = 0
+          while (x < DhashImgW) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+            sums(y / DhashCell)(x / DhashCell) += luma
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(r.doc_id, dhash64(sums))
+      }
+    }
+  }
+
+  /** The banded near-dup join over (doc_id, dhash): explode into
+    * [[DhashBands]] 16-bit bands, equi-join on (band, value), exact
+    * Hamming verify on the survivors. One hash-keyed shuffle; complete
+    * for distance ≤ [[DhashMaxHamming]] by pigeonhole.
+    */
+  def dhashNearDupPairs(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until DhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("bv"))): _*)).as("g"))
+      .select(col("doc_id"), col("dhash"), col("g.band"), col("g.bv"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** ---- ranged wire fetch tier (r10) --------------------------------
     *
     * q55 derefs synthetic pointers; this tier fetches REAL bytes over
@@ -987,6 +1182,22 @@ object Multimodal extends QueryGroup {
           MediaRow(id, encodePng(id, (1 + nc % 48).toInt, (1 + id % 64).toInt))
         }
       decodeImages(spark, media).toDF().orderBy("doc_id")
+    }),
+
+    // q216 [north star, r12]: perceptual-hash IMAGE near-dup — dHash
+    // over real BMP decode, then the banded Hamming join (exact-complete
+    // by pigeonhole for distance ≤ 3 with 4 bands). The fixture plants
+    // 11 near-dup groups: same-group docs are distinct re-renders
+    // (sub-margin pixel noise — hash-identical) or visible edits (the
+    // column-8 boost — ≤ 2 flipped bits), cross-group signatures differ
+    // in ≥ 25 bits. Oracle: the same integer cell sums, bits, and
+    // all-pairs Hamming, straight from the pixel formula in SQL.
+    "q216_image_neardup" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, encodeBmpDhash(id)))
+      dhashNearDupPairs(perceptualHashes(spark, media).toDF())
     }),
 
     // q165 [north star, r10]: real TEMPORAL-codec frame demux — q56's
@@ -1589,6 +1800,47 @@ object Multimodal extends QueryGroup {
         |ORDER BY doc_id""".stripMargin,
     // q152: the decoded dimensions/pixel-sum as pure integer arithmetic —
     // the cross join fans to ≤ w·h rows per doc (≤ 3072), summed back.
+    // q216: the dHash pipeline re-derived arithmetically — group-bit
+    // scramble, ±12 column walk (closed-form prefix sum), per-member
+    // noise and boost block sums, comparison bits, all-pairs Hamming.
+    // The engine's decode must land on the same pairs through actual
+    // BMP bytes + ImageIO + the banded join.
+    "q216_image_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 11 AS gid, doc_id // 11 AS member
+        |           FROM documents),
+        |gb AS (SELECT g.k AS gid, gx.k AS gx, gy.k AS gy,
+        |         ((g.k*13 + gx.k*11 + gy.k*5 + gx.k*gx.k*gy.k + gy.k*gy.k*g.k)
+        |           * 2654435761 // 268435456) % 2 = 1 AS bit
+        |       FROM generate_series(0,10) g(k), generate_series(0,8) gx(k),
+        |            generate_series(0,7) gy(k)),
+        |lvl AS (SELECT g.gid, g.gx, g.gy,
+        |          128 + 12 * COALESCE((SELECT SUM(CASE WHEN b.bit THEN -1 ELSE 1 END)
+        |                               FROM gb b
+        |                               WHERE b.gid = g.gid AND b.gy = g.gy
+        |                                 AND b.gx < g.gx), 0) AS lvl
+        |        FROM gb g),
+        |nz AS (SELECT d.doc_id, gx.k AS gx, gy.k AS gy,
+        |         SUM(((gx.k*4 + dx.k) * (gy.k*4 + dy.k) + d.member) % 3 - 1) AS nsum
+        |       FROM d, generate_series(0,8) gx(k), generate_series(0,7) gy(k),
+        |            generate_series(0,3) dx(k), generate_series(0,3) dy(k)
+        |       GROUP BY d.doc_id, gx.k, gy.k),
+        |cs AS (SELECT d.doc_id, n.gx, n.gy,
+        |         16 * l.lvl + n.nsum +
+        |         CASE WHEN n.gx = 8 AND d.member % 3 = 1
+        |                AND (n.gy + d.gid) % 4 = 0 THEN 480 ELSE 0 END AS s
+        |       FROM d JOIN nz n ON n.doc_id = d.doc_id
+        |       JOIN lvl l ON l.gid = d.gid AND l.gx = n.gx AND l.gy = n.gy),
+        |bits AS (SELECT a.doc_id, a.gx, a.gy, a.s > b.s AS bit
+        |         FROM cs a JOIN cs b ON b.doc_id = a.doc_id AND b.gy = a.gy
+        |           AND b.gx = a.gx + 1
+        |         WHERE a.gx < 8),
+        |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+        |        FROM bits a JOIN bits b ON b.gx = a.gx AND b.gy = a.gy
+        |          AND a.doc_id < b.doc_id
+        |        GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, CAST(h AS BIGINT) AS hamming
+        |FROM ham WHERE h <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q152_bmp_decode" ->
       """WITH d AS (SELECT doc_id, 1 + n_chars % 64 AS w, 1 + doc_id % 48 AS h
         |           FROM documents),

@@ -3389,6 +3389,71 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q216 dHash near-dup: decode==formula; banding==brute force; margins measured; brightness invariance; geometry loudness") {
+    import graft.operators.Multimodal
+    val docIds = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // THIRD implementation (after the decode path and the oracle's SQL):
+    // hashes straight from the pixel FORMULA, never touching BMP bytes
+    def formulaHash(id: Long): Long = {
+      val sums = Array.ofDim[Long](Multimodal.DhashGridH, Multimodal.DhashGridW)
+      for (y <- 0 until Multimodal.DhashImgH; x <- 0 until Multimodal.DhashImgW)
+        sums(y / Multimodal.DhashCell)(x / Multimodal.DhashCell) +=
+          Multimodal.dhashPixel(id, x, y).toLong
+      Multimodal.dhash64(sums)
+    }
+    val expected = docIds.map(id => id -> formulaHash(id)).toMap
+    // the engine's hashes come through REAL bytes: encode → ImageIO →
+    // luma block sums; any codec/luma/packing drift breaks this equality
+    import spark.implicits._
+    val engineHashes = Multimodal.perceptualHashes(spark,
+      spark.createDataset(docIds.toSeq)
+        .map(id => Multimodal.MediaRow(id, Multimodal.encodeBmpDhash(id))))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    assert(engineHashes == expected,
+      "decoded-pixel dHash diverged from the formula-side hash")
+    // banding completeness: the registered query's pair set must equal
+    // brute-force all-pairs (pigeonhole: ≤3 flips can't touch 4 bands)
+    val brute = (for {
+      i <- docIds.indices.iterator; j <- (i + 1) until docIds.length
+      a = docIds(i); b = docIds(j)
+      h = java.lang.Long.bitCount(expected(a) ^ expected(b))
+      if h <= Multimodal.DhashMaxHamming
+    } yield (a, b, h.toLong)).toSet
+    val out = SparkEntry.queries("q216_image_neardup")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute, s"banded join (${out.size}) != brute force (${brute.size})")
+    // measured margins (the verify-skill fixture discipline): same-group
+    // distances ∈ {0, 2} with BOTH populated; cross-group min far above
+    // the threshold even after member flips
+    val dists = for {
+      i <- docIds.indices; j <- (i + 1) until docIds.length
+      a = docIds(i); b = docIds(j)
+    } yield (a % Multimodal.DhashGroups == b % Multimodal.DhashGroups,
+      java.lang.Long.bitCount(expected(a) ^ expected(b)))
+    val same = dists.filter(_._1).map(_._2)
+    val cross = dists.filterNot(_._1).map(_._2)
+    assert(same.max <= 2 && same.contains(0) && same.exists(_ > 0),
+      s"same-group distances ${same.toSet} must stay ≤ 2 flips and " +
+        "populate both the re-render (0) and visible-edit (>0) cases")
+    assert(cross.min > 2 * Multimodal.DhashMaxHamming,
+      s"cross-group min ${cross.min} leaves no margin over the threshold")
+    // the invariance that makes the hash perceptual: a uniform
+    // brightness shift moves every cell sum equally — hash unchanged
+    val base = Array.tabulate(Multimodal.DhashGridH, Multimodal.DhashGridW)(
+      (gy, gx) => (Multimodal.dhashLevel(3L, gx, gy) * 16).toLong)
+    val shifted = base.map(_.map(_ + 160L))
+    assert(Multimodal.dhash64(base) == Multimodal.dhash64(shifted),
+      "uniform brightness shift must not move a dHash")
+    // wrong-geometry payloads refuse loudly (raise-don't-drift)
+    val e = intercept[Exception] {
+      Multimodal.perceptualHashes(spark,
+        spark.createDataset(Seq(Multimodal.MediaRow(7L,
+          Multimodal.encodeBmp(7L, 8, 8))))).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()

@@ -713,6 +713,21 @@ class PlanSpec extends SparkSpec {
       "q215 must run through the WordpieceGreedy expression")
   }
 
+  test("q216 near-dup joins banded-equi, never all-pairs") {
+    // the 100 TB contract of the perceptual near-dup tier: candidates
+    // come from the (band, value) equi-join — a hash-keyed shuffle —
+    // NEVER a cartesian/nested-loop pair enumeration
+    val df = SparkEntry.queries("q216_image_neardup")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"q216 must not go all-pairs:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q216 must not nested-loop:\n${p.take(1200)}")
+    assert(p.contains("Exchange hashpartitioning"),
+      "q216's candidate join must shuffle on the band key")
+  }
+
   test("q198 segments map-only: the cost model rides the expression, zero corpus joins") {
     // the unigram DP is a codegen expression over the scan — the frozen
     // cost table is an executor reference object, NOT a join side, so
