@@ -1273,6 +1273,34 @@ object Multimodal extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q217 [north star, r12]: densitometric BOILERPLATE REMOVAL — the
+    // extraction stage between fetch and text processing the crawl tier
+    // lacked (q169's <main>-scoped extractor is the structured
+    // shortcut; real pages have no <main> contract). Boilerpipe-style
+    // shallow features (Kohlschütter WSDM'10): block-split at
+    // block-level tags, keep blocks with ≥ 10 words and link density
+    // ≤ 1/3 (exact rational), drop nav/chrome/rails/footers. The page
+    // fixture plants classifiable chrome around probe-suffixed
+    // paragraph content; the corpus pass is map-only through the
+    // BoilerplateExtract codegen expression.
+    "q217_boilerplate_extract" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+      val pages = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, Warc.richPageFor(id, t)) }
+        .toDF("doc_id", "html")
+      pages
+        .select(col("doc_id"), toColumn(graft.expressions.BoilerplateExtract(
+          toExpression(col("html")))).as("b"))
+        .select(col("doc_id"), col("b.n_blocks"), col("b.n_content"),
+          col("b.content_words"), md5(col("b.content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q168 [north star, r10]: Motion-JPEG VIDEO — a published container
     // (RIFF/AVI, muxed in-engine to spec: hdrl/strl headers, movi frame
     // chunks, idx1 index) demuxed by a generic RIFF walker, each frame
@@ -1644,6 +1672,36 @@ object Multimodal extends QueryGroup {
     // payload slice), code-point length for the extracted text; md5
     // (UTF-8 bytes on both engines) pins the extract loop lossless.
     // (DuckDB spells octet_length-of-VARCHAR as strlen.)
+    // q217: the page structure re-derived arithmetically — the chrome
+    // blocks are boilerplate BY CONSTRUCTION (link-dense or under the
+    // word bar; 5 of them hold words), so content reduces to the
+    // ≥10-word paragraph chunks; block counts, content words, and the
+    // normalized-content md5 all recompute from word-list slices.
+    "q217_boilerplate_extract" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, list_filter(
+        |      string_split(text || '${Warc.NonAsciiProbe}', ' '),
+        |      x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, i.k AS pi,
+        |        ws[1 + ${Warc.ParaWords}*i.k :
+        |           LEAST(len(ws), ${Warc.ParaWords}*(i.k+1))] AS pw
+        |      FROM h, UNNEST(generate_series(0,
+        |        CAST(ceil(len(ws)/${Warc.ParaWords}.0) AS INT) - 1)) i(k)),
+        |c AS (SELECT doc_id, pi, len(pw) AS nw,
+        |        array_to_string(pw, ' ') AS ptxt FROM p),
+        |agg AS (SELECT doc_id, COUNT(*) AS np,
+        |          SUM(CASE WHEN nw >= 10 THEN 1 ELSE 0 END) AS nc,
+        |          SUM(CASE WHEN nw >= 10 THEN nw ELSE 0 END) AS cw,
+        |          COALESCE(string_agg(CASE WHEN nw >= 10 THEN ptxt END,
+        |            chr(10) ORDER BY pi), '') AS ctxt
+        |        FROM c GROUP BY doc_id)
+        |SELECT h.doc_id,
+        |  CAST(5 + COALESCE(a.np, 0) AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(a.nc, 0) AS BIGINT) AS n_content,
+        |  CAST(COALESCE(a.cw, 0) AS BIGINT) AS content_words,
+        |  md5(COALESCE(a.ctxt, '')) AS content_md5
+        |FROM h LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q169_warc_extract" ->
       s"""WITH h AS (
         |  SELECT doc_id, text || '${Warc.NonAsciiProbe}' AS text

@@ -72,6 +72,33 @@ private[graft] object Warc {
     s"<html><head><title>doc $docId</title></head><body><nav>nav links" +
       s"</nav><main><p>${escapeHtml(text)}</p></main><footer>footer</footer></body></html>"
 
+  /** Paragraph width of the q217 rich-page fixture (words per `<p>`). */
+  val ParaWords = 25
+
+  /** The boilerplate-heavy page for q217: the doc text (probe-suffixed
+    * by the caller) chunked into [[ParaWords]]-word paragraphs inside
+    * an `<article>`, surrounded by the chrome a real crawl page carries
+    * — a nav of links, a thin header, a link-dense related rail, a
+    * short note, a footer. Every chrome block is deterministically
+    * classifiable (link-dense or under the word bar); paragraphs are
+    * content iff they hold ≥ MinContentWords words — the tail chunk
+    * often does not, so both classes stay populated (asserted in the
+    * spec). The q217 oracle re-derives this structure arithmetically;
+    * keep the two in lockstep.
+    */
+  def richPageFor(docId: Long, text: String): String = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    val paras = words.grouped(ParaWords)
+      .map(ws => s"<p>${escapeHtml(ws.mkString(" "))}</p>").mkString
+    s"<html><head><title>doc $docId</title><style>body{margin:0}</style></head><body>" +
+      s"""<nav><a href="/">home</a> <a href="/arch">archive $docId</a> <a href="/tags">tags</a></nav>""" +
+      "<header>site banner</header>" +
+      s"<article>$paras</article>" +
+      """<aside>related: <a href="/r1">link one</a> <a href="/r2">link two</a> <a href="/r3">link three</a> promo</aside>""" +
+      "<div><p>short note</p></div>" +
+      """<footer>copyright footer <a href="/privacy">privacy</a> terms</footer></body></html>"""
+  }
+
   /** The HTTP/1.1 response message wrapping the HTML (the WARC record's
     * payload; its length is the record's Content-Length). The HTTP
     * Content-Length counts the body's UTF-8 OCTETS (RFC 9110 §8.6 —

@@ -307,6 +307,31 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("BoilerplateExtract interpreted eval == codegen path, bit-for-bit, on corpus pages") {
+    import graft.expressions.BoilerplateExtract
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.operators.Warc
+    val pages = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => Warc.richPageFor(r.getLong(0), r.getString(1) + Warc.NonAsciiProbe))
+    assert(pages.nonEmpty)
+    val viaDf = pages.toSeq.toDF("h")
+      .select(col("h"), org.apache.spark.sql.graftbridge.toColumn(
+        BoilerplateExtract(org.apache.spark.sql.graftbridge.toExpression(col("h")))).as("v"))
+      .select(col("h"), col("v.n_blocks"), col("v.n_content"),
+        col("v.content_words"), col("v.content"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    pages.foreach { h =>
+      val row = BoilerplateExtract(Literal(UTF8String.fromString(h)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert((row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getUTF8String(3).toString) == viaDf(h), "parity broke")
+    }
+  }
+
   test("WordpieceGreedy interpreted eval == codegen path, bit-for-bit, on corpus words") {
     import graft.expressions.WordpieceGreedy
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -3454,6 +3454,79 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q217 boilerplate extract: matches a plain-Scala re-derivation; density/word rules; injection-proof; parser loudness") {
+    import graft.operators.Warc
+    import graft.expressions.BoilerplateExtract
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def ext(html: String): (Long, Long, Long, String) = {
+      val r = BoilerplateExtract(Literal(UTF8String.fromString(html)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getUTF8String(3).toString)
+    }
+    // THIRD implementation (after the expression and the oracle's SQL):
+    // the fixture's classification re-derived from word slices alone
+    val out = SparkEntry.queries("q217_boilerplate_extract")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val ws = (r.getString(1) + Warc.NonAsciiProbe).split(" ").filter(_.nonEmpty)
+      val paras = ws.grouped(Warc.ParaWords).toSeq
+      val content = paras.filter(_.length >= BoilerplateExtract.MinContentWords)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val md5 = md.digest(content.map(_.mkString(" ")).mkString("\n")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(out(id) == ((5L + paras.size, content.size.toLong,
+        content.map(_.length.toLong).sum, md5)),
+        s"doc $id: engine ${out(id)} != word-slice re-derivation")
+    }
+    // both classes populated across the corpus: some tail paragraph is
+    // boilerplate, some doc extracts real content
+    assert(out.values.exists(_._2 > 0), "no doc extracted content")
+    assert(docs.exists { r =>
+      val nw = (r.getString(1) + Warc.NonAsciiProbe).split(" ").count(_.nonEmpty)
+      nw % Warc.ParaWords != 0 &&
+        nw % Warc.ParaWords < BoilerplateExtract.MinContentWords
+    }, "no doc exercises the under-bar tail paragraph")
+    // link-density boundary: 12 words, 4 links = exactly 1/3 → content;
+    // 5 links → boilerplate
+    val eightWords = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val atBar = s"<p><a>l1</a> <a>l2</a> <a>l3</a> <a>l4</a> $eightWords</p>"
+    assert(ext(atBar)._2 == 1L, "link density exactly 1/3 must stay content")
+    val overBar = s"<p><a>l1</a> <a>l2</a> <a>l3</a> <a>l4</a> <a>l5</a> $eightWords w9</p>"
+    assert(ext(overBar)._2 == 0L, "14 words with 5 link words (>1/3) must drop")
+    // word-count bar: 9 plain words drop, 10 keep
+    assert(ext("<p>a b c d e f g h i</p>")._2 == 0L)
+    assert(ext("<p>a b c d e f g h i j</p>")._2 == 1L)
+    // inline tags do not split blocks; block tags and <br> do
+    val inline = ext("<p>one <b>two</b> three four five six seven eight nine ten</p>")
+    assert(inline._1 == 1L && inline._2 == 1L && inline._3 == 10L)
+    assert(ext("<p>a b c d e f<br>g h i j</p>")._1 == 2L,
+      "<br> must split the block (both halves under the word bar)")
+    // markup injection: escaped tags in text stay TEXT (the escapeHtml
+    // rationale) — '&lt;footer&gt;' must not open a footer block
+    val inj = ext("<p>x &lt;footer&gt; a b c d e f g h i j</p>")
+    assert(inj._2 == 1L && inj._4.contains("<footer>"),
+      "escaped markup must extract as literal text")
+    // case-insensitive tags; head/script/style/comments contribute nothing
+    assert(ext("<HTML><HEAD><title>t t t</title></HEAD><BODY>" +
+      "<P>a b c d e f g h i j</P><!-- c1 c2 --></BODY></HTML>") ==
+      ((1L, 1L, 10L, "a b c d e f g h i j")))
+    assert(ext("<body><script>var x = 'a b c d e f g h i j k';</script>" +
+      "<p>k l m n o p q r s t</p></body>")._3 == 10L)
+    // documented word-boundary contract: ANY tag ends the in-progress
+    // word, and a word starting inside <a> is a link word
+    val split = ext("<p>so<b>ft</b>ware plus eight more words here now ok</p>")
+    assert(split._3 == 10L, "so|ft|ware must count as 3 words by contract")
+    // parser loudness: unclosed script/comment/tag refuse
+    intercept[Exception] { ext("<p>a</p><script>oops") }
+    intercept[Exception] { ext("<p>a</p><!-- oops") }
+    intercept[Exception] { ext("<p>a b c <div") }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()

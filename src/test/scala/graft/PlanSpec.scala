@@ -713,6 +713,17 @@ class PlanSpec extends SparkSpec {
       "q215 must run through the WordpieceGreedy expression")
   }
 
+  test("q217 extracts map-only: zero corpus joins or key shuffles") {
+    val df = SparkEntry.queries("q217_boilerplate_extract")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"q217 must not join:\n${p.take(1200)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q217 must not shuffle by key:\n${p.take(1200)}")
+    assert(p.contains("boilerplate_extract"),
+      "q217 must run through the BoilerplateExtract expression")
+  }
+
   test("q216 near-dup joins banded-equi, never all-pairs") {
     // the 100 TB contract of the perceptual near-dup tier: candidates
     // come from the (band, value) equi-join — a hash-keyed shuffle —
