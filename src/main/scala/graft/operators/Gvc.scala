@@ -57,12 +57,22 @@ private[graft] object Gvc {
     * Residuals outside [-128, 127] refuse loudly — a lossy clamp would
     * silently corrupt every downstream frame of the prediction chain.
     */
-  def encodeFrames(frames: Seq[Array[Int]], w: Int, h: Int): Seq[Array[Byte]] = {
+  def encodeFrames(frames: Seq[Array[Int]], w: Int, h: Int): Seq[Array[Byte]] =
+    encodeFramesAt(frames, w, h, _ == 0)
+
+  /** [[encodeFrames]] with caller-chosen intra positions (frame 0 must
+    * be one — nothing precedes it to predict against). This is the real
+    * encoder shape: keyframes land at scene cuts, where prediction
+    * residuals would blow the byte range anyway (q218's fixture).
+    */
+  def encodeFramesAt(frames: Seq[Array[Int]], w: Int, h: Int,
+      intra: Int => Boolean): Seq[Array[Byte]] = {
     require(frames.nonEmpty, "cannot encode an empty frame list")
+    require(intra(0), "frame 0 must be intra — no history to predict against")
     frames.zipWithIndex.map { case (cur, f) =>
       require(cur.length == w * h,
         s"frame $f raster length ${cur.length} != $w*$h")
-      if (f == 0) encodeIntra(cur)
+      if (intra(f)) encodeIntra(cur)
       else {
         val out = new Array[Byte](1 + w * h)
         out(0) = MagicPred

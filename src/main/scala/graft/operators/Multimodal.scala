@@ -911,6 +911,106 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** ---- scene-cut detection tier (r12, q218) --------------------------
+    *
+    * Temporal SEGMENTATION — the stage between video decode and frame
+    * sampling in a multimodal training pipeline: q56/q150 sample frames
+    * blindly; a real pipeline samples PER SHOT, which needs the shot
+    * boundaries first. The published baseline detector: adjacent-frame
+    * SAD (sum of absolute pixel differences), cut where the mean
+    * per-pixel difference clears a bar. All integers: cut iff
+    * SAD > [[SceneCutMeanSad]]·w·h.
+    *
+    * Fixture margins are ANALYTIC, not searched (the q191 lesson, one
+    * better): within a scene only the mod-7 temporal term moves —
+    * adjacent frames differ per-pixel by |(v+4)%7 − v|·8 ∈ {24, 32}, so
+    * mean ≤ 32 < 40; across a cut the scene texture offset is
+    * 7919·31·Δs ≡ 89 (mod 200), so per-pixel texture distance is 89 or
+    * 111, minus the ≤ 32 temporal swing ⇒ mean ≥ 57 > 40. Both bounds
+    * asserted on every measured SAD in the spec.
+    */
+
+  /** Mean per-pixel SAD bar: cut iff SAD > bar·w·h (exact integers). */
+  private[graft] val SceneCutMeanSad = 40L
+
+  /** Frames per scene / scene count of the fixture. */
+  private[graft] def sceneFp(docId: Long): Int = (2 + docId % 2).toInt
+  private[graft] def sceneCount(docId: Long): Int = (2 + docId % 3).toInt
+
+  /** Scene-structured raster: q176's temporal term over a texture whose
+    * phase jumps by 89 (mod 200) at every scene boundary.
+    */
+  private[graft] def sceneExpected(docId: Long, x: Int, y: Int, f: Int): Int = {
+    val s = f / sceneFp(docId)
+    ((x * 3 + y * 7 + (docId + s * 7919L) * 31) % 200).toInt +
+      ((x + y + f * 11 + docId) % 7).toInt * 8
+  }
+
+  /** Scene fixture muxed through the real interframe codec (GVC1),
+    * with keyframes AT THE SCENE CUTS — the real encoder shape (a
+    * cross-scene prediction residual blows the signed-byte range; an
+    * encoder inserts an I-frame exactly there), so cut detection runs
+    * on RECONSTRUCTED frames and the detected cuts can be
+    * cross-checked against the container's own keyframe index (spec).
+    */
+  private[graft] def encodeSceneAvi(docId: Long, w: Int, h: Int,
+      nf: Int): Array[Byte] = {
+    val fp = sceneFp(docId)
+    val rasters = (0 until nf).map { f =>
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { a(y * w + x) = sceneExpected(docId, x, y, f); x += 1 }
+        y += 1
+      }
+      a
+    }
+    Avi.mux(Gvc.encodeFramesAt(rasters, w, h, _ % fp == 0), w, h, fps = 5,
+      codec = "GVC1", keyframes = Some(0 until nf map (_ % fp == 0)))
+  }
+
+  case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      cut_pos_sum: Long, longest_shot: Long)
+
+  /** Demux + stateful GVC decode, then the SAD walk over reconstructed
+    * rasters: cut at frame f iff SAD(f−1, f) > bar·w·h; shots are the
+    * segments between cuts ([0, c₁), …, [c_k, nf)). Partition-local.
+    */
+  def detectSceneCuts(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[SceneCuts] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (payloads, w, h, flags) = demuxChecked(r.media, r.doc_id)
+        val frames = Gvc.decodeFrames(payloads, w, h)
+        checkKeyFlags(r.doc_id, frames.map(_.isKey), flags)
+        val rasters = frames.map(_.raster)
+        var nCuts = 0L
+        var cutPosSum = 0L
+        var longest = 0L
+        var shotStart = 0
+        var f = 1
+        while (f < rasters.length) {
+          var sad = 0L
+          val a = rasters(f - 1)
+          val b = rasters(f)
+          var i = 0
+          while (i < a.length) { sad += math.abs(a(i) - b(i)); i += 1 }
+          if (sad > SceneCutMeanSad * w * h) {
+            nCuts += 1L
+            cutPosSum += f.toLong
+            longest = math.max(longest, (f - shotStart).toLong)
+            shotStart = f
+          }
+          f += 1
+        }
+        longest = math.max(longest, (rasters.length - shotStart).toLong)
+        SceneCuts(r.doc_id, rasters.length.toLong, nCuts, cutPosSum, longest)
+      }
+    }
+  }
+
   /** ---- perceptual-hash image near-dup tier (r12) --------------------
     *
     * The IMAGE sibling of the text near-dup family (q46 MinHash, q47
@@ -1301,6 +1401,24 @@ object Multimodal extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q218 [north star, r12]: SCENE-CUT detection — temporal
+    // segmentation between decode and frame sampling (q56/q150 sample
+    // blindly; a pipeline samples per SHOT). Adjacent-frame SAD over
+    // frames reconstructed by the real interframe codec, cut where the
+    // mean per-pixel difference clears the bar. Fixture margins are
+    // analytic: within-scene ≤ 32/px < 40 < 57/px ≤ cross-scene.
+    "q218_scene_cuts" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          MediaRow(id, encodeSceneAvi(id, (16 + nc % 16).toInt,
+            (8 + (id % 3) * 4).toInt, sceneCount(id) * sceneFp(id)))
+        }
+      detectSceneCuts(spark, media).toDF().orderBy("doc_id")
+    }),
+
     // q168 [north star, r10]: Motion-JPEG VIDEO — a published container
     // (RIFF/AVI, muxed in-engine to spec: hdrl/strl headers, movi frame
     // chunks, idx1 index) demuxed by a generic RIFF walker, each frame
@@ -1672,6 +1790,42 @@ object Multimodal extends QueryGroup {
     // payload slice), code-point length for the extracted text; md5
     // (UTF-8 bytes on both engines) pins the extract loop lossless.
     // (DuckDB spells octet_length-of-VARCHAR as strlen.)
+    // q218: SADs recomputed per adjacent frame pair straight from the
+    // scene-raster formula (q194's constant-bound + WHERE pattern);
+    // cuts by the same integer bar; longest shot via lag over the
+    // {0} ∪ cuts ∪ {nf} boundary rows.
+    "q218_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, 16 + n_chars % 16 AS w,
+        |             8 + (doc_id % 3) * 4 AS h,
+        |             2 + doc_id % 2 AS fp,
+        |             (2 + doc_id % 3) * (2 + doc_id % 2) AS nf
+        |           FROM documents),
+        |sad AS (SELECT d.doc_id, f.k AS f, d.w, d.h,
+        |          SUM(ABS(
+        |            ((x.k*3 + y.k*7 + (d.doc_id + (f.k // d.fp)*7919)*31) % 200
+        |              + ((x.k + y.k + f.k*11 + d.doc_id) % 7) * 8)
+        |            - ((x.k*3 + y.k*7 + (d.doc_id + ((f.k-1) // d.fp)*7919)*31) % 200
+        |              + ((x.k + y.k + (f.k-1)*11 + d.doc_id) % 7) * 8))) AS s
+        |        FROM d, generate_series(1, 11) f(k),
+        |             generate_series(0, 30) x(k), generate_series(0, 15) y(k)
+        |        WHERE f.k < d.nf AND x.k < d.w AND y.k < d.h
+        |        GROUP BY d.doc_id, f.k, d.w, d.h),
+        |cuts AS (SELECT doc_id, f FROM sad WHERE s > 40 * w * h),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_cuts, SUM(f) AS cut_pos_sum
+        |        FROM cuts GROUP BY doc_id),
+        |bounds AS (SELECT doc_id, 0 AS f FROM d
+        |           UNION ALL SELECT doc_id, f FROM cuts
+        |           UNION ALL SELECT doc_id, nf AS f FROM d),
+        |seg AS (SELECT doc_id,
+        |          f - LAG(f) OVER (PARTITION BY doc_id ORDER BY f) AS len
+        |        FROM bounds),
+        |ls AS (SELECT doc_id, MAX(len) AS longest FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+        |  CAST(COALESCE(a.cut_pos_sum, 0) AS BIGINT) AS cut_pos_sum,
+        |  CAST(l.longest AS BIGINT) AS longest_shot
+        |FROM d LEFT JOIN agg a USING (doc_id) JOIN ls l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q217: the page structure re-derived arithmetically — the chrome
     // blocks are boilerplate BY CONSTRUCTION (link-dense or under the
     // word bar; 5 of them hold words), so content reduces to the

@@ -3527,6 +3527,66 @@ class OperatorSpec extends SparkSpec {
     intercept[Exception] { ext("<p>a b c <div") }
   }
 
+  test("q218 scene cuts: closed-form structure; analytic SAD margins; cuts == container keyframes; cross-cut P-frame refusal") {
+    import graft.operators.{Multimodal, Gvc, Avi}
+    val out = SparkEntry.queries("q218_scene_cuts")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // closed form: the fixture cuts at k·fp, k = 1..S−1 — the detector
+    // must land exactly there (n_cuts, position sum, longest shot)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val s = Multimodal.sceneCount(id)
+      val fp = Multimodal.sceneFp(id)
+      assert(r.getLong(1) == s.toLong * fp, s"doc $id n_frames")
+      assert(r.getLong(2) == (s - 1).toLong, s"doc $id n_cuts")
+      assert(r.getLong(3) == (1 until s).map(_.toLong * fp).sum, s"doc $id cut_pos_sum")
+      assert(r.getLong(4) == fp.toLong, s"doc $id longest_shot")
+    }
+    // the analytic margins, measured: within-scene adjacent SAD ≤ 32/px
+    // (the mod-7 temporal term's max step), cut SAD ≥ 57/px (texture
+    // offset 89 or 111 minus the ≤ 32 temporal swing) — bar at 40
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "n_chars").collect()
+    docs.take(40).foreach { r =>
+      val id = r.getLong(0)
+      val w = (16 + r.getLong(1) % 16).toInt
+      val h = (8 + (id % 3) * 4).toInt
+      val fp = Multimodal.sceneFp(id)
+      val nf = Multimodal.sceneCount(id) * fp
+      (1 until nf).foreach { f =>
+        var sad = 0L
+        for (x <- 0 until w; y <- 0 until h)
+          sad += math.abs(Multimodal.sceneExpected(id, x, y, f) -
+            Multimodal.sceneExpected(id, x, y, f - 1))
+        if (f % fp == 0)
+          assert(sad >= 57L * w * h, s"doc $id f $f: cut SAD $sad under the analytic floor")
+        else
+          assert(sad <= 32L * w * h, s"doc $id f $f: in-scene SAD $sad over the analytic ceiling")
+      }
+    }
+    // encoder/detector agreement: the container's keyframe index (the
+    // encoder's I-frame placement) sits exactly at {0} ∪ detected cuts
+    docs.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val w = (16 + r.getLong(1) % 16).toInt
+      val h = (8 + (id % 3) * 4).toInt
+      val fp = Multimodal.sceneFp(id)
+      val nf = Multimodal.sceneCount(id) * fp
+      val flags = Avi.idx1Flags(Multimodal.encodeSceneAvi(id, w, h, nf))
+      val keyPos = flags.zipWithIndex.filter(t => (t._1 & 0x10) != 0).map(_._2)
+      assert(keyPos == (0 until nf by fp).toSeq,
+        s"doc $id: container keyframes $keyPos != scene starts")
+    }
+    // the byte-range physics behind keyframes-at-cuts: a cut-sized jump
+    // refuses P-frame coding loudly (residual −140 < −128), and keying
+    // the cut frame makes the same pair encodable
+    val jump = Seq(Array.fill(16)(150), Array.fill(16)(10))
+    intercept[Exception] { Gvc.encodeFrames(jump, 4, 4) }
+    assert(Gvc.encodeFramesAt(jump, 4, 4, _ => true).size == 2)
+    // and an intra predicate that skips frame 0 is refused
+    intercept[Exception] { Gvc.encodeFramesAt(jump, 4, 4, _ == 1) }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
