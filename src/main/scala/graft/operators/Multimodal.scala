@@ -911,6 +911,111 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** ---- audio fingerprint near-dup tier (r12, q219) -------------------
+    *
+    * The AUDIO sibling of q216: a multimodal corpus holds re-encoded,
+    * re-leveled, end-trimmed copies of the same recording. The
+    * fingerprint is the Haitsma–Kalker sign-of-delta shape (ISMIR'02 —
+    * bits are SIGNS of energy differences, chosen exactly because
+    * energy SCALING cancels in the comparison) applied to time-domain
+    * frame energies: E(j) = Σ|sample| over frame j, bit j = E(j) >
+    * E(j+1). Volume changes multiply every E(j) by the same factor —
+    * the hash is invariant (pinned), the exact analogue of dHash's
+    * brightness invariance. (The published system takes band energies
+    * off an FFT; libm FFTs are not bit-portable cross-engine, so the
+    * envelope variant keeps the house exactness stance with the same
+    * comparison structure.)
+    *
+    * Fixture: 5 groups with period-7 sawtooth envelopes (step gid+2 —
+    * never ≡ 0 mod 7, so every neighbor margin is ≥ 400·64 against ≤
+    * ±128 of per-member noise; min cross-group signature distance 9);
+    * members re-level ×1/×2 (hash-identical) and member%3==1 docs carry
+    * a fade-out edit (last frame → level 7000, flipping exactly bit 63
+    * in every group — the true near-dup). Near-dup join: the SAME
+    * banded-Hamming join as q216 ([[dhashNearDupPairs]]), pigeonhole-
+    * complete for distance ≤ 3.
+    */
+
+  private[graft] val AfpFrames = 65 // 64 comparison bits
+  private[graft] val AfpFrameLen = 64 // samples per frame
+  private[graft] val AfpGroups = 5L
+
+  private[graft] def afpLevel(gid: Long, member: Long, j: Int): Int =
+    if (j == AfpFrames - 1 && member % 3 == 1) 7000
+    else 8000 + 400 * ((j.toLong * (gid + 2)) % 7).toInt
+
+  /** One PCM sample: ±(mult·level + noise) with alternating sign (the
+    * abs-energy is what the fingerprint reads; signs make it a
+    * waveform, not a DC offset).
+    */
+  private[graft] def afpSample(docId: Long, gi: Int): Int = {
+    val gid = docId % AfpGroups
+    val member = docId / AfpGroups
+    val mult = 1 + (member % 2).toInt
+    val mag = mult * afpLevel(gid, member, gi / AfpFrameLen) +
+      (((gi.toLong + member) % 3) - 1).toInt
+    if (gi % 2 == 0) mag else -mag
+  }
+
+  /** 16-bit mono PCM WAV of the fingerprint fixture (max |sample|
+    * 2·10400 + 1 — inside int16).
+    */
+  private[graft] def encodeWavAfp(docId: Long): Array[Byte] = {
+    val n = AfpFrames * AfpFrameLen
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(afpSample(docId, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Real-codec fingerprinting: javax.sound.sampled decode
+    * (partition-local), exact |sample| frame energies, sign-of-delta
+    * bit packing — output shape shared with [[perceptualHashes]] so the
+    * banded join is literally the same operator.
+    */
+  def audioFingerprints(spark: SparkSession,
+      media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+        val bytes = in.readAllBytes()
+        in.close()
+        val n = bytes.length / 2
+        require(n == AfpFrames * AfpFrameLen,
+          s"doc ${r.doc_id}: fingerprint fixture must hold " +
+            s"${AfpFrames * AfpFrameLen} samples, got $n")
+        val en = new Array[Long](AfpFrames)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1).toInt << 8))
+            .toShort.toInt
+          en(i / AfpFrameLen) += math.abs(s).toLong
+          i += 1
+        }
+        var hsh = 0L
+        var j = 0
+        while (j < AfpFrames - 1) {
+          if (en(j) > en(j + 1)) hsh |= 1L << j
+          j += 1
+        }
+        (r.doc_id, hsh)
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
   /** ---- scene-cut detection tier (r12, q218) --------------------------
     *
     * Temporal SEGMENTATION — the stage between video decode and frame
@@ -1419,6 +1524,20 @@ object Multimodal extends QueryGroup {
       detectSceneCuts(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q219 [north star, r12]: AUDIO fingerprint near-dup — the
+    // Haitsma–Kalker sign-of-delta fingerprint over time-domain frame
+    // energies, through the real WAV codec, then the SAME banded
+    // Hamming join as q216. Re-leveled copies hash identically (energy
+    // scaling cancels in the sign); fade-out edits flip exactly one
+    // bit; cross-group envelopes differ in ≥ 9 bits.
+    "q219_audio_neardup" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, encodeWavAfp(id)))
+      dhashNearDupPairs(audioFingerprints(spark, media))
+    }),
+
     // q168 [north star, r10]: Motion-JPEG VIDEO — a published container
     // (RIFF/AVI, muxed in-engine to spec: hdrl/strl headers, movi frame
     // chunks, idx1 index) demuxed by a generic RIFF walker, each frame
@@ -1790,6 +1909,29 @@ object Multimodal extends QueryGroup {
     // payload slice), code-point length for the extracted text; md5
     // (UTF-8 bytes on both engines) pins the extract loop lossless.
     // (DuckDB spells octet_length-of-VARCHAR as strlen.)
+    // q219: frame energies in closed form — E(j) = 64·mult·level(j) +
+    // ((64j + member) mod 3) − 1 (the per-frame noise sum collapses: 64
+    // consecutive residues mod 3 hold the start residue 22× and the
+    // others 21× each, so Σ(v−1) = start_residue − 1) — then sign
+    // bits and all-pairs Hamming, the q216 oracle shape.
+    "q219_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS gid, doc_id // 5 AS member,
+        |             1 + (doc_id // 5) % 2 AS mult FROM documents),
+        |e AS (SELECT d.doc_id, j.k AS j,
+        |        64 * d.mult * (CASE WHEN j.k = 64 AND d.member % 3 = 1
+        |                       THEN 7000
+        |                       ELSE 8000 + 400 * ((j.k * (d.gid + 2)) % 7) END)
+        |        + ((j.k * 64 + d.member) % 3) - 1 AS en
+        |      FROM d, generate_series(0, 64) j(k)),
+        |bits AS (SELECT a.doc_id, a.j, a.en > b.en AS bit
+        |         FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        |         WHERE a.j < 64),
+        |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+        |        FROM bits a JOIN bits b ON b.j = a.j AND a.doc_id < b.doc_id
+        |        GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, CAST(h AS BIGINT) AS hamming
+        |FROM ham WHERE h <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // q218: SADs recomputed per adjacent frame pair straight from the
     // scene-raster formula (q194's constant-bound + WHERE pattern);
     // cuts by the same integer bar; longest shot via lag over the

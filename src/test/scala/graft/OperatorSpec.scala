@@ -3587,6 +3587,78 @@ class OperatorSpec extends SparkSpec {
     intercept[Exception] { Gvc.encodeFramesAt(jump, 4, 4, _ == 1) }
   }
 
+  test("q219 audio fingerprint: decode==formula; volume invariance; fade-out flips one bit; banding==brute force; geometry loudness") {
+    import graft.operators.Multimodal
+    val docIds = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // THIRD implementation: energies straight from the closed form the
+    // oracle derives (64·mult·level + noise-residue), never touching
+    // WAV bytes
+    def formulaHash(id: Long): Long = {
+      val gid = id % Multimodal.AfpGroups
+      val member = id / Multimodal.AfpGroups
+      val mult = 1 + (member % 2)
+      val en = (0 until Multimodal.AfpFrames).map { j =>
+        64L * mult * Multimodal.afpLevel(gid, member, j) +
+          ((j.toLong * 64 + member) % 3) - 1
+      }
+      (0 until Multimodal.AfpFrames - 1)
+        .foldLeft(0L)((h, j) => if (en(j) > en(j + 1)) h | (1L << j) else h)
+    }
+    val expected = docIds.map(id => id -> formulaHash(id)).toMap
+    import spark.implicits._
+    val engine = Multimodal.audioFingerprints(spark,
+      spark.createDataset(docIds.toSeq)
+        .map(id => Multimodal.MediaRow(id, Multimodal.encodeWavAfp(id))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine == expected,
+      "decoded-PCM fingerprint diverged from the closed-form energies")
+    // volume invariance: members of the same group and edit class hash
+    // identically across the ×1/×2 re-level — ≤ 2 distinct hashes per
+    // group (unedited + fade-out), exactly 2 where both classes exist
+    docIds.groupBy(_ % Multimodal.AfpGroups).foreach { case (g, ids) =>
+      val classes = ids.groupBy(id => (id / Multimodal.AfpGroups) % 3 == 1)
+      classes.foreach { case (_, cls) =>
+        assert(cls.map(expected).distinct.length == 1,
+          s"group $g: re-leveled copies must hash identically")
+      }
+      if (classes.size == 2)
+        assert(ids.map(expected).distinct.length == 2, s"group $g")
+    }
+    // the fade-out edit flips EXACTLY bit 63 in every group
+    docIds.groupBy(_ % Multimodal.AfpGroups).foreach { case (g, ids) =>
+      val byClass = ids.groupBy(id => (id / Multimodal.AfpGroups) % 3 == 1)
+      if (byClass.size == 2)
+        assert((expected(byClass(false).head) ^ expected(byClass(true).head))
+          == (1L << 63), s"group $g: edit must flip exactly bit 63")
+    }
+    // banding completeness == brute force (pigeonhole)
+    val brute = (for {
+      i <- docIds.indices.iterator; j <- (i + 1) until docIds.length
+      a = docIds(i); b = docIds(j)
+      h = java.lang.Long.bitCount(expected(a) ^ expected(b))
+      if h <= Multimodal.DhashMaxHamming
+    } yield (a, b, h.toLong)).toSet
+    val out = SparkEntry.queries("q219_audio_neardup")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute, s"banded (${out.size}) != brute force (${brute.size})")
+    assert(out.exists(_._3 == 1L) && out.exists(_._3 == 0L),
+      "both the exact-copy and the one-bit-edit pair classes must appear")
+    // cross-group margin measured: min distance ≥ 7 (signature 9 − 2 flips)
+    val cross = for {
+      i <- docIds.indices; j <- (i + 1) until docIds.length
+      if docIds(i) % Multimodal.AfpGroups != docIds(j) % Multimodal.AfpGroups
+    } yield java.lang.Long.bitCount(expected(docIds(i)) ^ expected(docIds(j)))
+    assert(cross.min >= 7, s"cross-group min ${cross.min} under the margin floor")
+    // wrong-geometry payloads refuse loudly
+    val e = intercept[Exception] {
+      Multimodal.audioFingerprints(spark,
+        spark.createDataset(Seq(Multimodal.MediaRow(3L,
+          Multimodal.encodeWav(3L, 100))))).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
