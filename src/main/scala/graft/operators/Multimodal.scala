@@ -1538,6 +1538,68 @@ object Multimodal extends QueryGroup {
       dhashNearDupPairs(audioFingerprints(spark, media))
     }),
 
+    // q220 [north star, r12]: WEBDATASET tar shards — THE multimodal
+    // training-shard container (a .tar per shard, one sample = members
+    // sharing a basename, read SEQUENTIALLY — no per-file seeks). Pack
+    // with the q169 iterator-to-iterator discipline (shard-keyed
+    // shuffle + external sort, no whole-shard buffering), parse back
+    // through the checksum-verifying USTAR reader, and report per
+    // sample: the .txt member's byte offset in its shard (what a
+    // resume index needs), payload octets, the header's OWN integrity
+    // checksum (byte-level format proof, closed-form in the oracle),
+    // and the round-tripped text md5.
+    "q220_webdataset_tar" -> ((spark, dir) => {
+      import spark.implicits._
+      val shards = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("shard", pmod(col("doc_id"), lit(16)))
+        .repartition(16, col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[(Long, Array[Byte])] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): (Long, Array[Byte]) = {
+              val shard = buf.head._3
+              val members = new Iterator[(String, Array[Byte])] {
+                private var pending: List[(String, Array[Byte])] = Nil
+                def hasNext: Boolean =
+                  pending.nonEmpty || (buf.hasNext && buf.head._3 == shard)
+                def next(): (String, Array[Byte]) = pending match {
+                  case hd :: tl => pending = tl; hd
+                  case Nil =>
+                    val t = buf.next()
+                    val ms = Tar.sampleMembers(t._1, t._2)
+                    pending = ms.tail.toList
+                    ms.head
+                }
+              }
+              (shard, Tar.write(members))
+            }
+          }
+        }
+      shards.flatMap { case (shard, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Tar.read(bytes).grouped(2).map { pair =>
+          val Seq(txt, js) = pair
+          require(txt.name.endsWith(".txt") && js.name.endsWith(".json"),
+            s"sample member order drifted: ${txt.name}, ${js.name}")
+          val id = txt.name.stripSuffix(".txt").toLong
+          require(js.name.stripSuffix(".json").toLong == id,
+            s"sample split across basenames: ${txt.name} vs ${js.name}")
+          md.reset()
+          val m = md.digest(txt.payload).map("%02x".format(_)).mkString
+          (id, shard, txt.offset, txt.payload.length.toLong,
+            js.payload.length.toLong, txt.headerChecksum, m)
+        }
+      }.toDF("doc_id", "shard", "txt_offset", "txt_octets", "json_octets",
+        "txt_hdr_chksum", "text_md5")
+        .orderBy("doc_id")
+    }),
+
     // q168 [north star, r10]: Motion-JPEG VIDEO — a published container
     // (RIFF/AVI, muxed in-engine to spec: hdrl/strl headers, movi frame
     // chunks, idx1 index) demuxed by a generic RIFF walker, each frame
@@ -1909,6 +1971,39 @@ object Multimodal extends QueryGroup {
     // payload slice), code-point length for the extracted text; md5
     // (UTF-8 bytes on both engines) pins the extract loop lossless.
     // (DuckDB spells octet_length-of-VARCHAR as strlen.)
+    // q220: the shard geometry in closed form — member sizes, 512-block
+    // padding, per-shard offset cumsums — plus the USTAR header
+    // checksum as FixedHeaderSum + Σascii(name) + Σ(octal size digits):
+    // the writer canon makes every header byte arithmetic.
+    "q220_webdataset_tar" ->
+      s"""WITH h AS (SELECT doc_id, doc_id % 16 AS shard,
+        |             text || '${Warc.NonAsciiProbe}' AS text
+        |           FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, shard, strlen(text) AS txt,
+        |        11 + length(CAST(doc_id AS VARCHAR)) AS js, md5(text) AS md
+        |      FROM h),
+        |sz AS (SELECT *, 1024 + 512*((txt + 511)//512)
+        |                      + 512*((js + 511)//512) AS tot FROM m),
+        |off AS (SELECT *, COALESCE(SUM(tot) OVER (PARTITION BY shard
+        |          ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS txt_offset FROM sz),
+        |ck AS (SELECT doc_id,
+        |         (SELECT SUM(ascii(substring(
+        |            CAST(o.doc_id AS VARCHAR) || '.txt', CAST(i.k AS INT), 1)))
+        |          FROM UNNEST(generate_series(1,
+        |            length(CAST(o.doc_id AS VARCHAR)) + 4)) i(k)) AS namesum,
+        |         (SELECT SUM((o.txt // CAST(power(8, i.k) AS BIGINT)) % 8)
+        |          FROM UNNEST(generate_series(0, 10)) i(k)) AS odsum
+        |       FROM off o)
+        |SELECT o.doc_id, CAST(o.shard AS BIGINT) AS shard,
+        |  CAST(o.txt_offset AS BIGINT) AS txt_offset,
+        |  CAST(o.txt AS BIGINT) AS txt_octets,
+        |  CAST(o.js AS BIGINT) AS json_octets,
+        |  CAST(${Tar.FixedHeaderSum} + c.namesum + c.odsum AS BIGINT)
+        |    AS txt_hdr_chksum,
+        |  o.md AS text_md5
+        |FROM off o JOIN ck c USING (doc_id) ORDER BY o.doc_id""".stripMargin,
     // q219: frame energies in closed form — E(j) = 64·mult·level(j) +
     // ((64j + member) mod 3) − 1 (the per-frame noise sum collapses: 64
     // consecutive residues mod 3 hold the start residue 22× and the

@@ -3659,6 +3659,73 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q220 webdataset tar: byte round trip; GNU tar interop; checksum/truncation/magic loudness; offset closed form") {
+    import graft.operators.Tar
+    val samples = Seq(
+      (7L, "hello world"),
+      (23L, "naïve 東京 ✓ multi-byte payload"),
+      (105L, "x" * 700)) // spans two payload blocks
+    val members = samples.flatMap { case (id, t) => Tar.sampleMembers(id, t) }
+    val tar = Tar.write(members.iterator)
+    assert(tar.length % 512 == 0)
+    // byte-exact round trip, order preserved, offsets follow the
+    // closed form (cumulative 512-padded sizes)
+    val rd = Tar.read(tar)
+    assert(rd.map(_.name) == members.map(_._1))
+    rd.zip(members).foreach { case (m, (name, payload)) =>
+      assert(java.util.Arrays.equals(m.payload, payload), s"payload drift in $name")
+    }
+    val expOffsets = members.scanLeft(0L) { case (off, (_, p)) =>
+      off + 512L + (p.length + 511) / 512 * 512
+    }.init
+    assert(rd.map(_.offset) == expOffsets, "member offsets off the closed form")
+    // closed-form checksum: FixedHeaderSum + Σascii(name) + Σoctal digits
+    rd.zip(members).foreach { case (m, (name, p)) =>
+      val octd = java.lang.Long.toOctalString(p.length.toLong)
+        .map(_ - '0').map(_.toLong).sum
+      assert(m.headerChecksum ==
+        Tar.FixedHeaderSum + name.getBytes("US-ASCII").map(_.toLong).sum + octd,
+        s"checksum closed form broke for $name")
+    }
+    // REAL-WORLD interop: GNU tar must list and extract our archive
+    val tmp = java.nio.file.Files.createTempFile("graft", ".tar")
+    try {
+      java.nio.file.Files.write(tmp, tar)
+      def run(cmd: String*): String = {
+        val pr = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+        require(pr.waitFor() == 0, s"${cmd.mkString(" ")} failed")
+        out
+      }
+      val listed = run("tar", "-tf", tmp.toString).split("\n").toSeq
+      assert(listed == members.map(_._1), s"GNU tar listing drift: $listed")
+      val extracted = run("tar", "-xOf", tmp.toString, "23.txt")
+      assert(extracted == samples(1)._2, "GNU tar extraction drift")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+    // loudness: a flipped payload byte is caught downstream consumers'
+    // problem, but a flipped HEADER byte must break the checksum
+    val corrupted = tar.clone()
+    corrupted(3) = 'X'.toByte // inside the first member's name field
+    intercept[Exception] { Tar.read(corrupted) }
+    // truncation (no end marker) and foreign magic refuse
+    intercept[Exception] { Tar.read(tar.dropRight(513)) }
+    val foreign = tar.clone()
+    foreign(257) = 'w'.toByte
+    intercept[Exception] { Tar.read(foreign) }
+    // writer guards: oversized names and sizes refuse
+    intercept[Exception] {
+      Tar.write(Iterator(("a" * 101, Array[Byte]())))
+    }
+    // the registered query's per-doc facts survive the full
+    // pack→parse loop at corpus scale (engine vs the q169-style text)
+    val out = SparkEntry.queries("q220_webdataset_tar")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) % 16, "shard key drift")
+      assert(r.getLong(2) % 512 == 0, "member offsets must be block-aligned")
+    }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
