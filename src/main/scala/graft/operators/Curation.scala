@@ -690,6 +690,25 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q221 [north star, r12]: RENDEZVOUS (HRW) reshard audit — the
+    // minimal-movement ownership primitive behind every elastic
+    // sharded system (Thaler & Ravishankar '96; the property the
+    // reference's Kinesis resharding contract leans on): owner(key) =
+    // argmax over shards of h(key, shard). Adding a shard moves a key
+    // ONLY if the new shard wins its rendezvous — nothing else
+    // changes, ~1/(S+1) of keys move, zero coordination. That theorem
+    // is ENFORCED in-plan: a key observed moving to a non-new shard
+    // raise_errors. Scale: owner is per-key expression work (S literal
+    // hash terms — no shard table join); the audit rollup reduces to
+    // S+1 rows.
+    "q221_hrw_reshard" -> ((spark, dir) => {
+      val keys = Tables(spark, dir, "documents").select(col("doc_id"))
+      hrwAudit(keys
+        .withColumn("before", hrwOwner(col("doc_id"), HrwBefore))
+        .withColumn("after", hrwOwner(col("doc_id"), HrwBefore + 1)),
+        HrwBefore)
+    }),
+
     // q193 [north star, r12]: deterministic EPOCH SHUFFLE + trainer
     // shard assignment — the step between a packed corpus and the
     // GPUs, which every large training run needs and no ad-hoc
@@ -1006,6 +1025,51 @@ object Curation extends QueryGroup {
     * boundary placement). Input needs (doc_id, source, wCol [+ any
     * passthrough columns]); output = input columns + seq_id.
     */
+  /** q221's shard count before the reshard (the audit adds one). */
+  private[graft] val HrwBefore = 8
+
+  /** Rendezvous owner of a key among `shards` shards: argmax of the
+    * house 60-bit hash over (key, shard) pairs — per-key EXPRESSION
+    * work (the shard list rides as literal struct terms, never a join
+    * side), ties broken toward the higher shard id (array_max on
+    * struct compares h first, then shard — mirrored by the oracle's
+    * ORDER BY h DESC, shard DESC).
+    */
+  private[graft] def hrwOwner(key: org.apache.spark.sql.Column,
+      shards: Int): org.apache.spark.sql.Column =
+    array_max(array((0 until shards).map { s =>
+      struct(
+        graft.functions.Hashing.md5Long60(concat(lit("hrw:"),
+          key.cast("string"), lit(s":$s"))).as("h"),
+        lit(s.toLong).as("shard"))
+    }: _*)).getField("shard")
+
+  /** The reshard audit over (key, before, after) assignments: per-shard
+    * key counts under S and S+1 plus the moved-out count, with the HRW
+    * minimal-disruption theorem enforced loudly — a key whose new owner
+    * is neither its old one nor the ADDED shard means the hash
+    * function or shard list drifted mid-flight, exactly the silent
+    * reshuffle that corrupts sticky routing.
+    */
+  private[graft] def hrwAudit(assigned: DataFrame, before: Int): DataFrame =
+    assigned
+      .filter(when(col("before") =!= col("after") &&
+          col("after") =!= lit(before.toLong),
+        raise_error(lit("q221: HRW minimal-disruption violated — a key " +
+          "moved to a shard other than the newly added one")))
+        .otherwise(lit(true)))
+      .select(explode(array(
+        struct(col("before").as("shard"), lit(1L).as("b"), lit(0L).as("a"),
+          when(col("before") =!= col("after"), 1L).otherwise(0L).as("m")),
+        struct(col("after").as("shard"), lit(0L).as("b"), lit(1L).as("a"),
+          lit(0L).as("m")))).as("g"))
+      .select(col("g.*"))
+      .groupBy(col("shard")).agg(
+        sum(col("b")).as("n_before"),
+        sum(col("a")).as("n_after"),
+        sum(col("m")).as("moved_out"))
+      .orderBy("shard")
+
   private[graft] def scanPack(docs: DataFrame, wCol: String,
       seqLen: Int): DataFrame = {
     val ranged = docs
@@ -1483,6 +1547,37 @@ object Curation extends QueryGroup {
         |    THEN error('q149 candidate pool smaller than the quota boundary')
         |    ELSE rk <= quota END
         |ORDER BY doc_id""".stripMargin,
+    // q221: both assignments re-derived as argmax via ROW_NUMBER over
+    // the same 60-bit hash (ties toward the higher shard id), then the
+    // identical role-explode rollup.
+    "q221_hrw_reshard" ->
+      s"""WITH k AS (SELECT doc_id FROM documents),
+         |a8 AS (SELECT doc_id, shard FROM (
+         |    SELECT k.doc_id, s.k AS shard,
+         |      ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY
+         |        ('0x'||substring(md5('hrw:'||CAST(k.doc_id AS VARCHAR)
+         |          ||':'||CAST(s.k AS VARCHAR)),1,15))::BIGINT DESC,
+         |        s.k DESC) AS rn
+         |    FROM k, generate_series(0, ${HrwBefore - 1}) s(k))
+         |  WHERE rn = 1),
+         |a9 AS (SELECT doc_id, shard FROM (
+         |    SELECT k.doc_id, s.k AS shard,
+         |      ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY
+         |        ('0x'||substring(md5('hrw:'||CAST(k.doc_id AS VARCHAR)
+         |          ||':'||CAST(s.k AS VARCHAR)),1,15))::BIGINT DESC,
+         |        s.k DESC) AS rn
+         |    FROM k, generate_series(0, $HrwBefore) s(k))
+         |  WHERE rn = 1),
+         |j AS (SELECT a8.doc_id, a8.shard AS bef, a9.shard AS aft
+         |      FROM a8 JOIN a9 USING (doc_id)),
+         |e AS (SELECT bef AS shard, 1 AS b, 0 AS a,
+         |        CASE WHEN bef <> aft THEN 1 ELSE 0 END AS m FROM j
+         |      UNION ALL SELECT aft, 0, 1, 0 FROM j)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(SUM(b) AS BIGINT) AS n_before,
+         |  CAST(SUM(a) AS BIGINT) AS n_after,
+         |  CAST(SUM(m) AS BIGINT) AS moved_out
+         |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
     // q193: the identical seeded-permutation construction in SQL —
     // same rank key, same prefix-mod shard, same within-shard rank.
     "q193_epoch_shuffle" ->

@@ -3726,6 +3726,51 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q221 HRW reshard: matches a plain-Scala rendezvous; minimal-disruption theorem; movement fraction; loud on foreign moves") {
+    import graft.operators.Curation
+    val docIds = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // THIRD implementation: rendezvous over java MessageDigest
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def owner(key: Long, shards: Int): Long =
+      (0 until shards).map(s => (h60(s"hrw:$key:$s"), s.toLong)).max._2
+    val before = docIds.map(id => id -> owner(id, Curation.HrwBefore)).toMap
+    val after = docIds.map(id => id -> owner(id, Curation.HrwBefore + 1)).toMap
+    // the theorem, verified on raw assignments: every moved key lands
+    // on the ADDED shard, and nothing else changes
+    val moved = docIds.filter(id => before(id) != after(id))
+    assert(moved.nonEmpty, "fixture must exercise movement")
+    assert(moved.forall(id => after(id) == Curation.HrwBefore.toLong),
+      "a key moved to a non-new shard — HRW broken")
+    // engine rollup == plain-Scala rollup
+    val out = SparkEntry.queries("q221_hrw_reshard")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (0 to Curation.HrwBefore).foreach { s =>
+      val nb = docIds.count(before(_) == s.toLong).toLong
+      val na = docIds.count(after(_) == s.toLong).toLong
+      val mo = docIds.count(id => before(id) == s.toLong && after(id) != s.toLong).toLong
+      assert(out(s.toLong) == ((nb, na, mo)), s"shard $s rollup drift")
+    }
+    // movement fraction ≈ 1/(S+1): between half and double expectation
+    val exp = docIds.length.toDouble / (Curation.HrwBefore + 1)
+    assert(moved.length > exp / 2 && moved.length < exp * 2,
+      s"moved ${moved.length} vs expected ~$exp — hash balance broken")
+    // every original shard keeps a nonempty slice
+    (0 until Curation.HrwBefore).foreach(s =>
+      assert(out(s.toLong)._2 > 0, s"shard $s emptied by the reshard"))
+    // loudness: a foreign move (owner drift mid-flight) refuses
+    import spark.implicits._
+    val doctored = Seq((1L, 0L, 3L)).toDF("doc_id", "before", "after")
+    val e = intercept[Exception] {
+      Curation.hrwAudit(doctored, Curation.HrwBefore).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
