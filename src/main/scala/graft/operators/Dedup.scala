@@ -619,7 +619,54 @@ object Dedup extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
+  /** q222's dirty bar as an exact rational: hit fraction ≥ 3/10. */
+  private[graft] val ContamNum = 3L
+  private[graft] val ContamDen = 10L
+
+  /** q222's gram width (GPT-3's appendix-C audit uses 8-grams for the
+    * graded score; the 13-gram Bloom in q158/q174 is the GATE).
+    */
+  private[graft] val ContamN = 8
+
   def queries: Map[String, Q] = Map(
+    // q222 [north star, r12]: CONTAMINATION SCORE — the graded
+    // eval-leakage AUDIT beside the decon GATES (q81 exact, q158/q174
+    // Bloom): per eval doc, the fraction of its distinct 8-grams that
+    // appear anywhere in the train split (the GPT-3 appendix-C /
+    // PaLM "dirty" metric — a release ships this number per benchmark,
+    // not just a gate verdict). Exact integers: (n_grams, n_hit) per
+    // doc, dirty iff 10·n_hit ≥ 3·n_grams with n_grams > 0 (a doc too
+    // short to hold one gram is reported, never silently dropped).
+    // Scale shape: ONE gram-keyed shuffle — distinct train grams +
+    // distinct (eval doc, gram) pairs meet in a LEFT SEMI join (grams
+    // are bounded strings; no doc×doc pairing anywhere); rollups are
+    // doc-keyed partial aggs.
+    "q222_contamination_score" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+      val isEval = substring(md5(concat(lit("eval:"),
+        col("doc_id").cast("string"))), 1, 1) < lit("4")
+      val words = filter(split(col("text"), " "), w => w =!= "")
+      val grams = when(size(words) >= ContamN,
+        transform(sequence(lit(0), size(words) - ContamN),
+          i => concat_ws(" ", slice(words, i + 1, lit(ContamN)))))
+        .otherwise(array().cast("array<string>"))
+      val ev = docs.filter(isEval).select(col("doc_id"), grams.as("grams"))
+      val evG = ev.select(col("doc_id"), explode(col("grams")).as("g"))
+        .distinct()
+      val trG = docs.filter(!isEval).select(explode(grams).as("g")).distinct()
+      val hit = evG.join(trG, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val tot = evG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      ev.select(col("doc_id"))
+        .join(tot, Seq("doc_id"), "left")
+        .join(hit, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_grams", "n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit") * ContamDen >= col("n_grams") * ContamNum &&
+            col("n_grams") > 0L).as("dirty"))
+        .orderBy("doc_id")
+    }),
     // q190 [north star, r12]: INCREMENTAL near-dup maintenance — the
     // IVM discipline (q184/q186/q188) extended to the LSH tier, the
     // daily-crawl-refresh shape: when a point fix lands, the verified
@@ -1042,6 +1089,31 @@ object Dedup extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q222: the identical split, gram construction (8-element list
+    // slices), distinct sets, and semi join, re-derived in SQL.
+    "q222_contamination_score" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split(text,' '), x -> x <> '') AS ws,
+         |             substring(md5('eval:'||CAST(doc_id AS VARCHAR)),1,1)
+         |               < '4' AS ev
+         |           FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, ev,
+         |        array_to_string(ws[i.k+1 : i.k+$ContamN], ' ') AS gram
+         |      FROM d, UNNEST(generate_series(0, len(ws)-$ContamN)) i(k)
+         |      WHERE len(ws) >= $ContamN),
+         |eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE ev),
+         |tg AS (SELECT DISTINCT gram FROM g WHERE NOT ev),
+         |hit AS (SELECT e.doc_id, COUNT(*) AS n_hit
+         |        FROM eg e JOIN tg USING (gram) GROUP BY e.doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  COALESCE(h.n_hit, 0) * $ContamDen
+         |    >= COALESCE(t.n_grams, 0) * $ContamNum
+         |    AND COALESCE(t.n_grams, 0) > 0 AS dirty
+         |FROM (SELECT doc_id FROM d WHERE ev) d
+         |LEFT JOIN tot t USING (doc_id) LEFT JOIN hit h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q42_exact_dedup" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -3771,6 +3771,44 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q222 contamination score: matches a plain-Scala audit; every eval doc reported; both verdict classes populated") {
+    import graft.operators.Dedup
+    val out = SparkEntry.queries("q222_contamination_score")(spark, Sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // THIRD implementation: the whole audit off collected rows
+    def evalSide(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"eval:$id".getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0) < '4'
+    }
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < Dedup.ContamN) Set.empty
+      else ws.sliding(Dedup.ContamN).map(_.mkString(" ")).toSet
+    }
+    val train = docs.filterNot(d => evalSide(d._1)).iterator
+      .flatMap(d => grams(d._2)).toSet
+    val evals = docs.filter(d => evalSide(d._1))
+    assert(out.keySet == evals.map(_._1).toSet,
+      "every eval doc must be reported, including gram-less ones")
+    evals.foreach { case (id, t) =>
+      val g = grams(t)
+      val hit = g.count(train.contains).toLong
+      val dirty = hit * Dedup.ContamDen >= g.size * Dedup.ContamNum && g.nonEmpty
+      assert(out(id) == ((g.size.toLong, hit, dirty)),
+        s"doc $id: engine ${out(id)} != plain-Scala (${g.size}, $hit, $dirty)")
+    }
+    // the fixture exercises all three regimes
+    assert(out.values.exists(_._3), "no dirty eval doc — audit untested")
+    assert(out.values.exists(v => !v._3 && v._1 > 0), "no clean eval doc")
+    assert(out.values.exists(v => v._2 == 0 && v._1 > 0), "no zero-hit doc")
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
