@@ -911,6 +911,20 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** q217's extraction projection over (doc_id, html) pages — shared
+    * verbatim by batch q217 and the streaming ingest twin
+    * (`StreamOps.boilerplateExtractStream`), so batch≡stream equality
+    * is structural (the Tokenizer.tokenized stance).
+    */
+  private[graft] def boilerplateProjected(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    pages
+      .select(col("doc_id"), toColumn(graft.expressions.BoilerplateExtract(
+        toExpression(col("html")))).as("b"))
+      .select(col("doc_id"), col("b.n_blocks"), col("b.n_content"),
+        col("b.content_words"), md5(col("b.content")).as("content_md5"))
+  }
+
   /** ---- audio fingerprint near-dup tier (r12, q219) -------------------
     *
     * The AUDIO sibling of q216: a multimodal corpus holds re-encoded,
@@ -1498,12 +1512,7 @@ object Multimodal extends QueryGroup {
         .as[(Long, String)]
         .map { case (id, t) => (id, Warc.richPageFor(id, t)) }
         .toDF("doc_id", "html")
-      pages
-        .select(col("doc_id"), toColumn(graft.expressions.BoilerplateExtract(
-          toExpression(col("html")))).as("b"))
-        .select(col("doc_id"), col("b.n_blocks"), col("b.n_content"),
-          col("b.content_words"), md5(col("b.content")).as("content_md5"))
-        .orderBy("doc_id")
+      boilerplateProjected(pages).orderBy("doc_id")
     }),
 
     // q218 [north star, r12]: SCENE-CUT detection — temporal

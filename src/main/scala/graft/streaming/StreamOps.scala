@@ -495,4 +495,45 @@ object StreamOps {
       }
     }.toDF("doc_id", "content_length", "n_extracted_chars", "text")
   }
+
+  /** Ingest-time boilerplate removal — q217's streaming twin, and the
+    * place a crawl pipeline actually runs it: pages are extracted as
+    * they land, BEFORE any hash-keyed stage sees them (extracting later
+    * re-keys every dedup/decon artifact on text that no longer exists —
+    * the nfcNormalizeStream argument, one stage earlier). Stateless
+    * map-only over the SAME projection as batch q217
+    * (`Multimodal.boilerplateProjected`) — batch≡stream structural.
+    */
+  def boilerplateExtractStream(pages: DataFrame): DataFrame =
+    graft.operators.Multimodal.boilerplateProjected(pages)
+
+  /** Ingest-time WordPiece segmentation — q215's streaming twin: the
+    * two-sided vocab is STATIC model state (a tokenizer change is a
+    * redeploy), so the stream side is a stateless map-only projection
+    * shared verbatim with batch (`Tokenizer.wordpieceSegmented`).
+    */
+  def wordpieceStream(docs: DataFrame, initial: Seq[String],
+      continuation: Seq[String]): DataFrame =
+    graft.operators.Tokenizer.wordpieceSegmented(docs, initial, continuation)
+
+  /** Ingest-time perceptual image dedup — q216's streaming gate: an
+    * arriving image is decoded and dHashed partition-locally (the same
+    * `Multimodal.perceptualHashes` codec path as batch), then only the
+    * FIRST image per 64-bit hash survives — stateful dropDuplicates
+    * keyed on the 8-byte hash, so state never holds pixels. This is
+    * EXACT-hash dedup at the door (re-renders and brightness shifts
+    * collapse because dHash maps them to the same 64 bits); the
+    * near-dup (Hamming ≤ 3) tier stays a batch join by design — a
+    * banded stateful join's state is unbounded in the same way, and
+    * the daily batch pass (q216) is where production runs it.
+    */
+  def perceptualDedupStream(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => graft.operators.Multimodal.MediaRow(id, bytes) }
+    graft.operators.Multimodal.perceptualHashes(spark, rows)
+      .toDF().dropDuplicates("dhash")
+  }
 }

@@ -1235,6 +1235,98 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must produce at least one hit")
   }
 
+  test("streaming boilerplate extract == batch q217 on the same pages (shared projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Warc
+    val pages = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        Warc.richPageFor(r.getLong(0), r.getString(1) + Warc.NonAsciiProbe)))
+      .toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.boilerplateExtractStream(
+        ms.toDF().toDF("doc_id", "html")).writeStream
+      .format("memory").queryName("bp_out")
+      .outputMode("append").start()
+    val (b1, b2) = pages.splitAt(pages.length / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bp_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val batch = SparkEntry.queries("q217_boilerplate_extract")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(streamed == batch, "streamed extraction drifted from batch q217")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming WordPiece == batch q215 on the same docs (static two-sided vocab)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val docsDf = Tables(spark, Sf, "documents")
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val inv = Tokenizer.vocabTable(spark, docsDf, merges)
+      .orderBy("token_id").collect().map(_.getString(0)).toSeq
+    val docs = docsDf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.wordpieceStream(
+        ms.toDF().toDF("doc_id", "text"), inv, inv).writeStream
+      .format("memory").queryName("wp_out")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    val streamed = keyed(spark.table("wp_out").collect())
+    val batch = keyed(SparkEntry.queries("q215_wordpiece")(spark, Sf).collect())
+    assert(streamed == batch, "streamed WordPiece drifted from batch q215")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming perceptual dedup: first image per dHash survives; re-renders collapse across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docIds = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val media = docIds.map(id => (id, Multimodal.encodeBmpDhash(id)))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamOps.perceptualDedupStream(
+        ms.toDF().toDF("doc_id", "media")).writeStream
+      .format("memory").queryName("pd_out")
+      .outputMode("append").start()
+    val (b1, b2) = media.splitAt(media.length / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    // a replayed first batch must add NOTHING (hash state holds)
+    ms.addData(b1); q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table("pd_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expectation: one survivor per DISTINCT hash, and it is the first
+    // arrival (ascending ids here) — recompute hashes via the batch path
+    val hashes = Multimodal.perceptualHashes(spark,
+      spark.createDataset(docIds)
+        .map(id => Multimodal.MediaRow(id, Multimodal.encodeBmpDhash(id))))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    val firstPerHash = docIds.groupBy(hashes).map { case (h, ids) =>
+      ids.min -> h
+    }
+    assert(survivors == firstPerHash,
+      "streaming dedup must keep exactly the first arrival per hash")
+    assert(survivors.size < docIds.size,
+      "fixture must actually collapse re-renders")
+  }
+
   test("streaming BPE tokenize == batch q167 on the same docs (static merge table)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
