@@ -43,8 +43,79 @@ object Relational extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** q223's synthetic NEW-key offset (delta-introduced doc ids). */
+  private[graft] val MergeNewBase = 10000000L
+
+  /** LSM/Delta-style MERGE compaction over versioned dumps with
+    * tombstones — the warehouse upsert-compaction the release surface
+    * reads its dumps through (Delta/Iceberg's MERGE INTO semantics,
+    * O'Neil's LSM merge rule): each dump carries (doc_id, version, op,
+    * txt) rows, op 'U' upserts, 'D' tombstones; compaction keeps the
+    * LATEST version per key, tombstoned keys stay in the manifest as
+    * dead (`alive` false) — dropping them silently would un-delete on
+    * the next merge with an older dump.
+    *
+    * Loudness: two rows with the same (doc_id, version) mean two
+    * writers claimed one version slot — exactly the concurrent-commit
+    * corruption a table format's optimistic protocol exists to prevent
+    * — so compaction REFUSES (`raise_error`) rather than letting the
+    * struct-max tiebreak pick a winner arbitrarily.
+    *
+    * Scale shape: ONE key shuffle (groupBy doc_id, struct-max partial-
+    * aggregates map-side); the writer-conflict guard rides the same
+    * pass as a (key, version) count reduced to one broadcast row.
+    * Associativity/idempotence (compact(compact(A,B),C) ≡
+    * compact(A,B,C) — the law leveled compaction leans on) is pinned
+    * in OperatorSpec.
+    */
+  private[graft] def mergeCompact(dumps: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val all = dumps.reduce(_ unionByName _)
+    val guard = all.groupBy(col("doc_id"), col("version"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1L)
+      .agg(count(lit(1)).as("n_dup"))
+    all.groupBy(col("doc_id"))
+      .agg(max(struct(col("version"), col("op"), col("txt"))).as("s"))
+      .crossJoin(broadcast(guard))
+      .filter(when(col("n_dup") > 0L,
+        raise_error(lit("q223: two writers claimed the same (key, version) " +
+          "slot — refusing an arbitrary winner; fix the commit protocol")))
+        .otherwise(lit(true)))
+      .select(col("doc_id"), col("s.version").as("version"),
+        (col("s.op") === lit("U")).as("alive"),
+        when(col("s.op") === lit("U"), md5(col("s.txt"))).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q00_flagship" -> flagship,
+
+    // q223 [north star, r12]: MERGE compaction — versioned dumps with
+    // updates, tombstones, and delta-introduced keys collapse to the
+    // latest-version view; dead keys stay in the manifest (silently
+    // dropping them would un-delete on the next merge), and a
+    // double-claimed (key, version) slot refuses loudly. Dump gates
+    // are md5-derived (the q188 pattern), mirrored by the oracle.
+    "q223_merge_compaction" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      def gate(prefix: String) = substring(md5(concat(lit(prefix),
+        col("doc_id").cast("string"))), 1, 1)
+      val base = docs.select(col("doc_id"), lit(1L).as("version"),
+        lit("U").as("op"), col("text").as("txt"))
+      val d1 = docs.filter(gate("mdel:") < "2" || gate("mupd:") < "4")
+        .select(col("doc_id"), lit(2L).as("version"),
+          when(gate("mdel:") < "2", "D").otherwise("U").as("op"),
+          when(gate("mdel:") < "2", lit(null).cast("string"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("txt"))
+      val d2 = docs.filter(gate("mupd2:") < "2")
+        .select(col("doc_id"), lit(3L).as("version"), lit("U").as("op"),
+          concat(col("text"), lit(" v3")).as("txt"))
+      val born = docs.filter(gate("mnew:") < "1")
+        .select((col("doc_id") + MergeNewBase).as("doc_id"),
+          lit(3L).as("version"), lit("U").as("op"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("txt"))
+      mergeCompact(Seq(base, d1, d2, born))
+    }),
 
     // q210 [north star, r12]: RFC 4180 CSV line codec — the wire format
     // the codec tier lacked (gzip q02, JSON q03/q04, WARC q169). Both
@@ -614,6 +685,35 @@ object Relational extends QueryGroup {
          |    FROM pw""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
     Map(
+    // q223: the same md5-gated dump construction, latest row per key
+    // via ROW_NUMBER over version DESC (the duplicate-slot guard is
+    // engine-side loudness; the fixture never trips it).
+    "q223_merge_compaction" ->
+      s"""WITH base AS (SELECT doc_id, 1 AS version, 'U' AS op, text AS txt
+         |              FROM documents),
+         |d1 AS (SELECT doc_id, 2 AS version,
+         |         CASE WHEN substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+         |              THEN 'D' ELSE 'U' END AS op,
+         |         CASE WHEN substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+         |              THEN NULL ELSE text || ' v2' END AS txt
+         |       FROM documents
+         |       WHERE substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+         |          OR substring(md5('mupd:'||CAST(doc_id AS VARCHAR)),1,1) < '4'),
+         |d2 AS (SELECT doc_id, 3 AS version, 'U' AS op, text || ' v3' AS txt
+         |       FROM documents
+         |       WHERE substring(md5('mupd2:'||CAST(doc_id AS VARCHAR)),1,1) < '2'),
+         |born AS (SELECT doc_id + $MergeNewBase AS doc_id, 3 AS version,
+         |           'U' AS op, 'new doc ' || CAST(doc_id AS VARCHAR) AS txt
+         |         FROM documents
+         |         WHERE substring(md5('mnew:'||CAST(doc_id AS VARCHAR)),1,1) < '1'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+         |      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM born),
+         |l AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY version DESC) AS rn FROM u)
+         |SELECT doc_id, CAST(version AS BIGINT) AS version,
+         |  op = 'U' AS alive,
+         |  CASE WHEN op = 'U' THEN md5(txt) END AS text_md5
+         |FROM l WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q211_url_canonicalize" ->
       s"""WITH RECURSIVE $urlChain
          |SELECT doc_id, arm, raw_url, canon,

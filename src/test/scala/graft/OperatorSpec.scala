@@ -3809,6 +3809,85 @@ class OperatorSpec extends SparkSpec {
     assert(out.values.exists(v => v._2 == 0 && v._1 > 0), "no zero-hit doc")
   }
 
+  test("q223 merge compaction: matches plain-Scala; compaction is associative; tombstones persist; double-claimed slot is loud") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val out = SparkEntry.queries("q223_merge_compaction")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // THIRD implementation off collected docs
+    def hex1(s: String): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, Sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, Boolean, String)]
+    docs.foreach { case (id, t) =>
+      ref(id) = (1L, true, if (t == null) null else md5s(t))
+    }
+    docs.foreach { case (id, t) =>
+      if (hex1(s"mdel:$id") < '2') ref(id) = (2L, false, null)
+      else if (hex1(s"mupd:$id") < '4')
+        ref(id) = (2L, true, if (t == null) null else md5s(t + " v2"))
+    }
+    docs.foreach { case (id, t) =>
+      if (hex1(s"mupd2:$id") < '2')
+        ref(id) = (3L, true, if (t == null) null else md5s(t + " v3"))
+      if (hex1(s"mnew:$id") < '1')
+        ref(id + Relational.MergeNewBase) = (3L, true, md5s(s"new doc $id"))
+    }
+    assert(out == ref.toMap, "engine compaction drifted from plain-Scala")
+    // fixture exercises every regime: dead keys persist in the
+    // manifest, delta-born keys exist, a v3 overrode a v2 somewhere,
+    // and a delete overrode an update (version-order wins)
+    assert(out.values.exists(v => !v._2), "no tombstoned key")
+    assert(out.keys.exists(_ >= Relational.MergeNewBase), "no delta-born key")
+    assert(docs.exists { case (id, _) =>
+      hex1(s"mupd:$id") < '4' && hex1(s"mupd2:$id") < '2' &&
+        hex1(s"mdel:$id") >= '2'
+    }, "no v2→v3 update chain")
+    assert(docs.exists { case (id, _) =>
+      hex1(s"mdel:$id") < '2' && hex1(s"mupd2:$id") >= '2'
+    }, "no surviving tombstone")
+    // the LSM law: compact(compact(base, d1), d2) == compact(base, d1, d2)
+    def dump(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("doc_id", "version", "op", "txt")
+    val a = dump(Seq((1L, 1L, "U", "one"), (2L, 1L, "U", "two")))
+    val b = dump(Seq((1L, 2L, "D", null), (3L, 2L, "U", "three")))
+    val c = dump(Seq((1L, 3L, "U", "back"), (2L, 3L, "U", "two2")))
+    val direct = Relational.mergeCompact(Seq(a, b, c)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // re-level the first compaction's output into a dump (alive → U)
+    val lvl1 = Relational.mergeCompact(Seq(a, b))
+    val asDump = lvl1.select(col("doc_id"), col("version"),
+      when(col("alive"), "U").otherwise("D").as("op"),
+      when(col("alive"), concat(lit("x"), col("text_md5")))
+        .otherwise(lit(null)).as("txt"))
+    // (text differs post-relevel; compare keys/versions/aliveness only)
+    val staged = Relational.mergeCompact(Seq(asDump, c)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(staged == direct, "leveled compaction broke the merge law")
+    assert(direct == Set((1L, 3L, true), (2L, 3L, true), (3L, 2L, true)))
+    // un-delete via a LATER version is legal; resurrecting via an older
+    // dump is not possible because the tombstone's version wins
+    val res = Relational.mergeCompact(Seq(b, a)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1 + 1))).toMap
+    assert(res(1L) == false, "an older dump must not resurrect a tombstone")
+    // double-claimed (key, version) slot refuses loudly
+    val e = intercept[Exception] {
+      Relational.mergeCompact(Seq(
+        dump(Seq((1L, 1L, "U", "w1"))),
+        dump(Seq((1L, 1L, "U", "w2"))))).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
