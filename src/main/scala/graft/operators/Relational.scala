@@ -160,6 +160,15 @@ object Relational extends QueryGroup {
     "q212_robots_eval" -> ((spark, dir) =>
       robotsEval(urlCanonicalize(Tables(spark, dir, "documents")))),
 
+    // q224 [north star, r12]: crawl-frontier POLITENESS SCHEDULING —
+    // the crawl tier's last stage (ingest → frontier key → permission
+    // → schedule): canonical dedup (keeper = min doc_id), withheld
+    // URLs reported with NULL slots, per-host serialization into
+    // delay-spaced fetch slots. The per-host window IS the schedule —
+    // politeness is serial per host by definition.
+    "q224_frontier_schedule" -> ((spark, dir) =>
+      frontierSchedule(urlCanonicalize(Tables(spark, dir, "documents")))),
+
     // q01 [CLOSURE of app.py:16-30]: bounded scan + projection.
     "q01_scan_project" -> ((spark, dir) =>
       Tables(spark, dir, "lineitem")
@@ -568,6 +577,47 @@ object Relational extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** q224: the politeness SCHEDULE over the canonical frontier — the
+    * stage between fetch permission (q212) and the fetcher itself,
+    * completing the crawl tier end to end (ingest q169 → frontier key
+    * q211 → permission q212 → schedule here): frontier URLs dedup on
+    * their canonical form (keeper = min doc_id — q211's whole point),
+    * robots-disallowed URLs are REPORTED as withheld (NULL slot —
+    * dropping them would hide exactly what politeness is costing the
+    * crawl), and each host's allowed URLs serialize into fetch slots
+    * spaced by that host's crawl delay (deterministic here: 1 +
+    * len(host) mod 5 seconds — production reads it from q212's rule
+    * source).
+    *
+    * Scale shape: the per-host window IS the schedule — politeness is
+    * serial per host BY DEFINITION, so a hot host's long partition is
+    * the semantics, not a skew accident; hosts are the parallel unit.
+    * Everything upstream is map-side expression work + one
+    * canon-keyed dedup shuffle.
+    */
+  private[graft] def frontierSchedule(
+      urls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val verdicts = robotsEval(urls).select(col("doc_id"), col("allowed"))
+    val keeper = urls.select(col("doc_id"), col("canon"), col("host_key"))
+      .join(verdicts, Seq("doc_id"))
+      .groupBy(col("canon"), col("host_key"), col("allowed"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host_key")).orderBy(col("canon"))
+    val sched = keeper.filter(col("allowed"))
+      .withColumn("rank_in_host", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("canon"), col("host_key"), col("allowed"),
+        col("rank_in_host"),
+        (col("rank_in_host") *
+          (lit(1L) + length(col("host_key")).cast("long") % 5L))
+          .as("fetch_at_s"))
+    val withheld = keeper.filter(!col("allowed"))
+      .select(col("doc_id"), col("canon"), col("host_key"), col("allowed"),
+        lit(null).cast("long").as("rank_in_host"),
+        lit(null).cast("long").as("fetch_at_s"))
+    sched.unionByName(withheld).orderBy("doc_id")
+  }
+
   /** The ≤1-star closed-form SQL translation of a REP pattern — the
     * oracle's independent road (the general matcher lives engine-side;
     * the translator refuses patterns outside its closed form LOUDLY at
@@ -740,6 +790,38 @@ object Relational extends QueryGroup {
          |  COALESCE(w.ln, -1) AS rule_len
          |FROM pw LEFT JOIN w ON w.doc_id = pw.doc_id AND w.rk = 1
          |ORDER BY pw.doc_id""".stripMargin,
+    // q224: the q212 verdict chain verbatim, then canonical-dedup,
+    // per-host ROW_NUMBER slots, and the same delay arithmetic.
+    "q224_frontier_schedule" ->
+      s"""WITH RECURSIVE $urlChain,
+         |pw AS (SELECT doc_id,
+         |    substring(string_split(canon,'://')[2],
+         |      length(string_split(string_split(canon,'://')[2],'/')[1]) + 1) AS path
+         |  FROM cn),
+         |rm AS (SELECT * FROM (
+         |    $robotsRuleRows
+         |  ) z WHERE m),
+         |w AS (SELECT doc_id, al,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY ln DESC, al DESC, pt DESC) AS rk
+         |  FROM rm),
+         |v AS (SELECT cn.doc_id, cn.canon,
+         |        string_split(string_split(cn.canon,'://')[2],'/')[1] AS host_key,
+         |        COALESCE(w.al, true) AS allowed
+         |      FROM cn LEFT JOIN w ON w.doc_id = cn.doc_id AND w.rk = 1),
+         |k AS (SELECT canon, host_key, allowed, MIN(doc_id) AS doc_id
+         |      FROM v GROUP BY canon, host_key, allowed),
+         |s AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host_key
+         |        ORDER BY canon) - 1 AS BIGINT) AS rank_in_host
+         |      FROM k WHERE allowed)
+         |SELECT doc_id, canon, host_key, allowed, rank_in_host,
+         |  rank_in_host * (1 + length(host_key) % 5) AS fetch_at_s
+         |FROM s
+         |UNION ALL
+         |SELECT doc_id, canon, host_key, allowed,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM k WHERE NOT allowed
+         |ORDER BY doc_id""".stripMargin,
     // q210: the same six arms and the same RFC 4180 quoting rule as SQL
     // CASE expressions — the LINES are compared byte-for-byte; the
     // decode direction is engine-side self-validated in-plan

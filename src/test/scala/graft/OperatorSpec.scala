@@ -3888,6 +3888,46 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q224 frontier schedule: matches a plain-Scala schedule; dedup collapses; politeness spacing exact; withheld reported") {
+    val canon = SparkEntry.queries("q211_url_canonicalize")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getString(4))).toMap
+    val verdicts = SparkEntry.queries("q212_robots_eval")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // THIRD implementation: dedup + schedule off the (already
+    // oracle-green) q211/q212 surfaces
+    val keeper = canon.toSeq
+      .map { case (id, (c, h)) => (c, h, verdicts(id), id) }
+      .groupBy(t => (t._1, t._2, t._3))
+      .map { case ((c, h, a), g) => (c, h, a, g.map(_._4).min) }.toSeq
+    val ref = scala.collection.mutable.Map.empty[Long, (String, String, Boolean, Option[Long], Option[Long])]
+    keeper.filter(_._3).groupBy(_._2).foreach { case (h, g) =>
+      val delay = 1L + h.length % 5
+      g.sortBy(_._1).zipWithIndex.foreach { case ((c, _, _, id), i) =>
+        ref(id) = (c, h, true, Some(i.toLong), Some(i.toLong * delay))
+      }
+    }
+    keeper.filterNot(_._3).foreach { case (c, h, _, id) =>
+      ref(id) = (c, h, false, None, None)
+    }
+    val out = SparkEntry.queries("q224_frontier_schedule")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(out == ref.toMap, "engine schedule drifted from plain-Scala")
+    // canonical dedup collapsed something, and withheld URLs exist
+    assert(out.size < canon.size, "no canonical collapse — frontier dedup untested")
+    assert(out.values.exists(!_._3), "no withheld URL — politeness untested")
+    // politeness law: within a host, consecutive slots are exactly one
+    // crawl delay apart, starting at 0
+    out.values.filter(_._3).groupBy(_._2).foreach { case (h, g) =>
+      val times = g.flatMap(_._5).toSeq.sorted
+      val delay = 1L + h.length % 5
+      assert(times == times.indices.map(_ * delay),
+        s"host $h: fetch slots $times are not $delay-spaced from 0")
+    }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
