@@ -3928,6 +3928,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q225 erasure parity: GF(256) laws; ALL 28 double erasures recover; corruption detected; shard facts match") {
+    import graft.operators.Erasure
+    // field laws the algebra stands on: every nonzero element inverts,
+    // multiplication is commutative/associative on a sweep, and g=2
+    // has full order (the 8 generator powers are distinct — the
+    // condition that makes gⁱ ⊕ gʲ invertible for i ≠ j)
+    (1 to 255).foreach { x =>
+      assert(Erasure.gfMul(x, Erasure.gfInv(x)) == 1, s"inv broke at $x")
+    }
+    for (a <- Seq(3, 29, 130, 255); b <- Seq(7, 91, 200); c <- Seq(5, 173)) {
+      assert(Erasure.gfMul(a, b) == Erasure.gfMul(b, a))
+      assert(Erasure.gfMul(Erasure.gfMul(a, b), c) ==
+        Erasure.gfMul(a, Erasure.gfMul(b, c)))
+    }
+    val gs = (0 until Erasure.DataShards).map(Erasure.gfPow2)
+    assert(gs.distinct.size == gs.size, "generator powers collide")
+    // a deterministic toy stripe: EVERY (i, j) pair recovers, not just
+    // the adjacent pairs the in-plan verdict sweeps
+    val blocks = Array.tabulate(Erasure.DataShards) { s =>
+      Array.tabulate[Byte](64)(b => ((s * 37 + b * 11 + 5) % 256).toByte)
+    }
+    val (p, q) = Erasure.parity(blocks)
+    for (i <- 0 until Erasure.DataShards; j <- (i + 1) until Erasure.DataShards) {
+      val (ri, rj) = Erasure.recover(blocks, i, j, p, q)
+      assert(java.util.Arrays.equals(ri, blocks(i)) &&
+        java.util.Arrays.equals(rj, blocks(j)), s"pair ($i,$j) failed")
+    }
+    // corruption detection: a flipped parity byte makes recovery
+    // provably wrong (what the in-plan raise_error guards)
+    val pc = p.clone(); pc(7) = (pc(7) ^ 0x40).toByte
+    val (ci, _) = Erasure.recover(blocks, 2, 5, pc, q)
+    assert(!java.util.Arrays.equals(ci, blocks(2)),
+      "corrupted parity must not reconstruct the original")
+    // the registered audit: shard facts match a plain-Scala count and
+    // the proven verdict is true everywhere
+    val out = SparkEntry.queries("q225_erasure_parity")(spark, Sf).collect()
+    assert(out.length == Erasure.DataShards)
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1) + graft.operators.Warc.NonAsciiProbe))
+    out.foreach { r =>
+      val s = r.getLong(0)
+      val mine = docs.filter(_._1 % Erasure.DataShards == s)
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == mine.map(_._2.getBytes("UTF-8").length.toLong).sum)
+      assert(r.getBoolean(3), s"shard $s verdict must be proven true")
+    }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
