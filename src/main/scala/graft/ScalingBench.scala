@@ -146,7 +146,8 @@ object ScalingBench {
       "q216_image_neardup", "q217_boilerplate_extract", "q218_scene_cuts",
       "q219_audio_neardup", "q220_webdataset_tar", "q221_hrw_reshard",
       "q222_contamination_score", "q223_merge_compaction",
-      "q224_frontier_schedule", "q225_erasure_parity")
+      "q224_frontier_schedule", "q225_erasure_parity",
+      "q226_batch_packing_audit")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

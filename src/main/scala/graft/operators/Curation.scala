@@ -690,6 +690,37 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q226 [north star, r12]: LENGTH-BUCKETED batch packing audit — the
+    // padded-batch efficiency step every trainer runs between packing
+    // and the GPU: grouping similar-length sequences into micro-batches
+    // cuts the padding waste Σ(batch_size·max_len − Σlen) that naive
+    // arrival-order batching pays. Both schemes are materialized and
+    // audited per batch; the spec pins the theorem-in-practice (sorted
+    // waste ≤ naive waste — equality only if all lengths are equal).
+    // Scale: global rank via the scanRank decomposition (range
+    // partition + local row_number + broadcast offsets — NO
+    // corpus-sized window), then one batch-keyed rollup.
+    "q226_batch_packing_audit" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tokens"))
+      def audit(ranked: DataFrame, scheme: String): DataFrame =
+        ranked
+          .withColumn("batch_id",
+            floor((col("rank") - 1L).cast("double") / BatchDocs).cast("long"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+            sum(col("n_tokens")).as("sum_len"))
+          .withColumn("waste", col("n_docs") * col("max_len") - col("sum_len"))
+          .withColumn("scheme", lit(scheme))
+      audit(scanRank(docs, Seq(col("doc_id"))), "naive")
+        .unionByName(
+          audit(scanRank(docs, Seq(col("n_tokens"), col("doc_id"))), "bucketed"))
+        .select(col("scheme"), col("batch_id"), col("n_docs"),
+          col("max_len"), col("sum_len"), col("waste"))
+        .orderBy("scheme", "batch_id")
+    }),
+
     // q221 [north star, r12]: RENDEZVOUS (HRW) reshard audit — the
     // minimal-movement ownership primitive behind every elastic
     // sharded system (Thaler & Ravishankar '96; the property the
@@ -1069,6 +1100,32 @@ object Curation extends QueryGroup {
         sum(col("a")).as("n_after"),
         sum(col("m")).as("moved_out"))
       .orderBy("shard")
+
+  /** q226's training micro-batch width. */
+  private[graft] val BatchDocs = 32
+
+  /** Distributed GLOBAL rank under `order` with no corpus-sized window
+    * — the q151 scan decomposition without the per-source key: range
+    * partition on the order key, per-partition local row_number, then
+    * broadcast partition-count offsets (the offsets window runs over
+    * ≤ #partitions rows). Values are partition-count-independent.
+    */
+  private[graft] def scanRank(docs: DataFrame,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val ranged = docs.repartitionByRange(order: _*)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(order: _*)
+    val local = ranged
+      .withColumn("lrank", row_number().over(wLocal).cast("long"))
+    val offs = local.groupBy(col("pid")).agg(max(col("lrank")).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offs), Seq("pid"))
+      .withColumn("rank", col("off") + col("lrank"))
+      .drop("pid", "lrank", "off")
+  }
 
   private[graft] def scanPack(docs: DataFrame, wCol: String,
       seqLen: Int): DataFrame = {
@@ -1547,6 +1604,24 @@ object Curation extends QueryGroup {
         |    THEN error('q149 candidate pool smaller than the quota boundary')
         |    ELSE rk <= quota END
         |ORDER BY doc_id""".stripMargin,
+    // q226: both rank orders via ROW_NUMBER, the same batch arithmetic.
+    "q226_batch_packing_audit" ->
+      s"""WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+         |           FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT n_tokens,
+         |        ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM d),
+         |s AS (SELECT n_tokens,
+         |        ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rk FROM d),
+         |b AS (SELECT 'naive' AS scheme, (rk-1)//$BatchDocs AS batch_id,
+         |        n_tokens FROM n
+         |      UNION ALL
+         |      SELECT 'bucketed', (rk-1)//$BatchDocs, n_tokens FROM s)
+         |SELECT scheme, CAST(batch_id AS BIGINT) AS batch_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+         |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS waste
+         |FROM b GROUP BY scheme, batch_id ORDER BY scheme, batch_id""".stripMargin,
     // q221: both assignments re-derived as argmax via ROW_NUMBER over
     // the same 60-bit hash (ties toward the higher shard id), then the
     // identical role-explode rollup.

@@ -3978,6 +3978,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q226 batch packing: matches plain-Scala; bucketing beats naive; scanRank == global row_number") {
+    import graft.operators.Curation
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val out = SparkEntry.queries("q226_batch_packing_audit")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // THIRD implementation
+    def audit(sorted: Seq[(Long, Long)], scheme: String) =
+      sorted.grouped(Curation.BatchDocs).zipWithIndex.map { case (g, i) =>
+        val lens = g.map(_._2)
+        (scheme, i.toLong) ->
+          (g.size.toLong, lens.max, lens.sum,
+            g.size * lens.max - lens.sum)
+      }.toMap
+    val ref = audit(docs.sortBy(_._1).toSeq, "naive") ++
+      audit(docs.sortBy(d => (d._2, d._1)).toSeq, "bucketed")
+    assert(out == ref, "engine audit drifted from plain-Scala")
+    // the point of the operator, measured: bucketed total padding waste
+    // strictly below naive on this corpus (equality only if all equal)
+    val naiveWaste = out.collect { case (("naive", _), v) => v._4 }.sum
+    val buckWaste = out.collect { case (("bucketed", _), v) => v._4 }.sum
+    assert(buckWaste < naiveWaste,
+      s"bucketed waste $buckWaste must beat naive $naiveWaste")
+    // every batch is full except possibly the last of each scheme
+    Seq("naive", "bucketed").foreach { s =>
+      val batches = out.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+      batches.init.foreach(b =>
+        assert(out((s, b))._1 == Curation.BatchDocs, s"$s batch $b not full"))
+    }
+    // scanRank is a true global row_number under its order
+    val ranked = Curation.scanRank(
+      Tables(spark, Sf, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id")), Seq(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expRank = docs.map(_._1).sorted.zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(ranked == expRank, "scanRank drifted from a global row_number")
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
