@@ -690,6 +690,40 @@ object Curation extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // q227 [north star, r12]: FILL-IN-THE-MIDDLE transform (Bavarian et
+    // al. 2022) — the data-side half of FIM training: with rate 1/2
+    // (md5 gate), a doc splits at two deterministic points into
+    // prefix|middle|suffix and ships re-ordered as PSM
+    // (<PRE>p<SUF>s<MID>m), teaching infilling with zero model-side
+    // changes. Split points are md5-derived (prefix ≥ 1 char; middle
+    // may legitimately be EMPTY — the paper keeps such samples). The
+    // character budget is conserved (Σ parts = len, pinned) and the
+    // transform is invertible (spec reconstructs the original from the
+    // sentinel layout and matches its md5). Map-only expression work;
+    // docs under 2 chars can't split and pass through untransformed.
+    "q227_fim_transform" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+      def h60(prefix: String) = graft.functions.Hashing.md5Long60(
+        concat(lit(prefix), col("doc_id").cast("string")))
+      val len = length(col("text")).cast("long")
+      val applied = substring(md5(concat(lit("fim:"),
+        col("doc_id").cast("string"))), 1, 1) < lit("8") && len >= 2L
+      val a = lit(1L) + pmod(h60("fima:"), len - 1L) // prefix chars ∈ [1, len−1]
+      val m = pmod(h60("fimb:"), len - a + 1L) // middle chars ∈ [0, len−a]
+      val pre = substring(col("text"), lit(1), a.cast("int"))
+      val mid = substring(col("text"), (a + 1L).cast("int"), m.cast("int"))
+      val suf = substring(col("text"), (a + m + 1L).cast("int"),
+        (len - a - m).cast("int"))
+      docs.select(col("doc_id"), applied.as("fim_applied"),
+          when(applied, a).otherwise(len).as("n_prefix"),
+          when(applied, m).otherwise(0L).as("n_middle"),
+          when(applied, len - a - m).otherwise(0L).as("n_suffix"),
+          md5(when(applied, concat(lit("<PRE>"), pre, lit("<SUF>"), suf,
+            lit("<MID>"), mid)).otherwise(col("text"))).as("out_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q226 [north star, r12]: LENGTH-BUCKETED batch packing audit — the
     // padded-batch efficiency step every trainer runs between packing
     // and the GPU: grouping similar-length sequences into micro-batches
@@ -1604,6 +1638,32 @@ object Curation extends QueryGroup {
         |    THEN error('q149 candidate pool smaller than the quota boundary')
         |    ELSE rk <= quota END
         |ORDER BY doc_id""".stripMargin,
+    // q227: the same md5 gate, 60-bit split hashes, char-offset
+    // substrings, and PSM sentinel layout in SQL.
+    "q227_fim_transform" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+         |    substring(md5('fim:'||CAST(doc_id AS VARCHAR)),1,1) < '8'
+         |      AND length(text) >= 2 AS applied,
+         |    ('0x'||substring(md5('fima:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h1,
+         |    ('0x'||substring(md5('fimb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h2
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, text, len, applied, h2,
+         |        CASE WHEN len >= 2 THEN 1 + h1 % (len - 1) ELSE 1 END AS a
+         |      FROM d),
+         |t AS (SELECT doc_id, text, len, applied, a,
+         |        CASE WHEN len >= 2 THEN h2 % (len - a + 1) ELSE 0 END AS m
+         |      FROM s)
+         |SELECT doc_id, applied AS fim_applied,
+         |  CASE WHEN applied THEN a ELSE len END AS n_prefix,
+         |  CASE WHEN applied THEN m ELSE 0 END AS n_middle,
+         |  CASE WHEN applied THEN len - a - m ELSE 0 END AS n_suffix,
+         |  md5(CASE WHEN applied THEN
+         |        '<PRE>' || substring(text, 1, CAST(a AS INT))
+         |        || '<SUF>' || substring(text, CAST(a + m + 1 AS INT),
+         |             CAST(len - a - m AS INT))
+         |        || '<MID>' || substring(text, CAST(a + 1 AS INT), CAST(m AS INT))
+         |      ELSE text END) AS out_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
     // q226: both rank orders via ROW_NUMBER, the same batch arithmetic.
     "q226_batch_packing_audit" ->
       s"""WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens

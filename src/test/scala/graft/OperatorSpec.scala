@@ -4019,6 +4019,49 @@ class OperatorSpec extends SparkSpec {
     assert(ranked == expRank, "scanRank drifted from a global row_number")
   }
 
+  test("q227 FIM transform: matches plain-Scala; char budget conserved; invertible; both arms + empty-middle populated") {
+    val out = SparkEntry.queries("q227_fim_transform")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // THIRD implementation + the invertibility proof per doc
+    docs.foreach { case (id, t) =>
+      val len = t.length.toLong
+      val applied = md5hex(s"fim:$id").charAt(0) < '8' && len >= 2
+      if (!applied) {
+        assert(out(id) == ((false, len, 0L, 0L, md5hex(t))), s"doc $id passthrough")
+      } else {
+        val a = (1L + h60(s"fima:$id") % (len - 1)).toInt
+        val m = (h60(s"fimb:$id") % (len - a + 1)).toInt
+        val (pre, rest) = t.splitAt(a)
+        val (mid, suf) = rest.splitAt(m)
+        val psm = s"<PRE>$pre<SUF>$suf<MID>$mid"
+        assert(out(id) == ((true, a.toLong, m.toLong, (len - a - m),
+          md5hex(psm))), s"doc $id transform drift")
+        // character budget conserved and the transform inverts
+        assert(a + m + (len - a - m) == len)
+        val ip = psm.stripPrefix("<PRE>")
+        val Array(p2, rest2) = ip.split("<SUF>", 2)
+        val Array(s2, m2) = rest2.split("<MID>", 2)
+        assert(md5hex(p2 + m2 + s2) == md5hex(t), s"doc $id not invertible")
+      }
+    }
+    // regimes populated: both gate arms, and an empty middle somewhere
+    assert(out.values.exists(_._1) && out.values.exists(!_._1))
+    assert(out.values.exists(v => v._1 && v._3 == 0L),
+      "no empty-middle sample — the paper's kept edge case untested")
+    assert(out.values.forall(v => !v._1 || v._2 >= 1L),
+      "prefix must hold at least one char")
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
