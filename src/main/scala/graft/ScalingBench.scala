@@ -147,7 +147,8 @@ object ScalingBench {
       "q219_audio_neardup", "q220_webdataset_tar", "q221_hrw_reshard",
       "q222_contamination_score", "q223_merge_compaction",
       "q224_frontier_schedule", "q225_erasure_parity",
-      "q226_batch_packing_audit", "q227_fim_transform")
+      "q226_batch_packing_audit", "q227_fim_transform",
+      "q228_time_travel")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

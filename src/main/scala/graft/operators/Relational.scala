@@ -46,6 +46,34 @@ object Relational extends QueryGroup {
   /** q223's synthetic NEW-key offset (delta-introduced doc ids). */
   private[graft] val MergeNewBase = 10000000L
 
+  /** The q223/q228 fixture dump set: base (v1, all docs), delta 1 (v2
+    * — md5-gated deletes and " v2" updates), delta 2 (v3 — " v3"
+    * updates plus delta-born keys above [[MergeNewBase]]). Shared by
+    * the compaction and the time-travel read so the two queries cannot
+    * drift apart; the oracles re-derive the same gates.
+    */
+  private[graft] def mergeDumps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[org.apache.spark.sql.DataFrame] = {
+    val docs = Tables(spark, dir, "documents")
+    def gate(prefix: String) = substring(md5(concat(lit(prefix),
+      col("doc_id").cast("string"))), 1, 1)
+    val base = docs.select(col("doc_id"), lit(1L).as("version"),
+      lit("U").as("op"), col("text").as("txt"))
+    val d1 = docs.filter(gate("mdel:") < "2" || gate("mupd:") < "4")
+      .select(col("doc_id"), lit(2L).as("version"),
+        when(gate("mdel:") < "2", "D").otherwise("U").as("op"),
+        when(gate("mdel:") < "2", lit(null).cast("string"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("txt"))
+    val d2 = docs.filter(gate("mupd2:") < "2")
+      .select(col("doc_id"), lit(3L).as("version"), lit("U").as("op"),
+        concat(col("text"), lit(" v3")).as("txt"))
+    val born = docs.filter(gate("mnew:") < "1")
+      .select((col("doc_id") + MergeNewBase).as("doc_id"),
+        lit(3L).as("version"), lit("U").as("op"),
+        concat(lit("new doc "), col("doc_id").cast("string")).as("txt"))
+    Seq(base, d1, d2, born)
+  }
+
   /** LSM/Delta-style MERGE compaction over versioned dumps with
     * tombstones — the warehouse upsert-compaction the release surface
     * reads its dumps through (Delta/Iceberg's MERGE INTO semantics,
@@ -87,8 +115,30 @@ object Relational extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** q228's snapshot version (reads the q223 dump set AS OF v2). */
+  private[graft] val TimeTravelVersion = 2L
+
+  /** Snapshot-isolation read of the versioned dump set AS OF a version
+    * — the time-travel query every table format pairs with MERGE
+    * (q223): rows with version > V simply don't exist yet, so the read
+    * is the SAME latest-wins collapse over the filtered history. Two
+    * laws ride on this (both pinned): AS OF the maximum version ≡ the
+    * q223 compaction verbatim, and a key born after V is ABSENT (not
+    * dead — nonexistence and tombstones are different facts).
+    */
+  private[graft] def timeTravelRead(dumps: Seq[org.apache.spark.sql.DataFrame],
+      asOf: Long): org.apache.spark.sql.DataFrame =
+    mergeCompact(dumps.map(_.filter(col("version") <= asOf)))
+
   def queries: Map[String, Q] = Map(
     "q00_flagship" -> flagship,
+
+    // q228 [north star, r12]: TIME-TRAVEL read — the q223 dump set AS
+    // OF version 2: later updates/births don't exist yet, v2
+    // tombstones already do. Same latest-wins collapse over the
+    // filtered history; oracle filters the same md5-gated dumps.
+    "q228_time_travel" -> ((spark, dir) =>
+      timeTravelRead(mergeDumps(spark, dir), TimeTravelVersion)),
 
     // q223 [north star, r12]: MERGE compaction — versioned dumps with
     // updates, tombstones, and delta-introduced keys collapse to the
@@ -96,26 +146,8 @@ object Relational extends QueryGroup {
     // dropping them would un-delete on the next merge), and a
     // double-claimed (key, version) slot refuses loudly. Dump gates
     // are md5-derived (the q188 pattern), mirrored by the oracle.
-    "q223_merge_compaction" -> ((spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
-      def gate(prefix: String) = substring(md5(concat(lit(prefix),
-        col("doc_id").cast("string"))), 1, 1)
-      val base = docs.select(col("doc_id"), lit(1L).as("version"),
-        lit("U").as("op"), col("text").as("txt"))
-      val d1 = docs.filter(gate("mdel:") < "2" || gate("mupd:") < "4")
-        .select(col("doc_id"), lit(2L).as("version"),
-          when(gate("mdel:") < "2", "D").otherwise("U").as("op"),
-          when(gate("mdel:") < "2", lit(null).cast("string"))
-            .otherwise(concat(col("text"), lit(" v2"))).as("txt"))
-      val d2 = docs.filter(gate("mupd2:") < "2")
-        .select(col("doc_id"), lit(3L).as("version"), lit("U").as("op"),
-          concat(col("text"), lit(" v3")).as("txt"))
-      val born = docs.filter(gate("mnew:") < "1")
-        .select((col("doc_id") + MergeNewBase).as("doc_id"),
-          lit(3L).as("version"), lit("U").as("op"),
-          concat(lit("new doc "), col("doc_id").cast("string")).as("txt"))
-      mergeCompact(Seq(base, d1, d2, born))
-    }),
+    "q223_merge_compaction" -> ((spark, dir) =>
+      mergeCompact(mergeDumps(spark, dir))),
 
     // q210 [north star, r12]: RFC 4180 CSV line codec — the wire format
     // the codec tier lacked (gzip q02, JSON q03/q04, WARC q169). Both
@@ -735,6 +767,26 @@ object Relational extends QueryGroup {
          |    FROM pw""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
     Map(
+    // q228: the q223 dump CTEs filtered to version ≤ 2 — rows after the
+    // snapshot don't exist yet; the collapse is identical.
+    "q228_time_travel" ->
+      s"""WITH base AS (SELECT doc_id, 1 AS version, 'U' AS op, text AS txt
+         |              FROM documents),
+         |d1 AS (SELECT doc_id, 2 AS version,
+         |         CASE WHEN substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+         |              THEN 'D' ELSE 'U' END AS op,
+         |         CASE WHEN substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+         |              THEN NULL ELSE text || ' v2' END AS txt
+         |       FROM documents
+         |       WHERE substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+         |          OR substring(md5('mupd:'||CAST(doc_id AS VARCHAR)),1,1) < '4'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM d1),
+         |l AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY version DESC) AS rn FROM u)
+         |SELECT doc_id, CAST(version AS BIGINT) AS version,
+         |  op = 'U' AS alive,
+         |  CASE WHEN op = 'U' THEN md5(txt) END AS text_md5
+         |FROM l WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q223: the same md5-gated dump construction, latest row per key
     // via ROW_NUMBER over version DESC (the duplicate-slot guard is
     // engine-side loudness; the fixture never trips it).

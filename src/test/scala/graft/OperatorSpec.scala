@@ -4062,6 +4062,36 @@ class OperatorSpec extends SparkSpec {
       "prefix must hold at least one char")
   }
 
+  test("q228 time travel: AS OF max version == compaction; born-after-V keys absent not dead; v2 state visible") {
+    import graft.operators.Relational
+    val asOf = SparkEntry.queries("q228_time_travel")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val full = SparkEntry.queries("q223_merge_compaction")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // nonexistence vs death: keys born at v3 are ABSENT from the v2
+    // snapshot, not tombstoned
+    val born = full.keys.filter(_ >= Relational.MergeNewBase)
+    assert(born.nonEmpty)
+    born.foreach(k => assert(!asOf.contains(k), s"born-later key $k visible at v2"))
+    // v3 updates are invisible: their keys read at version ≤ 2
+    assert(asOf.values.forall(_._1 <= Relational.TimeTravelVersion))
+    assert(full.exists { case (k, (v, _)) => v == 3L && asOf.contains(k) },
+      "no key demonstrates a v3 update hidden by the snapshot")
+    // tombstones laid at v2 are already dead in the snapshot
+    assert(asOf.values.exists(!_._2), "no v2 tombstone visible")
+    // the law: AS OF the maximum version ≡ the full compaction
+    val maxV = 3L
+    val atMax = Relational.timeTravelRead(
+      Relational.mergeDumps(spark, Sf), maxV).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    val compacted = SparkEntry.queries("q223_merge_compaction")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(atMax == compacted, "AS OF max version must equal the compaction")
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
