@@ -253,6 +253,51 @@ object Pipeline extends QueryGroup {
       .select(lit(name).as("artifact"), col("n_rows"), col("content_xor"))
 
   def queries: Map[String, Q] = Map(
+    // q229 [north star, r12]: the RELEASE AUDIT CARD — one frame a
+    // data card ships, composing the r12 audit surface: the privacy
+    // triad's chosen generalization rungs (q201/q202/q214), the
+    // contamination census (q222), the erasure durability proof
+    // (q225), and the merge-state census (q223). Every value is the
+    // REGISTERED operator's own output reduced to (check, metric,
+    // value) — and the oracle REUSES those operators' oracle SQL
+    // verbatim as subqueries, so the card provably composes the same
+    // audited facts (the q174/q180 shared-stage stance, applied across
+    // query families). Each component is bounded audit output; the
+    // card adds only single-row reductions.
+    "q229_release_audit_card" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val nation = Tables(spark, dir, "nation")
+      val customer = Tables(spark, dir, "customer")
+      def card(check: String, metric: String, v: org.apache.spark.sql.Column,
+          from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("long").as("value"))
+          .select(lit(check).as("check"), lit(metric).as("metric"),
+            col("value"))
+      val k = Privacy.kAnonymityAudit(customer, nation, Privacy.AnonK)
+        .filter(col("chosen"))
+      val l = Privacy.lDiversityAudit(customer, nation, Privacy.DivL)
+        .filter(col("chosen"))
+      val t = Privacy.tClosenessAudit(customer, nation,
+        Privacy.TNum, Privacy.TDen).filter(col("chosen"))
+      val contam = Dedup.queries("q222_contamination_score")(spark, dir)
+      val parity = Erasure.queries("q225_erasure_parity")(spark, dir)
+      val merged = Relational.queries("q223_merge_compaction")(spark, dir)
+      Seq(
+        card("k_anonymity", "chosen_level", min(col("level")), k),
+        card("l_diversity", "chosen_level", min(col("level")), l),
+        card("t_closeness", "chosen_level", min(col("level")), t),
+        card("contamination", "dirty_docs",
+          sum(when(col("dirty"), 1L).otherwise(0L)), contam),
+        card("contamination", "eval_docs", count(lit(1)), contam),
+        card("erasure", "shards_proven",
+          sum(when(col("recon_ok"), 1L).otherwise(0L)), parity),
+        card("merge", "live_keys",
+          sum(when(col("alive"), 1L).otherwise(0L)), merged),
+        card("merge", "dead_keys",
+          sum(when(!col("alive"), 1L).otherwise(0L)), merged))
+        .reduce(_ unionByName _)
+        .orderBy("check", "metric")
+    }),
     // q195 [north star, r12]: the RELEASE POINT FIX as one operation —
     // the IVM family's composition capstone: one shared dump/retraction
     // gate drives ALL FOUR maintained release artifacts (q183 manifest,
@@ -462,6 +507,36 @@ object Pipeline extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q229: the component oracles REUSED VERBATIM as subqueries — the
+    // card and the audits it cites cannot drift apart.
+    "q229_release_audit_card" -> {
+      def sub(check: String, metric: String, expr: String, of: String) =
+        s"""SELECT '$check' AS "check", '$metric' AS metric,
+           |  CAST($expr AS BIGINT) AS value
+           |FROM ($of)""".stripMargin
+      Seq(
+        sub("k_anonymity", "chosen_level", "MIN(level)",
+          Privacy.oracles("q201_k_anonymity")) + " WHERE chosen",
+        sub("l_diversity", "chosen_level", "MIN(level)",
+          Privacy.oracles("q202_l_diversity")) + " WHERE chosen",
+        sub("t_closeness", "chosen_level", "MIN(level)",
+          Privacy.oracles("q214_t_closeness")) + " WHERE chosen",
+        sub("contamination", "dirty_docs",
+          "SUM(CASE WHEN dirty THEN 1 ELSE 0 END)",
+          Dedup.oracles("q222_contamination_score")),
+        sub("contamination", "eval_docs", "COUNT(*)",
+          Dedup.oracles("q222_contamination_score")),
+        sub("erasure", "shards_proven",
+          "SUM(CASE WHEN recon_ok THEN 1 ELSE 0 END)",
+          Erasure.oracles("q225_erasure_parity")),
+        sub("merge", "live_keys",
+          "SUM(CASE WHEN alive THEN 1 ELSE 0 END)",
+          Relational.oracles("q223_merge_compaction")),
+        sub("merge", "dead_keys",
+          "SUM(CASE WHEN NOT alive THEN 1 ELSE 0 END)",
+          Relational.oracles("q223_merge_compaction")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"check\", metric")
+    },
     "q195_release_point_fix" -> releasePointFixOracle,
     // the same composition in SQL: the shared funnel CTEs feeding the
     // parameterized q166/q167 CTE builders, then the q82 packing window.

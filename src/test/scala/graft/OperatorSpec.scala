@@ -4092,6 +4092,35 @@ class OperatorSpec extends SparkSpec {
     assert(atMax == compacted, "AS OF max version must equal the compaction")
   }
 
+  test("q229 release audit card: every value equals its source operator's own output; all checks present") {
+    import graft.operators.Erasure
+    val card = SparkEntry.queries("q229_release_audit_card")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(card.keySet == Set(
+      ("k_anonymity", "chosen_level"), ("l_diversity", "chosen_level"),
+      ("t_closeness", "chosen_level"), ("contamination", "dirty_docs"),
+      ("contamination", "eval_docs"), ("erasure", "shards_proven"),
+      ("merge", "live_keys"), ("merge", "dead_keys")))
+    // composition fidelity: each card value recomputed from the SOURCE
+    // operator's registered output
+    def q(name: String) = SparkEntry.queries(name)(spark, Sf).collect()
+    assert(card(("k_anonymity", "chosen_level")) ==
+      q("q201_k_anonymity").filter(_.getBoolean(5)).head.getLong(0))
+    assert(card(("l_diversity", "chosen_level")) ==
+      q("q202_l_diversity").filter(_.getBoolean(6)).head.getLong(0))
+    assert(card(("t_closeness", "chosen_level")) ==
+      q("q214_t_closeness").filter(_.getBoolean(5)).head.getLong(0))
+    val contam = q("q222_contamination_score")
+    assert(card(("contamination", "dirty_docs")) ==
+      contam.count(_.getBoolean(3)).toLong)
+    assert(card(("contamination", "eval_docs")) == contam.length.toLong)
+    assert(card(("erasure", "shards_proven")) == Erasure.DataShards.toLong)
+    val merged = q("q223_merge_compaction")
+    assert(card(("merge", "live_keys")) == merged.count(_.getBoolean(2)).toLong)
+    assert(card(("merge", "dead_keys")) == merged.count(!_.getBoolean(2)).toLong)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
