@@ -724,6 +724,29 @@ class PlanSpec extends SparkSpec {
       "q217 must run through the BoilerplateExtract expression")
   }
 
+  test("q222 contaminates via LEFT SEMI on grams, never a doc-pair join") {
+    val df = SparkEntry.queries("q222_contamination_score")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"q222's hit count must be a left-semi gram join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q222 must never pair documents:\n${p.take(1200)}")
+  }
+
+  test("q223 compacts under hash exchanges only — no corpus window, no cartesian") {
+    val df = SparkEntry.queries("q223_merge_compaction")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"q223 must not go all-pairs:\n${p.take(1200)}")
+    assert(!p.contains("Window"),
+      s"q223's latest-wins must be an aggregate, not a window:\n${p.take(1200)}")
+    assert(p.contains("Exchange hashpartitioning"),
+      "q223 must shuffle on the key for the struct-max aggregate")
+  }
+
   test("q216 near-dup joins banded-equi, never all-pairs") {
     // the 100 TB contract of the perceptual near-dup tier: candidates
     // come from the (band, value) equi-join — a hash-keyed shuffle —
