@@ -1267,6 +1267,63 @@ object Multimodal extends QueryGroup {
 
   case class ImageHash(doc_id: Long, dhash: Long)
 
+  /** Downsample factor of the real-resize tier (q230). */
+  private[graft] val ResizeFactor = 4
+
+  case class ResizedImage(doc_id: Long, in_w: Long, in_h: Long,
+      out_w: Long, out_h: Long, px_sum: Long)
+
+  /** REAL image downsampling — the upgrade of q63's stub (which only
+    * computes target DIMS): integer-factor AREA AVERAGING (OpenCV's
+    * INTER_AREA for integer ratios — the published alias-free
+    * downsample; each output pixel is the exact mean of its
+    * [[ResizeFactor]]² source block, floor division documented). The
+    * fixture dims are factor multiples, so no fractional-footprint
+    * blending enters and every output pixel is integer-derived on both
+    * engines. Partition-local decode like every tier here; wrong
+    * geometry refuses.
+    */
+  def resizeImages(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable media for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w % ResizeFactor == 0 && h % ResizeFactor == 0,
+          s"doc ${r.doc_id}: ${w}x$h is not a multiple of $ResizeFactor — " +
+            "integer-area downsampling needs whole blocks")
+        val ow = w / ResizeFactor
+        val oh = h / ResizeFactor
+        val sums = Array.ofDim[Long](oh, ow)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+            sums(y / ResizeFactor)(x / ResizeFactor) += luma
+            x += 1
+          }
+          y += 1
+        }
+        var px = 0L
+        val area = ResizeFactor.toLong * ResizeFactor
+        var gy = 0
+        while (gy < oh) {
+          var gx = 0
+          while (gx < ow) { px += sums(gy)(gx) / area; gx += 1 }
+          gy += 1
+        }
+        ResizedImage(r.doc_id, w.toLong, h.toLong, ow.toLong, oh.toLong, px)
+      }
+    }
+  }
+
   /** Real-codec perceptual hashing: ImageIO decode (partition-local),
     * exact integer luma block sums, [[dhash64]]. Wrong-geometry or
     * undecodable payloads raise (the q152 raise-don't-drift stance).
@@ -1531,6 +1588,20 @@ object Multimodal extends QueryGroup {
             (8 + (id % 3) * 4).toInt, sceneCount(id) * sceneFp(id)))
         }
       detectSceneCuts(spark, media).toDF().orderBy("doc_id")
+    }),
+
+    // q230 [north star, r12]: REAL image resize — integer-factor area
+    // averaging through the actual codec, upgrading q63's stub (which
+    // computes target dims over a decode fake). Runs on the q216
+    // fixture (dims are factor multiples by construction) so the
+    // oracle reuses the same pixel arithmetic: output pixel =
+    // block_sum // 16.
+    "q230_image_resize" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, encodeBmpDhash(id)))
+      resizeImages(spark, media).toDF().orderBy("doc_id")
     }),
 
     // q219 [north star, r12]: AUDIO fingerprint near-dup — the
@@ -2258,6 +2329,37 @@ object Multimodal extends QueryGroup {
         |ORDER BY doc_id""".stripMargin,
     // q152: the decoded dimensions/pixel-sum as pure integer arithmetic —
     // the cross join fans to ≤ w·h rows per doc (≤ 3072), summed back.
+    // q230: the q216 cell-sum machinery verbatim; output pixel =
+    // block_sum // 16, summed per doc.
+    "q230_image_resize" ->
+      """WITH d AS (SELECT doc_id, doc_id % 11 AS gid, doc_id // 11 AS member
+        |           FROM documents),
+        |gb AS (SELECT g.k AS gid, gx.k AS gx, gy.k AS gy,
+        |         ((g.k*13 + gx.k*11 + gy.k*5 + gx.k*gx.k*gy.k + gy.k*gy.k*g.k)
+        |           * 2654435761 // 268435456) % 2 = 1 AS bit
+        |       FROM generate_series(0,10) g(k), generate_series(0,8) gx(k),
+        |            generate_series(0,7) gy(k)),
+        |lvl AS (SELECT g.gid, g.gx, g.gy,
+        |          128 + 12 * COALESCE((SELECT SUM(CASE WHEN b.bit THEN -1 ELSE 1 END)
+        |                               FROM gb b
+        |                               WHERE b.gid = g.gid AND b.gy = g.gy
+        |                                 AND b.gx < g.gx), 0) AS lvl
+        |        FROM gb g),
+        |nz AS (SELECT d.doc_id, gx.k AS gx, gy.k AS gy,
+        |         SUM(((gx.k*4 + dx.k) * (gy.k*4 + dy.k) + d.member) % 3 - 1) AS nsum
+        |       FROM d, generate_series(0,8) gx(k), generate_series(0,7) gy(k),
+        |            generate_series(0,3) dx(k), generate_series(0,3) dy(k)
+        |       GROUP BY d.doc_id, gx.k, gy.k),
+        |cs AS (SELECT d.doc_id, n.gx, n.gy,
+        |         16 * l.lvl + n.nsum +
+        |         CASE WHEN n.gx = 8 AND d.member % 3 = 1
+        |                AND (n.gy + d.gid) % 4 = 0 THEN 480 ELSE 0 END AS s
+        |       FROM d JOIN nz n ON n.doc_id = d.doc_id
+        |       JOIN lvl l ON l.gid = d.gid AND l.gx = n.gx AND l.gy = n.gy)
+        |SELECT doc_id, CAST(36 AS BIGINT) AS in_w, CAST(32 AS BIGINT) AS in_h,
+        |  CAST(9 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  CAST(SUM(s // 16) AS BIGINT) AS px_sum
+        |FROM cs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q216: the dHash pipeline re-derived arithmetically — group-bit
     // scramble, ±12 column walk (closed-form prefix sum), per-member
     // noise and boost block sums, comparison bits, all-pairs Hamming.

@@ -4121,6 +4121,42 @@ class OperatorSpec extends SparkSpec {
     assert(card(("merge", "dead_keys")) == merged.count(!_.getBoolean(2)).toLong)
   }
 
+  test("q230 image resize: decoded area means == formula; brightness exactness; non-multiple geometry loud") {
+    import graft.operators.Multimodal
+    val out = SparkEntry.queries("q230_image_resize")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // THIRD implementation from the pixel formula
+    val docIds = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    docIds.foreach { id =>
+      var px = 0L
+      for (gy <- 0 until Multimodal.DhashGridH; gx <- 0 until Multimodal.DhashGridW) {
+        var s = 0L
+        for (dy <- 0 until 4; dx <- 0 until 4)
+          s += Multimodal.dhashPixel(id, gx * 4 + dx, gy * 4 + dy).toLong
+        px += s / 16
+      }
+      assert(out(id) == ((36L, 32L, 9L, 8L, px)), s"doc $id resize drift")
+    }
+    // area averaging commutes with uniform brightness shifts exactly
+    // when the shift is integral per block: mean(p + c) = mean(p) + c
+    val base = Array.tabulate(16)(i => 40 + i) // one 4x4 block
+    val mean0 = base.map(_.toLong).sum / 16
+    val mean1 = base.map(v => (v + 9).toLong).sum / 16
+    assert(mean1 == mean0 + 9, "uniform shift must move the exact mean by c")
+    // non-multiple geometry refuses loudly (fractional-footprint
+    // blending is a different operator)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Multimodal.resizeImages(spark,
+        spark.createDataset(Seq(Multimodal.MediaRow(5L,
+          Multimodal.encodeBmp(5L, 10, 10))))).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
