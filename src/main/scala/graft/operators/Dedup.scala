@@ -628,7 +628,55 @@ object Dedup extends QueryGroup {
     */
   private[graft] val ContamN = 8
 
+  /** q231's synthetic spoof-copy id offset. */
+  private[graft] val SpoofBase = 20000000L
+
+  /** q231's confusable alphabet (a TR39-lite subset, documented): the
+    * five Cyrillic lookalikes of ASCII a/e/o/c/p — visually identical
+    * glyphs, different code points, different bytes.
+    */
+  private[graft] val ConfusablesAscii = "aeocp"
+  private[graft] val ConfusablesCyr = "\u0430\u0435\u043E\u0441\u0440"
+
   def queries: Map[String, Q] = Map(
+    // q231 [north star, r12]: HOMOGLYPH (confusable-skeleton) dedup —
+    // the Unicode TR39 skeleton discipline applied to corpus cleaning:
+    // a document whose bytes differ only by confusable substitutions
+    // (Cyrillic а for a, …) hashes differently everywhere, so byte
+    // dedup (q42), shingle dedup, and decon gates all miss it — the
+    // classic adversarial duplicate (SEO spam, benchmark-answer
+    // laundering). Skeleton = map confusables to their ASCII targets;
+    // dedup on the skeleton hash. Output = non-canonical members with
+    // their canonical (min doc_id) and whether the collision is a true
+    // HOMOGLYPH pair (raw bytes differ) or an exact duplicate the
+    // skeleton also catches — both classes exist in the fixture and
+    // are pinned. One skeleton-hash shuffle; state is 32-hex keys.
+    "q231_homoglyph_dedup" -> ((spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val gate = substring(md5(concat(lit("spoof:"),
+        col("doc_id").cast("string"))), 1, 1) < lit("4")
+      val spoofed = docs.filter(gate)
+        .select((col("doc_id") + SpoofBase).as("doc_id"),
+          translate(col("text"), ConfusablesAscii, ConfusablesCyr).as("text"))
+      val all = docs.unionByName(spoofed)
+        .withColumn("skel",
+          translate(col("text"), ConfusablesCyr, ConfusablesAscii))
+        .select(col("doc_id"), md5(col("skel")).as("sk_md5"),
+          md5(col("text")).as("raw_md5"))
+      val canon = all.groupBy(col("sk_md5"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n"))
+        .filter(col("n") > 1L)
+      val canonRaw = all.select(col("doc_id").as("canonical_id"),
+        col("raw_md5").as("canon_raw"))
+      all.join(canon, Seq("sk_md5"))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .join(canonRaw, Seq("canonical_id"))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("raw_md5") =!= col("canon_raw")).as("homoglyph"))
+        .orderBy("doc_id")
+    }),
+
     // q222 [north star, r12]: CONTAMINATION SCORE — the graded
     // eval-leakage AUDIT beside the decon GATES (q81 exact, q158/q174
     // Bloom): per eval doc, the fraction of its distinct 8-grams that
@@ -1089,6 +1137,32 @@ object Dedup extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q231: the same spoof gate, the confusable maps as replace chains
+    // (translate ≡ chained single-char replaces over distinct chars),
+    // and the same skeleton-hash grouping.
+    "q231_homoglyph_dedup" -> {
+      def chain(expr: String, from: String, to: String): String =
+        from.zip(to).foldLeft(expr) { case (e, (f, t)) =>
+          s"replace($e, '$f', '$t')"
+        }
+      val toCyr = chain("text", ConfusablesAscii, ConfusablesCyr)
+      val toAscii = chain("text", ConfusablesCyr, ConfusablesAscii)
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              WHERE text IS NOT NULL),
+         |sp AS (SELECT doc_id + $SpoofBase AS doc_id, $toCyr AS text
+         |       FROM docs
+         |       WHERE substring(md5('spoof:'||CAST(doc_id AS VARCHAR)),1,1) < '4'),
+         |a AS (SELECT doc_id, md5($toAscii) AS sk_md5, md5(text) AS raw_md5
+         |      FROM (SELECT * FROM docs UNION ALL SELECT * FROM sp)),
+         |c AS (SELECT sk_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n
+         |      FROM a GROUP BY sk_md5 HAVING COUNT(*) > 1),
+         |cr AS (SELECT doc_id AS canonical_id, raw_md5 AS canon_raw FROM a)
+         |SELECT a.doc_id, c.canonical_id,
+         |  a.raw_md5 <> cr.canon_raw AS homoglyph
+         |FROM a JOIN c USING (sk_md5) JOIN cr USING (canonical_id)
+         |WHERE a.doc_id <> c.canonical_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
     // q222: the identical split, gram construction (8-element list
     // slices), distinct sets, and semi join, re-derived in SQL.
     "q222_contamination_score" ->

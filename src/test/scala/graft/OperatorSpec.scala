@@ -4157,6 +4157,54 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("q231 homoglyph dedup: matches plain-Scala skeleton grouping; spoofs invisible to byte dedup; both collision classes") {
+    import graft.operators.Dedup
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hex1(s: String): Char = md5s(s).charAt(0)
+    def toCyr(t: String): String =
+      Dedup.ConfusablesAscii.zip(Dedup.ConfusablesCyr)
+        .foldLeft(t) { case (x, (a, c)) => x.replace(a, c) }
+    def skel(t: String): String =
+      Dedup.ConfusablesCyr.zip(Dedup.ConfusablesAscii)
+        .foldLeft(t) { case (x, (c, a)) => x.replace(c, a) }
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = docs ++ docs.filter(d => hex1(s"spoof:${d._1}") < '4')
+      .map(d => (d._1 + Dedup.SpoofBase, toCyr(d._2)))
+    // THIRD implementation
+    val groups = all.groupBy(d => md5s(skel(d._2))).values.filter(_.length > 1)
+    val ref = groups.flatMap { g =>
+      val canon = g.minBy(_._1)
+      g.filter(_._1 != canon._1).map(d =>
+        d._1 -> (canon._1, md5s(d._2) != md5s(canon._2)))
+    }.toMap
+    val out = SparkEntry.queries("q231_homoglyph_dedup")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == ref, "engine skeleton dedup drifted from plain-Scala")
+    // the attack surface, demonstrated: a spoof's RAW hash differs from
+    // its source (byte dedup is blind), its SKELETON hash matches
+    val spoofPair = docs.find(d => hex1(s"spoof:${d._1}") < '4').get
+    assert(md5s(toCyr(spoofPair._2)) != md5s(spoofPair._2) ||
+      !spoofPair._2.exists(Dedup.ConfusablesAscii.contains(_)),
+      "substitution must change raw bytes when confusable chars exist")
+    assert(md5s(skel(toCyr(spoofPair._2))) == md5s(skel(spoofPair._2)))
+    // collision classes: true homoglyph pairs always (the synthetic
+    // spoofs); exact duplicates only when the corpus holds any at this
+    // SF (sf0.001's non-null texts are all distinct — checked, not
+    // assumed)
+    assert(out.values.exists(_._2), "no homoglyph collision")
+    if (all.groupBy(_._2).values.exists(_.length > 1))
+      assert(out.values.exists(!_._2), "exact dups exist but none reported")
+    // every synthetic spoof is caught and points below the spoof base
+    all.filter(_._1 >= Dedup.SpoofBase).foreach { case (id, _) =>
+      assert(out.contains(id) && out(id)._1 < Dedup.SpoofBase,
+        s"spoof $id must resolve to a real canonical")
+    }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
