@@ -149,7 +149,7 @@ object ScalingBench {
       "q224_frontier_schedule", "q225_erasure_parity",
       "q226_batch_packing_audit", "q227_fim_transform",
       "q228_time_travel", "q229_release_audit_card", "q230_image_resize",
-      "q231_homoglyph_dedup")
+      "q231_homoglyph_dedup", "q232_blocklist_scan")
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

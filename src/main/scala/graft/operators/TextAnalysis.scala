@@ -36,7 +36,35 @@ object TextAnalysis extends QueryGroup {
     */
   private val DenormProbe = " cafe\u0301 nai\u0308ve"
 
+  /** q232's term blocklist: corpus terms + a phrase + a guaranteed
+    * miss. Every entry is border-free (no proper prefix = suffix), the
+    * condition [[graft.expressions.BlocklistScan]] enforces loudly so
+    * the automaton's all-positions count and the oracle's greedy
+    * replace-count cannot diverge on self-overlapping text.
+    */
+  private[graft] val Blocklist = Seq("key", "agg", "scan", "merge",
+    "table", "spark", "batch", "value", "fast row", "qqzz")
+
   def queries: Map[String, Q] = Map(
+    // q232 [north star, r12]: AHO-CORASICK blocklist scan — the
+    // one-pass multi-pattern scrubber behind every production
+    // term-filter (FlashText is the trie-only simplification): all
+    // patterns compile into one goto/fail automaton riding the
+    // expression as executor model state, and a document scans in
+    // O(len + hits) REGARDLESS of pattern count — a 10⁵-term blocklist
+    // costs the same pass as ten terms. Corpus pass is map-only; the
+    // oracle counts per-pattern occurrences by the greedy replace
+    // formula (equal to all-positions under the border-free guard).
+    "q232_blocklist_scan" -> ((spark, dir) => {
+      import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+      Tables(spark, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), toColumn(graft.expressions.BlocklistScan(
+          toExpression(col("text")), Blocklist.toArray)).as("b"))
+        .select(col("doc_id"), col("b.hits").as("n_hits"),
+          col("b.patterns_hit").as("n_patterns"),
+          (col("b.hits") > 0L).as("flagged"))
+        .orderBy("doc_id")
+    }),
     // q182 [north star, r11]: Unicode NFC NORMALIZATION — the
     // multilingual primitive every hash-keyed stage assumes: composed
     // and decomposed forms of the same text are byte-distinct but
@@ -810,6 +838,20 @@ object TextAnalysis extends QueryGroup {
       .orderBy("source")
 
   def oracles: Map[String, String] = Map(
+    // q232: per-pattern greedy occurrence counts via the replace
+    // formula, summed; equality with the automaton's all-positions
+    // count is guaranteed by the border-free guard.
+    "q232_blocklist_scan" -> {
+      val occ = Blocklist.map(p =>
+        s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+      val hits = occ.mkString("(", " + ", ")")
+      val npat = occ.map(o => s"CASE WHEN $o > 0 THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""SELECT doc_id, CAST($hits AS BIGINT) AS n_hits,
+         |  CAST($npat AS BIGINT) AS n_patterns,
+         |  $hits > 0 AS flagged
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
     // q184: the oracle takes the OTHER road — recompute the manifest
     // over the final corpus directly; the hash match proves the
     // engine's partial-combine path is exactly equivalent to a rescan.

@@ -332,6 +332,29 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("BlocklistScan interpreted eval == codegen path, bit-for-bit, on corpus docs") {
+    import graft.expressions.BlocklistScan
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.operators.TextAnalysis
+    val pats = TextAnalysis.Blocklist.toArray
+    val texts = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("text").collect()
+      .map(_.getString(0))
+    assert(texts.nonEmpty)
+    val viaDf = texts.toSeq.toDF("t")
+      .select(col("t"), org.apache.spark.sql.graftbridge.toColumn(
+        BlocklistScan(org.apache.spark.sql.graftbridge.toExpression(col("t")),
+          pats)).as("v"))
+      .select(col("t"), col("v.hits"), col("v.patterns_hit"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.foreach { t =>
+      val row = BlocklistScan(Literal(UTF8String.fromString(t)), pats)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert((row.getLong(0), row.getLong(1)) == viaDf(t), "parity broke")
+    }
+  }
+
   test("WordpieceGreedy interpreted eval == codegen path, bit-for-bit, on corpus words") {
     import graft.expressions.WordpieceGreedy
     import org.apache.spark.sql.catalyst.expressions.Literal

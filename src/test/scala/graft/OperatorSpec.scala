@@ -4205,6 +4205,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q232 blocklist scan: matches plain-Scala greedy counts; nested/cross-pattern overlaps counted; bordered patterns refused") {
+    import graft.operators.TextAnalysis
+    import graft.expressions.BlocklistScan
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def ac(text: String, pats: Seq[String]): (Long, Long) = {
+      val r = BlocklistScan(Literal(UTF8String.fromString(text)), pats.toArray)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      (r.getLong(0), r.getLong(1))
+    }
+    // THIRD implementation: per-pattern greedy non-overlapping counts
+    def greedy(text: String, p: String): Long = {
+      var c = 0L; var i = text.indexOf(p)
+      while (i >= 0) { c += 1; i = text.indexOf(p, i + p.length) }
+      c
+    }
+    val out = SparkEntry.queries("q232_blocklist_scan")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val docs = Tables(spark, Sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, t) =>
+      val occ = TextAnalysis.Blocklist.map(greedy(t, _))
+      assert(out(id) == ((occ.sum, occ.count(_ > 0).toLong, occ.sum > 0)),
+        s"doc $id blocklist drift")
+    }
+    // the miss pattern caps distinct counts below the list size
+    assert(out.values.forall(_._2 < TextAnalysis.Blocklist.size),
+      "the guaranteed-miss pattern must never hit")
+    assert(out.values.exists(_._3), "no flagged doc")
+    // automaton semantics: nested and cross-pattern overlapping
+    // occurrences all count ("ab", "abc", "c" all fire in "abc")
+    assert(ac("abc", Seq("ab", "abc", "c")) == (3L, 3L))
+    // a pattern inside a longer word still fires (substring semantics)
+    assert(ac("scans", Seq("scan")) == (1L, 1L))
+    // one pattern, many docs' worth of text: O(len) single pass agrees
+    assert(ac("key key key", Seq("key")) == (3L, 1L))
+    // bordered patterns refuse (self-overlap would diverge from the
+    // oracle's greedy replace-count), as do duplicates and empties
+    intercept[Exception] { ac("x", Seq("coco")) }
+    intercept[Exception] { ac("x", Seq("aa")) }
+    intercept[Exception] { ac("x", Seq("ab", "ab")) }
+    intercept[Exception] { ac("x", Seq("")) }
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
