@@ -496,6 +496,52 @@ object StreamOps {
     }.toDF("doc_id", "content_length", "n_extracted_chars", "text")
   }
 
+  /** One key's maintained MERGE state (q223's live form). */
+  case class MergeKeyState(version: Long, alive: Boolean, md5: String)
+
+  /** Live MERGE-state maintenance — q223's streaming twin: a CDC
+    * changelog of (doc_id, version, op, txt) rows maintains the
+    * latest-version-wins table as state. Three properties a CDC
+    * consumer must have, all pinned in StreamingSpec:
+    *  - OUT-OF-ORDER tolerance: version-max is order-independent, so a
+    *    late v2 arriving after v3 changes nothing;
+    *  - REPLAY idempotence: re-delivering a (key, version) with the
+    *    same payload is a no-op;
+    *  - WRITER-CONFLICT loudness: the same (key, version) with a
+    *    DIFFERENT payload throws (q223's duplicate-slot refusal, live).
+    * State carries (version, alive, md5) — 8+1+32 bytes per key, never
+    * document text. Emits the key's current state each update batch.
+    */
+  def mergeStateStream(updates: DataFrame): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    updates.select(col("doc_id"), col("version"), col("op"), col("txt"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MergeKeyState, (Long, Long, Boolean, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (id, rows, gs) =>
+        var st = gs.getOption.orNull
+        rows.foreach { case (_, v, op, txt) =>
+          val alive = op == "U"
+          val md = if (alive && txt != null) {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(txt.getBytes("UTF-8"))
+            d.map("%02x".format(_)).mkString
+          } else null
+          if (st == null || v > st.version) st = MergeKeyState(v, alive, md)
+          else if (v == st.version) {
+            require(alive == st.alive && md == st.md5,
+              s"mergeStateStream: two writers claimed (key $id, version $v) " +
+                "with different payloads — refusing an arbitrary winner")
+          } // v < st.version: stale replay, absorbed
+        }
+        gs.update(st)
+        Iterator.single((id, st.version, st.alive, st.md5))
+      }
+      .toDF("doc_id", "version", "alive", "text_md5")
+  }
+
   /** Ingest-time boilerplate removal — q217's streaming twin, and the
     * place a crawl pipeline actually runs it: pages are extracted as
     * they land, BEFORE any hash-keyed stage sees them (extracting later

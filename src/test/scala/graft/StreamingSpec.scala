@@ -1235,6 +1235,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must produce at least one hit")
   }
 
+  test("streaming merge state == batch q223; out-of-order + replay absorbed; writer conflict loud") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Relational
+    val dumps = Relational.mergeDumps(spark, Sf).map(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq)
+    val ms = MemoryStream[(Long, Long, String, String)]
+    val q = graft.streaming.StreamOps.mergeStateStream(
+        ms.toDF().toDF("doc_id", "version", "op", "txt")).writeStream
+      .format("memory").queryName("ms_out")
+      .outputMode("update").start()
+    // OUT OF ORDER: deliver v3 dumps before the v2 delta, then REPLAY
+    // the base dump — both must be absorbed
+    ms.addData(dumps(0)); q.processAllAvailable() // base v1
+    ms.addData(dumps(2)); q.processAllAvailable() // v3 updates
+    ms.addData(dumps(3)); q.processAllAvailable() // v3 births
+    ms.addData(dumps(1)); q.processAllAvailable() // v2 delta — LATE
+    ms.addData(dumps(0)); q.processAllAvailable() // replayed base
+    q.stop()
+    // latest emitted state per key == the batch compaction
+    val emitted = spark.table("ms_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    val last = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, g) => k -> g.maxBy(_._2)._1 }
+    val batch = SparkEntry.queries("q223_merge_compaction")(spark, Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(last == batch,
+      "streamed merge state drifted from the batch compaction")
+    // WRITER CONFLICT: same (key, version), different payload → loud
+    val ms2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = graft.streaming.StreamOps.mergeStateStream(
+        ms2.toDF().toDF("doc_id", "version", "op", "txt")).writeStream
+      .format("memory").queryName("ms_conflict")
+      .outputMode("update").start()
+    ms2.addData(Seq((1L, 1L, "U", "writer one")))
+    q2.processAllAvailable()
+    ms2.addData(Seq((1L, 1L, "U", "writer two")))
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    assert(e.getMessage != null || e.getCause != null)
+    q2.stop()
+  }
+
   test("streaming boilerplate extract == batch q217 on the same pages (shared projection)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
