@@ -1604,6 +1604,32 @@ object Multimodal extends QueryGroup {
       resizeImages(spark, media).toDF().orderBy("doc_id")
     }),
 
+    // q233 [north star, r12]: image CLUSTER COLLAPSE — the composition
+    // the q216/q219 BASELINE notes promise: at real-corpus scale you
+    // never materialize every intra-cluster pair downstream; the pair
+    // stream feeds the q76 star contraction (O(log n) rounds, shared
+    // code) and each image resolves to its cluster representative
+    // (min doc_id). Every doc is reported (pairless docs keep their
+    // own id — the singleton passthrough). On the planted fixture each
+    // group is a full clique, so cluster_id closes to doc_id % 11
+    // (pinned); the oracle runs the honest reachability closure.
+    "q233_image_cluster_collapse" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, encodeBmpDhash(id)))
+      val pairs = dhashNearDupPairs(perceptualHashes(spark, media).toDF())
+        .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
+      val comps = Dedup.connectedComponents(pairs)
+      Tables(spark, dir, "documents").select(col("doc_id"))
+        .join(comps.withColumnRenamed("component_id", "cid"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+          col("cid").isNotNull.as("in_cluster"))
+        .orderBy("doc_id")
+    }),
+
     // q219 [north star, r12]: AUDIO fingerprint near-dup — the
     // Haitsma–Kalker sign-of-delta fingerprint over time-domain frame
     // energies, through the real WAV codec, then the SAME banded
@@ -2360,6 +2386,55 @@ object Multimodal extends QueryGroup {
         |  CAST(9 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
         |  CAST(SUM(s // 16) AS BIGINT) AS px_sum
         |FROM cs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q233: the q216 Hamming-pair derivation + the q76-style recursive
+    // reachability closure + singleton passthrough.
+    "q233_image_cluster_collapse" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, doc_id % 11 AS gid, doc_id // 11 AS member
+        |      FROM documents),
+        |gb AS (SELECT g.k AS gid, gx.k AS gx, gy.k AS gy,
+        |         ((g.k*13 + gx.k*11 + gy.k*5 + gx.k*gx.k*gy.k + gy.k*gy.k*g.k)
+        |           * 2654435761 // 268435456) % 2 = 1 AS bit
+        |       FROM generate_series(0,10) g(k), generate_series(0,8) gx(k),
+        |            generate_series(0,7) gy(k)),
+        |lvl AS (SELECT g.gid, g.gx, g.gy,
+        |          128 + 12 * COALESCE((SELECT SUM(CASE WHEN b.bit THEN -1 ELSE 1 END)
+        |                               FROM gb b
+        |                               WHERE b.gid = g.gid AND b.gy = g.gy
+        |                                 AND b.gx < g.gx), 0) AS lvl
+        |        FROM gb g),
+        |nz AS (SELECT d.doc_id, gx.k AS gx, gy.k AS gy,
+        |         SUM(((gx.k*4 + dx.k) * (gy.k*4 + dy.k) + d.member) % 3 - 1) AS nsum
+        |       FROM d, generate_series(0,8) gx(k), generate_series(0,7) gy(k),
+        |            generate_series(0,3) dx(k), generate_series(0,3) dy(k)
+        |       GROUP BY d.doc_id, gx.k, gy.k),
+        |cs AS (SELECT d.doc_id, n.gx, n.gy,
+        |         16 * l.lvl + n.nsum +
+        |         CASE WHEN n.gx = 8 AND d.member % 3 = 1
+        |                AND (n.gy + d.gid) % 4 = 0 THEN 480 ELSE 0 END AS s
+        |       FROM d JOIN nz n ON n.doc_id = d.doc_id
+        |       JOIN lvl l ON l.gid = d.gid AND l.gx = n.gx AND l.gy = n.gy),
+        |bits AS (SELECT a.doc_id, a.gx, a.gy, a.s > b.s AS bit
+        |         FROM cs a JOIN cs b ON b.doc_id = a.doc_id AND b.gy = a.gy
+        |           AND b.gx = a.gx + 1
+        |         WHERE a.gx < 8),
+        |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+        |        FROM bits a JOIN bits b ON b.gx = a.gx AND b.gy = a.gy
+        |          AND a.doc_id < b.doc_id
+        |        GROUP BY a.doc_id, b.doc_id),
+        |tp AS (SELECT doc_a, doc_b FROM ham WHERE h <= 3),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM tp
+        |          UNION SELECT doc_b, doc_a FROM tp),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cluster_id,
+        |  c.cid IS NOT NULL AS in_cluster
+        |FROM d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q216: the dHash pipeline re-derived arithmetically — group-bit
     // scramble, ±12 column walk (closed-form prefix sum), per-member
     // noise and boost block sums, comparison bits, all-pairs Hamming.

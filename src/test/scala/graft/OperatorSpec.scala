@@ -4251,6 +4251,44 @@ class OperatorSpec extends SparkSpec {
     intercept[Exception] { ac("x", Seq("")) }
   }
 
+  test("q233 image cluster collapse: clusters close to the planted groups; singleton passthrough; collapse == union-find") {
+    import graft.operators.{Dedup, Multimodal}
+    val out = SparkEntry.queries("q233_image_cluster_collapse")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // closed form on the planted fixture: every group is a full clique
+    // (all same-group distances ≤ 2 < 3), so the cluster representative
+    // is the group's min doc_id = the gid itself
+    out.foreach { case (id, (cid, in)) =>
+      assert(cid == id % Multimodal.DhashGroups, s"doc $id cluster drift")
+      assert(in, s"doc $id must be clustered on this fixture")
+    }
+    // the pairwise surface and the collapsed surface agree: q216's
+    // pairs, run through a plain-Scala union-find, give the same labels
+    val pairs = SparkEntry.queries("q216_image_neardup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    out.keys.foreach { id =>
+      assert(out(id)._1 == find(id), s"doc $id: star contraction != union-find")
+    }
+    // singleton passthrough: a pairless doc keeps its own id (toy —
+    // the planted fixture never exercises it)
+    import spark.implicits._
+    val toyPairs = Seq((10L, 20L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(toyPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(10L -> 10L, 20L -> 10L))
+    assert(!comps.contains(99L), "components only label edge-touched docs")
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
