@@ -149,7 +149,8 @@ object ScalingBench {
       "q224_frontier_schedule", "q225_erasure_parity",
       "q226_batch_packing_audit", "q227_fim_transform",
       "q228_time_travel", "q229_release_audit_card", "q230_image_resize",
-      "q231_homoglyph_dedup", "q232_blocklist_scan")
+      "q231_homoglyph_dedup", "q232_blocklist_scan",
+      "q234_encoding_advisor")
     // q233 (image cluster collapse) is deliberately NOT in the 10× tier:
     // the blow-up lands 10× docs in the same 11 planted groups, so the
     // pair stream densifies quadratically (~113M edges over 50k

@@ -130,8 +130,121 @@ object Relational extends QueryGroup {
       asOf: Long): org.apache.spark.sql.DataFrame =
     mergeCompact(dumps.map(_.filter(col("version") <= asOf)))
 
+  /** q234's byte-aligned encoding size model (documented MODEL, not any
+    * writer's wire format — the decision function is what matters):
+    *  - plain:  strings Σ(4 + octets), int64s 8·n
+    *  - dict:   Σ_distinct(4 + octets) [ints: 8·card] + n·idxBytes,
+    *            idxBytes = ⌈⌈log₂ max(card,2)⌉ / 8⌉
+    *  - rle:    per run (in doc_id order): value bytes + a 4-byte length
+    *  - delta:  (ints, doc_id order) 8 + Σ varint(zigzag(Δ)),
+    *            varint = 1..5 bytes by 7-bit thresholds (guarded)
+    * Rows with NULL in an audited column are refused loudly (a size
+    * model with silent null handling advises garbage).
+    */
+  private[graft] def idxBytes(card: Long): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(card, 2L) - 1L)
+    (bits + 7L) / 8L
+  }
+
+  /** The per-column encoding audit over (source, lang, doc_id, n_chars):
+    * one scanRank pass gives each row its predecessor (rank equi-join —
+    * no corpus window), one aggregate collapses every size model to a
+    * handful of scalars, and the advisor emits (column, encoding,
+    * model_bytes, advised) with `advised` = the strict minimum
+    * (ties broken by encoding name — deterministic, documented).
+    */
+  private[graft] def encodingAdvisor(spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val checked = docs.select(
+      Seq("doc_id", "source", "lang", "n_chars").map { c =>
+        when(col(c).isNull, raise_error(lit(
+          s"q234: NULL in audited column '$c' — the size model does not " +
+            "define null encoding; scrub or model it explicitly")))
+          .otherwise(col(c)).as(c)
+      }: _*)
+    val ranked = Curation.scanRank(checked, Seq(col("doc_id")))
+    val prev = ranked.select((col("rank") + 1L).as("rank"),
+      col("source").as("p_source"), col("lang").as("p_lang"),
+      col("doc_id").as("p_doc_id"), col("n_chars").as("p_n_chars"))
+    val j = ranked.join(prev, Seq("rank"), "left")
+    def boundary(c: String) = col("rank") === 1L || !(col(c) <=> col(s"p_$c"))
+    def zigzag(d: org.apache.spark.sql.Column) =
+      when(d >= 0L, d * 2L).otherwise(-d * 2L - 1L)
+    def varint(u: org.apache.spark.sql.Column) = {
+      val guarded = when(u >= (1L << 35),
+        raise_error(lit("q234: delta outside the 5-byte varint model")))
+        .otherwise(u)
+      lit(1L) + (guarded >= (1L << 7)).cast("long") +
+        (guarded >= (1L << 14)).cast("long") +
+        (guarded >= (1L << 21)).cast("long") +
+        (guarded >= (1L << 28)).cast("long")
+    }
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      sum(lit(4L) + octet_length(col("source"))).as("src_plain"),
+      sum(lit(4L) + octet_length(col("lang"))).as("lang_plain"),
+      sum(when(boundary("source"),
+        lit(8L) + octet_length(col("source"))).otherwise(0L)).as("src_rle"),
+      sum(when(boundary("lang"),
+        lit(8L) + octet_length(col("lang"))).otherwise(0L)).as("lang_rle"),
+      sum(when(boundary("n_chars"), 12L).otherwise(0L)).as("nch_rle"),
+      sum(when(boundary("doc_id"), 12L).otherwise(0L)).as("did_rle"),
+      sum(when(col("rank") === 1L, 8L)
+        .otherwise(varint(zigzag(col("doc_id") - col("p_doc_id")))))
+        .as("did_delta"),
+      sum(when(col("rank") === 1L, 8L)
+        .otherwise(varint(zigzag(col("n_chars") - col("p_n_chars")))))
+        .as("nch_delta"))
+    val dict = j.agg(
+      countDistinct(col("source")).as("src_card"),
+      countDistinct(col("lang")).as("lang_card"),
+      countDistinct(col("doc_id")).as("did_card"),
+      countDistinct(col("n_chars")).as("nch_card"))
+    val dictOct = checked.select(col("source")).distinct()
+      .agg(sum(lit(4L) + octet_length(col("source"))).as("src_dict_oct"))
+      .crossJoin(checked.select(col("lang")).distinct()
+        .agg(sum(lit(4L) + octet_length(col("lang"))).as("lang_dict_oct")))
+    // bounded audit state: a handful of scalars -> 14 advisory rows
+    val s = agg.crossJoin(dict).crossJoin(dictOct).head()
+    def g(name: String): Long = s.getLong(s.fieldIndex(name))
+    val n = g("n")
+    val rows: Seq[(String, String, Long)] = Seq(
+      ("source", "plain", g("src_plain")),
+      ("source", "dict", g("src_dict_oct") + n * idxBytes(g("src_card"))),
+      ("source", "rle", g("src_rle")),
+      ("lang", "plain", g("lang_plain")),
+      ("lang", "dict", g("lang_dict_oct") + n * idxBytes(g("lang_card"))),
+      ("lang", "rle", g("lang_rle")),
+      ("doc_id", "plain", 8L * n),
+      ("doc_id", "dict", 8L * g("did_card") + n * idxBytes(g("did_card"))),
+      ("doc_id", "rle", g("did_rle")),
+      ("doc_id", "delta", g("did_delta")),
+      ("n_chars", "plain", 8L * n),
+      ("n_chars", "dict", 8L * g("nch_card") + n * idxBytes(g("nch_card"))),
+      ("n_chars", "rle", g("nch_rle")),
+      ("n_chars", "delta", g("nch_delta")))
+    val advised = rows.groupBy(_._1).map { case (c, g0) =>
+      c -> g0.minBy(t => (t._3, t._2))._2
+    }
+    import spark.implicits._
+    rows.map { case (c, e, b) => (c, e, b, advised(c) == e) }
+      .toDF("column", "encoding", "model_bytes", "advised")
+      .orderBy("column", "encoding")
+  }
+
   def queries: Map[String, Q] = Map(
     "q00_flagship" -> flagship,
+
+    // q234 [north star, r12]: columnar ENCODING ADVISOR — the decision
+    // a Parquet-class writer makes per column, as an auditable query:
+    // exact byte-size models for plain/dictionary/RLE/delta-varint over
+    // (source, lang, doc_id, n_chars), advised = the minimum. One
+    // scanRank pass + one aggregate; the 14-row advisory is assembled
+    // from bounded scalars.
+    "q234_encoding_advisor" -> ((spark, dir) =>
+      encodingAdvisor(spark, Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")))),
 
     // q228 [north star, r12]: TIME-TRAVEL read — the q223 dump set AS
     // OF version 2: later updates/births don't exist yet, v2
@@ -767,6 +880,74 @@ object Relational extends QueryGroup {
          |    FROM pw""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
     Map(
+    // q234: the same size models via LAG windows; idxBytes as threshold
+    // CASEs (log-free), varint via 7-bit thresholds, advised = the
+    // (bytes, encoding)-min row per column.
+    "q234_encoding_advisor" -> {
+      def ib(card: String) =
+        s"(CASE WHEN $card <= 256 THEN 1 WHEN $card <= 65536 THEN 2 " +
+          s"WHEN $card <= 16777216 THEN 3 ELSE 4 END)"
+      def zz(v: String) = s"(CASE WHEN ($v) >= 0 THEN ($v)*2 ELSE -($v)*2 - 1 END)"
+      def vint(u: String) =
+        s"(1 + CASE WHEN ($u) >= 128 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ($u) >= 16384 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ($u) >= 2097152 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ($u) >= 268435456 THEN 1 ELSE 0 END)"
+      s"""WITH o AS (SELECT doc_id, source, lang, n_chars,
+         |    LAG(source) OVER w AS p_source, LAG(lang) OVER w AS p_lang,
+         |    LAG(doc_id) OVER w AS p_doc_id, LAG(n_chars) OVER w AS p_n_chars,
+         |    ROW_NUMBER() OVER w AS rk
+         |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+         |agg AS (SELECT COUNT(*) AS n,
+         |    SUM(4 + strlen(source)) AS src_plain,
+         |    SUM(4 + strlen(lang)) AS lang_plain,
+         |    SUM(CASE WHEN rk = 1 OR source IS DISTINCT FROM p_source
+         |        THEN 8 + strlen(source) ELSE 0 END) AS src_rle,
+         |    SUM(CASE WHEN rk = 1 OR lang IS DISTINCT FROM p_lang
+         |        THEN 8 + strlen(lang) ELSE 0 END) AS lang_rle,
+         |    SUM(CASE WHEN rk = 1 OR n_chars IS DISTINCT FROM p_n_chars
+         |        THEN 12 ELSE 0 END) AS nch_rle,
+         |    SUM(CASE WHEN rk = 1 OR doc_id IS DISTINCT FROM p_doc_id
+         |        THEN 12 ELSE 0 END) AS did_rle,
+         |    SUM(CASE WHEN rk = 1 THEN 8
+         |        ELSE ${vint(zz("doc_id - p_doc_id"))} END) AS did_delta,
+         |    SUM(CASE WHEN rk = 1 THEN 8
+         |        ELSE ${vint(zz("n_chars - p_n_chars"))} END) AS nch_delta,
+         |    COUNT(DISTINCT source) AS src_card,
+         |    COUNT(DISTINCT lang) AS lang_card,
+         |    COUNT(DISTINCT doc_id) AS did_card,
+         |    COUNT(DISTINCT n_chars) AS nch_card
+         |  FROM o),
+         |ds AS (SELECT SUM(4 + strlen(source)) AS src_dict_oct
+         |       FROM (SELECT DISTINCT source FROM documents)),
+         |dl AS (SELECT SUM(4 + strlen(lang)) AS lang_dict_oct
+         |       FROM (SELECT DISTINCT lang FROM documents)),
+         |r AS (
+         |  SELECT 'source' AS col, 'plain' AS encoding, src_plain AS b FROM agg
+         |  UNION ALL SELECT 'source', 'dict',
+         |    (SELECT src_dict_oct FROM ds) + n * ${ib("src_card")} FROM agg
+         |  UNION ALL SELECT 'source', 'rle', src_rle FROM agg
+         |  UNION ALL SELECT 'lang', 'plain', lang_plain FROM agg
+         |  UNION ALL SELECT 'lang', 'dict',
+         |    (SELECT lang_dict_oct FROM dl) + n * ${ib("lang_card")} FROM agg
+         |  UNION ALL SELECT 'lang', 'rle', lang_rle FROM agg
+         |  UNION ALL SELECT 'doc_id', 'plain', 8 * n FROM agg
+         |  UNION ALL SELECT 'doc_id', 'dict',
+         |    8 * did_card + n * ${ib("did_card")} FROM agg
+         |  UNION ALL SELECT 'doc_id', 'rle', did_rle FROM agg
+         |  UNION ALL SELECT 'doc_id', 'delta', did_delta FROM agg
+         |  UNION ALL SELECT 'n_chars', 'plain', 8 * n FROM agg
+         |  UNION ALL SELECT 'n_chars', 'dict',
+         |    8 * nch_card + n * ${ib("nch_card")} FROM agg
+         |  UNION ALL SELECT 'n_chars', 'rle', nch_rle FROM agg
+         |  UNION ALL SELECT 'n_chars', 'delta', nch_delta FROM agg),
+         |adv AS (SELECT col, encoding, b,
+         |    ROW_NUMBER() OVER (PARTITION BY col ORDER BY b, encoding) AS rn
+         |  FROM r)
+         |SELECT col AS "column", encoding, CAST(b AS BIGINT) AS model_bytes,
+         |  rn = 1 AS advised
+         |FROM adv ORDER BY "column", encoding""".stripMargin
+    },
     // q228: the q223 dump CTEs filtered to version ≤ 2 — rows after the
     // snapshot don't exist yet; the collapse is identical.
     "q228_time_travel" ->

@@ -4289,6 +4289,75 @@ class OperatorSpec extends SparkSpec {
     assert(!comps.contains(99L), "components only label edge-touched docs")
   }
 
+  test("q234 encoding advisor: matches plain-Scala size models; sane advice; varint/NULL loudness") {
+    import graft.operators.Relational
+    val out = SparkEntry.queries("q234_encoding_advisor")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // THIRD implementation off collected values
+    val rows = Tables(spark, Sf, "documents")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = rows.length.toLong
+    def strSizes(vs: Seq[String], col: String): Map[(String, String), Long] = {
+      val plain = vs.map(4L + _.length).sum
+      val card = vs.distinct.size.toLong
+      val dict = vs.distinct.map(4L + _.length).sum +
+        n * Relational.idxBytes(card)
+      val rle = vs.zipWithIndex.map { case (v, i) =>
+        if (i == 0 || vs(i - 1) != v) 8L + v.length else 0L
+      }.sum
+      Map((col, "plain") -> plain, (col, "dict") -> dict, (col, "rle") -> rle)
+    }
+    def vint(u: Long): Long =
+      1L + (if (u >= 128) 1 else 0) + (if (u >= 16384) 1 else 0) +
+        (if (u >= 2097152) 1 else 0) + (if (u >= 268435456) 1 else 0)
+    def zz(v: Long): Long = if (v >= 0) v * 2 else -v * 2 - 1
+    def intSizes(vs: Seq[Long], col: String): Map[(String, String), Long] = {
+      val card = vs.distinct.size.toLong
+      val rle = vs.zipWithIndex.map { case (v, i) =>
+        if (i == 0 || vs(i - 1) != v) 12L else 0L
+      }.sum
+      val delta = 8L + vs.sliding(2).map(p => vint(zz(p(1) - p(0)))).sum
+      Map((col, "plain") -> 8L * n,
+        (col, "dict") -> (8L * card + n * Relational.idxBytes(card)),
+        (col, "rle") -> rle, (col, "delta") -> delta)
+    }
+    val ref = strSizes(rows.map(_._2).toSeq, "source") ++
+      strSizes(rows.map(_._3).toSeq, "lang") ++
+      intSizes(rows.map(_._1).toSeq, "doc_id") ++
+      intSizes(rows.map(_._4).toSeq, "n_chars")
+    ref.foreach { case (k, b) =>
+      assert(out(k)._1 == b, s"$k: engine ${out(k)._1} != model $b")
+    }
+    // exactly one advised per column, and it is the (bytes, name) min
+    Seq("source", "lang", "doc_id", "n_chars").foreach { c =>
+      val mine = out.filter(_._1._1 == c)
+      assert(mine.values.count(_._2) == 1, s"$c: advised not unique")
+      val best = mine.minBy { case ((_, e), (b, _)) => (b, e) }
+      assert(best._2._2, s"$c: advised is not the minimum")
+    }
+    // sanity of the advice itself: sorted unique ids want DELTA; a
+    // low-cardinality string must not stay PLAIN
+    assert(out(("doc_id", "delta"))._2, "sorted unique ids must advise delta")
+    assert(!out(("source", "plain"))._2, "low-cardinality source stayed plain")
+    // loudness: NULLs and out-of-model deltas refuse
+    import spark.implicits._
+    val e1 = intercept[Exception] {
+      Relational.encodingAdvisor(spark,
+        Seq((1L, null.asInstanceOf[String], "en", 5L))
+          .toDF("doc_id", "source", "lang", "n_chars")).collect()
+    }
+    assert(e1.getMessage != null || e1.getCause != null)
+    val e2 = intercept[Exception] {
+      Relational.encodingAdvisor(spark,
+        Seq((0L, "s", "en", 5L), (1L << 36, "s", "en", 5L))
+          .toDF("doc_id", "source", "lang", "n_chars")).collect()
+    }
+    assert(e2.getMessage != null || e2.getCause != null)
+  }
+
   test("q203 KMV: matches a plain-Scala sketch; error inside the envelope; exact-mode loudness; MinKAgg laws") {
     import graft.operators.Sketches
     val out = SparkEntry.queries("q203_kmv_theta")(spark, Sf).collect()
