@@ -94,6 +94,39 @@ object BoilerplateExtract {
   /** Tags whose whole element contributes no rendered text. */
   private val SkipTags = Set("head", "script", "style")
 
+  /** ASCII-case-insensitive scan for `</name` FOLLOWED BY '>' or
+    * whitespace — a bare prefix match would let "</head" swallow
+    * "</header>", silently eating a banner as head content instead of
+    * refusing loudly on the truly-unclosed page. ASCII-only folding keeps
+    * indices aligned with the original string (full toLowerCase can change
+    * length for some Unicode and would also allocate a page-sized copy per
+    * skip-tag occurrence). */
+  private def indexOfCloseTag(html: String, name: String, from: Int): Int = {
+    val pat = "</" + name
+    val m = pat.length
+    var i = from
+    val limit = html.length - m
+    while (i <= limit) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        val a = html.charAt(i + j)
+        val af = if (a >= 'A' && a <= 'Z') (a + 32).toChar else a
+        if (af != pat.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) {
+        val nxt = i + m
+        if (nxt >= html.length) return i // truncated tail: caller's '>' require fires
+        val t = html.charAt(nxt)
+        if (t == '>' || t == ' ' || t == '\t' || t == '\n' || t == '\r' || t == '/')
+          return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   def extract(html8: UTF8String): GenericInternalRow = {
     val html = html8.toString
     val n = html.length
@@ -169,8 +202,7 @@ object BoilerplateExtract {
           val nameEnd = if (nameEnd0 < 0) body.length else nameEnd0
           val name = body.substring(0, nameEnd).toLowerCase
           if (!isClose && SkipTags.contains(name)) {
-            val close = s"</$name"
-            val ce = html.toLowerCase.indexOf(close, e + 1)
+            val ce = indexOfCloseTag(html, name, e + 1)
             require(ce >= 0,
               s"boilerplate_extract: unclosed <$name> — refusing to eat the page tail")
             val cee = html.indexOf('>', ce)

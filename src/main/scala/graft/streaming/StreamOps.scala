@@ -496,8 +496,14 @@ object StreamOps {
     }.toDF("doc_id", "content_length", "n_extracted_chars", "text")
   }
 
-  /** One key's maintained MERGE state (q223's live form). */
-  case class MergeKeyState(version: Long, alive: Boolean, md5: String)
+  /** One key's maintained MERGE state (q223's live form). `slots` is
+    * the per-version payload digest ledger: version -> (md5 | "U" for a
+    * null-text upsert | "D" for a delete), 33 bytes per version — the
+    * same per-key footprint the q228 time-travel log already retains, so
+    * keeping it in state adds no new unboundedness class.
+    */
+  case class MergeKeyState(version: Long, alive: Boolean, md5: String,
+      slots: Map[Long, String])
 
   /** Live MERGE-state maintenance — q223's streaming twin: a CDC
     * changelog of (doc_id, version, op, txt) rows maintains the
@@ -508,9 +514,13 @@ object StreamOps {
     *  - REPLAY idempotence: re-delivering a (key, version) with the
     *    same payload is a no-op;
     *  - WRITER-CONFLICT loudness: the same (key, version) with a
-    *    DIFFERENT payload throws (q223's duplicate-slot refusal, live).
-    * State carries (version, alive, md5) — 8+1+32 bytes per key, never
-    * document text. Emits the key's current state each update batch.
+    *    DIFFERENT payload throws (q223's duplicate-slot refusal, live)
+    *    — for ANY slot in the key's history, not just the latest
+    *    version: the per-version digest ledger means a conflicting
+    *    duplicate for a superseded version still raises, matching
+    *    batch q223's any-slot guard exactly.
+    * State carries (version, alive, md5, slots) — never document text.
+    * Emits the key's current state each update batch.
     */
   def mergeStateStream(updates: DataFrame): DataFrame = {
     val spark = updates.sparkSession
@@ -529,12 +539,21 @@ object StreamOps {
               .digest(txt.getBytes("UTF-8"))
             d.map("%02x".format(_)).mkString
           } else null
-          if (st == null || v > st.version) st = MergeKeyState(v, alive, md)
-          else if (v == st.version) {
-            require(alive == st.alive && md == st.md5,
-              s"mergeStateStream: two writers claimed (key $id, version $v) " +
-                "with different payloads — refusing an arbitrary winner")
-          } // v < st.version: stale replay, absorbed
+          val enc = if (!alive) "D" else if (md == null) "U" else md
+          val slots0 = if (st == null) Map.empty[Long, String] else st.slots
+          slots0.get(v) match {
+            case Some(prev) =>
+              // replay of an already-claimed slot — a no-op iff the
+              // payload matches, a writer conflict otherwise, at ANY
+              // version in history (parity with batch q223's guard)
+              require(prev == enc,
+                s"mergeStateStream: two writers claimed (key $id, version $v) " +
+                  "with different payloads — refusing an arbitrary winner")
+            case None => ()
+          }
+          val slots = slots0 + (v -> enc)
+          if (st == null || v > st.version) st = MergeKeyState(v, alive, md, slots)
+          else st = st.copy(slots = slots)
         }
         gs.update(st)
         Iterator.single((id, st.version, st.alive, st.md5))

@@ -1279,6 +1279,23 @@ class StreamingSpec extends SparkSpec {
     val e = intercept[Exception] { q2.processAllAvailable() }
     assert(e.getMessage != null || e.getCause != null)
     q2.stop()
+    // SUPERSEDED-SLOT CONFLICT: state has advanced to v2, then a
+    // conflicting duplicate for the SUPERSEDED v1 arrives — batch q223
+    // raises on any double-claimed slot anywhere in history, and the
+    // per-version digest ledger gives the stream side the same guard
+    // (a same-payload v1 replay, by contrast, stays absorbed — checked
+    // by the replayed-base-dump leg above)
+    val ms3 = MemoryStream[(Long, Long, String, String)]
+    val q3 = graft.streaming.StreamOps.mergeStateStream(
+        ms3.toDF().toDF("doc_id", "version", "op", "txt")).writeStream
+      .format("memory").queryName("ms_conflict_superseded")
+      .outputMode("update").start()
+    ms3.addData(Seq((1L, 1L, "U", "writer one"), (1L, 2L, "U", "newer")))
+    q3.processAllAvailable()
+    ms3.addData(Seq((1L, 1L, "U", "writer two claims old slot")))
+    val e3 = intercept[Exception] { q3.processAllAvailable() }
+    assert(e3.getMessage != null || e3.getCause != null)
+    q3.stop()
   }
 
   test("streaming boilerplate extract == batch q217 on the same pages (shared projection)") {
