@@ -150,16 +150,18 @@ object ScalingBench {
       "q226_batch_packing_audit", "q227_fim_transform",
       "q228_time_travel", "q229_release_audit_card", "q230_image_resize",
       "q231_homoglyph_dedup", "q232_blocklist_scan",
-      "q234_encoding_advisor")
-    // q233 (image cluster collapse) is deliberately NOT in the 10× tier:
-    // the blow-up lands 10× docs in the same 11 planted groups, so the
-    // pair stream densifies quadratically (~113M edges over 50k
-    // vertices — measured SparkOutOfMemory in the contraction's
+      "q234_encoding_advisor", "q235_image_cluster_sparse")
+    // q233 (pair-stream image cluster collapse) is deliberately NOT in
+    // the 10× tier: the blow-up lands 10× docs in the same 11 planted
+    // groups, so the pair stream densifies quadratically (~113M edges
+    // over 50k vertices — measured SparkOutOfMemory in the contraction's
     // localCheckpoint at this harness's heap). That is the FIXTURE's
-    // pathology, not the operator's: a real corpus's cluster fan-out is
-    // bounded by upstream near-dup density, and the q216/q219 BASELINE
-    // notes already record the quadratic-output caveat. At base sf0.1
-    // (≈1.1M pairs) q233 runs and is benched normally.
+    // pathology amplifying the operator's real caveat; q235 is the scale
+    // tier that retires it — distinct-signature sparsification keeps the
+    // edge list linear under the same densification (10× docs collapse
+    // onto the SAME distinct signatures), so q235 runs the 10× row q233
+    // cannot. At base sf0.1 (≈1.1M pairs) q233 runs and is benched
+    // normally.
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

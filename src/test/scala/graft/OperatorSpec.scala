@@ -4289,6 +4289,58 @@ class OperatorSpec extends SparkSpec {
     assert(!comps.contains(99L), "components only label edge-touched docs")
   }
 
+  test("q235 sparse cluster collapse == q233 row-for-row; edge list linear; bucket-head counterexample connected") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 1. IDENTICAL OUTPUT CONTRACT: the sparsified composition must land
+    // on exactly q233's rows (components preserved by the signature-head
+    // theorem in dhashClusterCollapseSparse's scaladoc)
+    val sparse = SparkEntry.queries("q235_image_cluster_sparse")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = SparkEntry.queries("q233_image_cluster_collapse")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(sparse == full, "q235 components drifted from q233's")
+    // 2. EDGE LINEARITY — the point of the sparsification: the edge list
+    // the contraction sees is (docs - distinct signatures) member edges
+    // + verified DISTINCT-signature pairs, strictly below the
+    // materialized doc-pair count on any fixture with hash-identical mass
+    val media = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.encodeBmpDhash(id)))
+    val hashes = Multimodal.perceptualHashes(spark, media).toDF()
+      .localCheckpoint()
+    val nDocs = hashes.count()
+    val nSig = hashes.select("dhash").distinct().count()
+    assert(nSig < nDocs, "fixture must carry hash-identical re-renders")
+    val nEdges = Multimodal.sparseClusterEdges(hashes).count()
+    val nPairs = SparkEntry.queries("q216_image_neardup")(spark, Sf).count()
+    assert(nEdges < nPairs,
+      s"sparsified edges ($nEdges) must undercut the pair stream ($nPairs)")
+    val sigPairs = nEdges - (nDocs - nSig)
+    assert(sigPairs <= nSig * (nSig - 1) / 2,
+      "verified head pairs must be bounded by distinct-signature pairs")
+    // 3. WHY NOT per-band bucket-head verification (the tempting O(n·bands)
+    // form): plant three signatures where b and c land in head h's bucket
+    // on bands 1-2 (all zero there), each sits FAR (> 3 bits) from h, yet
+    // b and c are 2 bits apart. A bucket-head scheme that Hamming-verifies
+    // only member<->head edges drops the true (b, c) pair; the
+    // distinct-signature form keeps it because b and c are their own heads
+    // and meet in the banded join.
+    val hB = 0xAAAA000000000000L        // bands 0-2 zero, band3 = 0xAAAA
+    val hC = hB ^ 3L                    // 2 bits from hB (inside band 0)
+    val hH = 0x0F0F000000000000L        // bands 1-2 zero too; 8-10 bits away
+    require(java.lang.Long.bitCount(hB ^ hH) > Multimodal.DhashMaxHamming &&
+      java.lang.Long.bitCount(hC ^ hH) > Multimodal.DhashMaxHamming &&
+      java.lang.Long.bitCount(hB ^ hC) <= Multimodal.DhashMaxHamming)
+    val toy = Seq((1L, hH), (2L, hB), (3L, hC)).toDF("doc_id", "dhash")
+    val comps = Multimodal.dhashClusterCollapseSparse(toy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.get(2L) == Some(2L) && comps.get(3L) == Some(2L),
+      "true 2-bit pair must stay connected despite a far bucket head")
+    assert(!comps.contains(1L),
+      "the far head pairs with nobody and must stay out of the edge graph")
+  }
+
   test("q234 encoding advisor: matches plain-Scala size models; sane advice; varint/NULL loudness") {
     import graft.operators.Relational
     val out = SparkEntry.queries("q234_encoding_advisor")(spark, Sf).collect()

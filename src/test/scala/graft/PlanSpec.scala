@@ -762,6 +762,41 @@ class PlanSpec extends SparkSpec {
       "q216's candidate join must shuffle on the band key")
   }
 
+  test("q235's banded join runs over the distinct-signature aggregate, never doc-level hashes") {
+    // the 100 TB contract of the bounded-edge collapse: the only pair
+    // join in the edge derivation consumes the groupBy(dhash) aggregate
+    // on BOTH sides (candidate fan-out governed by distinct signatures,
+    // not docs), and nothing goes all-pairs
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables(spark, Sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.encodeBmpDhash(id)))
+    val edges = Multimodal.sparseClusterEdges(
+      Multimodal.perceptualHashes(spark, media).toDF())
+    val lp = edges.queryExecution.optimizedPlan
+    val bandJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bv")) => j
+    }
+    assert(bandJoins.nonEmpty, "q235 must derive candidates via the banded join")
+    bandJoins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val aggs = side.collect {
+          case a: Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "dhash")) => a
+        }
+        assert(aggs.nonEmpty,
+          "each banded-join side must sit above the distinct-signature " +
+            s"aggregate, got:\n${side.treeString.take(1200)}")
+      }
+    }
+    val pp = edges.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"q235 edge derivation must never go all-pairs:\n${pp.take(1200)}")
+  }
+
   test("q198 segments map-only: the cost model rides the expression, zero corpus joins") {
     // the unigram DP is a codegen expression over the scan — the frozen
     // cost table is an executor reference object, NOT a join side, so
