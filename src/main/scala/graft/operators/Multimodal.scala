@@ -1332,29 +1332,35 @@ object Multimodal extends QueryGroup {
       media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.media))
-        require(img != null, s"undecodable media for doc ${r.doc_id}")
-        require(img.getWidth == DhashImgW && img.getHeight == DhashImgH,
-          s"doc ${r.doc_id}: dHash fixture must be ${DhashImgW}x$DhashImgH, " +
-            s"got ${img.getWidth}x${img.getHeight}")
-        val sums = Array.ofDim[Long](DhashGridH, DhashGridW)
-        var y = 0
-        while (y < DhashImgH) {
-          var x = 0
-          while (x < DhashImgW) {
-            val rgb = img.getRGB(x, y)
-            val luma = (299L * ((rgb >> 16) & 0xff) +
-              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
-            sums(y / DhashCell)(x / DhashCell) += luma
-            x += 1
-          }
-          y += 1
-        }
-        ImageHash(r.doc_id, dhash64(sums))
-      }
+      it.map(r => ImageHash(r.doc_id, dhashOfMedia(r.doc_id, r.media)))
     }
+  }
+
+  /** One image's dHash through the real codec — the per-row core of
+    * [[perceptualHashes]], shared by the streaming near-dup gate so the
+    * door and the daily batch pass cannot hash differently.
+    */
+  private[graft] def dhashOfMedia(docId: Long, media: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(media))
+    require(img != null, s"undecodable media for doc $docId")
+    require(img.getWidth == DhashImgW && img.getHeight == DhashImgH,
+      s"doc $docId: dHash fixture must be ${DhashImgW}x$DhashImgH, " +
+        s"got ${img.getWidth}x${img.getHeight}")
+    val sums = Array.ofDim[Long](DhashGridH, DhashGridW)
+    var y = 0
+    while (y < DhashImgH) {
+      var x = 0
+      while (x < DhashImgW) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+        sums(y / DhashCell)(x / DhashCell) += luma
+        x += 1
+      }
+      y += 1
+    }
+    dhash64(sums)
   }
 
   /** The banded near-dup join over (doc_id, dhash): explode into

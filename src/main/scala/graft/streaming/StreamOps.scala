@@ -588,9 +588,9 @@ object StreamOps {
     * keyed on the 8-byte hash, so state never holds pixels. This is
     * EXACT-hash dedup at the door (re-renders and brightness shifts
     * collapse because dHash maps them to the same 64 bits); the
-    * near-dup (Hamming ≤ 3) tier stays a batch join by design — a
-    * banded stateful join's state is unbounded in the same way, and
-    * the daily batch pass (q216) is where production runs it.
+    * near-dup (Hamming ≤ 3) tier is [[perceptualNearDupGateStream]] —
+    * TTL-bounded band-bucket state over distinct signatures — and the
+    * daily batch pass (q216/q235) remains the exhaustive tier.
     */
   def perceptualDedupStream(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -600,5 +600,107 @@ object StreamOps {
       .map { case (id, bytes) => graft.operators.Multimodal.MediaRow(id, bytes) }
     graft.operators.Multimodal.perceptualHashes(spark, rows)
       .toDF().dropDuplicates("dhash")
+  }
+
+  /** One exploded band row of an arriving image's dHash. */
+  case class BandRow(band: Int, bv: Long, doc_id: Long, dhash: Long,
+      ts: java.sql.Timestamp)
+
+  /** TTL-bounded NEAR-dup gate at the door — the Hamming ≤ 3 tier
+    * [[perceptualDedupStream]] deliberately left to batch, made
+    * streamable by bounding state with the WATERMARK HORIZON (the r12
+    * argument against it assumed no TTL):
+    *
+    *  - each arriving image is decoded and dHashed through the SAME
+    *    per-row codec core as batch q216
+    *    ([[graft.operators.Multimodal.dhashOfMedia]]);
+    *  - the hash explodes into 4 x 16-bit band keys (the q216 bands), and
+    *    per (band, value) bucket a flatMapGroupsWithState keeps the
+    *    DISTINCT signatures seen within the horizon — 16 bytes per
+    *    signature, never pixels, evicted by event-time timeout (the q235
+    *    stance: state is signatures, not docs, so a hot cluster of
+    *    re-renders costs ONE entry);
+    *  - a doc is near-dup iff ANY of its band buckets holds a signature
+    *    within Hamming ≤ 3 — checked against the FULL 64-bit hash, so
+    *    the verdict is exact (complete by the q216 pigeonhole: a true
+    *    ≤3 neighbor shares ≥1 band), not an LSH approximation;
+    *  - the per-doc OR is the downstream (doc_id, ts) aggregation —
+    *    append-mode agg after append-mode flatMapGroupsWithState, the
+    *    supported chaining — emitting (doc_id, near_dup) once the
+    *    watermark passes the doc's event time.
+    *
+    * Verdict scope: near-dup is judged against everything that ARRIVED
+    * within the horizon (first-arrival wins), matching the greedy gate a
+    * production door runs; the daily batch pass (q216/q235) remains the
+    * exhaustive tier that also catches pairs farther apart in time.
+    *
+    * Spark's chained-stateful-operator correctness check is disabled for
+    * the session (the `Tables` runtime-conf precedent): it pattern-matches
+    * any flatMapGroupsWithState feeding an aggregation because fMGWS CAN
+    * emit event times older than the watermark. This one cannot — every
+    * emitted row carries the event time of a CURRENT-batch input row
+    * (state is only read, never re-emitted), and late inputs were already
+    * dropped by the upstream watermark, so downstream rows are never late.
+    */
+  def perceptualNearDupGateStream(media: DataFrame,
+      horizonSec: Long = 600L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.Multimodal
+    val horizonMs = horizonSec * 1000L
+    val bands = media.select(col("doc_id"), col("media"), col("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .flatMap { case (id, bytes, ts) =>
+        val h = Multimodal.dhashOfMedia(id, bytes)
+        (0 until Multimodal.DhashBands).map(b =>
+          BandRow(b, (h >>> (b * 16)) & 0xFFFFL, id, h, ts))
+      }
+      // the event-time tag must ride the POST-flatMap ts attribute — a
+      // typed map rewrites attributes, so an upstream watermark is lost
+      .withWatermark("ts", s"$horizonSec seconds")
+    val verdicts = bands.groupByKey(r => (r.band, r.bv))
+      .flatMapGroupsWithState[Map[Long, Long],
+        (Long, java.sql.Timestamp, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, gs) =>
+          val wm = gs.getCurrentWatermarkMs()
+          var st = gs.getOption.getOrElse(Map.empty[Long, Long])
+            .filter(_._2 >= wm) // horizon eviction: wm = maxEventTime - TTL
+          if (gs.hasTimedOut) {
+            if (st.isEmpty) gs.remove()
+            else {
+              gs.update(st)
+              gs.setTimeoutTimestamp(
+                math.max(st.values.max + horizonMs, wm) + 1L)
+            }
+            Iterator.empty
+          } else {
+            // deterministic within-batch gating: arrival order is
+            // (event time, doc_id); each row judges BEFORE inserting
+            val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+              .map { r =>
+                val matched = st.exists { case (h, _) =>
+                  java.lang.Long.bitCount(h ^ r.dhash) <=
+                    Multimodal.DhashMaxHamming
+                }
+                st = st.updated(r.dhash,
+                  math.max(st.getOrElse(r.dhash, 0L), r.ts.getTime))
+                (r.doc_id, r.ts, matched)
+              }
+            gs.update(st)
+            gs.setTimeoutTimestamp(
+              math.max(st.values.max + horizonMs, wm) + 1L)
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "ts", "band_matched")
+    verdicts
+      .withWatermark("ts", s"$horizonSec seconds")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(max(col("band_matched")).as("near_dup"))
+      .select(col("doc_id"), col("near_dup"))
   }
 }

@@ -1390,6 +1390,85 @@ class StreamingSpec extends SparkSpec {
       "fixture must actually collapse re-renders")
   }
 
+  test("streaming near-dup gate: exact Hamming verdicts == greedy batch reference; TTL evicts state; bounded by signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docIds = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val base = 1700000000000L // fixed epoch — deterministic event times
+    val horizon = 3600L
+    val hMs = horizon * 1000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val media = docIds.zipWithIndex.map { case (id, i) =>
+      (id, Multimodal.encodeBmpDhash(id), ts(i * 1000L))
+    }
+    val ms0 = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val q = graft.streaming.StreamOps.perceptualNearDupGateStream(
+        ms0.toDF().toDF("doc_id", "media", "ts"), horizon).writeStream
+      .format("memory").queryName("ndgate_out")
+      .outputMode("append").start()
+    def gateStateRows(): Long =
+      q.lastProgress.stateOperators
+        .find(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal).getOrElse(-1L)
+    // phase 1: the fixture arrives in doc_id order, all within one horizon
+    val (b1, b2) = media.splitAt(media.length / 2)
+    ms0.addData(b1); q.processAllAvailable()
+    ms0.addData(b2); q.processAllAvailable()
+    val stateLive = gateStateRows()
+    // flush dummies (group-1 imagery, ids filtered out below) advance the
+    // watermark past phase 1 + horizon so verdicts emit and TTL expires
+    val g1doc = docIds(1)
+    ms0.addData(Seq((999999L, Multimodal.encodeBmpDhash(g1doc), ts(2 * hMs))))
+    q.processAllAvailable()
+    ms0.addData(Seq((999998L, Multimodal.encodeBmpDhash(g1doc), ts(3 * hMs))))
+    q.processAllAvailable()
+    // TTL arm: a re-render of group 0 arrives long past the horizon —
+    // its originals are evicted, so it must SURVIVE; its own immediate
+    // re-render (1 s later, same batch) must be gated
+    val g0doc = docIds.head
+    ms0.addData(Seq(
+      (200001L, Multimodal.encodeBmpDhash(g0doc), ts(3 * hMs + 2000L)),
+      (200002L, Multimodal.encodeBmpDhash(g0doc), ts(3 * hMs + 3000L))))
+    q.processAllAvailable()
+    ms0.addData(Seq((999997L, Multimodal.encodeBmpDhash(g1doc), ts(6 * hMs))))
+    q.processAllAvailable()
+    val stateAfter = gateStateRows()
+    q.stop()
+    val all = spark.table("ndgate_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = all.filter { case (id, _) => id < 200000L }
+    // greedy batch reference: ascending arrival, near-dup iff ANY earlier
+    // doc sits within Hamming <= 3 (exact, over full 64-bit hashes)
+    val hashes = Multimodal.perceptualHashes(spark,
+      spark.createDataset(docIds)
+        .map(id => Multimodal.MediaRow(id, Multimodal.encodeBmpDhash(id))))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ref = docIds.map { id =>
+      val h = hashes(id)
+      val dup = seen.exists(p =>
+        java.lang.Long.bitCount(p ^ h) <= Multimodal.DhashMaxHamming)
+      seen += h
+      id -> dup
+    }.toMap
+    assert(got == ref, "gate verdicts drifted from the greedy batch reference")
+    assert(got.values.exists(identity) && got.values.exists(!_),
+      "fixture must exercise both verdicts")
+    // TTL: the post-horizon re-render survives, its immediate twin is gated
+    assert(all.get(200001L) == Some(false),
+      "originals past the horizon must be evicted (TTL)")
+    assert(all.get(200002L) == Some(true),
+      "an in-horizon re-render must still be gated")
+    // state bound: one state row per live (band, value) bucket, never docs
+    val nSig = hashes.values.toSet.size
+    assert(stateLive > 0 && stateLive <= 4L * nSig,
+      s"gate state ($stateLive rows) must be bounded by 4 x $nSig signatures")
+    assert(stateAfter < stateLive,
+      s"TTL must evict expired buckets (live=$stateLive after=$stateAfter)")
+  }
+
   test("streaming BPE tokenize == batch q167 on the same docs (static merge table)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
