@@ -867,9 +867,14 @@ object Dedup extends QueryGroup {
     // landing in both prefixes (pinned in SkewSpec) — a pair whose
     // τ-crossing similarity is carried by stop shingles alone can be
     // missed. That residual loss is the deliberate price of the skew
-    // guard; the DuckDB oracle is uncapped, so it would surface as a red
-    // row on a corpus with hot shingles (the eval corpus has none:
-    // max df 25 at sf0.1 vs cap 128).
+    // guard, and since r13 it is MEASURED, not just theory-pinned:
+    // SkewSpec's planted hot corpus ("df-cap recall loss MEASURED")
+    // exercises all three regimes — the hot-only pair is missed (miss
+    // rate exactly 1/3 of that fixture's true pairs), the sub-cap and
+    // hot-rescued pairs are kept — so the loss surface is a pinned
+    // verdict, not a latent one. The DuckDB oracle is uncapped, so the
+    // miss would surface as a red row on a corpus with hot shingles
+    // (the eval corpus has none: max df 25 at sf0.1 vs cap 128).
     "q58_ngram_jaccard" -> ((spark, dir) => {
       val docs = graft.CachePool.track(
         shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))

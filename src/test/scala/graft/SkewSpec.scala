@@ -115,6 +115,44 @@ class SkewSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("q58 df-cap recall loss MEASURED: the hot-only pair is the exact miss set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // The documented residual loss, finally EXERCISED (the eval corpus
+    // cannot fire it: max df 25 vs cap 128). Planted truth, cap = 64:
+    //  - shingles 0 and 1 are HOT (150 fillers carry both; filler pairs
+    //    sit at J = 2/6 and filler-vs-planted at <= 2/5, all below tau);
+    //  - HOT-ONLY pair (1, 2): {0,1,2} vs {0,1,3}, J = 2/4 = tau crossed
+    //    ONLY by hot shingles -> both prefixes are all-hot, the pair has
+    //    no surviving collision, and the cap MUST miss it;
+    //  - SUB-CAP pair (3, 4): {100..103} vs {100,101,102,104}, J = 3/5 —
+    //    untouched by the cap;
+    //  - HOT-RESCUED pair (5, 6): {0,300,301} vs {0,300,302}, J = 2/4 —
+    //    smallest common shingle hot, rescued via sub-cap 300 in both
+    //    prefixes (the hp-slack path the test above pins).
+    // Miss rate on this truth: 1/3 of true pairs, exactly the hot-only
+    // one — recorded at the q58 registration caveat in Dedup.scala.
+    val fillers = (1 to 150).map(i =>
+      (1000L + i, Seq(0L, 1L, 20000L + 2 * i, 20001L + 2 * i)))
+    val planted = Seq(
+      (1L, Seq(0L, 1L, 2L)), (2L, Seq(0L, 1L, 3L)),
+      (3L, Seq(100L, 101L, 102L, 103L)), (4L, Seq(100L, 101L, 102L, 104L)),
+      (5L, Seq(0L, 300L, 301L)), (6L, Seq(0L, 300L, 302L)))
+    val docs = (fillers ++ planted).toDF("doc_id", "sh")
+    def pairsAt(maxDf: Int): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(docs, maxDf = maxDf, tau = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsAt(1000000) // uncapped = ground truth on a toy corpus
+    assert(truth == Set((1L, 2L), (3L, 4L), (5L, 6L)),
+      s"planted truth drifted: $truth")
+    val capped = pairsAt(64)
+    assert(capped == Set((3L, 4L), (5L, 6L)),
+      s"the cap must miss exactly the hot-only pair, got $capped")
+    val missRate = (truth -- capped).size.toDouble / truth.size
+    assert(missRate == 1.0 / 3,
+      f"measured miss rate drifted: $missRate%.3f (miss set ${truth -- capped})")
+  }
+
   test("q46 LSH bucket cap: a clone army cannot go quadratic") {
     import spark.implicits._
     import graft.operators.Dedup
