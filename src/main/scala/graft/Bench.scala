@@ -64,28 +64,69 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // One timed sample: build the plan fresh, consume it, then drop any
-      // query-local persists and give the collector a breather so the next
-      // sample (or query) isn't billed for this one's garbage.
-      def sample(consume: DataFrame => Unit): Double = {
-        val t0 = System.nanoTime()
-        var t = 0.0
-        // the scope drops this sample's persisted intermediates on close;
-        // t is taken before the close so release cost isn't billed to the
-        // query (same accounting as the pre-scope releaseAll)
-        CachePool.scoped {
-          try consume(fn(spark, sfDir))
-          catch { case _: Throwable => failed += name }
-          t = (System.nanoTime() - t0) / 1e9
-        }
-        spark.catalog.clearCache()
-        System.gc()
-        t
+    // One timed sample: build the plan fresh, consume it, then drop any
+    // query-local persists and give the collector a breather so the next
+    // sample (or query) isn't billed for its predecessor's garbage.
+    def sample(name: String, fn: (SparkSession, String) => DataFrame)(
+        consume: DataFrame => Unit): Double = {
+      val t0 = System.nanoTime()
+      var t = 0.0
+      // the scope drops this sample's persisted intermediates on close;
+      // t is taken before the close so release cost isn't billed to the
+      // query (same accounting as the pre-scope releaseAll)
+      CachePool.scoped {
+        try consume(fn(spark, sfDir))
+        catch { case _: Throwable => failed += name }
+        t = (System.nanoTime() - t0) / 1e9
       }
-      val tChecksum = median(Seq.fill(samples)(sample(checksum)))
-      val tCount = median(Seq.fill(samples)(sample(_.count())))
+      spark.catalog.clearCache()
+      System.gc()
+      t
+    }
+    val results = selected.map { case (name, fn) =>
+      val tChecksum = median(Seq.fill(samples)(sample(name, fn)(checksum)))
+      val tCount = median(Seq.fill(samples)(sample(name, fn)(_.count())))
       (name, tChecksum, tCount)
+    }
+
+    // ---- isolated-median re-run of round-over-round drifters ----------
+    // In-suite totals inflate with suite SIZE (shared-JVM GC pressure:
+    // the 234-query r12 suite read shared queries ~12% above r11, and
+    // q58/q101 looked 2.2x "regressed" while their isolated medians sat
+    // at r11 noise). Regression triage must read from ARTIFACTS, not
+    // prose notes: against the prior round's per-query record
+    // (BENCH_PRIOR.json — refreshed each round from the driver's
+    // BENCH_LOCAL.json; override via SPARK_GRAFT_BENCH_PRIOR), every
+    // same-SF query that drifted >= 1.5x in-suite (and costs >= 0.5 s)
+    // is re-measured back-to-back AFTER the suite — cleared caches,
+    // forced GC, same 3-sample median — and both columns land in the
+    // file record, so the next reader separates plan regressions from
+    // suite pressure without a footnote.
+    val priorPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(priorPath)), "UTF-8")
+      val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty // cross-SF ratios are meaningless — skip
+      else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).toSeq
+        .flatMap(body => """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble))
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+    val drifters = results
+      .flatMap { case (name, tc, _) =>
+        prior.get(name)
+          .filter(p => p > 0 && tc >= 0.5 && tc / p >= 1.5)
+          .map(p => (name, tc / p))
+      }
+      .sortBy(-_._2).take(10)
+    val isolated = drifters.map { case (name, ratio) =>
+      val t = median(Seq.fill(samples)(
+        sample(name, SparkEntry.queries(name))(checksum)))
+      (name, t, ratio)
     }
     // The driver's stdout scrape keeps only the LAST 2000 chars of the
     // line, so a full named per-query map (8+ KB at 162 queries) gets
@@ -113,7 +154,19 @@ object Bench {
     val total = results.map(_._2).sum
     val totalCount = results.map(_._3).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val tail = s""""value_legacy_count":${r3(totalCount)},"failed":$failedJson,"sf":"$sfDir","samples":$samples"""
+    // named full-precision isolated columns (small: <= 10 movers), placed
+    // in both records — they ride the tail, which the clip fallback keeps
+    // when it drops the big ms arrays
+    val isolatedJson = isolated
+      .map { case (n, t, r) => "\"" + n + "\":" + r3(t) }
+      .mkString("{", ",", "}")
+    val driftJson = isolated
+      .map { case (n, _, r) => "\"" + n + "\":" + r3(r) }
+      .mkString("{", ",", "}")
+    val tail = s""""value_legacy_count":${r3(totalCount)},"failed":$failedJson,""" +
+      s""""isolated":$isolatedJson,"drift_in_suite":$driftJson,""" +
+      s""""prior":"${if (prior.isEmpty) "" else priorPath}",""" +
+      s""""sf":"$sfDir","samples":$samples"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val stdoutLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
