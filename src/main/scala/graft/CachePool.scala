@@ -81,4 +81,34 @@ object CachePool {
     * but not this ledger's references, hence the drain loop.)
     */
   def releaseAll(): Unit = unscoped.release()
+
+  /** Session memo for BOUNDED audit/model frames shared across queries —
+    * the NearDupCache stance generalized (r12 verdict item #7): the q229
+    * release card re-executes six registered audits the suite also runs
+    * standalone, and each is bounded audit output (class grids,
+    * per-shard proofs, key censuses — never corpus-sized). Computing a
+    * shared frame once per (key, sf-dir) and localCheckpointing it makes
+    * the card and its components literally the same rows: safe across
+    * [[scoped]] releases and `spark.catalog.clearCache()` because the
+    * checkpoint blocks live outside the catalog's CacheManager, and the
+    * storage held is a handful of audit-sized tables per session — the
+    * deliberate cache-reuse contract, not a leak. Plan-shape pins for
+    * memoized queries target the RAW builders (the memo's return is a
+    * checkpoint scan; the pinned shape is the one the memo builds).
+    */
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def memo(key: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    memos.computeIfAbsent((key, dir), _ => build.localCheckpoint())
+
+  /** Drop every memoized frame. ScalingBench calls this between samples
+    * so scaling curves measure BUILDS, not cache reads — the bench/card
+    * amortization is the feature there, a measurement bug here.
+    */
+  private[graft] def memoClear(): Unit = {
+    memos.values.forEach(_.unpersist(blocking = false))
+    memos.clear()
+  }
 }

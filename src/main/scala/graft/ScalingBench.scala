@@ -103,6 +103,10 @@ object ScalingBench {
     def checksum(df: DataFrame): Unit =
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
     def time(fn: => DataFrame): Double = median(Seq.fill(samples) {
+      // scaling curves measure BUILDS: drop the session audit memos so a
+      // memoized registration (q201/q202/q214/q222/q223/q225) can't turn
+      // samples 2..n into checkpoint reads and fake a flat curve
+      CachePool.memoClear()
       val t0 = System.nanoTime()
       var t = 0.0
       CachePool.scoped {

@@ -638,6 +638,38 @@ object Dedup extends QueryGroup {
   private[graft] val ConfusablesAscii = "aeocp"
   private[graft] val ConfusablesCyr = "\u0430\u0435\u043E\u0441\u0440"
 
+  /** The raw q222 contamination audit (GPT-3 appendix-C dirty metric) —
+    * the plan PlanSpec pins; the registration memoizes it per sf-dir so
+    * the q229 release card and the standalone query share one build.
+    */
+  private[graft] def contaminationAudit(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    val isEval = substring(md5(concat(lit("eval:"),
+      col("doc_id").cast("string"))), 1, 1) < lit("4")
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val grams = when(size(words) >= ContamN,
+      transform(sequence(lit(0), size(words) - ContamN),
+        i => concat_ws(" ", slice(words, i + 1, lit(ContamN)))))
+      .otherwise(array().cast("array<string>"))
+    val ev = docs.filter(isEval).select(col("doc_id"), grams.as("grams"))
+    val evG = ev.select(col("doc_id"), explode(col("grams")).as("g"))
+      .distinct()
+    val trG = docs.filter(!isEval).select(explode(grams).as("g")).distinct()
+    val hit = evG.join(trG, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val tot = evG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    ev.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(hit, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit") * ContamDen >= col("n_grams") * ContamNum &&
+          col("n_grams") > 0L).as("dirty"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // q231 [north star, r12]: HOMOGLYPH (confusable-skeleton) dedup —
     // the Unicode TR39 skeleton discipline applied to corpus cleaning:
@@ -689,32 +721,9 @@ object Dedup extends QueryGroup {
     // distinct (eval doc, gram) pairs meet in a LEFT SEMI join (grams
     // are bounded strings; no doc×doc pairing anywhere); rollups are
     // doc-keyed partial aggs.
-    "q222_contamination_score" -> ((spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
-        .filter(col("text").isNotNull)
-      val isEval = substring(md5(concat(lit("eval:"),
-        col("doc_id").cast("string"))), 1, 1) < lit("4")
-      val words = filter(split(col("text"), " "), w => w =!= "")
-      val grams = when(size(words) >= ContamN,
-        transform(sequence(lit(0), size(words) - ContamN),
-          i => concat_ws(" ", slice(words, i + 1, lit(ContamN)))))
-        .otherwise(array().cast("array<string>"))
-      val ev = docs.filter(isEval).select(col("doc_id"), grams.as("grams"))
-      val evG = ev.select(col("doc_id"), explode(col("grams")).as("g"))
-        .distinct()
-      val trG = docs.filter(!isEval).select(explode(grams).as("g")).distinct()
-      val hit = evG.join(trG, Seq("g"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      val tot = evG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      ev.select(col("doc_id"))
-        .join(tot, Seq("doc_id"), "left")
-        .join(hit, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_grams", "n_hit"))
-        .select(col("doc_id"), col("n_grams"), col("n_hit"),
-          (col("n_hit") * ContamDen >= col("n_grams") * ContamNum &&
-            col("n_grams") > 0L).as("dirty"))
-        .orderBy("doc_id")
-    }),
+    "q222_contamination_score" -> ((spark, dir) =>
+      graft.CachePool.memo("q222_contamination_score", dir)(
+        contaminationAudit(spark, dir))),
     // q190 [north star, r12]: INCREMENTAL near-dup maintenance — the
     // IVM discipline (q184/q186/q188) extended to the LSH tier, the
     // daily-crawl-refresh shape: when a point fix lands, the verified

@@ -249,8 +249,10 @@ object Erasure extends QueryGroup {
     // erasure), loud on any mismatch. The emitted verdict is proven
     // in-plan; the oracle pins it TRUE beside the arithmetic shard
     // facts (the q168/q177 self-validating discipline).
+    // memoized per sf-dir (CachePool.memo): shared with the q229 card.
     "q225_erasure_parity" -> ((spark, dir) =>
-      parityAudit(spark, Tables(spark, dir, "documents"))))
+      graft.CachePool.memo("q225_erasure_parity", dir)(
+        parityAudit(spark, Tables(spark, dir, "documents")))))
 
   def oracles: Map[String, String] = Map(
     "q225_erasure_parity" ->

@@ -265,20 +265,19 @@ object Pipeline extends QueryGroup {
     // query families). Each component is bounded audit output; the
     // card adds only single-row reductions.
     "q229_release_audit_card" -> ((spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
-      val nation = Tables(spark, dir, "nation")
-      val customer = Tables(spark, dir, "customer")
       def card(check: String, metric: String, v: org.apache.spark.sql.Column,
           from: org.apache.spark.sql.DataFrame) =
         from.agg(v.cast("long").as("value"))
           .select(lit(check).as("check"), lit(metric).as("metric"),
             col("value"))
-      val k = Privacy.kAnonymityAudit(customer, nation, Privacy.AnonK)
-        .filter(col("chosen"))
-      val l = Privacy.lDiversityAudit(customer, nation, Privacy.DivL)
-        .filter(col("chosen"))
-      val t = Privacy.tClosenessAudit(customer, nation,
-        Privacy.TNum, Privacy.TDen).filter(col("chosen"))
+      // every component arrives through its registration's per-sf-dir
+      // CachePool.memo (r12 verdict item #7), so the card and the
+      // standalone audits are literally the same checkpointed rows — the
+      // suite builds each component once, and composition fidelity is
+      // physical, not just structural
+      val k = Privacy.kAnonMemo(spark, dir).filter(col("chosen"))
+      val l = Privacy.lDivMemo(spark, dir).filter(col("chosen"))
+      val t = Privacy.tCloseMemo(spark, dir).filter(col("chosen"))
       val contam = Dedup.queries("q222_contamination_score")(spark, dir)
       val parity = Erasure.queries("q225_erasure_parity")(spark, dir)
       val merged = Relational.queries("q223_merge_compaction")(spark, dir)

@@ -259,8 +259,12 @@ object Relational extends QueryGroup {
     // dropping them would un-delete on the next merge), and a
     // double-claimed (key, version) slot refuses loudly. Dump gates
     // are md5-derived (the q188 pattern), mirrored by the oracle.
+    // memoized per sf-dir (CachePool.memo): the q229 release card's merge
+    // census consumes the same rows; the PlanSpec pin targets the raw
+    // mergeCompact(mergeDumps(...)) build.
     "q223_merge_compaction" -> ((spark, dir) =>
-      mergeCompact(mergeDumps(spark, dir))),
+      graft.CachePool.memo("q223_merge_compaction", dir)(
+        mergeCompact(mergeDumps(spark, dir)))),
 
     // q210 [north star, r12]: RFC 4180 CSV line codec — the wire format
     // the codec tier lacked (gzip q02, JSON q03/q04, WARC q169). Both

@@ -725,7 +725,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q222 contaminates via LEFT SEMI on grams, never a doc-pair join") {
-    val df = SparkEntry.queries("q222_contamination_score")(spark, Sf)
+    // the registration memoizes (CachePool.memo) and returns a checkpoint
+    // scan — the pinned shape is the plan the memo BUILDS, so target the
+    // raw builder (same for q223/q201/q202 below)
+    val df = graft.operators.Dedup.contaminationAudit(spark, Sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"),
@@ -736,7 +739,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q223 compacts under hash exchanges only — no corpus window, no cartesian") {
-    val df = SparkEntry.queries("q223_merge_compaction")(spark, Sf)
+    import graft.operators.Relational
+    val df = Relational.mergeCompact(Relational.mergeDumps(spark, Sf))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
@@ -843,7 +847,10 @@ class PlanSpec extends SparkSpec {
     // the ladder is one explode (Generate) into one (level, QI)-keyed
     // partial-aggregating count; the only corpus join is the broadcast
     // nation dimension — no sort-merge, no cartesian
-    val p = plan("q201_k_anonymity")
+    import graft.operators.Privacy
+    val p = Privacy.kAnonymityAudit(Tables(spark, Sf, "customer"),
+      Tables(spark, Sf, "nation"), Privacy.AnonK)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("Generate explode") || p.contains("Generate"),
       "ladder must run as one Expand-style explode pass")
     assert(p.contains("BroadcastHashJoin"),
@@ -855,7 +862,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q202 audits in one Expand pass: broadcast dim join, no corpus pair join") {
-    val p = plan("q202_l_diversity")
+    import graft.operators.Privacy
+    val p = Privacy.lDiversityAudit(Tables(spark, Sf, "customer"),
+      Tables(spark, Sf, "nation"), Privacy.DivL)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("Generate"), "ladder must run as one explode pass")
     assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
