@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -1296,6 +1298,79 @@ class StreamingSpec extends SparkSpec {
     val e3 = intercept[Exception] { q3.processAllAvailable() }
     assert(e3.getMessage != null || e3.getCause != null)
     q3.stop()
+  }
+
+  test("q236 commit protocol: adversarial two-writer races, vacuum refusals, exactly-one-winner") {
+    import spark.implicits._
+    import graft.operators.{LostUpdateException, TableLog}
+    def dump(ids: Seq[Long], tag: String)(v: Long) =
+      ids.map(id => (id, v, "U", s"$tag $id")).toDF("doc_id", "version", "op", "txt")
+    // --- RACE 1: same key, two threads, both based on the same snapshot.
+    // EXACTLY one must win; the loser must get a LOUD LostUpdateException
+    // (which one wins is scheduling — the pin is the invariant).
+    val log1 = new TableLog
+    log1.commit("loader", 0L, None, dump(Seq(1L, 2L, 3L), "base"))
+    val base = log1.snapshotVersion
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    val ths = Seq("w1", "w2").map { w =>
+      new Thread(() => {
+        try results.put(w, log1.commit(w, base, Some(Set(2L)), dump(Seq(2L), w)))
+        catch { case e: LostUpdateException => results.put(w, e) }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    val wins = results.values.asScala.collect { case v: Long => v }.toSeq
+    val losses = results.values.asScala
+      .collect { case e: LostUpdateException => e }.toSeq
+    assert(wins.size == 1 && losses.size == 1,
+      s"exactly one writer must win the slot, got wins=$wins losses=$losses")
+    assert(wins.head == base + 1)
+    assert(log1.snapshotVersion == base + 1)
+    // the loser re-bases on the fresh snapshot and retries: now it sees
+    // the winner's commit in its history and can decide — here it
+    // surrenders the stale edit by NOT re-writing key 2 (app policy),
+    // and a re-based disjoint commit succeeds
+    val retried = log1.commit("loser-rebased", log1.snapshotVersion,
+      Some(Set(9L)), dump(Seq(9L), "rebased"))
+    assert(retried == base + 2)
+    // --- RACE 2: disjoint keys, two threads — BOTH must commit (the
+    // staging race resolves by internal retry-with-re-validation, never
+    // an exception), with distinct consecutive versions.
+    val log2 = new TableLog
+    log2.commit("loader", 0L, None, dump(Seq(1L, 2L), "base"))
+    val b2 = log2.snapshotVersion
+    val r2 = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    val ths2 = Seq(("a", 1L), ("b", 2L)).map { case (w, k) =>
+      new Thread(() => {
+        try r2.put(w, log2.commit(w, b2, Some(Set(k)), dump(Seq(k), w)))
+        catch { case e: Throwable => r2.put(w, e) }
+      })
+    }
+    ths2.foreach(_.start()); ths2.foreach(_.join())
+    val vs = Seq("a", "b").map(r2.get(_))
+    assert(vs.forall(_.isInstanceOf[Long]),
+      s"disjoint writers must both commit, got $vs")
+    assert(vs.map(_.asInstanceOf[Long]).sorted == Seq(b2 + 1, b2 + 2))
+    // --- VACUUM refusals (the q228 ask): a vacuumed version must REFUSE,
+    // not return partial rows; a writer based below the horizon refuses.
+    val log3 = new TableLog
+    log3.commit("loader", 0L, None, dump(Seq(1L), "v1"))
+    log3.commit("w", 1L, Some(Set(1L)), dump(Seq(1L), "v2"))
+    log3.commit("w", 2L, Some(Set(1L)), dump(Seq(1L), "v3"))
+    val preVacuum = log3.readAsOf(3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+    log3.vacuum(2L)
+    intercept[IllegalArgumentException] { log3.readAsOf(1L) }
+    intercept[IllegalArgumentException] {
+      log3.commit("stale", 1L, Some(Set(5L)), dump(Seq(5L), "stale"))
+    }
+    // vacuum transparency at the boundary and above: AS OF 2 (the
+    // checkpoint itself) and AS OF 3 (checkpoint + delta) both answer
+    val post3 = log3.readAsOf(3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+    assert(post3.toSeq == preVacuum.toSeq,
+      "a checkpointed read must equal the full-history read")
+    assert(log3.readAsOf(2L).collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
   test("streaming boilerplate extract == batch q217 on the same pages (shared projection)") {
