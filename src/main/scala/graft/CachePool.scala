@@ -106,9 +106,17 @@ object CachePool {
   /** Drop every memoized frame. ScalingBench calls this between samples
     * so scaling curves measure BUILDS, not cache reads — the bench/card
     * amortization is the feature there, a measurement bug here.
+    * Driver-side model memos (e.g. the q237 trained-cost table) register
+    * a clear hook so one call resets every session memo class.
     */
+  private val memoHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  private[graft] def onMemoClear(f: () => Unit): Unit = memoHooks.add(f)
+
   private[graft] def memoClear(): Unit = {
     memos.values.forEach(_.unpersist(blocking = false))
     memos.clear()
+    memoHooks.forEach(_.apply())
   }
 }

@@ -285,20 +285,48 @@ object Tokenizer extends QueryGroup {
     // DP outputs, uniquely defined under cost ties, so the surface
     // needs zero tie-break rules to hash cross-engine. `ways` pins the
     // whole DP structure (every optimal path counted exactly), not
-    // just the optimum. Scale shape: one token-frequency shuffle
-    // freezes the cost table (in production it is a SHIPPED artifact,
-    // loaded not retrained); segmentation is then MAP-ONLY via the
-    // UnigramViterbi codegen expression (model = |vocab| rows as an
-    // executor reference object; O(len·maxTok) integer DP per word;
-    // zero joins, zero shuffles over the corpus). Oracle: DuckDB
-    // re-derives vocab+costs from the same recursive merge chain and
-    // runs the SAME DP as a recursive CTE carrying the best/ways
-    // arrays as lists — two independent DP implementations, one hash.
+    // just the optimum. Scale shape: the cost table is the TRAINED
+    // q237 artifact ([[trainedUnigram]] — r13: two exact-integer
+    // Viterbi-EM rounds over the q181 seed, memoized per sf-dir; in
+    // production it is a SHIPPED artifact, loaded not retrained);
+    // segmentation is then MAP-ONLY via the UnigramViterbi codegen
+    // expression (model = |vocab| rows as an executor reference object;
+    // O(len·maxTok) integer DP per word; zero joins, zero shuffles over
+    // the corpus). Oracle: DuckDB re-derives vocab + the EM-trained
+    // costs from the same chained CTEs and runs the SAME DP as a
+    // recursive CTE carrying the best/ways arrays as lists — two
+    // independent implementations of training AND inference, one hash.
     "q198_unigram_viterbi" -> ((spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val merges = bpeTrain(wordDict(spark, dir))
-      unigramSegmented(docs, unigramCosts(spark, docs, merges))
+      unigramSegmented(docs, trainedUnigram(spark, dir)._1)
         .orderBy("doc_id")
+    }),
+
+    // q237 [north star, r13]: UNIGRAM-LM EM TRAINING — the training
+    // half q198 froze (the q166 of q198; r12 verdict item #6): from the
+    // q181 frequency-rank seed, run two VITERBI-EM rounds in exact
+    // integers — E-step: per distinct word, hard-EM expected token
+    // counts over ALL min-cost segmentations (forward×suffix path-count
+    // products via the UnigramEdgeCounts codegen expression — tie-
+    // complete, so no tie-break rules exist to drift cross-engine),
+    // weighted by corpus word frequency; M-step: re-rank by (count
+    // desc, token asc), the same monotone −log p surrogate the seed
+    // uses (soft EM's real-valued posteriors cannot hash — the q83
+    // log-free stance; Viterbi training is the standard hard-EM
+    // alternative in the same literature). Output = the trained table
+    // (token, cost, em_count). Oracle: the ENTIRE chain — vocab, seed
+    // costs, and per round a forward DP + a suffix DP as recursive CTEs
+    // carrying list state, the on-optimal-edge condition fb[j] + cost +
+    // sb[e] = opt, frequency-weighted counts, and the re-rank — then
+    // hash-matched against the engine's expression-based trainer.
+    // q198 consumes exactly this table, so its (also re-derived) hash
+    // staying green proves trainer ≡ trainer across engines twice.
+    "q237_unigram_em_train" -> ((spark, dir) => {
+      import spark.implicits._
+      val (costs, cnts) = trainedUnigram(spark, dir)
+      costs.map { case (t, c) => (t, c, cnts(t)) }
+        .sortBy(_._1).toDF("token", "cost", "em_count")
+        .orderBy("token")
     }),
 
     // q215 [north star, r12]: WORDPIECE greedy segmentation — the THIRD
@@ -375,6 +403,65 @@ object Tokenizer extends QueryGroup {
     withFreq.sortBy { case (t, f) => (-f, t) }
       .zipWithIndex.map { case ((t, _), i) => (t, i + 1L) }
   }
+
+  /** One exact-integer VITERBI-EM round (q237): E-step = per distinct
+    * word, hard-EM expected token counts over ALL min-cost segmentations
+    * (the UnigramEdgeCounts expression — forward×suffix path-count
+    * products, exact under ties), weighted by corpus word frequency;
+    * M-step = re-rank the vocab by (count desc, token asc), the same
+    * monotone −log p surrogate as [[unigramCosts]] (the q83/q153
+    * log-free stance: soft EM's real-valued posteriors cannot hash
+    * cross-engine). Scale shape: one word-frequency shuffle + one
+    * map-only DP pass over DISTINCT words + a |vocab|-bounded rollup
+    * collected as model state — the q166 trainer discipline.
+    * Returns (re-ranked costs, the E-step counts that produced them).
+    */
+  private[graft] def unigramEmRound(docs: DataFrame,
+      costs: Seq[(String, Long)]): (Seq[(String, Long)], Map[String, Long]) = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val toks = costs.map(_._1).toArray
+    val cs = costs.map(_._2).toArray
+    val wordFreq = docs.filter(col("text").isNotNull)
+      .select(explode(filter(TextOps.tokens(gatedText), w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val counts = wordFreq
+      .select(col("f"),
+        explode(toColumn(graft.expressions.UnigramEdgeCounts(
+          toExpression(col("w")), toks, cs))).as("e"))
+      .groupBy(col("e.tid").as("tid"))
+      .agg(sum(col("e.cnt") * col("f")).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counted = toks.indices.map(i => (toks(i), counts.getOrElse(i, 0L)))
+    val ranked = counted.sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, _), i) => (t, i + 1L) }
+    (ranked, counted.toMap)
+  }
+
+  /** q237's trained artifact, memoized per sf-dir (driver-held
+    * |vocab|-sized rows — the NearDupCache stance): costs after
+    * [[UnigramEmRounds]] EM rounds from the [[unigramCosts]] seed, plus
+    * the final round's counts. q198 consumes the costs (a tokenizer's
+    * cost table IS a trained, shipped artifact — memoizing training is
+    * the contract, and its bench row measures inference, q237's
+    * measures training).
+    */
+  private[graft] val UnigramEmRounds = 2
+  private val emMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], Map[String, Long])]()
+  graft.CachePool.onMemoClear(() => emMemo.clear())
+  private[graft] def trainedUnigram(spark: SparkSession,
+      dir: String): (Seq[(String, Long)], Map[String, Long]) =
+    emMemo.computeIfAbsent(dir, _ => {
+      val docs = Tables(spark, dir, "documents")
+      val merges = bpeTrain(wordDict(spark, dir))
+      var cur = unigramCosts(spark, docs, merges)
+      var cnts = Map.empty[String, Long]
+      (1 to UnigramEmRounds).foreach { _ =>
+        val (next, c) = unigramEmRound(docs, cur)
+        cur = next; cnts = c
+      }
+      (cur, cnts)
+    })
 
   /** The map-only corpus pass of q198: per word (same whitespace split
     * and loud alphabet gate as the BPE path, empties dropped), the
@@ -620,15 +707,8 @@ object Tokenizer extends QueryGroup {
       s"""WITH RECURSIVE $oracleMergeCtes,
          |${oracleApplyCtes("documents")},
          |$oracleVocabCtes,
-         |costs AS (SELECT v.token,
-         |    CAST(row_number() OVER (ORDER BY COALESCE(tf.freq,0) DESC, v.token) AS BIGINT) AS cost
-         |  FROM vocab v LEFT JOIN tf ON tf.tok = v.token),
-         |mt AS (SELECT MAX(length(token)) AS mx FROM costs),
-         |wordsq AS (SELECT DISTINCT w AS word
-         |  FROM (SELECT unnest(string_split(text,' ')) AS w
-         |        FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
-         |pos AS (SELECT word, CAST(i AS INT) AS e
-         |  FROM wordsq, UNNEST(generate_series(1, length(word))) AS t(i)),
+         |$oracleUnigramEmCtes,
+         |costs AS (SELECT token, cost FROM c$UnigramEmRounds),
          |edges AS (
          |  SELECT p.word, p.e, CAST(j.j AS INT) AS j, c.cost
          |  FROM pos p,
@@ -656,6 +736,19 @@ object Tokenizer extends QueryGroup {
          |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_ws,
          |  CAST(pd.vc AS BIGINT) AS vit_cost, CAST(pd.vw AS BIGINT) AS vit_ways
          |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q237: the WHOLE training chain re-derived — vocab, seed costs,
+    // two rounds of (forward DP + suffix DP + on-optimal-edge counts +
+    // re-rank) as chained recursive CTEs — then the trained table
+    // itself is the output.
+    "q237_unigram_em_train" ->
+      s"""WITH RECURSIVE $oracleMergeCtes,
+         |${oracleApplyCtes("documents")},
+         |$oracleVocabCtes,
+         |$oracleUnigramEmCtes
+         |SELECT cf.token, cf.cost, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS em_count
+         |FROM c$UnigramEmRounds cf
+         |LEFT JOIN cnt$UnigramEmRounds n ON n.token = cf.token
+         |ORDER BY cf.token""".stripMargin,
     // q215: the same greedy walk, independently — vocab inventory from
     // the recursive merge chain (both WordPiece sides carry the same
     // inventory here, so the longest-match table `lm` is
@@ -730,6 +823,82 @@ object Tokenizer extends QueryGroup {
        |vocab AS (SELECT token, token_id FROM base
        |          UNION ALL
        |          SELECT a||b AS token, (SELECT n FROM nb) + rank - 1 FROM m)""".stripMargin
+
+  /** The q237 EM-training chain as DuckDB CTEs (assumes `vocab` + `tf`
+    * in scope): seed costs `c0` (the q181 frequency rank), shared
+    * `mt`/`wordsq`/`wfq`/`pos`, then per round r: token edges under
+    * c{r-1}, a FORWARD best/ways DP and a SUFFIX best/ways DP (both
+    * recursive CTEs carrying list state — the suffix lists are indexed
+    * from the word's END, entry m holding sb[len-m+1]), the
+    * on-optimal-edge condition fb[j] + cost + sb[e] = fb[len],
+    * frequency-weighted tie-complete counts `cnt{r}`, and the re-ranked
+    * `c{r}`. MATERIALIZED everywhere a CTE is read twice (the
+    * oracleMergeCtes lesson).
+    */
+  private[graft] def oracleUnigramEmCtes: String = {
+    def round(r: Int, prev: String): String =
+      s"""edges$r AS MATERIALIZED (
+         |  SELECT p.word, p.e, CAST(j.j AS INT) AS j, c.token, c.cost
+         |  FROM pos p,
+         |       UNNEST(generate_series(GREATEST(0, p.e - (SELECT mx FROM mt)), p.e - 1)) AS j(j),
+         |       $prev c
+         |  WHERE c.token = substring(p.word, CAST(j.j AS INT) + 1, p.e - CAST(j.j AS INT))),
+         |elf$r AS MATERIALIZED (SELECT word, e, list(struct_pack(j := j, cost := cost)) AS lst
+         |       FROM edges$r GROUP BY word, e),
+         |els$r AS MATERIALIZED (SELECT word, j, list(struct_pack(e := e, cost := cost)) AS lst
+         |       FROM edges$r GROUP BY word, j),
+         |dpf$r AS (
+         |  SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS bests, [CAST(1 AS BIGINT)] AS ways
+         |  FROM wordsq
+         |  UNION ALL
+         |  SELECT d.word, d.i + 1,
+         |    list_append(d.bests, list_min([d.bests[s.j+1] + s.cost FOR s IN e.lst])),
+         |    list_append(d.ways, CAST(list_sum(
+         |      [d.ways[s.j+1] FOR s IN e.lst
+         |       IF d.bests[s.j+1] + s.cost = list_min([d.bests[x.j+1] + x.cost FOR x IN e.lst])]) AS BIGINT))
+         |  FROM dpf$r d JOIN elf$r e ON e.word = d.word AND e.e = d.i + 1),
+         |dps$r AS (
+         |  SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS bests, [CAST(1 AS BIGINT)] AS ways
+         |  FROM wordsq
+         |  UNION ALL
+         |  SELECT d.word, d.i + 1,
+         |    list_append(d.bests,
+         |      list_min([d.bests[length(d.word) - s.e + 1] + s.cost FOR s IN e.lst])),
+         |    list_append(d.ways, CAST(list_sum(
+         |      [d.ways[length(d.word) - s.e + 1] FOR s IN e.lst
+         |       IF d.bests[length(d.word) - s.e + 1] + s.cost =
+         |          list_min([d.bests[length(d.word) - x.e + 1] + x.cost FOR x IN e.lst])]) AS BIGINT))
+         |  FROM dps$r d JOIN els$r e ON e.word = d.word AND e.j = length(d.word) - d.i - 1),
+         |fin$r AS MATERIALIZED (SELECT word, bests, ways FROM dpf$r WHERE i = length(word)),
+         |sfin$r AS MATERIALIZED (SELECT word, bests AS sbests, ways AS sways
+         |        FROM dps$r WHERE i = length(word)),
+         |cnt$r AS MATERIALIZED (
+         |  SELECT e.token,
+         |    SUM(q.f * f.ways[e.j + 1] * s.sways[length(e.word) - e.e + 1]) AS cnt
+         |  FROM edges$r e
+         |  JOIN fin$r f ON f.word = e.word
+         |  JOIN sfin$r s ON s.word = e.word
+         |  JOIN wfq q ON q.word = e.word
+         |  WHERE f.bests[e.j + 1] + e.cost + s.sbests[length(e.word) - e.e + 1]
+         |        = f.bests[length(e.word) + 1]
+         |  GROUP BY e.token),
+         |c$r AS MATERIALIZED (SELECT v.token,
+         |    CAST(row_number() OVER (ORDER BY COALESCE(n.cnt, 0) DESC, v.token) AS BIGINT) AS cost
+         |  FROM vocab v LEFT JOIN cnt$r n ON n.token = v.token)""".stripMargin
+    s"""c0 AS MATERIALIZED (SELECT v.token,
+       |    CAST(row_number() OVER (ORDER BY COALESCE(tf.freq, 0) DESC, v.token) AS BIGINT) AS cost
+       |  FROM vocab v LEFT JOIN tf ON tf.tok = v.token),
+       |mt AS (SELECT MAX(length(token)) AS mx FROM vocab),
+       |wordsq AS MATERIALIZED (SELECT DISTINCT w AS word
+       |  FROM (SELECT unnest(string_split(text,' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL) t WHERE w <> ''),
+       |wfq AS MATERIALIZED (SELECT w AS word, COUNT(*) AS f
+       |  FROM (SELECT unnest(string_split(text,' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL) t WHERE w <> '' GROUP BY w),
+       |pos AS MATERIALIZED (SELECT word, CAST(i AS INT) AS e
+       |  FROM wordsq, UNNEST(generate_series(1, length(word))) AS t(i)),
+       |${(1 to UnigramEmRounds).map(r => round(r, s"c${r - 1}")).mkString(",\n")}""".stripMargin
+  }
 
   /** The tokenize-application CTEs (`dw` → recursive `ap` → `perdoc`)
     * over an arbitrary source, ending in perdoc(doc_id, n_bpe). Assumes

@@ -411,4 +411,39 @@ class ExpressionParitySpec extends SparkSpec {
         s"word '$w': interpreted ${(row.getLong(0), row.getLong(1))} != codegen ${viaDf(w)}")
     }
   }
+
+  test("UnigramEdgeCounts interpreted eval == codegen path on corpus words") {
+    import graft.expressions.UnigramEdgeCounts
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.operators.Tokenizer
+    val docs = Tables(spark, Sf, "documents")
+    val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
+    val costs = Tokenizer.unigramCosts(spark, docs, merges)
+    val toks = costs.map(_._1).toArray
+    val cs = costs.map(_._2).toArray
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    val viaDf = words.toSeq.toDF("w")
+      .select(col("w"), org.apache.spark.sql.graftbridge.toColumn(
+        UnigramEdgeCounts(org.apache.spark.sql.graftbridge.toExpression(col("w")),
+          toks, cs)).as("e"))
+      .select(col("w"), col("e"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getLong(1))).toSeq
+      }.toMap
+    words.foreach { w =>
+      val arr = UnigramEdgeCounts(Literal(UTF8String.fromString(w)), toks, cs)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      val got = (0 until arr.numElements()).map { i =>
+        val s = arr.getStruct(i, 2)
+        (s.getInt(0), s.getLong(1))
+      }
+      assert(got == viaDf(w), s"word '$w': interpreted $got != codegen ${viaDf(w)}")
+    }
+  }
 }

@@ -4289,6 +4289,74 @@ class OperatorSpec extends SparkSpec {
     assert(!comps.contains(99L), "components only label edge-touched docs")
   }
 
+  test("q237 EM counts == exhaustive optimal-path enumeration; cost-mass identity; q198 reads the trained table") {
+    import graft.expressions.{UnigramEdgeCounts, UnigramViterbi}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // THIRD implementation on a tie-rich toy vocab: enumerate EVERY
+    // segmentation, keep the min-cost ones, count token occurrences —
+    // the expression must match exactly (ties included: 'ab'+'c' and
+    // 'a'+'bc' both cost 3 below, so counts mix both paths)
+    val toks = Array("a", "b", "c", "ab", "bc", "abc")
+    val cs = Array(2L, 2L, 1L, 2L, 3L, 9L)
+    val tid = toks.zipWithIndex.toMap
+    def enumCounts(w: String): Map[Int, Long] = {
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq.empty)
+        else (1 to s.length).flatMap { k =>
+          val h = s.substring(0, k)
+          if (tid.contains(h)) segs(s.substring(k)).map(h +: _) else Seq.empty
+        }
+      val all = segs(w)
+      assert(all.nonEmpty, s"'$w' uncoverable")
+      val costOf = (g: Seq[String]) => g.map(t => cs(tid(t))).sum
+      val best = all.map(costOf).min
+      val opt = all.filter(costOf(_) == best)
+      opt.flatten.groupBy(t => tid(t)).map { case (k, v) => k -> v.size.toLong }
+    }
+    def exprCounts(w: String): Map[Int, Long] = {
+      val arr = UnigramEdgeCounts(Literal(UTF8String.fromString(w)), toks, cs)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      (0 until arr.numElements()).map { i =>
+        val s = arr.getStruct(i, 2); (s.getInt(0), s.getLong(1))
+      }.toMap
+    }
+    val words = Seq("abc", "abcabc", "aabbcc", "abcbcab", "c", "ab",
+      "abcabcabcabc", "cba", "bcbcbc")
+    words.foreach { w =>
+      assert(exprCounts(w) == enumCounts(w), s"counts drifted on '$w'")
+      // cost-mass identity: every optimal path spends exactly `best`, so
+      // sum(cnt(t) * cost(t)) == ways * best — ties the edge-count DP to
+      // the q198 (best, ways) DP analytically
+      val row = UnigramViterbi(Literal(UTF8String.fromString(w)), toks, cs)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      val (best, ways) = (row.getLong(0), row.getLong(1))
+      val mass = exprCounts(w).map { case (t, n) => n * cs(t) }.sum
+      assert(mass == ways * best,
+        s"'$w': cost mass $mass != ways*best ${ways * best}")
+    }
+    // the registered surface: q237's table is what q198 now consumes —
+    // re-segmenting under the exported table must reproduce q198 exactly
+    val trained = SparkEntry.queries("q237_unigram_em_train")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaTable = graft.operators.Tokenizer
+      .unigramSegmented(Tables(spark, Sf, "documents"), trained)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.get(2), r.get(3))).toSeq
+    val q198 = SparkEntry.queries("q198_unigram_viterbi")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.get(2), r.get(3))).toSeq
+    assert(viaTable == q198, "q198 must read exactly the q237 artifact")
+    // EM moved the table: at least one token's cost changed from the seed
+    val merges = graft.operators.Tokenizer.bpeTrain(
+      graft.operators.Tokenizer.wordDict(spark, Sf))
+    val seed = graft.operators.Tokenizer.unigramCosts(spark,
+      Tables(spark, Sf, "documents"), merges).toMap
+    assert(trained.exists { case (t, c) => seed(t) != c },
+      "EM rounds must actually move at least one rank on this corpus")
+  }
+
   test("q235 sparse cluster collapse == q233 row-for-row; edge list linear; bucket-head counterexample connected") {
     import spark.implicits._
     import graft.operators.Multimodal
