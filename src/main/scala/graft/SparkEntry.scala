@@ -17,7 +17,7 @@ object SparkEntry {
     Relational, Joins, Aggregates, Windows, Scalars,
     TextAnalysis, Dedup, Similarity, Multimodal, Curation, Retrieval,
     Behavior, Tokenizer, Pq, Pipeline, SuffixScrub, Privacy, Sketches,
-    Graph, Fuzzy, Erasure, Txn)
+    Graph, Fuzzy, Erasure, Txn, Footer)
 
   /** Flagship query (the reference's whole dataflow in batch form) on
     * sf=0.001; driver smoke-checks rows>0.

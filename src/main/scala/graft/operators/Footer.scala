@@ -1,0 +1,386 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet FOOTER reader — the metadata surface a 100 TB table's query
+  * planner actually consumes (row-group pruning, stats-based skipping,
+  * size-based split planning all read the footer, never the data), as an
+  * in-engine, pure-JDK implementation of the published format: the file
+  * tail is `[FileMetaData (thrift compact protocol)] [len: 4-byte LE]
+  * ["PAR1"]` (parquet-format THRIFT spec + the thrift compact-protocol
+  * spec). The q220 USTAR / q169 WARC discipline applied to the engine's
+  * OWN storage format: byte-level, loud on malformed input, verified
+  * against an independent implementation — the DuckDB oracle recomputes
+  * every data-derivable fact (value counts, null counts, min/max) from
+  * the DATA, so the hash match proves the thrift walk AND that the
+  * footers carry exact statistics.
+  *
+  * Scale shape: footers are read one ranged tail-read per file in a
+  * distributed map (no data pages touched — the whole point; a 100 TB
+  * table's planning reads MBs, not TBs), and the output is
+  * schema-bounded (one row per leaf column).
+  *
+  * Audit scope: leaf columns at depth 1 whose physical type is
+  * INT32/INT64 with no non-integer logical annotation, or BYTE_ARRAY
+  * with the String logical type — the types whose statistics render
+  * identically from the footer (plain-encoded LE ints / UTF-8 bytes)
+  * and from SQL (`CAST(MIN(col) AS VARCHAR)`). DOUBLE/FLOAT (IEEE repr
+  * drift) and TIMESTAMP/DATE (epoch-int vs rendered-string) are
+  * excluded by the same predicate on BOTH sides, so scope itself is
+  * part of the checked contract.
+  */
+object Footer extends QueryGroup {
+
+  /** One audited column-chunk statistic, aggregated across row groups. */
+  case class ColStat(tbl: String, column: String, physical: String,
+      codec: String, n_values: Long, null_count: Long,
+      min_value: String, max_value: String)
+
+  // ---- thrift compact protocol ---------------------------------------
+
+  /** Minimal compact-protocol reader: varints, zigzag, field headers,
+    * and skip for every wire type — enough to walk any struct while
+    * capturing only the fields the audit needs (unknown/new fields skip
+    * cleanly, the format's own forward-compat contract).
+    */
+  private final class CompactReader(buf: Array[Byte]) {
+    var p = 0
+    def u8(): Int = { val b = buf(p) & 0xff; p += 1; b }
+    def varint(): Long = {
+      var x = 0L; var sh = 0; var b = 0
+      do { b = u8(); x |= (b & 0x7fL) << sh; sh += 7 } while ((b & 0x80) != 0)
+      x
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    def bytes(): Array[Byte] = {
+      val n = varint().toInt
+      val a = java.util.Arrays.copyOfRange(buf, p, p + n); p += n; a
+    }
+    def str(): String = new String(bytes(), "UTF-8")
+    def listHeader(): (Int, Int) = { // (elemType, size)
+      val b = u8()
+      val t = b & 0x0f
+      val s0 = (b >>> 4) & 0x0f
+      (t, if (s0 == 15) varint().toInt else s0)
+    }
+    def skip(tpe: Int): Unit = tpe match {
+      case 1 | 2 => () // bool value rides the field-header type nibble
+      case 3      => p += 1
+      case 4 | 5 | 6 => zigzag()
+      case 7      => p += 8
+      case 8      => { val n = varint().toInt; p += n }
+      case 9 | 10 =>
+        val (et, n) = listHeader(); var i = 0
+        while (i < n) { skip(et); i += 1 }
+      case 11 =>
+        val b = u8()
+        if (b != 0) { // non-empty map: size was the varint before types
+          // compact maps: varint size, then one byte (kt<<4|vt) — we read
+          // the first byte already as part of size; re-read properly:
+          // (maps never appear in parquet footers; loud is better)
+          throw new IllegalStateException("parquet footer: unexpected thrift map")
+        }
+      case 12 => skipStruct()
+      case t  => throw new IllegalStateException(s"thrift compact: bad type $t")
+    }
+    def skipStruct(): Unit = {
+      var lastId = 0
+      var b = u8()
+      while (b != 0) {
+        val t = b & 0x0f
+        val delta = (b >>> 4) & 0x0f
+        lastId = if (delta != 0) lastId + delta else zigzag().toInt
+        skip(t)
+        b = u8()
+      }
+    }
+    /** Walk one struct, calling `f(fieldId, wireType)` per field; `f`
+      * must consume the value (or call skip). */
+    def struct(f: (Int, Int) => Unit): Unit = {
+      var lastId = 0
+      var b = u8()
+      while (b != 0) {
+        val t = b & 0x0f
+        val delta = (b >>> 4) & 0x0f
+        lastId = if (delta != 0) lastId + delta else zigzag().toInt
+        f(lastId, t)
+        b = u8()
+      }
+    }
+  }
+
+  // ---- footer model ---------------------------------------------------
+
+  private case class SchemaLeaf(name: String, physical: Int,
+      logicalUnion: Int, depth: Int) // logicalUnion: -1 none, else union id
+
+  private case class ChunkStats(codec: Int, numValues: Long,
+      nullCount: Long, minV: Array[Byte], maxV: Array[Byte])
+
+  private val PhysicalNames = Map(0 -> "BOOLEAN", 1 -> "INT32", 2 -> "INT64",
+    3 -> "INT96", 4 -> "FLOAT", 5 -> "DOUBLE", 6 -> "BYTE_ARRAY",
+    7 -> "FIXED_LEN_BYTE_ARRAY")
+  private val CodecNames = Map(0 -> "UNCOMPRESSED", 1 -> "SNAPPY", 2 -> "GZIP",
+    3 -> "LZO", 4 -> "BROTLI", 5 -> "LZ4", 6 -> "ZSTD", 7 -> "LZ4_RAW")
+  // LogicalType union field ids (parquet-format): 1 STRING ... 8 TIMESTAMP
+  private val LogicalString = 1
+  private val LogicalInteger = 10
+
+  private def leLong(b: Array[Byte]): Long = {
+    require(b.length == 8, s"INT64 stat must be 8 bytes, got ${b.length}")
+    java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+  private def leInt(b: Array[Byte]): Int = {
+    require(b.length == 4, s"INT32 stat must be 4 bytes, got ${b.length}")
+    java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+  }
+
+  /** Read + parse one file's footer into audited column stats. */
+  private[graft] def readFooter(tbl: String, path: String): Seq[ColStat] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    val meta = try {
+      val len = raf.length()
+      require(len > 12, s"$path: too short to be parquet")
+      val tail = new Array[Byte](8)
+      raf.seek(len - 8); raf.readFully(tail)
+      require(new String(tail, 4, 4, "US-ASCII") == "PAR1",
+        s"$path: missing PAR1 tail magic")
+      val fLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(fLen > 0 && fLen <= len - 12, s"$path: bad footer length $fLen")
+      val buf = new Array[Byte](fLen)
+      raf.seek(len - 8 - fLen); raf.readFully(buf)
+      buf
+    } finally raf.close()
+
+    val r = new CompactReader(meta)
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[SchemaLeaf]
+    // one entry per column chunk, accumulated across row groups by index
+    val chunks = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[ChunkStats]]
+
+    // stack entry = remaining child slots of each open group; an element
+    // consumes one slot of its parent, a group then opens its own count,
+    // and exhausted groups pop as soon as their last DESCENDANT leaf lands
+    def parseSchemaElement(
+        stack: scala.collection.mutable.ArrayBuffer[Int],
+        isRoot: Boolean): Unit = {
+      var physical = -1; var name = ""; var nChildren = 0
+      var logical = -1
+      r.struct { (id, t) =>
+        (id, t) match {
+          case (1, _)  => physical = r.zigzag().toInt
+          case (4, 8)  => name = r.str()
+          case (5, _)  => nChildren = r.zigzag().toInt
+          case (10, 12) => // LogicalType: a union — capture the member id
+            r.struct { (uid, ut) => logical = uid; r.skip(ut) }
+          case _       => r.skip(t)
+        }
+      }
+      if (isRoot) {
+        require(nChildren > 0, s"$path: schema root has no children")
+        stack += nChildren
+      } else {
+        val depth = stack.length
+        require(depth > 0, s"$path: schema element '$name' outside the tree")
+        stack(stack.length - 1) -= 1
+        if (nChildren > 0) stack += nChildren
+        else {
+          leaves += SchemaLeaf(name, physical, logical, depth)
+          while (stack.nonEmpty && stack.last == 0)
+            stack.remove(stack.length - 1)
+        }
+      }
+    }
+
+    def parseStatistics(): (Long, Array[Byte], Array[Byte]) = {
+      var nulls = 0L; var minV: Array[Byte] = null; var maxV: Array[Byte] = null
+      r.struct { (id, t) =>
+        (id, t) match {
+          case (3, _) => nulls = r.zigzag()
+          case (5, 8) => maxV = r.bytes()
+          case (6, 8) => minV = r.bytes()
+          case _      => r.skip(t)
+        }
+      }
+      (nulls, minV, maxV)
+    }
+
+    def parseColumnMeta(): ChunkStats = {
+      var codec = -1; var nv = -1L; var nulls = 0L
+      var minV: Array[Byte] = null; var maxV: Array[Byte] = null
+      r.struct { (id, t) =>
+        (id, t) match {
+          case (4, _)   => codec = r.zigzag().toInt
+          case (5, _)   => nv = r.zigzag()
+          case (12, 12) =>
+            val (n, mn, mx) = parseStatistics()
+            nulls = n; minV = mn; maxV = mx
+          case _        => r.skip(t)
+        }
+      }
+      ChunkStats(codec, nv, nulls, minV, maxV)
+    }
+
+    def parseColumnChunk(idx: Int): Unit = {
+      var st: ChunkStats = null
+      r.struct { (id, t) =>
+        (id, t) match {
+          case (3, 12) => st = parseColumnMeta()
+          case _       => r.skip(t)
+        }
+      }
+      require(st != null, s"$path: column chunk $idx carries no metadata")
+      while (chunks.length <= idx)
+        chunks += scala.collection.mutable.ArrayBuffer.empty[ChunkStats]
+      chunks(idx) += st
+    }
+
+    r.struct { (id, t) =>
+      (id, t) match {
+        case (2, 9) => // schema: list<SchemaElement>
+          val (et, n) = r.listHeader()
+          require(et == 12, s"$path: schema list of type $et")
+          val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < n) { parseSchemaElement(stack, isRoot = i == 0); i += 1 }
+        case (4, 9) => // row_groups: list<RowGroup>
+          val (et, n) = r.listHeader()
+          require(et == 12, s"$path: row_groups list of type $et")
+          var g = 0
+          while (g < n) {
+            r.struct { (gid, gt) =>
+              (gid, gt) match {
+                case (1, 9) => // columns: list<ColumnChunk>
+                  val (cet, cn) = r.listHeader()
+                  require(cet == 12, s"$path: columns list of type $cet")
+                  var c = 0
+                  while (c < cn) { parseColumnChunk(c); c += 1 }
+                case _ => r.skip(gt)
+              }
+            }
+            g += 1
+          }
+        case _ => r.skip(t)
+      }
+    }
+
+    require(leaves.nonEmpty, s"$path: footer carries no schema leaves")
+    require(chunks.length == leaves.length,
+      s"$path: ${chunks.length} chunk columns vs ${leaves.length} schema leaves")
+
+    leaves.zipWithIndex.flatMap { case (leaf, i) =>
+      val audited = leaf.depth == 1 && (leaf.physical match {
+        case 1 | 2 => leaf.logicalUnion == -1 || leaf.logicalUnion == LogicalInteger
+        case 6     => leaf.logicalUnion == LogicalString
+        case _     => false
+      })
+      if (!audited) None
+      else {
+        val parts = chunks(i)
+        require(parts.forall(p => p.minV != null && p.maxV != null),
+          s"$path: column '${leaf.name}' missing min/max statistics — " +
+            "a stats-blind audit would advise garbage")
+        val codecs = parts.map(_.codec).distinct
+        require(codecs.length == 1, s"$path: mixed codecs for '${leaf.name}'")
+        def render(b: Array[Byte]): String = leaf.physical match {
+          case 1 => leInt(b).toString
+          case 2 => leLong(b).toString
+          case 6 => new String(b, "UTF-8")
+        }
+        val (minS, maxS) = leaf.physical match {
+          case 6 =>
+            (parts.map(p => render(p.minV)).min, parts.map(p => render(p.maxV)).max)
+          case 1 =>
+            (parts.map(p => leInt(p.minV)).min.toString,
+              parts.map(p => leInt(p.maxV)).max.toString)
+          case _ =>
+            (parts.map(p => leLong(p.minV)).min.toString,
+              parts.map(p => leLong(p.maxV)).max.toString)
+        }
+        Some(ColStat(tbl, leaf.name, PhysicalNames(leaf.physical),
+          CodecNames(codecs.head), parts.map(_.numValues).sum,
+          parts.map(_.nullCount).sum, minS, maxS))
+      }
+    }.toSeq
+  }
+
+  /** The distributed footer scan: one ranged tail-read per file. */
+  private[graft] def footerStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = graft.Tables.all.map(t => (t, s"$dir/$t.parquet"))
+    spark.createDataset(files)
+      .repartition(files.size)
+      .mapPartitions(_.flatMap { case (t, p) => readFooter(t, p) })
+      .toDF()
+      .orderBy("tbl", "column")
+  }
+
+  /** The (table, column, select-expr) audit scope the ORACLE re-derives
+    * from data — engine scope comes from the footer schema walk, oracle
+    * scope from this list; a drift between the two fails the row-count
+    * gate, so the inclusion predicate is itself checked.
+    */
+  private val OracleScope: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "INT64"),
+    ("customer", "c_name", "BYTE_ARRAY"),
+    ("customer", "c_nationkey", "INT32"),
+    ("customer", "c_mktsegment", "BYTE_ARRAY"),
+    ("documents", "doc_id", "INT64"),
+    ("documents", "text", "BYTE_ARRAY"),
+    ("documents", "lang", "BYTE_ARRAY"),
+    ("documents", "source", "BYTE_ARRAY"),
+    ("documents", "n_chars", "INT64"),
+    ("embeddings", "vec_id", "INT64"),
+    ("embeddings", "label", "INT32"),
+    ("events", "event_id", "INT64"),
+    ("events", "user_id", "INT64"),
+    ("events", "event_type", "BYTE_ARRAY"),
+    ("events", "props", "BYTE_ARRAY"),
+    ("lineitem", "l_orderkey", "INT64"),
+    ("lineitem", "l_partkey", "INT64"),
+    ("lineitem", "l_suppkey", "INT64"),
+    ("lineitem", "l_linenumber", "INT32"),
+    ("lineitem", "l_returnflag", "BYTE_ARRAY"),
+    ("lineitem", "l_linestatus", "BYTE_ARRAY"),
+    ("nation", "n_nationkey", "INT32"),
+    ("nation", "n_name", "BYTE_ARRAY"),
+    ("nation", "n_regionkey", "INT32"),
+    ("orders", "o_orderkey", "INT64"),
+    ("orders", "o_custkey", "INT64"),
+    ("orders", "o_orderstatus", "BYTE_ARRAY"),
+    ("orders", "o_orderpriority", "BYTE_ARRAY"),
+    ("part", "p_partkey", "INT64"),
+    ("part", "p_name", "BYTE_ARRAY"),
+    ("part", "p_brand", "BYTE_ARRAY"),
+    ("part", "p_type", "BYTE_ARRAY"),
+    ("part", "p_size", "INT32"),
+    ("region", "r_regionkey", "INT32"),
+    ("region", "r_name", "BYTE_ARRAY"),
+    ("supplier", "s_suppkey", "INT64"),
+    ("supplier", "s_name", "BYTE_ARRAY"),
+    ("supplier", "s_nationkey", "INT32"))
+
+  def queries: Map[String, Q] = Map(
+    // q239 [north star, r13]: REAL parquet footer statistics, read by
+    // the engine's own byte-level thrift-compact walker and checked
+    // against the DATA — the metadata a planner prunes by, proven to
+    // say the truth. The codec column is the format-literal leg (the
+    // q168 self-validating discipline); everything else is recomputed
+    // from the rows by the oracle.
+    "q239_parquet_footer_stats" -> ((spark, dir) => footerStats(spark, dir)))
+
+  def oracles: Map[String, String] = Map(
+    "q239_parquet_footer_stats" -> (
+      OracleScope.map { case (t, c, phys) =>
+        s"""SELECT '$t' AS tbl, '$c' AS "column", '$phys' AS physical,
+           |  'SNAPPY' AS codec, CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS null_count,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM $t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, \"column\"")))
+}

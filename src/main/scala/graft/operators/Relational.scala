@@ -141,6 +141,70 @@ object Relational extends QueryGroup {
     * Rows with NULL in an audited column are refused loudly (a size
     * model with silent null handling advises garbage).
     */
+  /** q238's row-group size: small enough that sf0.001's 500 rows still
+    * make 8 groups, large enough that pruning is non-trivial.
+    */
+  private[graft] val PruneGroupRows = 64L
+
+  /** The candidate layouts and predicate workload of [[pruningAdvisor]] —
+    * every order ends in doc_id so ranks are total (hash-portable).
+    */
+  private[graft] val PruneLayouts: Seq[(String, Seq[String])] = Seq(
+    ("as_written", Seq("doc_id")),
+    ("by_length", Seq("n_chars", "doc_id")),
+    ("by_source", Seq("source", "doc_id")))
+
+  private[graft] def pruningAdvisor(docs: DataFrame): DataFrame = {
+    val perLayout = PruneLayouts.map { case (name, ord) =>
+      val groups = Curation.scanRank(docs, ord.map(col))
+        .withColumn("grp", ((col("rank") - 1L) / PruneGroupRows).cast("long"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("source")).as("mn_src"), max(col("source")).as("mx_src"),
+          min(col("lang")).as("mn_lang"), max(col("lang")).as("mx_lang"),
+          min(col("n_chars")).as("mn_nc"), max(col("n_chars")).as("mx_nc"),
+          min(col("doc_id")).as("mn_id"), max(col("doc_id")).as("mx_id"))
+      // a group is SCANNED iff its [min, max] overlaps the predicate —
+      // the exact footer-stats pruning rule (no false skips, the only
+      // sound direction)
+      val preds = Seq(
+        ("lang_eq_en",
+          col("mn_lang") <= lit("en") && col("mx_lang") >= lit("en")),
+        ("nchars_100_199",
+          col("mn_nc") <= lit(199L) && col("mx_nc") >= lit(100L)),
+        ("docid_100_149",
+          col("mn_id") <= lit(149L) && col("mx_id") >= lit(100L)),
+        ("source_eq_src3",
+          col("mn_src") <= lit("src3") && col("mx_src") >= lit("src3")))
+      val one = groups.agg(
+        count(lit(1)).as("n_groups"),
+        (preds.flatMap { case (p, cond) =>
+          Seq(sum(when(cond, 1L).otherwise(0L)).as(s"g_$p"),
+            sum(when(cond, col("n_rows")).otherwise(0L)).as(s"r_$p"))
+        }): _*)
+      one.select(lit(name).as("layout"), col("n_groups"),
+        explode(array(preds.map { case (p, _) =>
+          struct(lit(p).as("predicate"), col(s"g_$p").as("groups_scanned"),
+            col(s"r_$p").as("rows_scanned"))
+        }: _*)).as("x"))
+        .select(col("layout"), col("x.predicate"), col("n_groups"),
+          col("x.groups_scanned"), col("x.rows_scanned"))
+    }.reduce(_ unionByName _)
+    // advised = strict (rows_scanned, groups_scanned, layout) minimum per
+    // predicate; the window runs over the |layouts|x|predicates| advisory
+    // frame (12 rows), never the corpus
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("predicate"))
+    perLayout
+      .withColumn("best", min(struct(col("rows_scanned"),
+        col("groups_scanned"), col("layout"))).over(w))
+      .withColumn("advised",
+        col("best.rows_scanned") === col("rows_scanned") &&
+          col("best.groups_scanned") === col("groups_scanned") &&
+          col("best.layout") === col("layout"))
+      .drop("best")
+      .orderBy("predicate", "layout")
+  }
+
   private[graft] def idxBytes(card: Long): Long = {
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(card, 2L) - 1L)
@@ -244,6 +308,22 @@ object Relational extends QueryGroup {
     // from bounded scalars.
     "q234_encoding_advisor" -> ((spark, dir) =>
       encodingAdvisor(spark, Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")))),
+
+    // q238 [north star, r13]: SORT-LAYOUT PRUNING ADVISOR — the OTHER
+    // decision a Parquet-class writer makes (q234 chose encodings; this
+    // chooses the sort order): for each candidate layout, partition the
+    // table into row groups of PruneGroupRows under that order, take
+    // per-group min/max (exactly what the writer would put in the q239
+    // footer), and count the groups/rows a representative predicate
+    // workload CANNOT prune — the real cost model behind Z-ordering and
+    // clustering keys. `advised` = the strict (rows_scanned, layout)
+    // minimum per predicate. Scale: one scanRank pass per layout (range
+    // partition + local windows + broadcast offsets — zero global
+    // windows over the corpus), then everything is group-count-bounded;
+    // the windows below run over the 12-row advisory frame.
+    "q238_layout_pruning_advisor" -> ((spark, dir) =>
+      pruningAdvisor(Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars")))),
 
     // q228 [north star, r12]: TIME-TRAVEL read — the q223 dump set AS
@@ -887,6 +967,58 @@ object Relational extends QueryGroup {
     // q234: the same size models via LAG windows; idxBytes as threshold
     // CASEs (log-free), varint via 7-bit thresholds, advised = the
     // (bytes, encoding)-min row per column.
+    // q238: the same group/min-max/overlap arithmetic via ROW_NUMBER per
+    // layout; advised = rank 1 under (rows, groups, layout) — unique
+    // because layout is a tiebreak, so it equals the engine's strict-min
+    // struct equality.
+    "q238_layout_pruning_advisor" ->
+      s"""WITH rk AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r0,
+         |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS r1,
+         |    ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS r2
+         |  FROM documents),
+         |lay AS (
+         |  SELECT 'as_written' AS layout, r0 // $PruneGroupRows AS grp,
+         |         source, lang, n_chars, doc_id FROM rk
+         |  UNION ALL
+         |  SELECT 'by_length', r1 // $PruneGroupRows,
+         |         source, lang, n_chars, doc_id FROM rk
+         |  UNION ALL
+         |  SELECT 'by_source', r2 // $PruneGroupRows,
+         |         source, lang, n_chars, doc_id FROM rk),
+         |g AS (SELECT layout, grp, COUNT(*) AS n_rows,
+         |        MIN(source) AS mns, MAX(source) AS mxs,
+         |        MIN(lang) AS mnl, MAX(lang) AS mxl,
+         |        MIN(n_chars) AS mnn, MAX(n_chars) AS mxn,
+         |        MIN(doc_id) AS mni, MAX(doc_id) AS mxi
+         |      FROM lay GROUP BY layout, grp),
+         |p AS (
+         |  SELECT layout, 'lang_eq_en' AS predicate, COUNT(*) AS n_groups,
+         |    SUM(CASE WHEN mnl <= 'en' AND mxl >= 'en' THEN 1 ELSE 0 END) AS gs,
+         |    SUM(CASE WHEN mnl <= 'en' AND mxl >= 'en' THEN n_rows ELSE 0 END) AS rs
+         |  FROM g GROUP BY layout
+         |  UNION ALL
+         |  SELECT layout, 'nchars_100_199', COUNT(*),
+         |    SUM(CASE WHEN mnn <= 199 AND mxn >= 100 THEN 1 ELSE 0 END),
+         |    SUM(CASE WHEN mnn <= 199 AND mxn >= 100 THEN n_rows ELSE 0 END)
+         |  FROM g GROUP BY layout
+         |  UNION ALL
+         |  SELECT layout, 'docid_100_149', COUNT(*),
+         |    SUM(CASE WHEN mni <= 149 AND mxi >= 100 THEN 1 ELSE 0 END),
+         |    SUM(CASE WHEN mni <= 149 AND mxi >= 100 THEN n_rows ELSE 0 END)
+         |  FROM g GROUP BY layout
+         |  UNION ALL
+         |  SELECT layout, 'source_eq_src3', COUNT(*),
+         |    SUM(CASE WHEN mns <= 'src3' AND mxs >= 'src3' THEN 1 ELSE 0 END),
+         |    SUM(CASE WHEN mns <= 'src3' AND mxs >= 'src3' THEN n_rows ELSE 0 END)
+         |  FROM g GROUP BY layout),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY predicate
+         |        ORDER BY rs, gs, layout) AS rn FROM p)
+         |SELECT layout, predicate, CAST(n_groups AS BIGINT) AS n_groups,
+         |  CAST(gs AS BIGINT) AS groups_scanned,
+         |  CAST(rs AS BIGINT) AS rows_scanned, rn = 1 AS advised
+         |FROM r ORDER BY predicate, layout""".stripMargin,
     "q234_encoding_advisor" -> {
       def ib(card: String) =
         s"(CASE WHEN $card <= 256 THEN 1 WHEN $card <= 65536 THEN 2 " +

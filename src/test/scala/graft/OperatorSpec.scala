@@ -2922,7 +2922,10 @@ class OperatorSpec extends SparkSpec {
     import graft.operators.Tokenizer
     val docs = Tables(spark, Sf, "documents")
     val merges = Tokenizer.bpeTrain(Tokenizer.wordDict(spark, Sf))
-    val costs = Tokenizer.unigramCosts(spark, docs, merges)
+    // r13: q198 runs under the q237-TRAINED table, so the enumeration must
+    // too (the BPE-dominance invariant below holds under ANY cost table:
+    // the BPE path is one candidate segmentation)
+    val costs = Tokenizer.trainedUnigram(spark, Sf)._1
     val costMap = costs.toMap
     // THIRD implementation (after the engine DP and the oracle's
     // recursive CTE): brute-force enumeration of every segmentation —
