@@ -154,7 +154,14 @@ object ScalingBench {
       "q226_batch_packing_audit", "q227_fim_transform",
       "q228_time_travel", "q229_release_audit_card", "q230_image_resize",
       "q231_homoglyph_dedup", "q232_blocklist_scan",
-      "q234_encoding_advisor", "q235_image_cluster_sparse")
+      "q234_encoding_advisor", "q235_image_cluster_sparse",
+      "q236_optimistic_commit", "q237_unigram_em_train",
+      "q238_layout_pruning_advisor")
+    // q239 (parquet footer stats) is NOT in the tier: the blown corpus is
+    // Spark-written part-file DIRECTORIES, not the single-file layout the
+    // driver testdata ships, and footer reading is trivially linear in
+    // file count regardless (one ranged tail-read per file, zero data
+    // pages — the operator's whole point).
     // q233 (pair-stream image cluster collapse) is deliberately NOT in
     // the 10× tier: the blow-up lands 10× docs in the same 11 planted
     // groups, so the pair stream densifies quadratically (~113M edges

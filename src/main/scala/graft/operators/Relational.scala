@@ -154,7 +154,8 @@ object Relational extends QueryGroup {
     ("by_length", Seq("n_chars", "doc_id")),
     ("by_source", Seq("source", "doc_id")))
 
-  private[graft] def pruningAdvisor(docs: DataFrame): DataFrame = {
+  private[graft] def pruningAdvisor(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val perLayout = PruneLayouts.map { case (name, ord) =>
       val groups = Curation.scanRank(docs, ord.map(col))
         .withColumn("grp", ((col("rank") - 1L) / PruneGroupRows).cast("long"))

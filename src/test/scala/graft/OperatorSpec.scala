@@ -4292,6 +4292,94 @@ class OperatorSpec extends SparkSpec {
     assert(!comps.contains(99L), "components only label edge-touched docs")
   }
 
+  test("q238 pruning advisor == plain-Scala group model; clustering dominates; advice sane") {
+    import graft.operators.Relational
+    val out = SparkEntry.queries("q238_layout_pruning_advisor")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out.size == 12)
+    // THIRD implementation off collected rows
+    val rows = Tables(spark, Sf, "documents")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val g = Relational.PruneGroupRows.toInt
+    // the reference uses the min/max OVERLAP rule (the only sound footer
+    // rule): a group survives iff [min, max] intersects the predicate —
+    // which can keep a group containing NO matching row (min<=v<=max
+    // without v present), exactly like real row-group pruning
+    val layouts = Map(
+      "as_written" -> rows.sortBy(_._1).toSeq,
+      "by_length" -> rows.sortBy(r => (r._4, r._1)).toSeq,
+      "by_source" -> rows.sortBy(r => (r._2, r._1)).toSeq)
+    def minMaxScan[T](ordered: Seq[(Long, String, String, Long)],
+        key: ((Long, String, String, Long)) => T, lo: T, hi: T)(
+        implicit o: Ordering[T]): (Long, Long, Long) = {
+      val grps = ordered.grouped(g).toSeq
+      val scanned = grps.filter { gr =>
+        val ks = gr.map(key)
+        o.lteq(ks.min, hi) && o.gteq(ks.max, lo)
+      }
+      (grps.size.toLong, scanned.size.toLong, scanned.map(_.size).sum.toLong)
+    }
+    layouts.foreach { case (name, ordered) =>
+      val expect = Map(
+        "lang_eq_en" -> minMaxScan(ordered, _._3, "en", "en"),
+        "source_eq_src3" -> minMaxScan(ordered, _._2, "src3", "src3"),
+        "nchars_100_199" -> minMaxScan(ordered, _._4, 100L, 199L),
+        "docid_100_149" -> minMaxScan(ordered, _._1, 100L, 149L))
+      expect.foreach { case (p, (ng, gs, rs)) =>
+        val (gotNg, gotGs, gotRs, _) = out((name, p))
+        assert((gotNg, gotGs, gotRs) == (ng, gs, rs),
+          s"($name, $p): got ${(gotNg, gotGs, gotRs)} expected ${(ng, gs, rs)}")
+      }
+    }
+    // advice sanity: sorting BY the predicate column must prune at least
+    // as well as any other layout — and exactly one advised per predicate
+    Seq("lang_eq_en", "nchars_100_199", "docid_100_149", "source_eq_src3")
+      .foreach { p =>
+        assert(out.count { case ((_, p2), v) => p2 == p && v._4 } == 1,
+          s"$p: exactly one advised layout")
+      }
+    assert(out(("by_source", "source_eq_src3"))._3 <=
+      out(("as_written", "source_eq_src3"))._3,
+      "clustering on source must not scan more rows for the source predicate")
+    assert(out(("by_length", "nchars_100_199"))._3 <=
+      out(("as_written", "nchars_100_199"))._3,
+      "clustering on n_chars must not scan more rows for the length band")
+    assert(out(("as_written", "docid_100_149"))._4,
+      "the id-range predicate must advise the id-sorted layout")
+  }
+
+  test("q239 footer reader: loud on corrupt tails; scope equals the schema truth") {
+    import graft.operators.Footer
+    // the registered output is oracle-checked against the data; here pin
+    // the FORMAT-side loudness the oracle can't see
+    val out = SparkEntry.queries("q239_parquet_footer_stats")(spark, Sf)
+      .collect()
+    assert(out.length == 38)
+    assert(out.forall(_.getString(3) == "SNAPPY"))
+    // corrupt tail magic -> loud
+    val tmp = java.nio.file.Files.createTempFile("graft_footer", ".parquet")
+    try {
+      val real = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$Sf/nation.parquet"))
+      val bad = real.clone(); bad(bad.length - 1) = 'X'.toByte
+      java.nio.file.Files.write(tmp, bad)
+      val e = intercept[IllegalArgumentException] {
+        Footer.readFooter("nation", tmp.toString)
+      }
+      assert(e.getMessage.contains("PAR1"))
+      // truncated file -> loud (footer length now points past the head)
+      java.nio.file.Files.write(tmp,
+        java.util.Arrays.copyOfRange(real, real.length - 64, real.length))
+      intercept[Exception] { Footer.readFooter("nation", tmp.toString) }
+      // and the genuine article parses: same rows as the registered scan
+      val direct = Footer.readFooter("nation", s"$Sf/nation.parquet")
+      assert(direct.map(_.column).sorted ==
+        Seq("n_name", "n_nationkey", "n_regionkey"))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("q237 EM counts == exhaustive optimal-path enumeration; cost-mass identity; q198 reads the trained table") {
     import graft.expressions.{UnigramEdgeCounts, UnigramViterbi}
     import org.apache.spark.sql.catalyst.expressions.Literal

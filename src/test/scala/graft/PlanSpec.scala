@@ -801,6 +801,23 @@ class PlanSpec extends SparkSpec {
       s"q235 edge derivation must never go all-pairs:\n${pp.take(1200)}")
   }
 
+  test("q238 ranks each layout via the scan: range-partitioned, pid-local windows, no corpus global window") {
+    // the advisor's corpus passes are scanRank instances — the q151
+    // shape: rangepartitioning + pid-keyed local windows + broadcast
+    // offsets; the only unpartitioned windows run over the bounded
+    // per-partition offs / 12-row advisory frames
+    val df = SparkEntry.queries("q238_layout_pruning_advisor")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      s"layout ranks must come from the range-partitioned scan:\n${p.take(1200)}")
+    assert(p.contains("hashpartitioning(pid"),
+      "local ranks must be pid-keyed windows")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q238 must not pair rows:\n${p.take(1200)}")
+  }
+
   test("q198 segments map-only: the cost model rides the expression, zero corpus joins") {
     // the unigram DP is a codegen expression over the scan — the frozen
     // cost table is an executor reference object, NOT a join side, so
