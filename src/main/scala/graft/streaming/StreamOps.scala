@@ -602,6 +602,24 @@ object StreamOps {
       .toDF().dropDuplicates("dhash")
   }
 
+  /** CDC changelog → COMMITTED table versions: each micro-batch lands as
+    * exactly one optimistic-protocol commit on the shared manifest
+    * ([[graft.operators.TableLog.commitBatch]]) — the streaming half of
+    * q236, giving the stream the SAME conflict guarantees as any batch
+    * writer: a replayed batch is a version-preserving no-op (exactly-once
+    * under restart re-delivery, keyed by (runNs, batchId) — the
+    * TagPipeline marker discipline moved into the manifest itself), and a
+    * concurrent writer touching the stream's keys gets the loud
+    * LostUpdateException in whichever order the race lands.
+    */
+  def commitStream(updates: DataFrame, log: graft.operators.TableLog,
+      runNs: String): org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        log.commitBatch(runNs, id, b); ()
+      }
+
   /** One exploded band row of an arriving image's dHash. */
   case class BandRow(band: Int, bv: Long, doc_id: Long, dhash: Long,
       ts: java.sql.Timestamp)

@@ -1373,6 +1373,43 @@ class StreamingSpec extends SparkSpec {
     assert(log3.readAsOf(2L).collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("streaming commit sink: exactly-once versions per micro-batch; replay no-op; cross-writer conflicts loud") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{LostUpdateException, TableLog}
+    val log = new TableLog
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.commitStream(
+      ms.toDF().toDF("doc_id", "op", "txt"), log, "t1").start()
+    ms.addData(Seq((1L, "U", "a"), (2L, "U", "b"))); q.processAllAvailable()
+    ms.addData(Seq((2L, "U", "b2"), (3L, "U", "c"))); q.processAllAvailable()
+    q.stop()
+    assert(log.snapshotVersion == 2L,
+      "two micro-batches must land as exactly two versions")
+    val state = log.readAsOf(2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getString(3)))
+      .toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(state(1L) == ((1L, true, md5("a"))))
+    assert(state(2L) == ((2L, true, md5("b2"))), "latest-wins across batches")
+    assert(state(3L) == ((2L, true, md5("c"))))
+    // REPLAY: re-delivering batch 0 (restart semantics) returns its
+    // original version and burns nothing
+    val replay = Seq((1L, "U", "a"), (2L, "U", "b")).toDF("doc_id", "op", "txt")
+    assert(log.commitBatch("t1", 0L, replay) == 1L)
+    assert(log.snapshotVersion == 2L, "a replayed batch must not re-commit")
+    // cross-writer conflict: a batch writer based on v1 touching the
+    // stream's key 3 (committed at v2) must get the loud refusal...
+    intercept[LostUpdateException] {
+      log.commit("batchwriter", 1L, Some(Set(3L)),
+        v => Seq((3L, v, "U", "steal")).toDF("doc_id", "version", "op", "txt"))
+    }
+    // ...and a disjoint batch writer coexists with the stream
+    assert(log.commit("batchwriter", 1L, Some(Set(9L)),
+      v => Seq((9L, v, "U", "ok")).toDF("doc_id", "version", "op", "txt")) == 3L)
+  }
+
   test("streaming boilerplate extract == batch q217 on the same pages (shared projection)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
