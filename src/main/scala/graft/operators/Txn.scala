@@ -184,7 +184,88 @@ class TableLog extends Serializable {
   */
 object Txn extends QueryGroup {
 
+  /** q240's column-envelope catalog over the dump log AS OF a version:
+    * per audited column, the MAINTAINED stats a writer keeps beside the
+    * manifest — value counts and a min/max ENVELOPE folded from the 'U'
+    * rows of each dump (delta-sized log metadata, never a data rescan) —
+    * beside the RESCAN truth from the compacted alive rows, with the
+    * soundness law enforced IN-PLAN: envelope must contain truth, else
+    * raise. `exact` is the honest flag: envelopes stay tight only while
+    * the log is insert-only (no tombstones, no re-claimed keys); a
+    * delete/update can strand the old extremum inside the envelope, so
+    * the catalog widens rather than lies — and a planner pruning with a
+    * too-wide envelope is still SOUND (no false skips), which is the
+    * whole design.
+    */
+  private[graft] def statsCatalogAsOf(dumps: Seq[DataFrame],
+      asOf: Long): DataFrame = {
+    val log = dumps.reduce(_ unionByName _).filter(col("version") <= asOf)
+    val u = log.filter(col("op") === "U")
+      .select(col("doc_id"), octet_length(col("txt")).as("txt_octets"))
+    // maintained leg: one fold over the log's U rows (delta-sized)
+    val env = u.agg(
+      min(col("doc_id")).as("env_min_id"), max(col("doc_id")).as("env_max_id"),
+      min(col("txt_octets")).as("env_min_oct"),
+      max(col("txt_octets")).as("env_max_oct"))
+    // exactness: insert-only so far? (no tombstones, no re-claimed keys)
+    val exactness = log.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("d"))
+      .agg((sum(when(col("c") > 1L, 1L).otherwise(0L)) === 0L &&
+        sum(col("d")) === 0L).as("exact"))
+    // rescan truth: the compacted alive rows
+    val alive = Relational.mergeCompact(dumps.map(_.filter(col("version") <= asOf)))
+      .filter(col("alive")).select(col("doc_id"))
+    val aliveTxt = log.filter(col("op") === "U")
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("version"), octet_length(col("txt")).as("o")))
+        .as("s"))
+      .join(alive, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("s.o").as("txt_octets"))
+    val truth = aliveTxt.agg(
+      count(lit(1)).as("n_alive"),
+      min(col("doc_id")).as("true_min_id"), max(col("doc_id")).as("true_max_id"),
+      min(col("txt_octets")).as("true_min_oct"),
+      max(col("txt_octets")).as("true_max_oct"))
+    val one = env.crossJoin(exactness).crossJoin(truth)
+      .filter(when(
+        col("env_min_id") > col("true_min_id") ||
+          col("env_max_id") < col("true_max_id") ||
+          col("env_min_oct") > col("true_min_oct") ||
+          col("env_max_oct") < col("true_max_oct"),
+        raise_error(lit("q240: catalog envelope excludes live values — " +
+          "an unsound catalog causes FALSE SKIPS; refusing")))
+        .otherwise(lit(true)))
+    one.select(lit(asOf).as("as_of"), explode(array(
+      struct(lit("doc_id").as("column"), col("n_alive"),
+        col("env_min_id").as("env_min"), col("env_max_id").as("env_max"),
+        col("exact"), col("true_min_id").as("true_min"),
+        col("true_max_id").as("true_max")),
+      struct(lit("txt_octets").as("column"), col("n_alive"),
+        col("env_min_oct").cast("long").as("env_min"),
+        col("env_max_oct").cast("long").as("env_max"),
+        col("exact"), col("true_min_oct").cast("long").as("true_min"),
+        col("true_max_oct").cast("long").as("true_max")))).as("x"))
+      .select(col("as_of"), col("x.column"), col("x.n_alive"),
+        col("x.env_min"), col("x.env_max"), col("x.exact"),
+        col("x.true_min"), col("x.true_max"))
+  }
+
   def queries: Map[String, Q] = Map(
+    // q240 [north star, r13]: INCREMENTAL STATS CATALOG — the q239
+    // footer facts as MAINTAINED state under the q236/q223 dump log (the
+    // IVM family's warehouse-catalog member): envelopes fold from
+    // delta-sized log metadata; truth rescans; soundness (envelope ⊇
+    // truth) is raised on in-plan; `exact` honestly flips FALSE once the
+    // log stops being insert-only (AS OF 1 = insert-only: exact, tight;
+    // AS OF 3 = after deletes/updates: inexact, sound — both pinned).
+    "q240_stats_catalog_ivm" -> ((spark, dir) => {
+      val dumps = Relational.mergeDumps(spark, dir)
+      statsCatalogAsOf(dumps, 1L)
+        .unionByName(statsCatalogAsOf(dumps, 3L))
+        .orderBy("as_of", "column")
+    }),
+
     // q236 [north star, r13]: OPTIMISTIC COMMIT over the dump log — the
     // transaction tier q223's read-time refusal implies. One registered
     // episode, all deterministic: the q223 history (v1-v3) loads through
@@ -245,7 +326,73 @@ object Txn extends QueryGroup {
       log.readAsOf(5L)
     }))
 
+  /** The shared q223-gate dump CTEs (base/d1/d2/born/u3), verbatim. */
+  private def dumpCtes: String =
+    s"""base AS (SELECT doc_id, 1 AS version, 'U' AS op, text AS txt
+       |              FROM documents),
+       |d1 AS (SELECT doc_id, 2 AS version,
+       |         CASE WHEN substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+       |              THEN 'D' ELSE 'U' END AS op,
+       |         CASE WHEN substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+       |              THEN NULL ELSE text || ' v2' END AS txt
+       |       FROM documents
+       |       WHERE substring(md5('mdel:'||CAST(doc_id AS VARCHAR)),1,1) < '2'
+       |          OR substring(md5('mupd:'||CAST(doc_id AS VARCHAR)),1,1) < '4'),
+       |d2 AS (SELECT doc_id, 3 AS version, 'U' AS op, text || ' v3' AS txt
+       |       FROM documents
+       |       WHERE substring(md5('mupd2:'||CAST(doc_id AS VARCHAR)),1,1) < '2'),
+       |born AS (SELECT doc_id + ${Relational.MergeNewBase} AS doc_id,
+       |           3 AS version, 'U' AS op,
+       |           'new doc ' || CAST(doc_id AS VARCHAR) AS txt
+       |         FROM documents
+       |         WHERE substring(md5('mnew:'||CAST(doc_id AS VARCHAR)),1,1) < '1'),
+       |u3 AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+       |       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM born)""".stripMargin
+
+  private def catalogBlock(v: Long): String =
+    s"""uv$v AS (SELECT * FROM u3 WHERE version <= $v),
+       |e$v AS (SELECT MIN(CASE WHEN op='U' THEN doc_id END) AS emni,
+       |         MAX(CASE WHEN op='U' THEN doc_id END) AS emxi,
+       |         MIN(CASE WHEN op='U' THEN strlen(txt) END) AS emno,
+       |         MAX(CASE WHEN op='U' THEN strlen(txt) END) AS emxo
+       |       FROM uv$v),
+       |x$v AS (SELECT (SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+       |               AND SUM(d) = 0) AS exact
+       |       FROM (SELECT doc_id, COUNT(*) AS c,
+       |               SUM(CASE WHEN op='D' THEN 1 ELSE 0 END) AS d
+       |             FROM uv$v GROUP BY doc_id) z),
+       |a$v AS (SELECT doc_id, txt FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY version DESC) AS rn FROM uv$v) z
+       |       WHERE rn = 1 AND op = 'U'),
+       |t$v AS (SELECT COUNT(*) AS n_alive,
+       |         MIN(doc_id) AS tmni, MAX(doc_id) AS tmxi,
+       |         MIN(strlen(txt)) AS tmno, MAX(strlen(txt)) AS tmxo
+       |       FROM a$v)""".stripMargin
+
+  private def catalogRows(v: Long): String =
+    s"""SELECT CAST($v AS BIGINT) AS as_of, 'doc_id' AS "column",
+       |  CAST(n_alive AS BIGINT) AS n_alive, CAST(emni AS BIGINT) AS env_min,
+       |  CAST(emxi AS BIGINT) AS env_max, exact,
+       |  CAST(tmni AS BIGINT) AS true_min, CAST(tmxi AS BIGINT) AS true_max
+       |FROM e$v, x$v, t$v
+       |UNION ALL
+       |SELECT CAST($v AS BIGINT), 'txt_octets', CAST(n_alive AS BIGINT),
+       |  CAST(emno AS BIGINT), CAST(emxo AS BIGINT), exact,
+       |  CAST(tmno AS BIGINT), CAST(tmxo AS BIGINT)
+       |FROM e$v, x$v, t$v""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // q240: the same envelope fold / exactness rule / rescan truth off
+    // the q223 gate CTEs, at both snapshots.
+    "q240_stats_catalog_ivm" ->
+      s"""WITH $dumpCtes,
+         |${catalogBlock(1L)},
+         |${catalogBlock(3L)}
+         |${catalogRows(1L)}
+         |UNION ALL
+         |${catalogRows(3L)}
+         |ORDER BY as_of, "column"""".stripMargin,
     // the raw five-dump history compacted directly (q223's CTEs + the x/y
     // point fixes over the v3-alive set) — hash-equal to the engine's
     // checkpointed read = the vacuum-transparency proof.

@@ -4380,6 +4380,39 @@ class OperatorSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("q240 stats catalog: insert-only is exact+tight; a delete widens the envelope SOUNDLY") {
+    import spark.implicits._
+    import graft.operators.Txn
+    // registered surface: AS OF 1 exact, AS OF 3 inexact (deletes+updates)
+    val out = SparkEntry.queries("q240_stats_catalog_ivm")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(5))
+      .toMap
+    assert(out((1L, "doc_id")) && out((1L, "txt_octets")),
+      "the insert-only snapshot must be exact")
+    assert(!out((3L, "doc_id")) && !out((3L, "txt_octets")),
+      "after deletes/updates the catalog must admit inexactness")
+    // toy: deleting the extremum strands it inside the envelope — the
+    // maintained bounds go WIDER than truth but never narrower (the
+    // soundness direction a pruning planner needs: no false skips)
+    val v1 = Seq((1L, 1L, "U", "a"), (2L, 1L, "U", "bb"), (3L, 1L, "U", "ccc"))
+      .toDF("doc_id", "version", "op", "txt")
+    val v2 = Seq((3L, 2L, "D", null.asInstanceOf[String]))
+      .toDF("doc_id", "version", "op", "txt")
+    val rows = Txn.statsCatalogAsOf(Seq(v1, v2), 2L).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val (nA, envMinI, envMaxI, exI, trMinI, trMaxI) = rows("doc_id")
+    assert(nA == 2L && !exI)
+    assert(envMaxI == 3L && trMaxI == 2L,
+      "the deleted max key must stay inside the envelope (wider, sound)")
+    assert(envMinI == trMinI)
+    val (_, envMinO, envMaxO, _, trMinO, trMaxO) = rows("txt_octets")
+    assert(envMaxO == 3L && trMaxO == 2L,
+      "the deleted 3-octet text must widen the octet envelope")
+    assert(envMinO == 1L && trMinO == 1L)
+  }
+
   test("q237 EM counts == exhaustive optimal-path enumeration; cost-mass identity; q198 reads the trained table") {
     import graft.expressions.{UnigramEdgeCounts, UnigramViterbi}
     import org.apache.spark.sql.catalyst.expressions.Literal
