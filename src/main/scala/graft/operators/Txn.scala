@@ -251,7 +251,56 @@ object Txn extends QueryGroup {
         col("x.true_min"), col("x.true_max"))
   }
 
+  /** q241's CHANGE DATA FEED: the diff between two snapshot reads as CDC
+    * rows — the inverse of q223 (which CONSUMES a changelog, this
+    * PRODUCES one; Delta's readChangeFeed semantics): full-outer join
+    * the compactions AS OF `from` and `to` on the key and classify —
+    * absent/dead → alive = insert, alive → alive with a different
+    * payload = update (pre+post images carried), alive → dead = delete;
+    * unchanged keys and persisting tombstones emit nothing. One key
+    * shuffle over two manifest-sized frames.
+    */
+  private[graft] def changeFeed(dumps: Seq[DataFrame], from: Long,
+      to: Long): DataFrame = {
+    require(from < to, s"q241: change feed needs from < to, got $from >= $to")
+    val a = Relational.timeTravelRead(dumps, from)
+      .select(col("doc_id"), col("alive").as("a_alive"),
+        col("text_md5").as("pre_md5"))
+    val b = Relational.timeTravelRead(dumps, to)
+      .select(col("doc_id"), col("alive").as("b_alive"),
+        col("text_md5").as("post_md5"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(coalesce(col("a_alive"), lit(false)) && !col("b_alive"), "delete")
+          .when(!coalesce(col("a_alive"), lit(false)) &&
+            coalesce(col("b_alive"), lit(false)), "insert")
+          .when(coalesce(col("a_alive"), lit(false)) && col("b_alive") &&
+            col("pre_md5") =!= col("post_md5"), "update"))
+      .filter(col("change").isNotNull)
+      .select(lit(from).as("from_v"), col("doc_id"), col("change"),
+        when(col("change") =!= "insert", col("pre_md5")).as("pre_md5"),
+        when(col("change") =!= "delete", col("post_md5")).as("post_md5"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    // q241 [north star, r13]: CHANGE DATA FEED — versions → changelog,
+    // closing the warehouse loop (q223 compacts a changelog into a
+    // table; q241 diffs two table versions back into one). BOTH windows
+    // register so every class fires on the fixture: v1→v3 carries the
+    // v2 deletes, v3 updates, and delta-born inserts; v2→v3 carries the
+    // v2-dead-then-v3-updated RESURRECTION (dead→alive IS an insert to
+    // a feed consumer) and proves persisting v2 tombstones emit
+    // nothing. A CDC-consistency law rides in the spec: applying an
+    // emitted feed to its from-version compaction reproduces the
+    // to-version exactly.
+    "q241_change_feed" -> ((spark, dir) => {
+      val dumps = Relational.mergeDumps(spark, dir)
+      changeFeed(dumps, 1L, 3L)
+        .unionByName(changeFeed(dumps, Relational.TimeTravelVersion, 3L))
+        .orderBy("from_v", "doc_id")
+    }),
+
     // q240 [north star, r13]: INCREMENTAL STATS CATALOG — the q239
     // footer facts as MAINTAINED state under the q236/q223 dump log (the
     // IVM family's warehouse-catalog member): envelopes fold from
@@ -383,6 +432,38 @@ object Txn extends QueryGroup {
        |FROM e$v, x$v, t$v""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q241: compactions at v1/v2/v3 via ROW_NUMBER, full-joined per
+    // window and classified with the same alive-transition rules.
+    "q241_change_feed" -> {
+      def cw(v: Long) =
+        s"""cw$v AS (SELECT doc_id, op = 'U' AS alive,
+           |         CASE WHEN op = 'U' THEN md5(txt) END AS m
+           |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |               ORDER BY version DESC) AS rn
+           |             FROM u3 WHERE version <= $v) z
+           |       WHERE rn = 1)""".stripMargin
+      def feed(from: Long, to: Long) =
+        s"""SELECT CAST($from AS BIGINT) AS from_v,
+           |  COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |  CASE WHEN COALESCE(a.alive, FALSE) AND NOT b.alive THEN 'delete'
+           |       WHEN NOT COALESCE(a.alive, FALSE)
+           |            AND COALESCE(b.alive, FALSE) THEN 'insert'
+           |       WHEN COALESCE(a.alive, FALSE) AND b.alive
+           |            AND a.m <> b.m THEN 'update'
+           |  END AS change, a.m AS pre, b.m AS post
+           |FROM cw$from a FULL OUTER JOIN cw$to b ON b.doc_id = a.doc_id""".stripMargin
+      s"""WITH $dumpCtes,
+         |${cw(1L)},
+         |${cw(Relational.TimeTravelVersion)},
+         |${cw(3L)},
+         |g AS (${feed(1L, 3L)}
+         |      UNION ALL
+         |      ${feed(Relational.TimeTravelVersion, 3L)})
+         |SELECT from_v, doc_id, change,
+         |  CASE WHEN change <> 'insert' THEN pre END AS pre_md5,
+         |  CASE WHEN change <> 'delete' THEN post END AS post_md5
+         |FROM g WHERE change IS NOT NULL ORDER BY from_v, doc_id""".stripMargin
+    },
     // q240: the same envelope fold / exactness rule / rescan truth off
     // the q223 gate CTEs, at both snapshots.
     "q240_stats_catalog_ivm" ->

@@ -4380,6 +4380,51 @@ class OperatorSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("q241 change feed: applying the feed reproduces the to-version; resurrection is an insert") {
+    import graft.operators.{Relational, Txn}
+    val dumps = Relational.mergeDumps(spark, Sf)
+    // CDC-CONSISTENCY LAW: start from the from-version's alive view,
+    // apply the emitted feed row by row (with pre-image checks — a feed
+    // whose pre-images don't match the table is corrupt), land exactly
+    // on the to-version's alive view
+    Seq(1L, 2L).foreach { from =>
+      val feed = Txn.changeFeed(dumps, from, 3L).collect()
+        .map(r => (r.getLong(1), r.getString(2),
+          Option(r.getString(3)), Option(r.getString(4))))
+      def aliveView(v: Long): Map[Long, String] =
+        Relational.timeTravelRead(dumps, v).collect()
+          .filter(_.getBoolean(2))
+          .map(r => r.getLong(0) -> r.getString(3)).toMap
+      val state = scala.collection.mutable.Map.empty[Long, String]
+      aliveView(from).foreach { case (k, m) => state(k) = m }
+      feed.foreach { case (k, ch, preM, postM) =>
+        ch match {
+          case "insert" =>
+            assert(!state.contains(k), s"insert over live key $k")
+            state(k) = postM.get
+          case "update" =>
+            assert(state.get(k) == preM, s"update pre-image drift at $k")
+            state(k) = postM.get
+          case "delete" =>
+            assert(state.get(k) == preM, s"delete pre-image drift at $k")
+            state.remove(k)
+        }
+      }
+      assert(state.toMap == aliveView(3L),
+        s"feed from v$from does not reproduce v3")
+    }
+    // the v2 window must exercise the dead->alive RESURRECTION insert
+    val deadAt2 = Relational.timeTravelRead(dumps, 2L).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val ins2 = Txn.changeFeed(dumps, 2L, 3L).collect()
+      .filter(_.getString(2) == "insert").map(_.getLong(1)).toSet
+    assert((ins2 & deadAt2).nonEmpty,
+      "fixture must exercise the dead->alive resurrection insert")
+    // and the v1 window must exercise real deletes
+    assert(Txn.changeFeed(dumps, 1L, 3L).collect()
+      .exists(_.getString(2) == "delete"))
+  }
+
   test("q240 stats catalog: insert-only is exact+tight; a delete widens the envelope SOUNDLY") {
     import spark.implicits._
     import graft.operators.Txn
