@@ -112,10 +112,10 @@ object Footer extends QueryGroup {
 
   // ---- footer model ---------------------------------------------------
 
-  private case class SchemaLeaf(name: String, physical: Int,
+  private[graft] case class SchemaLeaf(name: String, physical: Int,
       logicalUnion: Int, depth: Int) // logicalUnion: -1 none, else union id
 
-  private case class ChunkStats(codec: Int, numValues: Long,
+  private[graft] case class ChunkStats(codec: Int, numValues: Long,
       nullCount: Long, minV: Array[Byte], maxV: Array[Byte])
 
   private val PhysicalNames = Map(0 -> "BOOLEAN", 1 -> "INT32", 2 -> "INT64",
@@ -139,7 +139,16 @@ object Footer extends QueryGroup {
   }
 
   /** Read + parse one file's footer into audited column stats. */
-  private[graft] def readFooter(tbl: String, path: String): Seq[ColStat] = {
+  private[graft] def readFooter(tbl: String, path: String): Seq[ColStat] =
+    aggregate(tbl, path, parseFooter(path))
+
+  /** The raw parse: schema leaves in DFS order + per-leaf column-chunk
+    * stats, ONE inner list entry per row group — exposed so the spec can
+    * pin the multi-row-group accumulation path on a parquet-mr-written
+    * file (a different footer writer than the testdata's arrow one).
+    */
+  private[graft] def parseFooter(path: String)
+      : (Seq[SchemaLeaf], Seq[Seq[ChunkStats]]) = {
     val raf = new java.io.RandomAccessFile(path, "r")
     val meta = try {
       val len = raf.length()
@@ -271,7 +280,12 @@ object Footer extends QueryGroup {
     require(leaves.nonEmpty, s"$path: footer carries no schema leaves")
     require(chunks.length == leaves.length,
       s"$path: ${chunks.length} chunk columns vs ${leaves.length} schema leaves")
+    (leaves.toSeq, chunks.map(_.toSeq).toSeq)
+  }
 
+  private def aggregate(tbl: String, path: String,
+      parsed: (Seq[SchemaLeaf], Seq[Seq[ChunkStats]])): Seq[ColStat] = {
+    val (leaves, chunks) = parsed
     leaves.zipWithIndex.flatMap { case (leaf, i) =>
       val audited = leaf.depth == 1 && (leaf.physical match {
         case 1 | 2 => leaf.logicalUnion == -1 || leaf.logicalUnion == LogicalInteger

@@ -4380,6 +4380,45 @@ class OperatorSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("q239 multi-row-group accumulation on a parquet-mr (Spark-written) file") {
+    import graft.operators.Footer
+    // the testdata files are single-row-group arrow writes; exercise the
+    // per-group accumulation path AND cross-writer interop by writing a
+    // multi-group file through Spark's parquet-mr with a tiny block size
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    try {
+      Tables(spark, Sf, "documents").select(col("doc_id"), col("source"))
+        .coalesce(1)
+        .write.option("parquet.block.size", "2048")
+        .option("compression", "snappy")
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      val (leaves, chunks) = Footer.parseFooter(part)
+      assert(leaves.map(_.name) == Seq("doc_id", "source"))
+      assert(chunks.head.length > 1,
+        s"block size 2048 must yield multiple row groups, got ${chunks.head.length}")
+      val stats = Footer.readFooter("documents", part)
+        .map(s => s.column -> s).toMap
+      // footer-aggregated facts == data facts, across groups and writers
+      val rows = Tables(spark, Sf, "documents")
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(stats("doc_id").n_values == rows.length.toLong)
+      assert(stats("doc_id").min_value == rows.map(_._1).min.toString)
+      assert(stats("doc_id").max_value == rows.map(_._1).max.toString)
+      assert(stats("source").n_values == rows.length.toLong)
+      assert(stats("source").min_value == rows.map(_._2).min)
+      assert(stats("source").max_value == rows.map(_._2).max)
+      assert(stats("source").codec == "SNAPPY")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("q241 change feed: applying the feed reproduces the to-version; resurrection is an insert") {
     import graft.operators.{Relational, Txn}
     val dumps = Relational.mergeDumps(spark, Sf)
