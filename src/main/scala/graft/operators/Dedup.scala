@@ -352,6 +352,64 @@ object Dedup extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
+  /** The uncapped brute-force Jaccard closure — q58's oracle, shared
+    * verbatim by q242 (whose recovery leg is empty on a hot-free
+    * corpus).
+    */
+  private val BruteJaccardOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+      |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT p.a_id, p.b_id
+      |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+      |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** q242: [[ngramJaccardPairs]] plus the HOT-SET RECOVERY tier for the
+    * residual loss the df cap admits (measured in SkewSpec since r13): a
+    * pair whose τ-crossing similarity rides super-cap shingles alone has
+    * no surviving prefix collision and is missed. The realistic member
+    * of that class is BOILERPLATE MASS — two pages sharing a large hot
+    * template — and such docs share their hot shingles near-identically,
+    * so recovery buckets each hot-carrying doc by a hash of its SORTED
+    * hot-shingle set (one bounded shuffle; docs with no hot shingles
+    * never enter) and Jaccard-verifies pairs inside each bucket against
+    * the FULL shingle sets, under the q46 clone-army cap (an over-`maxBucket`
+    * bucket is surrendered whole — the documented bounded-recovery
+    * contract: this tier is a partial, never-quadratic recovery, not a
+    * completeness theorem; a pair sharing only PART of its hot set
+    * stays missed). On a hot-free corpus the recovery leg is empty and
+    * q242 ≡ q58 (the eval corpus: max df 25 vs cap 128 — so the
+    * registered oracle is q58's uncapped closure verbatim); the planted
+    * hot corpus in SkewSpec pins the recovered pair q58 provably
+    * misses.
+    */
+  private[graft] def ngramJaccardWithHotRecovery(docs: DataFrame,
+      maxDf: Int, tau: Double, maxBucket: Int = 256): DataFrame = {
+    val base = ngramJaccardPairs(docs, maxDf, tau)
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val hot = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+    val hotSets = exploded.join(hot, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("g"))).as("hs"))
+      .select(col("doc_id"), lit(0).as("band"),
+        xxhash64(concat_ws(",", transform(col("hs"), x =>
+          x.cast("string")))).as("bh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val recovered = bandedCandidates(hotSets, maxBucket)
+      .join(a, "a_id").join(b, "b_id")
+      .filter(TextOps.jaccard(col("a_sh"), col("b_sh")) >= tau)
+      .select(col("a_id"), col("b_id"))
+    base.unionByName(recovered).distinct().orderBy("a_id", "b_id")
+  }
+
   /** Connected components over an undirected pair list `(a_id, b_id)` by
     * ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14 — the
@@ -891,6 +949,22 @@ object Dedup extends QueryGroup {
       ngramJaccardPairs(docs, MaxShingleDocFreq, JaccardTau)
     }),
 
+    // q242 [north star, r13]: q58 + the HOT-SET RECOVERY tier — the
+    // other half of the r12 verdict's measured-loss item: the df cap's
+    // residual miss class (pairs whose τ-crossing rides super-cap
+    // shingles alone) is partially recovered by bucketing hot-carrying
+    // docs on their sorted hot-shingle set and verifying inside the
+    // bounded buckets (see [[ngramJaccardWithHotRecovery]]). On the
+    // hot-free eval corpus the recovery leg is empty, so the oracle is
+    // q58's uncapped closure verbatim; SkewSpec's planted hot corpus
+    // pins the recovery actually catching the pair q58 misses.
+    "q242_ngram_jaccard_recovered" -> ((spark, dir) => {
+      val docs = graft.CachePool.track(
+        shingled(spreadIfUnderSplit(Tables(spark, dir, "documents")))
+          .filter(size(col("sh")) > 0))
+      ngramJaccardWithHotRecovery(docs, MaxShingleDocFreq, JaccardTau)
+    }),
+
     // q101 [north star]: shingle CONTAINMENT pairs — the asymmetric
     // sibling of q58's Jaccard: overlap coefficient
     // |A∩B| / min(|A|,|B|) ≥ 0.8 catches a document mostly CONTAINED in
@@ -1274,19 +1348,13 @@ object Dedup extends QueryGroup {
     // q58's oracle is the same brute-force shingle-join Jaccard as q46's
     // (q46 = LSH-recalled + exact-verified; q58 = exact — identical
     // result sets on this corpus because LSH recall is total at J≥0.9).
-    "q58_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2,0)+1),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
-        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-        |SELECT p.a_id, p.b_id
-        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
-        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q58_ngram_jaccard" -> BruteJaccardOracle,
+    // q242: the IDENTICAL uncapped closure — the recovery leg is
+    // provably empty on a hot-free corpus (max df 25 vs cap 128 here),
+    // so q242 ≡ q58 on the eval tables; the recovery behavior itself is
+    // pinned on SkewSpec's planted hot corpus, where an uncapped oracle
+    // is the in-test truth.
+    "q242_ngram_jaccard_recovered" -> BruteJaccardOracle,
     "q103_incremental_dedup" ->
       """WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws,
         |        substring(md5('split:' || CAST(doc_id AS VARCHAR)),1,2) >= 'cd' AS is_new

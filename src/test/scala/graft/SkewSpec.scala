@@ -151,6 +151,23 @@ class SkewSpec extends SparkSpec {
     val missRate = (truth -- capped).size.toDouble / truth.size
     assert(missRate == 1.0 / 3,
       f"measured miss rate drifted: $missRate%.3f (miss set ${truth -- capped})")
+    // q242's RECOVERY tier closes the measured miss on this corpus: docs
+    // 1 and 2 share their whole hot set {0, 1}, so the hot-set bucket
+    // reunites them and full-set verification confirms the pair — the
+    // boilerplate-mass class the tier exists for. Full truth restored.
+    val recovered = Dedup.ngramJaccardWithHotRecovery(docs, maxDf = 64,
+      tau = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recovered == truth,
+      s"recovery must restore the measured miss, got $recovered")
+    // bounded-recovery contract: with the bucket cap below the 152-doc
+    // hot-set bucket, the bucket is surrendered whole and the hot-only
+    // pair stays missed — LOUDLY documented partial recovery, never a
+    // quadratic blow-up
+    val cappedOut = Dedup.ngramJaccardWithHotRecovery(docs, maxDf = 64,
+      tau = 0.5, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedOut == Set((3L, 4L), (5L, 6L)),
+      "an over-cap hot bucket must be surrendered, not exploded")
   }
 
   test("q46 LSH bucket cap: a clone army cannot go quadratic") {
