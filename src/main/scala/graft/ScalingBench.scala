@@ -156,7 +156,8 @@ object ScalingBench {
       "q231_homoglyph_dedup", "q232_blocklist_scan",
       "q234_encoding_advisor", "q235_image_cluster_sparse",
       "q236_optimistic_commit", "q237_unigram_em_train",
-      "q238_layout_pruning_advisor")
+      "q238_layout_pruning_advisor", "q240_stats_catalog_ivm",
+      "q241_change_feed", "q242_ngram_jaccard_recovered")
     // q239 (parquet footer stats) is NOT in the tier: the blown corpus is
     // Spark-written part-file DIRECTORIES, not the single-file layout the
     // driver testdata ships, and footer reading is trivially linear in
