@@ -116,7 +116,8 @@ object Footer extends QueryGroup {
       logicalUnion: Int, depth: Int) // logicalUnion: -1 none, else union id
 
   private[graft] case class ChunkStats(codec: Int, numValues: Long,
-      nullCount: Long, minV: Array[Byte], maxV: Array[Byte])
+      nullCount: Long, minV: Array[Byte], maxV: Array[Byte],
+      encodings: Seq[Int])
 
   private val PhysicalNames = Map(0 -> "BOOLEAN", 1 -> "INT32", 2 -> "INT64",
     3 -> "INT96", 4 -> "FLOAT", 5 -> "DOUBLE", 6 -> "BYTE_ARRAY",
@@ -221,8 +222,13 @@ object Footer extends QueryGroup {
     def parseColumnMeta(): ChunkStats = {
       var codec = -1; var nv = -1L; var nulls = 0L
       var minV: Array[Byte] = null; var maxV: Array[Byte] = null
+      var encs = Seq.empty[Int]
       r.struct { (id, t) =>
         (id, t) match {
+          case (2, 9) => // encodings: list<Encoding enum>
+            val (et, n) = r.listHeader()
+            require(et == 5 || et == 6, s"$path: encodings list of type $et")
+            encs = (0 until n).map(_ => r.zigzag().toInt)
           case (4, _)   => codec = r.zigzag().toInt
           case (5, _)   => nv = r.zigzag()
           case (12, 12) =>
@@ -231,7 +237,7 @@ object Footer extends QueryGroup {
           case _        => r.skip(t)
         }
       }
-      ChunkStats(codec, nv, nulls, minV, maxV)
+      ChunkStats(codec, nv, nulls, minV, maxV, encs)
     }
 
     def parseColumnChunk(idx: Int): Unit = {
@@ -320,6 +326,24 @@ object Footer extends QueryGroup {
           parts.map(_.nullCount).sum, minS, maxS))
       }
     }.toSeq
+  }
+
+  /** RLE_DICTIONARY's Encoding enum value (parquet-format). */
+  private val EncDictionary = 8
+
+  /** Per depth-1 leaf, the writer's CHOSEN data encoding class in q234's
+    * model vocabulary: "dict" if any chunk carries RLE_DICTIONARY, else
+    * "plain". A driver-side metadata read — exactly how a planner or a
+    * table-maintenance job inspects a file's layout (one footer, no data
+    * pages). Used by q243's writer-choice audit.
+    */
+  private[graft] def encodingClasses(path: String): Map[String, String] = {
+    val (leaves, chunks) = parseFooter(path)
+    leaves.zipWithIndex.collect {
+      case (leaf, i) if leaf.depth == 1 =>
+        leaf.name -> (if (chunks(i).exists(_.encodings.contains(EncDictionary)))
+          "dict" else "plain")
+    }.toMap
   }
 
   /** The distributed footer scan: one ranged tail-read per file. */

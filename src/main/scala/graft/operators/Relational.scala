@@ -311,6 +311,42 @@ object Relational extends QueryGroup {
       encodingAdvisor(spark, Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars")))),
 
+    // q243 [north star, r13]: WRITER-CHOICE AUDIT — q234's exact size
+    // models turned on the REAL writer: q239's footer walk reads the
+    // encodings the arrow writer actually chose per column (all four
+    // audited columns: dictionary), and the audit prices that choice
+    // with q234's own byte models against the advised minimum — per
+    // column: (actual encoding, its model bytes, advised encoding,
+    // advised bytes, wasted bytes). The footer read is one driver-side
+    // metadata fetch (how table maintenance inspects layout); everything
+    // else is the q234 scanRank pass. Oracle: q234's oracle VERBATIM as
+    // a subquery (the q229 discipline) joined against the actual
+    // encodings as format literals (the q168 self-validating leg — a
+    // writer change would land as a red row, which is the point).
+    "q243_writer_choice_audit" -> ((spark, dir) => {
+      import spark.implicits._
+      val adv = encodingAdvisor(spark, Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")))
+      val audited = Set("doc_id", "source", "lang", "n_chars")
+      val actual = Footer.encodingClasses(s"$dir/documents.parquet")
+        .filter { case (c, _) => audited(c) }.toSeq
+        .toDF("c", "actual_encoding")
+      val a = adv.join(actual,
+          adv("column") === col("c") &&
+            adv("encoding") === col("actual_encoding"))
+        .select(adv("column").as("column"), col("actual_encoding"),
+          adv("model_bytes").as("actual_bytes"))
+      val b = adv.filter(col("advised"))
+        .select(col("column").as("bc"),
+          col("encoding").as("advised_encoding"),
+          col("model_bytes").as("advised_bytes"))
+      a.join(b, col("column") === col("bc"))
+        .select(col("column"), col("actual_encoding"), col("actual_bytes"),
+          col("advised_encoding"), col("advised_bytes"),
+          (col("actual_bytes") - col("advised_bytes")).as("wasted_bytes"))
+        .orderBy("column")
+    }),
+
     // q238 [north star, r13]: SORT-LAYOUT PRUNING ADVISOR — the OTHER
     // decision a Parquet-class writer makes (q234 chose encodings; this
     // chooses the sort order): for each candidate layout, partition the
@@ -866,6 +902,75 @@ object Relational extends QueryGroup {
     }
   }
 
+  /** q234's oracle, factored so q243 can reuse it verbatim as a subquery
+    * (the q229 discipline).
+    */
+  private def q234OracleSql: String = {
+      def ib(card: String) =
+        s"(CASE WHEN $card <= 256 THEN 1 WHEN $card <= 65536 THEN 2 " +
+          s"WHEN $card <= 16777216 THEN 3 ELSE 4 END)"
+      def zz(v: String) = s"(CASE WHEN ($v) >= 0 THEN ($v)*2 ELSE -($v)*2 - 1 END)"
+      def vint(u: String) =
+        s"(1 + CASE WHEN ($u) >= 128 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ($u) >= 16384 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ($u) >= 2097152 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ($u) >= 268435456 THEN 1 ELSE 0 END)"
+      s"""WITH o AS (SELECT doc_id, source, lang, n_chars,
+         |    LAG(source) OVER w AS p_source, LAG(lang) OVER w AS p_lang,
+         |    LAG(doc_id) OVER w AS p_doc_id, LAG(n_chars) OVER w AS p_n_chars,
+         |    ROW_NUMBER() OVER w AS rk
+         |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+         |agg AS (SELECT COUNT(*) AS n,
+         |    SUM(4 + strlen(source)) AS src_plain,
+         |    SUM(4 + strlen(lang)) AS lang_plain,
+         |    SUM(CASE WHEN rk = 1 OR source IS DISTINCT FROM p_source
+         |        THEN 8 + strlen(source) ELSE 0 END) AS src_rle,
+         |    SUM(CASE WHEN rk = 1 OR lang IS DISTINCT FROM p_lang
+         |        THEN 8 + strlen(lang) ELSE 0 END) AS lang_rle,
+         |    SUM(CASE WHEN rk = 1 OR n_chars IS DISTINCT FROM p_n_chars
+         |        THEN 12 ELSE 0 END) AS nch_rle,
+         |    SUM(CASE WHEN rk = 1 OR doc_id IS DISTINCT FROM p_doc_id
+         |        THEN 12 ELSE 0 END) AS did_rle,
+         |    SUM(CASE WHEN rk = 1 THEN 8
+         |        ELSE ${vint(zz("doc_id - p_doc_id"))} END) AS did_delta,
+         |    SUM(CASE WHEN rk = 1 THEN 8
+         |        ELSE ${vint(zz("n_chars - p_n_chars"))} END) AS nch_delta,
+         |    COUNT(DISTINCT source) AS src_card,
+         |    COUNT(DISTINCT lang) AS lang_card,
+         |    COUNT(DISTINCT doc_id) AS did_card,
+         |    COUNT(DISTINCT n_chars) AS nch_card
+         |  FROM o),
+         |ds AS (SELECT SUM(4 + strlen(source)) AS src_dict_oct
+         |       FROM (SELECT DISTINCT source FROM documents)),
+         |dl AS (SELECT SUM(4 + strlen(lang)) AS lang_dict_oct
+         |       FROM (SELECT DISTINCT lang FROM documents)),
+         |r AS (
+         |  SELECT 'source' AS col, 'plain' AS encoding, src_plain AS b FROM agg
+         |  UNION ALL SELECT 'source', 'dict',
+         |    (SELECT src_dict_oct FROM ds) + n * ${ib("src_card")} FROM agg
+         |  UNION ALL SELECT 'source', 'rle', src_rle FROM agg
+         |  UNION ALL SELECT 'lang', 'plain', lang_plain FROM agg
+         |  UNION ALL SELECT 'lang', 'dict',
+         |    (SELECT lang_dict_oct FROM dl) + n * ${ib("lang_card")} FROM agg
+         |  UNION ALL SELECT 'lang', 'rle', lang_rle FROM agg
+         |  UNION ALL SELECT 'doc_id', 'plain', 8 * n FROM agg
+         |  UNION ALL SELECT 'doc_id', 'dict',
+         |    8 * did_card + n * ${ib("did_card")} FROM agg
+         |  UNION ALL SELECT 'doc_id', 'rle', did_rle FROM agg
+         |  UNION ALL SELECT 'doc_id', 'delta', did_delta FROM agg
+         |  UNION ALL SELECT 'n_chars', 'plain', 8 * n FROM agg
+         |  UNION ALL SELECT 'n_chars', 'dict',
+         |    8 * nch_card + n * ${ib("nch_card")} FROM agg
+         |  UNION ALL SELECT 'n_chars', 'rle', nch_rle FROM agg
+         |  UNION ALL SELECT 'n_chars', 'delta', nch_delta FROM agg),
+         |adv AS (SELECT col, encoding, b,
+         |    ROW_NUMBER() OVER (PARTITION BY col ORDER BY b, encoding) AS rn
+         |  FROM r)
+         |SELECT col AS "column", encoding, CAST(b AS BIGINT) AS model_bytes,
+         |  rn = 1 AS advised
+         |FROM adv ORDER BY "column", encoding""".stripMargin
+    }
+
   def oracles: Map[String, String] = {
     // q211's canonicalization chain (ending in `cn`), factored so the
     // q212 politeness oracle evaluates rules over EXACTLY the frontier
@@ -1020,71 +1125,27 @@ object Relational extends QueryGroup {
          |  CAST(gs AS BIGINT) AS groups_scanned,
          |  CAST(rs AS BIGINT) AS rows_scanned, rn = 1 AS advised
          |FROM r ORDER BY predicate, layout""".stripMargin,
-    "q234_encoding_advisor" -> {
-      def ib(card: String) =
-        s"(CASE WHEN $card <= 256 THEN 1 WHEN $card <= 65536 THEN 2 " +
-          s"WHEN $card <= 16777216 THEN 3 ELSE 4 END)"
-      def zz(v: String) = s"(CASE WHEN ($v) >= 0 THEN ($v)*2 ELSE -($v)*2 - 1 END)"
-      def vint(u: String) =
-        s"(1 + CASE WHEN ($u) >= 128 THEN 1 ELSE 0 END" +
-          s" + CASE WHEN ($u) >= 16384 THEN 1 ELSE 0 END" +
-          s" + CASE WHEN ($u) >= 2097152 THEN 1 ELSE 0 END" +
-          s" + CASE WHEN ($u) >= 268435456 THEN 1 ELSE 0 END)"
-      s"""WITH o AS (SELECT doc_id, source, lang, n_chars,
-         |    LAG(source) OVER w AS p_source, LAG(lang) OVER w AS p_lang,
-         |    LAG(doc_id) OVER w AS p_doc_id, LAG(n_chars) OVER w AS p_n_chars,
-         |    ROW_NUMBER() OVER w AS rk
-         |  FROM documents WINDOW w AS (ORDER BY doc_id)),
-         |agg AS (SELECT COUNT(*) AS n,
-         |    SUM(4 + strlen(source)) AS src_plain,
-         |    SUM(4 + strlen(lang)) AS lang_plain,
-         |    SUM(CASE WHEN rk = 1 OR source IS DISTINCT FROM p_source
-         |        THEN 8 + strlen(source) ELSE 0 END) AS src_rle,
-         |    SUM(CASE WHEN rk = 1 OR lang IS DISTINCT FROM p_lang
-         |        THEN 8 + strlen(lang) ELSE 0 END) AS lang_rle,
-         |    SUM(CASE WHEN rk = 1 OR n_chars IS DISTINCT FROM p_n_chars
-         |        THEN 12 ELSE 0 END) AS nch_rle,
-         |    SUM(CASE WHEN rk = 1 OR doc_id IS DISTINCT FROM p_doc_id
-         |        THEN 12 ELSE 0 END) AS did_rle,
-         |    SUM(CASE WHEN rk = 1 THEN 8
-         |        ELSE ${vint(zz("doc_id - p_doc_id"))} END) AS did_delta,
-         |    SUM(CASE WHEN rk = 1 THEN 8
-         |        ELSE ${vint(zz("n_chars - p_n_chars"))} END) AS nch_delta,
-         |    COUNT(DISTINCT source) AS src_card,
-         |    COUNT(DISTINCT lang) AS lang_card,
-         |    COUNT(DISTINCT doc_id) AS did_card,
-         |    COUNT(DISTINCT n_chars) AS nch_card
-         |  FROM o),
-         |ds AS (SELECT SUM(4 + strlen(source)) AS src_dict_oct
-         |       FROM (SELECT DISTINCT source FROM documents)),
-         |dl AS (SELECT SUM(4 + strlen(lang)) AS lang_dict_oct
-         |       FROM (SELECT DISTINCT lang FROM documents)),
-         |r AS (
-         |  SELECT 'source' AS col, 'plain' AS encoding, src_plain AS b FROM agg
-         |  UNION ALL SELECT 'source', 'dict',
-         |    (SELECT src_dict_oct FROM ds) + n * ${ib("src_card")} FROM agg
-         |  UNION ALL SELECT 'source', 'rle', src_rle FROM agg
-         |  UNION ALL SELECT 'lang', 'plain', lang_plain FROM agg
-         |  UNION ALL SELECT 'lang', 'dict',
-         |    (SELECT lang_dict_oct FROM dl) + n * ${ib("lang_card")} FROM agg
-         |  UNION ALL SELECT 'lang', 'rle', lang_rle FROM agg
-         |  UNION ALL SELECT 'doc_id', 'plain', 8 * n FROM agg
-         |  UNION ALL SELECT 'doc_id', 'dict',
-         |    8 * did_card + n * ${ib("did_card")} FROM agg
-         |  UNION ALL SELECT 'doc_id', 'rle', did_rle FROM agg
-         |  UNION ALL SELECT 'doc_id', 'delta', did_delta FROM agg
-         |  UNION ALL SELECT 'n_chars', 'plain', 8 * n FROM agg
-         |  UNION ALL SELECT 'n_chars', 'dict',
-         |    8 * nch_card + n * ${ib("nch_card")} FROM agg
-         |  UNION ALL SELECT 'n_chars', 'rle', nch_rle FROM agg
-         |  UNION ALL SELECT 'n_chars', 'delta', nch_delta FROM agg),
-         |adv AS (SELECT col, encoding, b,
-         |    ROW_NUMBER() OVER (PARTITION BY col ORDER BY b, encoding) AS rn
-         |  FROM r)
-         |SELECT col AS "column", encoding, CAST(b AS BIGINT) AS model_bytes,
-         |  rn = 1 AS advised
-         |FROM adv ORDER BY "column", encoding""".stripMargin
-    },
+    "q234_encoding_advisor" -> q234OracleSql,
+    // q243: q234's oracle verbatim as the advice subquery, joined
+    // against the actual encodings as format literals.
+    "q243_writer_choice_audit" ->
+      s"""WITH a234 AS ($q234OracleSql),
+         |act AS (SELECT 'doc_id' AS c, 'dict' AS e
+         |        UNION ALL SELECT 'lang', 'dict'
+         |        UNION ALL SELECT 'n_chars', 'dict'
+         |        UNION ALL SELECT 'source', 'dict'),
+         |aa AS (SELECT a."column" AS "column", act.e AS actual_encoding,
+         |         a.model_bytes AS actual_bytes
+         |       FROM a234 a JOIN act ON a."column" = act.c AND a.encoding = act.e),
+         |bb AS (SELECT "column" AS bc, encoding AS advised_encoding,
+         |         model_bytes AS advised_bytes
+         |       FROM a234 WHERE advised)
+         |SELECT aa."column", aa.actual_encoding,
+         |  CAST(aa.actual_bytes AS BIGINT) AS actual_bytes,
+         |  bb.advised_encoding, CAST(bb.advised_bytes AS BIGINT) AS advised_bytes,
+         |  CAST(aa.actual_bytes - bb.advised_bytes AS BIGINT) AS wasted_bytes
+         |FROM aa JOIN bb ON bb.bc = aa."column"
+         |ORDER BY aa."column"""".stripMargin,
     // q228: the q223 dump CTEs filtered to version ≤ 2 — rows after the
     // snapshot don't exist yet; the collapse is identical.
     "q228_time_travel" ->

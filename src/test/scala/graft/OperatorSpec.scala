@@ -4419,6 +4419,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q243 writer-choice audit: actual prices == q234 models; waste nonneg; dict optimal only where advised") {
+    import graft.operators.Footer
+    val adv = SparkEntry.queries("q234_encoding_advisor")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    val out = SparkEntry.queries("q243_writer_choice_audit")(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out.size == 4)
+    out.foreach { case (c, (act, actB, advE, advB, waste)) =>
+      assert(act == "dict", s"$c: the arrow writer dictionary-encodes here")
+      assert(actB == adv((c, act))._1, s"$c: actual price must be q234's model")
+      assert(advB == adv((c, advE))._1 && adv((c, advE))._2,
+        s"$c: advised leg must be q234's advised row")
+      assert(waste == actB - advB && waste >= 0L,
+        s"$c: waste must be the nonnegative model gap")
+    }
+    // the audit says something real: dict is optimal for the low-card
+    // strings and suboptimal for the sorted/int columns
+    assert(out("lang")._5 == 0L && out("source")._5 == 0L)
+    assert(out("doc_id")._3 == "delta" && out("doc_id")._5 > 0L)
+    // and the footer-derived actuals equal the format truth
+    val actual = Footer.encodingClasses(s"$Sf/documents.parquet")
+    assert(Seq("doc_id", "source", "lang", "n_chars")
+      .forall(actual(_) == "dict"))
+  }
+
   test("q241 change feed: applying the feed reproduces the to-version; resurrection is an insert") {
     import graft.operators.{Relational, Txn}
     val dumps = Relational.mergeDumps(spark, Sf)
