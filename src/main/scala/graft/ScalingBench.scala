@@ -158,11 +158,13 @@ object ScalingBench {
       "q236_optimistic_commit", "q237_unigram_em_train",
       "q238_layout_pruning_advisor", "q240_stats_catalog_ivm",
       "q241_change_feed", "q242_ngram_jaccard_recovered")
-    // q239 (parquet footer stats) is NOT in the tier: the blown corpus is
-    // Spark-written part-file DIRECTORIES, not the single-file layout the
-    // driver testdata ships, and footer reading is trivially linear in
-    // file count regardless (one ranged tail-read per file, zero data
-    // pages — the operator's whole point).
+    // q239 (parquet footer stats) and q243 (writer-choice audit, which
+    // reads the documents footer) are NOT in the tier: the blown corpus
+    // is Spark-written part-file DIRECTORIES, not the single-file layout
+    // the driver testdata ships, and footer reading is trivially linear
+    // in file count regardless (one ranged tail-read per file, zero data
+    // pages — the operator's whole point). q243's corpus leg is q234's
+    // pass, whose curve the q234 row already records.
     // q233 (pair-stream image cluster collapse) is deliberately NOT in
     // the 10× tier: the blow-up lands 10× docs in the same 11 planted
     // groups, so the pair stream densifies quadratically (~113M edges
