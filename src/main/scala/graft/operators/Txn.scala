@@ -284,6 +284,33 @@ object Txn extends QueryGroup {
   }
 
   def queries: Map[String, Q] = Map(
+    // q244 [north star, r13]: TABLE-DEBT CENSUS — the metric a
+    // vacuum/compaction scheduler actually reads (when does q236's
+    // vacuum PAY?): per log version, the rows it shipped, the
+    // tombstones among them, how many of its rows a LATER version has
+    // since superseded (dead weight a compaction reclaims), and how
+    // many are still the key's current state. One key shuffle derives
+    // per-key latest versions; the census is a version-keyed rollup
+    // (bounded by the version count). Debt = superseded + tombstoned
+    // mass; on the fixture v1 carries the bulk of it — exactly why the
+    // q236 episode checkpoints at v3.
+    "q244_table_debt_census" -> ((spark, dir) => {
+      val all = Relational.mergeDumps(spark, dir).reduce(_ unionByName _)
+      val latest = all.groupBy(col("doc_id"))
+        .agg(max(col("version")).as("latest_v"))
+      all.join(latest, Seq("doc_id"))
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstones"),
+          sum(when(col("version") < col("latest_v"), 1L).otherwise(0L))
+            .as("n_superseded"),
+          sum(when(col("version") === col("latest_v"), 1L).otherwise(0L))
+            .as("n_current"))
+        .select(col("version"), col("n_rows"), col("n_tombstones"),
+          col("n_superseded"), col("n_current"))
+        .orderBy("version")
+    }),
+
     // q241 [north star, r13]: CHANGE DATA FEED — versions → changelog,
     // closing the warehouse loop (q223 compacts a changelog into a
     // table; q241 diffs two table versions back into one). BOTH windows
@@ -432,6 +459,21 @@ object Txn extends QueryGroup {
        |FROM e$v, x$v, t$v""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q244: the same per-key latest-version derivation (window MAX) and
+    // version rollup.
+    "q244_table_debt_census" ->
+      s"""WITH $dumpCtes,
+         |lv AS (SELECT *, MAX(version) OVER (PARTITION BY doc_id) AS latest_v
+         |       FROM u3)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tombstones,
+         |  CAST(SUM(CASE WHEN version < latest_v THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_superseded,
+         |  CAST(SUM(CASE WHEN version = latest_v THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_current
+         |FROM lv GROUP BY version ORDER BY version""".stripMargin,
     // q241: compactions at v1/v2/v3 via ROW_NUMBER, full-joined per
     // window and classified with the same alive-transition rules.
     "q241_change_feed" -> {

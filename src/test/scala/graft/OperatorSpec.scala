@@ -4419,6 +4419,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q244 table-debt census: conservation laws and plain-Scala recount") {
+    import graft.operators.Relational
+    val out = SparkEntry.queries("q244_table_debt_census")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = Relational.mergeDumps(spark, Sf).reduce(_ unionByName _)
+      .select("doc_id", "version", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val latest = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+    val ref = rows.groupBy(_._2).map { case (v, g) =>
+      v -> (g.length.toLong, g.count(_._3 == "D").toLong,
+        g.count(t => t._2 < latest(t._1)).toLong,
+        g.count(t => t._2 == latest(t._1)).toLong)
+    }
+    assert(out == ref, "census drifted from the plain-Scala recount")
+    // conservation: every row is either superseded or current; all
+    // current rows across versions = the key population; the newest
+    // version can never be superseded
+    out.foreach { case (v, (n, _, sup, cur)) =>
+      assert(sup + cur == n, s"v$v: superseded + current != rows")
+    }
+    assert(out.values.map(_._4).sum == latest.size.toLong)
+    assert(out(out.keys.max)._3 == 0L, "the head version has no successor")
+    // the debt profile motivates the q236 vacuum: v1 carries real debt
+    assert(out(1L)._3 > 0L, "fixture must carry superseded v1 mass")
+  }
+
   test("q243 writer-choice audit: actual prices == q234 models; waste nonneg; dict optimal only where advised") {
     import graft.operators.Footer
     val adv = SparkEntry.queries("q234_encoding_advisor")(spark, Sf)
