@@ -102,11 +102,9 @@ object Bench {
     // forced GC, same 3-sample median — and both columns land in the
     // file record, so the next reader separates plan regressions from
     // suite pressure without a footnote.
-    val priorPath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
-    val prior: Map[String, Double] = try {
+    def loadRecord(path: String): Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(priorPath)), "UTF-8")
+        java.nio.file.Paths.get(path)), "UTF-8")
       val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
       if (!sfOk) Map.empty // cross-SF ratios are meaningless — skip
@@ -116,16 +114,42 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble))
         .toMap
     } catch { case _: Throwable => Map.empty }
-    val drifters = results
+    val priorPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
+    val prior = loadRecord(priorPath)
+    // The OLDEST same-consumer record (BENCH_ANCHOR.json: per query, its
+    // earliest checksum-consumer sf0.1 measurement). Round-over-round
+    // triage alone has a blind spot: a query drifting 1.2x per round for
+    // five rounds never trips the 1.5x prior gate yet sits 2.5x above
+    // where it started — so queries >= 2x their anchor also re-measure.
+    val anchorPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH_ANCHOR.json")
+    val anchor = loadRecord(anchorPath)
+    val priorDrifters = results
       .flatMap { case (name, tc, _) =>
         prior.get(name)
           .filter(p => p > 0 && tc >= 0.5 && tc / p >= 1.5)
           .map(p => (name, tc / p))
       }
       .sortBy(-_._2).take(10)
+    val anchorDrifters = results
+      .flatMap { case (name, tc, _) =>
+        anchor.get(name)
+          .filter(a => a > 0 && tc >= 0.5 && tc / a >= 2.0)
+          .map(a => (name, tc / a))
+      }
+      .sortBy(-_._2).take(10)
+      .filterNot { case (n, _) => priorDrifters.exists(_._1 == n) }
+    val drifters = priorDrifters ++ anchorDrifters
     val isolated = drifters.map { case (name, ratio) =>
-      val t = median(Seq.fill(samples)(
-        sample(name, SparkEntry.queries(name))(checksum)))
+      // memoized registrations (q201/q214/q223/... via CachePool.memo)
+      // would otherwise hand the isolated column a localCheckpoint READ
+      // where the in-suite column measured a BUILD — clear memos so both
+      // columns price the same work (the ScalingBench discipline)
+      val t = median(Seq.fill(samples)({
+        CachePool.memoClear()
+        sample(name, SparkEntry.queries(name))(checksum)
+      }))
       (name, t, ratio)
     }
     // The driver's stdout scrape keeps only the LAST 2000 chars of the
@@ -163,9 +187,14 @@ object Bench {
     val driftJson = isolated
       .map { case (n, _, r) => "\"" + n + "\":" + r3(r) }
       .mkString("{", ",", "}")
+    val anchorDriftJson = anchorDrifters
+      .map { case (n, r) => "\"" + n + "\":" + r3(r) }
+      .mkString("{", ",", "}")
     val tail = s""""value_legacy_count":${r3(totalCount)},"failed":$failedJson,""" +
       s""""isolated":$isolatedJson,"drift_in_suite":$driftJson,""" +
+      s""""drift_vs_anchor":$anchorDriftJson,""" +
       s""""prior":"${if (prior.isEmpty) "" else priorPath}",""" +
+      s""""anchor":"${if (anchor.isEmpty) "" else anchorPath}",""" +
       s""""sf":"$sfDir","samples":$samples"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val stdoutLine =

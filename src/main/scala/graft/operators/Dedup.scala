@@ -395,12 +395,14 @@ object Dedup extends QueryGroup {
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     val hot = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("g"))
+    // bucket key = xxhash64 over the sorted ARRAY itself (hash of the
+    // structured value) — a concat_ws(",") encoding collided distinct
+    // hot sets whose shingles contain the separator, silently inflating
+    // a bucket past maxBucket and surrendering real recovery
     val hotSets = exploded.join(hot, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("g"))).as("hs"))
-      .select(col("doc_id"), lit(0).as("band"),
-        xxhash64(concat_ws(",", transform(col("hs"), x =>
-          x.cast("string")))).as("bh"))
+      .select(col("doc_id"), lit(0).as("band"), xxhash64(col("hs")).as("bh"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val recovered = bandedCandidates(hotSets, maxBucket)

@@ -71,8 +71,13 @@ object Footer extends QueryGroup {
       case 7      => p += 8
       case 8      => { val n = varint().toInt; p += n }
       case 9 | 10 =>
-        val (et, n) = listHeader(); var i = 0
-        while (i < n) { skip(et); i += 1 }
+        val (et, n) = listHeader()
+        // bool LIST elements (unlike struct-field bools, whose value
+        // rides the field-header nibble) occupy one byte each in the
+        // compact protocol — the generic skip(1|2)=0 would silently
+        // desync the walk on a list<bool> field
+        if (et == 1 || et == 2) p += n
+        else { var i = 0; while (i < n) { skip(et); i += 1 } }
       case 11 =>
         val b = u8()
         if (b != 0) { // non-empty map: size was the varint before types
@@ -328,20 +333,26 @@ object Footer extends QueryGroup {
     }.toSeq
   }
 
-  /** RLE_DICTIONARY's Encoding enum value (parquet-format). */
-  private val EncDictionary = 8
+  /** The Encoding enum values that mark dictionary-encoded data pages
+    * (parquet-format): 8 = RLE_DICTIONARY (v2 writers, e.g. arrow) and
+    * 2 = PLAIN_DICTIONARY (the parquet-mr v1 writer Spark uses — a v1
+    * dictionary page lists PLAIN_DICTIONARY even though the indices are
+    * RLE/bit-packed, per the spec's deprecation note).
+    */
+  private val EncDictionary = Set(8, 2)
 
   /** Per depth-1 leaf, the writer's CHOSEN data encoding class in q234's
-    * model vocabulary: "dict" if any chunk carries RLE_DICTIONARY, else
-    * "plain". A driver-side metadata read — exactly how a planner or a
-    * table-maintenance job inspects a file's layout (one footer, no data
-    * pages). Used by q243's writer-choice audit.
+    * model vocabulary: "dict" if any chunk carries a dictionary encoding
+    * (either writer generation's enum), else "plain". A driver-side
+    * metadata read — exactly how a planner or a table-maintenance job
+    * inspects a file's layout (one footer, no data pages). Used by
+    * q243's writer-choice audit.
     */
   private[graft] def encodingClasses(path: String): Map[String, String] = {
     val (leaves, chunks) = parseFooter(path)
     leaves.zipWithIndex.collect {
       case (leaf, i) if leaf.depth == 1 =>
-        leaf.name -> (if (chunks(i).exists(_.encodings.contains(EncDictionary)))
+        leaf.name -> (if (chunks(i).exists(_.encodings.exists(EncDictionary)))
           "dict" else "plain")
     }.toMap
   }

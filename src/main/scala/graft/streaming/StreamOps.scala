@@ -620,6 +620,26 @@ object StreamOps {
         log.commitBatch(runNs, id, b); ()
       }
 
+  /** Runs `body` (typically a `.start()` of a query whose
+    * emitted-event-time safety argument is proven in its scaladoc, e.g.
+    * [[perceptualNearDupGateStream]]) with the chained-stateful analyzer
+    * check disabled, then RESTORES the previous session value — the
+    * check is evaluated once when a streaming query starts, so the
+    * started query keeps its exemption while every later query in the
+    * session regains the safety check.
+    */
+  def allowChainedStateful[A](spark: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val k = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = try Some(spark.conf.get(k)) catch { case _: Exception => None }
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   /** One exploded band row of an arriving image's dHash. */
   case class BandRow(band: Int, bv: Long, doc_id: Long, dhash: Long,
       ts: java.sql.Timestamp)
@@ -652,20 +672,23 @@ object StreamOps {
     * production door runs; the daily batch pass (q216/q235) remains the
     * exhaustive tier that also catches pairs farther apart in time.
     *
-    * Spark's chained-stateful-operator correctness check is disabled for
-    * the session (the `Tables` runtime-conf precedent): it pattern-matches
-    * any flatMapGroupsWithState feeding an aggregation because fMGWS CAN
-    * emit event times older than the watermark. This one cannot — every
-    * emitted row carries the event time of a CURRENT-batch input row
-    * (state is only read, never re-emitted), and late inputs were already
-    * dropped by the upstream watermark, so downstream rows are never late.
+    * This plan trips Spark's chained-stateful-operator correctness check:
+    * the analyzer pattern-matches any flatMapGroupsWithState feeding an
+    * aggregation because fMGWS CAN emit event times older than the
+    * watermark. This one cannot — every emitted row carries the event
+    * time of a CURRENT-batch input row (state is only read, never
+    * re-emitted), and late inputs were already dropped by the upstream
+    * watermark, so downstream rows are never late. The check runs when
+    * the query STARTS, so callers must wrap `.start()` in
+    * [[allowChainedStateful]] — which restores the session conf
+    * afterwards, so OTHER stateful queries in the same session keep the
+    * analyzer safety net (a session-wide disable here leaked the
+    * exemption to every later query).
     */
   def perceptualNearDupGateStream(media: DataFrame,
       horizonSec: Long = 600L): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.operators.Multimodal
     val horizonMs = horizonSec * 1000L

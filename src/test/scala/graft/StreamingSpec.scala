@@ -1516,10 +1516,14 @@ class StreamingSpec extends SparkSpec {
       (id, Multimodal.encodeBmpDhash(id), ts(i * 1000L))
     }
     val ms0 = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
-    val q = graft.streaming.StreamOps.perceptualNearDupGateStream(
-        ms0.toDF().toDF("doc_id", "media", "ts"), horizon).writeStream
-      .format("memory").queryName("ndgate_out")
-      .outputMode("append").start()
+    // the chained-stateful analyzer exemption is scoped to THIS start —
+    // later stateful queries in the session keep the safety check
+    val q = graft.streaming.StreamOps.allowChainedStateful(spark) {
+      graft.streaming.StreamOps.perceptualNearDupGateStream(
+          ms0.toDF().toDF("doc_id", "media", "ts"), horizon).writeStream
+        .format("memory").queryName("ndgate_out")
+        .outputMode("append").start()
+    }
     def gateStateRows(): Long =
       q.lastProgress.stateOperators
         .find(_.operatorName.contains("flatMapGroupsWithState"))
