@@ -158,7 +158,9 @@ object ScalingBench {
       "q236_optimistic_commit", "q237_unigram_em_train",
       "q238_layout_pruning_advisor", "q240_stats_catalog_ivm",
       "q241_change_feed", "q242_ngram_jaccard_recovered",
-      "q244_table_debt_census")
+      "q244_table_debt_census", "q245_pruned_scan",
+      "q246_audio_cluster_collapse", "q247_compaction_scheduler",
+      "q248_join_advisor")
     // q239 (parquet footer stats) and q243 (writer-choice audit, which
     // reads the documents footer) are NOT in the tier: the blown corpus
     // is Spark-written part-file DIRECTORIES, not the single-file layout

@@ -357,6 +357,128 @@ object Footer extends QueryGroup {
     }.toMap
   }
 
+  // ---- q245: row-group-pruned scan EXECUTION ---------------------------
+
+  /** One pruning unit's footer stats — the q238 overlap rule's inputs,
+    * read from the REAL footer the layout writer produced (never the
+    * data). With the house layout writer each unit is one
+    * [[Relational.PruneGroupRows]]-row row group in its own part file,
+    * so "skip a unit" = "never open the file" — the file-level form of
+    * row-group skipping (Delta/Iceberg manifests prune the same way:
+    * per-file min/max, whole files never touched).
+    */
+  private[graft] case class GroupStats(path: String, n_rows: Long,
+      mnNc: Long, mxNc: Long, mnId: Long, mxId: Long,
+      mnSrc: String, mxSrc: String, mnLang: String, mxLang: String)
+
+  private[graft] def groupStatsOf(path: String): GroupStats = {
+    val byCol = readFooter("layout", path).map(s => s.column -> s).toMap
+    def s(c: String) = byCol.getOrElse(c, throw new IllegalStateException(
+      s"q245: layout footer at $path carries no stats for '$c' — " +
+        "a stats-blind planner cannot prune soundly; refusing"))
+    GroupStats(path, s("doc_id").n_values,
+      s("n_chars").min_value.toLong, s("n_chars").max_value.toLong,
+      s("doc_id").min_value.toLong, s("doc_id").max_value.toLong,
+      s("source").min_value, s("source").max_value,
+      s("lang").min_value, s("lang").max_value)
+  }
+
+  /** The q238 predicate workload, each as (name, footer-stats overlap
+    * test, row-level predicate). The overlap test is the SOUND pruning
+    * rule (scan iff [min, max] intersects the predicate — no false
+    * skips); the row predicate is what the executed scan applies.
+    */
+  private[graft] def prunePredicates(spark: SparkSession)
+      : Seq[(String, GroupStats => Boolean, org.apache.spark.sql.Column)] = Seq(
+    ("lang_eq_en", g => g.mnLang <= "en" && g.mxLang >= "en",
+      col("lang") === "en"),
+    ("nchars_100_199", g => g.mnNc <= 199L && g.mxNc >= 100L,
+      col("n_chars").between(100L, 199L)),
+    ("docid_100_149", g => g.mnId <= 149L && g.mxId >= 100L,
+      col("doc_id").between(100L, 149L)),
+    ("source_eq_src3", g => g.mnSrc <= "src3" && g.mxSrc >= "src3",
+      col("source") === "src3"))
+
+  /** Materialize q238's advised by_length layout (sort by (n_chars,
+    * doc_id), one PruneGroupRows-row unit per file) and return the unit
+    * paths in layout order plus their footer stats — the PLAN inputs.
+    * The write is the layout-materialization cost a clustering key
+    * always pays once; planning then reads one footer tail per unit and
+    * zero data pages. At warehouse scale the per-unit stats live in a
+    * manifest (q240's catalog direction) instead of N footer opens — the
+    * arithmetic is identical.
+    */
+  private[graft] def pruneLayout(spark: SparkSession, dir: String)
+      : Seq[GroupStats] = {
+    val layoutDir = System.getProperty("java.io.tmpdir") +
+      "/graft_q245_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .repartition(1)
+      .sortWithinPartitions(col("n_chars"), col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", Relational.PruneGroupRows)
+      .parquet(layoutDir)
+    val files = new java.io.File(layoutDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet") && f.length() > 0)
+      .map(_.getPath).sorted.toSeq
+    require(files.nonEmpty, s"q245: layout write produced no units in $layoutDir")
+    files.map(groupStatsOf)
+  }
+
+  /** q245's engine: per predicate, decide surviving units from FOOTER
+    * stats alone, execute the scan over ONLY those files, and prove the
+    * skip sound IN-PLAN — the pruned scan's (match count, content xor)
+    * is cross-checked against the unpruned scan's and a divergence
+    * raises rather than returning a silently-partial answer. Emits the
+    * counts a planner is graded on: groups_total vs groups_read vs
+    * rows_read.
+    */
+  private[graft] def prunedScan(spark: SparkSession, dir: String,
+      preds: Seq[(String, GroupStats => Boolean, org.apache.spark.sql.Column)]
+        = null): DataFrame = {
+    val groups = pruneLayout(spark, dir)
+    val workload = Option(preds).getOrElse(prunePredicates(spark))
+    val allFiles = groups.map(_.path)
+    // sentinel-separated canon (the q195 auditRow discipline: an
+    // unseparated concat would let ("1","2x") and ("12","x") collide);
+    // the sentinel is spelled as a unicode escape per the house policy
+    val sep = lit("\u0001")
+    val rowHash = conv(substring(md5(concat(
+      sep, col("doc_id").cast("string"),
+      sep, col("source"),
+      sep, col("lang"),
+      sep, col("n_chars").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    def scanAgg(paths: Seq[String], pred: org.apache.spark.sql.Column,
+        nCol: String, xCol: String): DataFrame = {
+      val base =
+        if (paths.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            spark.read.parquet(allFiles.head).schema)
+        else spark.read.parquet(paths: _*)
+      base.filter(pred)
+        .agg(count(lit(1)).as(nCol), coalesce(bit_xor(rowHash), lit(0L)).as(xCol))
+    }
+    workload.map { case (name, keep, pred) =>
+      val surviving = groups.filter(keep)
+      val pruned = scanAgg(surviving.map(_.path), pred, "n_match", "match_xor")
+      val full = scanAgg(allFiles, pred, "f_n", "f_x")
+      pruned.crossJoin(full)
+        .filter(when(col("n_match") =!= col("f_n") ||
+            col("match_xor") =!= col("f_x"),
+          raise_error(lit(s"q245: pruned scan diverged from the full scan " +
+            s"on '$name' — an unsound skip dropped matching rows; refusing")))
+          .otherwise(lit(true)))
+        .select(lit(name).as("predicate"),
+          lit(groups.size.toLong).as("groups_total"),
+          lit(surviving.size.toLong).as("groups_read"),
+          lit(surviving.map(_.n_rows).sum).as("rows_read"),
+          col("n_match"), col("match_xor"))
+    }.reduce(_ unionByName _).orderBy("predicate")
+  }
+
   /** The distributed footer scan: one ranged tail-read per file. */
   private[graft] def footerStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -420,9 +542,68 @@ object Footer extends QueryGroup {
     // say the truth. The codec column is the format-literal leg (the
     // q168 self-validating discipline); everything else is recomputed
     // from the rows by the oracle.
-    "q239_parquet_footer_stats" -> ((spark, dir) => footerStats(spark, dir)))
+    "q239_parquet_footer_stats" -> ((spark, dir) => footerStats(spark, dir)),
+
+    // q245 [north star, r14]: ROW-GROUP-PRUNED SCAN EXECUTION — the one
+    // thing a 100 TB planner exists to do, turned from advice (q238
+    // priced layouts, q239 proved the stats truthful) into an EXECUTED
+    // read: materialize the advised by_length layout in PruneGroupRows
+    // units, decide per predicate which units to open from FOOTER STATS
+    // ALONE (the sound overlap rule — never skip a possibly-matching
+    // unit), scan only those files, and prove the skip lossless IN-PLAN
+    // (pruned (count, content-xor) must equal the unpruned scan's, else
+    // raise). The emitted counts are the planner's report card:
+    // groups_read < groups_total on the sort key's predicate, rows_read
+    // bounds the I/O the skip saved. Oracle: the q238 overlap arithmetic
+    // over ROW_NUMBER groups + the match legs straight off documents.
+    "q245_pruned_scan" -> ((spark, dir) => prunedScan(spark, dir)))
+
+  /** q245's per-predicate oracle legs: (name, group-overlap SQL over the
+    * per-group min/max CTE, row-predicate SQL over documents).
+    */
+  private val OraclePreds: Seq[(String, String, String)] = Seq(
+    ("docid_100_149", "mn_id <= 149 AND mx_id >= 100",
+      "doc_id BETWEEN 100 AND 149"),
+    ("lang_eq_en", "mn_lang <= 'en' AND mx_lang >= 'en'", "lang = 'en'"),
+    ("nchars_100_199", "mn_nc <= 199 AND mx_nc >= 100",
+      "n_chars BETWEEN 100 AND 199"),
+    ("source_eq_src3", "mn_src <= 'src3' AND mx_src >= 'src3'",
+      "source = 'src3'"))
 
   def oracles: Map[String, String] = Map(
+    // q245: groups re-derived by the same (n_chars, doc_id) total order
+    // and 64-row chunking (q238's oracle arithmetic), overlap rule
+    // verbatim; match legs recomputed from the rows with the shared
+    // sentinel-canon 60-bit xor.
+    "q245_pruned_scan" -> {
+      val rowMd5 = "md5(chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || " +
+        "source || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR))"
+      val legs = OraclePreds.map { case (name, gcond, rcond) =>
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS groups_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
+           |    AS groups_read,
+           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM g
+           |   WHERE $gcond) AS rows_read,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
+      }
+      s"""WITH r AS (SELECT doc_id, source, lang, n_chars,
+         |             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+         |           FROM documents),
+         |g AS (SELECT (rn - 1) // ${Relational.PruneGroupRows} AS grp,
+         |        COUNT(*) AS n_rows,
+         |        MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
+         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id,
+         |        MIN(source) AS mn_src, MAX(source) AS mx_src
+         |      FROM r GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
+    },
     "q239_parquet_footer_stats" -> (
       OracleScope.map { case (t, c, phys) =>
         s"""SELECT '$t' AS tbl, '$c' AS "column", '$phys' AS physical,

@@ -4672,6 +4672,82 @@ class OperatorSpec extends SparkSpec {
       "the far head pairs with nobody and must stay out of the edge graph")
   }
 
+  test("q245 pruned scan: sort-key predicate skips groups; pruned read opens only surviving files; unsound skip raises") {
+    import graft.operators.Footer
+    // 1. the planner's report card: on the by_length layout, the n_chars
+    // predicate must actually SKIP groups, and rows_read must bound I/O
+    val out = SparkEntry.queries("q245_pruned_scan")(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (gTot, gRead, rowsRead, nMatch) = out("nchars_100_199")
+    assert(gRead < gTot, s"nchars predicate must prune groups ($gRead/$gTot)")
+    assert(nMatch <= rowsRead && rowsRead < gTot * 64L,
+      "rows_read must bound matches and undercut a full scan")
+    // every predicate's totals agree on the layout geometry
+    assert(out.values.map(_._1).toSet.size == 1)
+    // 2. the EXECUTED read touches only surviving files (the skip is an
+    // I/O fact, not a report): rebuild the plan inputs and count files
+    val groups = Footer.pruneLayout(spark, Sf)
+    val preds = Footer.prunePredicates(spark)
+    val (_, keep, _) = preds.find(_._1 == "nchars_100_199").get
+    val surviving = groups.filter(keep)
+    assert(surviving.size.toLong == gRead)
+    val opened = spark.read.parquet(surviving.map(_.path): _*)
+      .inputFiles.length
+    assert(opened.toLong == gRead,
+      s"pruned scan must open exactly the surviving files ($opened vs $gRead)")
+    // 3. LOUDNESS: an unsound planner (inverted overlap test -> skips
+    // matching groups) must raise in-plan, never return a partial answer
+    val bad = preds.map { case (n, k, p) =>
+      if (n == "nchars_100_199") (n, (g: Footer.GroupStats) => !k(g), p)
+      else (n, k, p)
+    }
+    val e = intercept[Exception] {
+      Footer.prunedScan(spark, Sf, bad).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert((e.getMessage + root(e).getMessage).contains("q245"),
+      s"unsound skip must raise the q245 guard, got: ${e.getMessage}")
+  }
+
+  test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    // 1. IDENTICAL OUTPUT CONTRACT: the sparsified collapse must equal
+    // the components derived from q219's full pair stream (the
+    // signature-head theorem, applied to audio fingerprints)
+    val sparse = SparkEntry.queries("q246_audio_cluster_collapse")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val pairs = SparkEntry.queries("q219_audio_neardup")(spark, Sf)
+      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
+    val full = Tables(spark, Sf, "documents").select(col("doc_id"))
+      .join(Dedup.connectedComponents(pairs)
+        .withColumnRenamed("component_id", "cid"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")), col("cid").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(sparse == full, "q246 components drifted from q219's pair closure")
+    // 2. EDGE LINEARITY — the point: the planted fixture has at most 2
+    // distinct signatures per group (re-levels hash identically, the
+    // fade-out edit flips one bit), so the contraction's edge list is
+    // (docs - signatures) member edges + a bounded head-pair set,
+    // strictly under the quadratic pair stream
+    val media = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.encodeWavAfp(id)))
+    val hashes = Multimodal.audioFingerprints(spark, media).localCheckpoint()
+    val nDocs = hashes.count()
+    val nSig = hashes.select("dhash").distinct().count()
+    assert(nSig <= 2 * Multimodal.AfpGroups,
+      s"fixture must collapse to <= 2 signatures per group, got $nSig")
+    val nEdges = Multimodal.sparseClusterEdges(hashes).count()
+    val nPairs = pairs.count()
+    assert(nEdges < nPairs,
+      s"sparsified edges ($nEdges) must undercut the pair stream ($nPairs)")
+    assert(nEdges - (nDocs - nSig) <= nSig * (nSig - 1) / 2,
+      "verified head pairs must be bounded by distinct-signature pairs")
+  }
+
   test("q234 encoding advisor: matches plain-Scala size models; sane advice; varint/NULL loudness") {
     import graft.operators.Relational
     val out = SparkEntry.queries("q234_encoding_advisor")(spark, Sf).collect()
