@@ -479,6 +479,38 @@ object Footer extends QueryGroup {
     }.reduce(_ unionByName _).orderBy("predicate")
   }
 
+  /** Merged footer stats for one table that may be a single file (the
+    * testdata layout) or a directory of part files (any Spark-written
+    * table): one ranged tail-read per file, stats folded per column
+    * (counts sum, min/max extremize — numerically for ints,
+    * lexicographically for strings). The metadata read a catalog
+    * maintains per table; used by q248's join advisor.
+    */
+  private[graft] def tableStats(dir: String, tbl: String): Map[String, ColStat] = {
+    val root = new java.io.File(s"$dir/$tbl.parquet")
+    val files =
+      if (root.isDirectory)
+        root.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+          .map(_.getPath).sorted.toSeq
+      else Seq(root.getPath)
+    require(files.nonEmpty, s"q248: no parquet files under $dir/$tbl.parquet")
+    files.flatMap(p => readFooter(tbl, p))
+      .groupBy(_.column)
+      .map { case (c, ss) =>
+        val h = ss.head
+        require(ss.forall(_.physical == h.physical),
+          s"q248: mixed physical types for $tbl.$c across part files")
+        val (mn, mx) =
+          if (h.physical == "BYTE_ARRAY")
+            (ss.map(_.min_value).min, ss.map(_.max_value).max)
+          else (ss.map(_.min_value.toLong).min.toString,
+            ss.map(_.max_value.toLong).max.toString)
+        c -> ColStat(tbl, c, h.physical, h.codec, ss.map(_.n_values).sum,
+          ss.map(_.null_count).sum, mn, mx)
+      }
+  }
+
   /** The distributed footer scan: one ranged tail-read per file. */
   private[graft] def footerStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

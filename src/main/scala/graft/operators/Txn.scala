@@ -283,7 +283,210 @@ object Txn extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** q247's scheduler arithmetic: per candidate retain version V, the
+    * economics of `vacuum(V)` — the DECISION the q244 census exists for.
+    * Bytes ride q234's plain-encoding model applied to the log schema
+    * (8 doc_id + 8 version + 1 op + [4 + octets(txt)] for U rows):
+    *  - reclaim = the rows/bytes versions ≤ V ship that a LATER version
+    *    ≤ V has superseded (vacuum drops them);
+    *  - rewrite = the rows/bytes the checkpoint must rewrite (latest per
+    *    key, tombstones kept — q236's compactRaw contract);
+    *  - compact_now iff 4·reclaim_bytes ≥ rewrite_bytes (reclaimable
+    *    dead weight ≥ a quarter of the rewrite cost — the exact-integer
+    *    threshold; below it the rewrite costs more than it frees for a
+    *    long time).
+    * Conservation (reclaim_rows + ckpt_rows = n_rows) is raised on
+    * IN-PLAN (the q240 soundness discipline) — a scheduler that loses
+    * rows between the two buckets advises garbage.
+    *
+    * Scale shape: the candidate-version frame is bounded manifest
+    * metadata (≤ #versions rows, broadcast); the one corpus pass keys on
+    * (retain_v, doc_id) with map-side partials — rows fan out by at most
+    * the version count, which a real manifest bounds independently of
+    * data volume.
+    */
+  private[graft] def compactionSchedule(dumps: Seq[DataFrame]): DataFrame = {
+    val all = dumps.reduce(_ unionByName _)
+    val vs = all.select(col("version").as("retain_v")).distinct()
+    val w = all.join(broadcast(vs), col("version") <= col("retain_v"))
+      .withColumn("bytes", lit(17L) +
+        when(col("op") === "U", lit(4L) + octet_length(col("txt")))
+          .otherwise(0L))
+    val latest = w.groupBy(col("retain_v"), col("doc_id"))
+      .agg(max(col("version")).as("lv"))
+    w.join(latest, Seq("retain_v", "doc_id"))
+      .groupBy(col("retain_v"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("version") === col("lv"), 1L).otherwise(0L))
+          .as("ckpt_rows"),
+        sum(when(col("version") < col("lv"), 1L).otherwise(0L))
+          .as("reclaim_rows"),
+        sum(when(col("version") < col("lv"), col("bytes")).otherwise(0L))
+          .as("reclaim_bytes"),
+        sum(when(col("version") === col("lv"), col("bytes")).otherwise(0L))
+          .as("rewrite_bytes"))
+      .filter(when(col("n_rows") =!= col("ckpt_rows") + col("reclaim_rows"),
+        raise_error(lit("q247: conservation broken — rows lost between " +
+          "the reclaim and rewrite buckets; the schedule would advise garbage")))
+        .otherwise(lit(true)))
+      .select(col("retain_v"), col("n_rows"), col("ckpt_rows"),
+        col("reclaim_rows"), col("reclaim_bytes"), col("rewrite_bytes"),
+        (col("reclaim_bytes") * 4L >= col("rewrite_bytes")).as("compact_now"))
+      .orderBy("retain_v")
+  }
+
+  /** q248's advice rule — the CBO decision from catalog cardinalities:
+    * broadcast the side at least 4× smaller than the other (the
+    * exact-integer form of "small enough that shipping it everywhere
+    * beats shuffling both"), else shuffle. Uniform across join sets so
+    * the oracle states it once.
+    */
+  private[graft] def joinAdvice(estLeft: Long, estRight: Long): String =
+    if (estLeft * 4L <= estRight) "broadcast_left"
+    else if (estRight * 4L <= estLeft) "broadcast_right"
+    else "shuffle"
+
+  /** q248: STATS-CATALOG JOIN ADVISOR — the first CBO-shaped consumer of
+    * the metadata tier (the r13 verdict's item #4): every estimate comes
+    * from a CATALOG read (q239 footer stats for the base tables, q240's
+    * published n_alive for the dump-log side — zero data scans in the
+    * estimation leg), the advice (broadcast side + the greedy
+    * smallest-first join order the `step` column encodes) follows
+    * [[joinAdvice]], and the ACTUAL leg executes each join WITH the
+    * advised strategy and counts — the q168/q243 self-validating-leg
+    * discipline: a wrong estimate or advice lands as a red row against
+    * the oracle, which recomputes both legs from the data.
+    *
+    * Cardinality model (exact-integer, each precondition VERIFIED from
+    * the stats and refused loudly when absent):
+    *  - PK–FK step (the chain + dim_probe): the parent key is provably
+    *    DENSE-UNIQUE from its footer stats (n_values = max − min + 1,
+    *    null-free) and the child FK range is CONTAINED in it — so
+    *    est_out = child rows exactly (referential integrity the actual
+    *    leg then confirms);
+    *  - self-equi-join: the System-R form |L|²/V with V = the key's
+    *    domain width from the parent table's catalog row (floor
+    *    division — a documented model, not a theorem; actual diverges
+    *    exactly by the key-frequency variance, which is the point of
+    *    carrying both columns);
+    *  - log ⋈ base on a shared unique key: est_out = min(n_alive,
+    *    n_base) — the envelope-sound UPPER bound (never an
+    *    under-estimate, the q240 soundness direction: a planner sizing
+    *    buffers from it never under-provisions).
+    */
+  private[graft] def joinAdvisor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    def stats(tbl: String) = Footer.tableStats(dir, tbl)
+    def denseUnique(tbl: String, key: String): Long = {
+      val s = stats(tbl)(key)
+      require(s.null_count == 0L &&
+        s.n_values == s.max_value.toLong - s.min_value.toLong + 1L,
+        s"q248: $tbl.$key is not provably dense-unique from its stats — " +
+          "the PK-FK cardinality model does not apply; refusing")
+      s.n_values
+    }
+    def contained(childTbl: String, fk: String, parentTbl: String,
+        pk: String): Unit = {
+      val c = stats(childTbl)(fk); val p = stats(parentTbl)(pk)
+      require(c.min_value.toLong >= p.min_value.toLong &&
+        c.max_value.toLong <= p.max_value.toLong,
+        s"q248: $childTbl.$fk range escapes $parentTbl.$pk — referential " +
+          "integrity unproven; refusing the containment estimate")
+    }
+    def rows(tbl: String, anyCol: String): Long = stats(tbl)(anyCol).n_values
+    def exec(l: DataFrame, r: DataFrame, cond: org.apache.spark.sql.Column,
+        advice: String): Long = (advice match {
+      case "broadcast_left"  => broadcast(l).join(r, cond)
+      case "broadcast_right" => l.join(broadcast(r), cond)
+      case _                 => l.join(r, cond)
+    }).count()
+    def t(n: String) = graft.Tables(spark, dir, n)
+
+    // ---- chain: greedy smallest-first over the star schema ----
+    val chainSpec = Seq(
+      // (child table, child FK, parent table already in the chain, its PK)
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"))
+    var acc: DataFrame = t("region")
+    var accEst = denseUnique("region", "r_regionkey")
+    val chainRows = chainSpec.zipWithIndex.map {
+      case ((child, fk, parent, pk), i) =>
+        denseUnique(parent, pk) // the model's precondition, checked
+        contained(child, fk, parent, pk)
+        val er = rows(child, fk)
+        val advice = joinAdvice(accEst, er)
+        val actual = exec(acc, t(child), col(pk) === col(fk), advice)
+        acc = acc.join(t(child), col(pk) === col(fk))
+        val row = ("chain", (i + 1).toLong, child, accEst, er, er, actual, advice)
+        accEst = er
+        row
+    }
+
+    // ---- dim_probe: a declared order with the DIM on the right ----
+    val dpL = rows("customer", "c_custkey")
+    val dpR = denseUnique("nation", "n_nationkey")
+    contained("customer", "c_nationkey", "nation", "n_nationkey")
+    val dpAdvice = joinAdvice(dpL, dpR)
+    val dpActual = exec(t("customer"), t("nation"),
+      col("c_nationkey") === col("n_nationkey"), dpAdvice)
+    val dimProbe = ("dim_probe", 1L, "nation", dpL, dpR, dpL, dpActual, dpAdvice)
+
+    // ---- selfjoin: the System-R V-bounded estimate ----
+    val sl = rows("lineitem", "l_orderkey")
+    val v = denseUnique("orders", "o_orderkey")
+    val sjAdvice = joinAdvice(sl, sl)
+    val li = t("lineitem")
+    val sjActual = exec(
+      li.select(col("l_orderkey").as("ka"), col("l_linenumber").as("la")),
+      li.select(col("l_orderkey").as("kb"), col("l_linenumber").as("lb")),
+      col("ka") === col("kb"), sjAdvice)
+    val selfJoin = ("selfjoin", 1L, "lineitem", sl, sl, sl * sl / v,
+      sjActual, sjAdvice)
+
+    // ---- log_docs: the q240-catalog side ----
+    val dumps = Relational.mergeDumps(spark, dir)
+    val nAlive = statsCatalogAsOf(dumps, 3L)
+      .filter(col("column") === "doc_id")
+      .select(col("n_alive")).head().getLong(0)
+    val nDocs = rows("documents", "doc_id")
+    val ldAdvice = joinAdvice(nAlive, nDocs)
+    val alive3 = Relational.timeTravelRead(dumps, 3L)
+      .filter(col("alive")).select(col("doc_id"))
+    val ldActual = exec(alive3,
+      t("documents").select(col("doc_id").as("d_id")),
+      col("doc_id") === col("d_id"), ldAdvice)
+    val logDocs = ("log_docs", 1L, "documents", nAlive, nDocs,
+      math.min(nAlive, nDocs), ldActual, ldAdvice)
+
+    (chainRows :+ dimProbe :+ selfJoin :+ logDocs)
+      .toDF("join_set", "step", "build_table", "est_left", "est_right",
+        "est_out", "actual_out", "advice")
+      .orderBy("join_set", "step")
+  }
+
   def queries: Map[String, Q] = Map(
+    // q248 [north star, r14]: STATS-CATALOG JOIN ADVISOR — see
+    // [[joinAdvisor]]. All three advice classes fire on the fixture
+    // (chain: broadcast_left at every step; dim_probe: broadcast_right;
+    // selfjoin/log_docs: shuffle); est == actual wherever the dense-
+    // unique + containment preconditions hold (the chain and dim_probe),
+    // and the two model-bound rows carry their documented divergence.
+    "q248_join_advisor" -> ((spark, dir) => joinAdvisor(spark, dir)),
+
+    // q247 [north star, r14]: COMPACTION/VACUUM SCHEDULER — closes the
+    // metric→action gap the r13 verdict named: q244 counted the dead
+    // weight, q234/q243 priced bytes; this emits the DECISION (compact
+    // at version V now vs defer) with exact-integer thresholds, and the
+    // spec runs the episode where vacuuming at the advised version
+    // reproduces q236's checkpoint transparency. On the fixture v1 has
+    // nothing to reclaim (defer) while v2/v3 carry enough superseded
+    // mass to clear the bar — both decision classes fire.
+    "q247_compaction_scheduler" -> ((spark, dir) =>
+      compactionSchedule(Relational.mergeDumps(spark, dir))),
+
     // q244 [north star, r13]: TABLE-DEBT CENSUS — the metric a
     // vacuum/compaction scheduler actually reads (when does q236's
     // vacuum PAY?): per log version, the rows it shipped, the
@@ -458,7 +661,102 @@ object Txn extends QueryGroup {
        |  CAST(tmno AS BIGINT), CAST(tmxo AS BIGINT)
        |FROM e$v, x$v, t$v""".stripMargin
 
+  /** q248's advice rule as SQL (the one place the arithmetic is stated
+    * for the oracle — mirrors [[joinAdvice]] exactly).
+    */
+  private def adviceSql(el: String, er: String): String =
+    s"CASE WHEN $el * 4 <= $er THEN 'broadcast_left' " +
+      s"WHEN $er * 4 <= $el THEN 'broadcast_right' ELSE 'shuffle' END"
+
   def oracles: Map[String, String] = Map(
+    // q248: every leg recomputed from the data — table counts stand in
+    // for the footer reads (q239 proved n_values == COUNT(*)), n_alive
+    // via the q223 latest-wins CTE stands in for the q240 catalog row,
+    // actuals are real joins, and est/advice use the identical
+    // exact-integer models.
+    "q248_join_advisor" -> {
+      def row(set: String, step: Int, build: String, el: String, er: String,
+          eo: String, ao: String) =
+        s"""SELECT '$set' AS join_set, CAST($step AS BIGINT) AS step,
+           |  '$build' AS build_table, CAST($el AS BIGINT) AS est_left,
+           |  CAST($er AS BIGINT) AS est_right, CAST($eo AS BIGINT) AS est_out,
+           |  CAST($ao AS BIGINT) AS actual_out,
+           |  ${adviceSql(el, er)} AS advice
+           |FROM c, a""".stripMargin
+      s"""WITH $dumpCtes,
+         |alive3 AS (SELECT doc_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY version DESC) AS rn FROM u3) z
+         |  WHERE rn = 1 AND op = 'U'),
+         |c AS (SELECT
+         |  (SELECT COUNT(*) FROM region) AS cr,
+         |  (SELECT COUNT(*) FROM nation) AS cn,
+         |  (SELECT COUNT(*) FROM customer) AS cc,
+         |  (SELECT COUNT(*) FROM orders) AS co,
+         |  (SELECT COUNT(*) FROM lineitem) AS cl,
+         |  (SELECT COUNT(*) FROM documents) AS cd,
+         |  (SELECT COUNT(*) FROM alive3) AS ca),
+         |a AS (SELECT
+         |  (SELECT COUNT(*) FROM region r
+         |     JOIN nation n ON n.n_regionkey = r.r_regionkey) AS a1,
+         |  (SELECT COUNT(*) FROM region r
+         |     JOIN nation n ON n.n_regionkey = r.r_regionkey
+         |     JOIN customer c2 ON c2.c_nationkey = n.n_nationkey) AS a2,
+         |  (SELECT COUNT(*) FROM region r
+         |     JOIN nation n ON n.n_regionkey = r.r_regionkey
+         |     JOIN customer c2 ON c2.c_nationkey = n.n_nationkey
+         |     JOIN orders o ON o.o_custkey = c2.c_custkey) AS a3,
+         |  (SELECT COUNT(*) FROM region r
+         |     JOIN nation n ON n.n_regionkey = r.r_regionkey
+         |     JOIN customer c2 ON c2.c_nationkey = n.n_nationkey
+         |     JOIN orders o ON o.o_custkey = c2.c_custkey
+         |     JOIN lineitem li ON li.l_orderkey = o.o_orderkey) AS a4,
+         |  (SELECT COUNT(*) FROM customer c2
+         |     JOIN nation n ON c2.c_nationkey = n.n_nationkey) AS adp,
+         |  (SELECT COUNT(*) FROM lineitem x
+         |     JOIN lineitem y ON y.l_orderkey = x.l_orderkey) AS asj,
+         |  (SELECT COUNT(*) FROM alive3 v
+         |     JOIN documents d ON d.doc_id = v.doc_id) AS ald)
+         |${row("chain", 1, "nation", "cr", "cn", "cn", "a1")}
+         |UNION ALL
+         |${row("chain", 2, "customer", "cn", "cc", "cc", "a2")}
+         |UNION ALL
+         |${row("chain", 3, "orders", "cc", "co", "co", "a3")}
+         |UNION ALL
+         |${row("chain", 4, "lineitem", "co", "cl", "cl", "a4")}
+         |UNION ALL
+         |${row("dim_probe", 1, "nation", "cc", "cn", "cc", "adp")}
+         |UNION ALL
+         |${row("selfjoin", 1, "lineitem", "cl", "cl", "cl * cl // co", "asj")}
+         |UNION ALL
+         |${row("log_docs", 1, "documents", "ca", "cd", "LEAST(ca, cd)", "ald")}
+         |ORDER BY join_set, step""".stripMargin
+    },
+    // q247: the same per-(candidate, key) latest-version derivation and
+    // byte model off the q223 gate CTEs; compact_now is the identical
+    // 4x-threshold arithmetic.
+    "q247_compaction_scheduler" ->
+      s"""WITH $dumpCtes,
+         |vs AS (SELECT DISTINCT version AS retain_v FROM u3),
+         |w AS (SELECT u3.*, vs.retain_v,
+         |        17 + CASE WHEN op = 'U' THEN 4 + strlen(txt) ELSE 0 END
+         |          AS bytes
+         |      FROM u3 JOIN vs ON u3.version <= vs.retain_v),
+         |l AS (SELECT *, MAX(version) OVER (PARTITION BY retain_v, doc_id)
+         |        AS lv FROM w)
+         |SELECT CAST(retain_v AS BIGINT) AS retain_v,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN version = lv THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ckpt_rows,
+         |  CAST(SUM(CASE WHEN version < lv THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS reclaim_rows,
+         |  CAST(SUM(CASE WHEN version < lv THEN bytes ELSE 0 END) AS BIGINT)
+         |    AS reclaim_bytes,
+         |  CAST(SUM(CASE WHEN version = lv THEN bytes ELSE 0 END) AS BIGINT)
+         |    AS rewrite_bytes,
+         |  SUM(CASE WHEN version < lv THEN bytes ELSE 0 END) * 4 >=
+         |    SUM(CASE WHEN version = lv THEN bytes ELSE 0 END) AS compact_now
+         |FROM l GROUP BY retain_v ORDER BY retain_v""".stripMargin,
     // q244: the same per-key latest-version derivation (window MAX) and
     // version rollup.
     "q244_table_debt_census" ->

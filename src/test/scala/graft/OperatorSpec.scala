@@ -4672,6 +4672,70 @@ class OperatorSpec extends SparkSpec {
       "the far head pairs with nobody and must stay out of the edge graph")
   }
 
+  test("q248 advisor: rule branches; advised broadcasts execute as broadcast joins; estimates exact where preconditions hold") {
+    import graft.operators.Txn
+    // the advice rule's three branches (the pure decision function)
+    assert(Txn.joinAdvice(5L, 25L) == "broadcast_left")
+    assert(Txn.joinAdvice(150L, 25L) == "broadcast_right")
+    assert(Txn.joinAdvice(6000L, 6000L) == "shuffle")
+    assert(Txn.joinAdvice(4L, 16L) == "broadcast_left", "boundary is <=")
+    val rows = SparkEntry.queries("q248_join_advisor")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+      .toMap
+    // PK-FK steps: est == actual (dense-unique + containment verified)
+    (1 to 4).foreach { s =>
+      val (_, _, eo, ao, adv) = rows(("chain", s.toLong))
+      assert(eo == ao, s"chain step $s estimate must be exact")
+      assert(adv == "broadcast_left")
+    }
+    assert(rows(("dim_probe", 1L))._5 == "broadcast_right")
+    // model-bound rows: the log bound is SOUND (never under), the
+    // System-R self-join bound diverges by key-frequency variance only
+    val (_, _, ldEo, ldAo, ldAdv) = rows(("log_docs", 1L))
+    assert(ldEo >= ldAo && ldAdv == "shuffle",
+      "log_docs estimate must upper-bound the actual join")
+    // the executed plan honors the advice: an advised-broadcast step
+    // runs as a broadcast join (the advice is an execution fact)
+    val r = Tables(spark, Sf, "region")
+    val n = Tables(spark, Sf, "nation")
+    val plan = broadcast(r).join(n, col("r_regionkey") === col("n_regionkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"advised broadcast must execute as BroadcastHashJoin:\n${plan.take(400)}")
+  }
+
+  test("q247 schedule: defer-then-compact classes fire; vacuuming at the advised version keeps reads transparent") {
+    import graft.operators.{Relational, TableLog}
+    val rows = SparkEntry.queries("q247_compaction_scheduler")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(6))).toMap
+    assert(!rows(1L)._3, "v1 has nothing to reclaim - must defer")
+    val advisedAll = rows.filter(_._2._3).keys
+    assert(advisedAll.nonEmpty, "fixture must carry enough dead weight to compact")
+    val advised = advisedAll.max
+    // THE EPISODE: run the q236 protocol history, vacuum at the ADVISED
+    // version, and prove the checkpointed read equals the full-history
+    // read - the schedule's decision composes with the transparency law
+    val dumps = Relational.mergeDumps(spark, Sf).map(_.localCheckpoint())
+    val log = new TableLog
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    require(log.commit("loader", 0L, None, _ => dumps(0)) == 1L)
+    require(log.commit("d1", 1L, Some(keysOf(dumps(1))), _ => dumps(1)) == 2L)
+    val d3 = dumps(2).unionByName(dumps(3))
+    require(log.commit("d2", 2L, Some(keysOf(d3)), _ => d3) == 3L)
+    val before = log.readAsOf(3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) "" else r.getString(3))).sortBy(_._1).toSeq
+    log.vacuum(advised)
+    val after = log.readAsOf(3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) "" else r.getString(3))).sortBy(_._1).toSeq
+    assert(after == before,
+      "vacuum at the advised version must leave reads unchanged")
+  }
+
   test("q245 pruned scan: sort-key predicate skips groups; pruned read opens only surviving files; unsound skip raises") {
     import graft.operators.Footer
     // 1. the planner's report card: on the by_length layout, the n_chars
