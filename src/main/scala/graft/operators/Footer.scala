@@ -118,11 +118,13 @@ object Footer extends QueryGroup {
   // ---- footer model ---------------------------------------------------
 
   private[graft] case class SchemaLeaf(name: String, physical: Int,
-      logicalUnion: Int, depth: Int) // logicalUnion: -1 none, else union id
+      logicalUnion: Int, depth: Int, // logicalUnion: -1 none, else union id
+      repetition: Int = 1) // 0 required, 1 optional, 2 repeated
 
   private[graft] case class ChunkStats(codec: Int, numValues: Long,
       nullCount: Long, minV: Array[Byte], maxV: Array[Byte],
-      encodings: Seq[Int])
+      encodings: Seq[Int], dataPageOffset: Long = -1L,
+      dictPageOffset: Long = -1L, totalCompressedSize: Long = -1L)
 
   private val PhysicalNames = Map(0 -> "BOOLEAN", 1 -> "INT32", 2 -> "INT64",
     3 -> "INT96", 4 -> "FLOAT", 5 -> "DOUBLE", 6 -> "BYTE_ARRAY",
@@ -184,10 +186,11 @@ object Footer extends QueryGroup {
         stack: scala.collection.mutable.ArrayBuffer[Int],
         isRoot: Boolean): Unit = {
       var physical = -1; var name = ""; var nChildren = 0
-      var logical = -1
+      var logical = -1; var repetition = 1
       r.struct { (id, t) =>
         (id, t) match {
           case (1, _)  => physical = r.zigzag().toInt
+          case (3, _)  => repetition = r.zigzag().toInt
           case (4, 8)  => name = r.str()
           case (5, _)  => nChildren = r.zigzag().toInt
           case (10, 12) => // LogicalType: a union — capture the member id
@@ -204,7 +207,7 @@ object Footer extends QueryGroup {
         stack(stack.length - 1) -= 1
         if (nChildren > 0) stack += nChildren
         else {
-          leaves += SchemaLeaf(name, physical, logical, depth)
+          leaves += SchemaLeaf(name, physical, logical, depth, repetition)
           while (stack.nonEmpty && stack.last == 0)
             stack.remove(stack.length - 1)
         }
@@ -228,6 +231,7 @@ object Footer extends QueryGroup {
       var codec = -1; var nv = -1L; var nulls = 0L
       var minV: Array[Byte] = null; var maxV: Array[Byte] = null
       var encs = Seq.empty[Int]
+      var dataOff = -1L; var dictOff = -1L; var tcs = -1L
       r.struct { (id, t) =>
         (id, t) match {
           case (2, 9) => // encodings: list<Encoding enum>
@@ -236,13 +240,16 @@ object Footer extends QueryGroup {
             encs = (0 until n).map(_ => r.zigzag().toInt)
           case (4, _)   => codec = r.zigzag().toInt
           case (5, _)   => nv = r.zigzag()
+          case (7, _)   => tcs = r.zigzag()
+          case (9, _)   => dataOff = r.zigzag()
+          case (11, _)  => dictOff = r.zigzag()
           case (12, 12) =>
             val (n, mn, mx) = parseStatistics()
             nulls = n; minV = mn; maxV = mx
           case _        => r.skip(t)
         }
       }
-      ChunkStats(codec, nv, nulls, minV, maxV, encs)
+      ChunkStats(codec, nv, nulls, minV, maxV, encs, dataOff, dictOff, tcs)
     }
 
     def parseColumnChunk(idx: Int): Unit = {
@@ -355,6 +362,273 @@ object Footer extends QueryGroup {
         leaf.name -> (if (chunks(i).exists(_.encodings.exists(EncDictionary)))
           "dict" else "plain")
     }.toMap
+  }
+
+  // ---- q249: pure-JDK data-PAGE decode ---------------------------------
+
+  /** RLE/bit-packed hybrid reader (parquet-format Encodings.md) — the
+    * encoding both definition levels and dictionary indices ride. Fills
+    * `n` values of `bitWidth` bits into `out` starting at `buf(p0)` and
+    * returns the position after the consumed runs. A bit-packed run may
+    * carry padding values past `n` (groups of 8 by spec) — its bytes are
+    * consumed, the padding discarded.
+    */
+  private def readHybrid(buf: Array[Byte], p0: Int, bitWidth: Int,
+      n: Int, out: Array[Int]): Int = {
+    var p = p0
+    def varint(): Long = {
+      var x = 0L; var sh = 0; var b = 0
+      do { b = buf(p) & 0xff; p += 1; x |= (b & 0x7fL) << sh; sh += 7 }
+      while ((b & 0x80) != 0)
+      x
+    }
+    require(bitWidth >= 0 && bitWidth <= 32, s"q249: bad hybrid bit width $bitWidth")
+    var filled = 0
+    if (bitWidth == 0) { // all-zero indices occupy no run bytes
+      java.util.Arrays.fill(out, 0, n, 0); return p
+    }
+    val byteW = (bitWidth + 7) / 8
+    while (filled < n) {
+      val h = varint()
+      if ((h & 1L) == 0L) { // RLE run: count = h>>1, one fixed-width value
+        val run = (h >>> 1).toInt
+        require(run > 0, "q249: zero-length RLE run — malformed hybrid stream")
+        var v = 0; var i = 0
+        while (i < byteW) { v |= (buf(p) & 0xff) << (8 * i); p += 1; i += 1 }
+        var k = 0
+        while (k < run && filled < n) { out(filled) = v; filled += 1; k += 1 }
+      } else { // bit-packed: h>>1 groups of 8 values, LSB-first
+        val groups = (h >>> 1).toInt
+        require(groups > 0, "q249: zero-length bit-packed run — malformed")
+        val cnt = groups * 8
+        var bit = 0; var k = 0
+        while (k < cnt) {
+          if (filled < n) {
+            var v = 0; var j = 0
+            while (j < bitWidth) {
+              v |= ((buf(p + ((bit + j) >> 3)) >> ((bit + j) & 7)) & 1) << j
+              j += 1
+            }
+            out(filled) = v; filled += 1
+          }
+          bit += bitWidth; k += 1
+        }
+        p += groups * bitWidth
+      }
+    }
+    p
+  }
+
+  private def leInt4(buf: Array[Byte], off: Int): Int =
+    (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8) |
+      ((buf(off + 2) & 0xff) << 16) | ((buf(off + 3) & 0xff) << 24)
+  private def leLong8(buf: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v |= (buf(off + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** One decoded column chunk: the values themselves, read by walking
+    * page headers and decoding plain / dictionary pages — the level
+    * below q239's footer walk, closing the format read loop footer→page.
+    */
+  private[graft] case class PageDecode(encClass: String, nValues: Long,
+      nNulls: Long, longs: Seq[Long], strs: Seq[String])
+
+  /** Decode every v1 data page of `column` in `path` (uncompressed only
+    * — the audited scope; compressed pages, v2 pages, or any encoding
+    * outside PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY refuse LOUDLY,
+    * the q239 malformed-input discipline). Handles optional flat
+    * columns' definition levels (RLE hybrid, bit width 1) and both
+    * writer generations' dictionary index encodings.
+    */
+  private[graft] def decodeColumnChunk(path: String, column: String): PageDecode = {
+    val (leaves, chunks) = parseFooter(path)
+    val li = leaves.indexWhere(_.name == column)
+    require(li >= 0, s"q249: no column '$column' in $path")
+    val leaf = leaves(li)
+    require(leaf.depth == 1, s"q249: '$column' is nested — flat scope only")
+    val isStr = leaf.physical == 6
+    require(leaf.physical == 2 || isStr,
+      s"q249: decode scope is INT64/BYTE_ARRAY, '$column' is ${leaf.physical}")
+    val maxDef = if (leaf.repetition == 0) 0 else 1
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val strs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var nulls = 0L; var nVals = 0L; var usedDict = false
+      chunks(li).foreach { cs =>
+        require(cs.codec == 0, s"q249: '$column' pages are codec " +
+          s"${CodecNames.getOrElse(cs.codec, cs.codec.toString)} — the " +
+          "audited decode scope is UNCOMPRESSED v1; refusing")
+        require(cs.dataPageOffset >= 0 && cs.totalCompressedSize > 0,
+          s"q249: chunk offsets missing for '$column' in $path")
+        val start = if (cs.dictPageOffset >= 0)
+          math.min(cs.dictPageOffset, cs.dataPageOffset)
+        else cs.dataPageOffset
+        val win = new Array[Byte](cs.totalCompressedSize.toInt)
+        raf.seek(start); raf.readFully(win)
+        val r = new CompactReader(win)
+        var dictLongs: Array[Long] = null
+        var dictStrs: Array[String] = null
+        var read = 0L
+        while (read < cs.numValues) {
+          var ptype = -1; var ups = -1; var cps = -1
+          var dpNum = -1; var dpEnc = -1; var dlEnc = -1
+          var dictNum = -1; var dictEnc = -1
+          r.struct { (id, t) =>
+            (id, t) match {
+              case (1, _) => ptype = r.zigzag().toInt
+              case (2, _) => ups = r.zigzag().toInt
+              case (3, _) => cps = r.zigzag().toInt
+              case (5, 12) => r.struct { (fid, ft) =>
+                (fid, ft) match {
+                  case (1, _) => dpNum = r.zigzag().toInt
+                  case (2, _) => dpEnc = r.zigzag().toInt
+                  case (3, _) => dlEnc = r.zigzag().toInt
+                  case _      => r.skip(ft)
+                }
+              }
+              case (7, 12) => r.struct { (fid, ft) =>
+                (fid, ft) match {
+                  case (1, _) => dictNum = r.zigzag().toInt
+                  case (2, _) => dictEnc = r.zigzag().toInt
+                  case _      => r.skip(ft)
+                }
+              }
+              case (_, wt) => r.skip(wt)
+            }
+          }
+          require(ups == cps && cps > 0,
+            s"q249: page sizes $ups/$cps inconsistent under UNCOMPRESSED")
+          val body = r.p
+          ptype match {
+            case 2 => // DICTIONARY_PAGE: PLAIN(-dictionary) values
+              require(dictEnc == 0 || dictEnc == 2,
+                s"q249: dictionary page encoding $dictEnc — not PLAIN; refusing")
+              require(dictNum >= 0, "q249: dictionary page without a count")
+              if (isStr) {
+                val a = new Array[String](dictNum)
+                var p = body; var i = 0
+                while (i < dictNum) {
+                  val len = leInt4(win, p); p += 4
+                  a(i) = new String(win, p, len, "UTF-8"); p += len; i += 1
+                }
+                dictStrs = a
+              } else {
+                val a = new Array[Long](dictNum)
+                var i = 0
+                while (i < dictNum) { a(i) = leLong8(win, body + 8 * i); i += 1 }
+                dictLongs = a
+              }
+            case 0 => // DATA_PAGE v1
+              require(dpNum >= 0, "q249: data page without a value count")
+              var p = body
+              var nNonNull = dpNum
+              if (maxDef == 1) {
+                require(dlEnc == 3,
+                  s"q249: def-level encoding $dlEnc — v1 pages carry RLE; refusing")
+                val dlLen = leInt4(win, p); p += 4
+                val defs = new Array[Int](dpNum)
+                val consumed = readHybrid(win, p, 1, dpNum, defs) - p
+                require(consumed <= dlLen,
+                  s"q249: def levels overran their length prefix in $path")
+                p += dlLen
+                var i = 0; var nn = 0
+                while (i < dpNum) { if (defs(i) == 1) nn += 1; i += 1 }
+                nNonNull = nn
+                nulls += dpNum - nn
+              }
+              dpEnc match {
+                case 0 => // PLAIN
+                  if (isStr) {
+                    var i = 0
+                    while (i < nNonNull) {
+                      val len = leInt4(win, p); p += 4
+                      strs += new String(win, p, len, "UTF-8"); p += len; i += 1
+                    }
+                  } else {
+                    var i = 0
+                    while (i < nNonNull) { longs += leLong8(win, p); p += 8; i += 1 }
+                  }
+                case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+                  require(dictLongs != null || dictStrs != null,
+                    s"q249: dictionary-encoded page before its dictionary in $path")
+                  usedDict = true
+                  val bw = win(p) & 0xff; p += 1
+                  val idx = new Array[Int](nNonNull)
+                  readHybrid(win, p, bw, nNonNull, idx)
+                  var i = 0
+                  while (i < nNonNull) {
+                    if (isStr) strs += dictStrs(idx(i)) else longs += dictLongs(idx(i))
+                    i += 1
+                  }
+                case e => throw new IllegalStateException(
+                  s"q249: data page encoding $e outside the audited " +
+                    "PLAIN/dictionary scope; refusing")
+              }
+              read += dpNum; nVals += dpNum
+            case 3 => throw new IllegalStateException(
+              "q249: DATA_PAGE_V2 — outside the audited v1 scope; refusing")
+            case t => throw new IllegalStateException(
+              s"q249: unexpected page type $t in $path")
+          }
+          r.p = body + cps
+        }
+      }
+      PageDecode(if (usedDict) "dict" else "plain", nVals, nulls,
+        longs.toSeq, strs.toSeq)
+    } finally raf.close()
+  }
+
+  /** 60-bit md5 fold of a value's string form — the engine-side twin of
+    * the oracle's `('0x' || substring(md5(v), 1, 15))::BIGINT`. */
+  private def md5Fold60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** q249's engine: write the probe layouts (uncompressed; dictionary
+    * on/off — the writer self-check: the emitted enc_class is a format
+    * literal the oracle pins, so a writer-option that silently failed to
+    * propagate lands as a red row), then decode every value back through
+    * the page walker and aggregate — equality with the SQL truth proves
+    * the whole chain footer→page-header→levels→values.
+    */
+  private[graft] def pageDecodeProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(("dict", true), ("plain", false)).flatMap {
+      case (mode, dictOn) =>
+        val out = System.getProperty("java.io.tmpdir") +
+          s"/graft_q249_${mode}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .repartition(1).sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite")
+          .option("compression", "uncompressed")
+          .option("parquet.enable.dictionary", dictOn.toString)
+          .parquet(out)
+        val file = new java.io.File(out).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).map(_.getPath).sorted.headOption
+          .getOrElse(throw new IllegalStateException(s"q249: no part file in $out"))
+        Seq("doc_id", "source").map { c =>
+          val d = decodeColumnChunk(file, c)
+          val (sumLeg, nDist, xor) =
+            if (c == "doc_id")
+              (d.longs.sum, d.longs.distinct.size.toLong,
+                d.longs.map(v => md5Fold60(v.toString)).foldLeft(0L)(_ ^ _))
+            else
+              (d.strs.map(_.getBytes("UTF-8").length.toLong).sum,
+                d.strs.distinct.size.toLong,
+                d.strs.map(md5Fold60).foldLeft(0L)(_ ^ _))
+          (mode, c, d.encClass, d.nValues, d.nNulls, sumLeg, nDist, xor)
+        }
+    }
+    rows.toDF("mode", "column", "enc_class", "n_values", "n_nulls",
+      "sum_leg", "n_distinct", "content_xor")
+      .orderBy("mode", "column")
   }
 
   // ---- q245: row-group-pruned scan EXECUTION ---------------------------
@@ -588,7 +862,19 @@ object Footer extends QueryGroup {
     // groups_read < groups_total on the sort key's predicate, rows_read
     // bounds the I/O the skip saved. Oracle: the q238 overlap arithmetic
     // over ROW_NUMBER groups + the match legs straight off documents.
-    "q245_pruned_scan" -> ((spark, dir) => prunedScan(spark, dir)))
+    "q245_pruned_scan" -> ((spark, dir) => prunedScan(spark, dir)),
+
+    // q249 [north star, r14]: PURE-JDK DATA-PAGE DECODE — the format
+    // read loop closed end to end (q239 walked the footer; this walks
+    // page headers and decodes plain + dictionary v1 pages, definition
+    // levels included) and verified against the SQL truth: the decoded
+    // values' count/sum/distinct/md5-xor must equal the table's. The
+    // enc_class column is a format literal (q243's self-validating-leg
+    // discipline): dictionary-mode doc_id reads 'plain' because
+    // parquet-mr's first-page fallback abandons a dictionary that beats
+    // nothing on unique values — the decoder proving WHAT the writer
+    // chose, not what was asked.
+    "q249_page_decode" -> ((spark, dir) => pageDecodeProbe(spark, dir)))
 
   /** q245's per-predicate oracle legs: (name, group-overlap SQL over the
     * per-group min/max CTE, row-predicate SQL over documents).
@@ -603,6 +889,26 @@ object Footer extends QueryGroup {
       "source = 'src3'"))
 
   def oracles: Map[String, String] = Map(
+    // q249: the decoded values must BE the column — every leg recomputed
+    // from the rows; enc_class rows are the pinned format literals.
+    "q249_page_decode" -> {
+      def leg(mode: String, c: String, enc: String, sumExpr: String) =
+        s"""SELECT '$mode' AS mode, '$c' AS "column", '$enc' AS enc_class,
+           |  CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST($sumExpr AS BIGINT) AS sum_leg,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(bit_xor(CAST(('0x' ||
+           |    substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT))
+           |    AS BIGINT) AS content_xor
+           |FROM documents""".stripMargin
+      Seq(
+        leg("dict", "doc_id", "plain", "SUM(doc_id)"),
+        leg("dict", "source", "dict", "SUM(strlen(source))"),
+        leg("plain", "doc_id", "plain", "SUM(doc_id)"),
+        leg("plain", "source", "plain", "SUM(strlen(source))"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY mode, \"column\"")
+    },
     // q245: groups re-derived by the same (n_chars, doc_id) total order
     // and 64-row chunking (q238's oracle arithmetic), overlap rule
     // verbatim; match legs recomputed from the rows with the shared

@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions._
   */
 class FormatSpec extends SparkSpec {
 
+  test("q249 page decoder refuses corrupt pages, v2/compressed scope escapes, and truncation loudly") {
+    import graft.operators.Footer
+    // a fresh probe layout to corrupt (the registered query just wrote
+    // these; re-write so the test owns its fixture)
+    val out = System.getProperty("java.io.tmpdir") + "/graft_q249_corrupt"
+    Tables(spark, Sf, "documents").select(col("doc_id"), col("source"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").option("compression", "uncompressed")
+      .parquet(out)
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
+    // sanity: the intact file decodes
+    val ok = Footer.decodeColumnChunk(file, "doc_id")
+    assert(ok.longs.size.toLong == ok.nValues && ok.nValues > 0)
+    // 1. corrupt the first data-page header byte -> the walk must throw,
+    // never return wrong values
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val (leaves, chunks) = Footer.parseFooter(file)
+    val di = leaves.indexWhere(_.name == "doc_id")
+    val off = chunks(di).head.dataPageOffset.toInt
+    val bad = bytes.clone(); bad(off) = 0x7f.toByte // invalid field header
+    val badPath = out + "/corrupt.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badPath), bad)
+    intercept[Exception] { Footer.decodeColumnChunk(badPath, "doc_id") }
+    // 2. truncated mid-page -> loud (readFully or bounds, never partial)
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, off + 8)
+    val sfx = java.util.Arrays.copyOfRange(bytes, bytes.length - 2048, bytes.length)
+    val truncPath = out + "/trunc.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(truncPath), cut ++ sfx)
+    intercept[Exception] { Footer.decodeColumnChunk(truncPath, "doc_id") }
+    // 3. scope escapes refuse with the q249 message: a SNAPPY chunk (the
+    // stock testdata) is outside the audited uncompressed-v1 scope
+    val e = intercept[Exception] {
+      Footer.decodeColumnChunk(s"$Sf/documents.parquet", "doc_id")
+    }
+    assert(e.getMessage.contains("q249"),
+      s"compressed-page refusal must cite its scope, got: ${e.getMessage}")
+  }
+
   test("events round-trip identically through orc, json, and csv") {
     val base = Tables(spark, Sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
