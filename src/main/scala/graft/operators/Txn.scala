@@ -263,12 +263,23 @@ object Txn extends QueryGroup {
   private[graft] def changeFeed(dumps: Seq[DataFrame], from: Long,
       to: Long): DataFrame = {
     require(from < to, s"q241: change feed needs from < to, got $from >= $to")
-    val a = Relational.timeTravelRead(dumps, from)
-      .select(col("doc_id"), col("alive").as("a_alive"),
-        col("text_md5").as("pre_md5"))
-    val b = Relational.timeTravelRead(dumps, to)
-      .select(col("doc_id"), col("alive").as("b_alive"),
-        col("text_md5").as("post_md5"))
+    feedBetween(Relational.timeTravelRead(dumps, from),
+      Relational.timeTravelRead(dumps, to), from)
+  }
+
+  /** The diff-and-classify core of [[changeFeed]] over two ALREADY-READ
+    * snapshots (the q223 compaction schema: doc_id, alive, text_md5) —
+    * factored out so the STREAMING feed can diff consecutive manifest
+    * versions through [[TableLog.readAsOf]] with the identical
+    * classification (batch ≡ stream by shared code, the q223/q228
+    * discipline).
+    */
+  private[graft] def feedBetween(aRead: DataFrame, bRead: DataFrame,
+      from: Long): DataFrame = {
+    val a = aRead.select(col("doc_id"), col("alive").as("a_alive"),
+      col("text_md5").as("pre_md5"))
+    val b = bRead.select(col("doc_id"), col("alive").as("b_alive"),
+      col("text_md5").as("post_md5"))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("change",
         when(coalesce(col("a_alive"), lit(false)) && !col("b_alive"), "delete")

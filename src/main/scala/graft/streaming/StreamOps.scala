@@ -620,6 +620,30 @@ object StreamOps {
         log.commitBatch(runNs, id, b); ()
       }
 
+  /** [[commitStream]] + CHANGE DATA FEED: each micro-batch commits
+    * exactly once through the manifest, then the per-batch changelog —
+    * q241's classification, diffing the pre-commit snapshot against the
+    * committed version via the SHARED [[graft.operators.Txn.feedBetween]]
+    * core (batch ≡ stream by shared code) — is handed to `emit` tagged
+    * with its from-version. Replayed batches (restart re-delivery) are
+    * version-preserving no-ops and emit NOTHING — a feed consumer sees
+    * each version transition exactly once; empty batches likewise. The
+    * CDC-consistency law (applying the emitted feed to the from-version
+    * reproduces the to-version) is pinned in StreamingSpec.
+    */
+  def changeFeedStream(updates: DataFrame, log: graft.operators.TableLog,
+      runNs: String)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val pre = log.snapshotVersion
+        val v = log.commitBatch(runNs, id, b)
+        if (v > pre) emit(graft.operators.Txn.feedBetween(
+          log.readAsOf(pre), log.readAsOf(v), pre))
+        ()
+      }
+
   /** Runs `body` (typically a `.start()` of a query whose
     * emitted-event-time safety argument is proven in its scaladoc, e.g.
     * [[perceptualNearDupGateStream]]) with the chained-stateful analyzer

@@ -1410,6 +1410,75 @@ class StreamingSpec extends SparkSpec {
       v => Seq((9L, v, "U", "ok")).toDF("doc_id", "version", "op", "txt")) == 3L)
   }
 
+  test("streaming change feed: per-batch CDC through the commit protocol; applying the feed reproduces the to-version; replay emits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{TableLog, Txn}
+    val log = new TableLog
+    val feeds = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String, Option[String], Option[String])])]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.changeFeedStream(
+        ms.toDF().toDF("doc_id", "op", "txt"), log, "cf1") { df =>
+      val rows = df.collect().map(r => (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toSeq
+      feeds += ((df.select(col("from_v")).head().getLong(0), rows))
+    }.start()
+    ms.addData(Seq((1L, "U", "a"), (2L, "U", "b"), (3L, "U", "c")))
+    q.processAllAvailable()
+    ms.addData(Seq((2L, "U", "b2"), (3L, "D", null), (4L, "U", "d")))
+    q.processAllAvailable()
+    q.stop()
+    assert(log.snapshotVersion == 2L)
+    assert(feeds.map(_._1).toSeq == Seq(0L, 1L),
+      "one feed per committed version transition, tagged with its from-version")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // batch 0: three inserts from nothing
+    assert(feeds(0)._2.toSet == Set(
+      (1L, "insert", None, Some(md5("a"))),
+      (2L, "insert", None, Some(md5("b"))),
+      (3L, "insert", None, Some(md5("c")))))
+    // batch 1: update / delete / insert all classified
+    assert(feeds(1)._2.toSet == Set(
+      (2L, "update", Some(md5("b")), Some(md5("b2"))),
+      (3L, "delete", Some(md5("c")), None),
+      (4L, "insert", None, Some(md5("d")))))
+    // batch == stream: the emitted v1->v2 feed equals the shared core's
+    // diff of the same manifest versions
+    val direct = Txn.feedBetween(log.readAsOf(1L), log.readAsOf(2L), 1L)
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toSet
+    assert(direct == feeds(1)._2.toSet)
+    // THE CDC-CONSISTENCY LAW: applying the streamed feed to the
+    // from-version state reproduces the to-version exactly
+    def stateAt(v: Long): Map[Long, Option[String]] =
+      log.readAsOf(v).collect().map(r => r.getLong(0) ->
+        (if (r.getBoolean(2)) Some(r.getString(3)) else None)).toMap
+    val applied = feeds(1)._2.foldLeft(stateAt(1L)) {
+      case (st, (id, "delete", _, _))       => st.updated(id, None)
+      case (st, (id, _, _, post))           => st.updated(id, post)
+    }
+    assert(applied == stateAt(2L),
+      "applying the streamed feed must reproduce the to-version state")
+    // REPLAY through the STREAM path: a restarted query re-delivers
+    // batch 0 under the same runNs — the marker makes it a
+    // version-preserving no-op and the feed emits NOTHING
+    val nFeeds = feeds.size
+    val ms2 = MemoryStream[(Long, String, String)]
+    val q2 = graft.streaming.StreamOps.changeFeedStream(
+        ms2.toDF().toDF("doc_id", "op", "txt"), log, "cf1") { df =>
+      feeds += ((-1L, Seq.empty))
+    }.start()
+    ms2.addData(Seq((1L, "U", "a"), (2L, "U", "b"), (3L, "U", "c")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(log.snapshotVersion == 2L, "replay must not burn a version")
+    assert(feeds.size == nFeeds, "a replayed batch must emit nothing")
+  }
+
   test("streaming boilerplate extract == batch q217 on the same pages (shared projection)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
