@@ -160,7 +160,22 @@ object ScalingBench {
       "q241_change_feed", "q242_ngram_jaccard_recovered",
       "q244_table_debt_census", "q245_pruned_scan",
       "q246_audio_cluster_collapse", "q247_compaction_scheduler",
-      "q248_join_advisor")
+      "q250_scheduled_vacuum", "q251_zorder_pruned_scan")
+    // q251 at 10x: the blown events' shifted user ids exceed the
+    // ZOrderBits=12 interleave width, so the z-layout degenerates
+    // toward 1-D for the copies — pruning EFFECTIVENESS shrinks but the
+    // in-plan pruned==full guard keeps correctness; the row measures
+    // the write+plan+scan cost curve, not the (fixture-degraded) skip
+    // ratio.
+    // q248 (join advisor) is NOT in the tier, for the q239/q243 reason
+    // plus one of its own: the blow-up ships only documents/embeddings/
+    // customer/nation/events (the advisor's chain tables aren't blown),
+    // and the key-shifted customer copies (min 0, max 9e8+n) make
+    // c_custkey provably NOT dense-unique — q248's correct behavior
+    // there is its loud model refusal, which is a contract, not a
+    // curve. Its estimation leg is footer reads (linear in file count,
+    // the q239 argument); its actual leg is plain broadcast/shuffle
+    // joins whose scaling the join rows already record.
     // q239 (parquet footer stats) and q243 (writer-choice audit, which
     // reads the documents footer) are NOT in the tier: the blown corpus
     // is Spark-written part-file DIRECTORIES, not the single-file layout

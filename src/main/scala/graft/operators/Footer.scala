@@ -631,7 +631,7 @@ object Footer extends QueryGroup {
       .orderBy("mode", "column")
   }
 
-  // ---- q245: row-group-pruned scan EXECUTION ---------------------------
+  // ---- pruned scan EXECUTION (q245 by_length, q251 z-order) ------------
 
   /** One pruning unit's footer stats — the q238 overlap rule's inputs,
     * read from the REAL footer the layout writer produced (never the
@@ -639,57 +639,39 @@ object Footer extends QueryGroup {
     * [[Relational.PruneGroupRows]]-row row group in its own part file,
     * so "skip a unit" = "never open the file" — the file-level form of
     * row-group skipping (Delta/Iceberg manifests prune the same way:
-    * per-file min/max, whole files never touched).
+    * per-file min/max, whole files never touched). Numeric leaves land
+    * in (lo, hi), string leaves in (loS, hiS).
     */
-  private[graft] case class GroupStats(path: String, n_rows: Long,
-      mnNc: Long, mxNc: Long, mnId: Long, mxId: Long,
-      mnSrc: String, mxSrc: String, mnLang: String, mxLang: String)
+  private[graft] case class UnitStats(path: String, nRows: Long,
+      lo: Map[String, Long], hi: Map[String, Long],
+      loS: Map[String, String], hiS: Map[String, String])
 
-  private[graft] def groupStatsOf(path: String): GroupStats = {
-    val byCol = readFooter("layout", path).map(s => s.column -> s).toMap
-    def s(c: String) = byCol.getOrElse(c, throw new IllegalStateException(
-      s"q245: layout footer at $path carries no stats for '$c' — " +
-        "a stats-blind planner cannot prune soundly; refusing"))
-    GroupStats(path, s("doc_id").n_values,
-      s("n_chars").min_value.toLong, s("n_chars").max_value.toLong,
-      s("doc_id").min_value.toLong, s("doc_id").max_value.toLong,
-      s("source").min_value, s("source").max_value,
-      s("lang").min_value, s("lang").max_value)
+  private[graft] def unitStatsOf(path: String): UnitStats = {
+    val ss = readFooter("layout", path)
+    require(ss.nonEmpty, s"pruned scan: no audited stats in $path - " +
+      "a stats-blind planner cannot prune soundly; refusing")
+    val num = ss.filter(s => s.physical == "INT64" || s.physical == "INT32")
+    val str = ss.filter(_.physical == "BYTE_ARRAY")
+    UnitStats(path, ss.map(_.n_values).max,
+      num.map(s => s.column -> s.min_value.toLong).toMap,
+      num.map(s => s.column -> s.max_value.toLong).toMap,
+      str.map(s => s.column -> s.min_value).toMap,
+      str.map(s => s.column -> s.max_value).toMap)
   }
 
-  /** The q238 predicate workload, each as (name, footer-stats overlap
-    * test, row-level predicate). The overlap test is the SOUND pruning
-    * rule (scan iff [min, max] intersects the predicate — no false
-    * skips); the row predicate is what the executed scan applies.
+  /** Materialize a sorted layout in PruneGroupRows-row units (one row
+    * group per part file) and return the units' footer stats - the PLAN
+    * inputs. The write is the layout-materialization cost a clustering
+    * key always pays once; planning then reads one footer tail per unit
+    * and zero data pages. At warehouse scale the per-unit stats live in
+    * a manifest (q240's catalog direction) instead of N footer opens -
+    * the arithmetic is identical.
     */
-  private[graft] def prunePredicates(spark: SparkSession)
-      : Seq[(String, GroupStats => Boolean, org.apache.spark.sql.Column)] = Seq(
-    ("lang_eq_en", g => g.mnLang <= "en" && g.mxLang >= "en",
-      col("lang") === "en"),
-    ("nchars_100_199", g => g.mnNc <= 199L && g.mxNc >= 100L,
-      col("n_chars").between(100L, 199L)),
-    ("docid_100_149", g => g.mnId <= 149L && g.mxId >= 100L,
-      col("doc_id").between(100L, 149L)),
-    ("source_eq_src3", g => g.mnSrc <= "src3" && g.mxSrc >= "src3",
-      col("source") === "src3"))
-
-  /** Materialize q238's advised by_length layout (sort by (n_chars,
-    * doc_id), one PruneGroupRows-row unit per file) and return the unit
-    * paths in layout order plus their footer stats — the PLAN inputs.
-    * The write is the layout-materialization cost a clustering key
-    * always pays once; planning then reads one footer tail per unit and
-    * zero data pages. At warehouse scale the per-unit stats live in a
-    * manifest (q240's catalog direction) instead of N footer opens — the
-    * arithmetic is identical.
-    */
-  private[graft] def pruneLayout(spark: SparkSession, dir: String)
-      : Seq[GroupStats] = {
-    val layoutDir = System.getProperty("java.io.tmpdir") +
-      "/graft_q245_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-      .repartition(1)
-      .sortWithinPartitions(col("n_chars"), col("doc_id"))
+  private[graft] def writeUnits(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], tag: String): Seq[UnitStats] = {
+    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    df.repartition(1)
+      .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", Relational.PruneGroupRows)
       .parquet(layoutDir)
@@ -697,34 +679,32 @@ object Footer extends QueryGroup {
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet") && f.length() > 0)
       .map(_.getPath).sorted.toSeq
-    require(files.nonEmpty, s"q245: layout write produced no units in $layoutDir")
-    files.map(groupStatsOf)
+    require(files.nonEmpty, s"pruned scan: layout write produced no units in $layoutDir")
+    files.map(unitStatsOf)
   }
 
-  /** q245's engine: per predicate, decide surviving units from FOOTER
-    * stats alone, execute the scan over ONLY those files, and prove the
-    * skip sound IN-PLAN — the pruned scan's (match count, content xor)
+  /** The plan-execute-prove core shared by q245/q251: per predicate,
+    * decide surviving units from FOOTER stats alone (the sound overlap
+    * rule - never skip a possibly-matching unit), execute the scan over
+    * ONLY those files, and prove the skip lossless IN-PLAN - the pruned
+    * scan's (match count, sentinel-canon content xor over `hashCols`)
     * is cross-checked against the unpruned scan's and a divergence
     * raises rather than returning a silently-partial answer. Emits the
     * counts a planner is graded on: groups_total vs groups_read vs
     * rows_read.
     */
-  private[graft] def prunedScan(spark: SparkSession, dir: String,
-      preds: Seq[(String, GroupStats => Boolean, org.apache.spark.sql.Column)]
-        = null): DataFrame = {
-    val groups = pruneLayout(spark, dir)
-    val workload = Option(preds).getOrElse(prunePredicates(spark))
-    val allFiles = groups.map(_.path)
+  private[graft] def executePruned(spark: SparkSession, qtag: String,
+      units: Seq[UnitStats], hashCols: Seq[String],
+      preds: Seq[(String, UnitStats => Boolean, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val allFiles = units.map(_.path)
     // sentinel-separated canon (the q195 auditRow discipline: an
     // unseparated concat would let ("1","2x") and ("12","x") collide);
     // the sentinel is spelled as a unicode escape per the house policy
     val sep = lit("\u0001")
     val rowHash = conv(substring(md5(concat(
-      sep, col("doc_id").cast("string"),
-      sep, col("source"),
-      sep, col("lang"),
-      sep, col("n_chars").cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+      hashCols.flatMap(c => Seq(sep, col(c).cast("string"))): _*)),
+      1, 15), 16, 10).cast("long")
     def scanAgg(paths: Seq[String], pred: org.apache.spark.sql.Column,
         nCol: String, xCol: String): DataFrame = {
       val base =
@@ -735,22 +715,112 @@ object Footer extends QueryGroup {
       base.filter(pred)
         .agg(count(lit(1)).as(nCol), coalesce(bit_xor(rowHash), lit(0L)).as(xCol))
     }
-    workload.map { case (name, keep, pred) =>
-      val surviving = groups.filter(keep)
+    preds.map { case (name, keep, pred) =>
+      val surviving = units.filter(keep)
       val pruned = scanAgg(surviving.map(_.path), pred, "n_match", "match_xor")
       val full = scanAgg(allFiles, pred, "f_n", "f_x")
       pruned.crossJoin(full)
         .filter(when(col("n_match") =!= col("f_n") ||
             col("match_xor") =!= col("f_x"),
-          raise_error(lit(s"q245: pruned scan diverged from the full scan " +
-            s"on '$name' — an unsound skip dropped matching rows; refusing")))
+          raise_error(lit(s"$qtag: pruned scan diverged from the full scan " +
+            s"on '$name' - an unsound skip dropped matching rows; refusing")))
           .otherwise(lit(true)))
         .select(lit(name).as("predicate"),
-          lit(groups.size.toLong).as("groups_total"),
+          lit(units.size.toLong).as("groups_total"),
           lit(surviving.size.toLong).as("groups_read"),
-          lit(surviving.map(_.n_rows).sum).as("rows_read"),
+          lit(surviving.map(_.nRows).sum).as("rows_read"),
           col("n_match"), col("match_xor"))
-    }.reduce(_ unionByName _).orderBy("predicate")
+    }.reduce(_ unionByName _)
+  }
+
+  /** The q238 predicate workload over documents, each as (name,
+    * footer-stats overlap test, row-level predicate).
+    */
+  private[graft] def prunePredicates
+      : Seq[(String, UnitStats => Boolean, org.apache.spark.sql.Column)] = Seq(
+    ("lang_eq_en", u => u.loS("lang") <= "en" && u.hiS("lang") >= "en",
+      col("lang") === "en"),
+    ("nchars_100_199", u => u.lo("n_chars") <= 199L && u.hi("n_chars") >= 100L,
+      col("n_chars").between(100L, 199L)),
+    ("docid_100_149", u => u.lo("doc_id") <= 149L && u.hi("doc_id") >= 100L,
+      col("doc_id").between(100L, 149L)),
+    ("source_eq_src3", u => u.loS("source") <= "src3" && u.hiS("source") >= "src3",
+      col("source") === "src3"))
+
+  /** q245's layout: q238's advised by_length order over documents. */
+  private[graft] def pruneLayout(spark: SparkSession, dir: String)
+      : Seq[UnitStats] =
+    writeUnits(graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+      Seq(col("n_chars"), col("doc_id")),
+      "q245_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** q245's engine - see [[executePruned]]. */
+  private[graft] def prunedScan(spark: SparkSession, dir: String,
+      preds: Seq[(String, UnitStats => Boolean, org.apache.spark.sql.Column)]
+        = null): DataFrame =
+    executePruned(spark, "q245", pruneLayout(spark, dir),
+      Seq("doc_id", "source", "lang", "n_chars"),
+      Option(preds).getOrElse(prunePredicates))
+      .orderBy("predicate")
+
+  /** q251's 1-D-vs-2-D predicate workload over events (user_id, k). */
+  private[graft] def zorderPredicates
+      : Seq[(String, UnitStats => Boolean, org.apache.spark.sql.Column)] = Seq(
+    ("u_0_3", u => u.lo("user_id") <= 3L && u.hi("user_id") >= 0L,
+      col("user_id").between(0L, 3L)),
+    ("k_0_24", u => u.lo("k") <= 24L && u.hi("k") >= 0L,
+      col("k").between(0L, 24L)),
+    ("uk_box", u => u.lo("user_id") <= 3L && u.hi("user_id") >= 0L &&
+        u.lo("k") <= 24L && u.hi("k") >= 0L,
+      col("user_id").between(0L, 3L) && col("k").between(0L, 24L)))
+
+  /** q251's per-dimension bucket width: both dims normalize to 4 bits. */
+  private[graft] val ZNormBits = 4
+
+  /** q251's engine: the SAME plan-execute-prove core under TWO layouts
+    * of events - by_user (1-D clustering) and a NORMALIZED Z-ORDER key -
+    * so the advisory claim behind Z-ordering becomes an executed,
+    * counted fact: the 1-D layout cannot prune the second dimension's
+    * predicate at all (every unit's k envelope spans the full range),
+    * while the z-order layout prunes BOTH dimensions and dominates the
+    * 2-D box.
+    *
+    * Normalization is LOAD-BEARING, measured the hard way: interleaving
+    * the RAW values (q127's key verbatim) lets the wider dimension's
+    * high bits own the top of the key - on events (user 4 bits, k 7
+    * bits) the layout degenerated to k-clustering and the user
+    * predicate pruned NOTHING. Production z-ordering (Delta/Iceberg)
+    * range-buckets each dimension to equal width first; here each dim
+    * maps to its [[ZNormBits]]-bit bucket by exact-integer min/max
+    * scaling ((v - min) * 16 div span - both engines derive min/max
+    * from the data), then q127's interleave runs on the buckets.
+    * Sort keys need not be stored: the z-value orders the write and the
+    * pruning reads the REAL columns' footer stats.
+    */
+  private[graft] def zorderPrunedScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val st = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("k")), max(col("k"))).head()
+    val (umn, umx, kmn, kmx) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val w = 1L << ZNormBits
+    val ub = expr(s"((user_id - $umn) * $w) div ${umx - umn + 1L}")
+    val kb = expr(s"((k - $kmn) * $w) div ${kmx - kmn + 1L}")
+    val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val layouts = Seq(
+      ("by_user", Seq(col("user_id"), col("event_id"))),
+      ("zorder", Seq(Layout.zorderKey(ub, kb, ZNormBits),
+        col("user_id"), col("k"), col("event_id"))))
+    layouts.map { case (name, sortCols) =>
+      executePruned(spark, "q251",
+        writeUnits(ev, sortCols, s"q251_${name}_$san"),
+        Seq("event_id", "user_id", "k"), zorderPredicates)
+        .select(lit(name).as("layout"), col("*"))
+    }.reduce(_ unionByName _).orderBy("layout", "predicate")
   }
 
   /** Merged footer stats for one table that may be a single file (the
@@ -864,6 +934,17 @@ object Footer extends QueryGroup {
     // over ROW_NUMBER groups + the match legs straight off documents.
     "q245_pruned_scan" -> ((spark, dir) => prunedScan(spark, dir)),
 
+    // q251 [north star, r14]: Z-ORDER PRUNED SCAN — the q127/q238
+    // advisory claim behind Z-ordering turned into an executed, counted
+    // fact through the q245 core: under the by_user layout the k-range
+    // predicate cannot skip a single unit (every unit's k envelope
+    // spans the full range — pinned), while the z-order layout prunes
+    // BOTH dimensions and dominates on the 2-D box. Oracle re-derives
+    // both layouts' groups via ROW_NUMBER over the exact sort keys
+    // (q127's bit-interleave spelled in DuckDB) + the overlap
+    // arithmetic + match legs off events.
+    "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
+
     // q249 [north star, r14]: PURE-JDK DATA-PAGE DECODE — the format
     // read loop closed end to end (q239 walked the footer; this walks
     // page headers and decodes plain + dictionary v1 pages, definition
@@ -889,6 +970,61 @@ object Footer extends QueryGroup {
       "source = 'src3'"))
 
   def oracles: Map[String, String] = Map(
+    // q251: both layouts re-derived by ROW_NUMBER over the exact sort
+    // keys (z = q127's interleave), 64-row chunking, the overlap rule,
+    // and the shared sentinel-canon xor match legs.
+    "q251_zorder_pruned_scan" -> {
+      val z = Relational.zorderSql("ub", "kb", ZNormBits)
+      val rowMd5 = "md5(chr(1) || CAST(event_id AS VARCHAR) || chr(1) || " +
+        "CAST(user_id AS VARCHAR) || chr(1) || CAST(k AS VARCHAR))"
+      val preds = Seq(
+        ("k_0_24", "mnk <= 24 AND mxk >= 0", "k BETWEEN 0 AND 24"),
+        ("u_0_3", "mnu <= 3 AND mxu >= 0", "user_id BETWEEN 0 AND 3"),
+        ("uk_box", "mnu <= 3 AND mxu >= 0 AND mnk <= 24 AND mxk >= 0",
+          "user_id BETWEEN 0 AND 3 AND k BETWEEN 0 AND 24"))
+      val legs = for {
+        (layout, g) <- Seq(("by_user", "gu"), ("zorder", "gz"))
+        (name, gcond, rcond) <- preds
+      } yield
+        s"""SELECT '$layout' AS layout, '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $g) AS groups_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $g WHERE $gcond)
+           |    AS groups_read,
+           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM $g
+           |   WHERE $gcond) AS rows_read,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE $rcond)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM e WHERE $rcond) AS match_xor""".stripMargin
+      s"""WITH e AS (SELECT event_id, user_id,
+         |             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |st AS (SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+         |         MIN(k) AS kmn, MAX(k) AS kmx FROM e),
+         |eb AS (SELECT e.*,
+         |         ((user_id - st.umn) * ${1L << ZNormBits})
+         |           // (st.umx - st.umn + 1) AS ub,
+         |         ((k - st.kmn) * ${1L << ZNormBits})
+         |           // (st.kmx - st.kmn + 1) AS kb
+         |       FROM e, st),
+         |rz AS (SELECT event_id, user_id, k,
+         |         ROW_NUMBER() OVER (ORDER BY ($z), user_id, k, event_id)
+         |           AS rn
+         |       FROM eb),
+         |ru AS (SELECT *, ROW_NUMBER() OVER (ORDER BY user_id, event_id) AS rn
+         |       FROM e),
+         |gz AS (SELECT (rn - 1) // ${Relational.PruneGroupRows} AS grp,
+         |         COUNT(*) AS n_rows, MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+         |         MIN(k) AS mnk, MAX(k) AS mxk
+         |       FROM rz GROUP BY 1),
+         |gu AS (SELECT (rn - 1) // ${Relational.PruneGroupRows} AS grp,
+         |         COUNT(*) AS n_rows, MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+         |         MIN(k) AS mnk, MAX(k) AS mxk
+         |       FROM ru GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY layout, predicate""".stripMargin
+    },
     // q249: the decoded values must BE the column — every leg recomputed
     // from the rows; enc_class rows are the pinned format literals.
     "q249_page_decode" -> {

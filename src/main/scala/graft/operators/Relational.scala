@@ -724,7 +724,7 @@ object Relational extends QueryGroup {
   // q127 mirror: the identical interleave, spelled with DuckDB's bit
   // operators (precedence differs from Spark's builder — every term is
   // fully parenthesized).
-  private def zorderSql(x: String, y: String, bits: Int): String =
+  private[graft] def zorderSql(x: String, y: String, bits: Int): String =
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.map(t => s"($t)").mkString(" | ")

@@ -479,6 +479,41 @@ object Txn extends QueryGroup {
   }
 
   def queries: Map[String, Q] = Map(
+    // q250 [north star, r14]: SCHEDULED VACUUM — the metric→decision→
+    // ACTION chain in one registered query: q244 counted the dead
+    // weight, q247 turned it into compact-now/defer, and this runs the
+    // maintenance the schedule advises — load the q223 history through
+    // the commit protocol, vacuum at the scheduler's advised version
+    // (the max compact_now candidate — the latest point the economics
+    // justify, exactly where q236 checkpoints by hand), and emit the
+    // post-vacuum snapshot read THROUGH the checkpoint. The oracle
+    // compacts the raw history directly, so the hash match is the
+    // vacuum-transparency proof under a DERIVED retain point, not a
+    // hand-picked one: a scheduler advising an unsafe version (or a
+    // vacuum breaking reads) lands as a red row.
+    "q250_scheduled_vacuum" -> ((spark, dir) => {
+      val dumps = Relational.mergeDumps(spark, dir)
+      val advisedRow = compactionSchedule(dumps)
+        .filter(col("compact_now"))
+        .agg(max(col("retain_v")).as("v")).head()
+      require(!advisedRow.isNullAt(0),
+        "q250: the schedule advises no compaction — nothing to vacuum " +
+          "(the fixture must carry reclaimable mass; q247 pins it does)")
+      val advised = advisedRow.getLong(0)
+      val log = new TableLog
+      def keysOf(df: DataFrame): Set[Long] =
+        df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      require(log.commit("loader", 0L, None, _ => dumps(0)) == 1L)
+      require(log.commit("delta1", 1L, Some(keysOf(dumps(1))),
+        _ => dumps(1)) == 2L)
+      val d3 = dumps(2).unionByName(dumps(3))
+      require(log.commit("delta2", 2L, Some(keysOf(d3)), _ => d3) == 3L)
+      require(advised <= log.snapshotVersion,
+        s"q250: schedule advised v$advised past the head — unsound")
+      log.vacuum(advised)
+      log.readAsOf(log.snapshotVersion)
+    }),
+
     // q248 [north star, r14]: STATS-CATALOG JOIN ADVISOR — see
     // [[joinAdvisor]]. All three advice classes fire on the fixture
     // (chain: broadcast_left at every step; dim_probe: broadcast_right;
@@ -680,6 +715,18 @@ object Txn extends QueryGroup {
       s"WHEN $er * 4 <= $el THEN 'broadcast_right' ELSE 'shuffle' END"
 
   def oracles: Map[String, String] = Map(
+    // q250: the raw three-version history compacted directly (latest-
+    // wins off the q223 gate CTEs) — hash-equal to the engine's
+    // checkpointed read at the ADVISED retain point = the transparency
+    // proof under a derived decision.
+    "q250_scheduled_vacuum" ->
+      s"""WITH $dumpCtes,
+         |l AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY version DESC) AS rn FROM u3)
+         |SELECT doc_id, CAST(version AS BIGINT) AS version,
+         |  op = 'U' AS alive,
+         |  CASE WHEN op = 'U' THEN md5(txt) END AS text_md5
+         |FROM l WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q248: every leg recomputed from the data — table counts stand in
     // for the footer reads (q239 proved n_values == COUNT(*)), n_alive
     // via the q223 latest-wins CTE stands in for the q240 catalog row,

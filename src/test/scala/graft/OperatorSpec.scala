@@ -4752,7 +4752,7 @@ class OperatorSpec extends SparkSpec {
     // 2. the EXECUTED read touches only surviving files (the skip is an
     // I/O fact, not a report): rebuild the plan inputs and count files
     val groups = Footer.pruneLayout(spark, Sf)
-    val preds = Footer.prunePredicates(spark)
+    val preds = Footer.prunePredicates
     val (_, keep, _) = preds.find(_._1 == "nchars_100_199").get
     val surviving = groups.filter(keep)
     assert(surviving.size.toLong == gRead)
@@ -4763,7 +4763,7 @@ class OperatorSpec extends SparkSpec {
     // 3. LOUDNESS: an unsound planner (inverted overlap test -> skips
     // matching groups) must raise in-plan, never return a partial answer
     val bad = preds.map { case (n, k, p) =>
-      if (n == "nchars_100_199") (n, (g: Footer.GroupStats) => !k(g), p)
+      if (n == "nchars_100_199") (n, (u: Footer.UnitStats) => !k(u), p)
       else (n, k, p)
     }
     val e = intercept[Exception] {
@@ -4773,6 +4773,27 @@ class OperatorSpec extends SparkSpec {
       if (t.getCause == null) t else root(t.getCause)
     assert((e.getMessage + root(e).getMessage).contains("q245"),
       s"unsound skip must raise the q245 guard, got: ${e.getMessage}")
+  }
+
+  test("q251 z-order scan: 1-D layout cannot prune the second dimension; z-order prunes both and dominates the 2-D box") {
+    val rows = SparkEntry.queries("q251_zorder_pruned_scan")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (gTot, byUserK, _) = rows(("by_user", "k_0_24"))
+    // the structural fact behind Z-ordering: a 1-D clustering key leaves
+    // the OTHER dimension's envelope full-width in every unit
+    assert(byUserK == gTot,
+      s"by_user must be unable to prune the k predicate ($byUserK/$gTot)")
+    val (_, zK, _) = rows(("zorder", "k_0_24"))
+    assert(zK < gTot, s"z-order must prune the k predicate ($zK/$gTot)")
+    // the 1-D layout still wins its own dimension; z-order must at
+    // least match it on the 2-D box (both dims prunable there)
+    val (_, byUserUk, byUserUkRows) = rows(("by_user", "uk_box"))
+    val (_, zUk, zUkRows) = rows(("zorder", "uk_box"))
+    assert(zUk <= byUserUk && zUkRows <= byUserUkRows,
+      s"z-order must dominate the 2-D box (groups $zUk vs $byUserUk, " +
+        s"rows $zUkRows vs $byUserUkRows)")
+    assert(zUk < gTot && byUserUk < gTot, "the 2-D box must prune under both layouts")
   }
 
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
