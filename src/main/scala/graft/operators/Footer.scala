@@ -435,12 +435,49 @@ object Footer extends QueryGroup {
   private[graft] case class PageDecode(encClass: String, nValues: Long,
       nNulls: Long, longs: Seq[Long], strs: Seq[String])
 
-  /** Decode every v1 data page of `column` in `path` (uncompressed only
-    * — the audited scope; compressed pages, v2 pages, or any encoding
-    * outside PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY refuse LOUDLY,
-    * the q239 malformed-input discipline). Handles optional flat
-    * columns' definition levels (RLE hybrid, bit width 1) and both
-    * writer generations' dictionary index encodings.
+  /** q253: inflate one v1 page body to its header-declared uncompressed
+    * size. The audited codec scope is the production set Spark actually
+    * writes — UNCOMPRESSED / SNAPPY (the default) / GZIP / ZSTD; anything
+    * else (LZO, BROTLI, hadoop-framed LZ4, …) refuses loudly rather than
+    * guessing at a frame format. Every branch re-verifies the inflated
+    * length against the header's `uncompressed_page_size` — a codec that
+    * "succeeds" with the wrong length is corruption, not success.
+    * Reference: CompressionCodec ids per parquet-format Compression.md;
+    * snappy-java / zstd-jni ride the Spark runtime classpath (the same
+    * jars Spark's own reader uses — no new dependency).
+    */
+  private[graft] def inflatePage(codec: Int, raw: Array[Byte], ups: Int,
+      path: String): Array[Byte] = {
+    val out = codec match {
+      case 0 =>
+        require(raw.length == ups,
+          s"q253: page sizes ${raw.length}/$ups inconsistent under " +
+            s"UNCOMPRESSED in $path")
+        raw
+      case 1 => org.xerial.snappy.Snappy.uncompress(raw)
+      case 2 =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      case 6 => com.github.luben.zstd.Zstd.decompress(raw, ups)
+      case c => throw new IllegalStateException(
+        s"q253: codec ${CodecNames.getOrElse(c, c.toString)} outside the " +
+          "audited UNCOMPRESSED/SNAPPY/GZIP/ZSTD scope; refusing")
+    }
+    require(out.length == ups,
+      s"q253: page inflated to ${out.length} bytes, header declared $ups " +
+        s"in $path — corrupt page body")
+    out
+  }
+
+  /** Decode every v1 data page of `column` in `path`. Codec scope is
+    * [[inflatePage]]'s production set (UNCOMPRESSED / SNAPPY / GZIP /
+    * ZSTD — q249 established the uncompressed walk, q253 widened it to
+    * the codecs Spark actually writes); v2 pages or any encoding outside
+    * PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY refuse LOUDLY, the q239
+    * malformed-input discipline. Handles optional flat columns'
+    * definition levels (RLE hybrid, bit width 1) and both writer
+    * generations' dictionary index encodings.
     */
   private[graft] def decodeColumnChunk(path: String, column: String): PageDecode = {
     val (leaves, chunks) = parseFooter(path)
@@ -458,9 +495,6 @@ object Footer extends QueryGroup {
       val strs = scala.collection.mutable.ArrayBuffer.empty[String]
       var nulls = 0L; var nVals = 0L; var usedDict = false
       chunks(li).foreach { cs =>
-        require(cs.codec == 0, s"q249: '$column' pages are codec " +
-          s"${CodecNames.getOrElse(cs.codec, cs.codec.toString)} — the " +
-          "audited decode scope is UNCOMPRESSED v1; refusing")
         require(cs.dataPageOffset >= 0 && cs.totalCompressedSize > 0,
           s"q249: chunk offsets missing for '$column' in $path")
         val start = if (cs.dictPageOffset >= 0)
@@ -499,38 +533,46 @@ object Footer extends QueryGroup {
               case (_, wt) => r.skip(wt)
             }
           }
-          require(ups == cps && cps > 0,
-            s"q249: page sizes $ups/$cps inconsistent under UNCOMPRESSED")
+          require(ups > 0 && cps > 0,
+            s"q249: page without declared sizes ($ups/$cps) in $path")
           val body = r.p
+          require(body + cps <= win.length,
+            s"q249: page body overruns the chunk window in $path")
+          // v1 pages compress the WHOLE body (levels + values together);
+          // inflate once per page, decode against the inflated buffer
+          def page: Array[Byte] = inflatePage(cs.codec,
+            java.util.Arrays.copyOfRange(win, body, body + cps), ups, path)
           ptype match {
             case 2 => // DICTIONARY_PAGE: PLAIN(-dictionary) values
               require(dictEnc == 0 || dictEnc == 2,
                 s"q249: dictionary page encoding $dictEnc — not PLAIN; refusing")
               require(dictNum >= 0, "q249: dictionary page without a count")
+              val pg = page
               if (isStr) {
                 val a = new Array[String](dictNum)
-                var p = body; var i = 0
+                var p = 0; var i = 0
                 while (i < dictNum) {
-                  val len = leInt4(win, p); p += 4
-                  a(i) = new String(win, p, len, "UTF-8"); p += len; i += 1
+                  val len = leInt4(pg, p); p += 4
+                  a(i) = new String(pg, p, len, "UTF-8"); p += len; i += 1
                 }
                 dictStrs = a
               } else {
                 val a = new Array[Long](dictNum)
                 var i = 0
-                while (i < dictNum) { a(i) = leLong8(win, body + 8 * i); i += 1 }
+                while (i < dictNum) { a(i) = leLong8(pg, 8 * i); i += 1 }
                 dictLongs = a
               }
             case 0 => // DATA_PAGE v1
               require(dpNum >= 0, "q249: data page without a value count")
-              var p = body
+              val pg = page
+              var p = 0
               var nNonNull = dpNum
               if (maxDef == 1) {
                 require(dlEnc == 3,
                   s"q249: def-level encoding $dlEnc — v1 pages carry RLE; refusing")
-                val dlLen = leInt4(win, p); p += 4
+                val dlLen = leInt4(pg, p); p += 4
                 val defs = new Array[Int](dpNum)
-                val consumed = readHybrid(win, p, 1, dpNum, defs) - p
+                val consumed = readHybrid(pg, p, 1, dpNum, defs) - p
                 require(consumed <= dlLen,
                   s"q249: def levels overran their length prefix in $path")
                 p += dlLen
@@ -544,20 +586,20 @@ object Footer extends QueryGroup {
                   if (isStr) {
                     var i = 0
                     while (i < nNonNull) {
-                      val len = leInt4(win, p); p += 4
-                      strs += new String(win, p, len, "UTF-8"); p += len; i += 1
+                      val len = leInt4(pg, p); p += 4
+                      strs += new String(pg, p, len, "UTF-8"); p += len; i += 1
                     }
                   } else {
                     var i = 0
-                    while (i < nNonNull) { longs += leLong8(win, p); p += 8; i += 1 }
+                    while (i < nNonNull) { longs += leLong8(pg, p); p += 8; i += 1 }
                   }
                 case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
                   require(dictLongs != null || dictStrs != null,
                     s"q249: dictionary-encoded page before its dictionary in $path")
                   usedDict = true
-                  val bw = win(p) & 0xff; p += 1
+                  val bw = pg(p) & 0xff; p += 1
                   val idx = new Array[Int](nNonNull)
-                  readHybrid(win, p, bw, nNonNull, idx)
+                  readHybrid(pg, p, bw, nNonNull, idx)
                   var i = 0
                   while (i < nNonNull) {
                     if (isStr) strs += dictStrs(idx(i)) else longs += dictLongs(idx(i))
@@ -629,6 +671,50 @@ object Footer extends QueryGroup {
     rows.toDF("mode", "column", "enc_class", "n_values", "n_nulls",
       "sum_leg", "n_distinct", "content_xor")
       .orderBy("mode", "column")
+  }
+
+  /** q253's engine: the q249 probe under every production CODEC — write
+    * the (doc_id, source) layout compressed with snappy (Spark's
+    * default), gzip, and zstd, then decode every value back through the
+    * page walker (each page body inflated by [[inflatePage]], length
+    * re-verified against the header) and aggregate to the SQL truth. The
+    * (codec, enc_class) pair is the pinned format-literal leg: a codec
+    * option that silently failed to propagate, or a dictionary decision
+    * that changed under compression, lands as a red row. Same truth legs
+    * as q249 — count / nulls / sum / distinct / md5-xor per column.
+    */
+  private[graft] def compressedDecodeProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Seq("snappy", "gzip", "zstd").flatMap { codecName =>
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_q253_${codecName}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite")
+        .option("compression", codecName)
+        .parquet(out)
+      val file = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).map(_.getPath).sorted.headOption
+        .getOrElse(throw new IllegalStateException(s"q253: no part file in $out"))
+      Seq("doc_id", "source").map { c =>
+        val d = decodeColumnChunk(file, c)
+        val (sumLeg, nDist, xor) =
+          if (c == "doc_id")
+            (d.longs.sum, d.longs.distinct.size.toLong,
+              d.longs.map(v => md5Fold60(v.toString)).foldLeft(0L)(_ ^ _))
+          else
+            (d.strs.map(_.getBytes("UTF-8").length.toLong).sum,
+              d.strs.distinct.size.toLong,
+              d.strs.map(md5Fold60).foldLeft(0L)(_ ^ _))
+        (codecName, c, d.encClass, d.nValues, d.nNulls, sumLeg, nDist, xor)
+      }
+    }
+    rows.toDF("codec", "column", "enc_class", "n_values", "n_nulls",
+      "sum_leg", "n_distinct", "content_xor")
+      .orderBy("codec", "column")
   }
 
   // ---- pruned scan EXECUTION (q245 by_length, q251 z-order) ------------
@@ -945,6 +1031,17 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q253 [north star, r14]: COMPRESSED-PAGE DECODE — q249 closed the
+    // format read loop footer→page on uncompressed layouts; this widens
+    // the decoder to the codecs Spark ACTUALLY writes (snappy — the
+    // default the whole testdata corpus ships in — plus gzip and zstd),
+    // each page body inflated through the runtime's own codec jars and
+    // length-verified against the header before any value decode. The
+    // (codec, enc_class) pair is the format-literal leg; the value legs
+    // must equal the SQL truth — a wrong inflate cannot hide.
+    "q253_compressed_page_decode" -> ((spark, dir) =>
+      compressedDecodeProbe(spark, dir)),
+
     // q249 [north star, r14]: PURE-JDK DATA-PAGE DECODE — the format
     // read loop closed end to end (q239 walked the footer; this walks
     // page headers and decodes plain + dictionary v1 pages, definition
@@ -1024,6 +1121,27 @@ object Footer extends QueryGroup {
          |       FROM ru GROUP BY 1)
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
+    },
+    // q253: q249's truth legs under every production codec — the decoded
+    // values must BE the column whatever the page bodies were compressed
+    // with; (codec, enc_class) are the pinned format literals (dictionary
+    // stays on by default: source dict-encodes, doc_id falls back to
+    // plain exactly as q249 documented).
+    "q253_compressed_page_decode" -> {
+      def leg(codec: String, c: String, enc: String, sumExpr: String) =
+        s"""SELECT '$codec' AS codec, '$c' AS "column", '$enc' AS enc_class,
+           |  CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST($sumExpr AS BIGINT) AS sum_leg,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(bit_xor(CAST(('0x' ||
+           |    substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT))
+           |    AS BIGINT) AS content_xor
+           |FROM documents""".stripMargin
+      Seq("gzip", "snappy", "zstd").flatMap(codec => Seq(
+        leg(codec, "doc_id", "plain", "SUM(doc_id)"),
+        leg(codec, "source", "dict", "SUM(strlen(source))")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY codec, \"column\"")
     },
     // q249: the decoded values must BE the column — every leg recomputed
     // from the rows; enc_class rows are the pinned format literals.

@@ -40,13 +40,60 @@ class FormatSpec extends SparkSpec {
     val truncPath = out + "/trunc.bin"
     java.nio.file.Files.write(java.nio.file.Paths.get(truncPath), cut ++ sfx)
     intercept[Exception] { Footer.decodeColumnChunk(truncPath, "doc_id") }
-    // 3. scope escapes refuse with the q249 message: a SNAPPY chunk (the
-    // stock testdata) is outside the audited uncompressed-v1 scope
+    // 3. codec-scope escape refuses with the q253 message: hadoop-framed
+    // LZ4 (codec 5) is deliberately outside the audited scope — its frame
+    // format is not the parquet LZ4_RAW one and guessing would be unsound
+    val lz4Out = System.getProperty("java.io.tmpdir") + "/graft_q253_lz4_refusal"
+    Tables(spark, Sf, "documents").select(col("doc_id"), col("source"))
+      .repartition(1).write.mode("overwrite")
+      .option("compression", "lz4").parquet(lz4Out)
+    val lz4File = new java.io.File(lz4Out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
     val e = intercept[Exception] {
-      Footer.decodeColumnChunk(s"$Sf/documents.parquet", "doc_id")
+      Footer.decodeColumnChunk(lz4File, "doc_id")
     }
-    assert(e.getMessage.contains("q249"),
-      s"compressed-page refusal must cite its scope, got: ${e.getMessage}")
+    assert(e.getMessage.contains("q253") && e.getMessage.contains("LZ4"),
+      s"foreign-codec refusal must cite its scope, got: ${e.getMessage}")
+    // 4. a corrupted COMPRESSED page body is loud, never wrong values.
+    // gzip is the codec with an in-stream CRC32, so the loudness is
+    // GUARANTEED (raw snappy could in principle decode a corrupted
+    // stream to garbage of the right length — gzip cannot)
+    val gzOut = System.getProperty("java.io.tmpdir") + "/graft_q253_gz_corrupt"
+    Tables(spark, Sf, "documents").select(col("doc_id"), col("source"))
+      .repartition(1).write.mode("overwrite")
+      .option("compression", "gzip").parquet(gzOut)
+    val gzFile = new java.io.File(gzOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
+    val gzBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(gzFile))
+    val (gzLeaves, gzChunks) = Footer.parseFooter(gzFile)
+    val gzOff = gzChunks(gzLeaves.indexWhere(_.name == "doc_id"))
+      .head.dataPageOffset.toInt
+    val gzBad = gzBytes.clone()
+    // offset 60 lands well past the ~25-byte v1 page header, inside the
+    // gzip deflate stream itself (doc_id's plain page body is >1 KB)
+    for (i <- 60 until 76) gzBad(gzOff + i) = (gzBad(gzOff + i) ^ 0x5a).toByte
+    val gzBadPath = out + "/corrupt_gzip.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(gzBadPath), gzBad)
+    intercept[Exception] { Footer.decodeColumnChunk(gzBadPath, "doc_id") }
+  }
+
+  test("q253 decodes the stock SNAPPY testdata byte-for-byte against the table") {
+    import graft.operators.Footer
+    import spark.implicits._
+    // the corpus every other query reads is snappy-compressed — the house
+    // decoder must read it directly, not just its own probe layouts
+    val d = Footer.decodeColumnChunk(s"$Sf/documents.parquet", "doc_id")
+    val truth = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(d.nNulls == 0L)
+    assert(d.longs.sorted == truth.toSeq,
+      "decoded doc_id multiset must equal the table read through Spark")
+    val s = Footer.decodeColumnChunk(s"$Sf/documents.parquet", "source")
+    val truthS = Tables(spark, Sf, "documents")
+      .select(col("source")).as[String].collect().sorted
+    assert(s.strs.sorted == truthS.toSeq,
+      "decoded source multiset must equal the table read through Spark")
   }
 
   test("events round-trip identically through orc, json, and csv") {
