@@ -479,7 +479,8 @@ object Footer extends QueryGroup {
     * definition levels (RLE hybrid, bit width 1) and both writer
     * generations' dictionary index encodings.
     */
-  private[graft] def decodeColumnChunk(path: String, column: String): PageDecode = {
+  private[graft] def decodeColumnChunk(path: String, column: String,
+      dictOnly: Boolean = false): PageDecode = {
     val (leaves, chunks) = parseFooter(path)
     val li = leaves.indexWhere(_.name == column)
     require(li >= 0, s"q249: no column '$column' in $path")
@@ -562,6 +563,10 @@ object Footer extends QueryGroup {
                 while (i < dictNum) { a(i) = leLong8(pg, 8 * i); i += 1 }
                 dictLongs = a
               }
+              if (dictOnly) // q254: the dictionary IS the answer — zero
+                return PageDecode("dict", 0L, 0L, // data pages touched
+                  Option(dictLongs).map(_.toSeq).getOrElse(Nil),
+                  Option(dictStrs).map(_.toSeq).getOrElse(Nil))
             case 0 => // DATA_PAGE v1
               require(dpNum >= 0, "q249: data page without a value count")
               val pg = page
@@ -754,12 +759,13 @@ object Footer extends QueryGroup {
     * the arithmetic is identical.
     */
   private[graft] def writeUnits(df: DataFrame,
-      sortCols: Seq[org.apache.spark.sql.Column], tag: String): Seq[UnitStats] = {
+      sortCols: Seq[org.apache.spark.sql.Column], tag: String,
+      rowsPerUnit: Long = Relational.PruneGroupRows): Seq[UnitStats] = {
     val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
     df.repartition(1)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", Relational.PruneGroupRows)
+      .option("maxRecordsPerFile", rowsPerUnit)
       .parquet(layoutDir)
     val files = new java.io.File(layoutDir).listFiles()
       .filter(f => f.getName.startsWith("part-") &&
@@ -909,6 +915,91 @@ object Footer extends QueryGroup {
     }.reduce(_ unionByName _).orderBy("layout", "predicate")
   }
 
+  /** q254's unit size. 128 rows makes the k-dictionary's completeness a
+    * THEOREM, not a measurement: k's domain is at most 100 values, so a
+    * unit's dictionary is ≤ 800 bytes and its bit-packed indices ≤ 112
+    * + headers — always under the 1024-byte plain encoding, so
+    * parquet-mr's fallback ratio check can never abandon the dictionary
+    * (the guaranteed-margin stance of the q191 fixture lesson: a
+    * marginal 64-row unit COULD fall back on an unlucky distinct draw).
+    */
+  private[graft] val DictPruneRows = 128L
+
+  /** The complete value domain of `column` in one unit file, read from
+    * its DICTIONARY PAGE ONLY — zero data pages touched. Loud
+    * preconditions: the chunk's footer encodings must prove the
+    * dictionary is a COMPLETE membership set (a dictionary encoding
+    * present, PLAIN absent — parquet-mr lists PLAIN exactly when some
+    * data page fell back, after which the dictionary no longer covers
+    * the chunk and membership pruning would be UNSOUND).
+    */
+  private[graft] def dictDomain(path: String, column: String): Set[Long] = {
+    val (leaves, chunks) = parseFooter(path)
+    val li = leaves.indexWhere(_.name == column)
+    require(li >= 0, s"q254: no column '$column' in $path")
+    chunks(li).foreach { cs =>
+      require(cs.encodings.exists(EncDictionary),
+        s"q254: '$column' in $path carries no dictionary encoding — " +
+          "nothing to prune by; refusing (a stats-only planner must not " +
+          "silently masquerade as a dictionary planner)")
+      require(!cs.encodings.contains(0),
+        s"q254: '$column' in $path lists PLAIN among its data encodings " +
+          "— the writer fell back mid-chunk, the dictionary is not a " +
+          "complete membership set; membership pruning would be unsound")
+    }
+    decodeColumnChunk(path, column, dictOnly = true).longs.toSet
+  }
+
+  /** q254's point-predicate workload: four INTERIOR k values (domain
+    * edges excluded deliberately — an edge value can sit outside a
+    * unit's [min,max] envelope, letting stats prune it and muddying the
+    * structural claim; for interior values the envelope covers them
+    * with probability ~1, so the stats leg is provably blind and every
+    * skip below is the dictionary's alone).
+    */
+  private[graft] val DictPruneValues = Seq(25L, 37L, 60L, 80L)
+
+  /** q254: DICTIONARY-PAGE PRUNED SCAN — the pruning min/max stats
+    * CANNOT do. Under the by_user layout, k is scattered: every unit's
+    * [min,max] envelope covers the whole domain, so the q245 overlap
+    * rule reads all of them (`groups_read_stats` = groups_total — the
+    * pinned structural fact). But each 128-row unit holds only ~72 of
+    * k's 100 values, and the unit's dictionary page lists EXACTLY which
+    * — so membership in the dictionary is a sound, exact skip test for
+    * a point predicate (parquet-mr's own "dictionary filtering"; the
+    * same decision an Iceberg reader makes from a value-set manifest).
+    * Per unit the planner reads ONE dictionary page (≤ 800 bytes), zero
+    * data pages; the executed scan opens only dictionary-positive units
+    * and the q245 xor proof pins the skip lossless. Both planning legs
+    * are emitted side by side — the report card is groups_read_dict <
+    * groups_read_stats at equal (n_match, match_xor).
+    */
+  private[graft] def dictPrunedScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val units = writeUnits(ev, Seq(col("user_id"), col("event_id")),
+      "q254_" + dir.replaceAll("[^A-Za-z0-9]", "_"), DictPruneRows)
+    val domains = units.map(u => u.path -> dictDomain(u.path, "k")).toMap
+    val preds = DictPruneValues.map { v =>
+      (s"k_eq_$v", (u: UnitStats) => domains(u.path).contains(v),
+        col("k") === v)
+    }
+    val base = executePruned(spark, "q254", units,
+      Seq("event_id", "user_id", "k"), preds)
+    val statsLeg = DictPruneValues.map { v =>
+      (s"k_eq_$v",
+        units.count(u => u.lo("k") <= v && u.hi("k") >= v).toLong)
+    }.toDF("p", "groups_read_stats")
+    base.join(statsLeg, base("predicate") === col("p"))
+      .select(col("predicate"), col("groups_total"),
+        col("groups_read_stats"), col("groups_read").as("groups_read_dict"),
+        col("rows_read"), col("n_match"), col("match_xor"))
+      .orderBy("predicate")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -1031,6 +1122,16 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q254 [north star, r14]: DICTIONARY-PAGE PRUNED SCAN — the skip
+    // min/max stats cannot make: a point predicate on a SCATTERED
+    // column sits inside every unit's [min,max] envelope (the stats leg
+    // reads everything — emitted beside the dict leg as the report
+    // card), while the unit's dictionary page lists exactly which
+    // values exist, an exact membership skip. Soundness is layered:
+    // footer encodings must PROVE the dictionary complete (fallback →
+    // loud refusal), and the executed skip carries the q245 xor proof.
+    "q254_dict_pruned_scan" -> ((spark, dir) => dictPrunedScan(spark, dir)),
+
     // q253 [north star, r14]: COMPRESSED-PAGE DECODE — q249 closed the
     // format read loop footer→page on uncompressed layouts; this widens
     // the decoder to the codecs Spark ACTUALLY writes (snappy — the
@@ -1121,6 +1222,43 @@ object Footer extends QueryGroup {
          |       FROM ru GROUP BY 1)
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
+    },
+    // q254: groups re-derived by the same (user_id, event_id) total
+    // order and 128-row chunking; groups_read_stats = the overlap rule,
+    // groups_read_dict = groups that genuinely CONTAIN the value (the
+    // dictionary is exact, so membership pruning must land exactly on
+    // containment); match legs off the rows with the sentinel-canon xor.
+    "q254_dict_pruned_scan" -> {
+      val rowMd5 = "md5(chr(1) || CAST(event_id AS VARCHAR) || chr(1) || " +
+        "CAST(user_id AS VARCHAR) || chr(1) || CAST(k AS VARCHAR))"
+      val legs = DictPruneValues.map { v =>
+        s"""SELECT 'k_eq_$v' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS groups_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+           |   WHERE mnk <= $v AND mxk >= $v) AS groups_read_stats,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+           |   WHERE grp IN (SELECT grp FROM r WHERE k = $v))
+           |    AS groups_read_dict,
+           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM g
+           |   WHERE grp IN (SELECT grp FROM r WHERE k = $v)) AS rows_read,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE k = $v)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM e WHERE k = $v) AS match_xor""".stripMargin
+      }
+      s"""WITH e AS (SELECT event_id, user_id,
+         |             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |r AS (SELECT e.*,
+         |        (ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1)
+         |          // $DictPruneRows AS grp
+         |      FROM e),
+         |g AS (SELECT grp, COUNT(*) AS n_rows,
+         |        MIN(k) AS mnk, MAX(k) AS mxk
+         |      FROM r GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
     },
     // q253: q249's truth legs under every production codec — the decoded
     // values must BE the column whatever the page bodies were compressed

@@ -4796,6 +4796,64 @@ class OperatorSpec extends SparkSpec {
     assert(zUk < gTot && byUserUk < gTot, "the 2-D box must prune under both layouts")
   }
 
+  test("q254 dict-pruned scan: stats leg blind, dictionary leg prunes; incomplete/absent dictionaries refuse; unsound membership raises") {
+    import graft.operators.Footer
+    val out = SparkEntry.queries("q254_dict_pruned_scan")(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Footer.DictPruneValues.map(v => s"k_eq_$v").toSet)
+    for ((p, (gTot, gStats, gDict, rowsRead, nMatch)) <- out) {
+      // 1. the structural fact: min/max CANNOT prune a scattered
+      // interior point predicate (every unit's envelope covers it)...
+      assert(gStats == gTot, s"$p: stats leg must be blind ($gStats/$gTot)")
+      // 2. ...while the dictionary leg never reads MORE than stats
+      assert(gDict <= gStats, s"$p: dict leg must undercut stats ($gDict/$gStats)")
+      assert(nMatch <= rowsRead && rowsRead <= gTot * Footer.DictPruneRows,
+        s"$p: rows_read must bound matches and be bounded by the layout")
+    }
+    // 2b. the dictionary genuinely skips units in aggregate (per-value
+    // presence is a draw — ~28% absent per unit — so the strict claim
+    // is made across the four-predicate workload, robust to testdata
+    // regeneration between rounds)
+    val totalDict = out.values.map(_._3).sum
+    val totalAll = out.values.map(_._1).sum
+    assert(totalDict < totalAll,
+      s"dictionary must prune across the workload ($totalDict/$totalAll)")
+    // 3. LOUDNESS, absent dictionary: event_id in the units is PLAIN
+    // (unique longs — parquet-mr's dictionary loses and falls back), so
+    // membership pruning on it must refuse, not silently read everything
+    val ev = Tables(spark, Sf, "events")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val units = Footer.writeUnits(ev,
+      Seq(col("user_id"), col("event_id")), "q254_spec", Footer.DictPruneRows)
+    val e1 = intercept[Exception] {
+      Footer.dictDomain(units.head.path, "event_id")
+    }
+    assert(e1.getMessage.contains("q254"),
+      s"plain-column refusal must cite q254, got: ${e1.getMessage}")
+    // 4. LOUDNESS, unsound planner: inverted membership (skips exactly
+    // the units that contain the value) must raise in-plan
+    val v = Footer.DictPruneValues.head
+    val e2 = intercept[Exception] {
+      Footer.executePruned(spark, "q254", units, Seq("event_id", "user_id", "k"),
+        Seq((s"k_eq_$v",
+          (u: Footer.UnitStats) => !Footer.dictDomain(u.path, "k").contains(v),
+          col("k") === v))).collect()
+    }
+    def root2(t: Throwable): Throwable =
+      if (t.getCause == null) t else root2(t.getCause)
+    assert((e2.getMessage + root2(e2).getMessage).contains("q254"),
+      s"unsound membership skip must raise the q254 guard, got: ${e2.getMessage}")
+    // 5. the dictionary leg agrees with brute-force containment (the
+    // dictionary is EXACT — pruned set == containing set, no slack)
+    val domains = units.map(u => Footer.dictDomain(u.path, "k"))
+    val (gTot5, _, gDict5, _, _) = out(s"k_eq_$v")
+    assert(gTot5 == units.size.toLong)
+    assert(gDict5 == domains.count(_.contains(v)).toLong,
+      "dictionary leg must equal exact containment")
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
