@@ -478,6 +478,87 @@ object Txn extends QueryGroup {
       .orderBy("join_set", "step")
   }
 
+  /** The top join operator the executed plan actually ran — the
+    * observation leg of q252 (AQE-aware: the final plan, not the
+    * initial one).
+    */
+  private[graft] def physicalJoinOf(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins._
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect {
+      case _: BroadcastHashJoinExec => "broadcast_hash"
+      case _: SortMergeJoinExec => "sort_merge"
+      case _: ShuffledHashJoinExec => "shuffled_hash"
+      case _: BroadcastNestedLoopJoinExec => "broadcast_nested_loop"
+    }
+    require(names.nonEmpty, "q252: no join operator in the executed plan")
+    names.head
+  }
+
+  /** q252: the stats catalog wired INTO Catalyst — see
+    * [[graft.plans.StatsBroadcastRule]]. q248 executed its advice BY
+    * HAND (`exec` picked the broadcast side imperatively); here the
+    * user code is a stock un-hinted `l.join(r, cond)` and the RULE,
+    * registered for the scope of this query via
+    * `spark.experimental.extraOptimizations` (save/restore), makes the
+    * planner pick the strategy from the q239 footer catalog. The
+    * autoBroadcastJoinThreshold is pinned to -1 inside the scope — the
+    * 100 TB posture where byte-size auto-broadcast guesses are off and
+    * every broadcast must be justified by catalog stats — so every
+    * `broadcast_hash` in the `physical` column is the rule's doing,
+    * nothing else's (the spec pins the negative control: same joins,
+    * same threshold, no rule → all sort_merge). The oracle derives
+    * `physical` from the advice arithmetic alone — the q168
+    * self-validating leg: Catalyst ignoring the hint, or the rule
+    * hinting the wrong side, lands as a red row.
+    */
+  private[graft] def catalystAdvisedJoins(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(n: String) = graft.Tables(spark, dir, n)
+    val catalog = graft.Tables.all
+      .map(n => n -> Footer.tableStats(dir, n).values.map(_.n_values).max)
+      .toMap
+    val rule = graft.plans.StatsBroadcastRule(catalog)
+    val exp = spark.experimental
+    val prevRules = exp.extraOptimizations
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val rows = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      exp.extraOptimizations = prevRules :+ rule
+      val cases = Seq(
+        ("chain_dim", "nation", "customer",
+          t("nation").join(t("customer"),
+            col("n_nationkey") === col("c_nationkey"))),
+        ("dim_probe", "customer", "nation",
+          t("customer").join(t("nation"),
+            col("c_nationkey") === col("n_nationkey"))),
+        ("selfjoin", "lineitem", "lineitem",
+          t("lineitem").select(col("l_orderkey").as("ka"),
+              col("l_linenumber").as("la"))
+            .join(t("lineitem").select(col("l_orderkey").as("kb"),
+              col("l_linenumber").as("lb")), col("ka") === col("kb"))))
+      cases.map { case (name, lt, rt, joined) =>
+        // count THROUGH the join plan, then read the final physical plan
+        // of the executed count — the join node it contains is the one
+        // that actually ran
+        val cdf = joined.groupBy().count()
+        val n = cdf.head().getLong(0)
+        (name, catalog(lt), catalog(rt), joinAdvice(catalog(lt), catalog(rt)),
+          physicalJoinOf(cdf), n)
+      }
+    } finally {
+      exp.extraOptimizations = prevRules
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    rows.toDF("join_set", "est_left", "est_right", "advice", "physical",
+      "n_out").orderBy("join_set")
+  }
+
   def queries: Map[String, Q] = Map(
     // q250 [north star, r14]: SCHEDULED VACUUM — the metric→decision→
     // ACTION chain in one registered query: q244 counted the dead
@@ -513,6 +594,16 @@ object Txn extends QueryGroup {
       log.vacuum(advised)
       log.readAsOf(log.snapshotVersion)
     }),
+
+    // q252 [north star, r14]: CATALYST-INTEGRATED STATS BROADCAST —
+    // see [[catalystAdvisedJoins]] / [[graft.plans.StatsBroadcastRule]].
+    // q248's advice, consumed by the PLANNER itself: stock un-hinted
+    // joins under autoBroadcastJoinThreshold=-1 plan as broadcast_hash
+    // exactly where the footer catalog's 4x rule says so, sort_merge
+    // elsewhere; the physical column is observed from the executed
+    // plan, the oracle derives it from the arithmetic alone.
+    "q252_catalyst_stats_broadcast" -> ((spark, dir) =>
+      catalystAdvisedJoins(spark, dir)),
 
     // q248 [north star, r14]: STATS-CATALOG JOIN ADVISOR — see
     // [[joinAdvisor]]. All three advice classes fire on the fixture
@@ -727,6 +818,37 @@ object Txn extends QueryGroup {
          |  op = 'U' AS alive,
          |  CASE WHEN op = 'U' THEN md5(txt) END AS text_md5
          |FROM l WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q252: est legs recomputed from the data (q239 proved footer
+    // n_values == COUNT(*)), advice by the shared arithmetic, and
+    // physical DERIVED from the advice — the self-validating leg: the
+    // engine reports what the executed plan actually ran, so Catalyst
+    // ignoring the rule's hint (or the rule hinting the wrong side)
+    // diverges right here.
+    "q252_catalyst_stats_broadcast" -> {
+      def row(set: String, el: String, er: String, ao: String) =
+        s"""SELECT '$set' AS join_set, CAST($el AS BIGINT) AS est_left,
+           |  CAST($er AS BIGINT) AS est_right,
+           |  ${adviceSql(el, er)} AS advice,
+           |  CASE WHEN ${adviceSql(el, er)} LIKE 'broadcast%'
+           |    THEN 'broadcast_hash' ELSE 'sort_merge' END AS physical,
+           |  CAST($ao AS BIGINT) AS n_out
+           |FROM c, a""".stripMargin
+      s"""WITH c AS (SELECT
+         |  (SELECT COUNT(*) FROM nation) AS cn,
+         |  (SELECT COUNT(*) FROM customer) AS cc,
+         |  (SELECT COUNT(*) FROM lineitem) AS cl),
+         |a AS (SELECT
+         |  (SELECT COUNT(*) FROM nation n
+         |     JOIN customer c2 ON n.n_nationkey = c2.c_nationkey) AS adp,
+         |  (SELECT COUNT(*) FROM lineitem x
+         |     JOIN lineitem y ON y.l_orderkey = x.l_orderkey) AS asj)
+         |${row("chain_dim", "cn", "cc", "adp")}
+         |UNION ALL
+         |${row("dim_probe", "cc", "cn", "adp")}
+         |UNION ALL
+         |${row("selfjoin", "cl", "cl", "asj")}
+         |ORDER BY join_set""".stripMargin
+    },
     // q248: every leg recomputed from the data — table counts stand in
     // for the footer reads (q239 proved n_values == COUNT(*)), n_alive
     // via the q223 latest-wins CTE stands in for the q240 catalog row,

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.InnerLike
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** q252: the footer-stats catalog wired INTO Catalyst — the optimizer
+  * rule form of q248's advice. q248 computed broadcast-vs-shuffle and
+  * then executed each join by hand; this rule makes the stock
+  * `df.join(other, cond)` plan itself pick the strategy: it walks every
+  * un-hinted inner equi-join, estimates each side from the CATALOG (the
+  * q239 footer row counts — zero data reads at planning time), and
+  * attaches a Catalyst `JoinHint(BROADCAST)` to a side at least 4×
+  * smaller than the other (q248's exact-integer advice rule, stated
+  * once there and consumed here). Physical planning (`JoinSelection`)
+  * then honors the hint — the same mechanism a user's SQL BROADCAST
+  * hint comment rides, driven by table statistics instead of hand
+  * annotation.
+  *
+  * This is the 100 TB posture: `spark.sql.autoBroadcastJoinThreshold`
+  * sizes relations by FILE BYTES, which a wide table with a tiny
+  * projection over-counts and an un-sized view misses entirely; a
+  * catalog row count is what a warehouse CBO actually consults
+  * (Spark's own CBO does the same from ANALYZE TABLE stats — this rule
+  * feeds the decision from the engine's OWN footer walk instead).
+  *
+  * Scope is deliberately narrow and SOUND-by-abstention:
+  *  - a side is estimable only when every scan leaf under it is a
+  *    single-root `HadoopFsRelation` whose path basename is a cataloged
+  *    table; anything else (in-memory frames, unions, foreign sources)
+  *    → no estimate → the join is left untouched;
+  *  - the side estimate is the MAX leaf row count — an upper bound for
+  *    the filter/project/PK–FK-join shapes the catalog's tables
+  *    compose into (filters only shrink; a contained PK–FK join is
+  *    bounded by its child side). The broadcast decision consumes the
+  *    bound in the safe direction: an over-estimated side is broadcast
+  *    LESS eagerly, never more;
+  *  - joins already carrying any hint are respected, never overridden.
+  *
+  * Registered per-query via `spark.experimental.extraOptimizations`
+  * (save/restore — the scoped-override stance of the r13 advice fix);
+  * `GraftExtensions`-style session-wide injection would work the same.
+  */
+case class StatsBroadcastRule(catalog: Map[String, Long])
+    extends Rule[LogicalPlan] {
+
+  /** The catalog row-count upper bound for one join side, if every
+    * leaf under it is a cataloged parquet table.
+    */
+  private def sideRows(plan: LogicalPlan): Option[Long] = {
+    val ests = plan.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {
+          case Seq(p) =>
+            val base = p.getName
+            val tbl = if (base.endsWith(".parquet"))
+              base.stripSuffix(".parquet") else base
+            catalog.get(tbl)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    if (ests.nonEmpty && ests.forall(_.isDefined)) Some(ests.flatten.max)
+    else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, _: InnerLike, _, JoinHint(None, None)) =>
+      (sideRows(l), sideRows(r)) match {
+        case (Some(el), Some(er)) if el * 4L <= er =>
+          j.copy(hint = JoinHint(
+            Some(HintInfo(strategy = Some(BROADCAST))), None))
+        case (Some(el), Some(er)) if er * 4L <= el =>
+          j.copy(hint = JoinHint(
+            None, Some(HintInfo(strategy = Some(BROADCAST)))))
+        case _ => j
+      }
+  }
+}

@@ -4854,6 +4854,64 @@ class OperatorSpec extends SparkSpec {
       "dictionary leg must equal exact containment")
   }
 
+  test("q252 catalyst stats broadcast: the rule drives the physical plan; no-rule control, abstention, and hint respect") {
+    import graft.operators.{Footer, Txn}
+    import graft.plans.StatsBroadcastRule
+    val out = SparkEntry.queries("q252_catalyst_stats_broadcast")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getString(3), r.getString(4)))
+      .toMap
+    // all three advice classes fire, and the PLANNER followed each
+    assert(out("chain_dim") == (("broadcast_left", "broadcast_hash")))
+    assert(out("dim_probe") == (("broadcast_right", "broadcast_hash")))
+    assert(out("selfjoin") == (("shuffle", "sort_merge")))
+
+    val exp = spark.experimental
+    val prevRules = exp.extraOptimizations
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def probeJoin() = Tables(spark, Sf, "customer")
+      .join(Tables(spark, Sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy().count()
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // NEGATIVE CONTROL: same join, same threshold, NO rule — the
+      // broadcast in the registered query is the rule's doing, not a
+      // leftover auto-broadcast
+      val ctl = probeJoin(); ctl.head()
+      assert(Txn.physicalJoinOf(ctl) == "sort_merge",
+        "without the rule, threshold -1 must leave the join sort_merge")
+      val catalog = Tables.all
+        .map(n => n -> Footer.tableStats(Sf, n).values.map(_.n_values).max)
+        .toMap
+      exp.extraOptimizations = prevRules :+ StatsBroadcastRule(catalog)
+      // with the rule, the SAME stock join plans broadcast
+      val withRule = probeJoin(); withRule.head()
+      assert(Txn.physicalJoinOf(withRule) == "broadcast_hash",
+        "the rule must turn the stock join into a broadcast")
+      // ABSTENTION: un-cataloged in-memory frames stay untouched even
+      // with the rule active (sound-by-abstention, never a guess)
+      import spark.implicits._
+      val mem = (1 to 50).map(i => (i.toLong, s"m$i")).toDF("mk", "mv")
+        .join((1 to 5000).map(i => (i.toLong % 50L, i.toLong))
+          .toDF("nk", "nv"), col("mk") === col("nk"))
+        .groupBy().count()
+      mem.head()
+      assert(Txn.physicalJoinOf(mem) == "sort_merge",
+        "the rule must abstain on un-cataloged inputs")
+      // HINT RESPECT: an explicit user strategy hint survives the rule
+      val hinted = Tables(spark, Sf, "customer").hint("merge")
+        .join(Tables(spark, Sf, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy().count()
+      hinted.head()
+      assert(Txn.physicalJoinOf(hinted) == "sort_merge",
+        "an explicit user hint must never be overridden")
+    } finally {
+      exp.extraOptimizations = prevRules
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
