@@ -419,6 +419,115 @@ object Footer extends QueryGroup {
     p
   }
 
+  // ---- q255: the v2 writer generation's value encodings ----------------
+
+  /** DELTA_BINARY_PACKED (parquet-format Encodings.md, encoding 5) — the
+    * v2 writer's integer encoding: a ULEB128 header (block size,
+    * miniblocks per block, total count, zigzag first value), then per
+    * block a zigzag min-delta, one bit-width byte per miniblock, and the
+    * deltas bit-packed LSB-first at each miniblock's width. Returns the
+    * decoded values and the position after the stream. Loud on every
+    * malformed shape; `expect` cross-checks the stream's own count
+    * against the page header's (two sources that must agree).
+    */
+  private[graft] def readDeltaBinaryPacked(buf: Array[Byte], p0: Int,
+      expect: Int): (Array[Long], Int) = {
+    var p = p0
+    def varint(): Long = {
+      var x = 0L; var sh = 0; var b = 0
+      do { b = buf(p) & 0xff; p += 1; x |= (b & 0x7fL) << sh; sh += 7 }
+      while ((b & 0x80) != 0)
+      x
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    val blockSize = varint().toInt
+    val miniN = varint().toInt
+    require(blockSize > 0 && miniN > 0 && blockSize % miniN == 0,
+      s"q255: malformed delta header (block $blockSize / $miniN miniblocks)")
+    val perMini = blockSize / miniN
+    require(perMini % 8 == 0,
+      s"q255: miniblock value count $perMini not a multiple of 8")
+    val total = varint().toInt
+    require(total == expect,
+      s"q255: delta stream declares $total values, page header $expect")
+    val out = new Array[Long](total)
+    if (total == 0) return (out, p)
+    out(0) = zigzag()
+    var filled = 1
+    while (filled < total) {
+      val minDelta = zigzag()
+      val widths = new Array[Int](miniN)
+      var i = 0
+      while (i < miniN) { widths(i) = buf(p) & 0xff; p += 1; i += 1 }
+      var m = 0
+      while (m < miniN && filled < total) {
+        val w = widths(m)
+        require(w <= 64, s"q255: delta bit width $w > 64 — malformed")
+        var k = 0
+        while (k < perMini) {
+          if (filled < total) {
+            var v = 0L; var j = 0
+            val bit = k * w
+            while (j < w) {
+              v |= ((buf(p + ((bit + j) >> 3)) >> ((bit + j) & 7)) & 1L) << j
+              j += 1
+            }
+            out(filled) = out(filled - 1) + minDelta + v
+            filled += 1
+          }
+          k += 1
+        }
+        p += perMini * w / 8 // a started miniblock is written in full
+        m += 1
+      } // unstarted trailing miniblocks are NOT written — stop consuming
+    }
+    (out, p)
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY (encoding 6): all lengths as one
+    * DELTA_BINARY_PACKED stream, then the concatenated value bytes.
+    */
+  private[graft] def readDeltaLengthByteArray(buf: Array[Byte], p0: Int,
+      n: Int): (Array[Array[Byte]], Int) = {
+    val (lens, p1) = readDeltaBinaryPacked(buf, p0, n)
+    var p = p1
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = lens(i).toInt
+      require(len >= 0 && p + len <= buf.length,
+        s"q255: byte-array length $len overruns the values section")
+      out(i) = java.util.Arrays.copyOfRange(buf, p, p + len)
+      p += len; i += 1
+    }
+    (out, p)
+  }
+
+  /** DELTA_BYTE_ARRAY (encoding 7) — the v2 writer's string encoding
+    * (incremental/front coding): shared-prefix lengths as one delta
+    * stream, suffixes as DELTA_LENGTH_BYTE_ARRAY;
+    * value(i) = value(i-1)(0 until prefix(i)) ++ suffix(i).
+    */
+  private[graft] def readDeltaByteArray(buf: Array[Byte], p0: Int,
+      n: Int): Array[String] = {
+    val (prefixes, p1) = readDeltaBinaryPacked(buf, p0, n)
+    val (suffixes, _) = readDeltaLengthByteArray(buf, p1, n)
+    val out = new Array[String](n)
+    var prev: Array[Byte] = Array.emptyByteArray
+    var i = 0
+    while (i < n) {
+      val pl = prefixes(i).toInt
+      require(pl >= 0 && pl <= prev.length,
+        s"q255: prefix length $pl escapes the previous value (${prev.length})")
+      val v = new Array[Byte](pl + suffixes(i).length)
+      System.arraycopy(prev, 0, v, 0, pl)
+      System.arraycopy(suffixes(i), 0, v, pl, suffixes(i).length)
+      out(i) = new String(v, "UTF-8")
+      prev = v; i += 1
+    }
+    out
+  }
+
   private def leInt4(buf: Array[Byte], off: Int): Int =
     (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8) |
       ((buf(off + 2) & 0xff) << 16) | ((buf(off + 3) & 0xff) << 24)
@@ -495,6 +604,7 @@ object Footer extends QueryGroup {
       val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val strs = scala.collection.mutable.ArrayBuffer.empty[String]
       var nulls = 0L; var nVals = 0L; var usedDict = false
+      var encDelta: String = null
       chunks(li).foreach { cs =>
         require(cs.dataPageOffset >= 0 && cs.totalCompressedSize > 0,
           s"q249: chunk offsets missing for '$column' in $path")
@@ -511,6 +621,8 @@ object Footer extends QueryGroup {
           var ptype = -1; var ups = -1; var cps = -1
           var dpNum = -1; var dpEnc = -1; var dlEnc = -1
           var dictNum = -1; var dictEnc = -1
+          var v2Num = -1; var v2Nulls = -1; var v2Enc = -1
+          var v2DefLen = -1; var v2RepLen = -1; var v2Compressed = true
           r.struct { (id, t) =>
             (id, t) match {
               case (1, _) => ptype = r.zigzag().toInt
@@ -528,6 +640,19 @@ object Footer extends QueryGroup {
                 (fid, ft) match {
                   case (1, _) => dictNum = r.zigzag().toInt
                   case (2, _) => dictEnc = r.zigzag().toInt
+                  case _      => r.skip(ft)
+                }
+              }
+              case (8, 12) => r.struct { (fid, ft) => // DataPageHeaderV2
+                (fid, ft) match {
+                  case (1, _) => v2Num = r.zigzag().toInt
+                  case (2, _) => v2Nulls = r.zigzag().toInt
+                  case (3, _) => r.zigzag() // num_rows — flat scope, unused
+                  case (4, _) => v2Enc = r.zigzag().toInt
+                  case (5, _) => v2DefLen = r.zigzag().toInt
+                  case (6, _) => v2RepLen = r.zigzag().toInt
+                  case (7, bt) if bt == 1 || bt == 2 => // bool rides the nibble
+                    v2Compressed = bt == 1
                   case _      => r.skip(ft)
                 }
               }
@@ -615,16 +740,88 @@ object Footer extends QueryGroup {
                     "PLAIN/dictionary scope; refusing")
               }
               read += dpNum; nVals += dpNum
-            case 3 => throw new IllegalStateException(
-              "q249: DATA_PAGE_V2 — outside the audited v1 scope; refusing")
+            case 3 => // DATA_PAGE_V2 (q255): levels ride UNCOMPRESSED and
+              // UNPREFIXED at the body's head; only the values section
+              // honors is_compressed — the structural difference from v1
+              require(v2Num >= 0 && v2Enc >= 0 && v2DefLen >= 0 &&
+                v2RepLen >= 0 && v2Nulls >= 0,
+                s"q255: v2 page header incomplete in $path")
+              require(v2RepLen == 0,
+                s"q255: repetition levels on a flat column in $path — malformed")
+              require(v2Nulls <= v2Num,
+                s"q255: null count $v2Nulls exceeds value count $v2Num")
+              if (maxDef == 0) require(v2Nulls == 0,
+                s"q255: nulls on a required column in $path — malformed")
+              val lvlLen = v2RepLen + v2DefLen
+              require(lvlLen <= cps && lvlLen <= ups,
+                s"q255: level section $lvlLen overruns the page in $path")
+              val nNonNull = v2Num - v2Nulls
+              val vraw = java.util.Arrays.copyOfRange(
+                win, body + lvlLen, body + cps)
+              val vals =
+                if (v2Compressed) inflatePage(cs.codec, vraw, ups - lvlLen, path)
+                else {
+                  require(cps == ups,
+                    s"q255: sizes $cps/$ups inconsistent with is_compressed=false")
+                  vraw
+                }
+              v2Enc match {
+                case 5 => // DELTA_BINARY_PACKED
+                  require(!isStr,
+                    s"q255: DELTA_BINARY_PACKED on string column '$column'")
+                  longs ++= readDeltaBinaryPacked(vals, 0, nNonNull)._1
+                  encDelta = "delta_binpack"
+                case 6 => // DELTA_LENGTH_BYTE_ARRAY
+                  require(isStr,
+                    s"q255: DELTA_LENGTH_BYTE_ARRAY on int column '$column'")
+                  strs ++= readDeltaLengthByteArray(vals, 0, nNonNull)._1
+                    .map(new String(_, "UTF-8"))
+                  encDelta = "delta_length"
+                case 7 => // DELTA_BYTE_ARRAY
+                  require(isStr,
+                    s"q255: DELTA_BYTE_ARRAY on int column '$column'")
+                  strs ++= readDeltaByteArray(vals, 0, nNonNull)
+                  encDelta = "delta_byte_array"
+                case 0 => // PLAIN
+                  var p = 0
+                  if (isStr) {
+                    var i = 0
+                    while (i < nNonNull) {
+                      val len = leInt4(vals, p); p += 4
+                      strs += new String(vals, p, len, "UTF-8"); p += len; i += 1
+                    }
+                  } else {
+                    var i = 0
+                    while (i < nNonNull) { longs += leLong8(vals, p); p += 8; i += 1 }
+                  }
+                case 2 | 8 => // dictionary indices, same stream shape as v1
+                  require(dictLongs != null || dictStrs != null,
+                    s"q255: dictionary-encoded v2 page before its dictionary in $path")
+                  usedDict = true
+                  val bw = vals(0) & 0xff
+                  val idx = new Array[Int](nNonNull)
+                  readHybrid(vals, 1, bw, nNonNull, idx)
+                  var i = 0
+                  while (i < nNonNull) {
+                    if (isStr) strs += dictStrs(idx(i)) else longs += dictLongs(idx(i))
+                    i += 1
+                  }
+                case e => throw new IllegalStateException(
+                  s"q255: v2 data page encoding $e outside the audited " +
+                    "PLAIN/dictionary/DELTA scope; refusing")
+              }
+              nulls += v2Nulls; read += v2Num; nVals += v2Num
             case t => throw new IllegalStateException(
               s"q249: unexpected page type $t in $path")
           }
           r.p = body + cps
         }
       }
-      PageDecode(if (usedDict) "dict" else "plain", nVals, nulls,
-        longs.toSeq, strs.toSeq)
+      PageDecode(
+        if (usedDict) "dict"
+        else if (encDelta != null) encDelta
+        else "plain",
+        nVals, nulls, longs.toSeq, strs.toSeq)
     } finally raf.close()
   }
 
@@ -720,6 +917,56 @@ object Footer extends QueryGroup {
     rows.toDF("codec", "column", "enc_class", "n_values", "n_nulls",
       "sum_leg", "n_distinct", "content_xor")
       .orderBy("codec", "column")
+  }
+
+  /** q255's engine: the probe under the SECOND writer generation —
+    * parquet v2 data pages, where levels ride uncompressed and
+    * unprefixed at the body's head and the value encodings change
+    * family entirely: DELTA_BINARY_PACKED for integers (the dictionary
+    * fallback target too — unique doc_id lands here even with
+    * dictionaries on), DELTA_BYTE_ARRAY front coding for strings, and
+    * RLE_DICTIONARY where the dictionary wins. Three layouts exercise
+    * all of it — v2 + dictionary (dict/fallback split), v2 + dictionary
+    * off (both delta families), v2 + snappy (the is_compressed
+    * values-only inflate path). Truth legs identical to q249/q253.
+    */
+  private[graft] def pageDecodeProbeV2(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val modes = Seq(("v2dict", "uncompressed", true),
+      ("v2delta", "uncompressed", false),
+      ("v2snappy", "snappy", false))
+    val rows = modes.flatMap { case (mode, codecName, dictOn) =>
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_q255_${mode}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite")
+        .option("compression", codecName)
+        .option("parquet.writer.version", "v2")
+        .option("parquet.enable.dictionary", dictOn.toString)
+        .parquet(out)
+      val file = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).map(_.getPath).sorted.headOption
+        .getOrElse(throw new IllegalStateException(s"q255: no part file in $out"))
+      Seq("doc_id", "source").map { c =>
+        val d = decodeColumnChunk(file, c)
+        val (sumLeg, nDist, xor) =
+          if (c == "doc_id")
+            (d.longs.sum, d.longs.distinct.size.toLong,
+              d.longs.map(v => md5Fold60(v.toString)).foldLeft(0L)(_ ^ _))
+          else
+            (d.strs.map(_.getBytes("UTF-8").length.toLong).sum,
+              d.strs.distinct.size.toLong,
+              d.strs.map(md5Fold60).foldLeft(0L)(_ ^ _))
+        (mode, c, d.encClass, d.nValues, d.nNulls, sumLeg, nDist, xor)
+      }
+    }
+    rows.toDF("mode", "column", "enc_class", "n_values", "n_nulls",
+      "sum_leg", "n_distinct", "content_xor")
+      .orderBy("mode", "column")
   }
 
   // ---- pruned scan EXECUTION (q245 by_length, q251 z-order) ------------
@@ -1122,6 +1369,15 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q255 [north star, r14]: V2 DATA-PAGE DECODE — the SECOND writer
+    // generation closed: DataPageHeaderV2 walk (unprefixed uncompressed
+    // levels, values-only is_compressed), DELTA_BINARY_PACKED integers,
+    // DELTA_BYTE_ARRAY front-coded strings, v2 RLE_DICTIONARY, and the
+    // dictionary fallback (unique doc_id lands on delta even with
+    // dictionaries requested — the decoder proves what the writer
+    // CHOSE, the q249 stance). Truth legs identical to q249/q253.
+    "q255_v2_page_decode" -> ((spark, dir) => pageDecodeProbeV2(spark, dir)),
+
     // q254 [north star, r14]: DICTIONARY-PAGE PRUNED SCAN — the skip
     // min/max stats cannot make: a point predicate on a SCATTERED
     // column sits inside every unit's [min,max] envelope (the stats leg
@@ -1222,6 +1478,29 @@ object Footer extends QueryGroup {
          |       FROM ru GROUP BY 1)
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
+    },
+    // q255: q249's truth legs under the v2 writer generation; the
+    // (mode, enc_class) literals pin which encoding family the writer
+    // actually chose per layout (dict fallback included).
+    "q255_v2_page_decode" -> {
+      def leg(mode: String, c: String, enc: String, sumExpr: String) =
+        s"""SELECT '$mode' AS mode, '$c' AS "column", '$enc' AS enc_class,
+           |  CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST($sumExpr AS BIGINT) AS sum_leg,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(bit_xor(CAST(('0x' ||
+           |    substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT))
+           |    AS BIGINT) AS content_xor
+           |FROM documents""".stripMargin
+      Seq(
+        leg("v2delta", "doc_id", "delta_binpack", "SUM(doc_id)"),
+        leg("v2delta", "source", "delta_byte_array", "SUM(strlen(source))"),
+        leg("v2dict", "doc_id", "delta_binpack", "SUM(doc_id)"),
+        leg("v2dict", "source", "dict", "SUM(strlen(source))"),
+        leg("v2snappy", "doc_id", "delta_binpack", "SUM(doc_id)"),
+        leg("v2snappy", "source", "delta_byte_array", "SUM(strlen(source))"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY mode, \"column\"")
     },
     // q254: groups re-derived by the same (user_id, event_id) total
     // order and 128-row chunking; groups_read_stats = the overlap rule,
