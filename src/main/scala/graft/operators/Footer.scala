@@ -124,7 +124,8 @@ object Footer extends QueryGroup {
   private[graft] case class ChunkStats(codec: Int, numValues: Long,
       nullCount: Long, minV: Array[Byte], maxV: Array[Byte],
       encodings: Seq[Int], dataPageOffset: Long = -1L,
-      dictPageOffset: Long = -1L, totalCompressedSize: Long = -1L)
+      dictPageOffset: Long = -1L, totalCompressedSize: Long = -1L,
+      bloomOffset: Long = -1L, bloomLength: Int = -1)
 
   private val PhysicalNames = Map(0 -> "BOOLEAN", 1 -> "INT32", 2 -> "INT64",
     3 -> "INT96", 4 -> "FLOAT", 5 -> "DOUBLE", 6 -> "BYTE_ARRAY",
@@ -232,6 +233,7 @@ object Footer extends QueryGroup {
       var minV: Array[Byte] = null; var maxV: Array[Byte] = null
       var encs = Seq.empty[Int]
       var dataOff = -1L; var dictOff = -1L; var tcs = -1L
+      var bloomOff = -1L; var bloomLen = -1
       r.struct { (id, t) =>
         (id, t) match {
           case (2, 9) => // encodings: list<Encoding enum>
@@ -246,10 +248,13 @@ object Footer extends QueryGroup {
           case (12, 12) =>
             val (n, mn, mx) = parseStatistics()
             nulls = n; minV = mn; maxV = mx
+          case (14, _)  => bloomOff = r.zigzag() // q256: SBBF location
+          case (15, _)  => bloomLen = r.zigzag().toInt
           case _        => r.skip(t)
         }
       }
-      ChunkStats(codec, nv, nulls, minV, maxV, encs, dataOff, dictOff, tcs)
+      ChunkStats(codec, nv, nulls, minV, maxV, encs, dataOff, dictOff, tcs,
+        bloomOff, bloomLen)
     }
 
     def parseColumnChunk(idx: Int): Unit = {
@@ -1007,12 +1012,14 @@ object Footer extends QueryGroup {
     */
   private[graft] def writeUnits(df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column], tag: String,
-      rowsPerUnit: Long = Relational.PruneGroupRows): Seq[UnitStats] = {
+      rowsPerUnit: Long = Relational.PruneGroupRows,
+      writeOptions: Map[String, String] = Map.empty): Seq[UnitStats] = {
     val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
     df.repartition(1)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerUnit)
+      .options(writeOptions)
       .parquet(layoutDir)
     val files = new java.io.File(layoutDir).listFiles()
       .filter(f => f.getName.startsWith("part-") &&
@@ -1247,6 +1254,200 @@ object Footer extends QueryGroup {
       .orderBy("predicate")
   }
 
+  // ---- q256: split-block bloom filters — point pruning past stats ------
+
+  /** XXH64 (xxHash 64-bit, public algorithm/spec by Yann Collet), the
+    * hash parquet split-block bloom filters key on. Pure JDK, seed 0 —
+    * input is the value's PLAIN encoding (8-byte LE for INT64).
+    */
+  private[graft] def xxh64(data: Array[Byte], seed: Long = 0L): Long = {
+    val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+    val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+    val P3 = 1609587929392839161L  // 0x165667B19E3779F9
+    val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+    val P5 = 2870177450012600261L  // 0x27D4EB2F165667C5
+    val len = data.length
+    def rotl(x: Long, r: Int): Long = java.lang.Long.rotateLeft(x, r)
+    def round(acc: Long, x: Long): Long = rotl(acc + x * P2, 31) * P1
+    var p = 0
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (p + 32 <= len) {
+          v1 = round(v1, leLong8(data, p))
+          v2 = round(v2, leLong8(data, p + 8))
+          v3 = round(v3, leLong8(data, p + 16))
+          v4 = round(v4, leLong8(data, p + 24))
+          p += 32
+        }
+        var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        acc = (acc ^ round(0L, v1)) * P1 + P4
+        acc = (acc ^ round(0L, v2)) * P1 + P4
+        acc = (acc ^ round(0L, v3)) * P1 + P4
+        (acc ^ round(0L, v4)) * P1 + P4
+      } else seed + P5
+    h += len
+    while (p + 8 <= len) {
+      h ^= round(0L, leLong8(data, p))
+      h = rotl(h, 27) * P1 + P4
+      p += 8
+    }
+    if (p + 4 <= len) {
+      h ^= (leInt4(data, p) & 0xffffffffL) * P1
+      h = rotl(h, 23) * P2 + P3
+      p += 4
+    }
+    while (p < len) {
+      h ^= (data(p) & 0xffL) * P5
+      h = rotl(h, 11) * P1
+      p += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  /** The eight SBBF salt constants (parquet-format BloomFilter.md). */
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d.toInt, 0x705495c7, 0x2df1424b, 0x9efc4947.toInt, 0x5c6bfb31)
+
+  /** One column chunk's split-block bloom filter: 32-byte blocks of
+    * eight 32-bit words; a value sets one salt-derived bit per word in
+    * one hash-selected block. Membership = all eight bits set — no
+    * false negatives (the soundness direction pruning rides), bounded
+    * false positives (which only cost a read, never a wrong answer).
+    */
+  private[graft] final class SplitBlockBloom(bits: Array[Byte]) {
+    require(bits.length >= 32 && bits.length % 32 == 0,
+      s"q256: SBBF bitset of ${bits.length} bytes is not whole 32-byte blocks")
+    private val numBlocks = bits.length / 32
+    def mightContain(h: Long): Boolean = {
+      val block = (((h >>> 32) * numBlocks.toLong) >>> 32).toInt
+      val key = h.toInt
+      var i = 0
+      while (i < 8) {
+        val bit = (key * BloomSalt(i)) >>> 27
+        if (((leInt4(bits, block * 32 + i * 4) >>> bit) & 1) == 0)
+          return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Read `column`'s SBBF from `path`'s footer-recorded offset. Loud
+    * preconditions throughout: the chunk must record both bloom fields,
+    * and the BloomFilterHeader must spell the one audited combination
+    * (BLOCK algorithm, XXHASH, UNCOMPRESSED) — anything else refuses
+    * rather than probing bits under the wrong scheme.
+    */
+  private[graft] def readBloom(path: String, column: String): SplitBlockBloom = {
+    val (leaves, chunks) = parseFooter(path)
+    val li = leaves.indexWhere(_.name == column)
+    require(li >= 0, s"q256: no column '$column' in $path")
+    val cs = chunks(li).head
+    require(cs.bloomOffset >= 0 && cs.bloomLength > 0,
+      s"q256: '$column' in $path carries no bloom filter (offset/length " +
+        "absent) — a planner cannot point-prune it; refusing")
+    val raf = new java.io.RandomAccessFile(path, "r")
+    val win = new Array[Byte](cs.bloomLength)
+    try { raf.seek(cs.bloomOffset); raf.readFully(win) } finally raf.close()
+    val r = new CompactReader(win)
+    var numBytes = -1; var algo = -1; var hash = -1; var comp = -1
+    r.struct { (id, t) =>
+      (id, t) match {
+        case (1, _)  => numBytes = r.zigzag().toInt
+        case (2, 12) => r.struct { (fid, ft) => algo = fid; r.skip(ft) }
+        case (3, 12) => r.struct { (fid, ft) => hash = fid; r.skip(ft) }
+        case (4, 12) => r.struct { (fid, ft) => comp = fid; r.skip(ft) }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    require(numBytes > 0, s"q256: bloom header without numBytes in $path")
+    require(algo == 1 && hash == 1 && comp == 1,
+      s"q256: bloom header (algo=$algo hash=$hash comp=$comp) outside the " +
+        "audited BLOCK/XXHASH/UNCOMPRESSED scope; refusing")
+    require(r.p + numBytes <= win.length,
+      s"q256: bloom bitset overruns its recorded length in $path")
+    new SplitBlockBloom(java.util.Arrays.copyOfRange(win, r.p, r.p + numBytes))
+  }
+
+  /** An INT64's plain encoding — the bytes parquet bloom filters hash. */
+  private def plainLong(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** q256's point-lookup workload: interior doc_ids (same stance as
+    * q254's interior values — a 64-row unit's doc_id envelope covers an
+    * interior point with probability ~1, so the stats leg is provably
+    * blind and every skip is the bloom filter's).
+    */
+  private[graft] val BloomProbeIds = Seq(166L, 250L, 333L, 417L)
+
+  /** q256: BLOOM-FILTER PRUNED SCAN — the pruning NOTHING else in the
+    * metadata tier can make. A point lookup on a high-cardinality
+    * UNSORTED key defeats both prior planners: the unit's [min,max]
+    * envelope is full-width (q245's rule reads everything — emitted as
+    * groups_read_stats), and the dictionary does not exist (parquet-mr
+    * falls back on unique values — exactly the refusal q254 pins on
+    * event_id). The production answer is the split-block bloom filter
+    * the writer embeds per chunk (Iceberg/Delta carry the same
+    * structure): ~2 bytes/value of metadata answers "is doc_id = v
+    * possibly here?" with no false negatives. The planner probes ONE
+    * bloom per unit (zero data pages), opens only bloom-positive units,
+    * and the q245 xor proof pins the skip lossless.
+    *
+    * Output carries only SQL-derivable columns (groups_nonempty = units
+    * truly containing the id — on this dense fixture the bloom's
+    * resolving power; the engine-side bloom-positive count is withheld
+    * from the contract because a false positive, while sound and
+    * byte-deterministic, is not SQL-expressible — the q19/q172
+    * statistical-bound stance; the spec pins the measured FP count
+    * instead). In-engine, the aggregate effectiveness guard raises if
+    * the blooms prune nothing.
+    */
+  private[graft] def bloomPrunedScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val units = writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+      "q256_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+      writeOptions = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> "64"))
+    val blooms = units.map(u => u.path -> readBloom(u.path, "doc_id")).toMap
+    val preds = BloomProbeIds.map { v =>
+      val h = xxh64(plainLong(v))
+      (s"docid_eq_$v", (u: UnitStats) => blooms(u.path).mightContain(h),
+        col("doc_id") === v)
+    }
+    require(preds.map { case (_, keep, _) => units.count(keep) }.sum <
+      units.size * preds.size,
+      "q256: the blooms pruned nothing across the whole workload — " +
+        "either the writer ignored the bloom options or the probe is wrong")
+    val base = executePruned(spark, "q256", units,
+      Seq("doc_id", "source", "lang", "n_chars"), preds)
+    val legs = BloomProbeIds.map { v =>
+      val stats = units.count(u => u.lo("doc_id") <= v && u.hi("doc_id") >= v)
+      val surviving = units.filter { u => blooms(u.path).mightContain(xxh64(plainLong(v))) }
+      val nonEmpty =
+        if (surviving.isEmpty) 0L
+        else spark.read.parquet(surviving.map(_.path): _*)
+          .filter(col("doc_id") === v)
+          .select(input_file_name()).distinct().count()
+      (s"docid_eq_$v", stats.toLong, nonEmpty)
+    }.toDF("p", "groups_read_stats", "groups_nonempty")
+    base.join(legs, base("predicate") === col("p"))
+      .select(col("predicate"), col("groups_total"),
+        col("groups_read_stats"), col("groups_nonempty"),
+        col("n_match"), col("match_xor"))
+      .orderBy("predicate")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -1369,6 +1570,14 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q256 [north star, r14]: BLOOM-FILTER PRUNED SCAN — the point
+    // lookup neither min/max stats (envelope full-width on a scattered
+    // key) nor dictionaries (fall back on unique values — the q254
+    // refusal) can prune: the writer-embedded split-block bloom filter
+    // answers it from ~2 bytes/value of metadata, read by the house
+    // XXH64 + SBBF probe, with the q245 xor proof pinning every skip.
+    "q256_bloom_pruned_scan" -> ((spark, dir) => bloomPrunedScan(spark, dir)),
+
     // q255 [north star, r14]: V2 DATA-PAGE DECODE — the SECOND writer
     // generation closed: DataPageHeaderV2 walk (unprefixed uncompressed
     // levels, values-only is_compressed), DELTA_BINARY_PACKED integers,
@@ -1478,6 +1687,38 @@ object Footer extends QueryGroup {
          |       FROM ru GROUP BY 1)
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
+    },
+    // q256: groups re-derived by the (n_chars, doc_id) chunking; the
+    // stats leg by the overlap rule, groups_nonempty by containment,
+    // match legs off the rows. The engine's bloom-positive read set is
+    // deliberately NOT in the contract (false positives are sound and
+    // byte-deterministic but not SQL-expressible); its losslessness is
+    // enforced in-plan and its measured size pinned in the spec.
+    "q256_bloom_pruned_scan" -> {
+      val rowMd5 = "md5(chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || " +
+        "source || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR))"
+      val legs = BloomProbeIds.map { v =>
+        s"""SELECT 'docid_eq_$v' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS groups_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+           |   WHERE mn_id <= $v AND mx_id >= $v) AS groups_read_stats,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+           |   WHERE grp IN (SELECT grp FROM r WHERE doc_id = $v))
+           |    AS groups_nonempty,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+           |   WHERE doc_id = $v) AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE doc_id = $v) AS match_xor""".stripMargin
+      }
+      s"""WITH r AS (SELECT doc_id,
+         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+         |          // ${Relational.PruneGroupRows} AS grp
+         |      FROM documents),
+         |g AS (SELECT grp, MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
+         |      FROM r GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
     },
     // q255: q249's truth legs under the v2 writer generation; the
     // (mode, enc_class) literals pin which encoding family the writer

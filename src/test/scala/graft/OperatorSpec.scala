@@ -4912,6 +4912,60 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q256 bloom pruning: stats blind, bloom resolves point lookups; xxh64 parity with catalyst; bloom-less columns refuse") {
+    import graft.operators.Footer
+    // 0. the house XXH64 must BE the algorithm parquet keys blooms on —
+    // parity against Spark's own catalyst implementation (independent
+    // code, same public spec) across lengths covering every tail path
+    // (empty, <4, <8, 8..31, >=32 stripes)
+    for (n <- 0 to 100) {
+      val bytes = Array.tabulate(n)(i => ((i * 31 + 7) & 0xff).toByte)
+      val expected = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          n, 0L)
+      assert(Footer.xxh64(bytes) == expected, s"xxh64 parity broke at length $n")
+    }
+    // 1. the report card: stats blind on every interior point lookup,
+    // the bloom resolves each to exactly its one containing unit
+    val out = SparkEntry.queries("q256_bloom_pruned_scan")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    for ((p, (gTot, gStats, gNonEmpty, nMatch)) <- out) {
+      assert(gStats == gTot, s"$p: stats leg must be blind ($gStats/$gTot)")
+      assert(nMatch == 1L && gNonEmpty == 1L,
+        s"$p: a dense unique key must land in exactly one unit")
+    }
+    // 2. measured bloom behavior on the rebuilt layout: positives must
+    // cover every containing unit (no false negative — soundness), and
+    // the false-positive count across the workload is pinned small (the
+    // filters are sized for ndv=64 at the default fpp; byte-level
+    // determinism makes the measurement stable for a given corpus)
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val units = Footer.writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+      "q256_spec", writeOptions = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> "64"))
+    val blooms = units.map(u => u.path -> Footer.readBloom(u.path, "doc_id"))
+    var fps = 0
+    for (v <- Footer.BloomProbeIds) {
+      val h = Footer.xxh64(Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xff).toByte))
+      val positives = blooms.collect { case (p, b) if b.mightContain(h) => p }.toSet
+      val containing = units.filter { u =>
+        spark.read.parquet(u.path).filter(col("doc_id") === v).count() > 0
+      }.map(_.path).toSet
+      assert(containing.subsetOf(positives),
+        s"docid=$v: bloom false NEGATIVE — soundness broken")
+      fps += (positives -- containing).size
+    }
+    assert(fps <= 3,
+      s"measured false positives across the workload must stay small, got $fps")
+    // 3. LOUDNESS: a column written without blooms refuses to point-prune
+    val e = intercept[Exception] { Footer.readBloom(units.head.path, "source") }
+    assert(e.getMessage.contains("q256"),
+      s"bloom-less refusal must cite q256, got: ${e.getMessage}")
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
