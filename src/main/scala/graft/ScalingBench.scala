@@ -160,7 +160,27 @@ object ScalingBench {
       "q241_change_feed", "q242_ngram_jaccard_recovered",
       "q244_table_debt_census", "q245_pruned_scan",
       "q246_audio_cluster_collapse", "q247_compaction_scheduler",
-      "q250_scheduled_vacuum", "q251_zorder_pruned_scan")
+      "q250_scheduled_vacuum", "q251_zorder_pruned_scan",
+      "q256_bloom_pruned_scan")
+    // q256 joins the tier: adaptive units keep the file count constant,
+    // the bloom NDV hint tracks the unit size, and a point lookup's
+    // resolving power (1 containing unit) is scale-independent — the
+    // row measures write+bloom-probe+scan growth.
+    // q254 (dictionary pruning) is NOT in the tier: its resolving power
+    // is INTRINSICALLY tied to small units (a 128-row unit misses ~28%
+    // of a 100-value domain; a scale-honest 62k-row unit misses none),
+    // so a 10× run measures only the fixed-128-row layout write — the
+    // file-creation cost q245's row already prices. The operator's own
+    // work (one ≤800-byte dictionary page per unit) is trivially linear
+    // in unit count.
+    // q252 (catalyst stats broadcast) is NOT in the tier, for q248's
+    // reason verbatim: the blown corpus lacks the chain tables and its
+    // actual legs are the plain joins whose scaling the join rows
+    // already record; the rule itself is O(plan nodes) driver work.
+    // q253/q255 (compressed/v2 page decode) are NOT in the tier, for
+    // the q239/q249 reason: single-file driver-side byte probes, lin-
+    // ear in bytes by construction; the blown corpus' Spark-written
+    // directory layout isn't the probe's single-file shape.
     // q251 at 10x: the blown events' shifted user ids exceed the
     // ZOrderBits=12 interleave width, so the z-layout degenerates
     // toward 1-D for the copies — pruning EFFECTIVENESS shrinks but the

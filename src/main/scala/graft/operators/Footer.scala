@@ -125,7 +125,11 @@ object Footer extends QueryGroup {
       nullCount: Long, minV: Array[Byte], maxV: Array[Byte],
       encodings: Seq[Int], dataPageOffset: Long = -1L,
       dictPageOffset: Long = -1L, totalCompressedSize: Long = -1L,
-      bloomOffset: Long = -1L, bloomLength: Int = -1)
+      bloomOffset: Long = -1L, bloomLength: Int = -1,
+      // q257: the page-index locations (fields of ColumnChunk, not
+      // ColumnMetaData — parquet-mr writes both indexes by default)
+      offsetIndexOffset: Long = -1L, offsetIndexLength: Int = -1,
+      columnIndexOffset: Long = -1L, columnIndexLength: Int = -1)
 
   private val PhysicalNames = Map(0 -> "BOOLEAN", 1 -> "INT32", 2 -> "INT64",
     3 -> "INT96", 4 -> "FLOAT", 5 -> "DOUBLE", 6 -> "BYTE_ARRAY",
@@ -259,16 +263,23 @@ object Footer extends QueryGroup {
 
     def parseColumnChunk(idx: Int): Unit = {
       var st: ChunkStats = null
+      var oiOff = -1L; var oiLen = -1; var ciOff = -1L; var ciLen = -1
       r.struct { (id, t) =>
         (id, t) match {
           case (3, 12) => st = parseColumnMeta()
+          case (4, _)  => oiOff = r.zigzag()
+          case (5, _)  => oiLen = r.zigzag().toInt
+          case (6, _)  => ciOff = r.zigzag()
+          case (7, _)  => ciLen = r.zigzag().toInt
           case _       => r.skip(t)
         }
       }
       require(st != null, s"$path: column chunk $idx carries no metadata")
       while (chunks.length <= idx)
         chunks += scala.collection.mutable.ArrayBuffer.empty[ChunkStats]
-      chunks(idx) += st
+      chunks(idx) += st.copy(offsetIndexOffset = oiOff,
+        offsetIndexLength = oiLen, columnIndexOffset = ciOff,
+        columnIndexLength = ciLen)
     }
 
     r.struct { (id, t) =>
@@ -1002,7 +1013,30 @@ object Footer extends QueryGroup {
       str.map(s => s.column -> s.max_value).toMap)
   }
 
-  /** Materialize a sorted layout in PruneGroupRows-row units (one row
+  /** The pruned scans' target unit count under ADAPTIVE sizing: unit
+    * rows = max(PruneGroupRows, ceil(n / PruneTargetUnits)), so small
+    * fixtures keep their 64-row geometry (the oracle-pinned shapes at
+    * sf0.001) while a growing corpus converges to a CONSTANT number of
+    * units instead of a linearly growing file count. This is the
+    * scale-honest row-group shape: production row groups are sized in
+    * megabytes (so their count grows slowly), and a 64-row unit at 1M
+    * rows is a miniaturization artifact — measured the hard way: the
+    * fixed-64 first cut cost 160 s PER LAYOUT at 1M rows in pure file
+    * creation. Both engines derive the divisor from the row count with
+    * exact integer arithmetic, so the oracle chunks identically.
+    */
+  private[graft] val PruneTargetUnits = 16L
+
+  private[graft] def adaptiveUnitRows(n: Long): Long =
+    math.max(Relational.PruneGroupRows,
+      (n + PruneTargetUnits - 1L) / PruneTargetUnits)
+
+  /** The adaptive divisor as DuckDB SQL over a row-count expression. */
+  private[graft] def adaptiveUnitRowsSql(cntExpr: String): String =
+    s"GREATEST(${Relational.PruneGroupRows}, " +
+      s"(($cntExpr) + ${PruneTargetUnits - 1L}) // $PruneTargetUnits)"
+
+  /** Materialize a sorted layout in `rowsPerUnit`-row units (one row
     * group per part file) and return the units' footer stats - the PLAN
     * inputs. The write is the layout-materialization cost a clustering
     * key always pays once; planning then reads one footer tail per unit
@@ -1093,13 +1127,17 @@ object Footer extends QueryGroup {
     ("source_eq_src3", u => u.loS("source") <= "src3" && u.hiS("source") >= "src3",
       col("source") === "src3"))
 
-  /** q245's layout: q238's advised by_length order over documents. */
+  /** q245's layout: q238's advised by_length order over documents,
+    * in [[adaptiveUnitRows]]-sized units.
+    */
   private[graft] def pruneLayout(spark: SparkSession, dir: String)
-      : Seq[UnitStats] =
-    writeUnits(graft.Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
-      Seq(col("n_chars"), col("doc_id")),
-      "q245_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      : Seq[UnitStats] = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+      "q245_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+      adaptiveUnitRows(docs.count()))
+  }
 
   /** q245's engine - see [[executePruned]]. */
   private[graft] def prunedScan(spark: SparkSession, dir: String,
@@ -1157,13 +1195,14 @@ object Footer extends QueryGroup {
     val ub = expr(s"((user_id - $umn) * $w) div ${umx - umn + 1L}")
     val kb = expr(s"((k - $kmn) * $w) div ${kmx - kmn + 1L}")
     val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val unitRows = adaptiveUnitRows(ev.count())
     val layouts = Seq(
       ("by_user", Seq(col("user_id"), col("event_id"))),
       ("zorder", Seq(Layout.zorderKey(ub, kb, ZNormBits),
         col("user_id"), col("k"), col("event_id"))))
     layouts.map { case (name, sortCols) =>
       executePruned(spark, "q251",
-        writeUnits(ev, sortCols, s"q251_${name}_$san"),
+        writeUnits(ev, sortCols, s"q251_${name}_$san", unitRows),
         Seq("event_id", "user_id", "k"), zorderPredicates)
         .select(lit(name).as("layout"), col("*"))
     }.reduce(_ unionByName _).orderBy("layout", "predicate")
@@ -1414,11 +1453,15 @@ object Footer extends QueryGroup {
     import spark.implicits._
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    // adaptive units; the bloom NDV hint must track the unit size (a
+    // filter sized for 64 values saturates at 31k inserts and stops
+    // pruning — the in-engine effectiveness guard below would raise)
+    val unitRows = adaptiveUnitRows(docs.count())
     val units = writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
-      "q256_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+      "q256_" + dir.replaceAll("[^A-Za-z0-9]", "_"), unitRows,
       writeOptions = Map(
         "parquet.bloom.filter.enabled#doc_id" -> "true",
-        "parquet.bloom.filter.expected.ndv#doc_id" -> "64"))
+        "parquet.bloom.filter.expected.ndv#doc_id" -> unitRows.toString))
     val blooms = units.map(u => u.path -> readBloom(u.path, "doc_id")).toMap
     val preds = BloomProbeIds.map { v =>
       val h = xxh64(plainLong(v))
@@ -1445,6 +1488,240 @@ object Footer extends QueryGroup {
       .select(col("predicate"), col("groups_total"),
         col("groups_read_stats"), col("groups_nonempty"),
         col("n_match"), col("match_xor"))
+      .orderBy("predicate")
+  }
+
+  // ---- q257: page-level pruning via the parquet page indexes ----------
+
+  private[graft] case class PageLoc(offset: Long, compressedSize: Int,
+      firstRow: Long)
+
+  /** OffsetIndex: where each data page of `column`'s first chunk lives
+    * (offset, compressed size, first row index) — parquet-mr writes it
+    * by default; its whole purpose is exactly this read pattern.
+    */
+  private[graft] def readOffsetIndex(path: String, column: String)
+      : Seq[PageLoc] = {
+    val (leaves, chunks) = parseFooter(path)
+    val li = leaves.indexWhere(_.name == column)
+    require(li >= 0, s"q257: no column '$column' in $path")
+    val cs = chunks(li).head
+    require(cs.offsetIndexOffset >= 0 && cs.offsetIndexLength > 0,
+      s"q257: '$column' in $path carries no OffsetIndex; refusing")
+    val win = new Array[Byte](cs.offsetIndexLength)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try { raf.seek(cs.offsetIndexOffset); raf.readFully(win) }
+    finally raf.close()
+    val r = new CompactReader(win)
+    val locs = scala.collection.mutable.ArrayBuffer.empty[PageLoc]
+    r.struct { (id, t) =>
+      (id, t) match {
+        case (1, 9) => // page_locations: list<PageLocation>
+          val (et, n) = r.listHeader()
+          require(et == 12, s"q257: page_locations of element type $et")
+          var i = 0
+          while (i < n) {
+            var off = -1L; var size = -1; var first = -1L
+            r.struct { (fid, ft) =>
+              (fid, ft) match {
+                case (1, _) => off = r.zigzag()
+                case (2, _) => size = r.zigzag().toInt
+                case (3, _) => first = r.zigzag()
+                case _      => r.skip(ft)
+              }
+            }
+            require(off >= 0 && size > 0 && first >= 0,
+              s"q257: incomplete PageLocation in $path")
+            locs += PageLoc(off, size, first)
+            i += 1
+          }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    require(locs.nonEmpty, s"q257: empty OffsetIndex in $path")
+    locs.toSeq
+  }
+
+  /** ColumnIndex for an INT64 column's first chunk: per-page
+    * (null_page, min, max) plus the boundary order — the page-granular
+    * twin of the q239 footer stats. Bool list elements occupy one byte
+    * each in thrift compact (the r13 ADVICE lesson, here on the READ
+    * path): values 1/2, anything else refuses.
+    */
+  private[graft] def readColumnIndex(path: String, column: String)
+      : (Seq[Boolean], Seq[Long], Seq[Long], Int) = {
+    val (leaves, chunks) = parseFooter(path)
+    val li = leaves.indexWhere(_.name == column)
+    require(li >= 0, s"q257: no column '$column' in $path")
+    require(leaves(li).physical == 2,
+      s"q257: page-index scope is INT64, '$column' is ${leaves(li).physical}")
+    val cs = chunks(li).head
+    require(cs.columnIndexOffset >= 0 && cs.columnIndexLength > 0,
+      s"q257: '$column' in $path carries no ColumnIndex; refusing")
+    val win = new Array[Byte](cs.columnIndexLength)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try { raf.seek(cs.columnIndexOffset); raf.readFully(win) }
+    finally raf.close()
+    val r = new CompactReader(win)
+    var nullPages = Seq.empty[Boolean]
+    var mins = Seq.empty[Long]; var maxs = Seq.empty[Long]
+    var boundary = -1
+    r.struct { (id, t) =>
+      (id, t) match {
+        case (1, 9) => // null_pages: list<bool> — one byte per element
+          val (et, n) = r.listHeader()
+          require(et == 1 || et == 2, s"q257: null_pages of element type $et")
+          nullPages = (0 until n).map { _ =>
+            val v = r.u8()
+            require(v == 1 || v == 2,
+              s"q257: bool list element $v outside the 1/2 encoding")
+            v == 1
+          }
+        case (2, 9) =>
+          val (et, n) = r.listHeader()
+          require(et == 8, s"q257: min_values of element type $et")
+          mins = (0 until n).map(_ => leLong(r.bytes()))
+        case (3, 9) =>
+          val (et, n) = r.listHeader()
+          require(et == 8, s"q257: max_values of element type $et")
+          maxs = (0 until n).map(_ => leLong(r.bytes()))
+        case (4, _) => boundary = r.zigzag().toInt
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    require(nullPages.size == mins.size && mins.size == maxs.size &&
+      mins.nonEmpty, s"q257: ragged ColumnIndex lists in $path")
+    require(boundary >= 0, s"q257: ColumnIndex without boundary_order")
+    (nullPages, mins, maxs, boundary)
+  }
+
+  /** Decode ONE v1 data page of a PLAIN INT64 column at `loc` — the
+    * targeted read page pruning exists for: seek straight to the
+    * surviving page, never touch the others.
+    */
+  private[graft] def decodeLongPage(path: String, loc: PageLoc, codec: Int,
+      maxDef: Int): Seq[Long] = {
+    val win = new Array[Byte](loc.compressedSize)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try { raf.seek(loc.offset); raf.readFully(win) } finally raf.close()
+    val r = new CompactReader(win)
+    var ptype = -1; var ups = -1; var cps = -1
+    var dpNum = -1; var dpEnc = -1; var dlEnc = -1
+    r.struct { (id, t) =>
+      (id, t) match {
+        case (1, _) => ptype = r.zigzag().toInt
+        case (2, _) => ups = r.zigzag().toInt
+        case (3, _) => cps = r.zigzag().toInt
+        case (5, 12) => r.struct { (fid, ft) =>
+          (fid, ft) match {
+            case (1, _) => dpNum = r.zigzag().toInt
+            case (2, _) => dpEnc = r.zigzag().toInt
+            case (3, _) => dlEnc = r.zigzag().toInt
+            case _      => r.skip(ft)
+          }
+        }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    require(ptype == 0, s"q257: expected a v1 data page at ${loc.offset}, " +
+      s"got page type $ptype")
+    require(dpEnc == 0, s"q257: targeted page decode scope is PLAIN, " +
+      s"got encoding $dpEnc")
+    require(dpNum > 0 && ups > 0 && cps > 0 && r.p + cps <= win.length,
+      s"q257: malformed page at ${loc.offset} in $path")
+    val pg = inflatePage(codec,
+      java.util.Arrays.copyOfRange(win, r.p, r.p + cps), ups, path)
+    var p = 0
+    var nNonNull = dpNum
+    if (maxDef == 1) {
+      require(dlEnc == 3, s"q257: def-level encoding $dlEnc — not RLE")
+      val dlLen = leInt4(pg, p); p += 4
+      val defs = new Array[Int](dpNum)
+      readHybrid(pg, p, 1, dpNum, defs)
+      p += dlLen
+      nNonNull = defs.count(_ == 1)
+    }
+    val out = new Array[Long](nNonNull)
+    var i = 0
+    while (i < nNonNull) { out(i) = leLong8(pg, p + 8 * i); i += 1 }
+    out.toSeq
+  }
+
+  /** q257's page geometry: the writer flushes a page every PageRows
+    * rows (`parquet.page.row.count.limit`), making the oracle's
+    * chunk arithmetic exact.
+    */
+  private[graft] val PageRows = 64L
+
+  private[graft] val PagePredicates: Seq[(String, Long, Long)] = Seq(
+    ("id_100_149", 100L, 149L),
+    ("id_250_250", 250L, 250L),
+    ("id_300_499", 300L, 499L))
+
+  /** q257: PAGE-LEVEL PRUNED SCAN — the pruning granularity BELOW
+    * q245's row groups, driven by the parquet PAGE INDEXES (ColumnIndex
+    * min/max + OffsetIndex locations, both written by parquet-mr by
+    * default): per range predicate on the sort key, decide surviving
+    * PAGES from the index alone, seek straight to each surviving page
+    * and decode ONLY it, and prove the skip lossless against the full
+    * chunk decode (raise on divergence — the q245 discipline one level
+    * down). This is where page skipping actually runs in production —
+    * INSIDE a scan task, after file/row-group pruning (q245) has done
+    * the distributed part; the emitted counts price the same arithmetic
+    * at page granularity (pages_total vs pages_read vs rows_read).
+    */
+  private[graft] def pagePrunedScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val out = System.getProperty("java.io.tmpdir") + "/graft_q257_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", PageRows)
+      // the writer's first page-size check defaults to row 100, which
+      // would make page 0 a 100-row page and break the oracle's uniform
+      // chunk arithmetic — check from the first row so the limit binds
+      .option("parquet.page.size.row.check.min", "1")
+      .parquet(out)
+    val file = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getPath).sorted.headOption
+      .getOrElse(throw new IllegalStateException(s"q257: no part file in $out"))
+    val (leaves, chunks) = parseFooter(file)
+    val li = leaves.indexWhere(_.name == "doc_id")
+    val cs = chunks(li).head
+    val maxDef = if (leaves(li).repetition == 0) 0 else 1
+    val locs = readOffsetIndex(file, "doc_id")
+    val (nullPages, mins, maxs, boundary) = readColumnIndex(file, "doc_id")
+    require(locs.size == mins.size,
+      s"q257: OffsetIndex (${locs.size}) and ColumnIndex (${mins.size}) disagree")
+    require(locs.size > 1,
+      "q257: the fixture must produce multiple pages or pruning is vacuous")
+    require(boundary == 1, // ASCENDING — the layout is sorted on doc_id
+      s"q257: expected ASCENDING boundary order on the sorted key, got $boundary")
+    val pageRowsOf: Seq[Long] = locs.zipWithIndex.map { case (l, i) =>
+      (if (i + 1 < locs.size) locs(i + 1).firstRow else cs.numValues) - l.firstRow
+    }
+    // the full-chunk decode is the in-engine truth the skip is proven
+    // against (and itself proven against SQL by the oracle's match legs)
+    val full = decodeColumnChunk(file, "doc_id").longs
+    val rows = PagePredicates.map { case (name, lo, hi) =>
+      val keep = locs.indices.filter(i =>
+        !nullPages(i) && maxs(i) >= lo && mins(i) <= hi)
+      val vals = keep.flatMap(i => decodeLongPage(file, locs(i), cs.codec, maxDef))
+      val matches = vals.filter(v => v >= lo && v <= hi).sorted
+      val fullMatches = full.filter(v => v >= lo && v <= hi).sorted
+      require(matches == fullMatches,
+        s"q257: page-pruned scan diverged from the full chunk on '$name' " +
+          "— an unsound page skip dropped matching rows; refusing")
+      val xor = matches.map(v => md5Fold60(v.toString)).foldLeft(0L)(_ ^ _)
+      (name, locs.size.toLong, keep.size.toLong,
+        keep.map(pageRowsOf).sum, matches.size.toLong, xor)
+    }
+    rows.toDF("predicate", "pages_total", "pages_read", "rows_read",
+      "n_match", "match_xor")
       .orderBy("predicate")
   }
 
@@ -1570,6 +1847,16 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q257 [north star, r14]: PAGE-LEVEL PRUNED SCAN — the granularity
+    // BELOW q245's row groups, driven by the parquet page indexes
+    // (ColumnIndex min/max + OffsetIndex locations): surviving PAGES
+    // decided from the index alone, each decoded by a targeted seek
+    // (never touching the others), proven lossless against the full
+    // chunk decode. Where production page skipping actually runs:
+    // inside the scan task, after file/group pruning did the
+    // distributed part.
+    "q257_page_pruned_scan" -> ((spark, dir) => pagePrunedScan(spark, dir)),
+
     // q256 [north star, r14]: BLOOM-FILTER PRUNED SCAN — the point
     // lookup neither min/max stats (envelope full-width on a scattered
     // key) nor dictionaries (fall back on unique values — the q254
@@ -1671,22 +1958,53 @@ object Footer extends QueryGroup {
          |         ((k - st.kmn) * ${1L << ZNormBits})
          |           // (st.kmx - st.kmn + 1) AS kb
          |       FROM e, st),
+         |uu AS (SELECT ${adaptiveUnitRowsSql("SELECT COUNT(*) FROM e")}
+         |         AS ur),
          |rz AS (SELECT event_id, user_id, k,
          |         ROW_NUMBER() OVER (ORDER BY ($z), user_id, k, event_id)
          |           AS rn
          |       FROM eb),
          |ru AS (SELECT *, ROW_NUMBER() OVER (ORDER BY user_id, event_id) AS rn
          |       FROM e),
-         |gz AS (SELECT (rn - 1) // ${Relational.PruneGroupRows} AS grp,
+         |gz AS (SELECT (rn - 1) // (SELECT ur FROM uu) AS grp,
          |         COUNT(*) AS n_rows, MIN(user_id) AS mnu, MAX(user_id) AS mxu,
          |         MIN(k) AS mnk, MAX(k) AS mxk
          |       FROM rz GROUP BY 1),
-         |gu AS (SELECT (rn - 1) // ${Relational.PruneGroupRows} AS grp,
+         |gu AS (SELECT (rn - 1) // (SELECT ur FROM uu) AS grp,
          |         COUNT(*) AS n_rows, MIN(user_id) AS mnu, MAX(user_id) AS mxu,
          |         MIN(k) AS mnk, MAX(k) AS mxk
          |       FROM ru GROUP BY 1)
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
+    },
+    // q257: pages re-derived by the doc_id total order in exact
+    // PageRows chunks (the writer is pinned to that geometry by
+    // page.row.count.limit + size.row.check.min=1); page overlap, page
+    // row counts, and match legs all recomputed from the rows.
+    "q257_page_pruned_scan" -> {
+      val legs = PagePredicates.map { case (name, lo, hi) =>
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS pages_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+           |   WHERE mx >= $lo AND mn <= $hi) AS pages_read,
+           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM g
+           |   WHERE mx >= $lo AND mn <= $hi) AS rows_read,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+           |   WHERE doc_id BETWEEN $lo AND $hi) AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)),
+           |      0) AS BIGINT)
+           |   FROM documents WHERE doc_id BETWEEN $lo AND $hi) AS match_xor""".stripMargin
+      }
+      s"""WITH r AS (SELECT doc_id,
+         |        (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // $PageRows
+         |          AS pg
+         |      FROM documents),
+         |g AS (SELECT pg, COUNT(*) AS n_rows,
+         |        MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |      FROM r GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
     },
     // q256: groups re-derived by the (n_chars, doc_id) chunking; the
     // stats leg by the overlap rule, groups_nonempty by containment,
@@ -1711,9 +2029,11 @@ object Footer extends QueryGroup {
            |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
            |   FROM documents WHERE doc_id = $v) AS match_xor""".stripMargin
       }
-      s"""WITH r AS (SELECT doc_id,
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id,
          |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
-         |          // ${Relational.PruneGroupRows} AS grp
+         |          // (SELECT ur FROM u) AS grp
          |      FROM documents),
          |g AS (SELECT grp, MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
          |      FROM r GROUP BY 1)
@@ -1841,10 +2161,12 @@ object Footer extends QueryGroup {
            |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
            |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
       }
-      s"""WITH r AS (SELECT doc_id, source, lang, n_chars,
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id, source, lang, n_chars,
          |             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
          |           FROM documents),
-         |g AS (SELECT (rn - 1) // ${Relational.PruneGroupRows} AS grp,
+         |g AS (SELECT (rn - 1) // (SELECT ur FROM u) AS grp,
          |        COUNT(*) AS n_rows,
          |        MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
          |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,

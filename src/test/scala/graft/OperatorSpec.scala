@@ -4966,6 +4966,59 @@ class OperatorSpec extends SparkSpec {
       s"bloom-less refusal must cite q256, got: ${e.getMessage}")
   }
 
+  test("q257 page pruning: index says the truth per page; sorted key prunes pages; no-index refusal; unsound skip raises") {
+    import graft.operators.Footer
+    // 1. the report card: on the doc_id-sorted layout every range
+    // predicate must skip pages, and the index totals must hold
+    val out = SparkEntry.queries("q257_page_pruned_scan")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    for ((p, (pTot, pRead, rowsRead, nMatch)) <- out) {
+      assert(pTot > 1, s"$p: fixture must carry multiple pages")
+      assert(pRead < pTot, s"$p: the sorted key must prune pages ($pRead/$pTot)")
+      assert(nMatch <= rowsRead, s"$p: rows_read must bound matches")
+    }
+    // point predicate resolves to exactly one page on a dense sorted key
+    assert(out("id_250_250")._2 == 1L)
+    // 2. the ColumnIndex must say the TRUTH page by page: re-read the
+    // layout and check each page's decoded min/max against the index
+    val dir2 = System.getProperty("java.io.tmpdir") + "/graft_q257_" +
+      Sf.replaceAll("[^A-Za-z0-9]", "_")
+    val file = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
+    val (leaves, chunks) = Footer.parseFooter(file)
+    val cs = chunks(leaves.indexWhere(_.name == "doc_id")).head
+    val locs = Footer.readOffsetIndex(file, "doc_id")
+    val (nullPages, mins, maxs, boundary) = Footer.readColumnIndex(file, "doc_id")
+    assert(boundary == 1, "sorted layout must record ASCENDING boundary order")
+    for (i <- locs.indices) {
+      val vals = Footer.decodeLongPage(file, locs(i), cs.codec, 1)
+      assert(!nullPages(i) && vals.min == mins(i) && vals.max == maxs(i),
+        s"page $i: index (min=${mins(i)}, max=${maxs(i)}) vs decoded " +
+          s"(${vals.min}, ${vals.max})")
+    }
+    // 3. LOUDNESS: a file whose writer emitted no page index (the
+    // arrow-written stock testdata — parquet-mr 1.16 always writes one,
+    // arrow only on request) refuses to page-prune rather than silently
+    // scanning everything
+    val e1 = intercept[Exception] {
+      Footer.readColumnIndex(s"$Sf/documents.parquet", "doc_id")
+    }
+    assert(e1.getMessage.contains("q257"),
+      s"missing-index refusal must cite q257, got: ${e1.getMessage}")
+    // 4. LOUDNESS: an unsound page skip (inverted overlap) must raise
+    // the in-engine proof, never return a partial answer — replayed
+    // through the same arithmetic the engine runs
+    val full = Footer.decodeColumnChunk(file, "doc_id").longs
+    val keepInverted = locs.indices.filterNot(i =>
+      maxs(i) >= 100L && mins(i) <= 149L)
+    val partial = keepInverted
+      .flatMap(i => Footer.decodeLongPage(file, locs(i), cs.codec, 1))
+      .filter(v => v >= 100L && v <= 149L)
+    assert(partial != full.filter(v => v >= 100L && v <= 149L),
+      "the inverted skip must genuinely drop rows for the guard to matter")
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
