@@ -119,7 +119,9 @@ object Footer extends QueryGroup {
 
   private[graft] case class SchemaLeaf(name: String, physical: Int,
       logicalUnion: Int, depth: Int, // logicalUnion: -1 none, else union id
-      repetition: Int = 1) // 0 required, 1 optional, 2 repeated
+      repetition: Int = 1, // 0 required, 1 optional, 2 repeated
+      // Dremel level widths: optional/repeated ancestors + self (q258)
+      maxDef: Int = 1, maxRep: Int = 0)
 
   private[graft] case class ChunkStats(codec: Int, numValues: Long,
       nullCount: Long, minV: Array[Byte], maxV: Array[Byte],
@@ -189,6 +191,9 @@ object Footer extends QueryGroup {
     // and exhausted groups pop as soon as their last DESCENDANT leaf lands
     def parseSchemaElement(
         stack: scala.collection.mutable.ArrayBuffer[Int],
+        // parallel stack: (def level, rep level) accumulated by each
+        // open group — optional adds 1 to def, repeated to both (Dremel)
+        lvls: scala.collection.mutable.ArrayBuffer[(Int, Int)],
         isRoot: Boolean): Unit = {
       var physical = -1; var name = ""; var nChildren = 0
       var logical = -1; var repetition = 1
@@ -206,15 +211,22 @@ object Footer extends QueryGroup {
       if (isRoot) {
         require(nChildren > 0, s"$path: schema root has no children")
         stack += nChildren
+        lvls += ((0, 0))
       } else {
         val depth = stack.length
         require(depth > 0, s"$path: schema element '$name' outside the tree")
         stack(stack.length - 1) -= 1
-        if (nChildren > 0) stack += nChildren
+        val (pd, pr) = lvls.last
+        val d = pd + (if (repetition != 0) 1 else 0)
+        val rep = pr + (if (repetition == 2) 1 else 0)
+        if (nChildren > 0) { stack += nChildren; lvls += ((d, rep)) }
         else {
-          leaves += SchemaLeaf(name, physical, logical, depth, repetition)
-          while (stack.nonEmpty && stack.last == 0)
+          leaves += SchemaLeaf(name, physical, logical, depth, repetition,
+            d, rep)
+          while (stack.nonEmpty && stack.last == 0) {
             stack.remove(stack.length - 1)
+            lvls.remove(lvls.length - 1)
+          }
         }
       }
     }
@@ -288,8 +300,11 @@ object Footer extends QueryGroup {
           val (et, n) = r.listHeader()
           require(et == 12, s"$path: schema list of type $et")
           val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val lvls = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
           var i = 0
-          while (i < n) { parseSchemaElement(stack, isRoot = i == 0); i += 1 }
+          while (i < n) {
+            parseSchemaElement(stack, lvls, isRoot = i == 0); i += 1
+          }
         case (4, 9) => // row_groups: list<RowGroup>
           val (et, n) = r.listHeader()
           require(et == 12, s"$path: row_groups list of type $et")
@@ -1491,6 +1506,188 @@ object Footer extends QueryGroup {
       .orderBy("predicate")
   }
 
+  // ---- q258: nested LIST decode — Dremel rep/def assembly --------------
+
+  /** Decode a standard 3-level LIST-of-BYTE_ARRAY column (the shape
+    * Spark writes for `array<string>`: optional group (LIST) > repeated
+    * group list > optional element) back into per-record string arrays
+    * — the Dremel assembly the flat decoder (q249) deliberately
+    * scoped out. Per v1 page the body is [4-byte-len repetition levels]
+    * [4-byte-len definition levels] [values], level widths DERIVED from
+    * the real schema (a non-nullable array writes a required outer
+    * group — maxDef 2; a nullable one maxDef 3; both audited): rep = 0
+    * starts a new record, def = maxDef carries an element, def =
+    * maxDef-2 is an empty list; null lists/elements are outside the
+    * audited scope and refuse loudly. Records may span pages (the
+    * assembly never resets at a page boundary). Dictionary and plain
+    * value encodings both handled, pages inflated per [[inflatePage]].
+    */
+  private[graft] def decodeListStrChunk(path: String, column: String)
+      : Seq[Seq[String]] = {
+    val (leaves, chunks) = parseFooter(path)
+    val li = leaves.indexWhere(l => l.name == "element" && l.depth == 3)
+    require(li >= 0, s"q258: no 3-level list leaf in $path")
+    require(leaves(li).physical == 6,
+      s"q258: list decode scope is BYTE_ARRAY elements, got ${leaves(li).physical}")
+    // Dremel widths from the REAL schema (a non-nullable array writes a
+    // required outer group — maxDef 2; a nullable one maxDef 3)
+    val maxDef = leaves(li).maxDef
+    val maxRep = leaves(li).maxRep
+    require(maxRep == 1 && (maxDef == 2 || maxDef == 3),
+      s"q258: unexpected level widths (maxDef=$maxDef maxRep=$maxRep) — " +
+        "only the standard 3-level list shape is audited")
+    val bwDef = 32 - Integer.numberOfLeadingZeros(maxDef)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var current: scala.collection.mutable.ArrayBuffer[String] = null
+    def closeRow(): Unit =
+      if (current != null) { rows += current.toSeq; current = null }
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      chunks(li).foreach { cs =>
+        require(cs.dataPageOffset >= 0 && cs.totalCompressedSize > 0,
+          s"q258: chunk offsets missing for '$column' in $path")
+        val start = if (cs.dictPageOffset >= 0)
+          math.min(cs.dictPageOffset, cs.dataPageOffset)
+        else cs.dataPageOffset
+        val win = new Array[Byte](cs.totalCompressedSize.toInt)
+        raf.seek(start); raf.readFully(win)
+        val r = new CompactReader(win)
+        var dict: Array[String] = null
+        var read = 0L
+        while (read < cs.numValues) {
+          var ptype = -1; var ups = -1; var cps = -1
+          var dpNum = -1; var dpEnc = -1; var dlEnc = -1; var rlEnc = -1
+          var dictNum = -1; var dictEnc = -1
+          r.struct { (id, t) =>
+            (id, t) match {
+              case (1, _) => ptype = r.zigzag().toInt
+              case (2, _) => ups = r.zigzag().toInt
+              case (3, _) => cps = r.zigzag().toInt
+              case (5, 12) => r.struct { (fid, ft) =>
+                (fid, ft) match {
+                  case (1, _) => dpNum = r.zigzag().toInt
+                  case (2, _) => dpEnc = r.zigzag().toInt
+                  case (3, _) => dlEnc = r.zigzag().toInt
+                  case (4, _) => rlEnc = r.zigzag().toInt
+                  case _      => r.skip(ft)
+                }
+              }
+              case (7, 12) => r.struct { (fid, ft) =>
+                (fid, ft) match {
+                  case (1, _) => dictNum = r.zigzag().toInt
+                  case (2, _) => dictEnc = r.zigzag().toInt
+                  case _      => r.skip(ft)
+                }
+              }
+              case (_, wt) => r.skip(wt)
+            }
+          }
+          require(ups > 0 && cps > 0 && r.p + cps <= win.length,
+            s"q258: malformed page at offset ${r.p} in $path")
+          val body = r.p
+          val pg = inflatePage(cs.codec,
+            java.util.Arrays.copyOfRange(win, body, body + cps), ups, path)
+          ptype match {
+            case 2 =>
+              require(dictEnc == 0 || dictEnc == 2,
+                s"q258: dictionary page encoding $dictEnc — not PLAIN")
+              require(dictNum >= 0, "q258: dictionary page without a count")
+              val a = new Array[String](dictNum)
+              var p = 0; var i = 0
+              while (i < dictNum) {
+                val len = leInt4(pg, p); p += 4
+                a(i) = new String(pg, p, len, "UTF-8"); p += len; i += 1
+              }
+              dict = a
+            case 0 =>
+              require(dpNum > 0, "q258: data page without a value count")
+              require(rlEnc == 3 && dlEnc == 3,
+                s"q258: level encodings ($rlEnc/$dlEnc) — v1 pages carry RLE")
+              var p = 0
+              val reps = new Array[Int](dpNum)
+              val rlLen = leInt4(pg, p); p += 4
+              readHybrid(pg, p, maxRep, dpNum, reps); p += rlLen
+              val defs = new Array[Int](dpNum)
+              val dlLen = leInt4(pg, p); p += 4
+              readHybrid(pg, p, bwDef, dpNum, defs); p += dlLen
+              val nVals = defs.count(_ == maxDef)
+              val vals: Array[String] = dpEnc match {
+                case 0 =>
+                  val a = new Array[String](nVals)
+                  var i = 0
+                  while (i < nVals) {
+                    val len = leInt4(pg, p); p += 4
+                    a(i) = new String(pg, p, len, "UTF-8"); p += len; i += 1
+                  }
+                  a
+                case 2 | 8 =>
+                  require(dict != null,
+                    s"q258: dictionary-encoded page before its dictionary")
+                  val bw = pg(p) & 0xff; p += 1
+                  val idx = new Array[Int](nVals)
+                  readHybrid(pg, p, bw, nVals, idx)
+                  idx.map(dict)
+                case e => throw new IllegalStateException(
+                  s"q258: data page encoding $e outside the audited scope")
+              }
+              var i = 0; var vi = 0
+              while (i < dpNum) {
+                if (reps(i) == 0) { closeRow(); current =
+                  scala.collection.mutable.ArrayBuffer.empty[String] }
+                defs(i) match {
+                  case d if d == maxDef => current += vals(vi); vi += 1
+                  case d if d == maxDef - 2 => // empty list: the record
+                    // exists, no elements (defined down to the LIST
+                    // group but no repeated entry)
+                  case d => throw new IllegalStateException(
+                    s"q258: definition level $d (null list/element) outside " +
+                      "the audited non-null scope; refusing")
+                }
+                i += 1
+              }
+              read += dpNum
+            case t => throw new IllegalStateException(
+              s"q258: unexpected page type $t in $path")
+          }
+          r.p = body + cps
+        }
+      }
+    } finally raf.close()
+    closeRow()
+    rows.toSeq
+  }
+
+  /** q258: NESTED LIST DECODE — the flat-scope boundary retired. The
+    * probe writes documents as (doc_id, words = split(text)) — a real
+    * repeated column — then reassembles every record's array from
+    * repetition/definition levels and proves the reconstruction
+    * TOKEN-EXACT per row: the decoded list's sentinel-joined md5 must
+    * equal the oracle's md5 of the original text with spaces replaced
+    * by the sentinel. One red row anywhere = a mis-assembled record.
+    */
+  private[graft] def listDecodeProbe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val out = System.getProperty("java.io.tmpdir") + "/graft_q258_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    val file = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getPath).sorted.headOption
+      .getOrElse(throw new IllegalStateException(s"q258: no part file in $out"))
+    val ids = decodeColumnChunk(file, "doc_id").longs
+    val lists = decodeListStrChunk(file, "words")
+    require(ids.size == lists.size,
+      s"q258: ${ids.size} ids vs ${lists.size} reassembled records")
+    val rows = ids.zip(lists).map { case (id, ws) =>
+      (id, ws.size.toLong, md5Fold60(ws.mkString("\u0001")))
+    }
+    rows.toDF("doc_id", "n_words", "words_md5").orderBy("doc_id")
+  }
+
   // ---- q257: page-level pruning via the parquet page indexes ----------
 
   private[graft] case class PageLoc(offset: Long, compressedSize: Int,
@@ -1847,6 +2044,13 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q258 [north star, r14]: NESTED LIST DECODE — the Dremel
+    // repetition/definition assembly, retiring the decoder's flat-only
+    // scope: a real repeated column (words = split(text)) reassembled
+    // record-by-record from levels, proven TOKEN-EXACT against the
+    // original text per row (sentinel-joined md5).
+    "q258_list_decode" -> ((spark, dir) => listDecodeProbe(spark, dir)),
+
     // q257 [north star, r14]: PAGE-LEVEL PRUNED SCAN — the granularity
     // BELOW q245's row groups, driven by the parquet page indexes
     // (ColumnIndex min/max + OffsetIndex locations): surviving PAGES
@@ -1977,6 +2181,18 @@ object Footer extends QueryGroup {
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
     },
+    // q258: per document, the reassembled array must BE the tokenized
+    // text — length and sentinel-joined content both recomputed from
+    // the raw text (replace stands in for the join: split then join on
+    // the sentinel IS replace(' ' -> sentinel) for space-free tokens).
+    "q258_list_decode" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(('0x' || substring(md5(replace(text, ' ', chr(1))), 1, 15))
+        |    AS BIGINT) AS words_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // q257: pages re-derived by the doc_id total order in exact
     // PageRows chunks (the writer is pinned to that geometry by
     // page.row.count.limit + size.row.check.min=1); page overlap, page

@@ -5019,6 +5019,48 @@ class OperatorSpec extends SparkSpec {
       "the inverted skip must genuinely drop rows for the guard to matter")
   }
 
+  test("q258 list decode: nullable-array shape and empty lists reassemble exactly; a true null list refuses") {
+    import graft.operators.Footer
+    import spark.implicits._
+    // nullable array column (maxDef=3 — the registered probe's split()
+    // writes the required-group maxDef=2 shape, so this covers the
+    // OTHER audited width) with planted EMPTY lists
+    val out = System.getProperty("java.io.tmpdir") + "/graft_q258_spec"
+    Tables(spark, Sf, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+          .otherwise(split(col("text"), " ")).as("words"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
+    val (leaves, _) = Footer.parseFooter(file)
+    val leaf = leaves.find(l => l.name == "element" && l.depth == 3).get
+    assert(leaf.maxDef == 3 && leaf.maxRep == 1,
+      s"when/otherwise must write the nullable shape, got maxDef=${leaf.maxDef}")
+    val ids = Footer.decodeColumnChunk(file, "doc_id").longs
+    val lists = Footer.decodeListStrChunk(file, "words")
+    val truth = spark.read.parquet(file)
+      .orderBy("doc_id").select(col("doc_id"), col("words"))
+      .as[(Long, Seq[String])].collect()
+    assert(ids.zip(lists) == truth.toSeq.map { case (i, w) => (i, w) },
+      "reassembled records must equal the engine read, empties included")
+    assert(lists.exists(_.isEmpty), "the fixture must carry empty lists")
+    // a TRUE null list is outside the audited scope and must refuse
+    val outNull = System.getProperty("java.io.tmpdir") + "/graft_q258_null"
+    Tables(spark, Sf, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") === 0, lit(null).cast("array<string>"))
+          .otherwise(split(col("text"), " ")).as("words"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(outNull)
+    val nullFile = new java.io.File(outNull).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
+    val e = intercept[Exception] { Footer.decodeListStrChunk(nullFile, "words") }
+    assert(e.getMessage.contains("q258"),
+      s"null-list refusal must cite q258, got: ${e.getMessage}")
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
