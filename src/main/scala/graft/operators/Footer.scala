@@ -1922,6 +1922,63 @@ object Footer extends QueryGroup {
       .orderBy("predicate")
   }
 
+  // ---- q259: the house decoder as a DISTRIBUTED scan -------------------
+
+  /** q259: HOUSE SCAN — the format tier composed into distributed
+    * execution. Every prior format query decoded on the driver (the
+    * probe stance); this one is the shape of a real reader: the unit
+    * files are a Dataset of paths, each PARTITION decodes its files
+    * with the same pure-JDK chunk decoder (executor-side — the closure
+    * ships only the static Footer methods), the decoded columns zip
+    * into rows, and a stock DataFrame aggregation runs on top with
+    * map-side partials. The oracle never sees the house reader — it
+    * recomputes the aggregate from the raw table, so every byte the
+    * decoder mis-read would land as a red row THROUGH the aggregation.
+    * This is a DataSource-v2 reader without the ceremony: partition =
+    * file, task = decode, everything above is ordinary Catalyst.
+    */
+  private[graft] def houseScanRows(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val units = writeUnits(docs, Seq(col("doc_id")),
+      "q259_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+      adaptiveUnitRows(docs.count()))
+    val paths = units.map(_.path)
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 32))
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val ids = decodeColumnChunk(p, "doc_id").longs
+          val src = decodeColumnChunk(p, "source").strs
+          val lng = decodeColumnChunk(p, "lang").strs
+          val nch = decodeColumnChunk(p, "n_chars").longs
+          require(ids.size == src.size && src.size == lng.size &&
+            lng.size == nch.size,
+            s"q259: ragged column lengths decoding $p — refusing to zip")
+          ids.indices.iterator
+            .map(i => (ids(i), src(i), lng(i), nch(i)))
+        }
+      }
+      .toDF("doc_id", "source", "lang", "n_chars")
+  }
+
+  private[graft] def houseScan(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = houseScanRows(spark, dir)
+    val sep = lit("\u0001")
+    val rowHash = conv(substring(md5(concat(
+      Seq("doc_id", "source", "lang", "n_chars")
+        .flatMap(c => Seq(sep, col(c).cast("string"))): _*)),
+      1, 15), 16, 10).cast("long")
+    decoded.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        bit_xor(rowHash).as("content_xor"))
+      .orderBy("source")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -2043,6 +2100,13 @@ object Footer extends QueryGroup {
     // (q127's bit-interleave spelled in DuckDB) + the overlap
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
+
+    // q259 [north star, r14]: HOUSE SCAN — the format tier composed
+    // into DISTRIBUTED execution: paths → per-partition pure-JDK
+    // decode → rows → a stock Catalyst aggregation with map-side
+    // partials. The oracle recomputes from the raw table, so any
+    // mis-read byte lands red through the aggregate.
+    "q259_house_scan" -> ((spark, dir) => houseScan(spark, dir)),
 
     // q258 [north star, r14]: NESTED LIST DECODE — the Dremel
     // repetition/definition assembly, retiring the decoder's flat-only
@@ -2181,6 +2245,23 @@ object Footer extends QueryGroup {
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
     },
+    // q259: the aggregate recomputed straight off the raw table with
+    // the shared sentinel-canon row hash — the house reader never
+    // appears on this side, which is the point.
+    "q259_house_scan" -> {
+      val rowMd5 = "md5(chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || " +
+        "source || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR))"
+      s"""SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(bit_xor(CAST(('0x' || substring($rowMd5, 1, 15)) AS BIGINT))
+         |    AS BIGINT) AS content_xor
+         |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    },
+
     // q258: per document, the reassembled array must BE the tokenized
     // text — length and sentinel-joined content both recomputed from
     // the raw text (replace stands in for the join: split then join on

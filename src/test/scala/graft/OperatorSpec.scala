@@ -5061,6 +5061,28 @@ class OperatorSpec extends SparkSpec {
       s"null-list refusal must cite q258, got: ${e.getMessage}")
   }
 
+  test("q259 house scan: decode is genuinely distributed; rows equal the engine read; aggregation rides map-side partials") {
+    import graft.operators.Footer
+    import spark.implicits._
+    val rows = Footer.houseScanRows(spark, Sf)
+    // the decode stage runs one task per unit file — parallel executor
+    // work, not a driver loop
+    assert(rows.rdd.getNumPartitions > 1,
+      s"house scan must decode in parallel, got ${rows.rdd.getNumPartitions}")
+    // row-level equality with the engine's own read of the same table
+    val truth = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val decoded = rows.as[(Long, String, String, Long)].collect().toSet
+    assert(decoded == truth, "house-decoded rows must equal the table")
+    // the aggregate on top is ordinary Catalyst: partial aggregation
+    // before the exchange (map-side combine — the 100 TB shape)
+    val agg = Footer.houseScan(spark, Sf)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && plan.contains("Exchange"),
+      s"aggregate must ride hash partial aggregation:\n${plan.take(600)}")
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
