@@ -177,10 +177,12 @@ object ScalingBench {
     // reason verbatim: the blown corpus lacks the chain tables and its
     // actual legs are the plain joins whose scaling the join rows
     // already record; the rule itself is O(plan nodes) driver work.
-    // q253/q255 (compressed/v2 page decode) are NOT in the tier, for
-    // the q239/q249 reason: single-file driver-side byte probes, lin-
-    // ear in bytes by construction; the blown corpus' Spark-written
-    // directory layout isn't the probe's single-file shape.
+    // q253/q255/q257/q258 (compressed/v2 page decode, page-index
+    // pruning, list decode) are NOT in the tier, for the q239/q249
+    // reason: single-file driver-side byte probes, linear in bytes by
+    // construction; the blown corpus' Spark-written directory layout
+    // isn't the probe's single-file shape. Their DISTRIBUTED composition
+    // is q259, which IS in the tier.
     // q251 at 10x: the blown events' shifted user ids exceed the
     // ZOrderBits=12 interleave width, so the z-layout degenerates
     // toward 1-D for the copies — pruning EFFECTIVENESS shrinks but the
