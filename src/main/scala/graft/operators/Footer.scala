@@ -1979,6 +1979,113 @@ object Footer extends QueryGroup {
       .orderBy("source")
   }
 
+  // ---- q260: the pushdown house scan — pruning composed in one read ----
+
+  /** Distributed house read of SELECTED columns from unit files: one
+    * task per path, each decoding ONLY the requested columns (column
+    * pruning at the decoder — unneeded chunks are never touched).
+    * `cols` carries (name, isLong); ragged lengths refuse.
+    */
+  private[graft] def houseRead(spark: SparkSession, paths: Seq[String],
+      cols: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(cols.map { case (n, isLong) =>
+      StructField(n, if (isLong) LongType else StringType, nullable = false)
+    })
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .flatMap { p =>
+        val decoded: Seq[IndexedSeq[Any]] = cols.map { case (n, isLong) =>
+          val d = decodeColumnChunk(p, n)
+          if (isLong) d.longs.toIndexedSeq else d.strs.toIndexedSeq
+        }
+        val sz = decoded.head.size
+        require(decoded.forall(_.size == sz),
+          s"q260: ragged column lengths decoding $p — refusing to zip")
+        (0 until sz).iterator
+          .map(i => org.apache.spark.sql.Row(decoded.map(_(i)): _*))
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** q260: PUSHDOWN HOUSE SCAN — the round's pruning structures
+    * COMPOSED inside one distributed read. The driver plans from
+    * metadata alone (footer min/max per unit + the doc_id bloom
+    * filters: one tail-read + one ≤tens-of-bytes bloom per unit, zero
+    * data pages), the executors then decode ONLY the surviving units
+    * and ONLY the predicate's needed columns, and the whole thing is
+    * proven lossless in-plan against Spark's own full read of the same
+    * files (count + sentinel-canon xor over the same column subset —
+    * raise on divergence). Three predicate classes: the sort-key range
+    * (stats prune), the scattered point lookup (blooms prune where
+    * stats are blind — the q256 fact, now inside a real scan), and
+    * their CONJUNCTION (the surviving set is the intersection — the
+    * composition a production reader performs on every query).
+    * `units_stats_bound` (min/max arithmetic only) is the emitted,
+    * oracle-checkable planning bound; the bloom-tightened read set
+    * stays out of the contract for the q256 FP reason and is bounded
+    * in-engine instead.
+    */
+  private[graft] def housePushdownScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val unitRows = adaptiveUnitRows(docs.count())
+    val units = writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+      "q260_" + dir.replaceAll("[^A-Za-z0-9]", "_"), unitRows,
+      writeOptions = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> unitRows.toString))
+    val blooms = units.map(u => u.path -> readBloom(u.path, "doc_id")).toMap
+    def statsRange(u: UnitStats) =
+      u.lo("n_chars") <= 199L && u.hi("n_chars") >= 100L
+    def statsPoint(u: UnitStats) =
+      u.lo("doc_id") <= 250L && u.hi("doc_id") >= 250L
+    def bloomPoint(u: UnitStats) =
+      blooms(u.path).mightContain(xxh64(plainLong(250L)))
+    val cases = Seq(
+      ("nchars_100_199", Seq(("doc_id", true), ("n_chars", true)),
+        (u: UnitStats) => statsRange(u),
+        (u: UnitStats) => statsRange(u),
+        col("n_chars").between(100L, 199L)),
+      ("docid_eq_250", Seq(("doc_id", true), ("source", false)),
+        (u: UnitStats) => statsPoint(u),
+        (u: UnitStats) => statsPoint(u) && bloomPoint(u),
+        col("doc_id") === 250L),
+      ("conj", Seq(("doc_id", true), ("n_chars", true)),
+        (u: UnitStats) => statsRange(u) && statsPoint(u),
+        (u: UnitStats) => statsRange(u) && statsPoint(u) && bloomPoint(u),
+        col("n_chars").between(100L, 199L) && col("doc_id") === 250L))
+    val sep = lit("\u0001")
+    cases.map { case (name, cols0, statsKeep, keep, cond) =>
+      val surviving = units.filter(keep)
+      require(surviving.size <= units.count(statsKeep),
+        s"q260: bloom tightening must never widen the stats bound on $name")
+      val rowHash0 = conv(substring(md5(concat(
+        cols0.flatMap(c => Seq(sep, col(c._1).cast("string"))): _*)),
+        1, 15), 16, 10).cast("long")
+      val pruned = houseRead(spark, surviving.map(_.path), cols0)
+        .filter(cond)
+        .agg(count(lit(1)).as("n_match"),
+          coalesce(bit_xor(rowHash0), lit(0L)).as("match_xor"))
+      val full = spark.read.parquet(units.map(_.path): _*)
+        .filter(cond)
+        .agg(count(lit(1)).as("f_n"),
+          coalesce(bit_xor(rowHash0), lit(0L)).as("f_x"))
+      pruned.crossJoin(full)
+        .filter(when(col("n_match") =!= col("f_n") ||
+            col("match_xor") =!= col("f_x"),
+          raise_error(lit(s"q260: pushdown scan diverged from the full " +
+            s"read on '$name' — unsound prune or mis-decoded bytes; refusing")))
+          .otherwise(lit(true)))
+        .select(lit(name).as("predicate"),
+          lit(units.size.toLong).as("units_total"),
+          lit(units.count(statsKeep).toLong).as("units_stats_bound"),
+          col("n_match"), col("match_xor"))
+    }.reduce(_ unionByName _).orderBy("predicate")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -2100,6 +2207,15 @@ object Footer extends QueryGroup {
     // (q127's bit-interleave spelled in DuckDB) + the overlap
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
+
+    // q260 [north star, r14]: PUSHDOWN HOUSE SCAN — the capstone
+    // composition: plan from metadata (footer stats + blooms, zero
+    // data pages), decode only surviving units and only needed
+    // columns on the executors, prove the whole read lossless in-plan
+    // against Spark's own full read. Stats, bloom, and their
+    // conjunction each fire as a predicate class.
+    "q260_pushdown_house_scan" -> ((spark, dir) =>
+      housePushdownScan(spark, dir)),
 
     // q259 [north star, r14]: HOUSE SCAN — the format tier composed
     // into DISTRIBUTED execution: paths → per-partition pure-JDK
@@ -2245,6 +2361,48 @@ object Footer extends QueryGroup {
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
     },
+    // q260: the adaptive (n_chars, doc_id) chunking gives the stats
+    // bound; match legs recomputed per predicate over EXACTLY the
+    // columns the pushdown scan decoded (hash parity proves both the
+    // prune and the column pruning read the right bytes).
+    "q260_pushdown_house_scan" -> {
+      def md5Of(cols: Seq[String]) =
+        "md5(" + cols.map(c => s"chr(1) || CAST($c AS VARCHAR)")
+          .mkString(" || ") + ")"
+      def leg(name: String, cols: Seq[String], gcond: String,
+          rcond: String) =
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS units_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
+           |    AS units_stats_bound,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring(${md5Of(cols)}, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
+      val range = "n_chars BETWEEN 100 AND 199"
+      val point = "doc_id = 250"
+      val gRange = "mn_nc <= 199 AND mx_nc >= 100"
+      val gPoint = "mn_id <= 250 AND mx_id >= 250"
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id, n_chars,
+         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+         |          // (SELECT ur FROM u) AS grp
+         |      FROM documents),
+         |g AS (SELECT grp,
+         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
+         |      FROM r GROUP BY 1)
+         |${leg("nchars_100_199", Seq("doc_id", "n_chars"), gRange, range)}
+         |UNION ALL
+         |${leg("docid_eq_250", Seq("doc_id", "source"), gPoint, point)}
+         |UNION ALL
+         |${leg("conj", Seq("doc_id", "n_chars"),
+           s"$gRange AND $gPoint", s"$range AND $point")}
+         |ORDER BY predicate""".stripMargin
+    },
+
     // q259: the aggregate recomputed straight off the raw table with
     // the shared sentinel-canon row hash — the house reader never
     // appears on this side, which is the point.

@@ -5083,6 +5083,57 @@ class OperatorSpec extends SparkSpec {
       s"aggregate must ride hash partial aggregation:\n${plan.take(600)}")
   }
 
+  test("q260 pushdown scan: bloom tightens where stats are blind; column pruning is real I/O; conjunction intersects") {
+    import graft.operators.Footer
+    val out = SparkEntry.queries("q260_pushdown_house_scan")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val (uTot, pointBound, pointMatch) = out("docid_eq_250")
+    // stats are blind on the scattered point lookup...
+    assert(pointBound == uTot,
+      s"stats bound must be blind on the point lookup ($pointBound/$uTot)")
+    assert(pointMatch == 1L)
+    // ...and the range + conjunction bounds genuinely prune
+    assert(out("nchars_100_199")._2 < uTot)
+    assert(out("conj")._2 <= out("nchars_100_199")._2)
+    // measured bloom tightening on the rebuilt layout: the point
+    // lookup's read set collapses to ~1 unit where stats said "all"
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val unitRows = Footer.adaptiveUnitRows(docs.count())
+    val units = Footer.writeUnits(docs,
+      Seq(col("n_chars"), col("doc_id")), "q260_spec", unitRows,
+      writeOptions = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> unitRows.toString))
+    val h = Footer.xxh64(Array.tabulate(8)(i => ((250L >>> (8 * i)) & 0xff).toByte))
+    val positives = units.filter(u =>
+      Footer.readBloom(u.path, "doc_id").mightContain(h))
+    assert(positives.size >= 1 && positives.size <= 2,
+      s"bloom must collapse the point lookup to ~1 unit, got ${positives.size}")
+    // COLUMN PRUNING IS REAL I/O, not prose: corrupt an UN-requested
+    // column's page header in a copied unit — the pushdown read of
+    // (doc_id, source) must succeed untouched, the read that requests
+    // the corrupted column must refuse
+    val victim = units.head.path
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(victim))
+    val (leaves, chunks) = Footer.parseFooter(victim)
+    val langOff = chunks(leaves.indexWhere(_.name == "lang"))
+      .head.dataPageOffset.toInt
+    val bad = bytes.clone(); bad(langOff) = 0x7f.toByte
+    val badPath = victim.stripSuffix(".parquet") + "-corrupt.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badPath), bad)
+    val okRows = Footer.houseRead(spark, Seq(badPath),
+      Seq(("doc_id", true), ("source", false))).collect()
+    assert(okRows.length.toLong == units.head.nRows,
+      "a corrupted UN-requested column must not affect the pruned read")
+    intercept[Exception] {
+      Footer.houseRead(spark, Seq(badPath),
+        Seq(("doc_id", true), ("lang", false))).collect()
+    }
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
