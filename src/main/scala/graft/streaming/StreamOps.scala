@@ -644,6 +644,67 @@ object StreamOps {
         ()
       }
 
+  /** The manifest a [[clusteredIngestStream]] maintains: the accumulated
+    * unit files plus the (runNs, batchId) replay markers — the driver-
+    * side stand-in for the q240 stats catalog a production table keeps.
+    * Ingest is idempotent per (runNs, batchId), marker checked BEFORE
+    * the write: a replayed batch (restart re-delivery) never rewrites
+    * its directory (Spark part filenames are fresh UUIDs per write — an
+    * overwrite would dangle the manifest's recorded paths, measured the
+    * hard way) and appends nothing. A crash BETWEEN write and append
+    * leaves no marker, so the retry rewrites the directory and appends
+    * the fresh stats — the standard write-then-commit recovery.
+    */
+  final class ClusteredTable {
+    @volatile private[graft] var units: Seq[graft.operators.Footer.UnitStats] =
+      Seq.empty
+    private val seen = scala.collection.mutable.Set.empty[(String, Long)]
+    private[graft] def alreadySeen(runNs: String, batchId: Long): Boolean =
+      synchronized { seen.contains((runNs, batchId)) }
+    private[graft] def append(runNs: String, batchId: Long,
+        us: Seq[graft.operators.Footer.UnitStats]): Boolean = synchronized {
+      if (!seen.add((runNs, batchId))) false
+      else { units = units ++ us; true }
+    }
+  }
+
+  /** STREAMING CLUSTERED INGEST — the streaming half of the pruned-scan
+    * tier (q245/q260): each micro-batch is sorted on the cluster key
+    * and materialized as adaptively-sized unit files (one footer-stats-
+    * bearing row group per file, the q245 geometry), and the manifest
+    * accumulates their stats — so the table is PRUNABLE mid-stream with
+    * the exact same [[graft.operators.Footer.executePruned]] core and
+    * xor proof the batch queries run.
+    *
+    * Scale honesty, stated rather than hidden: per-batch clustering
+    * yields batch-LOCAL sort runs (each batch's units are tight on the
+    * key; runs interleave across batches) — exactly a production
+    * table's pre-OPTIMIZE state. Pruning stays SOUND regardless (unit
+    * stats are per-unit truths; the overlap rule never false-skips);
+    * its EFFECTIVENESS on a key degrades with the number of interleaved
+    * runs until the q247/q250 compaction loop re-clusters — the division
+    * of labor Delta/Iceberg ship.
+    */
+  def clusteredIngestStream(rows: DataFrame, table: ClusteredTable,
+      runNs: String): org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!table.alreadySeen(runNs, id)) {
+          val n = b.count()
+          if (n > 0L) {
+            val us = graft.operators.Footer.writeUnits(
+              b.select(col("doc_id"), col("source"), col("lang"),
+                col("n_chars")),
+              Seq(col("n_chars"), col("doc_id")),
+              s"ingest_${runNs}_b$id",
+              graft.operators.Footer.adaptiveUnitRows(n))
+            table.append(runNs, id, us)
+          }
+        }
+        ()
+      }
+
   /** Runs `body` (typically a `.start()` of a query whose
     * emitted-event-time safety argument is proven in its scaladoc, e.g.
     * [[perceptualNearDupGateStream]]) with the chained-stateful analyzer

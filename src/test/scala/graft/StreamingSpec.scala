@@ -2109,6 +2109,72 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
     assert(e.getMessage != null)
   }
+
+  test("streaming clustered ingest: prunable mid-stream with the batch core; batch == stream results; replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Footer
+    // three micro-batches of documents rows (the stream's arrival order
+    // deliberately interleaves the cluster key across batches)
+    val all = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    val table = new StreamOps.ClusteredTable
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = StreamOps.clusteredIngestStream(
+      ms.toDF().toDF("doc_id", "source", "lang", "n_chars"),
+      table, "ci1").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(table.units.nonEmpty)
+    val preds = Seq(
+      ("nchars_100_199",
+        (u: Footer.UnitStats) => u.lo("n_chars") <= 199L && u.hi("n_chars") >= 100L,
+        col("n_chars").between(100L, 199L)),
+      ("docid_100_149",
+        (u: Footer.UnitStats) => u.lo("doc_id") <= 149L && u.hi("doc_id") >= 100L,
+        col("doc_id").between(100L, 149L)))
+    val hashCols = Seq("doc_id", "source", "lang", "n_chars")
+    // 1. the ACCUMULATED table prunes with the exact batch core — the
+    // in-plan xor proof runs here, so a false skip would raise
+    val streamed = Footer.executePruned(spark, "ingest", table.units,
+      hashCols, preds).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // the cluster-key predicate skips units even on batch-local runs
+    val (gTot, gRead, rowsRead, nMatch, _) = streamed("nchars_100_199")
+    assert(gRead < gTot, s"mid-stream pruning must skip units ($gRead/$gTot)")
+    assert(nMatch == all.count(r => r._4 >= 100L && r._4 <= 199L).toLong)
+    assert(rowsRead < all.size.toLong, "rows_read must undercut a full scan")
+    // 2. BATCH == STREAM on query RESULTS: the same rows ingested as one
+    // batch give identical (n_match, match_xor) per predicate (unit
+    // geometry differs — per-batch runs vs one global run — results must
+    // not)
+    val oneShot = Footer.writeUnits(
+      all.toDF("doc_id", "source", "lang", "n_chars"),
+      Seq(col("n_chars"), col("doc_id")), "ci1_oneshot",
+      Footer.adaptiveUnitRows(all.size.toLong))
+    val direct = Footer.executePruned(spark, "ingest", oneShot,
+      hashCols, preds).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    for ((p, (_, _, _, nm, xr)) <- streamed)
+      assert(direct(p) == ((nm, xr)), s"$p: stream results must equal batch")
+    // 3. REPLAY: a restarted query re-delivers batch 0 under the same
+    // runNs — the manifest must not grow and results must not change
+    val before = table.units.size
+    val ms2 = MemoryStream[(Long, String, String, Long)]
+    val q2 = StreamOps.clusteredIngestStream(
+      ms2.toDF().toDF("doc_id", "source", "lang", "n_chars"),
+      table, "ci1").start()
+    ms2.addData(batches.head); q2.processAllAvailable(); q2.stop()
+    assert(table.units.size == before, "a replayed batch must append nothing")
+    val replayed = Footer.executePruned(spark, "ingest", table.units,
+      hashCols, preds).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    for ((p, (_, _, _, nm, xr)) <- streamed)
+      assert(replayed(p) == ((nm, xr)), s"$p: replay must not change results")
+  }
 }
 
 object StreamingSpec {
