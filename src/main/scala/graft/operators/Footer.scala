@@ -1282,10 +1282,25 @@ object Footer extends QueryGroup {
     * are emitted side by side — the report card is groups_read_dict <
     * groups_read_stats at equal (n_match, match_xor).
     */
+  /** q254's fixture bound: the base user population. Dictionary pruning
+    * is INTRINSICALLY a small-unit technique (128 rows keeps ~28% of a
+    * 100-value domain absent per unit; a scale-honest 62k-row unit
+    * misses nothing), so the miniaturized layout is part of the
+    * operator's contract — but materializing it over an ever-growing
+    * corpus only measures single-threaded file creation, not membership
+    * pruning (22 s of the suite's wall at sf0.1, measured). The bounded
+    * fixture keeps the corpus ~constant across SFs (a dimension-table
+    * bound, the house stance for intrinsically bounded tiers) while the
+    * operator's real per-unit work — ONE ≤800-byte dictionary page —
+    * stays exactly what it is at any scale.
+    */
+  private[graft] val DictPruneUsers = 15L
+
   private[graft] def dictPrunedScan(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
     val ev = graft.Tables(spark, dir, "events")
+      .filter(col("user_id") < DictPruneUsers)
       .select(col("event_id"), col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     val units = writeUnits(ev, Seq(col("user_id"), col("event_id")),
@@ -2086,6 +2101,74 @@ object Footer extends QueryGroup {
     }.reduce(_ unionByName _).orderBy("predicate")
   }
 
+  // ---- q261: layout OPTIMIZE — re-clustering interleaved ingest runs ---
+
+  /** q261's deterministic ingest simulation: the table arrives as this
+    * many batches (batch = doc_id mod [[OptimizeBatches]] — both engines
+    * re-derive it), each clustered LOCALLY on the sort key.
+    */
+  private[graft] val OptimizeBatches = 8L
+
+  private[graft] val OptimizePredicates: Seq[(String, Long, Long)] = Seq(
+    ("nchars_100_199", 100L, 199L),
+    ("nchars_300_399", 300L, 399L),
+    ("nchars_500_599", 500L, 599L))
+
+  /** q261: LAYOUT OPTIMIZE — the compaction [[
+    * graft.streaming.StreamOps.clusteredIngestStream]]'s scaladoc
+    * defers to, executed and priced: per-batch clustering leaves the
+    * table as interleaved batch-LOCAL sort runs (at the fixture's
+    * fragmentation each run is a single unit spanning the key's WHOLE
+    * range, so every range predicate reads every unit — the fully
+    * fragmented state; at larger batch sizes the same effect appears
+    * as units-opened multiplying by the run count), and
+    * OPTIMIZE rewrites them into one GLOBAL clustered layout. Both
+    * layouts execute the same predicate workload under the q245 xor
+    * proof (both are SOUND — the overlap rule never false-skips on
+    * either geometry; what changes is how many units survive), and the
+    * output prices the rewrite: units_read_pre vs units_read_post at
+    * identical (n_match, match_xor). This is the layout half of the
+    * maintenance loop — q247/q250 reclaim dead ROWS, q261 reclaims
+    * scattered CLUSTERING; a scheduler triggers it from exactly the
+    * units_read regression this query measures.
+    */
+  private[graft] def optimizeCompaction(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pre = (0L until OptimizeBatches).flatMap { b =>
+      val part = docs.filter(pmod(col("doc_id"), lit(OptimizeBatches)) === b)
+      writeUnits(part, Seq(col("n_chars"), col("doc_id")),
+        s"q261_pre${b}_$san", adaptiveUnitRows(part.count()))
+    }
+    val post = writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+      s"q261_post_$san", adaptiveUnitRows(docs.count()))
+    val preds = OptimizePredicates.map { case (name, lo, hi) =>
+      (name,
+        (u: UnitStats) => u.lo("n_chars") <= hi && u.hi("n_chars") >= lo,
+        col("n_chars").between(lo, hi))
+    }
+    // both geometries run the executed, xor-proven scan; the emitted
+    // row splices their unit counts around the SHARED match legs
+    val preScan = executePruned(spark, "q261", pre,
+      Seq("doc_id", "source", "lang", "n_chars"), preds)
+      .select(col("predicate").as("p1"),
+        col("groups_total").as("units_pre"),
+        col("groups_read").as("units_read_pre"))
+    val postScan = executePruned(spark, "q261", post,
+      Seq("doc_id", "source", "lang", "n_chars"), preds)
+      .select(col("predicate"), col("groups_total").as("units_post"),
+        col("groups_read").as("units_read_post"),
+        col("n_match"), col("match_xor"))
+    postScan.join(preScan, col("predicate") === col("p1"))
+      .select(col("predicate"), col("units_pre"), col("units_read_pre"),
+        col("units_post"), col("units_read_post"),
+        col("n_match"), col("match_xor"))
+      .orderBy("predicate")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -2207,6 +2290,14 @@ object Footer extends QueryGroup {
     // (q127's bit-interleave spelled in DuckDB) + the overlap
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
+
+    // q261 [north star, r14]: LAYOUT OPTIMIZE — the maintenance loop's
+    // layout half: interleaved batch-local sort runs (the streaming
+    // ingest's honest state) re-clustered into one global layout, both
+    // geometries executed under the xor proof, the rewrite priced as
+    // units_read_pre vs units_read_post at identical match legs.
+    "q261_layout_optimize" -> ((spark, dir) =>
+      optimizeCompaction(spark, dir)),
 
     // q260 [north star, r14]: PUSHDOWN HOUSE SCAN — the capstone
     // composition: plan from metadata (footer stats + blooms, zero
@@ -2361,6 +2452,49 @@ object Footer extends QueryGroup {
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
     },
+    // q261: the pre geometry re-derived per batch (doc_id mod 3, each
+    // batch row-numbered on the sort key with its OWN adaptive unit
+    // size), the post geometry globally; overlap arithmetic and match
+    // legs shared with q245's oracle style.
+    "q261_layout_optimize" -> {
+      val rowMd5 = "md5(chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || " +
+        "source || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR))"
+      val legs = OptimizePredicates.map { case (name, lo, hi) =>
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gpre) AS units_pre,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gpre
+           |   WHERE mx >= $lo AND mn <= $hi) AS units_read_pre,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gpost) AS units_post,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gpost
+           |   WHERE mx >= $lo AND mn <= $hi) AS units_read_post,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+           |   WHERE n_chars BETWEEN $lo AND $hi) AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE n_chars BETWEEN $lo AND $hi) AS match_xor""".stripMargin
+      }
+      s"""WITH b AS (SELECT doc_id, n_chars, doc_id % $OptimizeBatches AS bt
+         |           FROM documents),
+         |bu AS (SELECT bt, ${adaptiveUnitRowsSql("COUNT(*)")} AS ur
+         |       FROM b GROUP BY bt),
+         |rpre AS (SELECT b.bt, b.n_chars,
+         |           (ROW_NUMBER() OVER (PARTITION BY b.bt
+         |              ORDER BY b.n_chars, b.doc_id) - 1) // bu.ur AS grp
+         |         FROM b JOIN bu ON b.bt = bu.bt),
+         |gpre AS (SELECT bt, grp, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+         |         FROM rpre GROUP BY bt, grp),
+         |u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |rpost AS (SELECT n_chars,
+         |            (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+         |              // (SELECT ur FROM u) AS grp
+         |          FROM documents),
+         |gpost AS (SELECT grp, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+         |          FROM rpost GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
+    },
+
     // q260: the adaptive (n_chars, doc_id) chunking gives the stats
     // bound; match legs recomputed per predicate over EXACTLY the
     // columns the pushdown scan decoded (hash parity proves both the
@@ -2544,7 +2678,8 @@ object Footer extends QueryGroup {
       }
       s"""WITH e AS (SELECT event_id, user_id,
          |             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
-         |           FROM events),
+         |           FROM events
+         |           WHERE user_id < $DictPruneUsers),
          |r AS (SELECT e.*,
          |        (ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1)
          |          // $DictPruneRows AS grp

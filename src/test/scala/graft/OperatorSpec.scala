@@ -4823,6 +4823,7 @@ class OperatorSpec extends SparkSpec {
     // (unique longs — parquet-mr's dictionary loses and falls back), so
     // membership pruning on it must refuse, not silently read everything
     val ev = Tables(spark, Sf, "events")
+      .filter(col("user_id") < Footer.DictPruneUsers)
       .select(col("event_id"), col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     val units = Footer.writeUnits(ev,
@@ -5132,6 +5133,27 @@ class OperatorSpec extends SparkSpec {
       Footer.houseRead(spark, Seq(badPath),
         Seq(("doc_id", true), ("lang", false))).collect()
     }
+  }
+
+  test("q261 layout optimize: results invariant across geometries; re-clustering never reads more; fraction improves somewhere") {
+    val out = SparkEntry.queries("q261_layout_optimize")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    var improved = false
+    for ((p, (uPre, readPre, uPost, readPost, nMatch)) <- out) {
+      assert(uPre > 0 && uPost > 0 && nMatch > 0, s"$p: degenerate fixture")
+      // soundness both sides is already xor-proven in-plan; the PRICE:
+      // the optimized layout's read FRACTION never regresses...
+      val preFrac = readPre.toDouble / uPre
+      val postFrac = readPost.toDouble / uPost
+      assert(postFrac <= preFrac + 1e-9,
+        s"$p: optimize must not regress the read fraction " +
+          s"($readPost/$uPost vs $readPre/$uPre)")
+      if (postFrac < preFrac - 1e-9) improved = true
+    }
+    // ...and strictly improves on at least part of the workload (the
+    // whole point of paying the rewrite)
+    assert(improved, "optimize must improve the read fraction somewhere")
   }
 
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
