@@ -2291,6 +2291,14 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q262 [north star, r14]: HOUSE PARQUET WRITER — the format tier's
+    // WRITE side ([[HouseWriter]]): a complete parquet file assembled
+    // pure-JDK (thrift-compact footer, v1 plain pages, statistics),
+    // proven by INDEPENDENCE — Spark's own reader (code-disjoint from
+    // the writer) reads it back and aggregates to the oracle's truth.
+    "q262_house_write_roundtrip" -> ((spark, dir) =>
+      HouseWriter.roundtrip(spark, dir)),
+
     // q261 [north star, r14]: LAYOUT OPTIMIZE — the maintenance loop's
     // layout half: interleaved batch-local sort runs (the streaming
     // ingest's honest state) re-clustered into one global layout, both
@@ -2452,6 +2460,20 @@ object Footer extends QueryGroup {
          |${legs.mkString("\nUNION ALL\n")}
          |ORDER BY layout, predicate""".stripMargin
     },
+    // q262: the aggregate recomputed from the raw table — if any byte
+    // the house writer emitted (page body, level run, footer field,
+    // statistic) were wrong, Spark's reader would return different rows
+    // (or refuse) and the legs would land red.
+    "q262_house_write_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(strlen(source)) AS BIGINT) AS sum_src_len,
+        |  CAST(bit_xor(CAST(('0x' || substring(md5(chr(1) ||
+        |    CAST(doc_id AS VARCHAR) || chr(1) || source), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS content_xor
+        |FROM documents""".stripMargin,
+
     // q261: the pre geometry re-derived per batch (doc_id mod 3, each
     // batch row-numbered on the sort key with its OWN adaptive unit
     // size), the post geometry globally; overlap arithmetic and match

@@ -5156,6 +5156,51 @@ class OperatorSpec extends SparkSpec {
     assert(improved, "optimize must improve the read fraction somewhere")
   }
 
+  test("q262 house writer: house decoder and footer walker read the house file; stats are the exact extrema; pruning works on house units") {
+    import graft.operators.{Footer, HouseWriter}
+    import spark.implicits._
+    val rows = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q262_spec.parquet"
+    HouseWriter.write(path, Seq(
+      HouseWriter.LongCol("doc_id", rows.map(_._1).toSeq),
+      HouseWriter.StrCol("source", rows.map(_._2).toSeq)))
+    // 1. the HOUSE DECODER reads the house file (writer == reader across
+    // the house's own two halves, independently of Spark)
+    val ids = Footer.decodeColumnChunk(path, "doc_id")
+    assert(ids.longs == rows.map(_._1).toSeq && ids.nNulls == 0L)
+    val srcs = Footer.decodeColumnChunk(path, "source")
+    assert(srcs.strs == rows.map(_._2).toSeq)
+    // 2. the q239 footer walker audits the house footer: stats are the
+    // exact column extrema, codec/encoding classes as declared
+    val stats = Footer.readFooter("house", path)
+      .map(s => s.column -> s).toMap
+    assert(stats("doc_id").min_value.toLong == rows.map(_._1).min &&
+      stats("doc_id").max_value.toLong == rows.map(_._1).max)
+    assert(stats("source").min_value == rows.map(_._2).min &&
+      stats("source").max_value == rows.map(_._2).max)
+    assert(stats("doc_id").codec == "UNCOMPRESSED")
+    // 3. the PRUNING arithmetic works on house-written units verbatim:
+    // unitStatsOf consumes the house footer like any writer's
+    val u = Footer.unitStatsOf(path)
+    assert(u.nRows == rows.length.toLong)
+    assert(u.lo("doc_id") == rows.map(_._1).min &&
+      u.hi("doc_id") == rows.map(_._1).max)
+    assert(u.loS("source") == rows.map(_._2).min)
+    // 4. refusals: ragged columns and empty tables are loud
+    val e1 = intercept[Exception] {
+      HouseWriter.write(path + ".bad", Seq(
+        HouseWriter.LongCol("a", Seq(1L, 2L)),
+        HouseWriter.StrCol("b", Seq("x"))))
+    }
+    assert(e1.getMessage.contains("q262"))
+    val e2 = intercept[Exception] {
+      HouseWriter.write(path + ".bad", Seq(HouseWriter.LongCol("a", Nil)))
+    }
+    assert(e2.getMessage.contains("q262"))
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
