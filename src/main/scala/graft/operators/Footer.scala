@@ -121,7 +121,12 @@ object Footer extends QueryGroup {
       logicalUnion: Int, depth: Int, // logicalUnion: -1 none, else union id
       repetition: Int = 1, // 0 required, 1 optional, 2 repeated
       // Dremel level widths: optional/repeated ancestors + self (q258)
-      maxDef: Int = 1, maxRep: Int = 0)
+      maxDef: Int = 1, maxRep: Int = 0,
+      // ancestor group names root-first, excluding the root and self —
+      // the path_in_schema prefix that names WHICH list a depth-3
+      // 'element' leaf belongs to (r14 ADVICE: first-match resolution
+      // decoded the wrong column on multi-LIST files)
+      path: Seq[String] = Seq.empty)
 
   private[graft] case class ChunkStats(codec: Int, numValues: Long,
       nullCount: Long, minV: Array[Byte], maxV: Array[Byte],
@@ -194,6 +199,9 @@ object Footer extends QueryGroup {
         // parallel stack: (def level, rep level) accumulated by each
         // open group — optional adds 1 to def, repeated to both (Dremel)
         lvls: scala.collection.mutable.ArrayBuffer[(Int, Int)],
+        // parallel stack of open group NAMES (root excluded) — each
+        // leaf's ancestor path, so multi-LIST files resolve exactly
+        names: scala.collection.mutable.ArrayBuffer[String],
         isRoot: Boolean): Unit = {
       var physical = -1; var name = ""; var nChildren = 0
       var logical = -1; var repetition = 1
@@ -219,13 +227,14 @@ object Footer extends QueryGroup {
         val (pd, pr) = lvls.last
         val d = pd + (if (repetition != 0) 1 else 0)
         val rep = pr + (if (repetition == 2) 1 else 0)
-        if (nChildren > 0) { stack += nChildren; lvls += ((d, rep)) }
+        if (nChildren > 0) { stack += nChildren; lvls += ((d, rep)); names += name }
         else {
           leaves += SchemaLeaf(name, physical, logical, depth, repetition,
-            d, rep)
+            d, rep, names.toSeq)
           while (stack.nonEmpty && stack.last == 0) {
             stack.remove(stack.length - 1)
             lvls.remove(lvls.length - 1)
+            if (names.nonEmpty) names.remove(names.length - 1)
           }
         }
       }
@@ -301,9 +310,10 @@ object Footer extends QueryGroup {
           require(et == 12, s"$path: schema list of type $et")
           val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
           val lvls = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          val names = scala.collection.mutable.ArrayBuffer.empty[String]
           var i = 0
           while (i < n) {
-            parseSchemaElement(stack, lvls, isRoot = i == 0); i += 1
+            parseSchemaElement(stack, lvls, names, isRoot = i == 0); i += 1
           }
         case (4, 9) => // row_groups: list<RowGroup>
           val (et, n) = r.listHeader()
@@ -1540,8 +1550,18 @@ object Footer extends QueryGroup {
   private[graft] def decodeListStrChunk(path: String, column: String)
       : Seq[Seq[String]] = {
     val (leaves, chunks) = parseFooter(path)
-    val li = leaves.indexWhere(l => l.name == "element" && l.depth == 3)
-    require(li >= 0, s"q258: no 3-level list leaf in $path")
+    // resolve by the ANCESTOR PATH, not first-match (r14 ADVICE): the
+    // standard 3-level shape is column > list > element, so the leaf
+    // whose outermost group is `column` is the one requested — on a
+    // file with several LIST columns first-match silently decoded the
+    // wrong one while error messages cited the requested name
+    val lis = leaves.zipWithIndex.filter { case (l, _) =>
+      l.name == "element" && l.depth == 3 && l.path.headOption.contains(column)
+    }.map(_._2)
+    require(lis.size == 1,
+      s"q258: expected exactly one 3-level list leaf under '$column' in " +
+        s"$path, found ${lis.size}")
+    val li = lis.head
     require(leaves(li).physical == 6,
       s"q258: list decode scope is BYTE_ARRAY elements, got ${leaves(li).physical}")
     // Dremel widths from the REAL schema (a non-nullable array writes a

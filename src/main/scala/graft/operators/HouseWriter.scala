@@ -102,11 +102,21 @@ object HouseWriter {
     w.toByteArray ++ body
   }
 
-  /** Plain-encoded statistics bytes for min/max. */
+  /** Plain-encoded statistics bytes for min/max. String extrema are
+    * picked over the UTF-8 ENCODINGS under unsigned byte comparison —
+    * the order parquet readers compare BYTE_ARRAY stats in (r14
+    * ADVICE: Java String ordering compares UTF-16 code units, which
+    * diverges from UTF-8 byte order on supplementary characters, and a
+    * stats-trusting reader would then skip matching rows).
+    */
   private def statBytes(col: HCol, max: Boolean): Array[Byte] = col match {
     case LongCol(_, vs) => leLong8(if (max) vs.max else vs.min)
     case StrCol(_, vs) =>
-      (if (max) vs.max else vs.min).getBytes("UTF-8")
+      val enc = vs.map(_.getBytes("UTF-8"))
+      enc.reduce { (a, b) =>
+        val c = java.util.Arrays.compareUnsigned(a, b)
+        if ((max && c >= 0) || (!max && c <= 0)) a else b
+      }
   }
 
   /** Write `cols` (equal lengths, non-null) as one single-row-group

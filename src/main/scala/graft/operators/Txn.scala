@@ -527,8 +527,15 @@ object Txn extends QueryGroup {
     val exp = spark.experimental
     val prevRules = exp.extraOptimizations
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // AQE's adaptive threshold only FALLS BACK to the non-adaptive conf
+    // when unset (r14 ADVICE) — a session that set it explicitly would
+    // let the final adaptive plan broadcast un-hinted joins; pin both.
+    val adaptiveKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAdaptive = // unset reads back as null, not an exception
+      try Option(spark.conf.get(adaptiveKey)) catch { case _: Exception => None }
     val rows = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(adaptiveKey, "-1")
       exp.extraOptimizations = prevRules :+ rule
       val cases = Seq(
         ("chain_dim", "nation", "customer",
@@ -554,6 +561,10 @@ object Txn extends QueryGroup {
     } finally {
       exp.extraOptimizations = prevRules
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      prevAdaptive match {
+        case Some(v) => spark.conf.set(adaptiveKey, v)
+        case None    => spark.conf.unset(adaptiveKey)
+      }
     }
     rows.toDF("join_set", "est_left", "est_right", "advice", "physical",
       "n_out").orderBy("join_set")

@@ -46,9 +46,14 @@ case class StatsBroadcastRule(catalog: Map[String, Long])
     extends Rule[LogicalPlan] {
 
   /** The catalog row-count upper bound for one join side, if every
-    * leaf under it is a cataloged parquet table.
+    * leaf under it is a cataloged parquet table AND the subtree holds
+    * no join of its own (r14 ADVICE): the max-leaf bound is sound for
+    * filter/project shapes (filters only shrink) but a nested
+    * many-to-many join can exceed every leaf, and an UNDER-estimated
+    * side is broadcast MORE eagerly — the unsafe direction. Abstain.
     */
   private def sideRows(plan: LogicalPlan): Option[Long] = {
+    if (plan.exists(_.isInstanceOf[Join])) return None
     val ests = plan.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {

@@ -48,12 +48,15 @@ class FormatSpec extends SparkSpec {
     // the v2 page stream is in file order — sorted by (source, doc_id),
     // so the decoded sequence must match the row-based read exactly
     assert(d.strs == truth, "front-coded strings must reconstruct in order")
-    // pin the ecosystem observation: the vectorized reader DIVERGES on
-    // this file under the jar in use (if a future Spark fixes it, this
-    // assert fails loudly — delete it and the note above together)
-    assert(readSource(vectorized = true) != truth,
-      "Spark's vectorized reader now reads v2+uncompressed DELTA_BYTE_ARRAY " +
-        "correctly — the 4.1.2 misread note in this test is stale")
+    // the ecosystem observation: the vectorized reader DIVERGES on this
+    // file under the 4.1.2 jars. Recorded as an OBSERVATION, not a
+    // failing gate (r14 ADVICE: a dependency bump that FIXES the
+    // upstream bug must not fail this suite) — the real check is the
+    // row-based-truth assertion above; a fixed reader just logs.
+    if (readSource(vectorized = true) == truth)
+      info("vectorized reader now reads v2+uncompressed DELTA_BYTE_ARRAY " +
+        "correctly — the 4.1.2 misread note in this test is stale; " +
+        "update the scaladoc notes when the dependency pin moves")
     // 2. handcrafted malformed delta streams refuse loudly
     def varint(x: Long): Seq[Byte] = {
       var v = x; val b = scala.collection.mutable.ArrayBuffer.empty[Byte]

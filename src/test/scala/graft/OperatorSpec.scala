@@ -4907,6 +4907,21 @@ class OperatorSpec extends SparkSpec {
       hinted.head()
       assert(Txn.physicalJoinOf(hinted) == "sort_merge",
         "an explicit user hint must never be overridden")
+      // JOIN-SIDE ABSTENTION (r14 ADVICE): a side whose subtree contains
+      // a join can exceed every leaf bound (many-to-many), so the rule
+      // must not estimate it — the outer join stays un-hinted even
+      // though every LEAF is cataloged and the leaf-max arithmetic
+      // would have said broadcast
+      val joinSide = Tables(spark, Sf, "nation")
+        .join(Tables(spark, Sf, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+      val nested = joinSide
+        .join(Tables(spark, Sf, "customer"),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy().count()
+      nested.head()
+      assert(Txn.physicalJoinOf(nested) == "sort_merge",
+        "a join-containing side must abstain, not broadcast on leaf bounds")
     } finally {
       exp.extraOptimizations = prevRules
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
@@ -5188,7 +5203,22 @@ class OperatorSpec extends SparkSpec {
     assert(u.lo("doc_id") == rows.map(_._1).min &&
       u.hi("doc_id") == rows.map(_._1).max)
     assert(u.loS("source") == rows.map(_._2).min)
-    // 4. refusals: ragged columns and empty tables are loud
+    // 4. string stats are picked in UNSIGNED UTF-8 BYTE order, the
+    // order parquet readers compare BYTE_ARRAY stats in (r14 ADVICE):
+    // U+FFFD sorts ABOVE U+1F600 by UTF-16 code units (0xFFFD > 0xD83D)
+    // but BELOW it by UTF-8 bytes (ef bf bd < f0 9f 98 80) — the
+    // emitted max must be the UTF-8 max or a stats-trusting pruner
+    // skips matching rows
+    val uPath = path + ".supp"
+    HouseWriter.write(uPath, Seq(
+      HouseWriter.StrCol("s", Seq("\uFFFD", new String(
+        Character.toChars(0x1F600)), "a"))))
+    val sStat = Footer.readFooter("house", uPath)
+      .find(_.column == "s").get
+    assert(sStat.min_value == "a", "unsigned UTF-8 min")
+    assert(sStat.max_value == new String(Character.toChars(0x1F600)),
+      "max must follow UTF-8 byte order, not UTF-16 code units")
+    // 5. refusals: ragged columns and empty tables are loud
     val e1 = intercept[Exception] {
       HouseWriter.write(path + ".bad", Seq(
         HouseWriter.LongCol("a", Seq(1L, 2L)),
