@@ -162,7 +162,7 @@ object ScalingBench {
       "q246_audio_cluster_collapse", "q247_compaction_scheduler",
       "q250_scheduled_vacuum", "q251_zorder_pruned_scan",
       "q256_bloom_pruned_scan", "q259_house_scan",
-      "q260_pushdown_house_scan")
+      "q260_pushdown_house_scan", "q263_distributed_clustered_write")
     // q256 joins the tier: adaptive units keep the file count constant,
     // the bloom NDV hint tracks the unit size, and a point lookup's
     // resolving power (1 containing unit) is scale-independent — the

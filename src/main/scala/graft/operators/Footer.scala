@@ -1061,25 +1061,85 @@ object Footer extends QueryGroup {
     s"GREATEST(${Relational.PruneGroupRows}, " +
       s"(($cntExpr) + ${PruneTargetUnits - 1L}) // $PruneTargetUnits)"
 
-  /** Materialize a sorted layout in `rowsPerUnit`-row units (one row
-    * group per part file) and return the units' footer stats - the PLAN
-    * inputs. The write is the layout-materialization cost a clustering
-    * key always pays once; planning then reads one footer tail per unit
-    * and zero data pages. At warehouse scale the per-unit stats live in
-    * a manifest (q240's catalog direction) instead of N footer opens -
-    * the arithmetic is identical.
+  /** The final write stage's physical plan, recorded by [[writeUnits]]
+    * for the spec's RangePartitioning pin (q263).
+    */
+  @volatile private[graft] var lastLayoutPlan: String = ""
+
+  /** q263: DISTRIBUTED CLUSTERED WRITE. Materialize a sorted layout in
+    * `rowsPerUnit`-row units (one row group per part file) and return
+    * the units' footer stats - the PLAN inputs. The write is the
+    * layout-materialization cost a clustering key always pays once;
+    * planning then reads one footer tail per unit and zero data pages.
+    *
+    * Executed as a PARALLEL range-partitioned write (retiring the r14
+    * `repartition(1)` weak mark — a clustering write you cannot
+    * parallelize is not a clustering write at 100 TB):
+    *
+    *  1. range-shuffle + per-partition sort on the cluster key — the
+    *     stock global-sort mechanics (RangePartitioning exchange, every
+    *     task sorts its slice);
+    *  2. EXACT global ranks from the two-pass count (per-partition
+    *     sizes collected — P integers, not data — then prefix-summed
+    *     into per-partition starting ranks; the q151 prefix-scan
+    *     discipline), so unit = rank / rowsPerUnit is BIT-IDENTICAL to
+    *     the oracle's ROW_NUMBER chunking. This is why plain
+    *     `repartitionByRange` alone isn't enough: sampled boundaries
+    *     land anywhere, rank-derived ones land exactly at unit edges;
+    *  3. a second range shuffle ON THE UNIT ID (co-locates whole units,
+    *     keeps unit ranges contiguous per task) + per-partition sort +
+    *     `maxRecordsPerFile` — every file split falls exactly at a unit
+    *     boundary because each task's rows start at one and interior
+    *     units are full. One sorted file per unit, many tasks writing.
+    *
+    * `sortCols` must be a TOTAL order (all callers end with a unique
+    * key) — ties would make ranks placement-dependent and the oracle's
+    * chunking nondeterministic, single-task or not. A keys-only
+    * boundary pass could replace shuffle #2 at extreme scale; both
+    * shuffles here are linear, parallel, and Tungsten-backed.
     */
   private[graft] def writeUnits(df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column], tag: String,
       rowsPerUnit: Long = Relational.PruneGroupRows,
       writeOptions: Map[String, String] = Map.empty): Seq[UnitStats] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
     val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
-    df.repartition(1)
+    val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", rowsPerUnit)
-      .options(writeOptions)
-      .parquet(layoutDir)
+    val schema = sorted.schema
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = if (offsets.isEmpty) 0L else offsets.last
+      require(n > 0L, s"pruned scan: layout write produced no units in $layoutDir")
+      val numUnits = (n + rowsPerUnit - 1L) / rowsPerUnit
+      val targetPar = math.max(1L, math.min(32L, numUnits)).toInt
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val withUnit = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var rank = bOffsets.value(pid)
+        it.map { row =>
+          val u = rank / rowsPerUnit; rank += 1L
+          Row.fromSeq(row.toSeq :+ u)
+        }
+      }
+      val clustered = spark
+        .createDataFrame(withUnit, schema.add("__unit", LongType, nullable = false))
+        .repartitionByRange(targetPar, col("__unit"))
+        .sortWithinPartitions(sortCols: _*)
+        .drop("__unit")
+      clustered.write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerUnit)
+        .options(writeOptions)
+        .parquet(layoutDir)
+      lastLayoutPlan = sorted.queryExecution.executedPlan.toString() +
+        clustered.queryExecution.executedPlan.toString()
+    } finally rdd.unpersist(blocking = false)
     val files = new java.io.File(layoutDir).listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet") && f.length() > 0)
@@ -2189,6 +2249,37 @@ object Footer extends QueryGroup {
       .orderBy("predicate")
   }
 
+  // ---- q263: distributed clustered write — the geometry as rows -------
+
+  /** q263: the DISTRIBUTED CLUSTERED WRITE surfaced as its own contract
+    * row — the operator the whole pruned-scan tier (q245/q251/q254/
+    * q256/q257/q259/q260/q261 and the streaming clustered ingest) rides
+    * through [[writeUnits]], now executed as a range-partitioned
+    * PARALLEL write with exact rank-derived unit boundaries. The query
+    * emits one row per unit: its index, row count, and per-column
+    * min/max read from the REAL footers the parallel write produced;
+    * the oracle re-derives the identical geometry from ROW_NUMBER
+    * chunking over the sort key — a file split landing anywhere but an
+    * exact rank multiple, a unit out of order across tasks, or a wrong
+    * footer statistic all land as red rows. The distribution facts
+    * themselves (>1 write task, RangePartitioning exchanges) are
+    * spec-pinned — not SQL-expressible.
+    */
+  private[graft] def distributedLayoutStats(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val units = writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+      "q263_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+      adaptiveUnitRows(docs.count()))
+    units.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u.nRows, u.lo("n_chars"), u.hi("n_chars"),
+        u.lo("doc_id"), u.hi("doc_id"))
+    }.toDF("unit", "n_rows", "mn_nc", "mx_nc", "mn_id", "mx_id")
+      .orderBy("unit")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -2311,6 +2402,15 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q263 [north star, r15]: DISTRIBUTED CLUSTERED WRITE — the layout
+    // write the whole pruned-scan tier rides, executed by MANY tasks
+    // (range shuffle on the cluster key, exact rank-derived unit
+    // boundaries, one sorted file per unit) and proven geometry-exact:
+    // every unit's (rows, min/max) must equal the oracle's ROW_NUMBER
+    // chunking. Retires the r14 repartition(1) weak mark.
+    "q263_distributed_clustered_write" -> ((spark, dir) =>
+      distributedLayoutStats(spark, dir)),
+
     // q262 [north star, r14]: HOUSE PARQUET WRITER — the format tier's
     // WRITE side ([[HouseWriter]]): a complete parquet file assembled
     // pure-JDK (thrift-compact footer, v1 plain pages, statistics),
@@ -2423,6 +2523,22 @@ object Footer extends QueryGroup {
       "source = 'src3'"))
 
   def oracles: Map[String, String] = Map(
+    // q263: the parallel write's geometry re-derived exactly — adaptive
+    // unit size, ROW_NUMBER chunking on the (n_chars, doc_id) total
+    // order, per-unit count and extrema. Any misaligned file split or
+    // wrong emitted statistic is a red row.
+    "q263_distributed_clustered_write" ->
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+            "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id, n_chars,
+         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+         |          // (SELECT ur FROM u) AS grp
+         |      FROM documents)
+         |SELECT grp AS unit, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+         |  MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q251: both layouts re-derived by ROW_NUMBER over the exact sort
     // keys (z = q127's interleave), 64-row chunking, the overlap rule,
     // and the shared sentinel-canon xor match legs.

@@ -111,4 +111,47 @@ class LayoutSpec extends SparkSpec {
     assert(zForK * 2 <= buckets, s"z-order k-pruning too weak: $zForK/$buckets")
     assert(zForX * 2 <= buckets, s"z-order x-pruning too weak: $zForX/$buckets")
   }
+
+  test("q263 distributed clustered write: many write tasks, RangePartitioning exchanges, exact unit alignment") {
+    import graft.operators.Footer
+    val out = SparkEntry
+      .queries("q263_distributed_clustered_write")(spark, Sf)
+      .collect()
+    assert(out.length > 1, "fixture must produce multiple units")
+    // 1. the write ran in MANY TASKS: each task writes its own
+    // part-NNNNN prefix, so >1 distinct prefix is the executed fact
+    // that the repartition(1) bottleneck is gone
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir") +
+      "/graft_prune_q263_" + Sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val parts = dir.listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet") && f.length() > 0)
+      .map(_.getName).sorted
+    val taskIds = parts.map(_.split("-")(1)).distinct
+    assert(taskIds.length > 1,
+      s"layout write still runs in one task: ${parts.take(4).mkString(",")}")
+    // 2. both stages plan RangePartitioning exchanges (the cluster-key
+    // shuffle and the unit-id shuffle) — recorded by writeUnits
+    val plan = Footer.lastLayoutPlan.toLowerCase
+    assert(plan.contains("rangepartitioning"),
+      "the clustered write must range-partition, not single-task")
+    // 3. exact rank alignment: every unit except the global last is
+    // exactly the adaptive unit size — a sampled (non-rank) boundary
+    // could not produce this geometry except by accident
+    val n = out.map(_.getLong(1)).sum
+    val ur = Footer.adaptiveUnitRows(n)
+    out.dropRight(1).foreach(r =>
+      assert(r.getLong(1) == ur,
+        s"unit ${r.getLong(0)} has ${r.getLong(1)} rows, want $ur"))
+    assert(out.last.getLong(1) <= ur && out.last.getLong(1) > 0L)
+    // 4. units are globally ordered on the cluster key ACROSS tasks:
+    // consecutive units' n_chars envelopes may touch (a boundary can
+    // split inside one n_chars value) but never invert
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"unit ${a.getLong(0)} max n_chars ${a.getLong(3)} exceeds " +
+          s"unit ${b.getLong(0)} min ${b.getLong(2)} — cross-task order broke")
+      case _ => ()
+    }
+  }
 }
