@@ -868,7 +868,7 @@ object Footer extends QueryGroup {
 
   /** 60-bit md5 fold of a value's string form — the engine-side twin of
     * the oracle's `('0x' || substring(md5(v), 1, 15))::BIGINT`. */
-  private def md5Fold60(s: String): Long = {
+  private[graft] def md5Fold60(s: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
@@ -2402,6 +2402,25 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q265 [north star, r15]: HOUSE PAGE-INDEX + BLOOM WRITE — the
+    // q257 page-pruned core executed on a house-written file: the
+    // ColumnIndex/OffsetIndex planning the skips, the snappy pages
+    // skipped, and the SBBF bloom are all house-emitted; the oracle's
+    // ROW_NUMBER page arithmetic and the in-plan pruned≡full proof are
+    // q257's verbatim.
+    "q265_house_page_index_scan" -> ((spark, dir) =>
+      HouseWriter.pageIndexScan(spark, dir)),
+
+    // q264 [north star, r15]: HOUSE WRITER TIER 1 — the write side
+    // widened to what every real corpus file has: dictionary pages,
+    // snappy-compressed bodies, multiple row groups with per-group
+    // statistics. Spark's own reader proves the bytes by independence;
+    // the writer's format CHOICES ride as self-validating legs
+    // (n_groups from the house footer walk, codec from the declared
+    // compression, enc_class from the house decoder's actual path).
+    "q264_house_write_tier1" -> ((spark, dir) =>
+      HouseWriter.roundtripTier1(spark, dir)),
+
     // q263 [north star, r15]: DISTRIBUTED CLUSTERED WRITE — the layout
     // write the whole pruned-scan tier rides, executed by MANY tasks
     // (range shuffle on the cluster key, exact rank-derived unit
@@ -2523,6 +2542,53 @@ object Footer extends QueryGroup {
       "source = 'src3'"))
 
   def oracles: Map[String, String] = Map(
+    // q265: q257's page arithmetic verbatim — sorted doc_id, 64-row
+    // pages, overlap rule, md5-fold xor match legs — the house file
+    // must produce the exact same geometry parquet-mr's did.
+    "q265_house_page_index_scan" -> {
+      val legs = PagePredicates.map { case (name, lo, hi) =>
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS pages_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+           |   WHERE mx >= $lo AND mn <= $hi) AS pages_read,
+           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM g
+           |   WHERE mx >= $lo AND mn <= $hi) AS rows_read,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+           |   WHERE doc_id BETWEEN $lo AND $hi) AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)),
+           |      0) AS BIGINT)
+           |   FROM documents WHERE doc_id BETWEEN $lo AND $hi) AS match_xor""".stripMargin
+      }
+      s"""WITH r AS (SELECT doc_id,
+         |        (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // $PageRows
+         |          AS pg
+         |      FROM documents),
+         |g AS (SELECT pg, COUNT(*) AS n_rows,
+         |        MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |      FROM r GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
+    },
+
+    // q264: the aggregate recomputed from the raw table (any wrong byte
+    // through dictionary/snappy/multi-group = different rows through
+    // Spark's reader = red), with the writer's choices as LITERALS:
+    // exactly 3 row groups, SNAPPY declared, the decoder actually
+    // taking the dictionary path.
+    "q264_house_write_tier1" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(strlen(source)) AS BIGINT) AS sum_src_len,
+        |  CAST(bit_xor(CAST(('0x' || substring(md5(chr(1) ||
+        |    CAST(doc_id AS VARCHAR) || chr(1) || source), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS content_xor,
+        |  CAST(3 AS BIGINT) AS n_groups,
+        |  'SNAPPY' AS codec,
+        |  'dict' AS enc_class
+        |FROM documents""".stripMargin,
+
     // q263: the parallel write's geometry re-derived exactly — adaptive
     // unit size, ROW_NUMBER chunking on the (n_chars, doc_id) total
     // order, per-unit count and extrema. Any misaligned file split or

@@ -59,9 +59,65 @@ object HouseWriter {
   }
 
   /** One column of the bounded writer kernel. */
-  sealed trait HCol { def name: String }
-  final case class LongCol(name: String, values: Seq[Long]) extends HCol
-  final case class StrCol(name: String, values: Seq[String]) extends HCol
+  sealed trait HCol {
+    def name: String
+    def size: Int
+    def slice(from: Int, until: Int): HCol
+  }
+  final case class LongCol(name: String, values: Seq[Long]) extends HCol {
+    def size: Int = values.size
+    def slice(from: Int, until: Int): HCol =
+      LongCol(name, values.slice(from, until))
+  }
+  final case class StrCol(name: String, values: Seq[String]) extends HCol {
+    def size: Int = values.size
+    def slice(from: Int, until: Int): HCol =
+      StrCol(name, values.slice(from, until))
+  }
+
+  /** q264/q265: the writer's parity options. q264 tier: dictionary
+    * encoding, snappy-compressed page bodies, multiple row groups with
+    * per-group statistics. q265 tier: multiple data pages per chunk
+    * (`rowsPerPage`), ColumnIndex/OffsetIndex emission (`pageIndex`),
+    * and split-block bloom filters for the named INT64 columns
+    * (`bloomCols`) — the structures q257's page pruning and q256's
+    * bloom pruning consume, now producible as well as readable.
+    */
+  final case class HouseSpec(dictionary: Boolean = false,
+      snappy: Boolean = false, rowsPerGroup: Long = Long.MaxValue,
+      rowsPerPage: Long = Long.MaxValue, pageIndex: Boolean = false,
+      bloomCols: Set[String] = Set.empty)
+
+  /** The eight SBBF salt constants (parquet-format BloomFilter.md —
+    * the same published table Footer's reader uses).
+    */
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d.toInt, 0x705495c7, 0x2df1424b, 0x9efc4947.toInt, 0x5c6bfb31)
+
+  /** q265: build an SBBF bitset over the DISTINCT plain-encoded values:
+    * sized ~11 bits/value rounded up to a power of two (min one 32-byte
+    * block), each value setting one salt-derived bit per word of one
+    * hash-selected block — the exact dual of Footer's `mightContain`.
+    */
+  private def buildBloom(encoded: Seq[Array[Byte]]): Array[Byte] = {
+    var nBytes = 32
+    while (nBytes * 8 < encoded.size * 11 && nBytes < (1 << 26)) nBytes <<= 1
+    val bits = new Array[Byte](nBytes)
+    val numBlocks = nBytes / 32
+    encoded.foreach { b =>
+      val h = Footer.xxh64(b)
+      val block = (((h >>> 32) * numBlocks.toLong) >>> 32).toInt
+      val key = h.toInt
+      var i = 0
+      while (i < 8) {
+        val bit = (key * BloomSalt(i)) >>> 27
+        val at = block * 32 + i * 4 + bit / 8
+        bits(at) = (bits(at) | (1 << (bit % 8))).toByte
+        i += 1
+      }
+    }
+    bits
+  }
 
   private def leInt4(v: Int): Array[Byte] =
     Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -69,37 +125,95 @@ object HouseWriter {
   private def leLong8(v: Long): Array[Byte] =
     (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
 
-  /** The v1 data page for one column: header (thrift) + RLE def levels
-    * (all-present, max def 1) + PLAIN values. Returns the page bytes.
+  /** RLE definition-level section (all-present, max def 1): 4-byte
+    * length prefix + one RLE run of n ones, bit width 1.
     */
-  private def dataPage(col: HCol, n: Int): Array[Byte] = {
-    val vals = new java.io.ByteArrayOutputStream()
-    // def levels: one RLE run of n ones, bit width 1 -> 1 value byte
+  private def defLevelSection(n: Int): Array[Byte] = {
     val run = new java.io.ByteArrayOutputStream()
     var h = (n.toLong << 1)
     while ((h & ~0x7fL) != 0L) { run.write(((h & 0x7f) | 0x80).toInt); h >>>= 7 }
     run.write(h.toInt); run.write(1)
     val defs = run.toByteArray
-    vals.write(leInt4(defs.length)); vals.write(defs)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(leInt4(defs.length)); out.write(defs)
+    out.toByteArray
+  }
+
+  /** PLAIN-encoded values (INT64 LE / length-prefixed UTF-8). */
+  private def plainValues(col: HCol): Array[Byte] = {
+    val vals = new java.io.ByteArrayOutputStream()
     col match {
       case LongCol(_, vs) => vs.foreach(v => vals.write(leLong8(v)))
       case StrCol(_, vs) => vs.foreach { s =>
         val b = s.getBytes("UTF-8"); vals.write(leInt4(b.length)); vals.write(b)
       }
     }
-    val body = vals.toByteArray
+    vals.toByteArray
+  }
+
+  /** q264: the column's dictionary (first-seen order — parquet-mr's own
+    * insertion order) and per-row indices into it.
+    */
+  private def dictAndIndices(col: HCol): (HCol, Array[Int]) = col match {
+    case LongCol(nm, vs) =>
+      val order = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      val idx = vs.map(v => order.getOrElseUpdate(v, order.size)).toArray
+      (LongCol(nm, order.keys.toSeq), idx)
+    case StrCol(nm, vs) =>
+      val order = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      val idx = vs.map(v => order.getOrElseUpdate(v, order.size)).toArray
+      (StrCol(nm, order.keys.toSeq), idx)
+  }
+
+  /** q264: the v1 dictionary-index section — [1-byte bit width] + the
+    * RLE/bit-packed hybrid as ONE bit-packed run covering all indices
+    * (padded to a multiple of 8 with zeros), LSB-first packing.
+    */
+  private def packedIndices(idx: Array[Int], dictSize: Int): Array[Byte] = {
+    val bw = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(1, dictSize - 1)))
+    val groups = (idx.length + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bw)
+    var h = (groups.toLong << 1) | 1L
+    while ((h & ~0x7fL) != 0L) { out.write(((h & 0x7f) | 0x80).toInt); h >>>= 7 }
+    out.write(h.toInt)
+    var acc = 0L; var nbits = 0; var i = 0
+    val total = groups * 8
+    while (i < total) {
+      val v = if (i < idx.length) idx(i).toLong else 0L
+      acc |= v << nbits; nbits += bw
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+      i += 1
+    }
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** v1 page header: DATA_PAGE (ptype 0, DataPageHeader at field 5) or
+    * DICTIONARY_PAGE (ptype 2, DictionaryPageHeader at field 7).
+    */
+  private def pageHeader(ptype: Int, ups: Int, cps: Int,
+      nVals: Int, enc: Int): Array[Byte] = {
     val w = new CompactWriter
-    w.field(0, 1, 5); w.zigzag(0L)                  // type: DATA_PAGE
-    w.field(1, 2, 5); w.zigzag(body.length.toLong)  // uncompressed size
-    w.field(2, 3, 5); w.zigzag(body.length.toLong)  // compressed size
-    w.field(3, 5, 12)                               // DataPageHeader
-    w.field(0, 1, 5); w.zigzag(n.toLong)            //   num_values
-    w.field(1, 2, 5); w.zigzag(0L)                  //   encoding PLAIN
-    w.field(2, 3, 5); w.zigzag(3L)                  //   def levels RLE
-    w.field(3, 4, 5); w.zigzag(3L)                  //   rep levels RLE
+    w.field(0, 1, 5); w.zigzag(ptype.toLong)
+    w.field(1, 2, 5); w.zigzag(ups.toLong)
+    w.field(2, 3, 5); w.zigzag(cps.toLong)
+    if (ptype == 0) {
+      w.field(3, 5, 12)                     // DataPageHeader
+      w.field(0, 1, 5); w.zigzag(nVals.toLong)
+      w.field(1, 2, 5); w.zigzag(enc.toLong)
+      w.field(2, 3, 5); w.zigzag(3L)        //   def levels RLE
+      w.field(3, 4, 5); w.zigzag(3L)        //   rep levels RLE
+      w.stop()
+    } else {
+      w.field(3, 7, 12)                     // DictionaryPageHeader
+      w.field(0, 1, 5); w.zigzag(nVals.toLong)
+      w.field(1, 2, 5); w.zigzag(enc.toLong)
+      w.stop()
+    }
     w.stop()
-    w.stop()
-    w.toByteArray ++ body
+    w.toByteArray
   }
 
   /** Plain-encoded statistics bytes for min/max. String extrema are
@@ -119,28 +233,174 @@ object HouseWriter {
       }
   }
 
-  /** Write `cols` (equal lengths, non-null) as one single-row-group
-    * uncompressed parquet file at `path`. Returns the byte count.
+  /** One written data page's bookkeeping (q265: OffsetIndex rows and
+    * ColumnIndex stats come straight from these).
     */
-  def write(path: String, cols: Seq[HCol]): Long = {
+  private final case class PageMeta(off: Long, size: Int, firstRow: Long,
+      minB: Array[Byte], maxB: Array[Byte])
+
+  /** One written chunk's bookkeeping for the footer. The index/bloom
+    * locations are patched in after the data section (they live between
+    * the data and the footer, like parquet-mr writes them).
+    */
+  private final class ChunkMeta(val col: HCol, val dictOff: Long,
+      val dataOff: Long, val totalComp: Long, val totalUncomp: Long,
+      val encs: Seq[Long], val nVals: Int, val pages: Seq[PageMeta]) {
+    var bloomOff: Long = -1L; var bloomLen: Int = -1
+    var oiOff: Long = -1L; var oiLen: Int = -1
+    var ciOff: Long = -1L; var ciLen: Int = -1
+  }
+
+  /** Write `cols` (equal lengths, non-null) as one single-row-group
+    * uncompressed PLAIN parquet file at `path` — the r14 scope,
+    * unchanged. Returns the byte count.
+    */
+  def write(path: String, cols: Seq[HCol]): Long =
+    write(path, cols, HouseSpec())
+
+  /** q264: write `cols` under `spec` — dictionary-encoded pages,
+    * snappy-compressed bodies, and/or multiple row groups with
+    * per-group statistics. A dictionary chunk's encodings list is
+    * exactly [PLAIN_DICTIONARY, RLE] (no PLAIN — the writer never falls
+    * back mid-chunk, so q254's dictionary-completeness proof holds on
+    * house files by construction). Returns the byte count.
+    */
+  def write(path: String, cols: Seq[HCol], spec: HouseSpec): Long = {
     require(cols.nonEmpty, "q262: no columns")
-    val n = cols.head match {
-      case LongCol(_, v) => v.size
-      case StrCol(_, v)  => v.size
-    }
+    val n = cols.head.size
     require(n > 0, "q262: empty table — nothing to write")
-    cols.foreach {
-      case LongCol(nm, v) => require(v.size == n, s"q262: ragged column $nm")
-      case StrCol(nm, v)  => require(v.size == n, s"q262: ragged column $nm")
-    }
+    cols.foreach(c => require(c.size == n, s"q262: ragged column ${c.name}"))
+    val rpg = math.min(spec.rowsPerGroup, n.toLong).toInt
+    require(rpg > 0, s"q264: rowsPerGroup must be positive, got $rpg")
+    def deflate(b: Array[Byte]): Array[Byte] =
+      if (spec.snappy) org.xerial.snappy.Snappy.compress(b) else b
+    val codecId = if (spec.snappy) 1L else 0L
     val out = new java.io.ByteArrayOutputStream()
     out.write("PAR1".getBytes("US-ASCII"))
-    // pages, recording each chunk's offset/length
-    val chunks = cols.map { c =>
-      val off = out.size().toLong
-      val page = dataPage(c, n)
-      out.write(page)
-      (c, off, page.length.toLong)
+    val rpp = math.min(spec.rowsPerPage, rpg.toLong).toInt
+    require(rpp > 0, s"q265: rowsPerPage must be positive, got $rpp")
+    // data section: per row group, per column, one optional dict page
+    // then one data page per `rowsPerPage` slice
+    val groups: Seq[(Seq[ChunkMeta], Int)] =
+      (0 until n by rpg).map { s =>
+        val e = math.min(s + rpg, n)
+        val gn = e - s
+        val metas = cols.map { c0 =>
+          val c = c0.slice(s, e)
+          val dictIdx: Option[(HCol, Array[Int])] =
+            if (spec.dictionary) Some(dictAndIndices(c)) else None
+          var dictOff = -1L
+          var totalComp = 0L; var totalUncomp = 0L
+          dictIdx.foreach { case (dict, _) =>
+            val dictBody = plainValues(dict)
+            val dictComp = deflate(dictBody)
+            val dictHdr =
+              pageHeader(2, dictBody.length, dictComp.length, dict.size, 2)
+            dictOff = out.size().toLong
+            out.write(dictHdr); out.write(dictComp)
+            totalComp += dictHdr.length + dictComp.length
+            totalUncomp += dictHdr.length + dictBody.length
+          }
+          val pages = (0 until gn by rpp).map { ps =>
+            val pe = math.min(ps + rpp, gn)
+            val pn = pe - ps
+            val pc = c.slice(ps, pe)
+            val body = dictIdx match {
+              case Some((dict, idx)) =>
+                defLevelSection(pn) ++
+                  packedIndices(idx.slice(ps, pe), dict.size)
+              case None => defLevelSection(pn) ++ plainValues(pc)
+            }
+            val comp = deflate(body)
+            val enc = if (dictIdx.isDefined) 2 else 0
+            val hdr = pageHeader(0, body.length, comp.length, pn, enc)
+            val off = out.size().toLong
+            out.write(hdr); out.write(comp)
+            totalComp += hdr.length + comp.length
+            totalUncomp += hdr.length + body.length
+            PageMeta(off, hdr.length + comp.length, ps.toLong,
+              statBytes(pc, max = false), statBytes(pc, max = true))
+          }
+          new ChunkMeta(c, dictOff, pages.head.off, totalComp, totalUncomp,
+            if (dictIdx.isDefined) Seq(2L, 3L) else Seq(0L, 3L), gn, pages)
+        }
+        (metas, gn)
+      }
+    // q265: blooms (distinct plain-encoded INT64 values; strings are
+    // outside the audited probe scope and refuse loudly)
+    groups.foreach { case (metas, _) =>
+      metas.filter(m => spec.bloomCols.contains(m.col.name)).foreach { m =>
+        val enc = m.col match {
+          case LongCol(_, vs) => vs.distinct.map(leLong8)
+          case _: StrCol => throw new IllegalArgumentException(
+            s"q265: bloom scope is INT64 columns, '${m.col.name}' is a string")
+        }
+        val bits = buildBloom(enc)
+        val w = new CompactWriter
+        w.field(0, 1, 5); w.zigzag(bits.length.toLong) // numBytes
+        w.field(1, 2, 12); w.field(0, 1, 12); w.stop(); w.stop() // BLOCK
+        w.field(2, 3, 12); w.field(0, 1, 12); w.stop(); w.stop() // XXHASH
+        w.field(3, 4, 12); w.field(0, 1, 12); w.stop(); w.stop() // UNCOMP
+        w.stop()
+        val hdr = w.toByteArray
+        m.bloomOff = out.size().toLong
+        m.bloomLen = hdr.length + bits.length
+        out.write(hdr); out.write(bits)
+      }
+    }
+    // q265: ColumnIndex + OffsetIndex per chunk (between data and
+    // footer, the parquet-mr placement)
+    if (spec.pageIndex) groups.foreach { case (metas, _) =>
+      metas.foreach { m =>
+        val ci = new CompactWriter
+        ci.field(0, 1, 9) // null_pages: list<bool>, one byte each
+        ci.listHeader(1, m.pages.size)
+        m.pages.foreach(_ => ci.u8(2)) // false — no null pages written
+        ci.field(1, 2, 9) // min_values
+        ci.listHeader(8, m.pages.size)
+        m.pages.foreach(p => ci.bytes(p.minB))
+        ci.field(2, 3, 9) // max_values
+        ci.listHeader(8, m.pages.size)
+        m.pages.foreach(p => ci.bytes(p.maxB))
+        // boundary_order from the page stats themselves
+        def leq(a: Array[Byte], b: Array[Byte]): Boolean = m.col match {
+          case _: LongCol =>
+            java.nio.ByteBuffer.wrap(a)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong <=
+              java.nio.ByteBuffer.wrap(b)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          case _: StrCol => java.util.Arrays.compareUnsigned(a, b) <= 0
+        }
+        val asc = m.pages.sliding(2).forall {
+          case Seq(a, b) => leq(a.maxB, b.minB); case _ => true
+        }
+        val desc = m.pages.sliding(2).forall {
+          case Seq(a, b) => leq(b.maxB, a.minB); case _ => true
+        }
+        val boundary = if (m.pages.size > 1 && asc) 1L
+          else if (m.pages.size > 1 && desc) 2L else if (asc) 1L else 0L
+        ci.field(3, 4, 5); ci.zigzag(boundary)
+        ci.field(4, 5, 9) // null_counts: list<i64>
+        ci.listHeader(6, m.pages.size)
+        m.pages.foreach(_ => ci.zigzag(0L))
+        ci.stop()
+        val cib = ci.toByteArray
+        m.ciOff = out.size().toLong; m.ciLen = cib.length
+        out.write(cib)
+        val oi = new CompactWriter
+        oi.field(0, 1, 9) // page_locations: list<PageLocation>
+        oi.listHeader(12, m.pages.size)
+        m.pages.foreach { p =>
+          oi.field(0, 1, 6); oi.zigzag(p.off)
+          oi.field(1, 2, 5); oi.zigzag(p.size.toLong)
+          oi.field(2, 3, 6); oi.zigzag(p.firstRow)
+          oi.stop()
+        }
+        oi.stop()
+        val oib = oi.toByteArray
+        m.oiOff = out.size().toLong; m.oiLen = oib.length
+        out.write(oib)
+      }
     }
     // footer: FileMetaData
     val w = new CompactWriter
@@ -170,37 +430,53 @@ object HouseWriter {
     }
     w.field(2, 3, 6); w.zigzag(n.toLong) // num_rows
     w.field(3, 4, 9)                     // row_groups
-    w.listHeader(12, 1)
-    w.field(0, 1, 9) // columns
-    w.listHeader(12, cols.size)
-    chunks.foreach { case (c, off, len) =>
-      w.field(0, 2, 6); w.zigzag(off) // file_offset
-      w.field(2, 3, 12)               // meta_data: ColumnMetaData
-      var l = 0
-      w.field(l, 1, 5); l = 1
-      w.zigzag(c match { case _: LongCol => 2L; case _: StrCol => 6L })
-      w.field(l, 2, 9); l = 2 // encodings
-      w.listHeader(5, 2); w.zigzag(0L); w.zigzag(3L) // PLAIN, RLE
-      w.field(l, 3, 9); l = 3 // path_in_schema
-      w.listHeader(8, 1); w.str(c.name)
-      w.field(l, 4, 5); l = 4; w.zigzag(0L)          // UNCOMPRESSED
-      w.field(l, 5, 6); l = 5; w.zigzag(n.toLong)    // num_values
-      w.field(l, 6, 6); l = 6; w.zigzag(len)         // total_uncompressed
-      w.field(l, 7, 6); l = 7; w.zigzag(len)         // total_compressed
-      w.field(l, 9, 6); l = 9; w.zigzag(off)         // data_page_offset
-      w.field(l, 12, 12); l = 12                     // statistics
-      var sl = 0
-      w.field(sl, 3, 6); sl = 3; w.zigzag(0L)        //   null_count
-      w.field(sl, 5, 8); sl = 5; w.bytes(statBytes(c, max = true))
-      w.field(sl, 6, 8); sl = 6; w.bytes(statBytes(c, max = false))
-      w.stop()
-      w.stop() // ColumnMetaData
-      w.stop() // ColumnChunk
+    w.listHeader(12, groups.size)
+    groups.foreach { case (metas, gn) =>
+      w.field(0, 1, 9) // columns
+      w.listHeader(12, metas.size)
+      metas.foreach { m =>
+        val firstOff = if (m.dictOff >= 0) m.dictOff else m.dataOff
+        w.field(0, 2, 6); w.zigzag(firstOff) // file_offset
+        w.field(2, 3, 12)                    // meta_data: ColumnMetaData
+        var l = 0
+        w.field(l, 1, 5); l = 1
+        w.zigzag(m.col match { case _: LongCol => 2L; case _: StrCol => 6L })
+        w.field(l, 2, 9); l = 2 // encodings
+        w.listHeader(5, m.encs.size); m.encs.foreach(w.zigzag)
+        w.field(l, 3, 9); l = 3 // path_in_schema
+        w.listHeader(8, 1); w.str(m.col.name)
+        w.field(l, 4, 5); l = 4; w.zigzag(codecId)
+        w.field(l, 5, 6); l = 5; w.zigzag(m.nVals.toLong) // num_values
+        w.field(l, 6, 6); l = 6; w.zigzag(m.totalUncomp)
+        w.field(l, 7, 6); l = 7; w.zigzag(m.totalComp)
+        w.field(l, 9, 6); l = 9; w.zigzag(m.dataOff)     // data_page_offset
+        if (m.dictOff >= 0) {
+          w.field(l, 11, 6); l = 11; w.zigzag(m.dictOff) // dictionary_page_offset
+        }
+        w.field(l, 12, 12); l = 12                       // statistics
+        var sl = 0
+        w.field(sl, 3, 6); sl = 3; w.zigzag(0L)          //   null_count
+        w.field(sl, 5, 8); sl = 5; w.bytes(statBytes(m.col, max = true))
+        w.field(sl, 6, 8); sl = 6; w.bytes(statBytes(m.col, max = false))
+        w.stop()
+        if (m.bloomOff >= 0) {                           // q265: SBBF
+          w.field(l, 14, 6); l = 14; w.zigzag(m.bloomOff)
+          w.field(l, 15, 5); l = 15; w.zigzag(m.bloomLen.toLong)
+        }
+        w.stop() // ColumnMetaData
+        if (m.oiOff >= 0) {                              // q265: indexes
+          w.field(3, 4, 6); w.zigzag(m.oiOff)
+          w.field(4, 5, 5); w.zigzag(m.oiLen.toLong)
+          w.field(5, 6, 6); w.zigzag(m.ciOff)
+          w.field(6, 7, 5); w.zigzag(m.ciLen.toLong)
+        }
+        w.stop() // ColumnChunk
+      }
+      w.field(1, 2, 6) // total_byte_size
+      w.zigzag(metas.map(_.totalComp).sum)
+      w.field(2, 3, 6); w.zigzag(gn.toLong) // row-group num_rows
+      w.stop() // RowGroup
     }
-    w.field(1, 2, 6) // total_byte_size
-    w.zigzag(chunks.map(_._3).sum)
-    w.field(2, 3, 6); w.zigzag(n.toLong) // row-group num_rows
-    w.stop() // RowGroup
     w.stop() // FileMetaData
     val footer = w.toByteArray
     out.write(footer)
@@ -238,5 +514,100 @@ object HouseWriter {
       countDistinct(col("source")).as("n_sources"),
       sum(length(col("source"))).as("sum_src_len"),
       bit_xor(rowHash).as("content_xor"))
+  }
+
+  /** q264's probe: documents (doc_id, source) written with the TIER-1
+    * spec — dictionary pages, snappy-compressed bodies, THREE row
+    * groups — read back through SPARK'S reader (independent code) and
+    * aggregated to the SQL truth, with the writer's format choices
+    * surfaced as self-validating legs (the q243 discipline): n_groups
+    * from the house footer walk, codec from the footer's declared
+    * compression, enc_class from the house decoder's actual decode
+    * path — each an oracle LITERAL, so a writer that silently wrote
+    * one group, skipped compression, or fell back to PLAIN lands red.
+    */
+  def roundtripTier1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q264_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + ".parquet"
+    val rpg = (rows.length + 2) / 3 // exactly 3 groups for n >= 3
+    write(path, Seq(LongCol("doc_id", rows.map(_._1).toSeq),
+      StrCol("source", rows.map(_._2).toSeq)),
+      HouseSpec(dictionary = true, snappy = true, rowsPerGroup = rpg.toLong))
+    val nGroups = Footer.parseFooter(path)._2.head.size.toLong
+    val codec = Footer.readFooter("house", path).head.codec
+    val encClass = Footer.decodeColumnChunk(path, "source").encClass
+    val back = spark.read.parquet(path)
+    val sep = lit("\u0001")
+    val rowHash = conv(substring(md5(concat(
+      sep, col("doc_id").cast("string"), sep, col("source"))),
+      1, 15), 16, 10).cast("long")
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("doc_id")).as("sum_ids"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(length(col("source"))).as("sum_src_len"),
+      bit_xor(rowHash).as("content_xor"))
+      .withColumn("n_groups", lit(nGroups))
+      .withColumn("codec", lit(codec))
+      .withColumn("enc_class", lit(encClass))
+  }
+
+  /** q265: the q257 PAGE-PRUNED SCAN core executed against a
+    * HOUSE-WRITTEN file — closing the read/write asymmetry where the
+    * engine could consume pruning structures it could not produce: the
+    * ColumnIndex/OffsetIndex driving the skips, the snappy 64-row pages
+    * being skipped, and the SBBF bloom the file also carries are ALL
+    * house-emitted, read back by the house index readers + targeted
+    * page decode, with the same in-plan pruned≡full lossless proof.
+    * The bloom stays out of the SQL contract (q256's FP stance) and is
+    * pinned in the spec instead.
+    */
+  def pageIndexScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q265_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + ".parquet"
+    write(path, Seq(LongCol("doc_id", ids.toSeq)),
+      HouseSpec(snappy = true, rowsPerPage = Footer.PageRows,
+        pageIndex = true, bloomCols = Set("doc_id")))
+    val cs = Footer.parseFooter(path)._2.head.head
+    val locs = Footer.readOffsetIndex(path, "doc_id")
+    val (nullPages, mins, maxs, boundary) =
+      Footer.readColumnIndex(path, "doc_id")
+    require(locs.size == mins.size,
+      s"q265: OffsetIndex (${locs.size}) and ColumnIndex (${mins.size}) disagree")
+    require(locs.size > 1,
+      "q265: the fixture must produce multiple pages or pruning is vacuous")
+    require(boundary == 1, // ASCENDING — sorted on doc_id
+      s"q265: expected ASCENDING boundary order on the sorted key, got $boundary")
+    val pageRowsOf: Seq[Long] = locs.zipWithIndex.map { case (l, i) =>
+      (if (i + 1 < locs.size) locs(i + 1).firstRow else cs.numValues) -
+        l.firstRow
+    }
+    val full = Footer.decodeColumnChunk(path, "doc_id").longs
+    val rows = Footer.PagePredicates.map { case (name, lo, hi) =>
+      val keep = locs.indices.filter(i =>
+        !nullPages(i) && maxs(i) >= lo && mins(i) <= hi)
+      val vals =
+        keep.flatMap(i => Footer.decodeLongPage(path, locs(i), cs.codec, 1))
+      val matches = vals.filter(v => v >= lo && v <= hi).sorted
+      val fullMatches = full.filter(v => v >= lo && v <= hi).sorted
+      require(matches == fullMatches,
+        s"q265: page-pruned scan diverged from the full chunk on '$name' " +
+          "— an unsound house-index skip dropped matching rows; refusing")
+      val xor = matches.map(v => Footer.md5Fold60(v.toString))
+        .foldLeft(0L)(_ ^ _)
+      (name, locs.size.toLong, keep.size.toLong,
+        keep.map(pageRowsOf).sum, matches.size.toLong, xor)
+    }
+    rows.toDF("predicate", "pages_total", "pages_read", "rows_read",
+      "n_match", "match_xor")
+      .orderBy("predicate")
   }
 }

@@ -5231,6 +5231,119 @@ class OperatorSpec extends SparkSpec {
     assert(e2.getMessage.contains("q262"))
   }
 
+  test("q264 house writer tier 1: three-way agreement on dict+snappy+multi-group files; per-group stats exact; pruning runs on house units") {
+    import graft.operators.{Footer, HouseWriter}
+    import spark.implicits._
+    val rows = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q264_spec.parquet"
+    val rpg = (rows.length + 2) / 3
+    HouseWriter.write(path, Seq(
+      HouseWriter.LongCol("doc_id", rows.map(_._1).toSeq),
+      HouseWriter.StrCol("source", rows.map(_._2).toSeq)),
+      HouseWriter.HouseSpec(dictionary = true, snappy = true,
+        rowsPerGroup = rpg.toLong))
+    // 1. THREE-WAY AGREEMENT: Spark's reader, the house decoder, and
+    // the q239 footer walker all read the same tier-1 file
+    val viaSpark = spark.read.parquet(path)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(viaSpark.toSeq == rows.toSeq,
+      "Spark's reader must reproduce the rows byte-exactly")
+    val ids = Footer.decodeColumnChunk(path, "doc_id")
+    val srcs = Footer.decodeColumnChunk(path, "source")
+    assert(ids.longs == rows.map(_._1).toSeq, "house decoder: doc_id")
+    assert(srcs.strs == rows.map(_._2).toSeq, "house decoder: source")
+    assert(ids.encClass == "dict" && srcs.encClass == "dict",
+      "the decoder must actually take the dictionary path")
+    // 2. MULTI ROW GROUP with per-group stats: the walker sees 3 groups
+    // and each group's stats are that slice's exact extrema
+    val (_, chunks) = Footer.parseFooter(path)
+    assert(chunks.head.size == 3, s"want 3 row groups, got ${chunks.head.size}")
+    val slices = (0 until rows.length by rpg)
+      .map(s => rows.slice(s, math.min(s + rpg, rows.length)))
+    chunks.head.zip(slices).foreach { case (cs, slice) =>
+      assert(cs.numValues == slice.length.toLong)
+      val mn = java.nio.ByteBuffer.wrap(cs.minV)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      val mx = java.nio.ByteBuffer.wrap(cs.maxV)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      assert(mn == slice.map(_._1).min && mx == slice.map(_._1).max,
+        "per-group doc_id stats must be the slice's exact extrema")
+      assert(cs.codec == 1, "chunk must declare SNAPPY")
+    }
+    // 3. q245's pruning arithmetic consumes the multi-group house
+    // footer verbatim: folded stats are the global extrema
+    val u = Footer.unitStatsOf(path)
+    assert(u.nRows == rows.length.toLong)
+    assert(u.lo("doc_id") == rows.map(_._1).min &&
+      u.hi("doc_id") == rows.map(_._1).max)
+    // 4. dictionary completeness holds by construction: encodings list
+    // is exactly [PLAIN_DICTIONARY, RLE] — no PLAIN fallback, so q254's
+    // membership-skip soundness requirement is a theorem on house files
+    chunks.head.foreach(cs =>
+      assert(cs.encodings.sorted == Seq(2, 3),
+        s"encodings ${cs.encodings} must be exactly dict+RLE"))
+  }
+
+  test("q265 house page-index + bloom write: blooms sound with bounded FPs; indexes tell the truth page-by-page; Spark reads the indexed file") {
+    import graft.operators.{Footer, HouseWriter}
+    import spark.implicits._
+    val ids = Tables(spark, Sf, "documents")
+      .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q265_spec.parquet"
+    HouseWriter.write(path, Seq(HouseWriter.LongCol("doc_id", ids.toSeq)),
+      HouseWriter.HouseSpec(snappy = true, rowsPerPage = 64L,
+        pageIndex = true, bloomCols = Set("doc_id")))
+    // 1. the house BLOOM read back by the house probe: NO false
+    // negative over every present id (soundness — the direction
+    // pruning rides), false positives bounded (~11 bits/value sizing;
+    // byte-deterministic, so the measured count is stable)
+    val bloom = Footer.readBloom(path, "doc_id")
+    def hashOf(v: Long) =
+      Footer.xxh64(Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xff).toByte))
+    ids.foreach(v => assert(bloom.mightContain(hashOf(v)),
+      s"house bloom false NEGATIVE on present id $v — soundness broken"))
+    val absent = (1 to 200).map(k => ids.max + 1000L + k * 7L)
+    val fps = absent.count(v => bloom.mightContain(hashOf(v)))
+    assert(fps <= 10, s"house bloom FP count $fps over 200 absent probes " +
+      "exceeds the ~1% sizing's reasonable bound")
+    // 2. the house INDEXES tell the truth page-by-page: each page's
+    // decoded extrema equal its ColumnIndex entry, and OffsetIndex
+    // first_row_index partitions the chunk exactly
+    val locs = Footer.readOffsetIndex(path, "doc_id")
+    val (nullPages, mins, maxs, boundary) =
+      Footer.readColumnIndex(path, "doc_id")
+    assert(boundary == 1, "sorted key must index ASCENDING")
+    assert(locs.size == mins.size && locs.size > 1)
+    val cs = Footer.parseFooter(path)._2.head.head
+    locs.indices.foreach { i =>
+      assert(!nullPages(i))
+      val vals = Footer.decodeLongPage(path, locs(i), cs.codec, 1)
+      assert(vals.min == mins(i) && vals.max == maxs(i),
+        s"page $i: ColumnIndex (${mins(i)},${maxs(i)}) is not the " +
+          s"decoded extrema (${vals.min},${vals.max})")
+      assert(locs(i).firstRow ==
+        locs.take(i).map(_.firstRow).lastOption.map(_ =>
+          locs(i - 1).firstRow + Footer.decodeLongPage(path, locs(i - 1),
+            cs.codec, 1).size).getOrElse(0L),
+        s"page $i: first_row_index does not chain from the prior page")
+    }
+    // 3. INTEROP: Spark's reader reads the index+bloom-carrying house
+    // file and reproduces the rows (the extra structures don't corrupt
+    // the layout parquet-mr sees)
+    val viaSpark = spark.read.parquet(path)
+      .orderBy("doc_id").as[Long].collect()
+    assert(viaSpark.toSeq == ids.toSeq)
+    // 4. bloom scope refusal: strings refuse loudly
+    val e = intercept[Exception] {
+      HouseWriter.write(path + ".bad",
+        Seq(HouseWriter.StrCol("s", Seq("a", "b"))),
+        HouseWriter.HouseSpec(bloomCols = Set("s")))
+    }
+    assert(e.getMessage.contains("q265"))
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
