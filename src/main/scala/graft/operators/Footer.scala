@@ -2249,6 +2249,70 @@ object Footer extends QueryGroup {
       .orderBy("predicate")
   }
 
+  // ---- q266: the house DSv2 source — pushdown through Catalyst --------
+
+  /** q266: q260's pushdown workload reproduced through the STOCK read
+    * path — `spark.read.format(classOf[HouseSource].getName).load(dir)`
+    * — so Catalyst owns the pushdown contract the hand-built scan only
+    * imitated: required-column analysis drives which chunks the house
+    * decoder touches, translated `sources.Filter`s drive plan-time unit
+    * pruning from footer stats (+ bloom tightening on the point
+    * lookup), and every leg is proven lossless against Spark's own
+    * parquet read of the same files (count + sentinel-canon xor over
+    * the same column subset — a divergence refuses loudly). The emitted
+    * `units_stats_bound` is the source's recorded stats-surviving count
+    * — the oracle re-derives it from ROW_NUMBER chunk arithmetic, so a
+    * source that plans from wrong stats lands red; the bloom-tightened
+    * planned count stays out of the contract (q256's FP stance) and is
+    * bounded in the spec.
+    */
+  private[graft] def dsv2PushdownScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val unitRows = adaptiveUnitRows(docs.count())
+    val tag = "q266_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    writeUnits(docs, Seq(col("n_chars"), col("doc_id")), tag, unitRows,
+      writeOptions = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> unitRows.toString))
+    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val house = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(layoutDir)
+    val cases = Seq(
+      ("nchars_100_199", Seq("doc_id", "n_chars"),
+        col("n_chars").between(100L, 199L)),
+      ("docid_eq_250", Seq("doc_id", "source"), col("doc_id") === 250L),
+      ("conj", Seq("doc_id", "n_chars"),
+        col("n_chars").between(100L, 199L) && col("doc_id") === 250L))
+    val sep = lit("\u0001")
+    val rows = cases.map { case (name, cols0, cond) =>
+      val rowHash = conv(substring(md5(concat(
+        cols0.flatMap(c => Seq(sep, col(c).cast("string"))): _*)),
+        1, 15), 16, 10).cast("long")
+      def agg(df: DataFrame) = df
+        .select(cols0.map(col): _*).filter(cond)
+        .agg(count(lit(1)).as("n"),
+          coalesce(bit_xor(rowHash), lit(0L)).as("x"))
+        .as[(Long, Long)].head()
+      val (nM, xM) = agg(house) // executes → the source records its plan
+      val (total, statsBound, planned) = graft.sources.HouseSource.lastPlan
+      require(planned <= statsBound && statsBound <= total,
+        s"q266: bloom tightening widened the plan on $name " +
+          s"($planned/$statsBound/$total)")
+      val (fN, fX) = agg(spark.read.parquet(layoutDir))
+      require(nM == fN && xM == fX,
+        s"q266: the DSv2 house read diverged from Spark's parquet read " +
+          s"on '$name' ($nM/$fN, $xM/$fX) — unsound prune or mis-decoded " +
+          "bytes; refusing")
+      (name, total, statsBound, nM, xM)
+    }
+    rows.toDF("predicate", "units_total", "units_stats_bound",
+      "n_match", "match_xor")
+      .orderBy("predicate")
+  }
+
   // ---- q263: distributed clustered write — the geometry as rows -------
 
   /** q263: the DISTRIBUTED CLUSTERED WRITE surfaced as its own contract
@@ -2402,6 +2466,15 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q266 [north star, r15]: HOUSE DSv2 SOURCE — the ceremony added:
+    // a real TableProvider/Scan with SupportsPushDownFilters +
+    // SupportsPushDownRequiredColumns, so a stock spark.read.format()
+    // reaches the house decoder and Catalyst owns pushdown; q260's
+    // three predicate classes reproduce through it, proven lossless
+    // against Spark's own parquet read per leg.
+    "q266_house_dsv2_source" -> ((spark, dir) =>
+      dsv2PushdownScan(spark, dir)),
+
     // q265 [north star, r15]: HOUSE PAGE-INDEX + BLOOM WRITE — the
     // q257 page-pruned core executed on a house-written file: the
     // ColumnIndex/OffsetIndex planning the skips, the snappy pages
@@ -2542,6 +2615,49 @@ object Footer extends QueryGroup {
       "source = 'src3'"))
 
   def oracles: Map[String, String] = Map(
+    // q266: q260's oracle verbatim — the adaptive (n_chars, doc_id)
+    // chunking gives the stats bound, match legs recomputed per
+    // predicate over exactly the columns the pushdown read decoded;
+    // only the ENGINE PATH changed (hand-built scan → Catalyst-owned
+    // DSv2), which is precisely what identical legs prove.
+    "q266_house_dsv2_source" -> {
+      def md5Of(cols: Seq[String]) =
+        "md5(" + cols.map(c => s"chr(1) || CAST($c AS VARCHAR)")
+          .mkString(" || ") + ")"
+      def leg(name: String, cols: Seq[String], gcond: String,
+          rcond: String) =
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS units_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
+           |    AS units_stats_bound,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring(${md5Of(cols)}, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
+      val range = "n_chars BETWEEN 100 AND 199"
+      val point = "doc_id = 250"
+      val gRange = "mn_nc <= 199 AND mx_nc >= 100"
+      val gPoint = "mn_id <= 250 AND mx_id >= 250"
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id, n_chars,
+         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+         |          // (SELECT ur FROM u) AS grp
+         |      FROM documents),
+         |g AS (SELECT grp,
+         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
+         |      FROM r GROUP BY 1)
+         |${leg("nchars_100_199", Seq("doc_id", "n_chars"), gRange, range)}
+         |UNION ALL
+         |${leg("docid_eq_250", Seq("doc_id", "source"), gPoint, point)}
+         |UNION ALL
+         |${leg("conj", Seq("doc_id", "n_chars"),
+           s"$gRange AND $gPoint", s"$range AND $point")}
+         |ORDER BY predicate""".stripMargin
+    },
+
     // q265: q257's page arithmetic verbatim — sorted doc_id, 64-row
     // pages, overlap rule, md5-fold xor match legs — the house file
     // must produce the exact same geometry parquet-mr's did.

@@ -969,4 +969,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "corpus-sized join sides (stats row, query vector) must broadcast")
   }
+
+  test("q266 house DSv2 source: Catalyst pushes filters INTO the scan node, prunes columns, and the plan reads fewer units") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Footer
+    // build the q266 layout once (blooms on doc_id)
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val unitRows = Footer.adaptiveUnitRows(docs.count())
+    val tag = "q266_plan_" + Sf.replaceAll("[^A-Za-z0-9]", "_")
+    Footer.writeUnits(docs, Seq(col("n_chars"), col("doc_id")), tag,
+      unitRows, writeOptions = Map(
+        "parquet.bloom.filter.enabled#doc_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#doc_id" -> unitRows.toString))
+    val dir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val house = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(dir)
+    // 1. PUSHDOWN IN THE PLAN: the translated range filter appears in
+    // the scan node's own description — Catalyst handed it to the
+    // source, not a Filter node above a dumb scan
+    val q = house.filter(col("n_chars") >= 100L && col("n_chars") <= 199L)
+      .select(col("doc_id"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("HouseScan") &&
+      p.contains("GreaterThanOrEqual(n_chars,100)") &&
+      p.contains("LessThanOrEqual(n_chars,199)"),
+      s"pushed filters must live inside the scan node:\n${p.take(1200)}")
+    // 2. COLUMN PRUNING: the scan's ReadSchema is only what the query
+    // needs (doc_id + the filter column), not the 4-column table
+    assert(p.contains("ReadSchema") && p.contains("doc_id") &&
+      p.contains("n_chars") && !p.contains("lang"),
+      s"required-column pushdown must prune the schema:\n${p.take(1200)}")
+    // 3. PLAN-TIME UNIT PRUNING: the range predicate reads a strict
+    // subset of units; the point lookup's bloom tightens BELOW the
+    // stats bound on this scattered key (stats are blind: every unit's
+    // doc_id envelope spans an interior point)
+    val (total, statsBound, planned) = graft.sources.HouseSource.lastPlan
+    assert(total > 1 && planned < total,
+      s"range predicate must prune units ($planned/$total)")
+    house.filter(col("doc_id") === 250L).select(col("source")).collect()
+    val (t2, s2, p2) = graft.sources.HouseSource.lastPlan
+    assert(s2 == t2, s"stats must be blind on the scattered point ($s2/$t2)")
+    assert(p2 < s2, s"the bloom must tighten below the stats bound ($p2/$s2)")
+    // 4. an unfiltered full read still returns every row
+    assert(house.count() == docs.count())
+  }
 }
