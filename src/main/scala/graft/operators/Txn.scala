@@ -478,6 +478,88 @@ object Txn extends QueryGroup {
       .orderBy("join_set", "step")
   }
 
+  /** The executed plan's base-table scan order, leftmost-deep first —
+    * the observation leg of q267 (AQE is pinned OFF in its scope, so
+    * the executed plan is the planned left-deep tree and pre-order
+    * leaf collection IS the join order).
+    */
+  private[graft] def scanOrderOf(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case f: FileSourceScanExec =>
+      val base = f.relation.location.rootPaths.head.getName
+      if (base.endsWith(".parquet")) base.stripSuffix(".parquet") else base
+    }
+    require(names.nonEmpty, "q267: no base-table scans in the executed plan")
+    names.mkString(",")
+  }
+
+  /** q267: JOIN ORDER driven by the catalog INSIDE Catalyst — the rule
+    * form of q248's greedy smallest-first advice ([[
+    * graft.plans.JoinReorderRule]], registered per-query via
+    * `spark.experimental.extraOptimizations` with save/restore, the
+    * q252 discipline). The user writes the chain LARGEST-FIRST (the
+    * worst order: every intermediate result is corpus-sized) and the
+    * planner rebuilds it smallest-first from footer row counts; the
+    * `observed_order` column reads the EXECUTED plan's scan order, and
+    * the oracle re-derives it from COUNT(*) arithmetic alone — the
+    * q168 self-validating leg: a rule that reorders wrongly, fails to
+    * fire, or fires on the hinted control lands as a red row. AQE and
+    * both broadcast thresholds are pinned inside the scope so the
+    * executed tree is the planned left-deep SMJ chain.
+    */
+  private[graft] def catalystJoinReorder(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(n: String) = graft.Tables(spark, dir, n)
+    val catalog = graft.Tables.all
+      .map(n => n -> Footer.tableStats(dir, n).values.map(_.n_values).max)
+      .toMap
+    val rule = graft.plans.JoinReorderRule(catalog)
+    val exp = spark.experimental
+    val prevRules = exp.extraOptimizations
+    val pins = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = pins.map { case (k, _) =>
+      k -> (try Option(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    val rows = try {
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
+      exp.extraOptimizations = prevRules :+ rule
+      val cases = Seq(
+        ("chain3", t("lineitem")
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))),
+        ("chain4", t("orders")
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))
+          .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(t("region"), col("n_regionkey") === col("r_regionkey"))),
+        // the CONTROL: a user hint anywhere in the chain is a user
+        // decision — the rule must abstain and the user order executes
+        ("hinted", t("lineitem")
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .hint("merge")
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))))
+      cases.map { case (name, joined) =>
+        val cdf = joined.groupBy().count()
+        val n = cdf.head().getLong(0)
+        (name, scanOrderOf(cdf), n)
+      }
+    } finally {
+      exp.extraOptimizations = prevRules
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    rows.toDF("join_set", "observed_order", "n_out").orderBy("join_set")
+  }
+
   /** The top join operator the executed plan actually ran — the
     * observation leg of q252 (AQE-aware: the final plan, not the
     * initial one).
@@ -613,6 +695,15 @@ object Txn extends QueryGroup {
     // exactly where the footer catalog's 4x rule says so, sort_merge
     // elsewhere; the physical column is observed from the executed
     // plan, the oracle derives it from the arithmetic alone.
+    // q267 [north star, r15]: CATALYST JOIN REORDER — q248's greedy
+    // smallest-first join ORDER lifted into a Rule[LogicalPlan] beside
+    // the q252 broadcast rule: an un-hinted largest-first chain plans
+    // smallest-first from footer stats, the hinted control stays in
+    // user order, and the oracle derives the expected order from
+    // COUNT(*) arithmetic alone.
+    "q267_catalyst_join_reorder" -> ((spark, dir) =>
+      catalystJoinReorder(spark, dir)),
+
     "q252_catalyst_stats_broadcast" -> ((spark, dir) =>
       catalystAdvisedJoins(spark, dir)),
 
@@ -829,6 +920,46 @@ object Txn extends QueryGroup {
          |  op = 'U' AS alive,
          |  CASE WHEN op = 'U' THEN md5(txt) END AS text_md5
          |FROM l WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q267: the advised order DERIVED from COUNT(*) arithmetic alone —
+    // the engine reports the executed plan's actual scan order, so a
+    // rule that reorders wrongly, fails to fire, or fires on the
+    // hinted control diverges right here. The greedy's choices on the
+    // c—o—l path spelled as CASE arithmetic; chain4's strict count
+    // ladder (r<n<c<o) derived the same way; the hinted control is the
+    // user order by the abstention contract.
+    "q267_catalyst_join_reorder" ->
+      """WITH n AS (SELECT
+        |  (SELECT COUNT(*) FROM customer) AS nc,
+        |  (SELECT COUNT(*) FROM orders) AS no_,
+        |  (SELECT COUNT(*) FROM lineitem) AS nl,
+        |  (SELECT COUNT(*) FROM nation) AS nn,
+        |  (SELECT COUNT(*) FROM region) AS nr)
+        |SELECT 'chain3' AS join_set,
+        |  (SELECT CASE
+        |     WHEN nc <= no_ AND nc <= nl THEN 'customer,orders,lineitem'
+        |     WHEN nl <= no_ AND nl < nc THEN 'lineitem,orders,customer'
+        |     WHEN nc <= nl THEN 'orders,customer,lineitem'
+        |     ELSE 'orders,lineitem,customer' END FROM n) AS observed_order,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey) AS n_out
+        |UNION ALL
+        |SELECT 'chain4' AS join_set,
+        |  (SELECT CASE WHEN nr < nn AND nn < nc AND nc < no_
+        |     THEN 'region,nation,customer,orders'
+        |     ELSE 'counts_out_of_model' END FROM n) AS observed_order,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |     JOIN region ON n_regionkey = r_regionkey) AS n_out
+        |UNION ALL
+        |SELECT 'hinted' AS join_set,
+        |  'lineitem,orders,customer' AS observed_order,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey) AS n_out
+        |ORDER BY join_set""".stripMargin,
+
     // q252: est legs recomputed from the data (q239 proved footer
     // n_values == COUNT(*)), advice by the shared arithmetic, and
     // physical DERIVED from the advice — the self-validating leg: the

@@ -4928,6 +4928,71 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q267 join reorder: abstains on un-cataloged frames and 2-table joins; idempotent; composes with the broadcast rule") {
+    import graft.operators.{Footer, Txn}
+    import graft.plans.{JoinReorderRule, StatsBroadcastRule}
+    import spark.implicits._
+    val catalog = Tables.all
+      .map(n => n -> Footer.tableStats(Sf, n).values.map(_.n_values).max)
+      .toMap
+    val exp = spark.experimental
+    val prevRules = exp.extraOptimizations
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      exp.extraOptimizations = prevRules :+ JoinReorderRule(catalog)
+      // 1. ABSTENTION on un-cataloged in-memory frames: user order runs
+      val mem = (1 to 50).map(i => (i.toLong, i.toLong % 5L)).toDF("mk", "mg")
+      val big = Tables(spark, Sf, "lineitem")
+        .join(Tables(spark, Sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(mem, col("o_custkey") === col("mk"))
+        .groupBy().count()
+      big.head()
+      assert(Txn.scanOrderOf(big).startsWith("lineitem,orders"),
+        "an un-cataloged item must leave the chain in user order")
+      // 2. two-table joins are not reordered (nothing to advise)
+      val two = Tables(spark, Sf, "lineitem")
+        .join(Tables(spark, Sf, "customer"), col("l_orderkey") === col("c_custkey"))
+        .groupBy().count()
+      two.head()
+      assert(Txn.scanOrderOf(two) == "lineitem,customer")
+      // 3. IDEMPOTENT: the advised chain re-plans to the same order
+      def chain4 = Tables(spark, Sf, "orders")
+        .join(Tables(spark, Sf, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(spark, Sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(spark, Sf, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy().count()
+      val a = chain4; a.head()
+      val b = chain4; b.head()
+      assert(Txn.scanOrderOf(a) == "region,nation,customer,orders" &&
+        Txn.scanOrderOf(b) == Txn.scanOrderOf(a),
+        "the advised order must be stable across plannings")
+      // 4. COMPOSITION: with the q252 broadcast rule registered too,
+      // the chain plans in advised order AND the stats-justified
+      // broadcasts fire on the rebuilt joins (reorder runs first, the
+      // hints it leaves un-set get filled by the broadcast rule; the
+      // next fixed-point pass abstains on the now-hinted chain)
+      exp.extraOptimizations =
+        prevRules :+ JoinReorderRule(catalog) :+ StatsBroadcastRule(catalog)
+      val c = chain4; c.head()
+      assert(Txn.scanOrderOf(c) == "region,nation,customer,orders",
+        "composition must keep the advised order")
+      // the INNER rebuilt joins broadcast (region 4x under nation, etc.);
+      // the TOP join stays sort_merge because its side contains joins —
+      // exactly the r14-advice abstention, composing soundly
+      assert(c.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "the rebuilt small-side joins must broadcast under the stats rule")
+    } finally {
+      exp.extraOptimizations = prevRules
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q256 bloom pruning: stats blind, bloom resolves point lookups; xxh64 parity with catalyst; bloom-less columns refuse") {
     import graft.operators.Footer
     // 0. the house XXH64 must BE the algorithm parquet keys blooms on —
