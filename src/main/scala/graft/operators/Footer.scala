@@ -169,6 +169,7 @@ object Footer extends QueryGroup {
     */
   private[graft] def parseFooter(path: String)
       : (Seq[SchemaLeaf], Seq[Seq[ChunkStats]]) = {
+    footerReads.incrementAndGet() // q268: the zero-reads-when-warm pin
     val raf = new java.io.RandomAccessFile(path, "r")
     val meta = try {
       val len = raf.length()
@@ -1025,6 +1026,12 @@ object Footer extends QueryGroup {
       lo: Map[String, Long], hi: Map[String, Long],
       loS: Map[String, String], hiS: Map[String, String])
 
+  /** Footer tail-read counter — q268's instrument: planning a pruned
+    * scan from a WARM manifest must not move it (the zero-footer-reads
+    * pin). Incremented by every [[parseFooter]].
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def unitStatsOf(path: String): UnitStats = {
     val ss = readFooter("layout", path)
     require(ss.nonEmpty, s"pruned scan: no audited stats in $path - " +
@@ -1145,7 +1152,121 @@ object Footer extends QueryGroup {
         f.getName.endsWith(".parquet") && f.length() > 0)
       .map(_.getPath).sorted.toSeq
     require(files.nonEmpty, s"pruned scan: layout write produced no units in $layoutDir")
-    files.map(unitStatsOf)
+    val stats = files.map(unitStatsOf)
+    // q268: persist the stats as the layout's MANIFEST — built once at
+    // write time (this walk), planned from thereafter with zero footer
+    // opens (the q240 catalog direction made code)
+    writeManifest(layoutDir, stats)
+    stats
+  }
+
+  // ---- q268: the unit-stats MANIFEST — plan without touching footers --
+
+  private val ManifestName = "_graft_manifest.tsv"
+  private def urlEnc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def urlDec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def manifestLine(u: UnitStats): String = {
+    def m(mp: Map[String, Long]) = mp.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
+    def ms(mp: Map[String, String]) = mp.toSeq.sorted
+      .map { case (k, v) => s"$k=${urlEnc(v)}" }.mkString(",")
+    Seq(urlEnc(u.path), u.nRows.toString, m(u.lo), m(u.hi),
+      ms(u.loS), ms(u.hiS)).mkString("\t")
+  }
+
+  /** Persist the layout's per-unit stats beside its files (leading
+    * underscore — Spark's readers ignore it as a hidden file). The
+    * manifest is what a warehouse catalog stores per table: the q239
+    * footer facts, readable without opening a single footer.
+    */
+  private[graft] def writeManifest(layoutDir: String,
+      units: Seq[UnitStats]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(layoutDir, ManifestName),
+      (units.map(manifestLine).mkString("\n") + "\n").getBytes("UTF-8"))
+
+  /** q268's IVM append: a NEW unit's stats land as one appended line —
+    * the [[graft.streaming.StreamOps.ClusteredTable]] discipline on
+    * disk: appends never rewrite existing entries, so readers see the
+    * old units unchanged plus the new one (envelope soundness under
+    * appends is per-unit locality).
+    */
+  private[graft] def appendManifest(layoutDir: String,
+      units: Seq[UnitStats]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(layoutDir, ManifestName),
+      (units.map(manifestLine).mkString("\n") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+
+  /** Read the layout's manifest WITHOUT opening any footer — None when
+    * absent or STALE (the manifest must name exactly the part files on
+    * disk: a rewritten layout carries fresh part-file UUIDs, so a
+    * dangling manifest fails this check and the caller falls back to
+    * the footer walk — soundness over convenience).
+    */
+  private[graft] def readManifest(layoutDir: String): Option[Seq[UnitStats]] = {
+    val f = new java.io.File(layoutDir, ManifestName)
+    if (!f.exists()) return None
+    val units = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { ln =>
+        val p = ln.split("\t", -1)
+        require(p.length == 6, s"q268: malformed manifest line in $layoutDir")
+        def pm(s: String): Map[String, Long] =
+          if (s.isEmpty) Map.empty
+          else s.split(",").map { kv =>
+            val i = kv.indexOf('=')
+            kv.substring(0, i) -> kv.substring(i + 1).toLong
+          }.toMap
+        def pms(s: String): Map[String, String] =
+          if (s.isEmpty) Map.empty
+          else s.split(",").map { kv =>
+            val i = kv.indexOf('=')
+            kv.substring(0, i) -> urlDec(kv.substring(i + 1))
+          }.toMap
+        UnitStats(urlDec(p(0)), p(1).toLong, pm(p(2)), pm(p(3)),
+          pms(p(4)), pms(p(5)))
+      }.toSeq
+    val disk = new java.io.File(layoutDir).listFiles()
+      .filter(x => x.getName.startsWith("part-") &&
+        x.getName.endsWith(".parquet") && x.length() > 0)
+      .map(_.getPath).sorted.toSeq
+    if (units.map(_.path).sorted == disk) Some(units) else None
+  }
+
+  /** q268: MANIFEST-PLANNED PRUNED SCAN — retiring the per-run footer
+    * re-walk the r14 verdict flagged: [[writeUnits]] now persists each
+    * layout's unit stats as an on-disk manifest (built once, at write
+    * time, from the real footers — the audit), and planning reads the
+    * MANIFEST with zero footer opens (instrumented: [[footerReads]]
+    * must not move during warm planning — a 100 TB table's planner
+    * reads one catalog row set, not a million file tails). The warm
+    * plan must equal the cold walk exactly (require), staleness is
+    * detected by filename (a rewritten layout's fresh UUIDs fail the
+    * manifest's file-set check → fall back to the walk), and the
+    * executed scan carries q245's in-plan pruned≡full xor proof — so a
+    * wrong manifest CANNOT silently drop rows; it either refuses at
+    * planning or raises in-plan. Output and oracle are q245's
+    * verbatim: only the planning source changed, which is exactly what
+    * identical legs prove.
+    */
+  private[graft] def manifestPlannedScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val tag = "q268_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val cold = writeUnits(docs, Seq(col("n_chars"), col("doc_id")), tag,
+      adaptiveUnitRows(docs.count()))
+    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val before = footerReads.get()
+    val warm = readManifest(layoutDir).getOrElse(throw new IllegalStateException(
+      s"q268: no warm manifest in $layoutDir right after writeUnits"))
+    require(footerReads.get() == before,
+      "q268: warm manifest planning opened footers — the zero-read claim broke")
+    require(warm == cold,
+      "q268: manifest-planned stats diverge from the footer walk")
+    executePruned(spark, "q268", warm,
+      Seq("doc_id", "source", "lang", "n_chars"), prunePredicates)
   }
 
   /** The plan-execute-prove core shared by q245/q251: per predicate,
@@ -2466,6 +2587,15 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q268 [north star, r15]: MANIFEST-PLANNED PRUNED SCAN — the
+    // per-run footer re-walk retired: writeUnits persists each layout's
+    // unit stats as an on-disk manifest at write time, planning reads
+    // it with ZERO footer opens (instrumented), staleness falls back
+    // loudly, and the executed scan keeps q245's xor proof. Output and
+    // oracle are q245's verbatim — only the planning source changed.
+    "q268_manifest_planned_scan" -> ((spark, dir) =>
+      manifestPlannedScan(spark, dir)),
+
     // q266 [north star, r15]: HOUSE DSv2 SOURCE — the ceremony added:
     // a real TableProvider/Scan with SupportsPushDownFilters +
     // SupportsPushDownRequiredColumns, so a stock spark.read.format()
@@ -2613,6 +2743,41 @@ object Footer extends QueryGroup {
       "n_chars BETWEEN 100 AND 199"),
     ("source_eq_src3", "mn_src <= 'src3' AND mx_src >= 'src3'",
       "source = 'src3'"))
+
+  /** q245's oracle SQL — shared VERBATIM by q268 (same geometry, same
+    * legs; only the engine's planning source differs).
+    */
+  private def prunedScanOracleSql: String = {
+    val rowMd5 = "md5(chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || " +
+      "source || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR))"
+    val legs = OraclePreds.map { case (name, gcond, rcond) =>
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS groups_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
+           |    AS groups_read,
+           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM g
+           |   WHERE $gcond) AS rows_read,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
+      }
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id, source, lang, n_chars,
+         |             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+         |           FROM documents),
+         |g AS (SELECT (rn - 1) // (SELECT ur FROM u) AS grp,
+         |        COUNT(*) AS n_rows,
+         |        MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
+         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id,
+         |        MIN(source) AS mn_src, MAX(source) AS mx_src
+         |      FROM r GROUP BY 1)
+         |${legs.mkString("\nUNION ALL\n")}
+         |ORDER BY predicate""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // q266: q260's oracle verbatim — the adaptive (n_chars, doc_id)
@@ -3075,37 +3240,10 @@ object Footer extends QueryGroup {
     // and 64-row chunking (q238's oracle arithmetic), overlap rule
     // verbatim; match legs recomputed from the rows with the shared
     // sentinel-canon 60-bit xor.
-    "q245_pruned_scan" -> {
-      val rowMd5 = "md5(chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || " +
-        "source || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR))"
-      val legs = OraclePreds.map { case (name, gcond, rcond) =>
-        s"""SELECT '$name' AS predicate,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS groups_total,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
-           |    AS groups_read,
-           |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM g
-           |   WHERE $gcond) AS rows_read,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
-           |    AS n_match,
-           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
-           |      substring($rowMd5, 1, 15)) AS BIGINT)), 0) AS BIGINT)
-           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
-      }
-      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
-             "SELECT COUNT(*) FROM documents")} AS ur),
-         |r AS (SELECT doc_id, source, lang, n_chars,
-         |             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
-         |           FROM documents),
-         |g AS (SELECT (rn - 1) // (SELECT ur FROM u) AS grp,
-         |        COUNT(*) AS n_rows,
-         |        MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
-         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
-         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id,
-         |        MIN(source) AS mn_src, MAX(source) AS mx_src
-         |      FROM r GROUP BY 1)
-         |${legs.mkString("\nUNION ALL\n")}
-         |ORDER BY predicate""".stripMargin
-    },
+    "q245_pruned_scan" -> prunedScanOracleSql,
+    // q268: q245's oracle VERBATIM — the manifest changed where the
+    // plan's stats come from, not what they are.
+    "q268_manifest_planned_scan" -> prunedScanOracleSql,
     "q239_parquet_footer_stats" -> (
       OracleScope.map { case (t, c, phys) =>
         s"""SELECT '$t' AS tbl, '$c' AS "column", '$phys' AS physical,

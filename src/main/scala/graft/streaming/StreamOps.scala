@@ -658,6 +658,7 @@ object StreamOps {
   final class ClusteredTable {
     @volatile private[graft] var units: Seq[graft.operators.Footer.UnitStats] =
       Seq.empty
+    @volatile private[graft] var optimizeCount: Long = 0L
     private val seen = scala.collection.mutable.Set.empty[(String, Long)]
     private[graft] def alreadySeen(runNs: String, batchId: Long): Boolean =
       synchronized { seen.contains((runNs, batchId)) }
@@ -665,6 +666,57 @@ object StreamOps {
         us: Seq[graft.operators.Footer.UnitStats]): Boolean = synchronized {
       if (!seen.add((runNs, batchId))) false
       else { units = units ++ us; true }
+    }
+
+    /** q261's units_read measure computed from the MANIFEST alone: the
+      * average fraction of units the watch workload (the q261 range
+      * predicates on the cluster key) would open under the current
+      * geometry — zero footer or data reads; the number a layout
+      * scheduler actually watches.
+      */
+    private[graft] def workloadReadFraction: Double = {
+      val us = units
+      if (us.isEmpty) 0.0
+      else {
+        val preds = graft.operators.Footer.OptimizePredicates
+        preds.map { case (_, lo, hi) =>
+          us.count(u => u.lo("n_chars") <= hi && u.hi("n_chars") >= lo)
+            .toDouble / us.size
+        }.sum / preds.size
+      }
+    }
+
+    /** The OPTIMIZE half of the maintenance loop, wired to the trigger
+      * q261 measures (its scaladoc deferred exactly this): when the
+      * watch workload's read fraction regresses past `factor` — the
+      * fully fragmented state is 1.0: every range predicate opens
+      * every unit — rewrite the accumulated interleaved runs into ONE
+      * globally clustered layout via the distributed [[
+      * graft.operators.Footer.writeUnits]] (q263: range-partitioned,
+      * many tasks), INSIDE the commit protocol: a replay marker keyed
+      * (runNs+"__optimize", batchId) is claimed BEFORE the rewrite (the
+      * same pre-write ordering the ingest uses — a crash between claim
+      * and swap re-runs on retry with a fresh batch id; a re-delivered
+      * trigger batch is a no-op), and the manifest swap is atomic
+      * (volatile write). Old unit files are left in place — readers
+      * holding the old manifest stay correct, the q250 vacuum tier owns
+      * reclamation.
+      */
+    private[graft] def maybeOptimize(spark: org.apache.spark.sql.SparkSession,
+        runNs: String, batchId: Long, factor: Double): Boolean = {
+      val us = units
+      if (us.size < 2 || workloadReadFraction < factor) return false
+      synchronized {
+        if (!seen.add((runNs + "__optimize", batchId))) return false
+      }
+      val all = spark.read.parquet(us.map(_.path): _*)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val post = graft.operators.Footer.writeUnits(all,
+        Seq(col("n_chars"), col("doc_id")),
+        s"ingest_${runNs}_opt$batchId",
+        graft.operators.Footer.adaptiveUnitRows(us.map(_.nRows).sum))
+      synchronized { units = post; optimizeCount += 1L }
+      true
     }
   }
 
@@ -686,7 +738,8 @@ object StreamOps {
     * of labor Delta/Iceberg ship.
     */
   def clusteredIngestStream(rows: DataFrame, table: ClusteredTable,
-      runNs: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      runNs: String, optimizeFactor: Double = 0.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -700,6 +753,11 @@ object StreamOps {
               s"ingest_${runNs}_b$id",
               graft.operators.Footer.adaptiveUnitRows(n))
             table.append(runNs, id, us)
+            // the layout half of the maintenance loop: OPTIMIZE when
+            // the q261 units_read measure regresses past the factor
+            // (0.0 = never — the caller owns the schedule)
+            if (optimizeFactor > 0.0)
+              table.maybeOptimize(b.sparkSession, runNs, id, optimizeFactor)
           }
         }
         ()

@@ -4928,6 +4928,63 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q268 manifest: warm planning opens zero footers; stale manifests fall back; appended units keep envelopes sound") {
+    import graft.operators.Footer
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val loRows = docs.filter(col("n_chars") < 300L)
+    val hiRows = docs.filter(col("n_chars") >= 300L)
+    val cold = Footer.writeUnits(loRows,
+      Seq(col("n_chars"), col("doc_id")), "q268_spec_lo", 64L)
+    val loDir = System.getProperty("java.io.tmpdir") + "/graft_prune_q268_spec_lo"
+    // 1. ZERO FOOTER READS when warm, and warm == cold exactly
+    val before = Footer.footerReads.get()
+    val warm = Footer.readManifest(loDir).get
+    assert(Footer.footerReads.get() == before,
+      "warm manifest planning must open zero footers")
+    assert(warm == cold)
+    // 2. STALENESS: a manifest naming files that are no longer the
+    // layout's falls back (None), never plans from dangling stats
+    val manifest = new java.io.File(loDir, "_graft_manifest.tsv")
+    val saved = java.nio.file.Files.readAllBytes(manifest.toPath)
+    Footer.writeUnits(hiRows, // rewrite → fresh part-file UUIDs
+      Seq(col("n_chars"), col("doc_id")), "q268_spec_lo", 64L)
+    java.nio.file.Files.write(manifest.toPath, saved) // restore OLD manifest
+    assert(Footer.readManifest(loDir).isEmpty,
+      "a stale manifest must fall back to the footer walk, not plan")
+    // 3. APPEND: rebuild the lo layout, then append the hi rows as new
+    // units (the streaming ClusteredTable discipline on disk) — the
+    // manifest grows by exactly the new lines, a predicate matching
+    // only appended rows reads the new units, and the xor proof holds
+    val loStats = Footer.writeUnits(loRows,
+      Seq(col("n_chars"), col("doc_id")), "q268_spec_lo", 64L)
+    val hiStats = Footer.writeUnits(hiRows,
+      Seq(col("n_chars"), col("doc_id")), "q268_spec_hi", 64L)
+    val moved = hiStats.zipWithIndex.map { case (u, i) =>
+      val dst = java.nio.file.Paths.get(loDir, f"part-9$i%04d-appended.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(u.path), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      u.copy(path = dst.toString)
+    }
+    Footer.appendManifest(loDir, moved)
+    val all = Footer.readManifest(loDir).get
+    assert(all.size == loStats.size + moved.size,
+      "append must grow the manifest by exactly the new units")
+    assert(all.take(loStats.size) == loStats,
+      "append must leave existing entries untouched")
+    val out = Footer.executePruned(spark, "q268spec", all,
+      Seq("doc_id", "source", "lang", "n_chars"),
+      Seq(("hi_only",
+        (u: Footer.UnitStats) => u.lo("n_chars") <= 99999L &&
+          u.hi("n_chars") >= 400L,
+        col("n_chars") >= 400L))).collect().head
+    assert(out.getLong(2) > 0 && out.getLong(2) < all.size,
+      "the appended-rows predicate must read some but not all units")
+    assert(out.getLong(4) ==
+      docs.filter(col("n_chars") >= 400L).count(),
+      "match legs over the appended manifest must be exact")
+  }
+
   test("q267 join reorder: abstains on un-cataloged frames and 2-table joins; idempotent; composes with the broadcast rule") {
     import graft.operators.{Footer, Txn}
     import graft.plans.{JoinReorderRule, StatsBroadcastRule}

@@ -2175,6 +2175,69 @@ class StreamingSpec extends SparkSpec {
     for ((p, (_, _, _, nm, xr)) <- streamed)
       assert(replayed(p) == ((nm, xr)), s"$p: replay must not change results")
   }
+
+  test("clustered ingest OPTIMIZE trigger: fragmentation detected from the manifest alone, distributed rewrite inside the commit protocol, pruned-read improves, replay safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Footer
+    // q261's exact fragmentation fixture as a STREAM: 8 batches keyed
+    // doc_id mod 8, each one a single full-range sort run — every range
+    // predicate opens every unit, the q261 units_read measure reads 1.0
+    val all = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batches = (0L until 8L).map(b => all.filter(_._1 % 8L == b))
+    def ingest(runNs: String, factor: Double): StreamOps.ClusteredTable = {
+      val table = new StreamOps.ClusteredTable
+      val ms = MemoryStream[(Long, String, String, Long)]
+      val q = StreamOps.clusteredIngestStream(
+        ms.toDF().toDF("doc_id", "source", "lang", "n_chars"),
+        table, runNs, optimizeFactor = factor).start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      table
+    }
+    // CONTROL: no trigger — the accumulated runs stay fully fragmented
+    val control = ingest("opt_ctl", 0.0)
+    assert(control.optimizeCount == 0L)
+    assert(math.abs(control.workloadReadFraction - 1.0) < 1e-9,
+      s"fixture premise: untreated ingest must read every unit " +
+        s"(${control.workloadReadFraction})")
+    // TRIGGERED: the q261 measure crosses 0.9 → OPTIMIZE fires inside
+    // the commit protocol and the read fraction drops
+    val table = ingest("opt_on", 0.9)
+    assert(table.optimizeCount >= 1L,
+      "the units_read regression must have triggered OPTIMIZE")
+    assert(table.workloadReadFraction < control.workloadReadFraction - 1e-9,
+      s"OPTIMIZE must improve the workload read fraction " +
+        s"(${table.workloadReadFraction} vs ${control.workloadReadFraction})")
+    // RESULTS unchanged by the rewrite: the optimized table's match
+    // legs equal the control's under the xor-proven scan
+    val preds = Footer.OptimizePredicates.map { case (name, lo, hi) =>
+      (name,
+        (u: Footer.UnitStats) => u.lo("n_chars") <= hi && u.hi("n_chars") >= lo,
+        col("n_chars").between(lo, hi))
+    }
+    val hashCols = Seq("doc_id", "source", "lang", "n_chars")
+    def legs(t: StreamOps.ClusteredTable) =
+      Footer.executePruned(spark, "optstream", t.units, hashCols, preds)
+        .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5)))
+        .toMap
+    assert(legs(table) == legs(control),
+      "OPTIMIZE must not change query results")
+    // REPLAY SAFETY across the rewrite: re-delivering an old batch
+    // appends nothing and re-delivering the trigger batch re-optimizes
+    // nothing (both marker-guarded)
+    val unitsBefore = table.units
+    val optBefore = table.optimizeCount
+    val ms2 = MemoryStream[(Long, String, String, Long)]
+    val q2 = StreamOps.clusteredIngestStream(
+      ms2.toDF().toDF("doc_id", "source", "lang", "n_chars"),
+      table, "opt_on", optimizeFactor = 0.9).start()
+    ms2.addData(batches.head); q2.processAllAvailable(); q2.stop()
+    assert(table.units == unitsBefore && table.optimizeCount == optBefore,
+      "replay across the rewrite must be a complete no-op")
+  }
 }
 
 object StreamingSpec {
