@@ -2587,6 +2587,23 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q270 [north star, r15]: THE FULL HOUSE LOOP — write with the
+    // house writer (snappy units + SBBF blooms + manifest), plan with
+    // Catalyst pushdown over house footers/blooms, decode with the
+    // house decoder, all through stock spark.read.format(); every leg
+    // proven lossless against Spark's own read of the same files.
+    "q270_full_house_roundtrip" -> ((spark, dir) =>
+      HouseWriter.fullHouseRoundtrip(spark, dir)),
+
+    // q269 [north star, r15]: HOUSE WRITER V2 GENERATION — the second
+    // writer generation closed in the WRITE direction: DataPageHeaderV2
+    // pages with DELTA_BINARY_PACKED integers and DELTA_BYTE_ARRAY
+    // front-coded strings (values-only snappy), two row groups,
+    // proven by Spark's own reader with the decode classes as
+    // self-validating literals.
+    "q269_house_write_v2" -> ((spark, dir) =>
+      HouseWriter.roundtripV2(spark, dir)),
+
     // q268 [north star, r15]: MANIFEST-PLANNED PRUNED SCAN — the
     // per-run footer re-walk retired: writeUnits persists each layout's
     // unit stats as an on-disk manifest at write time, planning reads
@@ -2744,6 +2761,48 @@ object Footer extends QueryGroup {
     ("source_eq_src3", "mn_src <= 'src3' AND mx_src >= 'src3'",
       "source = 'src3'"))
 
+  /** q266's oracle SQL — shared VERBATIM by q270 (same chunking, same
+    * predicate classes; q270 swaps every byte on the engine path to
+    * house-written/house-decoded, which identical legs prove).
+    */
+  private def dsv2OracleSql: String = {
+      def md5Of(cols: Seq[String]) =
+        "md5(" + cols.map(c => s"chr(1) || CAST($c AS VARCHAR)")
+          .mkString(" || ") + ")"
+      def leg(name: String, cols: Seq[String], gcond: String,
+          rcond: String) =
+        s"""SELECT '$name' AS predicate,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS units_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
+           |    AS units_stats_bound,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
+           |    AS n_match,
+           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+           |      substring(${md5Of(cols)}, 1, 15)) AS BIGINT)), 0) AS BIGINT)
+           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
+      val range = "n_chars BETWEEN 100 AND 199"
+      val point = "doc_id = 250"
+      val gRange = "mn_nc <= 199 AND mx_nc >= 100"
+      val gPoint = "mn_id <= 250 AND mx_id >= 250"
+      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+             "SELECT COUNT(*) FROM documents")} AS ur),
+         |r AS (SELECT doc_id, n_chars,
+         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+         |          // (SELECT ur FROM u) AS grp
+         |      FROM documents),
+         |g AS (SELECT grp,
+         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
+         |      FROM r GROUP BY 1)
+         |${leg("nchars_100_199", Seq("doc_id", "n_chars"), gRange, range)}
+         |UNION ALL
+         |${leg("docid_eq_250", Seq("doc_id", "source"), gPoint, point)}
+         |UNION ALL
+         |${leg("conj", Seq("doc_id", "n_chars"),
+           s"$gRange AND $gPoint", s"$range AND $point")}
+         |ORDER BY predicate""".stripMargin
+    }
+
   /** q245's oracle SQL — shared VERBATIM by q268 (same geometry, same
     * legs; only the engine's planning source differs).
     */
@@ -2780,48 +2839,33 @@ object Footer extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q269: the aggregate recomputed from the raw table; the writer's
+    // v2 choices as LITERALS — two row groups, snappy, and the house
+    // decoder actually taking the delta paths on both columns.
+    "q269_house_write_v2" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(strlen(source)) AS BIGINT) AS sum_src_len,
+        |  CAST(bit_xor(CAST(('0x' || substring(md5(chr(1) ||
+        |    CAST(doc_id AS VARCHAR) || chr(1) || source), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS content_xor,
+        |  CAST(2 AS BIGINT) AS n_groups,
+        |  'SNAPPY' AS codec,
+        |  'delta_binpack' AS enc_ints,
+        |  'delta_byte_array' AS enc_strs
+        |FROM documents""".stripMargin,
+
     // q266: q260's oracle verbatim — the adaptive (n_chars, doc_id)
     // chunking gives the stats bound, match legs recomputed per
     // predicate over exactly the columns the pushdown read decoded;
     // only the ENGINE PATH changed (hand-built scan → Catalyst-owned
     // DSv2), which is precisely what identical legs prove.
-    "q266_house_dsv2_source" -> {
-      def md5Of(cols: Seq[String]) =
-        "md5(" + cols.map(c => s"chr(1) || CAST($c AS VARCHAR)")
-          .mkString(" || ") + ")"
-      def leg(name: String, cols: Seq[String], gcond: String,
-          rcond: String) =
-        s"""SELECT '$name' AS predicate,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS units_total,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE $gcond)
-           |    AS units_stats_bound,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE $rcond)
-           |    AS n_match,
-           |  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
-           |      substring(${md5Of(cols)}, 1, 15)) AS BIGINT)), 0) AS BIGINT)
-           |   FROM documents WHERE $rcond) AS match_xor""".stripMargin
-      val range = "n_chars BETWEEN 100 AND 199"
-      val point = "doc_id = 250"
-      val gRange = "mn_nc <= 199 AND mx_nc >= 100"
-      val gPoint = "mn_id <= 250 AND mx_id >= 250"
-      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
-             "SELECT COUNT(*) FROM documents")} AS ur),
-         |r AS (SELECT doc_id, n_chars,
-         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
-         |          // (SELECT ur FROM u) AS grp
-         |      FROM documents),
-         |g AS (SELECT grp,
-         |        MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
-         |        MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
-         |      FROM r GROUP BY 1)
-         |${leg("nchars_100_199", Seq("doc_id", "n_chars"), gRange, range)}
-         |UNION ALL
-         |${leg("docid_eq_250", Seq("doc_id", "source"), gPoint, point)}
-         |UNION ALL
-         |${leg("conj", Seq("doc_id", "n_chars"),
-           s"$gRange AND $gPoint", s"$range AND $point")}
-         |ORDER BY predicate""".stripMargin
-    },
+    "q266_house_dsv2_source" -> dsv2OracleSql,
+    // q270: q266's oracle VERBATIM — the layout bytes and the scan
+    // path changed to all-house; the arithmetic cannot tell, which is
+    // the point.
+    "q270_full_house_roundtrip" -> dsv2OracleSql,
 
     // q265: q257's page arithmetic verbatim — sorted doc_id, 64-row
     // pages, overlap rule, md5-fold xor match legs — the house file

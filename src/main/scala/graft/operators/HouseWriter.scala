@@ -86,7 +86,11 @@ object HouseWriter {
   final case class HouseSpec(dictionary: Boolean = false,
       snappy: Boolean = false, rowsPerGroup: Long = Long.MaxValue,
       rowsPerPage: Long = Long.MaxValue, pageIndex: Boolean = false,
-      bloomCols: Set[String] = Set.empty)
+      bloomCols: Set[String] = Set.empty,
+      // q269: SECOND-generation pages — DataPageHeaderV2 with
+      // DELTA_BINARY_PACKED integers / DELTA_BYTE_ARRAY strings
+      // (mutually exclusive with `dictionary`: v2 writes delta)
+      v2: Boolean = false)
 
   /** The eight SBBF salt constants (parquet-format BloomFilter.md —
     * the same published table Footer's reader uses).
@@ -125,15 +129,22 @@ object HouseWriter {
   private def leLong8(v: Long): Array[Byte] =
     (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
 
-  /** RLE definition-level section (all-present, max def 1): 4-byte
-    * length prefix + one RLE run of n ones, bit width 1.
+  /** One RLE run of n ones at bit width 1 — the definition-level
+    * payload for an all-present optional column.
     */
-  private def defLevelSection(n: Int): Array[Byte] = {
+  private def rleOnesRun(n: Int): Array[Byte] = {
     val run = new java.io.ByteArrayOutputStream()
     var h = (n.toLong << 1)
     while ((h & ~0x7fL) != 0L) { run.write(((h & 0x7f) | 0x80).toInt); h >>>= 7 }
     run.write(h.toInt); run.write(1)
-    val defs = run.toByteArray
+    run.toByteArray
+  }
+
+  /** v1 definition-level section: 4-byte length prefix + the RLE run
+    * (v2 pages carry the run UNPREFIXED — q269).
+    */
+  private def defLevelSection(n: Int): Array[Byte] = {
+    val defs = rleOnesRun(n)
     val out = new java.io.ByteArrayOutputStream()
     out.write(leInt4(defs.length)); out.write(defs)
     out.toByteArray
@@ -190,6 +201,100 @@ object HouseWriter {
     out.toByteArray
   }
 
+  /** q269: DELTA_BINARY_PACKED encoder — the exact dual of Footer's
+    * reader: ULEB128 block header (blockSize=128, 4 miniblocks of 32),
+    * total count, zigzag first value; per block a zigzag min-delta, ALL
+    * four width bytes (unstarted miniblocks write width 0), then only
+    * the STARTED miniblocks' bit-packed adjusted deltas (each written
+    * in full — perMini·w/8 bytes, padding bits zero), LSB-first.
+    */
+  private[graft] def deltaBinaryPacked(vals: Seq[Long]): Array[Byte] = {
+    val blockSize = 128; val miniN = 4; val perMini = blockSize / miniN
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    varint(blockSize.toLong); varint(miniN.toLong); varint(vals.size.toLong)
+    if (vals.isEmpty) return out.toByteArray
+    zigzag(vals.head)
+    var i = 1
+    while (i < vals.size) {
+      val blockCount = math.min(blockSize, vals.size - i)
+      val deltas = Array.tabulate(blockCount)(j => vals(i + j) - vals(i + j - 1))
+      val minDelta = deltas.min
+      val adj = deltas.map(_ - minDelta) // each >= 0
+      zigzag(minDelta)
+      val started = (blockCount + perMini - 1) / perMini
+      val widths = Array.tabulate(miniN) { m =>
+        if (m >= started) 0
+        else {
+          val mx = adj.slice(m * perMini,
+            math.min((m + 1) * perMini, blockCount)).max
+          64 - java.lang.Long.numberOfLeadingZeros(mx)
+        }
+      }
+      widths.foreach(out.write)
+      var m = 0
+      while (m < started) {
+        val w = widths(m)
+        if (w > 0) {
+          val bytes = new Array[Byte](perMini * w / 8)
+          var k = 0
+          while (k < perMini) {
+            val idx = m * perMini + k
+            val v = if (idx < blockCount) adj(idx) else 0L
+            var j = 0
+            val bit = k * w
+            while (j < w) {
+              if (((v >>> j) & 1L) != 0L)
+                bytes((bit + j) >> 3) =
+                  (bytes((bit + j) >> 3) | (1 << ((bit + j) & 7))).toByte
+              j += 1
+            }
+            k += 1
+          }
+          out.write(bytes)
+        }
+        m += 1
+      }
+      i += blockCount
+    }
+    out.toByteArray
+  }
+
+  /** q269: DELTA_LENGTH_BYTE_ARRAY — lengths as one DBP stream, then
+    * the concatenated bytes.
+    */
+  private[graft] def deltaLengthByteArray(vals: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(deltaBinaryPacked(vals.map(_.length.toLong)))
+    vals.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** q269: DELTA_BYTE_ARRAY — front coding: shared-prefix lengths vs
+    * the previous value as a DBP stream, suffixes as DELTA_LENGTH.
+    */
+  private[graft] def deltaByteArray(vals: Seq[String]): Array[Byte] = {
+    val enc = vals.map(_.getBytes("UTF-8"))
+    var prev = Array.emptyByteArray
+    val (prefixes, suffixes) = enc.map { b =>
+      var p = 0
+      val lim = math.min(prev.length, b.length)
+      while (p < lim && prev(p) == b(p)) p += 1
+      val r = (p.toLong, java.util.Arrays.copyOfRange(b, p, b.length))
+      prev = b
+      r
+    }.unzip
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(deltaBinaryPacked(prefixes))
+    out.write(deltaLengthByteArray(suffixes))
+    out.toByteArray
+  }
+
   /** v1 page header: DATA_PAGE (ptype 0, DataPageHeader at field 5) or
     * DICTIONARY_PAGE (ptype 2, DictionaryPageHeader at field 7).
     */
@@ -212,6 +317,30 @@ object HouseWriter {
       w.field(1, 2, 5); w.zigzag(enc.toLong)
       w.stop()
     }
+    w.stop()
+    w.toByteArray
+  }
+
+  /** q269: the second-generation page header — DataPageHeaderV2 at
+    * field 8, levels UNCOMPRESSED and unprefixed at the body head,
+    * is_compressed governing only the values section (a thrift bool
+    * rides the field-header nibble: type 1 true, 2 false).
+    */
+  private def pageHeaderV2(ups: Int, cps: Int, nVals: Int, enc: Int,
+      defLen: Int, compressed: Boolean): Array[Byte] = {
+    val w = new CompactWriter
+    w.field(0, 1, 5); w.zigzag(3L)             // type: DATA_PAGE_V2
+    w.field(1, 2, 5); w.zigzag(ups.toLong)
+    w.field(2, 3, 5); w.zigzag(cps.toLong)
+    w.field(3, 8, 12)                          // DataPageHeaderV2
+    w.field(0, 1, 5); w.zigzag(nVals.toLong)   //   num_values
+    w.field(1, 2, 5); w.zigzag(0L)             //   num_nulls
+    w.field(2, 3, 5); w.zigzag(nVals.toLong)   //   num_rows
+    w.field(3, 4, 5); w.zigzag(enc.toLong)     //   encoding
+    w.field(4, 5, 5); w.zigzag(defLen.toLong)  //   def_levels_byte_length
+    w.field(5, 6, 5); w.zigzag(0L)             //   rep_levels_byte_length
+    w.field(6, 7, if (compressed) 1 else 2)    //   is_compressed
+    w.stop()
     w.stop()
     w.toByteArray
   }
@@ -287,6 +416,8 @@ object HouseWriter {
         val gn = e - s
         val metas = cols.map { c0 =>
           val c = c0.slice(s, e)
+          require(!(spec.dictionary && spec.v2),
+            "q269: v2 pages write delta encodings — dictionary is the v1 tier")
           val dictIdx: Option[(HCol, Array[Int])] =
             if (spec.dictionary) Some(dictAndIndices(c)) else None
           var dictOff = -1L
@@ -305,24 +436,49 @@ object HouseWriter {
             val pe = math.min(ps + rpp, gn)
             val pn = pe - ps
             val pc = c.slice(ps, pe)
-            val body = dictIdx match {
-              case Some((dict, idx)) =>
-                defLevelSection(pn) ++
-                  packedIndices(idx.slice(ps, pe), dict.size)
-              case None => defLevelSection(pn) ++ plainValues(pc)
-            }
-            val comp = deflate(body)
-            val enc = if (dictIdx.isDefined) 2 else 0
-            val hdr = pageHeader(0, body.length, comp.length, pn, enc)
             val off = out.size().toLong
-            out.write(hdr); out.write(comp)
-            totalComp += hdr.length + comp.length
-            totalUncomp += hdr.length + body.length
-            PageMeta(off, hdr.length + comp.length, ps.toLong,
+            val (hdr, wire, bodyLen) =
+              if (spec.v2) {
+                // q269: levels unprefixed + UNCOMPRESSED at the body
+                // head; only the values section honors is_compressed
+                val defs = rleOnesRun(pn)
+                val values = pc match {
+                  case LongCol(_, vs) => deltaBinaryPacked(vs)
+                  case StrCol(_, vs)  => deltaByteArray(vs)
+                }
+                val enc = pc match { case _: LongCol => 5; case _: StrCol => 7 }
+                val valComp = deflate(values)
+                val ups = defs.length + values.length
+                val cps = defs.length + valComp.length
+                (pageHeaderV2(ups, cps, pn, enc, defs.length, spec.snappy),
+                  defs ++ valComp, ups)
+              } else {
+                val body = dictIdx match {
+                  case Some((dict, idx)) =>
+                    defLevelSection(pn) ++
+                      packedIndices(idx.slice(ps, pe), dict.size)
+                  case None => defLevelSection(pn) ++ plainValues(pc)
+                }
+                val comp = deflate(body)
+                val enc = if (dictIdx.isDefined) 2 else 0
+                (pageHeader(0, body.length, comp.length, pn, enc),
+                  comp, body.length)
+              }
+            out.write(hdr); out.write(wire)
+            totalComp += hdr.length + wire.length
+            totalUncomp += hdr.length + bodyLen
+            PageMeta(off, hdr.length + wire.length, ps.toLong,
               statBytes(pc, max = false), statBytes(pc, max = true))
           }
+          val chunkEncs =
+            if (spec.v2) c match {
+              case _: LongCol => Seq(5L, 3L)
+              case _: StrCol  => Seq(7L, 3L)
+            }
+            else if (dictIdx.isDefined) Seq(2L, 3L)
+            else Seq(0L, 3L)
           new ChunkMeta(c, dictOff, pages.head.off, totalComp, totalUncomp,
-            if (dictIdx.isDefined) Seq(2L, 3L) else Seq(0L, 3L), gn, pages)
+            chunkEncs, gn, pages)
         }
         (metas, gn)
       }
@@ -477,6 +633,13 @@ object HouseWriter {
       w.field(2, 3, 6); w.zigzag(gn.toLong) // row-group num_rows
       w.stop() // RowGroup
     }
+    // created_by (field 6): an HONEST writer identity in the canonical
+    // "<app> version <v> (build <b>)" shape — parquet-mr's PARQUET-246
+    // guard parses it and, seeing a non-parquet-mr application, accepts
+    // DELTA_BYTE_ARRAY pages; an absent or unparseable created_by is
+    // conservatively treated as the corrupt 1.7 writer and REFUSED by
+    // the row-based reader (q269, measured).
+    w.field(4, 6, 8); w.str("graft-house version 1.0 (build r15)")
     w.stop() // FileMetaData
     val footer = w.toByteArray
     out.write(footer)
@@ -555,6 +718,125 @@ object HouseWriter {
       .withColumn("n_groups", lit(nGroups))
       .withColumn("codec", lit(codec))
       .withColumn("enc_class", lit(encClass))
+  }
+
+  /** q269's probe: the SECOND writer generation closed in the WRITE
+    * direction — documents (doc_id, source) written as v2 pages
+    * (DataPageHeaderV2, DELTA_BINARY_PACKED integers, DELTA_BYTE_ARRAY
+    * front-coded strings, values-only snappy) across TWO row groups,
+    * read back through SPARK'S OWN reader and aggregated to the SQL
+    * truth; the writer's choices ride as self-validating literals
+    * (n_groups from the footer walk, codec, and the house decoder's
+    * ACTUAL decode classes for both columns — a writer that silently
+    * fell back to plain or v1 lands red). Snappy is deliberate: the
+    * bundled Spark's vectorized reader corrupts UNCOMPRESSED v2
+    * DELTA_BYTE_ARRAY (the q255 ecosystem find), compressed v2 is the
+    * interop-safe layout — the spec exercises the uncompressed shape
+    * against the house decoder + row-based reader instead.
+    */
+  def roundtripV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q269_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + ".parquet"
+    val rpg = (rows.length + 1) / 2 // exactly 2 groups for n >= 2
+    write(path, Seq(LongCol("doc_id", rows.map(_._1).toSeq),
+      StrCol("source", rows.map(_._2).toSeq)),
+      HouseSpec(snappy = true, v2 = true, rowsPerGroup = rpg.toLong))
+    val nGroups = Footer.parseFooter(path)._2.head.size.toLong
+    val codec = Footer.readFooter("house", path).head.codec
+    val encInts = Footer.decodeColumnChunk(path, "doc_id").encClass
+    val encStrs = Footer.decodeColumnChunk(path, "source").encClass
+    val back = spark.read.parquet(path)
+    val sep = lit("\u0001")
+    val rowHash = conv(substring(md5(concat(
+      sep, col("doc_id").cast("string"), sep, col("source"))),
+      1, 15), 16, 10).cast("long")
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("doc_id")).as("sum_ids"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(length(col("source"))).as("sum_src_len"),
+      bit_xor(rowHash).as("content_xor"))
+      .withColumn("n_groups", lit(nGroups))
+      .withColumn("codec", lit(codec))
+      .withColumn("enc_ints", lit(encInts))
+      .withColumn("enc_strs", lit(encStrs))
+  }
+
+  /** q270: THE FULL HOUSE LOOP — the engine reads what it WROTE through
+    * the STOCK API. A clustered unit layout whose every byte is
+    * house-emitted (per-unit q264-tier snappy files with doc_id SBBF
+    * blooms, unit boundaries at exact rank multiples of the adaptive
+    * size, the q268 manifest beside them) is loaded via
+    * `spark.read.format(HouseSource)`: Catalyst pushes the filters,
+    * the source plans unit pruning from the HOUSE footers and HOUSE
+    * blooms, the executors decode with the HOUSE decoder — and every
+    * leg is proven lossless against Spark's own parquet read of the
+    * same files (which itself works on house files — the q264 interop
+    * pin). q260's three predicate classes, q266's oracle arithmetic
+    * verbatim: writer → footer/bloom metadata → DSv2 planning →
+    * decode, no parquet-mr anywhere on the engine path.
+    */
+  def fullHouseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .as[(Long, String, String, Long)].collect()
+    val unitRows = Footer.adaptiveUnitRows(rows.length.toLong).toInt
+    val layoutDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_q270_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (layoutDir.exists()) layoutDir.listFiles().foreach(_.delete())
+    layoutDir.mkdirs()
+    rows.grouped(unitRows).zipWithIndex.foreach { case (slice, i) =>
+      write(new java.io.File(layoutDir, f"part-$i%05d-house.parquet").getPath,
+        Seq(LongCol("doc_id", slice.map(_._1).toSeq),
+          StrCol("source", slice.map(_._2).toSeq),
+          StrCol("lang", slice.map(_._3).toSeq),
+          LongCol("n_chars", slice.map(_._4).toSeq)),
+        HouseSpec(snappy = true, bloomCols = Set("doc_id")))
+    }
+    val files = layoutDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    Footer.writeManifest(layoutDir.getPath, files.map(Footer.unitStatsOf))
+    val house = spark.read
+      .format(classOf[graft.sources.HouseSource].getName)
+      .load(layoutDir.getPath)
+    val cases = Seq(
+      ("nchars_100_199", Seq("doc_id", "n_chars"),
+        col("n_chars").between(100L, 199L)),
+      ("docid_eq_250", Seq("doc_id", "source"), col("doc_id") === 250L),
+      ("conj", Seq("doc_id", "n_chars"),
+        col("n_chars").between(100L, 199L) && col("doc_id") === 250L))
+    val sep = lit("\u0001")
+    val out = cases.map { case (name, cols0, cond) =>
+      val rowHash = conv(substring(md5(concat(
+        cols0.flatMap(c => Seq(sep, col(c).cast("string"))): _*)),
+        1, 15), 16, 10).cast("long")
+      def agg(df: DataFrame) = df
+        .select(cols0.map(col): _*).filter(cond)
+        .agg(count(lit(1)).as("n"),
+          coalesce(bit_xor(rowHash), lit(0L)).as("x"))
+        .as[(Long, Long)].head()
+      val (nM, xM) = agg(house)
+      val (total, statsBound, planned) = graft.sources.HouseSource.lastPlan
+      require(planned <= statsBound && statsBound <= total,
+        s"q270: bloom tightening widened the plan on $name")
+      val (fN, fX) = agg(spark.read.parquet(files: _*))
+      require(nM == fN && xM == fX,
+        s"q270: the all-house read diverged from Spark's read on '$name' " +
+          s"($nM/$fN) — a house-written byte or a house plan is wrong")
+      (name, total, statsBound, nM, xM)
+    }
+    out.toDF("predicate", "units_total", "units_stats_bound",
+      "n_match", "match_xor")
+      .orderBy("predicate")
   }
 
   /** q265: the q257 PAGE-PRUNED SCAN core executed against a

@@ -5466,6 +5466,77 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("q265"))
   }
 
+  test("q269 house v2 writer: delta streams roundtrip through the house reader; uncompressed v2 house files read correctly row-based; negative deltas and empty strings covered") {
+    import graft.operators.{Footer, HouseWriter}
+    import spark.implicits._
+    // 1. DELTA_BINARY_PACKED roundtrip against the house READER across
+    // the shapes that bite: multi-block (>128), negative deltas,
+    // all-equal (width 0), partial last miniblock, single value
+    val shapes = Seq(
+      (0L until 500L).toSeq,                        // +1 deltas, 4 blocks
+      (0L until 300L).map(i => (i * 37L) % 101L),   // sign-mixed deltas
+      Seq.fill(130)(42L),                           // width-0 blocks
+      Seq(7L), (0L until 9L).toSeq)                 // tiny tails
+    shapes.foreach { vs =>
+      val enc = HouseWriter.deltaBinaryPacked(vs)
+      val (dec, _) = Footer.readDeltaBinaryPacked(enc, 0, vs.size)
+      assert(dec.toSeq == vs, s"DBP roundtrip broke on ${vs.take(5)}...")
+    }
+    // 2. DELTA_BYTE_ARRAY roundtrip incl. empty strings and shared
+    // prefixes
+    val strs = Seq("", "a", "ab", "abc", "abd", "", "zz", "abce", "b")
+    val encS = HouseWriter.deltaByteArray(strs)
+    assert(Footer.readDeltaByteArray(encS, 0, strs.size).toSeq == strs)
+    // 3. the ecosystem-bug shape, house-handled: an UNCOMPRESSED v2
+    // file (the layout Spark's vectorized reader corrupts) — the house
+    // decoder and the ROW-BASED reader both read it exactly
+    val rows = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q269_spec.parquet"
+    HouseWriter.write(path, Seq(
+      HouseWriter.LongCol("doc_id", rows.map(_._1).toSeq),
+      HouseWriter.StrCol("source", rows.map(_._2).toSeq)),
+      HouseWriter.HouseSpec(v2 = true)) // uncompressed, one group
+    assert(Footer.decodeColumnChunk(path, "doc_id").longs ==
+      rows.map(_._1).toSeq)
+    assert(Footer.decodeColumnChunk(path, "source").strs ==
+      rows.map(_._2).toSeq)
+    val prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader")
+    try {
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      val back = spark.read.parquet(path).orderBy("doc_id")
+        .as[(Long, String)].collect()
+      assert(back.toSeq == rows.toSeq,
+        "the row-based reader must reproduce the uncompressed v2 house file")
+    } finally
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
+    // 4. scope refusal: v2 + dictionary is out of scope, loudly
+    val e = intercept[Exception] {
+      HouseWriter.write(path + ".bad",
+        Seq(HouseWriter.LongCol("a", Seq(1L, 2L))),
+        HouseWriter.HouseSpec(v2 = true, dictionary = true))
+    }
+    assert(e.getMessage.contains("q269"))
+  }
+
+  test("q270 full house loop: the DSv2 source prunes from house metadata and the house bloom collapses the point lookup") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q270_full_house_roundtrip")(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // stats bound prunes the sort-key range on the all-house layout
+    val (tot, boundRange, nRange) = out("nchars_100_199")
+    assert(boundRange < tot && nRange > 0,
+      s"range predicate must prune house units ($boundRange/$tot)")
+    // the scattered point: stats blind (bound = total); the HOUSE bloom
+    // collapsed the actual plan below it (pinned by the query's own
+    // require; here we pin the stats-blindness premise)
+    val (tot2, boundPoint, nPoint) = out("docid_eq_250")
+    assert(boundPoint == tot2 && nPoint == 1L,
+      s"point lookup must be stats-blind on the scattered key ($boundPoint/$tot2)")
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
