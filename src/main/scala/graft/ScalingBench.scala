@@ -162,7 +162,19 @@ object ScalingBench {
       "q246_audio_cluster_collapse", "q247_compaction_scheduler",
       "q250_scheduled_vacuum", "q251_zorder_pruned_scan",
       "q256_bloom_pruned_scan", "q259_house_scan",
-      "q260_pushdown_house_scan", "q263_distributed_clustered_write")
+      "q260_pushdown_house_scan", "q263_distributed_clustered_write",
+      "q266_house_dsv2_source", "q268_manifest_planned_scan")
+    // q264/q265/q269/q270 (house-writer probes) are NOT in the tier,
+    // for the q239/q249 reason verbatim: single-file driver-side byte
+    // kernels, linear in bytes by construction — their DISTRIBUTED
+    // compositions are q259/q260/q266, which ARE in the tier. q270
+    // additionally collects the dimension-bounded documents table as
+    // the per-unit write input (the q262 probe stance).
+    // q267 (catalyst join reorder) is NOT in the tier, for q248's
+    // chain-table reason verbatim: the blown corpus ships only
+    // documents/embeddings/customer/nation/events, and the rule itself
+    // is O(plan nodes) driver work; its actual legs are plain joins
+    // whose scaling the join rows already record.
     // q256 joins the tier: adaptive units keep the file count constant,
     // the bloom NDV hint tracks the unit size, and a point lookup's
     // resolving power (1 containing unit) is scale-independent — the
