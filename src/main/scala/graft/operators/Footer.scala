@@ -2587,6 +2587,15 @@ object Footer extends QueryGroup {
     // arithmetic + match legs off events.
     "q251_zorder_pruned_scan" -> ((spark, dir) => zorderPrunedScan(spark, dir)),
 
+    // q271 [north star, r15]: HOUSE DREMEL WRITE — the q258 reader's
+    // dual: a nested LIST column emitted with REAL repetition/
+    // definition level streams (rep 0 starts a record, def 3 carries
+    // an element, def 1 marks an empty list), read back through
+    // Spark's own reader as array<string> and proven token-exact per
+    // row; the house list reader re-reads the file in-code.
+    "q271_house_list_write" -> ((spark, dir) =>
+      HouseWriter.roundtripList(spark, dir)),
+
     // q270 [north star, r15]: THE FULL HOUSE LOOP — write with the
     // house writer (snappy units + SBBF blooms + manifest), plan with
     // Catalyst pushdown over house footers/blooms, decode with the
@@ -2839,6 +2848,17 @@ object Footer extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // q271: q258's oracle VERBATIM — n_words and the sentinel-joined
+    // md5 recomputed straight off the raw text; a mis-assembled level
+    // stream anywhere in the written file lands as a red row.
+    "q271_house_list_write" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(('0x' || substring(md5(replace(text, ' ', chr(1))), 1, 15))
+        |    AS BIGINT) AS words_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // q269: the aggregate recomputed from the raw table; the writer's
     // v2 choices as LITERALS — two row groups, snappy, and the house
     // decoder actually taking the delta paths on both columns.

@@ -176,28 +176,38 @@ object HouseWriter {
       (StrCol(nm, order.keys.toSeq), idx)
   }
 
-  /** q264: the v1 dictionary-index section — [1-byte bit width] + the
-    * RLE/bit-packed hybrid as ONE bit-packed run covering all indices
-    * (padded to a multiple of 8 with zeros), LSB-first packing.
+  /** One RLE/bit-packed HYBRID run covering all of `vals` at width
+    * `bw` (padded to a multiple of 8 with zeros), LSB-first — the run
+    * shape shared by v1 dictionary indices (q264) and Dremel level
+    * streams (q271).
     */
-  private def packedIndices(idx: Array[Int], dictSize: Int): Array[Byte] = {
-    val bw = math.max(1,
-      32 - Integer.numberOfLeadingZeros(math.max(1, dictSize - 1)))
-    val groups = (idx.length + 7) / 8
+  private def bitPackedRun(vals: Seq[Int], bw: Int): Array[Byte] = {
+    val groups = (vals.length + 7) / 8
     val out = new java.io.ByteArrayOutputStream()
-    out.write(bw)
     var h = (groups.toLong << 1) | 1L
     while ((h & ~0x7fL) != 0L) { out.write(((h & 0x7f) | 0x80).toInt); h >>>= 7 }
     out.write(h.toInt)
     var acc = 0L; var nbits = 0; var i = 0
     val total = groups * 8
     while (i < total) {
-      val v = if (i < idx.length) idx(i).toLong else 0L
+      val v = if (i < vals.length) vals(i).toLong else 0L
       acc |= v << nbits; nbits += bw
       while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
       i += 1
     }
     if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** q264: the v1 dictionary-index section — [1-byte bit width] + one
+    * hybrid bit-packed run over the indices.
+    */
+  private def packedIndices(idx: Array[Int], dictSize: Int): Array[Byte] = {
+    val bw = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(1, dictSize - 1)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bw)
+    out.write(bitPackedRun(idx.toIndexedSeq, bw))
     out.toByteArray
   }
 
@@ -765,6 +775,167 @@ object HouseWriter {
       .withColumn("codec", lit(codec))
       .withColumn("enc_ints", lit(encInts))
       .withColumn("enc_strs", lit(encStrs))
+  }
+
+  /** q271: the DREMEL WRITE — the q258 reader's dual, closing the
+    * writer's last scope gap against its own reader: a nested
+    * LIST-of-UTF8 column emitted as the standard 3-level shape
+    * (optional group annotated LIST > repeated `list` group > optional
+    * `element`, maxDef 3 / maxRep 1), with REAL repetition/definition
+    * level streams — rep 0 starts a record, def 3 carries an element,
+    * def 1 (maxDef−2) marks an EMPTY list; levels ride 4-byte-length-
+    * prefixed hybrid bit-packed runs, values PLAIN. Bounded kernel
+    * scope (the q262 stance): one INT64 flat column + one list column,
+    * v1 uncompressed, one row group; null lists/elements refuse —
+    * exactly the reader's audited scope, emitted rather than consumed.
+    */
+  def writeListFile(path: String, idCol: LongCol, listName: String,
+      lists: Seq[Seq[String]]): Long = {
+    val n = idCol.values.size
+    require(n > 0 && lists.size == n, s"q271: ragged input ($n ids, ${lists.size} lists)")
+    require(lists.forall(l => l != null && l.forall(_ != null)),
+      "q271: null lists/elements are outside the audited scope; refusing")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    // --- id chunk: the flat writer's v1 PLAIN page verbatim
+    val idBody = defLevelSection(n) ++ plainValues(idCol)
+    val idHdr = pageHeader(0, idBody.length, idBody.length, n, 0)
+    val idOff = out.size().toLong
+    out.write(idHdr); out.write(idBody)
+    val idLen = (idHdr.length + idBody.length).toLong
+    // --- list chunk: level streams + PLAIN elements
+    val defs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    lists.foreach { ws =>
+      if (ws.isEmpty) { defs += 1; reps += 0 }
+      else ws.indices.foreach { i => defs += 3; reps += (if (i == 0) 0 else 1) }
+    }
+    val nLevels = defs.size
+    def levelSection(vals: Seq[Int], bw: Int): Array[Byte] = {
+      val body = bitPackedRun(vals, bw)
+      leInt4(body.length) ++ body
+    }
+    val listBody = levelSection(reps.toSeq, 1) ++
+      levelSection(defs.toSeq, 2) ++
+      plainValues(StrCol(listName, lists.flatten))
+    val listHdr = pageHeader(0, listBody.length, listBody.length, nLevels, 0)
+    val listOff = out.size().toLong
+    out.write(listHdr); out.write(listBody)
+    val listLen = (listHdr.length + listBody.length).toLong
+    // --- footer
+    val w = new CompactWriter
+    w.field(0, 1, 5); w.zigzag(1L) // version
+    w.field(1, 2, 9)               // schema: 5 elements
+    w.listHeader(12, 5)
+    w.field(0, 4, 8); w.str("house_schema")          // root
+    w.field(4, 5, 5); w.zigzag(2L)
+    w.stop()
+    w.field(0, 1, 5); w.zigzag(2L)                   // doc id leaf: INT64
+    w.field(1, 3, 5); w.zigzag(1L)                   //   OPTIONAL
+    w.field(3, 4, 8); w.str(idCol.name)
+    w.stop()
+    w.field(0, 3, 5); w.zigzag(1L)                   // list group: OPTIONAL
+    w.field(3, 4, 8); w.str(listName)
+    w.field(4, 5, 5); w.zigzag(1L)                   //   1 child
+    w.field(5, 6, 5); w.zigzag(3L)                   //   ConvertedType LIST
+    w.field(6, 10, 12)                               //   LogicalType union
+    w.field(0, 3, 12); w.stop()                      //     LIST member
+    w.stop()
+    w.stop()
+    w.field(0, 3, 5); w.zigzag(2L)                   // 'list': REPEATED
+    w.field(3, 4, 8); w.str("list")
+    w.field(4, 5, 5); w.zigzag(1L)
+    w.stop()
+    w.field(0, 1, 5); w.zigzag(6L)                   // 'element': BYTE_ARRAY
+    w.field(1, 3, 5); w.zigzag(1L)                   //   OPTIONAL
+    w.field(3, 4, 8); w.str("element")
+    w.field(4, 6, 5); w.zigzag(0L)                   //   ConvertedType UTF8
+    w.field(6, 10, 12)                               //   LogicalType union
+    w.field(0, 1, 12); w.stop()                      //     STRING member
+    w.stop()
+    w.stop()
+    w.field(2, 3, 6); w.zigzag(n.toLong) // num_rows
+    w.field(3, 4, 9)                     // row_groups
+    w.listHeader(12, 1)
+    w.field(0, 1, 9) // columns
+    w.listHeader(12, 2)
+    // doc id chunk
+    w.field(0, 2, 6); w.zigzag(idOff)
+    w.field(2, 3, 12)
+    w.field(0, 1, 5); w.zigzag(2L)
+    w.field(1, 2, 9); w.listHeader(5, 2); w.zigzag(0L); w.zigzag(3L)
+    w.field(2, 3, 9); w.listHeader(8, 1); w.str(idCol.name)
+    w.field(3, 4, 5); w.zigzag(0L)          // UNCOMPRESSED
+    w.field(4, 5, 6); w.zigzag(n.toLong)    // num_values
+    w.field(5, 6, 6); w.zigzag(idLen)
+    w.field(6, 7, 6); w.zigzag(idLen)
+    w.field(7, 9, 6); w.zigzag(idOff)
+    w.field(9, 12, 12)                      // statistics
+    var sl = 0
+    w.field(sl, 3, 6); sl = 3; w.zigzag(0L)
+    w.field(sl, 5, 8); sl = 5; w.bytes(statBytes(idCol, max = true))
+    w.field(sl, 6, 8); sl = 6; w.bytes(statBytes(idCol, max = false))
+    w.stop()
+    w.stop() // ColumnMetaData
+    w.stop() // ColumnChunk
+    // list chunk — num_values is the LEVEL count; no statistics
+    w.field(0, 2, 6); w.zigzag(listOff)
+    w.field(2, 3, 12)
+    w.field(0, 1, 5); w.zigzag(6L)
+    w.field(1, 2, 9); w.listHeader(5, 2); w.zigzag(0L); w.zigzag(3L)
+    w.field(2, 3, 9); w.listHeader(8, 3)
+    w.str(listName); w.str("list"); w.str("element")
+    w.field(3, 4, 5); w.zigzag(0L)
+    w.field(4, 5, 6); w.zigzag(nLevels.toLong)
+    w.field(5, 6, 6); w.zigzag(listLen)
+    w.field(6, 7, 6); w.zigzag(listLen)
+    w.field(7, 9, 6); w.zigzag(listOff)
+    w.stop() // ColumnMetaData
+    w.stop() // ColumnChunk
+    w.field(1, 2, 6); w.zigzag(idLen + listLen) // total_byte_size
+    w.field(2, 3, 6); w.zigzag(n.toLong)        // row-group num_rows
+    w.stop() // RowGroup (the single list element; lists need no stop)
+    // created_by — the PARQUET-246 writer identity (q269)
+    w.field(4, 6, 8); w.str("graft-house version 1.0 (build r15)")
+    w.stop() // FileMetaData
+    val footer = w.toByteArray
+    out.write(footer)
+    out.write(leInt4(footer.length))
+    out.write("PAR1".getBytes("US-ASCII"))
+    val bytes = out.toByteArray
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    bytes.length.toLong
+  }
+
+  /** q271's probe: documents' (doc_id, split(text) words) written BY
+    * the house Dremel writer, read back through SPARK'S OWN reader as
+    * a real `array<string>` column, and proven TOKEN-EXACT per row —
+    * the output shape and oracle are q258's verbatim (n_words + the
+    * sentinel-joined md5 that must equal md5(replace(text,' ',chr(1)))
+    * straight off the raw text); the house list READER additionally
+    * re-reads the file in-code (writer ≡ reader across the house's own
+    * two halves).
+    */
+  def roundtripList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val lists = rows.map(_._2.split(" ").toSeq).toSeq
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q271_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + ".parquet"
+    writeListFile(path, LongCol("doc_id", rows.map(_._1).toSeq),
+      "words", lists)
+    val back = Footer.decodeListStrChunk(path, "words")
+    require(back == lists,
+      "q271: the house list reader disagrees with the house list writer")
+    spark.read.parquet(path)
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        conv(substring(md5(array_join(col("words"), "\u0001")), 1, 15),
+          16, 10).cast("long").as("words_md5"))
+      .orderBy("doc_id")
   }
 
   /** q270: THE FULL HOUSE LOOP — the engine reads what it WROTE through

@@ -5537,6 +5537,39 @@ class OperatorSpec extends SparkSpec {
       s"point lookup must be stats-blind on the scattered key ($boundPoint/$tot2)")
   }
 
+  test("q271 house list write: empty lists and record boundaries land exactly; Spark and the house reader agree; null elements refuse") {
+    import graft.operators.{Footer, HouseWriter}
+    import spark.implicits._
+    // 1. a synthetic fixture exercising the level-stream edges: empty
+    // lists (def = maxDef-2), single-element records, multi-element
+    // runs, and an empty string ELEMENT (present, zero bytes)
+    val lists = Seq(
+      Seq("a", "b", "c"), Seq.empty[String], Seq("x"),
+      Seq("", "y"), Seq.empty[String], Seq("tail", "end"))
+    val ids = lists.indices.map(_.toLong)
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q271_spec.parquet"
+    HouseWriter.writeListFile(path,
+      HouseWriter.LongCol("doc_id", ids), "words", lists)
+    // the house reader reassembles the records exactly
+    assert(Footer.decodeListStrChunk(path, "words") == lists)
+    // Spark's reader agrees, empty lists included
+    val back = spark.read.parquet(path).orderBy("doc_id")
+      .select(col("words")).as[Seq[String]].collect().toSeq
+    assert(back == lists,
+      "Spark must reassemble the house-written level streams exactly")
+    // 2. refusals: null elements and ragged inputs are loud
+    val e1 = intercept[Exception] {
+      HouseWriter.writeListFile(path + ".bad",
+        HouseWriter.LongCol("doc_id", Seq(1L)), "w", Seq(Seq("a", null)))
+    }
+    assert(e1.getMessage.contains("q271"))
+    val e2 = intercept[Exception] {
+      HouseWriter.writeListFile(path + ".bad",
+        HouseWriter.LongCol("doc_id", Seq(1L, 2L)), "w", Seq(Seq("a")))
+    }
+    assert(e2.getMessage.contains("q271"))
+  }
+
   test("q246 audio cluster collapse == q219-pair-derived components row-for-row; edge list linear in signatures") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
