@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.operators.Footer
+
+/** The PRODUCTION install path for the graft planner rules — the
+  * "GraftExtensions-style session-wide injection" both rules' scaladocs
+  * promised: pass `--conf spark.sql.extensions=graft.plans.
+  * GraftExtensions` (or `.withExtensions(new GraftExtensions)`) and
+  * EVERY query in the session plans joins from the footer-stats
+  * catalog — [[JoinReorderRule]] for ORDER, then [[StatsBroadcastRule]]
+  * for STRATEGY (reorder first, so the broadcast decision sees the
+  * rebuilt chain; the q267 composition spec pins exactly this pairing)
+  * — with no per-query registration.
+  *
+  * The catalog comes from the session conf `spark.graft.catalogDir`
+  * (a directory of parquet tables whose footers carry the stats),
+  * resolved AT OPTIMIZATION TIME per rule application and memoized per
+  * directory (one footer walk per table per JVM — the q268 stance:
+  * plan from a catalog, not from file tails on every query). Soundness
+  * composes by abstention end to end: no conf → empty catalog → the
+  * rules find no estimates → every plan is left untouched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session =>
+      GraftExtensions.ConfCatalogRule(session, JoinReorderRule.apply))
+    ext.injectOptimizerRule(session =>
+      GraftExtensions.ConfCatalogRule(session, StatsBroadcastRule.apply))
+  }
+}
+
+object GraftExtensions {
+
+  /** One memoized footer-walk per catalog directory per JVM. */
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** The catalog for `dir`: every known table's max column row count
+    * from its parquet footers (the q239 walk), memoized.
+    */
+  private[graft] def catalogFor(dir: String): Map[String, Long] =
+    catalogCache.computeIfAbsent(dir, d =>
+      graft.Tables.all
+        .map(n => n -> Footer.tableStats(d, n).values.map(_.n_values).max)
+        .toMap)
+
+  /** Bridges session conf → catalog → rule at APPLY time (the conf may
+    * be set after sessionState construction; a builder-time snapshot
+    * would silently pin an empty catalog). Unset conf → empty catalog
+    * → the wrapped rule abstains everywhere.
+    */
+  private[graft] case class ConfCatalogRule(session: SparkSession,
+      mk: Map[String, Long] => Rule[LogicalPlan]) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val dir =
+        try Option(session.conf.get("spark.graft.catalogDir"))
+        catch { case _: Exception => None }
+      dir match {
+        case Some(d) if d.nonEmpty => mk(catalogFor(d)).apply(plan)
+        case _                     => plan
+      }
+    }
+  }
+}

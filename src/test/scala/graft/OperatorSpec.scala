@@ -4985,6 +4985,59 @@ class OperatorSpec extends SparkSpec {
       "match legs over the appended manifest must be exact")
   }
 
+  test("GraftExtensions: a real withExtensions session plans advised order AND stats broadcasts session-wide; no conf means no-op") {
+    import graft.operators.Txn
+    import org.apache.spark.sql.SparkSession
+    // the spark.sql.extensions contract: zero-arg reflective construction
+    val byName = Class.forName("graft.plans.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a REAL second session on the shared context, extensions applied
+      // at build time — the production install path end to end
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.graft.catalogDir", Sf)
+        .withExtensions(byName)
+        .getOrCreate()
+      assert(s2 ne prev, "the test needs a fresh session to own extensions")
+      def chain = Tables(s2, Sf, "orders")
+        .join(Tables(s2, Sf, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s2, Sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(s2, Sf, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy().count()
+      val q = chain
+      q.head()
+      // ORDER: the stock largest-first chain planned smallest-first
+      assert(Txn.scanOrderOf(q) == "region,nation,customer,orders",
+        "session-wide extensions must reorder un-hinted chains")
+      // STRATEGY: the rebuilt small joins broadcast from catalog stats
+      // (threshold -1, so every broadcast is the rule's doing)
+      assert(q.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "session-wide extensions must broadcast stats-justified sides")
+      // NO-CONF NO-OP: unset the catalog dir → both rules abstain and
+      // the user order plans verbatim
+      s2.conf.unset("spark.graft.catalogDir")
+      val q2 = chain
+      q2.head()
+      assert(Txn.scanOrderOf(q2) == "orders,customer,nation,region",
+        "without a catalog conf the extensions must be a complete no-op")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("q267 join reorder: abstains on un-cataloged frames and 2-table joins; idempotent; composes with the broadcast rule") {
     import graft.operators.{Footer, Txn}
     import graft.plans.{JoinReorderRule, StatsBroadcastRule}
