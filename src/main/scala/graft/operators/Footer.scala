@@ -1194,9 +1194,13 @@ object Footer extends QueryGroup {
     */
   private[graft] def appendManifest(layoutDir: String,
       units: Seq[UnitStats]): Unit =
+    // CREATE alongside APPEND (r15 ADVICE): an IVM append into a layout
+    // whose manifest was never written (or was deleted as stale) must
+    // create it, not throw NoSuchFileException.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(layoutDir, ManifestName),
       (units.map(manifestLine).mkString("\n") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
 
   /** Read the layout's manifest WITHOUT opening any footer — None when

@@ -689,6 +689,25 @@ object HouseWriter {
       bit_xor(rowHash).as("content_xor"))
   }
 
+  /** q264's group size: the slicing `0 until n by rpg` yields
+    * ceil(n/rpg) uniform-size groups, and ceil(n/ceil(n/3)) == 3 holds
+    * for every n >= 3 EXCEPT n = 4 (2*ceil(4/3) = 4 is not < 4, so four
+    * rows can only split 2+2 or 1+1+1+1 — r15 ADVICE: the old comment
+    * claimed "exactly 3 for n >= 3" and the q264 oracle literal
+    * n_groups = 3 would land red on a 4-row fixture). Derive, then
+    * PROVE the implied count before writing — a wrong fixture size
+    * refuses loudly instead of hash-mismatching downstream.
+    */
+  private[graft] def tier1Rpg(n: Int): Int = {
+    require(n >= 3, s"q264: the 3-group fixture needs n >= 3 rows, got $n")
+    val rpg = (n + 2) / 3
+    val implied = (n + rpg - 1) / rpg
+    require(implied == 3,
+      s"q264: n = $n slices into $implied uniform groups, not 3 " +
+        "(n = 4 is the one size >= 3 that cannot) — refusing")
+    rpg
+  }
+
   /** q264's probe: documents (doc_id, source) written with the TIER-1
     * spec — dictionary pages, snappy-compressed bodies, THREE row
     * groups — read back through SPARK'S reader (independent code) and
@@ -707,7 +726,7 @@ object HouseWriter {
       .as[(Long, String)].collect()
     val path = System.getProperty("java.io.tmpdir") + "/graft_q264_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + ".parquet"
-    val rpg = (rows.length + 2) / 3 // exactly 3 groups for n >= 3
+    val rpg = tier1Rpg(rows.length)
     write(path, Seq(LongCol("doc_id", rows.map(_._1).toSeq),
       StrCol("source", rows.map(_._2).toSeq)),
       HouseSpec(dictionary = true, snappy = true, rowsPerGroup = rpg.toLong))

@@ -923,10 +923,15 @@ object Txn extends QueryGroup {
     // q267: the advised order DERIVED from COUNT(*) arithmetic alone —
     // the engine reports the executed plan's actual scan order, so a
     // rule that reorders wrongly, fails to fire, or fires on the
-    // hinted control diverges right here. The greedy's choices on the
-    // c—o—l path spelled as CASE arithmetic; chain4's strict count
-    // ladder (r<n<c<o) derived the same way; the hinted control is the
-    // user order by the abstention contract.
+    // hinted control diverges right here. The chain3 CASE mirrors the
+    // engine's FULL greedy including its tie-break (JoinReorderRule.
+    // best: min by (rows, USER-ORDER index), user order l(0),o(1),c(2)
+    // — r15 ADVICE: the old CASE sent nc == nl ties to customer-first
+    // while the engine starts from lineitem): lineitem wins any tie it
+    // is in; orders beats customer on ties; customer leads only when
+    // STRICTLY smallest; from orders the second pick is l iff nl <= nc.
+    // chain4's strict count ladder (r<n<c<o) derived the same way; the
+    // hinted control is the user order by the abstention contract.
     "q267_catalyst_join_reorder" ->
       """WITH n AS (SELECT
         |  (SELECT COUNT(*) FROM customer) AS nc,
@@ -936,10 +941,11 @@ object Txn extends QueryGroup {
         |  (SELECT COUNT(*) FROM region) AS nr)
         |SELECT 'chain3' AS join_set,
         |  (SELECT CASE
-        |     WHEN nc <= no_ AND nc <= nl THEN 'customer,orders,lineitem'
-        |     WHEN nl <= no_ AND nl < nc THEN 'lineitem,orders,customer'
-        |     WHEN nc <= nl THEN 'orders,customer,lineitem'
-        |     ELSE 'orders,lineitem,customer' END FROM n) AS observed_order,
+        |     WHEN nl <= no_ AND nl <= nc THEN 'lineitem,orders,customer'
+        |     WHEN no_ <= nl AND no_ <= nc THEN
+        |       CASE WHEN nl <= nc THEN 'orders,lineitem,customer'
+        |            ELSE 'orders,customer,lineitem' END
+        |     ELSE 'customer,orders,lineitem' END FROM n) AS observed_order,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
         |     JOIN orders ON l_orderkey = o_orderkey
         |     JOIN customer ON o_custkey = c_custkey) AS n_out

@@ -98,15 +98,29 @@ object HouseSource {
 
   /** Does `f`'s predicate possibly match a unit with stats `u`? The
     * sound overlap rule — unknown filter shapes keep the unit.
+    *
+    * String bounds compare as UTF-8 UNSIGNED BYTES, because that is the
+    * order the stats were picked in (HouseWriter.statBytes / parquet's
+    * BYTE_ARRAY stats contract). Java String `<=` compares UTF-16 code
+    * units, which diverges on supplementary characters (U+1F600 is
+    * F0 9F 98 80 in UTF-8 — ABOVE U+FFFF's EF BF BF — but its surrogate
+    * pair D83D DE00 sorts BELOW in UTF-16): under the String order a
+    * unit containing the queried value could be pruned at plan time,
+    * and since pruning drops whole InputPartitions the residual row
+    * filter cannot recover the rows (r15 ADVICE, pinned in PlanSpec).
     */
-  private[sources] def statsKeep(u: Footer.UnitStats, f: Filter): Boolean = {
+  private[graft] def statsKeep(u: Footer.UnitStats, f: Filter): Boolean = {
     def num(a: String): Option[(Long, Long)] =
       if (u.lo.contains(a)) Some((u.lo(a), u.hi(a))) else None
+    def utf8Leq(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0
     f match {
       case EqualTo(a, v: Number) =>
         num(a).forall { case (lo, hi) => lo <= v.longValue && hi >= v.longValue }
       case EqualTo(a, v: String) =>
-        if (u.loS.contains(a)) u.loS(a) <= v && u.hiS(a) >= v else true
+        if (u.loS.contains(a)) utf8Leq(u.loS(a), v) && utf8Leq(v, u.hiS(a))
+        else true
       case GreaterThan(a, v: Number) => num(a).forall(_._2 > v.longValue)
       case GreaterThanOrEqual(a, v: Number) =>
         num(a).forall(_._2 >= v.longValue)

@@ -702,6 +702,14 @@ object StreamOps {
       * holding the old manifest stay correct, the q250 vacuum tier owns
       * reclamation.
       */
+    /** Test seam for the snapshot→swap race: invoked just before the
+      * final manifest swap (production default is a no-op). A spec
+      * appends a unit here and asserts the swap MERGES it (r15 ADVICE:
+      * the unconditional `units = post` silently dropped units appended
+      * between the snapshot and the swap).
+      */
+    private[graft] var preSwapHook: () => Unit = () => ()
+
     private[graft] def maybeOptimize(spark: org.apache.spark.sql.SparkSession,
         runNs: String, batchId: Long, factor: Double): Boolean = {
       val us = units
@@ -715,8 +723,21 @@ object StreamOps {
         Seq(col("n_chars"), col("doc_id")),
         s"ingest_${runNs}_opt$batchId",
         graft.operators.Footer.adaptiveUnitRows(us.map(_.nRows).sum))
-      synchronized { units = post; optimizeCount += 1L }
-      true
+      preSwapHook()
+      // The swap must account for manifest movement since the snapshot:
+      // `append` only ever EXTENDS the sequence, so units appended after
+      // the snapshot survive as a suffix to merge behind the rewrite; a
+      // changed PREFIX means a concurrent rewrite already swapped — ours
+      // is stale, abandon it (old unit files stay readable; the q250
+      // vacuum tier owns reclamation either way).
+      synchronized {
+        val now = units
+        if (now.take(us.size) == us) {
+          units = post ++ now.drop(us.size)
+          optimizeCount += 1L
+          true
+        } else false
+      }
     }
   }
 

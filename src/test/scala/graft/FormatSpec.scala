@@ -275,4 +275,16 @@ class FormatSpec extends SparkSpec {
       .map(f => f.doc_id -> f.n_bytes).toMap
     assert(feats == blobs.map { case (i, b) => i -> b.length.toLong }.toMap)
   }
+
+  test("q264 tier1Rpg: the 3-group split is proven for every feasible n; the infeasible n = 4 refuses (r15 ADVICE)") {
+    import graft.operators.HouseWriter
+    // uniform rpg-slicing can realize exactly 3 groups for every n >= 3
+    // EXCEPT n = 4 (only 2+2 or 1+1+1+1 split uniformly)
+    (3 to 500).filterNot(_ == 4).foreach { n =>
+      val rpg = HouseWriter.tier1Rpg(n)
+      assert((n + rpg - 1) / rpg == 3, s"n=$n rpg=$rpg is not 3 groups")
+    }
+    intercept[IllegalArgumentException](HouseWriter.tier1Rpg(4))
+    intercept[IllegalArgumentException](HouseWriter.tier1Rpg(2))
+  }
 }

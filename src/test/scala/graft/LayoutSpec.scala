@@ -154,4 +154,21 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("appendManifest CREATEs the manifest when absent (r15 ADVICE: IVM append into a fresh layout)") {
+    import graft.operators.{Footer, HouseWriter}
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_append_create")
+    if (dir.exists()) dir.listFiles().foreach(_.delete())
+    dir.mkdirs()
+    // one real unit so readManifest's file-set staleness check can pass
+    val p = new java.io.File(dir, "part-00000-house.parquet").getPath
+    HouseWriter.write(p,
+      Seq(HouseWriter.LongCol("id", Seq(1L, 2L, 3L))))
+    val u = Footer.unitStatsOf(p)
+    // no writeManifest first — APPEND alone threw NoSuchFileException
+    Footer.appendManifest(dir.getPath, Seq(u))
+    assert(Footer.readManifest(dir.getPath).contains(Seq(u)),
+      "the appended-from-scratch manifest must read back as the unit set")
+  }
 }

@@ -1015,4 +1015,76 @@ class PlanSpec extends SparkSpec {
     // 4. an unfiltered full read still returns every row
     assert(house.count() == docs.count())
   }
+
+  test("statsKeep string EqualTo compares UTF-8 unsigned bytes, not UTF-16 code units (r15 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.operators.{Footer, HouseWriter}
+    // U+FFFF's UTF-8 encoding (EF BF BF) sorts BELOW U+1F600's
+    // (F0 9F 98 80) under unsigned bytes — the order the stats were
+    // picked in — but its UTF-16 code unit FFFF sorts ABOVE the
+    // surrogate pair D83D DE00. Under Java String ordering a unit whose
+    // max is the emoji would be PRUNED for the U+FFFF probe it contains,
+    // and a dropped InputPartition is unrecoverable by the residual row
+    // filter: silent wrong results.
+    val u = Footer.UnitStats("p", 2L, Map.empty, Map.empty,
+      Map("s" -> "a"), Map("s" -> "\uD83D\uDE00"))
+    assert(graft.sources.HouseSource.statsKeep(u, EqualTo("s", "\uFFFF")),
+      "the in-range supplementary-plane probe must keep the unit")
+    // pruning still fires in both sound directions
+    assert(!graft.sources.HouseSource.statsKeep(u, EqualTo("s", "A"))) // < lo
+    assert(!graft.sources.HouseSource.statsKeep(u,
+      EqualTo("s", "\uD83D\uDE01"))) // U+1F601 > hi in BOTH orders
+    // end to end: a house-written unit whose UTF-8 max is the emoji must
+    // still surface its U+FFFF row through the DSv2 point lookup
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_statskeep_utf8")
+    if (dir.exists()) dir.listFiles().foreach(_.delete())
+    dir.mkdirs()
+    HouseWriter.write(
+      new java.io.File(dir, "part-00000-house.parquet").getPath,
+      Seq(HouseWriter.LongCol("id", Seq(1L, 2L)),
+        HouseWriter.StrCol("s", Seq("\uFFFF", "\uD83D\uDE00"))))
+    val house = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(dir.getPath)
+    assert(house.filter(col("s") === "\uFFFF").count() == 1L,
+      "plan-time pruning dropped a unit that contains the queried value")
+  }
+
+  test("q267 chain3 oracle CASE mirrors the rule's greedy INCLUDING ties, for every count ordering (r15 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // The oracle's CASE must agree with JoinReorderRule's actual rewrite
+    // on EVERY ordering of the three counts including all ties (the r15
+    // red-row hazard was nc == nl <= no: the CASE said customer-first,
+    // the rule's (rows, user-order index) tie-break starts lineitem).
+    // Drive the REAL rule with synthetic catalogs over the real chain3
+    // plan shape and compare its left-deep leaf order with a Scala
+    // transliteration of the shipped SQL CASE.
+    val joined = Tables(spark, Sf, "lineitem")
+      .join(Tables(spark, Sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, Sf, "customer"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.analyzed
+    def leafNames(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectLeaves().collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.head.getName.stripSuffix(".parquet")
+        }
+      }.mkString(",")
+    for (nl <- 1L to 3L; no <- 1L to 3L; nc <- 1L to 3L) {
+      val rule = graft.plans.JoinReorderRule(
+        Map("lineitem" -> nl, "orders" -> no, "customer" -> nc))
+      val observed = leafNames(rule(plan))
+      // the shipped q267 oracle CASE, transliterated
+      val expected =
+        if (nl <= no && nl <= nc) "lineitem,orders,customer"
+        else if (no <= nl && no <= nc) {
+          if (nl <= nc) "orders,lineitem,customer"
+          else "orders,customer,lineitem"
+        } else "customer,orders,lineitem"
+      assert(observed == expected,
+        s"nl=$nl no=$no nc=$nc: rule ordered [$observed], oracle CASE says [$expected]")
+    }
+  }
 }

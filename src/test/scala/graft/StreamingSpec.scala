@@ -2238,6 +2238,46 @@ class StreamingSpec extends SparkSpec {
     assert(table.units == unitsBefore && table.optimizeCount == optBefore,
       "replay across the rewrite must be a complete no-op")
   }
+
+  test("maybeOptimize merges units appended between snapshot and swap; a concurrent rewrite aborts it (r15 ADVICE)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Footer
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    def unitsOf(tag: String, m: Long, r: Long) = {
+      val df = docs.filter(col("doc_id") % m === r)
+      Footer.writeUnits(df, Seq(col("n_chars"), col("doc_id")), tag,
+        Footer.adaptiveUnitRows(df.count()))
+    }
+    // LOST-APPEND direction: a batch lands after the optimize snapshots
+    // `units` but before it swaps — made deterministic via the test seam
+    val t1 = new StreamOps.ClusteredTable
+    assert(t1.append("race", 0L, unitsOf("race_b0", 2L, 0L)))
+    assert(t1.append("race", 1L, unitsOf("race_b1", 2L, 1L)))
+    val late = unitsOf("race_late", 97L, 0L)
+    t1.preSwapHook = () => { t1.append("race", 2L, late); () }
+    assert(t1.maybeOptimize(spark, "race", 2L, 0.1),
+      "the optimize must land (prefix intact — only an append raced it)")
+    t1.preSwapHook = () => ()
+    assert(late.forall(t1.units.contains),
+      "units appended between snapshot and swap were silently dropped")
+    assert(t1.optimizeCount == 1L)
+    assert(t1.units.takeRight(late.size) == late,
+      "the raced append must survive as the manifest's suffix")
+    // STALE-PREFIX direction: a concurrent REWRITE swapped the manifest
+    // while ours ran — ours must abandon, not clobber the newer layout
+    val t2 = new StreamOps.ClusteredTable
+    assert(t2.append("race2", 0L, unitsOf("race2_b0", 2L, 0L)))
+    assert(t2.append("race2", 1L, unitsOf("race2_b1", 2L, 1L)))
+    val winner = unitsOf("race2_winner", 1L, 0L)
+    t2.preSwapHook = () => { t2.units = winner }
+    assert(!t2.maybeOptimize(spark, "race2", 2L, 0.1),
+      "a stale optimize must report failure, not clobber the newer manifest")
+    t2.preSwapHook = () => ()
+    assert(t2.units == winner && t2.optimizeCount == 0L,
+      "the concurrent rewrite's manifest must survive untouched")
+  }
 }
 
 object StreamingSpec {
