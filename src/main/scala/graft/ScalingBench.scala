@@ -39,7 +39,8 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .appName("graft-scaling-bench").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR") // r15 verdict #7: WARN spam
+    // (WindowExec partition warnings) floods the driver scrape tails
 
     // ---- build the blown-up corpus (untimed, overwritten each run) ----
     val docs = Tables(spark, baseDir, "documents")

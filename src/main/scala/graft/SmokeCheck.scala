@@ -11,7 +11,8 @@ object SmokeCheck {
       .master("local[4]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR") // r15 verdict #7: WARN spam
+    // (WindowExec partition warnings) floods the driver scrape tails
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"SMOKE entry rows=$n schema=${df.schema.simpleString}")

@@ -15,7 +15,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR") // r15 verdict #7: WARN spam
+    // (WindowExec partition warnings) floods the driver scrape tails
     // Start from an EMPTY outDir: a query that fails before writing must
     // not leave a previous run's parquet in place for the compare to
     // silently pass against.

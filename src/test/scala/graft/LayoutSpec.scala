@@ -171,4 +171,44 @@ class LayoutSpec extends SparkSpec {
     assert(Footer.readManifest(dir.getPath).contains(Seq(u)),
       "the appended-from-scratch manifest must read back as the unit set")
   }
+
+  test("bench layout memo: same write identity reuses the layout, disk drift and key changes rebuild, default is OFF (r15 verdict #1a)") {
+    import graft.operators.Footer
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tag = "memo_pin"
+    val dir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    def reads = Footer.footerReads.get()
+    try {
+      System.setProperty(Footer.LayoutMemoProp, "true")
+      val first = Footer.writeUnits(docs,
+        Seq(col("n_chars"), col("doc_id")), tag, 64L)
+      val r1 = reads
+      // HIT: identical write identity — zero footer opens, same stats
+      val second = Footer.writeUnits(docs,
+        Seq(col("n_chars"), col("doc_id")), tag, 64L)
+      assert(second == first && reads == r1,
+        "a memo hit must return the first write's stats with zero footer opens")
+      // MISS on key change: a different unit size is a different layout
+      val resized = Footer.writeUnits(docs,
+        Seq(col("n_chars"), col("doc_id")), tag, 128L)
+      assert(resized != first && reads > r1,
+        "a changed write identity must rebuild, not serve the stale memo")
+      // MISS on disk drift: an IVM-style manifest append invalidates
+      Footer.appendManifest(dir, Seq(first.head.copy(path = "phantom")))
+      val r2 = reads
+      val rebuilt = Footer.writeUnits(docs,
+        Seq(col("n_chars"), col("doc_id")), tag, 128L)
+      // fresh part-file UUIDs per write: compare everything BUT paths
+      def shape(us: Seq[Footer.UnitStats]) =
+        us.map(u => (u.nRows, u.lo, u.hi, u.loS, u.hiS))
+      assert(shape(rebuilt) == shape(resized) && reads > r2,
+        "a drifted on-disk manifest must force a real rewrite")
+    } finally System.clearProperty(Footer.LayoutMemoProp)
+    // OFF by default: without the property every call writes
+    val r3 = reads
+    Footer.writeUnits(docs, Seq(col("n_chars"), col("doc_id")), tag, 128L)
+    assert(reads > r3,
+      "without the bench property writeUnits must always write")
+  }
 }
