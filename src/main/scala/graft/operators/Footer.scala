@@ -1187,6 +1187,140 @@ object Footer extends QueryGroup {
     stats
   }
 
+  /** The house-write stage's physical plan + distinct writer-task
+    * count, recorded by [[writeUnitsHouse]] for PlanSpec's
+    * many-tasks pin (q272).
+    */
+  @volatile private[graft] var lastHouseWrite: (String, Int) = ("", 0)
+
+  /** q272: the DISTRIBUTED HOUSE WRITE — [[HouseWriter]]'s per-task
+    * composition, retiring the r15 structural debt that every house
+    * emission ran on the driver from a collected probe: the same
+    * two-pass exact-rank clustering as [[writeUnits]] (range shuffle +
+    * per-partition sort; per-partition counts prefix-summed into exact
+    * global ranks; a second range shuffle ON THE UNIT ID co-locating
+    * whole units), but the final stage is `mapPartitions` running the
+    * pure-JDK house KERNEL per unit — each task slices its contiguous,
+    * sorted rows at unit boundaries and emits one complete house file
+    * (snappy pages, SBBF blooms, statistics footer) per unit, plus that
+    * unit's footer-walked [[UnitStats]]. Only O(units) bookkeeping
+    * rows return to the driver (id, task, stats — never data); the
+    * driver's sole write is the q268 manifest. No parquet-mr anywhere:
+    * the writer, the stats, and the manifest are all house bytes,
+    * produced by as many tasks as the layout has unit ranges.
+    *
+    * Scope: the house kernel's audited column types (INT64 / UTF8
+    * BYTE_ARRAY, non-null) — anything else refuses loudly BEFORE the
+    * shuffle. Unit-id-keyed file names are globally unique, so task
+    * retries rewrite their own files idempotently.
+    */
+  private[graft] def writeUnitsHouse(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], tag: String,
+      rowsPerUnit: Long,
+      spec: HouseWriter.HouseSpec): (Seq[UnitStats], Int) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val spark = df.sparkSession
+    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val memoKey =
+      if (!java.lang.Boolean.getBoolean(LayoutMemoProp)) null
+      else "house|" + tag + "|" + rowsPerUnit + "|" + sortCols.mkString(",") +
+        "|" + spec.toString
+    if (memoKey != null) {
+      val hit = houseMemo.get(memoKey)
+      if (hit != null && readManifest(layoutDir).contains(hit._1)) return hit
+    }
+    val schema = df.schema
+    schema.fields.foreach(f => require(
+      f.dataType == LongType || f.dataType == StringType,
+      s"q272: column '${f.name}' is ${f.dataType.simpleString} — the house " +
+        "kernel's audited scope is INT64/UTF8; refusing before the shuffle"))
+    val names: Array[(String, Boolean)] =
+      schema.fields.map(f => (f.name, f.dataType == LongType))
+    val dirF = new java.io.File(layoutDir)
+    if (dirF.exists()) dirF.listFiles().foreach(_.delete())
+    dirF.mkdirs()
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val written: Array[(Long, Int, UnitStats)] = try {
+      val counts = rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = if (offsets.isEmpty) 0L else offsets.last
+      require(n > 0L, s"q272: house layout write got no rows for $layoutDir")
+      val numUnits = (n + rowsPerUnit - 1L) / rowsPerUnit
+      val targetPar = math.max(1L, math.min(32L, numUnits)).toInt
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val withUnit = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var rank = bOffsets.value(pid)
+        it.map { row =>
+          val u = rank / rowsPerUnit; rank += 1L
+          Row.fromSeq(row.toSeq :+ u)
+        }
+      }
+      val clustered = spark
+        .createDataFrame(withUnit, schema.add("__unit", LongType, nullable = false))
+        .repartitionByRange(targetPar, col("__unit"))
+        .sortWithinPartitions(sortCols: _*)
+      val out = clustered.rdd.mapPartitions { it =>
+        // rows arrive whole-unit (shuffle #2 ranges on the unit id) and
+        // in rank order (per-partition sort on the total-order key), so
+        // one forward pass cuts exactly at unit boundaries
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, UnitStats)]
+        val bufs: Array[scala.collection.mutable.ArrayBuffer[Any]] =
+          names.map(_ => scala.collection.mutable.ArrayBuffer.empty[Any])
+        var cur = -1L
+        def flush(): Unit = if (cur >= 0L && bufs.head.nonEmpty) {
+          val cols: Seq[HouseWriter.HCol] = names.toIndexedSeq.zipWithIndex.map {
+            case ((nm, isLong), i) =>
+              if (isLong) HouseWriter.LongCol(nm,
+                bufs(i).map(_.asInstanceOf[Long]).toSeq)
+              else HouseWriter.StrCol(nm,
+                bufs(i).map(_.asInstanceOf[String]).toSeq)
+          }
+          val path = new java.io.File(layoutDir,
+            f"part-$cur%05d-house.parquet").getPath
+          HouseWriter.write(path, cols, spec)
+          done += ((cur, org.apache.spark.TaskContext.getPartitionId(),
+            unitStatsOf(path)))
+          bufs.foreach(_.clear())
+        }
+        it.foreach { row =>
+          val u = row.getLong(row.length - 1)
+          if (u != cur) { flush(); cur = u }
+          var i = 0
+          while (i < names.length) {
+            require(!row.isNullAt(i),
+              s"q272: null in '${names(i)._1}' — outside the audited scope")
+            bufs(i) += row.get(i)
+            i += 1
+          }
+        }
+        flush()
+        done.iterator
+      }.collect()
+      lastHouseWrite = (sorted.queryExecution.executedPlan.toString() +
+        clustered.queryExecution.executedPlan.toString(),
+        written0TaskCount(out))
+      out
+    } finally rdd.unpersist(blocking = false)
+    val stats = written.sortBy(_._1).map(_._3).toSeq
+    require(stats.nonEmpty, s"q272: no house units written in $layoutDir")
+    writeManifest(layoutDir, stats)
+    val nTasks = written.map(_._2).distinct.length
+    if (memoKey != null) houseMemo.put(memoKey, (stats, nTasks))
+    (stats, nTasks)
+  }
+
+  private def written0TaskCount(out: Array[(Long, Int, UnitStats)]): Int =
+    out.map(_._2).distinct.length
+
+  private val houseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[UnitStats], Int)]()
+
   // ---- q268: the unit-stats MANIFEST — plan without touching footers --
 
   private val ManifestName = "_graft_manifest.tsv"
@@ -2496,6 +2630,57 @@ object Footer extends QueryGroup {
       .orderBy("unit")
   }
 
+  /** q272: the DISTRIBUTED HOUSE WRITE registered — [[writeUnitsHouse]]
+    * emits the all-house clustered layout (snappy pages + doc_id SBBF
+    * blooms + manifest) from MANY tasks, and the output is q263's
+    * geometry shape derived from the HOUSE files' own footer stats, so
+    * the oracle's ROW_NUMBER chunking grades the distributed kernel's
+    * exact rank alignment byte-for-byte. In-code proof legs (the q270
+    * discipline): the multi-task pin (single-task layouts refuse when
+    * more than one unit exists), and the full-content + point-lookup
+    * reads must agree between the house DSv2 source and Spark's own
+    * parquet reader over the same files — a wrong house byte from ANY
+    * writer task diverges loudly rather than landing in the record.
+    */
+  private[graft] def distributedHouseWriteStats(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val tag = "q272_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (units, nTasks) = writeUnitsHouse(docs,
+      Seq(col("n_chars"), col("doc_id")), tag,
+      adaptiveUnitRows(docs.count()),
+      HouseWriter.HouseSpec(snappy = true, bloomCols = Set("doc_id")))
+    require(units.size <= 1 || nTasks > 1,
+      s"q272: ${units.size} units written by $nTasks task(s) — the " +
+        "distributed house write collapsed to a single writer")
+    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val house = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(layoutDir)
+    val sparkRead = spark.read.parquet(units.map(_.path): _*)
+    val sep = lit("\u0001")
+    def legs(df: DataFrame): (Long, Long, Long) = {
+      val rowHash = conv(substring(md5(concat(
+        Seq("doc_id", "source", "lang", "n_chars")
+          .flatMap(c => Seq(sep, col(c).cast("string"))): _*)),
+        1, 15), 16, 10).cast("long")
+      val (n, x) = df
+        .agg(count(lit(1)), coalesce(bit_xor(rowHash), lit(0L)))
+        .as[(Long, Long)].head()
+      val p = df.filter(col("doc_id") === 250L).count()
+      (n, x, p)
+    }
+    require(legs(house) == legs(sparkRead),
+      "q272: the house read diverged from Spark's read of the " +
+        "task-written layout — a house-written byte is wrong")
+    units.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u.nRows, u.lo("n_chars"), u.hi("n_chars"),
+        u.lo("doc_id"), u.hi("doc_id"))
+    }.toDF("unit", "n_rows", "mn_nc", "mx_nc", "mn_id", "mx_id")
+      .orderBy("unit")
+  }
+
   /** Merged footer stats for one table that may be a single file (the
     * testdata layout) or a directory of part files (any Spark-written
     * table): one ranged tail-read per file, stats folded per column
@@ -2585,6 +2770,16 @@ object Footer extends QueryGroup {
     ("supplier", "s_nationkey", "INT32"))
 
   def queries: Map[String, Q] = Map(
+    // q272 [north star, r16]: DISTRIBUTED HOUSE WRITE — the house
+    // kernel leaves the driver: writeUnitsHouse runs the pure-JDK
+    // writer PER TASK inside the exact-rank clustered write (one
+    // snappy+bloom house file per unit, many tasks), the manifest is
+    // the only driver write, and the output is q263's geometry derived
+    // from the HOUSE files' own stats; house-read ≡ Spark-read proof
+    // legs and the multi-task pin ride in-code.
+    "q272_distributed_house_write" -> ((spark, dir) =>
+      distributedHouseWriteStats(spark, dir)),
+
     // q239 [north star, r13]: REAL parquet footer statistics, read by
     // the engine's own byte-level thrift-compact walker and checked
     // against the DATA — the metadata a planner prunes by, proven to
@@ -2878,6 +3073,24 @@ object Footer extends QueryGroup {
          |ORDER BY predicate""".stripMargin
   }
 
+  /** The exact-rank clustered-write geometry, re-derived from scratch:
+    * adaptive unit size, ROW_NUMBER chunking on the (n_chars, doc_id)
+    * total order, per-unit count and extrema. Shared by q263 (parquet
+    * task files) and q272 (house task files) — same geometry contract,
+    * different emitted bytes.
+    */
+  private def clusteredGeometryOracle: String =
+    s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
+          "SELECT COUNT(*) FROM documents")} AS ur),
+       |r AS (SELECT doc_id, n_chars,
+       |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+       |          // (SELECT ur FROM u) AS grp
+       |      FROM documents)
+       |SELECT grp AS unit, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
+       |  MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // q271: q258's oracle VERBATIM — n_words and the sentinel-joined
     // md5 recomputed straight off the raw text; a mis-assembled level
@@ -2969,17 +3182,12 @@ object Footer extends QueryGroup {
     // unit size, ROW_NUMBER chunking on the (n_chars, doc_id) total
     // order, per-unit count and extrema. Any misaligned file split or
     // wrong emitted statistic is a red row.
-    "q263_distributed_clustered_write" ->
-      s"""WITH u AS (SELECT ${adaptiveUnitRowsSql(
-            "SELECT COUNT(*) FROM documents")} AS ur),
-         |r AS (SELECT doc_id, n_chars,
-         |        (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
-         |          // (SELECT ur FROM u) AS grp
-         |      FROM documents)
-         |SELECT grp AS unit, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  MIN(n_chars) AS mn_nc, MAX(n_chars) AS mx_nc,
-         |  MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q263_distributed_clustered_write" -> clusteredGeometryOracle,
+
+    // q272: q263's oracle VERBATIM — the write path changed from
+    // parquet-mr tasks to house-kernel tasks; the rank-chunked geometry
+    // (now read off HOUSE footer stats) must not be able to tell.
+    "q272_distributed_house_write" -> clusteredGeometryOracle,
 
     // q251: both layouts re-derived by ROW_NUMBER over the exact sort
     // keys (z = q127's interleave), 64-row chunking, the overlap rule,

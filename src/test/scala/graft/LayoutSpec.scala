@@ -155,6 +155,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q272 distributed HOUSE write: >1 writer task, range exchanges, all-house bytes (blooms + created_by), manifest beside them") {
+    import graft.operators.Footer
+    val out = SparkEntry
+      .queries("q272_distributed_house_write")(spark, Sf).collect()
+    assert(out.length > 1, "fixture must produce multiple units")
+    // 1. MANY WRITER TASKS — the r15 structural debt this query retires
+    // is the driver-side collect kernel; the recorded distinct
+    // TaskContext partition ids are the executed fact
+    val (plan, nTasks) = Footer.lastHouseWrite
+    assert(nTasks > 1, s"house kernel still ran in $nTasks task(s)")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "the house write must range-partition, not single-task")
+    // 2. the emitted files are HOUSE bytes: graft's writer identity in
+    // created_by and an embedded SBBF bloom on doc_id in every unit
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir") +
+      "/graft_prune_q272_" + Sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val parts = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      .map(_.getPath).sorted
+    assert(parts.length == out.length)
+    parts.foreach { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      assert(new String(bytes, "ISO-8859-1").contains("graft-house"),
+        s"$p was not written by the house kernel")
+      val (leaves, chunks) = Footer.parseFooter(p)
+      val li = leaves.indexWhere(_.name == "doc_id")
+      assert(chunks(li).forall(_.bloomOffset >= 0),
+        s"$p is missing its doc_id SBBF bloom")
+    }
+    // 3. the q268 manifest sits beside the files and names exactly them
+    val manifest = Footer.readManifest(dir.getPath)
+    assert(manifest.exists(_.map(_.path).sorted == parts.toSeq),
+      "the house layout's manifest must name exactly the task-written files")
+    // 4. exact rank alignment (q263's contract on house bytes)
+    val n = out.map(_.getLong(1)).sum
+    val ur = Footer.adaptiveUnitRows(n)
+    out.dropRight(1).foreach(r =>
+      assert(r.getLong(1) == ur,
+        s"unit ${r.getLong(0)} has ${r.getLong(1)} rows, want $ur"))
+    assert(out.last.getLong(1) <= ur && out.last.getLong(1) > 0L)
+  }
+
   test("appendManifest CREATEs the manifest when absent (r15 ADVICE: IVM append into a fresh layout)") {
     import graft.operators.{Footer, HouseWriter}
     val dir = new java.io.File(
