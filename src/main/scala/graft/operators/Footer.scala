@@ -367,7 +367,19 @@ object Footer extends QueryGroup {
         }
         val (minS, maxS) = leaf.physical match {
           case 6 =>
-            (parts.map(p => render(p.minV)).min, parts.map(p => render(p.maxV)).max)
+            // cross-row-group extrema picked in UTF-8 UNSIGNED BYTE
+            // order — the order each group's stats were written in
+            // (the r15 statsKeep advice, applied at aggregation too:
+            // Java String .min/.max compares UTF-16 code units and can
+            // pick the wrong envelope across groups on supplementary
+            // characters)
+            def pick(bs: Seq[Array[Byte]], max: Boolean): Array[Byte] =
+              bs.reduce { (a, b) =>
+                val c = java.util.Arrays.compareUnsigned(a, b)
+                if ((max && c >= 0) || (!max && c <= 0)) a else b
+              }
+            (render(pick(parts.map(_.minV), max = false)),
+              render(pick(parts.map(_.maxV), max = true)))
           case 1 =>
             (parts.map(p => leInt(p.minV)).min.toString,
               parts.map(p => leInt(p.maxV)).max.toString)
@@ -2780,6 +2792,16 @@ object Footer extends QueryGroup {
     "q272_distributed_house_write" -> ((spark, dir) =>
       distributedHouseWriteStats(spark, dir)),
 
+    // q273 [north star, r16]: LIST THROUGH THE STOCK API — the DSv2
+    // scope gap closed: HouseSource's schema inference maps the
+    // audited 3-level list-of-UTF8 shape to array<string> and its
+    // reader rides the q258 Dremel assembler, so the q271 house-written
+    // list file LOADS via spark.read.format(HouseSource); doc_id
+    // pushdown proven count-equal against Spark's own read, output is
+    // q271's token-exact shape off the DSv2 read, oracle verbatim.
+    "q273_house_list_scan" -> ((spark, dir) =>
+      HouseWriter.listScanDsv2(spark, dir)),
+
     // q239 [north star, r13]: REAL parquet footer statistics, read by
     // the engine's own byte-level thrift-compact walker and checked
     // against the DATA — the metadata a planner prunes by, proven to
@@ -3096,6 +3118,18 @@ object Footer extends QueryGroup {
     // md5 recomputed straight off the raw text; a mis-assembled level
     // stream anywhere in the written file lands as a red row.
     "q271_house_list_write" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(('0x' || substring(md5(replace(text, ' ', chr(1))), 1, 15))
+        |    AS BIGINT) AS words_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // q273: q271's oracle VERBATIM — the read path changed (house
+    // decoder behind the stock DSv2 API instead of Spark's reader);
+    // token-exact n_words + sentinel-joined md5 cannot tell, which is
+    // the point.
+    "q273_house_list_scan" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(('0x' || substring(md5(replace(text, ' ', chr(1))), 1, 15))

@@ -957,6 +957,48 @@ object HouseWriter {
       .orderBy("doc_id")
   }
 
+  /** q273: the LIST column through the STOCK API — closing the r15
+    * verdict's DSv2 scope gap (the source read only flat INT64/UTF8, so
+    * the very shapes the writer and decoder already handled could not
+    * be LOADED): the q271 house-written list file goes through
+    * `spark.read.format(HouseSource)`, whose schema inference now maps
+    * the audited 3-level list-of-UTF8 shape to a real `array<string>`
+    * and whose reader rides the q258 Dremel assembler. Catalyst still
+    * owns pushdown on the flat doc_id (point + range counts proven ≡
+    * Spark's own parquet read of the same file), and the output is
+    * q271's token-exact shape computed FROM THE DSv2 READ — q271's
+    * oracle verbatim grades every assembled list against the raw text.
+    */
+  def listScanDsv2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val path = System.getProperty("java.io.tmpdir") + "/graft_q273_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + ".parquet"
+    writeListFile(path, LongCol("doc_id", rows.map(_._1).toSeq),
+      "words", rows.map(_._2.split(" ").toSeq).toSeq)
+    val house = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(path)
+    val sparkRead = spark.read.parquet(path)
+    // pushdown legs: point + range on the flat key must agree with
+    // Spark's own reader (the q270 discipline, now beside a list chunk)
+    Seq(col("doc_id") === 250L, col("doc_id").between(100L, 199L))
+      .foreach { pred =>
+        val h = house.filter(pred).count()
+        val s = sparkRead.filter(pred).count()
+        require(h == s,
+          s"q273: the house DSv2 read diverged from Spark's ($h/$s) " +
+            "under doc_id pushdown beside a list chunk")
+      }
+    house.select(col("doc_id"),
+      size(col("words")).cast("long").as("n_words"),
+      conv(substring(md5(array_join(col("words"), "\u0001")), 1, 15),
+        16, 10).cast("long").as("words_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q270: THE FULL HOUSE LOOP — the engine reads what it WROTE through
     * the STOCK API. A clustered unit layout whose every byte is
     * house-emitted (per-unit q264-tier snappy files with doc_id SBBF

@@ -74,20 +74,36 @@ object HouseSource {
     files
   }
 
+  /** Schema scope (r16, closing the r15 verdict's DSv2 gap): flat
+    * INT64/UTF8 leaves as before, PLUS the standard 3-level LIST shape
+    * the house tier already writes (q271) and decodes (q258) — a
+    * depth-3 BYTE_ARRAY `element` leaf surfaces as `array<string>`
+    * named by its outer group. Anything else still refuses loudly at
+    * schema inference.
+    */
   private[sources] def schemaOf(files: Seq[String]): StructType = {
     val (leaves, _) = Footer.parseFooter(files.head)
     val fields = leaves.map { l =>
-      require(l.depth == 1,
-        s"q266: nested column '${l.name}' — the house source is flat-scope")
-      val dt = l.physical match {
-        case 2 => LongType
-        case 6 => StringType
-        case p => throw new IllegalArgumentException(
-          s"q266: column '${l.name}' has physical type $p — the house " +
-            "source reads INT64/BYTE_ARRAY only; refusing")
-      }
-      org.apache.spark.sql.types.StructField(l.name, dt,
-        nullable = l.repetition != 0)
+      if (l.depth == 1) {
+        val dt = l.physical match {
+          case 2 => LongType
+          case 6 => StringType
+          case p => throw new IllegalArgumentException(
+            s"q266: column '${l.name}' has physical type $p — the house " +
+              "source reads INT64/BYTE_ARRAY only; refusing")
+        }
+        org.apache.spark.sql.types.StructField(l.name, dt,
+          nullable = l.repetition != 0)
+      } else if (l.name == "element" && l.depth == 3 && l.physical == 6 &&
+          l.maxRep == 1 && l.path.nonEmpty) {
+        // q273: the audited 3-level list-of-UTF8 shape (q258/q271);
+        // elements are non-null by the house scope's own refusal
+        org.apache.spark.sql.types.StructField(l.path.head,
+          org.apache.spark.sql.types.ArrayType(StringType,
+            containsNull = false), nullable = true)
+      } else throw new IllegalArgumentException(
+        s"q266: nested column '${l.name}' (depth ${l.depth}) — only flat " +
+          "INT64/UTF8 leaves and 3-level list<string> are in scope")
     }
     StructType(fields.toArray)
   }
@@ -211,12 +227,21 @@ private[sources] class HouseReaderFactory(required: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[HousePartition].path
     new PartitionReader[InternalRow] {
-      // decode ONLY the required chunks — column pruning as real I/O
+      // decode ONLY the required chunks — column pruning as real I/O;
+      // list columns ride the q258 Dremel assembler (r16: the v2 and
+      // delta shapes already flow here too — decodeColumnChunk resolves
+      // the page generation and encoding per chunk)
       private val cols: Array[IndexedSeq[Any]] = required.fields.map { f =>
-        val d = Footer.decodeColumnChunk(path, f.name)
         val vs: IndexedSeq[Any] = f.dataType match {
-          case LongType => d.longs.toIndexedSeq
-          case _        => d.strs.toIndexedSeq.map(UTF8String.fromString)
+          case LongType => Footer.decodeColumnChunk(path, f.name)
+            .longs.toIndexedSeq
+          case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+            Footer.decodeListStrChunk(path, f.name).toIndexedSeq.map { ws =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                ws.map(UTF8String.fromString).toArray[Any])
+            }
+          case _ => Footer.decodeColumnChunk(path, f.name)
+            .strs.toIndexedSeq.map(UTF8String.fromString)
         }
         vs
       }
@@ -226,8 +251,13 @@ private[sources] class HouseReaderFactory(required: StructType)
             s"q266: ragged column lengths decoding $path — refusing to zip")
           cols.head.size
         } else { // COUNT(*)-style empty projection: row count from footer
-          val (_, chunks) = Footer.parseFooter(path)
-          chunks.head.map(_.numValues).sum.toInt
+          // a list chunk's num_values is its LEVEL count, not rows —
+          // the row count must come from a FLAT leaf's chunk
+          val (leaves, chunks) = Footer.parseFooter(path)
+          val fi = leaves.indexWhere(_.depth == 1)
+          require(fi >= 0,
+            s"q266: no flat leaf to count rows from in $path; refusing")
+          chunks(fi).map(_.numValues).sum.toInt
         }
       private var i = -1
       override def next(): Boolean = { i += 1; i < n }

@@ -276,6 +276,57 @@ class FormatSpec extends SparkSpec {
     assert(feats == blobs.map { case (i, b) => i -> b.length.toLong }.toMap)
   }
 
+  test("HouseSource loads v2-generation AND list-of-string house files; pushdown rides beside the list chunk (r15 verdict #3)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Footer, HouseWriter}
+    import spark.implicits._
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy("doc_id").as[(Long, String, String)].collect()
+    val tmp = System.getProperty("java.io.tmpdir")
+    // 1. V2 GENERATION through the stock API: snappy delta pages (the
+    // interop-safe v2 shape — the bundled vectorized reader corrupts
+    // UNCOMPRESSED v2 DELTA_BYTE_ARRAY, the pinned ecosystem find)
+    val v2Path = tmp + "/graft_dsv2_v2.parquet"
+    HouseWriter.write(v2Path,
+      Seq(HouseWriter.LongCol("doc_id", docs.map(_._1).toSeq),
+        HouseWriter.StrCol("source", docs.map(_._2).toSeq)),
+      HouseWriter.HouseSpec(snappy = true, v2 = true))
+    val houseV2 = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(v2Path)
+    val viaHouse = houseV2.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val viaSpark = spark.read.parquet(v2Path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaHouse == viaSpark && viaHouse.size == docs.length,
+      "the DSv2 source must decode v2 delta pages identically to Spark")
+    // the decode really took the delta paths (not a silent v1 fallback)
+    assert(Footer.decodeColumnChunk(v2Path, "doc_id").encClass == "delta_binpack")
+    assert(Footer.decodeColumnChunk(v2Path, "source").encClass == "delta_byte_array")
+    // 2. LIST through the stock API: schema, content, and pushdown
+    val listPath = tmp + "/graft_dsv2_list.parquet"
+    HouseWriter.writeListFile(listPath,
+      HouseWriter.LongCol("doc_id", docs.map(_._1).toSeq), "words",
+      docs.map(_._3.split(" ").toSeq).toSeq)
+    val houseL = spark.read
+      .format(classOf[graft.sources.HouseSource].getName).load(listPath)
+    assert(houseL.schema("words").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    val got = houseL.select(col("doc_id"), col("words"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == docs.map(_._3.split(" ").toSeq).toSeq,
+      "list assembly through the DSv2 source must be token-exact")
+    // pushed filter lives INSIDE the scan node, beside the list chunk
+    val q = houseL.filter(col("doc_id") === 250L)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("HouseScan") && p.contains("EqualTo(doc_id,250)"),
+      s"doc_id pushdown must reach the scan next to a list column:\n${p.take(1000)}")
+    // 3. a COUNT(*) (empty projection) counts ROWS, not list levels
+    assert(houseL.count() == docs.length.toLong,
+      "empty-projection row count must come from a FLAT leaf's chunk")
+  }
+
   test("q264 tier1Rpg: the 3-group split is proven for every feasible n; the infeasible n = 4 refuses (r15 ADVICE)") {
     import graft.operators.HouseWriter
     // uniform rpg-slicing can realize exactly 3 groups for every n >= 3
