@@ -92,10 +92,25 @@ object GraftFunctions {
   }
 }
 
-/** Config-path hook: `spark.sql.extensions=graft.GraftExtensions`. */
+/** THE config-path hook — the ONE extensions entry point (r15 verdict
+  * #4: functions and planner rules used to live behind two same-named
+  * classes in different packages, and a user passing either conf key
+  * silently lost half the surface):
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * installs BOTH halves of the library's session surface:
+  *  - the SQL function registry (every [[GraftFunctions.all]] entry);
+  *  - the footer-catalog planner rules via
+  *    [[graft.plans.PlannerRules.inject]] — join ORDER then broadcast
+  *    STRATEGY, active only when `spark.graft.catalogDir` is set
+  *    (sound-by-abstention otherwise).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    graft.plans.PlannerRules.inject(ext)
+  }
 }

@@ -6,15 +6,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.operators.Footer
 
-/** The PRODUCTION install path for the graft planner rules — the
-  * "GraftExtensions-style session-wide injection" both rules' scaladocs
-  * promised: pass `--conf spark.sql.extensions=graft.plans.
-  * GraftExtensions` (or `.withExtensions(new GraftExtensions)`) and
-  * EVERY query in the session plans joins from the footer-stats
-  * catalog — [[JoinReorderRule]] for ORDER, then [[StatsBroadcastRule]]
-  * for STRATEGY (reorder first, so the broadcast decision sees the
-  * rebuilt chain; the q267 composition spec pins exactly this pairing)
-  * — with no per-query registration.
+/** The planner-rule half of the session install — injected by THE single
+  * extensions entry point [[graft.GraftExtensions]] (r15 verdict #4: two
+  * classes shared the simple name `GraftExtensions` in different
+  * packages, functions in one and rules in the other, and a user passing
+  * either conf key silently lost half the surface; this object is no
+  * longer injectable by name, it only contributes [[inject]]).
+  *
+  * Both rules plan from the footer-stats catalog: [[JoinReorderRule]]
+  * for ORDER, then [[StatsBroadcastRule]] for STRATEGY (reorder first,
+  * so the broadcast decision sees the rebuilt chain; the q267
+  * composition spec pins exactly this pairing).
   *
   * The catalog comes from the session conf `spark.graft.catalogDir`
   * (a directory of parquet tables whose footers carry the stats),
@@ -24,16 +26,15 @@ import graft.operators.Footer
   * composes by abstention end to end: no conf → empty catalog → the
   * rules find no estimates → every plan is left untouched.
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(session =>
-      GraftExtensions.ConfCatalogRule(session, JoinReorderRule.apply))
-    ext.injectOptimizerRule(session =>
-      GraftExtensions.ConfCatalogRule(session, StatsBroadcastRule.apply))
-  }
-}
+object PlannerRules {
 
-object GraftExtensions {
+  /** Install both catalog-driven rules — order first, strategy second. */
+  def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session =>
+      ConfCatalogRule(session, JoinReorderRule.apply))
+    ext.injectOptimizerRule(session =>
+      ConfCatalogRule(session, StatsBroadcastRule.apply))
+  }
 
   /** One memoized footer-walk per catalog directory per JVM. */
   private val catalogCache =

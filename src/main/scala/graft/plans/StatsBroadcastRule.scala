@@ -40,7 +40,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * Registered per-query via `spark.experimental.extraOptimizations`
   * (save/restore — the scoped-override stance of the r13 advice fix);
-  * `GraftExtensions`-style session-wide injection would work the same.
+  * the single `graft.GraftExtensions` entry point installs it session-wide (PlannerRules.inject).
   */
 case class StatsBroadcastRule(catalog: Map[String, Long])
     extends Rule[LogicalPlan] {

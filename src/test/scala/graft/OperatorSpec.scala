@@ -4985,11 +4985,13 @@ class OperatorSpec extends SparkSpec {
       "match legs over the appended manifest must be exact")
   }
 
-  test("GraftExtensions: a real withExtensions session plans advised order AND stats broadcasts session-wide; no conf means no-op") {
+  test("GraftExtensions: ONE entry point installs functions AND both planner rules session-wide; no conf means rule no-op") {
     import graft.operators.Txn
     import org.apache.spark.sql.SparkSession
-    // the spark.sql.extensions contract: zero-arg reflective construction
-    val byName = Class.forName("graft.plans.GraftExtensions")
+    // the spark.sql.extensions contract: zero-arg reflective
+    // construction of THE single entry point (r15 verdict #4 — the
+    // plans-package twin is gone; this name carries the whole surface)
+    val byName = Class.forName("graft.GraftExtensions")
       .getDeclaredConstructor().newInstance()
       .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
     val prev = spark
@@ -5025,6 +5027,12 @@ class OperatorSpec extends SparkSpec {
       assert(q.queryExecution.executedPlan.toString
           .contains("BroadcastHashJoin"),
         "session-wide extensions must broadcast stats-justified sides")
+      // FUNCTIONS: the SAME install carries the SQL surface — the exact
+      // trap this entry point retires is rules-without-functions
+      assert(s2.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0) == 11.0,
+        "the single entry point must also register the SQL functions")
       // NO-CONF NO-OP: unset the catalog dir → both rules abstain and
       // the user order plans verbatim
       s2.conf.unset("spark.graft.catalogDir")
