@@ -560,6 +560,70 @@ object Txn extends QueryGroup {
     rows.toDF("join_set", "observed_order", "n_out").orderBy("join_set")
   }
 
+  /** q274: SELECTIVITY-AWARE JOIN ORDER — the r15 verdict's #5: raw
+    * catalog counts order a large table LAST even when a highly
+    * selective filter sits on it, so [[graft.plans.JoinReorderRule]]
+    * now discounts each item by a bounded selectivity estimate from the
+    * catalog's footer (min, max) envelopes (the q245 overlap arithmetic
+    * lifted to the table level, exact rational floor — restated
+    * verbatim by the oracle). The CONTROL chain is q267's chain3 (no
+    * filters — raw counts, customer first at the fixture's counts);
+    * the SELECTIVE chain puts `l_orderkey <= min + (max-min)/100` on
+    * lineitem, whose effective count drops BELOW customer's, and the
+    * EXECUTED plan must flip to lineitem-first — observed from the
+    * executed scan order, derived by the oracle from COUNT(*)/MIN/MAX
+    * arithmetic alone. Estimates only ORDER inner joins (an algebraic
+    * identity), so a bad estimate can cost plan quality, never rows —
+    * and the n_out legs prove the rewritten chains' results exact.
+    */
+  private[graft] def selectivityJoinReorder(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(n: String) = graft.Tables(spark, dir, n)
+    val cat = graft.plans.PlannerRules.catalogStatsFor(dir)
+    val rule = graft.plans.JoinReorderRule(cat.rows, cat.ranges)
+    val (loK, hiK) = cat.ranges("lineitem")("l_orderkey")
+    val cut = loK + (hiK - loK) / 100L
+    val exp = spark.experimental
+    val prevRules = exp.extraOptimizations
+    // constraintPropagation is pinned OFF in this scope: Catalyst also
+    // infers `o_orderkey <= cut` on ORDERS from the equi-join condition
+    // (measured — the inferred filter discounted orders below lineitem
+    // and the greedy started there), which is version-dependent
+    // optimizer behavior the closed-form oracle must not have to
+    // mirror. At scale the inference only discounts MORE (better
+    // plans); the flip this query grades is the USER predicate's.
+    val pins = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.constraintPropagation.enabled" -> "false")
+    val prev = pins.map { case (k, _) =>
+      k -> (try Option(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    val rows = try {
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
+      exp.extraOptimizations = prevRules :+ rule
+      def chain(lineitem: DataFrame) = lineitem
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      val cases = Seq(
+        ("control", chain(t("lineitem"))),
+        ("selective", chain(t("lineitem").filter(col("l_orderkey") <= cut))))
+      cases.map { case (name, joined) =>
+        val cdf = joined.groupBy().count()
+        val n = cdf.head().getLong(0)
+        (name, scanOrderOf(cdf), n)
+      }
+    } finally {
+      exp.extraOptimizations = prevRules
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    rows.toDF("join_set", "observed_order", "n_out").orderBy("join_set")
+  }
+
   /** The top join operator the executed plan actually ran — the
     * observation leg of q252 (AQE-aware: the final plan, not the
     * initial one).
@@ -703,6 +767,14 @@ object Txn extends QueryGroup {
     // COUNT(*) arithmetic alone.
     "q267_catalyst_join_reorder" -> ((spark, dir) =>
       catalystJoinReorder(spark, dir)),
+
+    // q274 [north star, r16]: SELECTIVITY-AWARE JOIN ORDER — the
+    // reorder rule discounts items by footer-range selectivity, so a
+    // selective filter on the LARGEST table flips the advised order;
+    // observed from the executed plan, oracle re-derived from
+    // COUNT(*)/MIN/MAX arithmetic with the estimate restated verbatim.
+    "q274_selectivity_reorder" -> ((spark, dir) =>
+      selectivityJoinReorder(spark, dir)),
 
     "q252_catalyst_stats_broadcast" -> ((spark, dir) =>
       catalystAdvisedJoins(spark, dir)),
@@ -907,6 +979,22 @@ object Txn extends QueryGroup {
     s"CASE WHEN $el * 4 <= $er THEN 'broadcast_left' " +
       s"WHEN $er * 4 <= $el THEN 'broadcast_right' ELSE 'shuffle' END"
 
+  /** The chain3 greedy (l—o—c connectivity, user order l,o,c) as SQL,
+    * parameterized on the three row-count expressions — mirrors
+    * JoinReorderRule's full tie-break ((rows, user-order index): l wins
+    * any tie it is in, o beats c on ties, c leads only when strictly
+    * smallest, the second pick from o is l iff l <= c). Shared by q267
+    * (raw counts) and q274 (selectivity-discounted counts) so the two
+    * oracles cannot drift apart.
+    */
+  private def chain3OrderSql(l: String, o: String, c: String): String =
+    s"""CASE
+       |     WHEN $l <= $o AND $l <= $c THEN 'lineitem,orders,customer'
+       |     WHEN $o <= $l AND $o <= $c THEN
+       |       CASE WHEN $l <= $c THEN 'orders,lineitem,customer'
+       |            ELSE 'orders,customer,lineitem' END
+       |     ELSE 'customer,orders,lineitem' END""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // q250: the raw three-version history compacted directly (latest-
     // wins off the q223 gate CTEs) — hash-equal to the engine's
@@ -933,19 +1021,14 @@ object Txn extends QueryGroup {
     // chain4's strict count ladder (r<n<c<o) derived the same way; the
     // hinted control is the user order by the abstention contract.
     "q267_catalyst_join_reorder" ->
-      """WITH n AS (SELECT
+      s"""WITH n AS (SELECT
         |  (SELECT COUNT(*) FROM customer) AS nc,
         |  (SELECT COUNT(*) FROM orders) AS no_,
         |  (SELECT COUNT(*) FROM lineitem) AS nl,
         |  (SELECT COUNT(*) FROM nation) AS nn,
         |  (SELECT COUNT(*) FROM region) AS nr)
         |SELECT 'chain3' AS join_set,
-        |  (SELECT CASE
-        |     WHEN nl <= no_ AND nl <= nc THEN 'lineitem,orders,customer'
-        |     WHEN no_ <= nl AND no_ <= nc THEN
-        |       CASE WHEN nl <= nc THEN 'orders,lineitem,customer'
-        |            ELSE 'orders,customer,lineitem' END
-        |     ELSE 'customer,orders,lineitem' END FROM n) AS observed_order,
+        |  (SELECT ${chain3OrderSql("nl", "no_", "nc")} FROM n) AS observed_order,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
         |     JOIN orders ON l_orderkey = o_orderkey
         |     JOIN customer ON o_custkey = c_custkey) AS n_out
@@ -964,6 +1047,40 @@ object Txn extends QueryGroup {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
         |     JOIN orders ON l_orderkey = o_orderkey
         |     JOIN customer ON o_custkey = c_custkey) AS n_out
+        |ORDER BY join_set""".stripMargin,
+
+    // q274: the selectivity-discounted order re-derived from scratch —
+    // the cut literal, the uniform-overlap fraction, and the floored
+    // rational effective count are the ENGINE's arithmetic restated
+    // (JoinReorderRule.effectiveRows: eff = floor(n·num/den) clamped to
+    // [0, n]; footer min/max ≡ data MIN/MAX by q239), then the shared
+    // chain3 greedy CASE decides the order for both chains.
+    "q274_selectivity_reorder" ->
+      s"""WITH n AS (SELECT
+        |  (SELECT COUNT(*) FROM customer) AS nc,
+        |  (SELECT COUNT(*) FROM orders) AS no_,
+        |  (SELECT COUNT(*) FROM lineitem) AS nl),
+        |k AS (SELECT lo, hi, lo + (hi - lo) // 100 AS cut,
+        |        hi - lo + 1 AS span
+        |      FROM (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+        |            FROM lineitem)),
+        |e AS (SELECT LEAST(nl, GREATEST(0,
+        |        (nl * (LEAST(cut, hi) - lo + 1)) // span)) AS el
+        |      FROM n, k)
+        |SELECT 'control' AS join_set,
+        |  (SELECT ${chain3OrderSql("nl", "no_", "nc")} FROM n)
+        |    AS observed_order,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey) AS n_out
+        |UNION ALL
+        |SELECT 'selective' AS join_set,
+        |  (SELECT ${chain3OrderSql("el", "no_", "nc")} FROM n, e)
+        |    AS observed_order,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     WHERE l_orderkey <= (SELECT cut FROM k)) AS n_out
         |ORDER BY join_set""".stripMargin,
 
     // q252: est legs recomputed from the data (q239 proved footer

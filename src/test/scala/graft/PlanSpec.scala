@@ -1087,4 +1087,55 @@ class PlanSpec extends SparkSpec {
         s"nl=$nl no=$no nc=$nc: rule ordered [$observed], oracle CASE says [$expected]")
     }
   }
+
+  test("q274 selectivity-aware reorder: a selective filter on the largest table flips the advised order (r15 verdict #5)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // end to end, executed plans: the registered query's two chains
+    val out = SparkEntry.queries("q274_selectivity_reorder")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("control") == "customer,orders,lineitem",
+      "raw counts at the fixture must order customer first")
+    assert(out("selective") == "lineitem,orders,customer",
+      "the ~1% filter must flip the LARGEST table to first")
+    // the estimate machinery, driven through the REAL rule with
+    // synthetic catalogs over the real chain3 plan shape
+    def leafNames(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectLeaves().collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.head.getName.stripSuffix(".parquet")
+        }
+      }.mkString(",")
+    def chain(li: org.apache.spark.sql.DataFrame) = li
+      .join(Tables(spark, Sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, Sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.analyzed
+    val rows = Map("lineitem" -> 100L, "orders" -> 20L, "customer" -> 30L)
+    val rng = Map("lineitem" -> Map("l_orderkey" -> (0L, 99L)))
+    // recognized range conjunct: eff(lineitem) = 100·10/100 = 10 → first
+    val filtered = chain(Tables(spark, Sf, "lineitem")
+      .filter(col("l_orderkey") <= 9L))
+    assert(leafNames(graft.plans.JoinReorderRule(rows, rng)(filtered)) ==
+      "lineitem,orders,customer")
+    // same plan, NO ranges → raw counts (abstention): orders first,
+    // then customer (30) beats raw lineitem (100)
+    assert(leafNames(graft.plans.JoinReorderRule(rows)(filtered)) ==
+      "orders,customer,lineitem")
+    // literal-on-left spelling recognized the same way
+    val mirrored = chain(Tables(spark, Sf, "lineitem")
+      .filter(lit(9L) >= col("l_orderkey")))
+    assert(leafNames(graft.plans.JoinReorderRule(rows, rng)(mirrored)) ==
+      "lineitem,orders,customer")
+    // disjoint predicate → effective 0 → still first, never negative
+    val disjoint = chain(Tables(spark, Sf, "lineitem")
+      .filter(col("l_orderkey") <= -1L))
+    assert(leafNames(graft.plans.JoinReorderRule(rows, rng)(disjoint)) ==
+      "lineitem,orders,customer")
+    // unrecognized shape (string compare) → factor 1 → raw order holds
+    val strPred = chain(Tables(spark, Sf, "lineitem")
+      .filter(col("l_returnflag") <= "m"))
+    assert(leafNames(graft.plans.JoinReorderRule(rows, rng)(strPred)) ==
+      "orders,customer,lineitem")
+  }
 }
