@@ -1138,4 +1138,33 @@ class PlanSpec extends SparkSpec {
     assert(leafNames(graft.plans.JoinReorderRule(rows, rng)(strPred)) ==
       "orders,customer,lineitem")
   }
+
+  test("q275 catalog manifest: warm resolution opens zero footers; a stale manifest falls back to the walk (r15 verdict #6)") {
+    import graft.operators.Footer
+    val P = graft.plans.PlannerRules
+    java.nio.file.Files.deleteIfExists(P.catalogManifestPath(Sf))
+    P.catalogCacheClear()
+    val cold = P.catalogStatsFor(Sf) // walks footers, writes the manifest
+    P.catalogCacheClear()            // expose the PERSISTED path
+    val r1 = Footer.footerReads.get()
+    assert(P.catalogStatsFor(Sf) == cold,
+      "the manifest-resolved catalog must equal the walked one")
+    assert(Footer.footerReads.get() == r1,
+      "warm catalog resolution must open zero footers")
+    // STALE: tamper one table's recorded file set → the walk must run
+    val mp = P.catalogManifestPath(Sf)
+    val tampered = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .linesIterator.zipWithIndex.map { case (ln, i) =>
+        if (i == 0) {
+          val p = ln.split("\t", -1); p(2) = "gone:0"; p.mkString("\t")
+        } else ln
+      }.mkString("\n") + "\n"
+    java.nio.file.Files.write(mp, tampered.getBytes("UTF-8"))
+    P.catalogCacheClear()
+    val r2 = Footer.footerReads.get()
+    assert(P.catalogStatsFor(Sf) == cold,
+      "the fallback walk must restore catalog truth")
+    assert(Footer.footerReads.get() > r2,
+      "a stale manifest must force the footer walk, never be trusted")
+  }
 }
