@@ -164,7 +164,8 @@ object ScalingBench {
       "q250_scheduled_vacuum", "q251_zorder_pruned_scan",
       "q256_bloom_pruned_scan", "q259_house_scan",
       "q260_pushdown_house_scan", "q263_distributed_clustered_write",
-      "q266_house_dsv2_source", "q268_manifest_planned_scan")
+      "q266_house_dsv2_source", "q268_manifest_planned_scan",
+      "q272_distributed_house_write")
     // q264/q265/q269/q270 (house-writer probes) are NOT in the tier,
     // for the q239/q249 reason verbatim: single-file driver-side byte
     // kernels, linear in bytes by construction — their DISTRIBUTED
@@ -230,6 +231,22 @@ object ScalingBench {
     // onto the SAME distinct signatures), so q235 runs the 10× row q233
     // cannot. At base sf0.1 (≈1.1M pairs) q233 runs and is benched
     // normally.
+    // q272 (distributed HOUSE write) joins the tier beside q263: same
+    // exact-rank clustered shape, but the write stage runs the house
+    // kernel per task — the row measures shuffle+rank+per-task-encode
+    // growth (adaptive units keep the file count constant).
+    // q273 (house list scan) is NOT in the tier, for q271's single-file
+    // reason verbatim: a driver-probe byte kernel writes the one list
+    // file and the scan decodes it linearly; its DISTRIBUTED scan
+    // composition is q259/q266, which ARE in the tier.
+    // q274 (selectivity reorder) is NOT in the tier, for q267's reason
+    // verbatim: O(plan nodes) driver work over chain tables the blown
+    // corpus doesn't ship; its actual legs are plain joins whose
+    // scaling the join rows already record.
+    // q275 (catalog manifest) is NOT in the tier, for q239's reason
+    // verbatim: footer/manifest reads are ranged tail-reads linear in
+    // file count, zero data pages — and the warm path's whole claim is
+    // ZERO opens, which has no curve to measure.
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

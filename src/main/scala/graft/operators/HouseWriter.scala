@@ -182,7 +182,12 @@ object HouseWriter {
     * streams (q271).
     */
   private def bitPackedRun(vals: Seq[Int], bw: Int): Array[Byte] = {
-    val groups = (vals.length + 7) / 8
+    // materialize ONCE: a caller handing a linear Seq (ArrayBuffer.toSeq
+    // is a List in 2.13) would otherwise make every `a(i)` and the
+    // length check O(i) — measured as q271's level encode going
+    // QUADRATIC and freezing the r16 bench at sf0.1 token counts
+    val a = vals.toArray
+    val groups = (a.length + 7) / 8
     val out = new java.io.ByteArrayOutputStream()
     var h = (groups.toLong << 1) | 1L
     while ((h & ~0x7fL) != 0L) { out.write(((h & 0x7f) | 0x80).toInt); h >>>= 7 }
@@ -190,7 +195,7 @@ object HouseWriter {
     var acc = 0L; var nbits = 0; var i = 0
     val total = groups * 8
     while (i < total) {
-      val v = if (i < vals.length) vals(i).toLong else 0L
+      val v = if (i < a.length) a(i).toLong else 0L
       acc |= v << nbits; nbits += bw
       while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
       i += 1
@@ -218,7 +223,8 @@ object HouseWriter {
     * the STARTED miniblocks' bit-packed adjusted deltas (each written
     * in full — perMini·w/8 bytes, padding bits zero), LSB-first.
     */
-  private[graft] def deltaBinaryPacked(vals: Seq[Long]): Array[Byte] = {
+  private[graft] def deltaBinaryPacked(vals0: Seq[Long]): Array[Byte] = {
+    val vals = vals0.toIndexedSeq // same indexing hazard as bitPackedRun
     val blockSize = 128; val miniN = 4; val perMini = blockSize / miniN
     val out = new java.io.ByteArrayOutputStream()
     def varint(v0: Long): Unit = {
@@ -404,8 +410,16 @@ object HouseWriter {
     * back mid-chunk, so q254's dictionary-completeness proof holds on
     * house files by construction). Returns the byte count.
     */
-  def write(path: String, cols: Seq[HCol], spec: HouseSpec): Long = {
-    require(cols.nonEmpty, "q262: no columns")
+  def write(path: String, cols0: Seq[HCol], spec: HouseSpec): Long = {
+    require(cols0.nonEmpty, "q262: no columns")
+    // indexed views once at entry: group/page slicing and the delta
+    // encoders index repeatedly, and a linear Seq (e.g. a List from
+    // ArrayBuffer.toSeq) would turn the kernel quadratic (the q271
+    // level-stream hazard, fixed at every indexing seam)
+    val cols = cols0.map {
+      case LongCol(nm, v) => LongCol(nm, v.toIndexedSeq)
+      case StrCol(nm, v)  => StrCol(nm, v.toIndexedSeq)
+    }
     val n = cols.head.size
     require(n > 0, "q262: empty table — nothing to write")
     cols.foreach(c => require(c.size == n, s"q262: ragged column ${c.name}"))

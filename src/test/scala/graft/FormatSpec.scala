@@ -327,6 +327,25 @@ class FormatSpec extends SparkSpec {
       "empty-projection row count must come from a FLAT leaf's chunk")
   }
 
+  test("q271 level encode is LINEAR: 600k tokens through a linear Seq complete in seconds (r16 bench-freeze regression)") {
+    import graft.operators.{Footer, HouseWriter}
+    // Lists ON PURPOSE: ArrayBuffer.toSeq hands the writer a linear Seq
+    // in 2.13, and the pre-fix bitPackedRun indexed it per element —
+    // O(n^2), measured as the sf0.1 bench freezing inside q271's level
+    // stream. 600k tokens must encode in seconds, not hours.
+    val lists = (0 until 20000).map(i =>
+      Seq.tabulate(30)(j => "w" + ((i * 31 + j) % 997)).toList).toList
+    val ids = HouseWriter.LongCol("doc_id", (0 until 20000).map(_.toLong).toList)
+    val path = System.getProperty("java.io.tmpdir") + "/graft_linear_list.parquet"
+    val t0 = System.nanoTime()
+    HouseWriter.writeListFile(path, ids, "words", lists)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0,
+      f"level encode took $secs%.1f s on 600k tokens — the quadratic Seq-indexing hazard is back")
+    assert(Footer.decodeListStrChunk(path, "words") == lists,
+      "the linear encode must still read back token-exact")
+  }
+
   test("q264 tier1Rpg: the 3-group split is proven for every feasible n; the infeasible n = 4 refuses (r15 ADVICE)") {
     import graft.operators.HouseWriter
     // uniform rpg-slicing can realize exactly 3 groups for every n >= 3
