@@ -165,7 +165,8 @@ object ScalingBench {
       "q256_bloom_pruned_scan", "q259_house_scan",
       "q260_pushdown_house_scan", "q263_distributed_clustered_write",
       "q266_house_dsv2_source", "q268_manifest_planned_scan",
-      "q272_distributed_house_write")
+      "q272_distributed_house_write",
+      "q276_house_dsv2_write")
     // q264/q265/q269/q270 (house-writer probes) are NOT in the tier,
     // for the q239/q249 reason verbatim: single-file driver-side byte
     // kernels, linear in bytes by construction — their DISTRIBUTED
@@ -235,6 +236,9 @@ object ScalingBench {
     // exact-rank clustered shape, but the write stage runs the house
     // kernel per task — the row measures shuffle+rank+per-task-encode
     // growth (adaptive units keep the file count constant).
+    // q276 (DSv2 house write) joins the tier: the stock write path's
+    // per-task kernels cut adaptive-size files, so the row measures
+    // shuffle+encode growth at constant file count per task.
     // q273 (house list scan) is NOT in the tier, for q271's single-file
     // reason verbatim: a driver-probe byte kernel writes the one list
     // file and the scan decodes it linearly; its DISTRIBUTED scan

@@ -2802,6 +2802,14 @@ object Footer extends QueryGroup {
     "q273_house_list_scan" -> ((spark, dir) =>
       HouseWriter.listScanDsv2(spark, dir)),
 
+    // q276 [north star, r16]: THE STOCK WRITE API — df.write.format(
+    // HouseSource) through a real DSv2 SupportsWrite: per-task house
+    // kernels, stats-only commit messages, the manifest as the driver's
+    // one write; overwrite TRUNCATEs the prior generation, append
+    // merges its manifest zero-open; every leg house-read ≡ Spark-read.
+    "q276_house_dsv2_write" -> ((spark, dir) =>
+      HouseWriter.dsv2WriteRoundtrip(spark, dir)),
+
     // q239 [north star, r13]: REAL parquet footer statistics, read by
     // the engine's own byte-level thrift-compact walker and checked
     // against the DATA — the metadata a planner prunes by, proven to
@@ -3124,6 +3132,26 @@ object Footer extends QueryGroup {
         |    AS BIGINT) AS words_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // q276: the two-generation table recomputed from scratch — the
+    // overwrite generation is documents verbatim, the append generation
+    // its shifted-id twin; any wrong byte from any task, a truncate
+    // that left old files, or an append that dropped the merge lands
+    // as a different aggregate.
+    "q276_house_dsv2_write" ->
+      """WITH t AS (SELECT doc_id, source, lang, n_chars FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000000, source, lang, n_chars
+        |           FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(strlen(source)) AS BIGINT) AS sum_src_len,
+        |  CAST(bit_xor(CAST(('0x' || substring(md5(chr(1) ||
+        |    CAST(doc_id AS VARCHAR) || chr(1) || source || chr(1) ||
+        |    lang || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS content_xor
+        |FROM t""".stripMargin,
 
     // q273: q271's oracle VERBATIM — the read path changed (house
     // decoder behind the stock DSv2 API instead of Spark's reader);

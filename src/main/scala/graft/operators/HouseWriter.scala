@@ -1013,6 +1013,71 @@ object HouseWriter {
       .orderBy("doc_id")
   }
 
+  /** q276: THE STOCK WRITE API — `df.write.format(HouseSource)
+    * .mode(...).save(dir)` reaches the house kernel through a real DSv2
+    * `SupportsWrite` (the r15 verdict's alternative form for the
+    * distributed write, now shipped ALONGSIDE q272's rank-clustered
+    * form): Spark owns task scheduling/retry/commit, every task cuts
+    * complete snappy+bloom house files at `rowsPerUnit` boundaries, the
+    * commit messages carry footer stats only, and the driver's one
+    * write is the manifest. The probe proves BOTH modes: overwrite
+    * (TRUNCATE drops the previous generation) then append with DISJOINT
+    * shifted-id rows (the manifest merges the pre-write stats
+    * zero-open) — and every content leg reads identically through the
+    * house DSv2 source and Spark's own parquet reader. Output is the
+    * 4-column content aggregate off the DSv2 read of the final
+    * two-generation table, which the oracle recomputes as documents
+    * UNION ALL its shifted twin.
+    */
+  def dsv2WriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val n = docs.count()
+    val unitRows = Footer.adaptiveUnitRows(n)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q276_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    val src = classOf[graft.sources.HouseSource].getName
+    def write(df: DataFrame, mode: String): (Int, Seq[String]) = {
+      df.repartition(4, col("doc_id"))
+        .write.format(src)
+        .option("rowsPerUnit", unitRows.toString)
+        .option("bloomCols", "doc_id")
+        .mode(mode).save(out)
+      graft.sources.HouseSource.lastWrite
+    }
+    // generation 1: OVERWRITE — clears anything a prior run left
+    val (t1, f1) = write(docs, "overwrite")
+    require(t1 > 1 && f1.nonEmpty,
+      s"q276: the DSv2 overwrite ran on $t1 task(s) — not distributed")
+    // generation 2: APPEND — DISJOINT rows (shifted ids: identical rows
+    // would cancel the xor leg to a vacuous 0), manifest must merge
+    val (t2, f2) = write(
+      docs.withColumn("doc_id", col("doc_id") + lit(10000000L)), "append")
+    require(t2 > 1 && f2.nonEmpty && f2.intersect(f1).isEmpty,
+      "q276: append must add fresh files, never rewrite generation 1")
+    val manifest = Footer.readManifest(out).getOrElse(
+      throw new IllegalStateException("q276: no valid manifest after append"))
+    require(manifest.map(_.path).sorted == (f1 ++ f2).sorted,
+      "q276: the merged manifest must name exactly both generations")
+    val house = spark.read.format(src).load(out)
+    val sparkRead = spark.read.parquet((f1 ++ f2): _*)
+    val sep = lit("\u0001")
+    val rowHash = conv(substring(md5(concat(
+      Seq("doc_id", "source", "lang", "n_chars")
+        .flatMap(c => Seq(sep, col(c).cast("string"))): _*)),
+      1, 15), 16, 10).cast("long")
+    def agg(df: DataFrame) = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("doc_id")).as("sum_ids"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(length(col("source"))).as("sum_src_len"),
+      bit_xor(rowHash).as("content_xor"))
+    require(agg(house).collect().toSeq == agg(sparkRead).collect().toSeq,
+      "q276: the house read diverged from Spark's read of the DSv2-written files")
+    agg(house)
+  }
+
   /** q270: THE FULL HOUSE LOOP — the engine reads what it WROTE through
     * the STOCK API. A clustered unit layout whose every byte is
     * house-emitted (per-unit q264-tier snappy files with doc_id SBBF

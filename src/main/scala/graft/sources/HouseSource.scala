@@ -3,15 +3,16 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.Footer
+import graft.operators.{Footer, HouseWriter}
 
 /** q266: the HOUSE DATASOURCE — q259/q260's "DataSource-v2 reader
   * without the ceremony", WITH the ceremony: a real `TableProvider` +
@@ -45,9 +46,12 @@ class HouseSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new HouseTable(HouseSource.filesOf(properties.get("path")), schema)
+    new HouseTable(properties.get("path"), schema)
 
-  override def supportsExternalMetadata(): Boolean = false
+  // q276: external metadata accepted — a WRITE into a fresh directory
+  // has nothing to infer from; the incoming frame's schema is the
+  // table's (validated against the house scope at write-build time).
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object HouseSource {
@@ -58,6 +62,11 @@ object HouseSource {
     * the stats bound, never widen it).
     */
   @volatile var lastPlan: (Long, Long, Long) = (0L, 0L, 0L)
+
+  /** (writer tasks with output, files written) of the most recent DSv2
+    * write commit — telemetry for q276's multi-task pin.
+    */
+  @volatile var lastWrite: (Int, Seq[String]) = (0, Seq.empty)
 
   private[sources] def filesOf(path: String): Seq[String] = {
     require(path != null && path.nonEmpty,
@@ -169,14 +178,146 @@ object HouseSource {
   }
 }
 
-private[sources] class HouseTable(files: Seq[String], tschema: StructType)
-    extends Table with SupportsRead {
+private[sources] class HouseTable(path: String, tschema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "house"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HouseScanBuilder(files, tschema)
+    new HouseScanBuilder(HouseSource.filesOf(path), tschema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new HouseWriteBuilder(path, info)
+}
+
+/** q276: the WRITE ceremony — `df.write.format(HouseSource)` runs the
+  * pure-JDK house kernel PER TASK through the stock DSv2 write path:
+  * each `DataWriter` buffers its partition's rows and cuts one complete
+  * house file (snappy pages, optional SBBF blooms, statistics footer)
+  * every `rowsPerUnit` rows; the commit messages carry only the files'
+  * footer-walked stats (O(files) bookkeeping, never data), and the
+  * driver's single write at commit is the q268 manifest — append mode
+  * merges the pre-write manifest, overwrite (TRUNCATE) deletes the
+  * previous generation's files first. Aborted tasks delete their own
+  * files; file names carry fresh UUIDs per attempt so a retry can never
+  * collide with a committed byte. Scope: the kernel's audited flat
+  * INT64/UTF8 non-null columns, refused loudly at BUILD time (before
+  * any task runs).
+  *
+  * Options: `rowsPerUnit` (file cut, default 65536), `bloomCols`
+  * (comma-separated INT64 columns to emit SBBF blooms for).
+  */
+private[sources] class HouseWriteBuilder(path: String,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val schema = info.schema()
+    schema.fields.foreach(f => require(
+      f.dataType == LongType || f.dataType == StringType,
+      s"q276: column '${f.name}' is ${f.dataType.simpleString} — the house " +
+        "write scope is INT64/UTF8; refusing before any task runs"))
+    val opts = info.options()
+    val rowsPerUnit = Option(opts.get("rowsPerUnit")).map(_.toLong)
+      .getOrElse(65536L)
+    require(rowsPerUnit > 0, s"q276: rowsPerUnit must be positive")
+    val bloomCols = Option(opts.get("bloomCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    new HouseWrite(path, schema, rowsPerUnit, bloomCols, doTruncate)
+  }
+}
+
+private[sources] case class HouseCommit(partitionId: Int,
+    stats: Seq[Footer.UnitStats]) extends WriterCommitMessage
+
+private[sources] class HouseWrite(path: String, schema: StructType,
+    rowsPerUnit: Long, bloomCols: Set[String], truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  // captured on the DRIVER before any task writes: the previous
+  // generation's manifest (zero footer opens when valid), so append
+  // mode can merge without re-walking and overwrite knows what to drop
+  private val preFiles: Seq[String] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Seq.empty // a fresh table — nothing to merge or drop
+    else try HouseSource.filesOf(path) catch { case _: Exception => Seq.empty }
+  }
+  private val preStats: Seq[Footer.UnitStats] =
+    if (preFiles.isEmpty) Seq.empty
+    else Footer.readManifest(path).getOrElse(preFiles.map(Footer.unitStatsOf))
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    HouseWriterFactory(path, schema.fields.map(f =>
+      (f.name, f.dataType == LongType)), rowsPerUnit, bloomCols)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val news = messages.collect { case h: HouseCommit => h }
+    val stats = news.flatMap(_.stats).sortBy(_.path).toSeq
+    val nTasks = news.count(_.stats.nonEmpty)
+    if (truncate)
+      preFiles.foreach(p => new java.io.File(p).delete())
+    val all = if (truncate) stats else preStats ++ stats
+    require(all.nonEmpty, "q276: nothing written and nothing pre-existing")
+    Footer.writeManifest(path, all)
+    HouseSource.lastWrite = (nTasks, stats.map(_.path))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case h: HouseCommit => h }
+      .flatMap(_.stats).foreach(s => new java.io.File(s.path).delete())
+}
+
+private[sources] case class HouseWriterFactory(dir: String,
+    cols: Array[(String, Boolean)], rowsPerUnit: Long,
+    bloomCols: Set[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val bufs =
+        cols.map(_ => scala.collection.mutable.ArrayBuffer.empty[Any])
+      private var seq = 0
+      private val written =
+        scala.collection.mutable.ArrayBuffer.empty[Footer.UnitStats]
+      private def flush(): Unit = if (bufs.head.nonEmpty) {
+        val hcols: Seq[HouseWriter.HCol] = cols.toIndexedSeq.zipWithIndex.map {
+          case ((nm, isLong), i) =>
+            if (isLong) HouseWriter.LongCol(nm,
+              bufs(i).map(_.asInstanceOf[Long]).toIndexedSeq)
+            else HouseWriter.StrCol(nm,
+              bufs(i).map(_.asInstanceOf[String]).toIndexedSeq)
+        }
+        val p = new java.io.File(dir,
+          f"part-$partitionId%05d-$taskId-$seq-house.parquet").getPath
+        HouseWriter.write(p, hcols,
+          HouseWriter.HouseSpec(snappy = true, bloomCols = bloomCols))
+        written += Footer.unitStatsOf(p)
+        seq += 1
+        bufs.foreach(_.clear())
+      }
+      override def write(row: InternalRow): Unit = {
+        var i = 0
+        while (i < cols.length) {
+          require(!row.isNullAt(i),
+            s"q276: null in '${cols(i)._1}' — outside the audited scope")
+          bufs(i) += (if (cols(i)._2) row.getLong(i)
+            else row.getUTF8String(i).toString)
+          i += 1
+        }
+        if (bufs.head.size >= rowsPerUnit) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        HouseCommit(partitionId, written.toSeq)
+      }
+      override def abort(): Unit =
+        written.foreach(s => new java.io.File(s.path).delete())
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class HouseScanBuilder(files: Seq[String],

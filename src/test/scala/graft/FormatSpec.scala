@@ -327,6 +327,41 @@ class FormatSpec extends SparkSpec {
       "empty-projection row count must come from a FLAT leaf's chunk")
   }
 
+  test("q276 DSv2 write: overwrite TRUNCATEs the prior generation; scope refusals fire at build time, before any task") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Footer
+    val src = classOf[graft.sources.HouseSource].getName
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_dsv2_write_spec").getPath
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"))
+    docs.write.format(src).option("rowsPerUnit", "100")
+      .mode("overwrite").save(out)
+    val gen1 = graft.sources.HouseSource.lastWrite._2
+    assert(gen1.nonEmpty && gen1.forall(p => new java.io.File(p).exists()))
+    docs.write.format(src).option("rowsPerUnit", "100")
+      .mode("overwrite").save(out)
+    val gen2 = graft.sources.HouseSource.lastWrite._2
+    assert(gen2.intersect(gen1).isEmpty,
+      "fresh attempt names must never collide with a committed byte")
+    assert(gen1.forall(p => !new java.io.File(p).exists()),
+      "overwrite must delete the prior generation's files")
+    assert(Footer.readManifest(out).exists(_.map(_.path).sorted == gen2.sorted),
+      "the manifest must name exactly the surviving generation")
+    // scope refusal at BUILD time: a double column refuses loudly
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    val bad = docs.withColumn("x", col("doc_id").cast("double"))
+    val e = intercept[Throwable](
+      bad.write.format(src).mode("overwrite").save(out))
+    assert(rootMessages(e).exists(_.contains("q276")),
+      s"the refusal must be the house scope's own: ${rootMessages(e).take(2)}")
+    // and the refused write must not have touched the committed table
+    assert(Footer.readManifest(out).exists(_.map(_.path).sorted == gen2.sorted),
+      "a refused write must leave the table untouched")
+  }
+
   test("q271 level encode is LINEAR: 600k tokens through a linear Seq complete in seconds (r16 bench-freeze regression)") {
     import graft.operators.{Footer, HouseWriter}
     // Lists ON PURPOSE: ArrayBuffer.toSeq hands the writer a linear Seq
