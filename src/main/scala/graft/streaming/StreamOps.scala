@@ -757,9 +757,17 @@ object StreamOps {
     * its EFFECTIVENESS on a key degrades with the number of interleaved
     * runs until the q247/q250 compaction loop re-clusters — the division
     * of labor Delta/Iceberg ship.
+    *
+    * `house = true` (r16) swaps the unit emitter for the DISTRIBUTED
+    * house kernel ([[graft.operators.Footer.writeUnitsHouse]]: per-task
+    * snappy+doc_id-bloom house files at exact rank boundaries) — the
+    * streaming half of the "no parquet-mr on the engine path" claim;
+    * everything downstream (stats, manifest, pruning, OPTIMIZE) is
+    * emitter-agnostic by construction and the StreamingSpec twin pins
+    * result identity between the two emitters.
     */
   def clusteredIngestStream(rows: DataFrame, table: ClusteredTable,
-      runNs: String, optimizeFactor: Double = 0.0)
+      runNs: String, optimizeFactor: Double = 0.0, house: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append")
@@ -767,12 +775,18 @@ object StreamOps {
         if (!table.alreadySeen(runNs, id)) {
           val n = b.count()
           if (n > 0L) {
-            val us = graft.operators.Footer.writeUnits(
-              b.select(col("doc_id"), col("source"), col("lang"),
-                col("n_chars")),
-              Seq(col("n_chars"), col("doc_id")),
-              s"ingest_${runNs}_b$id",
-              graft.operators.Footer.adaptiveUnitRows(n))
+            val batch = b.select(col("doc_id"), col("source"), col("lang"),
+              col("n_chars"))
+            val sortCols = Seq(col("n_chars"), col("doc_id"))
+            val tag = s"ingest_${runNs}_b$id"
+            val unitRows = graft.operators.Footer.adaptiveUnitRows(n)
+            val us =
+              if (house) graft.operators.Footer.writeUnitsHouse(
+                batch, sortCols, tag, unitRows,
+                graft.operators.HouseWriter.HouseSpec(snappy = true,
+                  bloomCols = Set("doc_id")))._1
+              else graft.operators.Footer.writeUnits(
+                batch, sortCols, tag, unitRows)
             table.append(runNs, id, us)
             // the layout half of the maintenance loop: OPTIMIZE when
             // the q261 units_read measure regresses past the factor

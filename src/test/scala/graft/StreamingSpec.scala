@@ -2278,6 +2278,56 @@ class StreamingSpec extends SparkSpec {
     assert(t2.units == winner && t2.optimizeCount == 0L,
       "the concurrent rewrite's manifest must survive untouched")
   }
+
+  test("house streaming ingest: per-batch units are house bytes (blooms + created_by); pruned results identical to the parquet-emitter twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Footer
+    val all = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batches = (0L until 4L).map(b => all.filter(_._1 % 4L == b))
+    def ingest(runNs: String, house: Boolean): StreamOps.ClusteredTable = {
+      val table = new StreamOps.ClusteredTable
+      val ms = MemoryStream[(Long, String, String, Long)]
+      val q = StreamOps.clusteredIngestStream(
+        ms.toDF().toDF("doc_id", "source", "lang", "n_chars"),
+        table, runNs, house = house).start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      table
+    }
+    val houseT = ingest("hstream", house = true)
+    val parqT = ingest("pstream", house = false)
+    assert(houseT.units.nonEmpty && houseT.units.size == parqT.units.size)
+    // every streamed unit is a complete HOUSE file carrying a doc_id
+    // bloom — no parquet-mr anywhere on the streaming engine path
+    houseT.units.foreach { u =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(u.path))
+      assert(new String(bytes, "ISO-8859-1").contains("graft-house"),
+        s"${u.path} was not written by the house kernel")
+      val (leaves, chunks) = Footer.parseFooter(u.path)
+      val li = leaves.indexWhere(_.name == "doc_id")
+      assert(chunks(li).forall(_.bloomOffset >= 0),
+        s"${u.path} is missing its doc_id SBBF bloom")
+    }
+    // the pruned, xor-proven read is emitter-agnostic: identical match
+    // legs across the house and parquet-mr streamed tables
+    val preds = Footer.OptimizePredicates.map { case (name, lo, hi) =>
+      (name,
+        (u: Footer.UnitStats) => u.lo("n_chars") <= hi && u.hi("n_chars") >= lo,
+        col("n_chars").between(lo, hi))
+    }
+    val hashCols = Seq("doc_id", "source", "lang", "n_chars")
+    def legs(t: StreamOps.ClusteredTable) =
+      Footer.executePruned(spark, "hstream", t.units, hashCols, preds)
+        .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5)))
+        .toMap
+    assert(legs(houseT) == legs(parqT),
+      "house and parquet streaming emitters must produce identical reads")
+  }
 }
 
 object StreamingSpec {
