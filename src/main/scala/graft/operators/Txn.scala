@@ -673,6 +673,85 @@ object Txn extends QueryGroup {
     }.toDF("tbl", "n_rows", "key_min", "key_max").orderBy("tbl")
   }
 
+  /** q277: SELECTIVITY-BOUNDED BROADCAST — the q274 direction applied
+    * to STRATEGY, with the estimator swapped for a SOUND one: order is
+    * correctness-neutral so q274 may use the uniform-fraction estimate,
+    * but a broadcast decision must never under-count a side (skew could
+    * put most of the mass inside the selected range and the "small"
+    * side OOMs the build). [[graft.plans.StatsBroadcastRule]] therefore
+    * consumes the per-FILE overlap BOUND: a file whose stats envelope
+    * is provably disjoint from a recognized filter conjunct cannot
+    * contribute a row (q245's unit-overlap rule at the planner), so the
+    * side is bounded by the surviving files' row-count sum — a true
+    * upper bound from the layout's own manifest, zero data reads.
+    *
+    * Fixture: events clustered on (k, event_id) as an adaptive-unit
+    * layout — the shape where the bound has resolving power — joined to
+    * orders on user_id = o_custkey (raw ratio 1.5, inside the 4×
+    * band → CONTROL plans sort_merge both directions). The BOUNDED
+    * chain filters k to the first eighth of its envelope: the manifest
+    * bound collapses to the overlapping units' rows, 4×bound clears
+    * orders, and the EXECUTED plan must flip to broadcast_hash. The
+    * oracle re-derives the unit geometry (ROW_NUMBER chunking), the
+    * bound (groups overlapping the cut), the advice arithmetic, and
+    * the physical mapping from COUNT(*)/MIN/MAX alone.
+    */
+  private[graft] def selectivityBroadcast(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val n = ev.count()
+    val tag = "q277_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val units = Footer.writeUnits(ev, Seq(col("k"), col("event_id")), tag,
+      Footer.adaptiveUnitRows(n))
+    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutName = "graft_prune_" + tag
+    val nOrders = Footer.tableStats(dir, "orders").values.map(_.n_values).max
+    val rows = Map(layoutName -> n, "orders" -> nOrders)
+    val fileStats = Map(layoutName -> units.map(u =>
+      (u.nRows, u.lo.keys.map(c => c -> (u.lo(c), u.hi(c))).toMap)))
+    val rule = graft.plans.StatsBroadcastRule(rows, fileStats)
+    val loK = units.map(_.lo("k")).min
+    val hiK = units.map(_.hi("k")).max
+    val cut = loK + (hiK - loK) / 8L
+    val bound = units.filter(_.lo("k") <= cut).map(_.nRows).sum
+    val layout = spark.read.parquet(layoutDir)
+    val orders = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val exp = spark.experimental
+    val prevRules = exp.extraOptimizations
+    val pins = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = pins.map { case (k, _) =>
+      k -> (try Option(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    val out = try {
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
+      exp.extraOptimizations = prevRules :+ rule
+      val cases = Seq(
+        ("bounded", n, layout.filter(col("k") <= cut), bound),
+        ("control", n, layout, n))
+      cases.map { case (name, raw, side, est) =>
+        val joined = side
+          .join(orders, col("user_id") === col("o_custkey"))
+          .groupBy().count()
+        val nOut = joined.head().getLong(0)
+        (name, est, nOrders, physicalJoinOf(joined), nOut)
+      }
+    } finally {
+      exp.extraOptimizations = prevRules
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    out.toDF("join_set", "est_left", "est_right", "physical", "n_out")
+      .orderBy("join_set")
+  }
+
   /** The top join operator the executed plan actually ran — the
     * observation leg of q252 (AQE-aware: the final plan, not the
     * initial one).
@@ -824,6 +903,15 @@ object Txn extends QueryGroup {
     // COUNT(*)/MIN/MAX arithmetic with the estimate restated verbatim.
     "q274_selectivity_reorder" -> ((spark, dir) =>
       selectivityJoinReorder(spark, dir)),
+
+    // q277 [north star, r16]: SELECTIVITY-BOUNDED BROADCAST — the
+    // broadcast rule consumes the per-file overlap BOUND from the
+    // layout manifest (a true upper bound, never the uniform estimate):
+    // a ~1/8 range filter on the clustered big side flips the executed
+    // join from sort_merge to broadcast_hash; geometry, bound, advice,
+    // and physical all re-derived by the oracle.
+    "q277_selectivity_broadcast" -> ((spark, dir) =>
+      selectivityBroadcast(spark, dir)),
 
     // q275 [north star, r16]: CATALOG FROM A PERSISTED MANIFEST — the
     // planner's table catalog resolves manifest-first with zero footer
@@ -1105,6 +1193,46 @@ object Txn extends QueryGroup {
         |     JOIN orders ON l_orderkey = o_orderkey
         |     JOIN customer ON o_custkey = c_custkey) AS n_out
         |ORDER BY join_set""".stripMargin,
+
+    // q277: geometry, bound, advice, and physical re-derived from
+    // scratch — ROW_NUMBER unit chunking on the (k, event_id) total
+    // order, the overlap bound as the sum over groups whose min k
+    // clears the cut, the 4x advice arithmetic, and the hint→physical
+    // mapping; footer stats ≡ data stats by q239.
+    "q277_selectivity_broadcast" -> {
+      def phys(el: String, er: String) =
+        s"CASE WHEN $el * 4 <= $er OR $er * 4 <= $el " +
+          "THEN 'broadcast_hash' ELSE 'sort_merge' END"
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events),
+         |n AS (SELECT (SELECT COUNT(*) FROM ev) AS ne,
+         |             (SELECT COUNT(*) FROM orders) AS no_),
+         |u AS (SELECT ${Footer.adaptiveUnitRowsSql(
+              "SELECT COUNT(*) FROM ev")} AS ur),
+         |r AS (SELECT k, (ROW_NUMBER() OVER (ORDER BY k, event_id) - 1)
+         |        // (SELECT ur FROM u) AS grp FROM ev),
+         |g AS (SELECT grp, COUNT(*) AS n_rows, MIN(k) AS mnk
+         |      FROM r GROUP BY 1),
+         |c AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS cut FROM ev),
+         |b AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS bound FROM g
+         |      WHERE mnk <= (SELECT cut FROM c))
+         |SELECT 'bounded' AS join_set,
+         |  (SELECT bound FROM b) AS est_left,
+         |  (SELECT CAST(no_ AS BIGINT) FROM n) AS est_right,
+         |  (SELECT ${phys("bound", "no_")} FROM b, n) AS physical,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev JOIN orders
+         |     ON user_id = o_custkey
+         |   WHERE k <= (SELECT cut FROM c)) AS n_out
+         |UNION ALL
+         |SELECT 'control',
+         |  (SELECT CAST(ne AS BIGINT) FROM n),
+         |  (SELECT CAST(no_ AS BIGINT) FROM n),
+         |  (SELECT ${phys("ne", "no_")} FROM n),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev JOIN orders
+         |     ON user_id = o_custkey)
+         |ORDER BY join_set""".stripMargin
+    },
 
     // q275: the catalog the planner consumes, recomputed from the raw
     // tables — rows by COUNT(*), envelopes by MIN/MAX of each table's

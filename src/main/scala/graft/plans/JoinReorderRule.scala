@@ -80,60 +80,15 @@ case class JoinReorderRule(catalog: Map[String, Long],
     }
   }
 
-  /** n × Π(recognized conjunct fractions), floored, clamped to [0, n]. */
+  /** n × Π(recognized conjunct fractions), floored, clamped to [0, n]
+    * — the conjunct arithmetic lives in [[Selectivity]], shared with
+    * the broadcast rule's per-file overlap bound (q277).
+    */
   private def effectiveRows(plan: LogicalPlan, tbl: String, n: Long): Long = {
     val colRange = ranges.getOrElse(tbl, Map.empty)
     if (colRange.isEmpty) return n
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val preds = plan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        conjuncts(f.condition)
-    }.flatten
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
-    def litLong(e: Expression): Option[Long] = e match {
-      case CLit(v: Long, _)  => Some(v)
-      case CLit(v: Int, _)   => Some(v.toLong)
-      case CLit(v: Short, _) => Some(v.toLong)
-      case CLit(v: Byte, _)  => Some(v.toLong)
-      case _                 => None
-    }
-    def rangeOf(e: Expression): Option[(Long, Long)] = e match {
-      case a: Attribute => colRange.get(a.name)
-      case _            => None
-    }
-    // each recognized conjunct's kept fraction as (numerator, span);
-    // both spellings (col OP lit, lit OP col) interpreted symmetrically
-    // — a plain-variable pattern would match either shape and silently
-    // bind the literal as the "column", so the sides are probed, not
-    // pattern-ordered
-    def frac(e: Expression): Option[(Long, Long)] = {
-      def le(r: (Long, Long), c: Long) = // col <= c
-        (math.max(0L, math.min(c, r._2) - r._1 + 1L), r._2 - r._1 + 1L)
-      def ge(r: (Long, Long), c: Long) = // col >= c
-        (math.max(0L, r._2 - math.max(c, r._1) + 1L), r._2 - r._1 + 1L)
-      def eq(r: (Long, Long), c: Long) =
-        (if (c >= r._1 && c <= r._2) 1L else 0L, r._2 - r._1 + 1L)
-      def cmp(x: Expression, y: Expression,
-          fwd: ((Long, Long), Long) => (Long, Long),
-          rev: ((Long, Long), Long) => (Long, Long)): Option[(Long, Long)] =
-        (for { r <- rangeOf(x); c <- litLong(y) } yield fwd(r, c))
-          .orElse(for { r <- rangeOf(y); c <- litLong(x) } yield rev(r, c))
-      e match {
-        case CEq(x, y) => cmp(x, y, eq, eq)
-        case CLe(x, y) => cmp(x, y, le, ge) // x<=c | c<=x
-        case CLt(x, y) => cmp(x, y, (r, c) => le(r, c - 1L),
-          (r, c) => ge(r, c + 1L))
-        case CGe(x, y) => cmp(x, y, ge, le)
-        case CGt(x, y) => cmp(x, y, (r, c) => ge(r, c + 1L),
-          (r, c) => le(r, c - 1L))
-        case _ => None
-      }
-    }
-    val fs = preds.flatMap(frac)
+    val fs = Selectivity.filtersOf(plan)
+      .flatMap(Selectivity.keptFraction(_, colRange.get))
     if (fs.isEmpty) n
     else {
       val num = fs.map(f => BigInt(f._1)).product

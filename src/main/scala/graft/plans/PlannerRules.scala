@@ -37,7 +37,14 @@ object PlannerRules {
     ext.injectOptimizerRule(session =>
       ConfCatalogRule(session, cs => JoinReorderRule(cs.rows, cs.ranges)))
     ext.injectOptimizerRule(session =>
-      ConfCatalogRule(session, cs => StatsBroadcastRule(cs.rows)))
+      ConfCatalogRule(session, cs => StatsBroadcastRule(cs.rows,
+        // table-level envelopes as one-"file" stats: the overlap bound
+        // degenerates to all-or-nothing per table — a provably-disjoint
+        // filter bounds the side at 0 (broadcast an empty side), any
+        // overlap keeps the raw count (q277; still a true upper bound)
+        cs.rows.map { case (t, n) =>
+          t -> Seq((n, cs.ranges.getOrElse(t, Map.empty)))
+        })))
   }
 
   /** What a catalog row carries per table: the footer row count and

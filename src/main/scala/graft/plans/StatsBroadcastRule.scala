@@ -42,8 +42,27 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * (save/restore — the scoped-override stance of the r13 advice fix);
   * the single `graft.GraftExtensions` entry point installs it session-wide (PlannerRules.inject).
   */
-case class StatsBroadcastRule(catalog: Map[String, Long])
+case class StatsBroadcastRule(catalog: Map[String, Long],
+    // q277: optional per-table file-level stats — each entry is one
+    // file's (row count, numeric column envelopes); feeds the
+    // overlap BOUND below. Empty = raw-count behavior, unchanged.
+    fileStats: Map[String, Seq[(Long, Map[String, (Long, Long)])]] =
+      Map.empty)
     extends Rule[LogicalPlan] {
+
+  private def tblOf(leaf: LogicalPlan): Option[String] = leaf match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {
+        case Seq(p) =>
+          val base = p.getName
+          Some(if (base.endsWith(".parquet"))
+            base.stripSuffix(".parquet") else base)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
 
   /** The catalog row-count upper bound for one join side, if every
     * leaf under it is a cataloged parquet table AND the subtree holds
@@ -51,25 +70,38 @@ case class StatsBroadcastRule(catalog: Map[String, Long])
     * filter/project shapes (filters only shrink) but a nested
     * many-to-many join can exceed every leaf, and an UNDER-estimated
     * side is broadcast MORE eagerly — the unsafe direction. Abstain.
+    *
+    * q277 tightens the single-scan shape with the per-FILE overlap
+    * BOUND: when the catalog carries the table's file-level envelopes,
+    * a file whose envelope is PROVABLY DISJOINT from some recognized
+    * filter conjunct cannot contribute a matching row (the q245
+    * unit-overlap rule at the planner), so the side is bounded by the
+    * sum of SURVIVING files' row counts. Still a true upper bound —
+    * never the q274 uniform-fraction ESTIMATE, which can undercount on
+    * skew and would broadcast a too-big side; unrecognized conjuncts
+    * keep every file (abstention per conjunct).
     */
   private def sideRows(plan: LogicalPlan): Option[Long] = {
     if (plan.exists(_.isInstanceOf[Join])) return None
-    val ests = plan.collectLeaves().map {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {
-          case Seq(p) =>
-            val base = p.getName
-            val tbl = if (base.endsWith(".parquet"))
-              base.stripSuffix(".parquet") else base
-            catalog.get(tbl)
-          case _ => None
+    val leaves = plan.collectLeaves()
+    val ests = leaves.map(l => tblOf(l).flatMap(catalog.get))
+    if (ests.isEmpty || ests.exists(_.isEmpty)) return None
+    val raw = ests.flatten.max
+    val bounded = leaves match {
+      case Seq(one) =>
+        tblOf(one).flatMap(fileStats.get) match {
+          case Some(files) =>
+            val preds = Selectivity.filtersOf(plan)
+            val surviving = files.filter { case (_, rng) =>
+              preds.forall(p =>
+                Selectivity.keptFraction(p, rng.get).forall(_._1 > 0L))
+            }
+            math.min(raw, surviving.map(_._1).sum)
+          case None => raw
         }
-        case _ => None
-      }
-      case _ => None
+      case _ => raw
     }
-    if (ests.nonEmpty && ests.forall(_.isDefined)) Some(ests.flatten.max)
-    else None
+    Some(bounded)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -1139,6 +1139,49 @@ class PlanSpec extends SparkSpec {
       "orders,customer,lineitem")
   }
 
+  test("q277 bounded broadcast: the per-file overlap BOUND flips strategy; the uniform estimate never substitutes for it") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    // end to end, executed: the registered query's physical column
+    val out = SparkEntry.queries("q277_selectivity_broadcast")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out("control") == "sort_merge",
+      "inside the 4x band the raw counts must plan sort_merge")
+    assert(out("bounded") == "broadcast_hash",
+      "the manifest bound must flip the filtered big side to broadcast")
+    // rule-level, synthetic catalogs over the real plan shape
+    val rows = Map("lineitem" -> 1000L, "orders" -> 1500L) // 1.5x: raw shuffle
+    val fsStats = Map("lineitem" ->
+      Seq((1000L, Map("l_orderkey" -> (0L, 99L)))))
+    def plan(li: org.apache.spark.sql.DataFrame) = li
+      .join(Tables(spark, Sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.analyzed
+    def leftBroadcast(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case j: Join => j }.get.hint.leftHint
+        .exists(_.strategy.contains(BROADCAST))
+    val li = Tables(spark, Sf, "lineitem")
+    // 1. provably-disjoint recognized filter → bound 0 → broadcast
+    val disjoint = plan(li.filter(col("l_orderkey") <= -1L))
+    assert(leftBroadcast(
+      graft.plans.StatsBroadcastRule(rows, fsStats)(disjoint)),
+      "a zero-bound side must broadcast even when raw counts say shuffle")
+    // 2. same filter, NO file stats → raw count → abstain (no hint)
+    assert(!leftBroadcast(graft.plans.StatsBroadcastRule(rows)(disjoint)),
+      "without file stats the raw count must keep the shuffle")
+    // 3. unrecognized conjunct → every file kept → raw → no hint
+    val strPred = plan(li.filter(col("l_returnflag") <= "m"))
+    assert(!leftBroadcast(
+      graft.plans.StatsBroadcastRule(rows, fsStats)(strPred)),
+      "abstention per conjunct: an unrecognized filter keeps every file")
+    // 4. overlapping filter → bound = full file rows → no hint
+    val overlap = plan(li.filter(col("l_orderkey") <= 50L))
+    assert(!leftBroadcast(
+      graft.plans.StatsBroadcastRule(rows, fsStats)(overlap)),
+      "an overlapping envelope keeps the file's full row count — the " +
+        "BOUND never shrinks by the uniform fraction (that would be " +
+        "the unsound under-estimate)")
+  }
+
   test("q275 catalog manifest: warm resolution opens zero footers; a stale manifest falls back to the walk (r15 verdict #6)") {
     import graft.operators.Footer
     val P = graft.plans.PlannerRules
