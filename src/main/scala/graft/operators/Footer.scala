@@ -1382,10 +1382,9 @@ object Footer extends QueryGroup {
     * dangling manifest fails this check and the caller falls back to
     * the footer walk — soundness over convenience).
     */
-  private[graft] def readManifest(layoutDir: String): Option[Seq[UnitStats]] = {
-    val f = new java.io.File(layoutDir, ManifestName)
-    if (!f.exists()) return None
-    val units = scala.io.Source.fromFile(f, "UTF-8").getLines()
+  private def parseManifest(layoutDir: String,
+      f: java.io.File): Seq[UnitStats] =
+    scala.io.Source.fromFile(f, "UTF-8").getLines()
       .filter(_.nonEmpty).map { ln =>
         val p = ln.split("\t", -1)
         require(p.length == 6, s"q268: malformed manifest line in $layoutDir")
@@ -1404,11 +1403,37 @@ object Footer extends QueryGroup {
         UnitStats(urlDec(p(0)), p(1).toLong, pm(p(2)), pm(p(3)),
           pms(p(4)), pms(p(5)))
       }.toSeq
+
+  private[graft] def readManifest(layoutDir: String): Option[Seq[UnitStats]] = {
+    val f = new java.io.File(layoutDir, ManifestName)
+    if (!f.exists()) return None
+    val units = parseManifest(layoutDir, f)
     val disk = new java.io.File(layoutDir).listFiles()
       .filter(x => x.getName.startsWith("part-") &&
         x.getName.endsWith(".parquet") && x.length() > 0)
       .map(_.getPath).sorted.toSeq
     if (units.map(_.path).sorted == disk) Some(units) else None
+  }
+
+  /** The COMMITTED file membership of a house table (r17, the DSv2
+    * read gate): the manifest's unit list, honored as long as every
+    * named file still EXISTS — a SUBSET check, deliberately weaker
+    * than [[readManifest]]'s exact file-set identity. The difference
+    * is the point: an orphan part file from a task attempt that died
+    * after flushing but before delivering its commit message sits on
+    * disk BESIDE the committed generation, makes the strict check
+    * read "stale", and a glob would serve it as phantom rows — the
+    * Delta/Iceberg failure the log exists to prevent. Membership
+    * comes from the commit record; extra on-disk bytes are invisible.
+    * None when the manifest is absent or DANGLING (names a deleted
+    * file) — then the caller's only sound option is the glob.
+    */
+  private[graft] def committedUnits(layoutDir: String): Option[Seq[UnitStats]] = {
+    val f = new java.io.File(layoutDir, ManifestName)
+    if (!f.exists()) return None
+    val units = parseManifest(layoutDir, f)
+    if (units.forall(u => new java.io.File(u.path).length() > 0)) Some(units)
+    else None
   }
 
   /** q268: MANIFEST-PLANNED PRUNED SCAN — retiring the per-run footer

@@ -1025,7 +1025,8 @@ object HouseWriter {
     * shifted-id rows (the manifest merges the pre-write stats
     * zero-open) — and every content leg reads identically through the
     * house DSv2 source and Spark's own parquet reader. Output is the
-    * 4-column content aggregate off the DSv2 read of the final
+    * 5-column content aggregate (rows, id sum, distinct sources,
+    * source length sum, row-hash xor) off the DSv2 read of the final
     * two-generation table, which the oracle recomputes as documents
     * UNION ALL its shifted twin.
     */
