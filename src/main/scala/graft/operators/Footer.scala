@@ -1176,7 +1176,12 @@ object Footer extends QueryGroup {
       val clustered = spark
         .createDataFrame(withUnit, schema.add("__unit", LongType, nullable = false))
         .repartitionByRange(targetPar, col("__unit"))
-        .sortWithinPartitions(sortCols: _*)
+        // __unit leads the in-partition sort (r16 ADVICE, same tie
+        // hazard as writeUnitsHouse): only a TOTAL-order sortCols keeps
+        // whole units contiguous by itself; leading with the unit id
+        // keeps maxRecordsPerFile's cuts on exact unit boundaries for
+        // any sortCols, and within a unit the tail keeps rank order
+        .sortWithinPartitions(col("__unit") +: sortCols: _*)
         .drop("__unit")
       clustered.write.mode("overwrite")
         .option("maxRecordsPerFile", rowsPerUnit)
@@ -1276,7 +1281,16 @@ object Footer extends QueryGroup {
       val clustered = spark
         .createDataFrame(withUnit, schema.add("__unit", LongType, nullable = false))
         .repartitionByRange(targetPar, col("__unit"))
-        .sortWithinPartitions(sortCols: _*)
+        // __unit LEADS the in-partition sort (r16 ADVICE): the cut-on-
+        // change pass below flushes each unit once only if its rows
+        // arrive contiguous; sortCols alone guarantees that solely for
+        // a TOTAL order — under ties, adjacent units' rows could
+        // interleave, the same unit id would flush twice, and the
+        // second flush would overwrite part-<unit>-house.parquet,
+        // silently dropping the first batch. Leading with the unit id
+        // makes the pass correct for ANY sortCols; within a unit the
+        // tail keeps rank order.
+        .sortWithinPartitions(col("__unit") +: sortCols: _*)
       val out = clustered.rdd.mapPartitions { it =>
         // rows arrive whole-unit (shuffle #2 ranges on the unit id) and
         // in rank order (per-partition sort on the total-order key), so

@@ -96,9 +96,18 @@ object PlannerRules {
         cs
       })
 
-  private[graft] def catalogManifestPath(dir: String): java.nio.file.Path =
+  private[graft] def catalogManifestPath(dir: String): java.nio.file.Path = {
+    // the sanitized name alone collides (/a/b and /a_b both → a_b —
+    // r16 ADVICE: two equally-shaped fixture dirs could silently serve
+    // each other's stats); an md5 of the CANONICAL path disambiguates
+    // while the readable prefix keeps the file greppable
+    val canon =
+      try new java.io.File(dir).getCanonicalPath catch { case _: Exception => dir }
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_catalog_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".tsv")
+      "graft_catalog_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h + ".tsv")
+  }
 
   /** The per-table file-set identity (names + sizes, no opens) the
     * manifest's validity is keyed on.

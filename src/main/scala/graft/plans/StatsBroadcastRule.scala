@@ -66,10 +66,11 @@ case class StatsBroadcastRule(catalog: Map[String, Long],
 
   /** The catalog row-count upper bound for one join side, if every
     * leaf under it is a cataloged parquet table AND the subtree holds
-    * no join of its own (r14 ADVICE): the max-leaf bound is sound for
-    * filter/project shapes (filters only shrink) but a nested
-    * many-to-many join can exceed every leaf, and an UNDER-estimated
-    * side is broadcast MORE eagerly — the unsafe direction. Abstain.
+    * no join of its own (r14 ADVICE): a single scan is bounded by its
+    * leaf count (filters only shrink), a join-free multi-leaf shape
+    * (Union & co.) by the SUM of its leaves; a nested many-to-many
+    * join can exceed both, and an UNDER-estimated side is broadcast
+    * MORE eagerly — the unsafe direction. Abstain.
     *
     * q277 tightens the single-scan shape with the per-FILE overlap
     * BOUND: when the catalog carries the table's file-level envelopes,
@@ -86,7 +87,13 @@ case class StatsBroadcastRule(catalog: Map[String, Long],
     val leaves = plan.collectLeaves()
     val ests = leaves.map(l => tblOf(l).flatMap(catalog.get))
     if (ests.isEmpty || ests.exists(_.isEmpty)) return None
-    val raw = ests.flatten.max
+    // one leaf → its count bounds the side (filters/projects only
+    // shrink). MULTIPLE leaves with no join can only combine by
+    // Union/Intersect/Except-style set ops, which hold up to the SUM
+    // of their inputs — max would UNDER-estimate a Union and broadcast
+    // a too-big side, the unsafe direction (r16 ADVICE).
+    val raw =
+      if (leaves.sizeIs == 1) ests.flatten.max else ests.flatten.sum
     val bounded = leaves match {
       case Seq(one) =>
         tblOf(one).flatMap(fileStats.get) match {

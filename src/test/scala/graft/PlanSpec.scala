@@ -1182,6 +1182,32 @@ class PlanSpec extends SparkSpec {
         "the unsound under-estimate)")
   }
 
+  test("q252 side bound: a join-free multi-leaf side (Union) is bounded by the SUM of its leaves, not the max (r16 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    // leaf 100 vs other 500: a SINGLE scan clears the 4x broadcast band
+    // (100*4 <= 500), but a Union of two such scans can hold 200 rows —
+    // 800 > 500, so the sum bound must abstain where max would have
+    // (under-)broadcast the doubled side.
+    val rows = Map("lineitem" -> 100L, "orders" -> 500L)
+    def hinted(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case j: Join => j }.get.hint.leftHint
+        .exists(_.strategy.contains(BROADCAST))
+    val li = Tables(spark, Sf, "lineitem")
+    val ord = Tables(spark, Sf, "orders")
+    val single = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.analyzed
+    assert(hinted(graft.plans.StatsBroadcastRule(rows)(single)),
+      "a single cataloged scan inside the 4x band must broadcast")
+    val unioned = li.union(li)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.analyzed
+    assert(!hinted(graft.plans.StatsBroadcastRule(rows)(unioned)),
+      "a Union side holds up to the SUM of its leaves — max would " +
+        "broadcast a too-big side, the unsafe direction")
+  }
+
   test("q275 catalog manifest: warm resolution opens zero footers; a stale manifest falls back to the walk (r15 verdict #6)") {
     import graft.operators.Footer
     val P = graft.plans.PlannerRules
