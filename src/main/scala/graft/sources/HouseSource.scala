@@ -39,7 +39,15 @@ import graft.operators.{Footer, HouseWriter}
   * Scope: INT64 + UTF8 BYTE_ARRAY flat columns — the house decoder's
   * audited scope; anything else refuses loudly at schema inference.
   */
-class HouseSource extends TableProvider {
+class HouseSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  /** r17 (r16 verdict #7): the catalog short name —
+    * `spark.read.format("house")` / `df.write.format("house")`,
+    * resolved through the stock `DataSourceRegister` services file
+    * beside the kinesis stub; the full class name keeps working.
+    */
+  override def shortName(): String = "house"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     HouseSource.schemaOf(HouseSource.committedFilesOf(options.get("path")))

@@ -385,6 +385,18 @@ class FormatSpec extends SparkSpec {
       "a refused write must leave the table untouched")
   }
 
+  test("r17 short name: spark.read/write.format(\"house\") resolves through DataSourceRegister") {
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_house_shortname_spec").getPath
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).limit(100)
+    docs.write.format("house").option("rowsPerUnit", "50")
+      .mode("overwrite").save(out)
+    assert(spark.read.format("house").load(out).count() == 100L,
+      "the short name must reach the same DSv2 round trip as the class name")
+  }
+
   test("r17 manifest-gated read: an orphan part file from a dead attempt is invisible beside a committed manifest") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Footer, HouseWriter}
