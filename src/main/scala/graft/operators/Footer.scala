@@ -2821,6 +2821,18 @@ object Footer extends QueryGroup {
     ("supplier", "s_nationkey", "INT32"))
 
   def queries: Map[String, Q] = Map(
+    // q278 [north star, r17]: STOCK WRITE API AT FULL KERNEL SCOPE —
+    // the write-side twin of q273's read closure (r16 verdict #6):
+    // an array<string> column through df.write.format("house") routes
+    // each task to q271's Dremel list kernel (distributed, manifest-
+    // committed, DSv2-read token-exact vs Spark's read — in-code), and
+    // option generation=v2 routes the flat kernel to q269's DELTA
+    // pages (decode classes proven delta, house-read ≡ Spark-read).
+    // Output is q271's token-exact shape off the DSv2 read of the
+    // stock-API-written list table; oracle verbatim q271's.
+    "q278_dsv2_list_write" -> ((spark, dir) =>
+      HouseWriter.dsv2ListWriteRoundtrip(spark, dir)),
+
     // q272 [north star, r16]: DISTRIBUTED HOUSE WRITE — the house
     // kernel leaves the driver: writeUnitsHouse runs the pure-JDK
     // writer PER TASK inside the exact-rank clustered write (one
@@ -3161,6 +3173,18 @@ object Footer extends QueryGroup {
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q278: q271's oracle VERBATIM — the write path changed (stock
+    // df.write.format("house") per-task list kernels instead of one
+    // driver-side kernel call); token-exact n_words + sentinel-joined
+    // md5 cannot tell, which is the point.
+    "q278_dsv2_list_write" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(('0x' || substring(md5(replace(text, ' ', chr(1))), 1, 15))
+        |    AS BIGINT) AS words_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // q271: q258's oracle VERBATIM — n_words and the sentinel-joined
     // md5 recomputed straight off the raw text; a mis-assembled level
     // stream anywhere in the written file lands as a red row.

@@ -1079,6 +1079,90 @@ object HouseWriter {
     agg(house)
   }
 
+  /** q278 (r17, r16 verdict #6): THE STOCK WRITE API AT FULL KERNEL
+    * SCOPE — the write-side twin of q273's read-scope closure. Two legs:
+    *
+    *  1. LIST: `df.write.format("house")` with an `array<string>`
+    *     column routes each task to q271's Dremel kernel
+    *     ([[writeListFile]] — real repetition/definition level streams)
+    *     cutting one complete list file per `rowsPerUnit` rows; the
+    *     write must run distributed (>1 task), the commit manifest
+    *     must name every unit, and the DSv2 read of the table must be
+    *     TOKEN-EXACT against Spark's own parquet read of the same
+    *     files (in-code require) and against the raw text (the oracle
+    *     — q271's verbatim);
+    *  2. V2 GENERATION: `option("generation", "v2")` routes the flat
+    *     kernel to q269's DataPageHeaderV2 DELTA pages (snappy — the
+    *     vectorized-reader-safe shape); the decode classes are proven
+    *     delta on both columns (no silent v1 fallback) and the house
+    *     read must equal Spark's read of the same files (require).
+    *
+    * Output is leg 1's token-exact shape off the DSv2 read; a wrong
+    * level stream, a lost unit, or a corrupt delta page all land as
+    * red rows or loud requires.
+    */
+  def dsv2ListWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val n = docs.count()
+    val unitRows = Footer.adaptiveUnitRows(n)
+    // --- leg 1: LIST through df.write.format("house"), distributed
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q278_" + tag).getPath
+    docs.repartition(4, col("doc_id"))
+      .write.format("house").option("rowsPerUnit", unitRows.toString)
+      .mode("overwrite").save(out)
+    val (t1, f1) = graft.sources.HouseSource.lastWrite
+    require(t1 > 1 && f1.nonEmpty,
+      s"q278: the list write ran on $t1 task(s) — not distributed")
+    require(Footer.committedUnits(out).exists(
+      _.map(_.path).sorted == f1.sorted),
+      "q278: the commit manifest must name exactly the written units")
+    val house = spark.read.format("house").load(out)
+    require(house.schema("words").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      "q278: the round-tripped schema must be the audited list shape")
+    def tokenShape(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      size(col("words")).cast("long").as("n_words"),
+      conv(substring(md5(array_join(col("words"), "\u0001")), 1, 15),
+        16, 10).cast("long").as("words_md5"))
+    val viaHouse = tokenShape(house).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val viaSpark = tokenShape(spark.read.parquet(f1: _*))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    require(viaHouse == viaSpark && viaHouse.size == n,
+      "q278: the house DSv2 read must be token-exact against Spark's " +
+        "read of the same stock-API-written list files")
+    // --- leg 2: V2 GENERATION through the stock API
+    val outV2 = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q278v2_" + tag).getPath
+    val flat = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    flat.repartition(2, col("doc_id"))
+      .write.format("house").option("generation", "v2")
+      .option("rowsPerUnit", unitRows.toString)
+      .mode("overwrite").save(outV2)
+    val f2 = graft.sources.HouseSource.lastWrite._2
+    require(f2.nonEmpty, "q278: the v2 write produced no files")
+    f2.foreach { p =>
+      require(Footer.decodeColumnChunk(p, "doc_id").encClass == "delta_binpack",
+        s"q278: $p doc_id is not DELTA_BINARY_PACKED — silent v1 fallback")
+      require(Footer.decodeColumnChunk(p, "source").encClass == "delta_byte_array",
+        s"q278: $p source is not DELTA_BYTE_ARRAY — silent v1 fallback")
+    }
+    val hv = spark.read.format("house").load(outV2)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val sv = spark.read.parquet(f2: _*)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    require(hv == sv && hv.size == n,
+      "q278: the house read of the stock-API v2 generation diverged " +
+        "from Spark's read of the same files")
+    tokenShape(house).orderBy("doc_id")
+  }
+
   /** q270: THE FULL HOUSE LOOP — the engine reads what it WROTE through
     * the STOCK API. A clustered unit layout whose every byte is
     * house-emitted (per-unit q264-tier snappy files with doc_id SBBF

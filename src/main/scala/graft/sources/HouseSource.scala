@@ -280,10 +280,6 @@ private[sources] class HouseWriteBuilder(path: String,
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
     val schema = info.schema()
-    schema.fields.foreach(f => require(
-      f.dataType == LongType || f.dataType == StringType,
-      s"q276: column '${f.name}' is ${f.dataType.simpleString} — the house " +
-        "write scope is INT64/UTF8; refusing before any task runs"))
     val opts = info.options()
     val rowsPerUnit = Option(opts.get("rowsPerUnit")).map(_.toLong)
       .getOrElse(65536L)
@@ -291,7 +287,40 @@ private[sources] class HouseWriteBuilder(path: String,
     val bloomCols = Option(opts.get("bloomCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    new HouseWrite(path, schema, rowsPerUnit, bloomCols, doTruncate)
+    // r17 (r16 verdict #6): generation=v2 routes the flat kernel to
+    // q269's DELTA pages (snappy — the vectorized-reader-safe shape)
+    val generation = Option(opts.get("generation")).getOrElse("v1")
+    require(generation == "v1" || generation == "v2",
+      s"q276: generation '$generation' — the house writer has two " +
+        "generations: v1 (plain/snappy) and v2 (delta pages)")
+    val isList = schema.fields.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    if (isList) {
+      // r17: q271's list kernel behind the stock API — its audited
+      // scope verbatim: exactly one INT64 id + one list<string>, v1,
+      // no blooms; anything wider refuses before any task runs
+      // containsNull=true SCHEMAS are accepted (split() & co. declare
+      // them) — actual null lists/elements still refuse at write time,
+      // the kernel's runtime check
+      require(schema.fields.length == 2 &&
+          schema.fields.count(_.dataType == LongType) == 1 &&
+          schema.fields.count(f => f.dataType match {
+            case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+            case _ => false
+          }) == 1,
+        s"q271: the house list write scope is exactly (bigint, " +
+          s"array<string>) — got ${schema.simpleString}; refusing")
+      require(generation == "v1",
+        "q271: the list kernel is the v1 tier — generation=v2 writes flat delta pages only")
+      require(bloomCols.isEmpty,
+        "q271: the list kernel emits no blooms — drop bloomCols for list writes")
+    } else schema.fields.foreach(f => require(
+      f.dataType == LongType || f.dataType == StringType,
+      s"q276: column '${f.name}' is ${f.dataType.simpleString} — the house " +
+        "write scope is INT64/UTF8 (+ one list<string> beside one bigint); " +
+        "refusing before any task runs"))
+    new HouseWrite(path, schema, rowsPerUnit, bloomCols, doTruncate,
+      v2 = generation == "v2", isList = isList)
   }
 }
 
@@ -299,7 +328,8 @@ private[sources] case class HouseCommit(partitionId: Int,
     stats: Seq[Footer.UnitStats]) extends WriterCommitMessage
 
 private[sources] class HouseWrite(path: String, schema: StructType,
-    rowsPerUnit: Long, bloomCols: Set[String], truncate: Boolean)
+    rowsPerUnit: Long, bloomCols: Set[String], truncate: Boolean,
+    v2: Boolean = false, isList: Boolean = false)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   // the q236 OCC discipline (r17): base version snapshotted at Write
@@ -320,8 +350,15 @@ private[sources] class HouseWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    HouseWriterFactory(path, schema.fields.map(f =>
-      (f.name, f.dataType == LongType)), rowsPerUnit, bloomCols)
+    if (isList) {
+      val idIdx = schema.fields.indexWhere(_.dataType == LongType)
+      val listIdx = schema.fields.indexWhere(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      HouseListWriterFactory(path, schema.fields(idIdx).name, idIdx,
+        schema.fields(listIdx).name, listIdx, rowsPerUnit)
+    } else
+      HouseWriterFactory(path, schema.fields.map(f =>
+        (f.name, f.dataType == LongType)), rowsPerUnit, bloomCols, v2)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -376,7 +413,7 @@ private[sources] class HouseWrite(path: String, schema: StructType,
 
 private[sources] case class HouseWriterFactory(dir: String,
     cols: Array[(String, Boolean)], rowsPerUnit: Long,
-    bloomCols: Set[String]) extends DataWriterFactory {
+    bloomCols: Set[String], v2: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -400,7 +437,8 @@ private[sources] case class HouseWriterFactory(dir: String,
         val p = new java.io.File(dir,
           f"part-$partitionId%05d-$attempt-$seq-house.parquet").getPath
         HouseWriter.write(p, hcols,
-          HouseWriter.HouseSpec(snappy = true, bloomCols = bloomCols))
+          HouseWriter.HouseSpec(snappy = true, bloomCols = bloomCols,
+            v2 = v2))
         written += Footer.unitStatsOf(p)
         seq += 1
         bufs.foreach(_.clear())
@@ -415,6 +453,60 @@ private[sources] case class HouseWriterFactory(dir: String,
           i += 1
         }
         if (bufs.head.size >= rowsPerUnit) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        HouseCommit(partitionId, written.toSeq)
+      }
+      override def abort(): Unit =
+        written.foreach(s => new java.io.File(s.path).delete())
+      override def close(): Unit = ()
+    }
+}
+
+/** r17 (r16 verdict #6): q271's Dremel LIST kernel behind the stock
+  * write API — the write-side twin of the q273 read-scope closure. Each
+  * task buffers (id, tokens) rows and cuts one complete list file
+  * ([[HouseWriter.writeListFile]] — real repetition/definition level
+  * streams) every `rowsPerUnit` rows, named with the same per-attempt
+  * UUID discipline as the flat writer; stats ride the id chunk, so the
+  * manifest/commit path is unchanged.
+  */
+private[sources] case class HouseListWriterFactory(dir: String,
+    idName: String, idIdx: Int, listName: String, listIdx: Int,
+    rowsPerUnit: Long) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      private val lists =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      private val attempt = java.util.UUID.randomUUID().toString
+      private var seq = 0
+      private val written =
+        scala.collection.mutable.ArrayBuffer.empty[Footer.UnitStats]
+      private def flush(): Unit = if (ids.nonEmpty) {
+        val p = new java.io.File(dir,
+          f"part-$partitionId%05d-$attempt-$seq-house.parquet").getPath
+        HouseWriter.writeListFile(p,
+          HouseWriter.LongCol(idName, ids.toIndexedSeq), listName,
+          lists.toIndexedSeq)
+        written += Footer.unitStatsOf(p)
+        seq += 1
+        ids.clear(); lists.clear()
+      }
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(idIdx) && !row.isNullAt(listIdx),
+          s"q271: null in '$idName'/'$listName' — outside the audited scope")
+        ids += row.getLong(idIdx)
+        val ad = row.getArray(listIdx)
+        lists += IndexedSeq.tabulate(ad.numElements()) { j =>
+          val e = ad.getUTF8String(j)
+          require(e != null,
+            s"q271: null element in '$listName' — outside the audited scope")
+          e.toString
+        }
+        if (ids.size >= rowsPerUnit) flush()
       }
       override def commit(): WriterCommitMessage = {
         flush()

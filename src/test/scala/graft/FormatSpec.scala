@@ -397,6 +397,34 @@ class FormatSpec extends SparkSpec {
       "the short name must reach the same DSv2 round trip as the class name")
   }
 
+  test("q278 stock-API scope edges: list+v2, list+blooms, and wide list schemas refuse at build time") {
+    import org.apache.spark.sql.functions.{col, split}
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q278_refusals").getPath
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words")).limit(10)
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    def refuses(marker: String)(body: => Unit): Unit = {
+      val e = intercept[Throwable](body)
+      assert(rootMessages(e).exists(_.contains(marker)),
+        s"expected a '$marker' refusal, got: ${rootMessages(e).take(2)}")
+    }
+    refuses("q271")(docs.write.format("house")
+      .option("generation", "v2").mode("overwrite").save(out))
+    refuses("q271")(docs.write.format("house")
+      .option("bloomCols", "doc_id").mode("overwrite").save(out))
+    refuses("q271")(docs.withColumn("extra", col("doc_id"))
+      .write.format("house").mode("overwrite").save(out))
+    refuses("q276")(docs.select(col("doc_id"),
+        col("doc_id").cast("double").as("x"))
+      .write.format("house").option("generation", "v2")
+      .mode("overwrite").save(out))
+    assert(!new java.io.File(out, "_graft_manifest.tsv").exists(),
+      "a build-time refusal must not have committed anything")
+  }
+
   test("r17 manifest-gated read: an orphan part file from a dead attempt is invisible beside a committed manifest") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Footer, HouseWriter}
