@@ -38,21 +38,30 @@ object PlannerRules {
       ConfCatalogRule(session, cs => JoinReorderRule(cs.rows, cs.ranges)))
     ext.injectOptimizerRule(session =>
       ConfCatalogRule(session, cs => StatsBroadcastRule(cs.rows,
-        // table-level envelopes as one-"file" stats: the overlap bound
-        // degenerates to all-or-nothing per table — a provably-disjoint
-        // filter bounds the side at 0 (broadcast an empty side), any
-        // overlap keeps the raw count (q277; still a true upper bound)
+        // per-FILE envelopes where the cataloged table IS a unit layout
+        // with a q268 manifest (r17, r16 verdict #4: the real q277
+        // bound session-wide, not just inside the registered query);
+        // tables without one degenerate to table-level envelopes as
+        // one-"file" stats — all-or-nothing per table: a provably-
+        // disjoint filter bounds the side at 0, any overlap keeps the
+        // raw count (q277; still a true upper bound)
         cs.rows.map { case (t, n) =>
-          t -> Seq((n, cs.ranges.getOrElse(t, Map.empty)))
+          t -> cs.fileStats.getOrElse(t,
+            Seq((n, cs.ranges.getOrElse(t, Map.empty))))
         })))
   }
 
   /** What a catalog row carries per table: the footer row count and
     * every numeric column's (min, max) envelope — the q239 facts the
-    * rules consume (rows → size; ranges → bounded selectivity).
+    * rules consume (rows → size; ranges → bounded selectivity) — plus,
+    * for tables that are unit LAYOUTS carrying a q268 manifest, the
+    * per-FILE (row count, envelopes) list feeding q277's overlap bound
+    * (r17).
     */
   private[graft] case class CatalogStats(rows: Map[String, Long],
-      ranges: Map[String, Map[String, (Long, Long)]])
+      ranges: Map[String, Map[String, (Long, Long)]],
+      fileStats: Map[String, Seq[(Long, Map[String, (Long, Long)])]] =
+        Map.empty)
 
   /** One memoized catalog per directory per JVM. */
   private val catalogCache =
@@ -90,11 +99,31 @@ object PlannerRules {
           (n, st.values.map(_.n_values).max, rng)
         }
         val cs = CatalogStats(per.map(p => p._1 -> p._2).toMap,
-          per.map(p => p._1 -> p._3).toMap)
+          per.map(p => p._1 -> p._3).toMap, fileStatsFor(d))
         try writeCatalogManifest(d, cs)
         catch { case _: Throwable => () } // cache write is best-effort
         cs
       })
+
+  /** r17 (r16 verdict #4): per-FILE stats for every cataloged table
+    * that is a unit LAYOUT — a directory carrying a fresh q268
+    * `_graft_manifest.tsv` (exact file-set identity enforced by
+    * [[Footer.readManifest]]; a stale manifest contributes nothing and
+    * the table degenerates to its table-level envelope). Zero footer
+    * opens: the manifest IS the persisted footer walk — exactly the
+    * per-file envelopes `StatsBroadcastRule.fileStats` consumes for
+    * the q277 overlap bound, now session-wide.
+    */
+  private def fileStatsFor(dir: String)
+      : Map[String, Seq[(Long, Map[String, (Long, Long)])]] =
+    graft.Tables.all.flatMap { t =>
+      val root = new java.io.File(s"$dir/$t.parquet")
+      if (!root.isDirectory) None
+      else Footer.readManifest(root.getPath).map { units =>
+        t -> units.map(u =>
+          (u.nRows, u.lo.keys.map(k => k -> (u.lo(k), u.hi(k))).toMap))
+      }
+    }.toMap
 
   private[graft] def catalogManifestPath(dir: String): java.nio.file.Path = {
     // the sanitized name alone collides (/a/b and /a_b both → a_b —
@@ -155,8 +184,11 @@ object PlannerRules {
     val complete = parsed.map(_._1).sorted == graft.Tables.all.sorted
     val fresh = parsed.forall(r => tableFileSet(dir, r._1) == r._3)
     if (complete && fresh)
+      // fileStats ride the per-table LAYOUT manifests, not this file —
+      // re-read on the warm path too (still zero footer opens: the
+      // layout manifest is the persisted walk)
       Some(CatalogStats(parsed.map(r => r._1 -> r._2).toMap,
-        parsed.map(r => r._1 -> r._4).toMap))
+        parsed.map(r => r._1 -> r._4).toMap, fileStatsFor(dir)))
     else None
   } catch { case _: Throwable => None }
 

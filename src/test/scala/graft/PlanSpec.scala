@@ -1208,6 +1208,90 @@ class PlanSpec extends SparkSpec {
         "broadcast a too-big side, the unsafe direction")
   }
 
+  test("r17 session-wide per-file bounds: a session-installed query flips to broadcast_hash from a multi-file manifest bound (r16 verdict #4)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.col
+    val P = graft.plans.PlannerRules
+    // a catalog dir whose `documents` table IS a unit layout: single-
+    // file fixture tables copied verbatim, documents written through
+    // the stock house API as range-clustered units + q268 manifest
+    val cat = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_catfs").getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(cat))
+    new java.io.File(cat).mkdirs()
+    Tables.all.filter(_ != "documents").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Sf, t + ".parquet"),
+        java.nio.file.Paths.get(cat, t + ".parquet"))
+    }
+    Tables(spark, Sf, "documents")
+      .repartitionByRange(5, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.format("house").option("rowsPerUnit", "100")
+      .mode("overwrite").save(cat + "/documents.parquet")
+    val mf = graft.operators.Footer.readManifest(cat + "/documents.parquet")
+    assert(mf.exists(_.size >= 5), s"fixture needs >=5 unit files: $mf")
+    java.nio.file.Files.deleteIfExists(P.catalogManifestPath(cat))
+    P.catalogCacheClear()
+    // the catalog must carry documents' per-file stats
+    val cs = P.catalogStatsFor(cat)
+    assert(cs.fileStats.get("documents").exists(_.size >= 5),
+      "a cataloged unit layout must surface per-file envelopes")
+    assert(cs.fileStats.keySet == Set("documents"),
+      "single-file fixture tables must stay at table-level degeneration")
+    // session install: NO extraOptimizations anywhere — the one conf
+    // key + the one extensions entry point, the production path
+    val byName = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.graft.catalogDir", cat)
+        .withExtensions(byName)
+        .getOrCreate()
+      def join(docs: org.apache.spark.sql.DataFrame) = docs
+        .join(Tables(s2, cat, "orders"), col("doc_id") === col("o_orderkey"))
+        .groupBy().count()
+      // CONTROL: raw counts (500 vs 1500) are inside the 4x band on
+      // both sides -> no hint, shuffle join
+      val control = join(Tables(s2, cat, "documents"))
+      control.head()
+      assert(!control.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "raw catalog counts must abstain inside the 4x band")
+      // BOUNDED: a first-unit filter survives one ~100-row file in the
+      // manifest -> bound 100, 100*4 <= 1500 -> broadcast_hash, from
+      // the SESSION install alone
+      val cut = Tables(s2, cat, "documents")
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")))
+        .head().getLong(0) + 49L
+      val bounded = join(Tables(s2, cat, "documents")
+        .filter(col("doc_id") <= cut))
+      bounded.head()
+      assert(bounded.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "the session-installed per-file manifest bound must flip the " +
+          "filtered side to broadcast_hash:\n" +
+          bounded.queryExecution.executedPlan.toString.take(1200))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("q275 catalog manifest: warm resolution opens zero footers; a stale manifest falls back to the walk (r15 verdict #6)") {
     import graft.operators.Footer
     val P = graft.plans.PlannerRules
