@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   * secondary metric so rounds benched before the checksum change stay
   * comparable.
   *
-  * Each (query, consumer) pair is sampled SPARK_GRAFT_BENCH_SAMPLES
-  * times (default 3) and the MEDIAN is reported. A single sample is
+  * The checksum consumer is sampled SPARK_GRAFT_BENCH_SAMPLES times
+  * (default 3; r17: 2 when the first sample costs >= 8 s — noise is
+  * proportionally irrelevant on the heavy tail, and the tail was most
+  * of the r16 budget overrun) and the MEDIAN is reported; the legacy
+  * count() consumer runs ONE sample (a secondary continuity metric,
+  * declared incomparable with checksum in the record). A single sample is
   * hostage to one-time costs that are not the query's plan — codegen
   * compilation of fresh expression trees, a GC pause inherited from the
   * previous query, broadcast cleanup — and one contaminated sample then
@@ -79,7 +83,11 @@ object Bench {
 
     var failed = Set.empty[String]
 
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
 
     def checksum(df: DataFrame): Unit =
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
@@ -127,17 +135,37 @@ object Bench {
       catch { case _: Throwable => () }
     }
     var degraded = List.empty[String]
+    // r17 (r16 verdict #8): fit the driver budget WITH multi-sample
+    // medians — the r16 run degraded 111/277 queries to 1 sample after
+    // the 2100 s wall. Three structural cuts, each recorded honestly:
+    //  - the legacy count() consumer runs ONE sample always (it is a
+    //    secondary continuity metric the note already declares
+    //    incomparable with checksum; 3 samples of it bought nothing);
+    //  - a query whose FIRST checksum sample costs >= HeavySampleSec
+    //    takes one confirming sample instead of two (even-length median
+    //    = the mean of both) — the multi-sample defense exists for
+    //    contamination NOISE, which is proportionally irrelevant at
+    //    10+ s, and the heavy tail was most of the r16 overrun;
+    //  - the budget degrade tier is unchanged but should now be the
+    //    exception again (per-query "samples" in the JSONL record).
+    val HeavySampleSec = 8.0
     val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
       // soft wall budget (r15 verdict #1c): past it, remaining queries
       // run ONE sample per consumer — a thinner but honest record beats
       // a timeout that yields nothing
       val over = wallSec > budgetSec
       if (over) degraded ::= name
-      val nS = if (over) 1 else samples
-      val tChecksum = median(Seq.fill(nS)(sample(name, fn)(checksum)))
-      val tCount = median(Seq.fill(nS)(sample(name, fn)(_.count())))
+      val checksumSamples =
+        if (over) Seq(sample(name, fn)(checksum))
+        else {
+          val first = sample(name, fn)(checksum)
+          val more = if (first >= HeavySampleSec) 1 else samples - 1
+          first +: Seq.fill(more)(sample(name, fn)(checksum))
+        }
+      val tChecksum = median(checksumSamples)
+      val tCount = sample(name, fn)(_.count())
       emitPartial(s"""{"q":"$name","checksum_s":${r3(tChecksum)},""" +
-        s""""count_s":${r3(tCount)},"samples":$nS,""" +
+        s""""count_s":${r3(tCount)},"samples":${checksumSamples.size},""" +
         s""""done":${qi + 1},"of":${selected.size},"wall_s":${r3(wallSec)}}""")
       (name, tChecksum, tCount)
     }
@@ -256,7 +284,8 @@ object Bench {
       s""""anchor":"${if (anchor.isEmpty) "" else anchorPath}",""" +
       s""""n_degraded":${degraded.size},"budget_sec":${r3(budgetSec)},""" +
       s""""bench_wall_s":${r3(wallSec)},""" +
-      s""""sf":"$sfDir","samples":$samples"""
+      s""""sf":"$sfDir","samples":$samples,""" +
+      s""""legacy_count_samples":1,"heavy_sample_sec":${r3(HeavySampleSec)}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val stdoutLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
