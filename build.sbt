@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r17, q174 adjudication): at 8g the heavy compositions
+  // crept 7.9 -> 11.6 s across six same-JVM samples from old-gen GC
+  // pressure (measured; the in-suite-7.0-vs-isolated-10.4 inversion of
+  // the r16 record); at 16g the same six samples hold 7.6-9.6 s flat.
+  // The target box is 128 GiB / local[32] - 16g is conservative there.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
