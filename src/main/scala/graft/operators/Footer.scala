@@ -1429,6 +1429,64 @@ object Footer extends QueryGroup {
     if (units.map(_.path).sorted == disk) Some(units) else None
   }
 
+  // ---- r17 (q279): VERSIONED manifests — snapshot reads on disk -----
+
+  private def versionedManifestName(v: Long) = s"_graft_manifest.v$v.tsv"
+
+  /** Versions present on disk for a house table, ascending — derived
+    * from the `_graft_manifest.v<N>.tsv` file names, NOT a JVM counter,
+    * so the sequence survives process restarts (the OCC log arbitrates
+    * concurrency within a JVM; the DISK carries the history).
+    */
+  private[graft] def manifestVersions(layoutDir: String): Seq[Long] = {
+    val fs = Option(new java.io.File(layoutDir).listFiles())
+      .getOrElse(Array.empty)
+    val re = """_graft_manifest\.v(\d+)\.tsv""".r
+    fs.flatMap(f => f.getName match {
+      case re(v) => Some(v.toLong)
+      case _     => None
+    }).sorted.toSeq
+  }
+
+  /** Append the next snapshot: the CURRENT committed unit list written
+    * as `_graft_manifest.v<next>.tsv` beside the latest-pointer
+    * manifest. Returns the assigned version. TRUNCATE passes
+    * `reset = true` — the old generation's data files are deleted by
+    * the commit, so every prior snapshot would be DANGLING; deleting
+    * the stale snapshot manifests keeps "a version you can name is a
+    * version you can read" true (a truncate is a history reset, stated
+    * loudly in the q279 scaladoc, not silent corruption).
+    */
+  private[graft] def writeVersionedManifest(layoutDir: String,
+      units: Seq[UnitStats], reset: Boolean): Long = {
+    if (reset)
+      manifestVersions(layoutDir).foreach(v =>
+        new java.io.File(layoutDir, versionedManifestName(v)).delete())
+    val next = manifestVersions(layoutDir).lastOption.getOrElse(0L) + 1L
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(layoutDir, versionedManifestName(next)),
+      (units.map(manifestLine).mkString("\n") + "\n").getBytes("UTF-8"))
+    next
+  }
+
+  /** The unit list AS OF `version` — None when that snapshot does not
+    * exist; a loud IllegalStateException when it exists but names a
+    * deleted file (a dangling snapshot must refuse, never silently
+    * serve a partial table — the q228 pre-horizon stance on disk).
+    */
+  private[graft] def committedUnitsAsOf(layoutDir: String,
+      version: Long): Option[Seq[UnitStats]] = {
+    val f = new java.io.File(layoutDir, versionedManifestName(version))
+    if (!f.exists()) return None
+    val units = parseManifest(layoutDir, f)
+    val gone = units.filter(u => new java.io.File(u.path).length() == 0)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"q279: snapshot v$version of $layoutDir names deleted files " +
+        s"(${gone.map(_.path).take(2).mkString(", ")}...) — the history " +
+        "was reset by a truncate or vacuum; refusing a partial read")
+    Some(units)
+  }
+
   /** The COMMITTED file membership of a house table (r17, the DSv2
     * read gate): the manifest's unit list, honored as long as every
     * named file still EXISTS — a SUBSET check, deliberately weaker
@@ -2833,6 +2891,16 @@ object Footer extends QueryGroup {
     "q278_dsv2_list_write" -> ((spark, dir) =>
       HouseWriter.dsv2ListWriteRoundtrip(spark, dir)),
 
+    // q279 [north star, r17]: HOUSE SNAPSHOT READS — q228's time
+    // travel as a TABLE property: every DSv2 commit lands an immutable
+    // versioned manifest (monotonic from the disk, surviving JVMs),
+    // option("version", N) reads the table exactly as committed at N,
+    // truncate resets history rather than leaving dangling versions,
+    // and unknown/dangling versions refuse loudly. One aggregate row
+    // per snapshot; oracle recomputes the generations from documents.
+    "q279_house_snapshot_read" -> ((spark, dir) =>
+      HouseWriter.houseSnapshotRead(spark, dir)),
+
     // q272 [north star, r16]: DISTRIBUTED HOUSE WRITE — the house
     // kernel leaves the driver: writeUnitsHouse runs the pure-JDK
     // writer PER TASK inside the exact-rank clustered write (one
@@ -3184,6 +3252,29 @@ object Footer extends QueryGroup {
         |    AS BIGINT) AS words_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // q279: the three committed generations recomputed from scratch —
+    // snapshot v reads generations 1..v, so each row's aggregate is
+    // documents UNION ALL its shifted twins up to that version; a
+    // snapshot that leaked a later generation's rows (or lost an
+    // earlier one's) lands as a different count/sum/xor.
+    "q279_house_snapshot_read" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, 1 AS gen FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, 2 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, source, 3 FROM documents)
+        |SELECT v.as_of,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(bit_xor(CAST(('0x' || substring(md5(chr(1) ||
+        |    CAST(doc_id AS VARCHAR) || chr(1) || source), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS content_xor
+        |FROM (VALUES ('v1', 1), ('v2', 2), ('v3', 3)) v(as_of, upto)
+        |JOIN g ON g.gen <= v.upto
+        |GROUP BY v.as_of
+        |ORDER BY v.as_of""".stripMargin,
 
     // q271: q258's oracle VERBATIM — n_words and the sentinel-joined
     // md5 recomputed straight off the raw text; a mis-assembled level

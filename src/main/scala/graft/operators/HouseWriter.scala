@@ -1079,6 +1079,63 @@ object HouseWriter {
     agg(house)
   }
 
+  /** q279 (r17): HOUSE SNAPSHOT READS — time travel on DISK, the q228
+    * log-side contract made a table property. Every DSv2 commit lands
+    * an immutable `_graft_manifest.v<N>.tsv` beside the latest pointer
+    * (N monotonic from the directory listing, so the sequence survives
+    * process restarts; the per-JVM OCC log arbitrates concurrency, the
+    * disk carries the history). `spark.read.format("house")
+    * .option("version", N)` resolves file membership from snapshot N:
+    * an overwrite + two disjoint appends leave three named versions,
+    * and reading each must reproduce exactly the table as committed
+    * then — verified here by aggregate identity per version, with the
+    * latest-pointer read proven ≡ the newest snapshot. A version that
+    * never existed refuses with the on-disk version list; a version
+    * dangling after a truncate's history reset refuses loudly
+    * (spec-pinned) — never a silently partial table, q228's
+    * pre-horizon stance. Oracle: the three generations recomputed from
+    * documents and its shifted twins, one row per snapshot.
+    */
+  def houseSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val n = docs.count()
+    val unitRows = Footer.adaptiveUnitRows(n)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q279_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    val src = "house"
+    def write(df: DataFrame, mode: String): Unit = df
+      .repartition(2, col("doc_id"))
+      .write.format(src).option("rowsPerUnit", unitRows.toString)
+      .mode(mode).save(out)
+    write(docs, "overwrite")                                        // v1
+    write(docs.withColumn("doc_id", col("doc_id") + lit(10000000L)),
+      "append")                                                     // v2
+    write(docs.withColumn("doc_id", col("doc_id") + lit(20000000L)),
+      "append")                                                     // v3
+    val versions = Footer.manifestVersions(out)
+    require(versions == Seq(1L, 2L, 3L),
+      s"q279: overwrite + 2 appends must leave snapshots v1..v3, got $versions")
+    val sep = lit("\u0001")
+    def agg(df: DataFrame, tag: String): DataFrame = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("doc_id")).as("sum_ids"),
+      bit_xor(conv(substring(md5(concat(sep, col("doc_id").cast("string"),
+        sep, col("source"))), 1, 15), 16, 10).cast("long"))
+        .as("content_xor"))
+      .select(lit(tag).as("as_of"), col("n_rows"), col("sum_ids"),
+        col("content_xor"))
+    def asOf(v: Long): DataFrame = spark.read.format(src)
+      .option("version", v.toString).load(out)
+    // the latest pointer and the newest snapshot are the same table
+    require(agg(spark.read.format(src).load(out), "x").collect().toSeq ==
+        agg(asOf(3L), "x").collect().toSeq,
+      "q279: the latest-pointer read must equal the newest snapshot")
+    agg(asOf(1L), "v1").unionByName(agg(asOf(2L), "v2"))
+      .unionByName(agg(asOf(3L), "v3")).orderBy("as_of")
+  }
+
   /** q278 (r17, r16 verdict #6): THE STOCK WRITE API AT FULL KERNEL
     * SCOPE — the write-side twin of q273's read-scope closure. Two legs:
     *

@@ -50,7 +50,8 @@ class HouseSource extends TableProvider
   override def shortName(): String = "house"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    HouseSource.schemaOf(HouseSource.committedFilesOf(options.get("path")))
+    HouseSource.schemaOf(
+      HouseSource.readFilesOf(options.get("path"), options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -140,6 +141,30 @@ object HouseSource {
         .getOrElse(filesOf(path))
     else filesOf(path)
   }
+
+  /** r17 (q279): file membership AS OF a committed snapshot version —
+    * the versioned manifest the commit wrote beside the latest pointer.
+    * A version that never existed refuses with the versions that DO; a
+    * dangling snapshot (named file deleted by a later truncate) refuses
+    * loudly inside [[Footer.committedUnitsAsOf]] rather than serving a
+    * partial table.
+    */
+  private[sources] def snapshotFilesOf(path: String, version: Long): Seq[String] =
+    Footer.committedUnitsAsOf(path, version)
+      .map(_.map(_.path).sorted)
+      .getOrElse(throw new IllegalArgumentException(
+        s"q279: no snapshot v$version under $path — versions on disk: " +
+          s"${Footer.manifestVersions(path).mkString("[", ",", "]")}"))
+
+  /** Resolve read-option-driven membership: `version` → snapshot,
+    * absent → the latest committed manifest (glob fallback).
+    */
+  private[sources] def readFilesOf(path: String,
+      options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("version")) match {
+      case Some(v) => snapshotFilesOf(path, v.toLong)
+      case None    => committedFilesOf(path)
+    }
 
   /** Schema scope (r16, closing the r15 verdict's DSv2 gap): flat
     * INT64/UTF8 leaves as before, PLUS the standard 3-level LIST shape
@@ -244,7 +269,7 @@ private[sources] class HouseTable(path: String, tschema: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HouseScanBuilder(HouseSource.committedFilesOf(path), tschema)
+    new HouseScanBuilder(HouseSource.readFilesOf(path, options), tschema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new HouseWriteBuilder(path, info)
 }
@@ -402,6 +427,12 @@ private[sources] class HouseWrite(path: String, schema: StructType,
           .getOrElse(Seq.empty) ++ stats
       require(all.nonEmpty, "q276: nothing written and nothing pre-existing")
       Footer.writeManifest(path, all)
+      // q279 (r17): every commit also lands an immutable SNAPSHOT
+      // manifest (_graft_manifest.v<N>.tsv, N monotonic from the DISK
+      // so the sequence survives JVMs); a truncate deletes the old
+      // generation's bytes, so it resets the snapshot history rather
+      // than leaving dangling versions
+      Footer.writeVersionedManifest(path, all, reset = truncate)
     }
     HouseSource.lastWrite = (nTasks, stats.map(_.path))
   }

@@ -425,6 +425,58 @@ class FormatSpec extends SparkSpec {
       "a build-time refusal must not have committed anything")
   }
 
+  test("q279 snapshot edges: truncate resets history; unknown and dangling versions refuse loudly") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Footer
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q279_edges").getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(out))
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).limit(100)
+    docs.write.format("house").option("rowsPerUnit", "50")
+      .mode("overwrite").save(out)
+    docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.format("house").option("rowsPerUnit", "50")
+      .mode("append").save(out)
+    assert(Footer.manifestVersions(out) == Seq(1L, 2L))
+    assert(spark.read.format("house").option("version", "1")
+      .load(out).count() == 100L, "snapshot v1 must see only generation 1")
+    assert(spark.read.format("house").option("version", "2")
+      .load(out).count() == 200L, "snapshot v2 must see both generations")
+    // unknown version refuses with the on-disk list
+    val e1 = intercept[Throwable](spark.read.format("house")
+      .option("version", "7").load(out).count())
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e1).exists(m => m.contains("q279") && m.contains("[1,2]")),
+      s"an unknown version must refuse with the versions on disk: ${msgs(e1).take(2)}")
+    // a truncate RESETS history: old snapshots' bytes are gone, so the
+    // old version names must go with them — v1 after the truncate is
+    // the truncate's own generation, not the original
+    docs.write.format("house").option("rowsPerUnit", "50")
+      .mode("overwrite").save(out)
+    assert(Footer.manifestVersions(out) == Seq(1L),
+      "truncate must reset the snapshot history, not dangle it")
+    assert(spark.read.format("house").option("version", "1")
+      .load(out).count() == 100L)
+    // and a hand-planted dangling snapshot (naming deleted files)
+    // refuses loudly rather than serving a partial table
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(out, "_graft_manifest.v1.tsv"),
+      java.nio.file.Paths.get(out, "_graft_manifest.v9.tsv"))
+    new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith("-house.parquet")).take(1)
+      .foreach(_.delete())
+    val e2 = intercept[Throwable](spark.read.format("house")
+      .option("version", "9").load(out).count())
+    assert(msgs(e2).exists(m => m.contains("q279") && m.contains("partial")),
+      s"a dangling snapshot must refuse, never serve a partial table: ${msgs(e2).take(2)}")
+    rm(new java.io.File(out))
+  }
+
   test("r17 manifest-gated read: an orphan part file from a dead attempt is invisible beside a committed manifest") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Footer, HouseWriter}
