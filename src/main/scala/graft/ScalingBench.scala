@@ -166,7 +166,8 @@ object ScalingBench {
       "q260_pushdown_house_scan", "q263_distributed_clustered_write",
       "q266_house_dsv2_source", "q268_manifest_planned_scan",
       "q272_distributed_house_write",
-      "q276_house_dsv2_write")
+      "q276_house_dsv2_write",
+      "q278_dsv2_list_write", "q279_house_snapshot_read")
     // q264/q265/q269/q270 (house-writer probes) are NOT in the tier,
     // for the q239/q249 reason verbatim: single-file driver-side byte
     // kernels, linear in bytes by construction — their DISTRIBUTED
@@ -251,6 +252,14 @@ object ScalingBench {
     // verbatim: footer/manifest reads are ranged tail-reads linear in
     // file count, zero data pages — and the warm path's whole claim is
     // ZERO opens, which has no curve to measure.
+    // q278 (stock-API list write, r17) joins the tier beside q276: the
+    // per-task Dremel list kernels cut adaptive-size files, so the row
+    // measures shuffle + level-stream-encode growth at constant file
+    // count per task (the q271 linear-encode pin guards the kernel).
+    // q279 (snapshot reads, r17) joins the tier: three commits + four
+    // manifest-resolved reads — the row measures write growth plus the
+    // constant-cost claim of manifest-gated planning (membership is a
+    // TSV read, never a footer walk, at any corpus size).
     // Targeted iteration: SPARK_GRAFT_SCALING_ONLY=q49 times only the
     // tier rows (and counterfactuals) whose name starts with one of the
     // given prefixes — the dev loop for re-measuring one curve; full

@@ -1135,6 +1135,31 @@ object Footer extends QueryGroup {
 
   private[graft] val LayoutMemoProp = "graft.bench.layoutMemo"
 
+  /** r17 (retiring the carried r15/r16 design note): the layout tier's
+    * ROOT directory is a parameter, not a baked-in tmpdir. Resolution:
+    * the session conf `spark.graft.layoutRoot` when a session is
+    * active, else the system property `graft.layoutRoot`, else
+    * `java.io.tmpdir` (the local[32] default — unchanged behavior).
+    * On a real cluster the conf points at a SHARED POSIX mount
+    * (NFS/Lustre/EFS): the whole tier is `java.io`/NIO-based by
+    * design (pure-JDK byte kernels), so an object-store root would
+    * need a Hadoop-FS port of the I/O seam — stated here, not implied
+    * away. Every layout writer AND reader resolves through this one
+    * function, so the setting cannot half-apply.
+    */
+  private[graft] def layoutRoot: String = {
+    val fromConf =
+      try Option(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.layoutRoot", null))
+      catch { case _: Exception => None }
+    fromConf.filter(_.nonEmpty)
+      .orElse(Option(System.getProperty("graft.layoutRoot")).filter(_.nonEmpty))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+  }
+
+  private[graft] def layoutDirFor(tag: String): String =
+    layoutRoot + "/graft_prune_" + tag
+
   private[graft] def writeUnits(df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column], tag: String,
       rowsPerUnit: Long = Relational.PruneGroupRows,
@@ -1142,7 +1167,7 @@ object Footer extends QueryGroup {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
-    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutDir = layoutDirFor(tag)
     val memoKey =
       if (!java.lang.Boolean.getBoolean(LayoutMemoProp)) null
       else tag + "|" + rowsPerUnit + "|" + sortCols.mkString(",") + "|" +
@@ -1238,7 +1263,7 @@ object Footer extends QueryGroup {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType}
     val spark = df.sparkSession
-    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutDir = layoutDirFor(tag)
     val memoKey =
       if (!java.lang.Boolean.getBoolean(LayoutMemoProp)) null
       else "house|" + tag + "|" + rowsPerUnit + "|" + sortCols.mkString(",") +
@@ -1531,7 +1556,7 @@ object Footer extends QueryGroup {
     val tag = "q268_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val cold = writeUnits(docs, Seq(col("n_chars"), col("doc_id")), tag,
       adaptiveUnitRows(docs.count()))
-    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutDir = layoutDirFor(tag)
     val before = footerReads.get()
     val warm = readManifest(layoutDir).getOrElse(throw new IllegalStateException(
       s"q268: no warm manifest in $layoutDir right after writeUnits"))
@@ -2672,7 +2697,7 @@ object Footer extends QueryGroup {
       writeOptions = Map(
         "parquet.bloom.filter.enabled#doc_id" -> "true",
         "parquet.bloom.filter.expected.ndv#doc_id" -> unitRows.toString))
-    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutDir = layoutDirFor(tag)
     val house = spark.read
       .format(classOf[graft.sources.HouseSource].getName).load(layoutDir)
     val cases = Seq(
@@ -2764,7 +2789,7 @@ object Footer extends QueryGroup {
     require(units.size <= 1 || nTasks > 1,
       s"q272: ${units.size} units written by $nTasks task(s) — the " +
         "distributed house write collapsed to a single writer")
-    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutDir = layoutDirFor(tag)
     val house = spark.read
       .format(classOf[graft.sources.HouseSource].getName).load(layoutDir)
     val sparkRead = spark.read.parquet(units.map(_.path): _*)

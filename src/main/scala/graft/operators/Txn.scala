@@ -706,7 +706,7 @@ object Txn extends QueryGroup {
     val tag = "q277_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val units = Footer.writeUnits(ev, Seq(col("k"), col("event_id")), tag,
       Footer.adaptiveUnitRows(n))
-    val layoutDir = System.getProperty("java.io.tmpdir") + "/graft_prune_" + tag
+    val layoutDir = Footer.layoutDirFor(tag)
     val layoutName = "graft_prune_" + tag
     val nOrders = Footer.tableStats(dir, "orders").values.map(_.n_values).max
     val rows = Map(layoutName -> n, "orders" -> nOrders)

@@ -112,6 +112,35 @@ class LayoutSpec extends SparkSpec {
     assert(zForX * 2 <= buckets, s"z-order x-pruning too weak: $zForX/$buckets")
   }
 
+  test("r17 layout root is a parameter: conf > system property > tmpdir, writers and readers agree") {
+    import graft.operators.Footer
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_alt_root")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(root); root.mkdirs()
+    // 1. the session conf wins
+    spark.conf.set("spark.graft.layoutRoot", root.getPath)
+    try {
+      val docs = Tables(spark, Sf, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val stats = Footer.writeUnits(docs, Seq(col("n_chars"), col("doc_id")),
+        "altroot", 128L)
+      assert(stats.nonEmpty &&
+        stats.forall(_.path.startsWith(root.getPath)),
+        s"layout units must land under the configured root: ${stats.head.path}")
+      assert(new java.io.File(root, "graft_prune_altroot/_graft_manifest.tsv")
+        .exists(), "the manifest must land beside the units, under the root")
+    } finally {
+      spark.conf.unset("spark.graft.layoutRoot")
+      rm(root)
+    }
+    // 2. unset everywhere -> tmpdir (the unchanged default)
+    assert(Footer.layoutDirFor("x") ==
+      System.getProperty("java.io.tmpdir") + "/graft_prune_x")
+  }
+
   test("q263 distributed clustered write: many write tasks, RangePartitioning exchanges, exact unit alignment") {
     import graft.operators.Footer
     val out = SparkEntry
