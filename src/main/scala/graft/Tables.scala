@@ -39,6 +39,34 @@ object Tables {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
+  /** Scale-adaptive parallelism floor for CPU-heavy per-row stages
+    * (codec encode/decode, gzip, tokenizer expression chains) — r17
+    * optimization, guide §2.5 "input skew" / §2.6 "idle capacity".
+    *
+    * The driver's test corpus is ONE parquet row group per table, so a
+    * scan plans ONE task and everything fused into that stage (the whole
+    * media encode+decode pipeline, a 12-merge BPE replace chain per
+    * word, gzip round trips) runs single-threaded on a 32-core box —
+    * measured 5-10 s/query on the media tier. `spread` hash-shuffles the
+    * rows across the session's default parallelism BEFORE the expensive
+    * per-row work, but ONLY when the scan's own layout under-parallelizes
+    * it: a production corpus has orders of magnitude more row groups
+    * than cores, the `getNumPartitions >= target` test is true, and NO
+    * shuffle is added — this must never become a full-corpus shuffle at
+    * scale. (The branch consults the physical plan's partitioning, not
+    * the data, so it adds no job.) Callers place it where the heavy
+    * per-row stage starts, after filters/projections, so the shuffle
+    * moves only the columns that stage needs.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    // Streaming plans cannot answer `.rdd` (plan-time AnalysisException)
+    // and micro-batches are already split by the source: pass through.
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** The driver has regenerated events.parquet under different physical
     * encodings across rounds (TIMESTAMP(NANOS) in r1–r6, TIMESTAMP_MICROS
     * NTZ from r7), so dispatch on the dtype Spark actually read rather than

@@ -338,7 +338,11 @@ object Aggregates extends QueryGroup {
     */
   private def cmTokens(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.filter(col("text").isNotNull)
+    // r17: spread before the explode×CmDepth md5 fan-out — one row group
+    // fused ~1M md5 computations into a single scan task (A/B at sf0.1:
+    // 3.2s fused vs 1.8s spread)
+    graft.Tables.spread(docs.filter(col("text").isNotNull)
+        .select(col("text")))
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
 

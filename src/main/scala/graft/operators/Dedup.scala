@@ -82,10 +82,8 @@ object Dedup extends QueryGroup {
     * thousands of splits — this is a no-op and adds NO Exchange (asserted
     * in PlanSpec); only a small single-file fixture pays the shuffle.
     */
-  private[graft] def spreadIfUnderSplit(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-  }
+  private[graft] def spreadIfUnderSplit(df: DataFrame): DataFrame =
+    graft.Tables.spread(df) // r17: one canonical helper engine-wide
 
   /** Candidate pairs from a document-frequency-capped inverted index over
     * `(doc_id, sh: array<long>)`. Shingles in more than `maxDf` docs are

@@ -31,6 +31,14 @@ import graft.Tables
   */
 object Multimodal extends QueryGroup {
 
+  // ImageIO defaults to FILE-backed stream caching: every decode/encode
+  // through the registry creates (and deletes) a temp file. All media in
+  // this tier moves as in-memory byte arrays, so the memory-cached
+  // stream is strictly cheaper and semantically identical (r17, guide
+  // §1.2 "per-task work"). JVM-global; runs once per executor JVM when a
+  // task first touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque bytes + id, as it would arrive from a manifest. */
   case class MediaRow(doc_id: Long, media: Array[Byte])
 
@@ -1365,27 +1373,55 @@ object Multimodal extends QueryGroup {
 
   /** The banded near-dup join over (doc_id, dhash): explode into
     * [[DhashBands]] 16-bit bands, equi-join on (band, value), exact
-    * Hamming verify on the survivors. One hash-keyed shuffle; complete
-    * for distance ≤ [[DhashMaxHamming]] by pigeonhole.
+    * Hamming verify on the survivors. Complete for distance ≤
+    * [[DhashMaxHamming]] by pigeonhole.
+    *
+    * r17 (guide §2.3/§2.4 — shuffle fewer bytes, remove the dedup
+    * shuffle): the banded join runs over DISTINCT SIGNATURES, not docs.
+    * The doc-level form generated every qualifying pair once per shared
+    * band (≤ [[DhashBands]]×) and paid a full `distinct()` over that
+    * stream — on a corpus of hash-identical re-render clusters (this
+    * tier's whole point) the candidate stream is bands × Σ|cluster|²
+    * rows. Signature-level banding carries the pigeonhole argument
+    * unchanged (hamming ≤ 3 < 4 bands ⇒ some band is shared verbatim),
+    * and the doc pairs are then EXPANDED from the verified signature
+    * pairs: same-signature pairs are the per-signature member self-join
+    * (hamming 0 by definition), cross-signature pairs the member
+    * cross-product of each verified (sa < sb) pair — each unordered doc
+    * pair materializes exactly ONCE, so no distinct() is ever paid.
+    * Output set, columns, and types are IDENTICAL to the doc-level form
+    * (pairs (a < b) with hamming(h(a), h(b)) ≤ threshold; oracle
+    * hash-pinned at both SFs, brute-force-pinned in the spec).
     */
   def dhashNearDupPairs(hashes: DataFrame): DataFrame = {
-    val bands = hashes.select(col("doc_id"), col("dhash"),
+    val members = hashes.select(col("doc_id"), col("dhash"))
+    val sigs = members.select(col("dhash")).distinct()
+    val sigBands = sigs.select(col("dhash"),
       explode(array((0 until DhashBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
             .as("bv"))): _*)).as("g"))
-      .select(col("doc_id"), col("dhash"), col("g.band"), col("g.bv"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
-      col("band"), col("bv"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
-      col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .select(col("dhash"), col("g.band"), col("g.bv"))
+    val sa = sigBands.select(col("dhash").as("sa"), col("band"), col("bv"))
+    val sb = sigBands.select(col("dhash").as("sb"), col("band"), col("bv"))
+    // verified signature pairs, canonical order sa < sb; distinct() here
+    // runs over signature pairs (≪ doc pairs), deduping the ≤4-band fanout
+    val sigPairs = sa.join(sb, Seq("band", "bv"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= DhashMaxHamming)
-      .orderBy("doc_a", "doc_b")
+    val samePairs = members.select(col("dhash"), col("doc_id").as("doc_a"))
+      .join(members.select(col("dhash"), col("doc_id").as("doc_b")), "dhash")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    val crossPairs = sigPairs
+      .join(members.select(col("dhash").as("sa"), col("doc_id").as("ida")), "sa")
+      .join(members.select(col("dhash").as("sb"), col("doc_id").as("idb")), "sb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    samePairs.unionByName(crossPairs).orderBy("doc_a", "doc_b")
   }
 
   /** Bounded-edge cluster collapse over (doc_id, dhash) — the scale form
@@ -1438,9 +1474,31 @@ object Multimodal extends QueryGroup {
     val memberEdges = hashes.join(heads, Seq("dhash"))
       .filter(col("doc_id") =!= col("head_id"))
       .select(col("head_id").as("a_id"), col("doc_id").as("b_id"))
-    val headPairs = dhashNearDupPairs(
-        heads.select(col("head_id").as("doc_id"), col("dhash")))
-      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
+    // r17: heads are ALREADY one doc per distinct signature, so the
+    // public [[dhashNearDupPairs]]'s signature-level rewrite would only
+    // re-distinct a distinct set and pay three mapping joins to expand
+    // signature pairs back to the very same rows. Band the heads
+    // DIRECTLY (doc ids carried through the band join — the pre-r17
+    // body): identical output on distinct-signature input, three fewer
+    // joins (A/B at sf0.1: q246 6.3s -> 2.7s). Both band-join sides
+    // still sit above the groupBy(dhash) aggregate (PlanSpec contract).
+    val headBands = heads.select(col("head_id"), col("dhash"),
+      explode(array((0 until DhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("bv"))): _*)).as("g"))
+      .select(col("head_id"), col("dhash"), col("g.band"), col("g.bv"))
+    val ha = headBands.select(col("head_id").as("a_id"),
+      col("dhash").as("ha"), col("band"), col("bv"))
+    val hb = headBands.select(col("head_id").as("b_id"),
+      col("dhash").as("hb"), col("band"), col("bv"))
+    val headPairs = ha.join(hb, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DhashMaxHamming)
+      .select(col("a_id"), col("b_id"))
     memberEdges.unionAll(headPairs)
   }
 
@@ -1513,8 +1571,8 @@ object Multimodal extends QueryGroup {
     // arithmetic (PNG is lossless).
     "q162_png_decode" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodePng(id, (1 + nc % 48).toInt, (1 + id % 64).toInt))
@@ -1532,8 +1590,8 @@ object Multimodal extends QueryGroup {
     // all-pairs Hamming, straight from the pixel formula in SQL.
     "q216_image_neardup" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"))).as[Long]
         .map(id => MediaRow(id, encodeBmpDhash(id)))
       dhashNearDupPairs(perceptualHashes(spark, media).toDF())
     }),
@@ -1624,10 +1682,10 @@ object Multimodal extends QueryGroup {
     "q217_boilerplate_extract" -> ((spark, dir) => {
       import spark.implicits._
       import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-      val pages = Tables(spark, dir, "documents")
+      val pages = graft.Tables.spread(Tables(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
-          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text"))
+          concat(col("text"), lit(Warc.NonAsciiProbe)).as("text")))
         .as[(Long, String)]
         .map { case (id, t) => (id, Warc.richPageFor(id, t)) }
         .toDF("doc_id", "html")
@@ -1642,8 +1700,8 @@ object Multimodal extends QueryGroup {
     // analytic: within-scene ≤ 32/px < 40 < 57/px ≤ cross-scene.
     "q218_scene_cuts" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeSceneAvi(id, (16 + nc % 16).toInt,
@@ -1660,8 +1718,8 @@ object Multimodal extends QueryGroup {
     // block_sum // 16.
     "q230_image_resize" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"))).as[Long]
         .map(id => MediaRow(id, encodeBmpDhash(id)))
       resizeImages(spark, media).toDF().orderBy("doc_id")
     }),
@@ -1677,8 +1735,8 @@ object Multimodal extends QueryGroup {
     // (pinned); the oracle runs the honest reachability closure.
     "q233_image_cluster_collapse" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"))).as[Long]
         .map(id => MediaRow(id, encodeBmpDhash(id)))
       val pairs = dhashNearDupPairs(perceptualHashes(spark, media).toDF())
         .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
@@ -1704,8 +1762,8 @@ object Multimodal extends QueryGroup {
     // ScalingBench row q233 had to exclude.
     "q235_image_cluster_sparse" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"))).as[Long]
         .map(id => MediaRow(id, encodeBmpDhash(id)))
       val comps = dhashClusterCollapseSparse(
         perceptualHashes(spark, media).toDF())
@@ -1726,8 +1784,8 @@ object Multimodal extends QueryGroup {
     // bit; cross-group envelopes differ in ≥ 9 bits.
     "q219_audio_neardup" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"))).as[Long]
         .map(id => MediaRow(id, encodeWavAfp(id)))
       dhashNearDupPairs(audioFingerprints(spark, media))
     }),
@@ -1751,6 +1809,9 @@ object Multimodal extends QueryGroup {
     // (singleton passthrough).
     "q246_audio_cluster_collapse" -> ((spark, dir) => {
       import spark.implicits._
+      // r17: NO spread — the fingerprint pass is cheap relative to the
+      // contraction downstream, and the exchange regressed the query
+      // (A/B: 2.66s fused vs 6.27s spread at sf0.1).
       val media = Tables(spark, dir, "documents")
         .select(col("doc_id")).as[Long]
         .map(id => MediaRow(id, encodeWavAfp(id)))
@@ -1838,8 +1899,8 @@ object Multimodal extends QueryGroup {
     // mapPartitions seam is where ffmpeg/JavaCV plugs in.
     "q168_mjpeg_video" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeMjpegAvi(id, (16 + nc % 17).toInt,
@@ -1863,6 +1924,8 @@ object Multimodal extends QueryGroup {
     // mapPartitions seam.
     "q176_pframe_video" -> ((spark, dir) => {
       import spark.implicits._
+      // r17: NO spread — the delta-only P-frame codec is cheap enough
+      // that the exchange is a net loss (A/B: 0.35s vs 0.37s at sf0.1).
       val media = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
@@ -1890,8 +1953,8 @@ object Multimodal extends QueryGroup {
     // verdict. H.264 = this with DCT blocks, CABAC, sub-pel.
     "q196_full_pframe_video" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeGvvAvi(id, (16 + nc % 16).toInt,
@@ -1912,8 +1975,8 @@ object Multimodal extends QueryGroup {
     // pins each block's decoded vector against its band's velocity.
     "q194_block_motion_video" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeGvbAvi(id, (16 + nc % 16).toInt,
@@ -1938,8 +2001,8 @@ object Multimodal extends QueryGroup {
     // sub-pel refinement + rate-distortion weighting; same seam.
     "q191_motion_video" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeGvmAvi(id, (16 + nc % 16).toInt,
@@ -1965,8 +2028,8 @@ object Multimodal extends QueryGroup {
     // same mapPartitions seam, same container.
     "q187_quantized_video" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeGvqAvi(id, (16 + nc % 16).toInt,
@@ -1977,8 +2040,8 @@ object Multimodal extends QueryGroup {
 
     "q165_gif_frames" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeGif(id, (8 + nc % 16).toInt, (6 + id % 10).toInt,
@@ -1996,6 +2059,9 @@ object Multimodal extends QueryGroup {
     // video codec exists; the deployment note stands).
     "q164_wav_decode" -> ((spark, dir) => {
       import spark.implicits._
+      // r17: NO spread here — WAV encode/decode is header arithmetic +
+      // an array copy, far too cheap to amortize the exchange (A/B:
+      // 0.49s fused vs 1.16s spread at sf0.1).
       val media = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
@@ -2115,8 +2181,8 @@ object Multimodal extends QueryGroup {
     // both ways, ≤9 KB per image, decode parallelism = partition count.
     "q152_bmp_decode" -> ((spark, dir) => {
       import spark.implicits._
-      val media = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
+      val media = graft.Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .map { case (id, nc) =>
           MediaRow(id, encodeBmp(id, (1 + nc % 64).toInt, (1 + id % 48).toInt))

@@ -161,7 +161,13 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(holdout, "g")
       .select(col("doc_id")).distinct()
-    val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // r17 (guide §5 caching): decon is read FIVE times downstream — the
+    // deny count, deny's bloom build, both tagged branches of the
+    // erasure union, and q180's n_decon rollup — and its contaminated-
+    // subtree (explode + join) was recomputed by each; track it like the
+    // other stage boundaries.
+    val decon = graft.CachePool.track(
+      train.join(contaminated, Seq("doc_id"), "left_anti"))
     // erasure (q155's mechanism keyed on doc_id): broadcast Bloom over
     // the deny list gates the corpus; the might-set verifies against
     // the exact list with an anti-join, the rest passes through — same
@@ -330,9 +336,9 @@ object Pipeline extends QueryGroup {
       val merges = Tokenizer.bpeTrain(Tokenizer.wordDictOf(docs))
       val vocab = Tokenizer.vocabTable(spark, docs, merges)
         .join(Tokenizer.combineTokenFreq(Seq(
-          (Tokenizer.tokenFreqPartials(oldD, merges), 1L),
-          (Tokenizer.tokenFreqPartials(remD, merges), -1L),
-          (Tokenizer.tokenFreqPartials(newD, merges), 1L))),
+          (Tokenizer.tokenFreqPartials(oldD, merges, spread = false), 1L),
+          (Tokenizer.tokenFreqPartials(remD, merges, spread = false), -1L),
+          (Tokenizer.tokenFreqPartials(newD, merges, spread = false), 1L))),
           Seq("token"), "left")
         .select(col("token_id"), col("token"),
           coalesce(col("freq"), lit(0L)).as("freq"))

@@ -443,8 +443,12 @@ object Relational extends QueryGroup {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // q02 [REF app.py:36]: gzip decode; verified by round-trip identity.
+    // r17: spread before the deflate/inflate chain — one row group of
+    // events fused the whole round trip into a single scan task (A/B at
+    // sf0.1: 2.8s fused vs 1.0s spread).
     "q02_gzip_roundtrip" -> ((spark, dir) =>
-      Tables(spark, dir, "events")
+      graft.Tables.spread(Tables(spark, dir, "events")
+        .select(col("event_id"), col("props")))
         .select(col("event_id"),
           Codec.gunzip(Codec.gzip(col("props"))).as("decoded"))
         .orderBy("event_id")),

@@ -57,6 +57,9 @@ object SuffixScrub extends QueryGroup {
   private[graft] def saDupspanScrub(corpus: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"scrub granularity must be >= 2, got $n")
     val L = Integer.highestOneBit(n) // largest power of two <= n; 2L > n
+    // r17: deliberately NO Tables.spread here — the heavy work is the
+    // shuffling self-joins DOWNSTREAM of this cache (already parallel),
+    // and the extra exchange regressed q179 6.4s -> 8.9s at sf0.1.
     val docs = graft.CachePool.track(
       corpus.select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("ws")))

@@ -263,9 +263,9 @@ object Tokenizer extends QueryGroup {
       val removed = old.filter(gate("vretract:") < "10")
       val delta = docs.filter(gate("vdump:") >= "cd")
       val net = combineTokenFreq(Seq(
-        (tokenFreqPartials(old, merges), 1L),
-        (tokenFreqPartials(removed, merges), -1L),
-        (tokenFreqPartials(delta, merges), 1L)))
+        (tokenFreqPartials(old, merges, spread = false), 1L),
+        (tokenFreqPartials(removed, merges, spread = false), -1L),
+        (tokenFreqPartials(delta, merges, spread = false), 1L)))
       vocabTable(spark, docs, merges)
         .join(net, Seq("token"), "left")
         .select(col("token_id"), col("token"),
@@ -365,8 +365,16 @@ object Tokenizer extends QueryGroup {
     * produce.
     */
   private[graft] def tokenFreqPartials(docs: DataFrame,
-      merges: Seq[Merge]): DataFrame =
-    docs.filter(col("text").isNotNull)
+      merges: Seq[Merge], spread: Boolean = true): DataFrame =
+    // r17: spread floors the segmentation pass at session parallelism
+    // (one-row-group corpora fuse it into a single scan task). Callers
+    // that segment several SMALL SLICES of the corpus (q188/q180's
+    // signed-partial IVM: three sub-50%-selectivity passes) pass
+    // spread=false — three extra exchanges cost more than the slices'
+    // fused compute (A/B at sf0.1: q188 2.61s with, 2.24s without).
+    (if (spread) graft.Tables.spread(docs.filter(col("text").isNotNull)
+        .select(col("text")))
+     else docs.filter(col("text").isNotNull).select(col("text")))
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .select(explode(bpeSegments(col("w"), merges)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
@@ -487,7 +495,7 @@ object Tokenizer extends QueryGroup {
       (acc, x) => struct(
         (acc.getField("c") + x.getField("cost")).as("c"),
         (acc.getField("w") + x.getField("ways")).as("w")))
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
         when(col("text").isNotNull && size(words) > 0, agg).as("v"))
       .select(col("doc_id"), col("n_ws"),
@@ -515,7 +523,7 @@ object Tokenizer extends QueryGroup {
       (acc, x) => struct(
         (acc.getField("p") + x.getField("pieces")).as("p"),
         (acc.getField("u") + x.getField("unk")).as("u")))
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
         when(col("text").isNotNull && size(words) > 0, agg).as("v"))
       .select(col("doc_id"), col("n_ws"),
@@ -581,8 +589,14 @@ object Tokenizer extends QueryGroup {
           "astral) — per-char splits diverge cross-engine on them"))))
       .otherwise(col("text"))
 
+  // The corpus passes below are MAP-ONLY expression chains (12 replaces
+  // per word / a DP per word): everything fuses into the scan stage, so
+  // a one-row-group local corpus runs them on ONE task. Tables.spread
+  // (r17) floors the stage at session parallelism; at production row
+  // group counts it is the identity.
   private[graft] def tokenized(docs: DataFrame, merges: Seq[Merge]): DataFrame =
-    docs.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws"),
       aggregate(
         transform(TextOps.tokens(gatedText), w => bpeTokenCount(w, merges)),
         lit(0L), (acc, x) => acc + x).as("n_bpe"))

@@ -406,12 +406,17 @@ object Txn extends QueryGroup {
           "integrity unproven; refusing the containment estimate")
     }
     def rows(tbl: String, anyCol: String): Long = stats(tbl)(anyCol).n_values
+    // r17 (guide §2.6 — overlap independent jobs): the actual legs are
+    // SEVEN independent count jobs; executed sequentially each one's
+    // stage tail left the box idle. `exec` now returns the advised plan
+    // lazily and the counts run concurrently below — same plans, same
+    // values, wall ≈ the slowest leg instead of the sum.
     def exec(l: DataFrame, r: DataFrame, cond: org.apache.spark.sql.Column,
-        advice: String): Long = (advice match {
+        advice: String): DataFrame = advice match {
       case "broadcast_left"  => broadcast(l).join(r, cond)
       case "broadcast_right" => l.join(broadcast(r), cond)
       case _                 => l.join(r, cond)
-    }).count()
+    }
     def t(n: String) = graft.Tables(spark, dir, n)
 
     // ---- chain: greedy smallest-first over the star schema ----
@@ -423,15 +428,17 @@ object Txn extends QueryGroup {
       ("lineitem", "l_orderkey", "orders", "o_orderkey"))
     var acc: DataFrame = t("region")
     var accEst = denseUnique("region", "r_regionkey")
-    val chainRows = chainSpec.zipWithIndex.map {
+    // each pending row carries its advised ACTUAL leg unexecuted; the
+    // construction loop is driver metadata only (catalog reads)
+    val chainPending = chainSpec.zipWithIndex.map {
       case ((child, fk, parent, pk), i) =>
         denseUnique(parent, pk) // the model's precondition, checked
         contained(child, fk, parent, pk)
         val er = rows(child, fk)
         val advice = joinAdvice(accEst, er)
-        val actual = exec(acc, t(child), col(pk) === col(fk), advice)
+        val leg = exec(acc, t(child), col(pk) === col(fk), advice)
         acc = acc.join(t(child), col(pk) === col(fk))
-        val row = ("chain", (i + 1).toLong, child, accEst, er, er, actual, advice)
+        val row = (("chain", (i + 1).toLong, child, accEst, er, er, advice), leg)
         accEst = er
         row
     }
@@ -441,21 +448,20 @@ object Txn extends QueryGroup {
     val dpR = denseUnique("nation", "n_nationkey")
     contained("customer", "c_nationkey", "nation", "n_nationkey")
     val dpAdvice = joinAdvice(dpL, dpR)
-    val dpActual = exec(t("customer"), t("nation"),
-      col("c_nationkey") === col("n_nationkey"), dpAdvice)
-    val dimProbe = ("dim_probe", 1L, "nation", dpL, dpR, dpL, dpActual, dpAdvice)
+    val dimProbe = (("dim_probe", 1L, "nation", dpL, dpR, dpL, dpAdvice),
+      exec(t("customer"), t("nation"),
+        col("c_nationkey") === col("n_nationkey"), dpAdvice))
 
     // ---- selfjoin: the System-R V-bounded estimate ----
     val sl = rows("lineitem", "l_orderkey")
     val v = denseUnique("orders", "o_orderkey")
     val sjAdvice = joinAdvice(sl, sl)
     val li = t("lineitem")
-    val sjActual = exec(
-      li.select(col("l_orderkey").as("ka"), col("l_linenumber").as("la")),
-      li.select(col("l_orderkey").as("kb"), col("l_linenumber").as("lb")),
-      col("ka") === col("kb"), sjAdvice)
-    val selfJoin = ("selfjoin", 1L, "lineitem", sl, sl, sl * sl / v,
-      sjActual, sjAdvice)
+    val selfJoin = (("selfjoin", 1L, "lineitem", sl, sl, sl * sl / v, sjAdvice),
+      exec(
+        li.select(col("l_orderkey").as("ka"), col("l_linenumber").as("la")),
+        li.select(col("l_orderkey").as("kb"), col("l_linenumber").as("lb")),
+        col("ka") === col("kb"), sjAdvice))
 
     // ---- log_docs: the q240-catalog side ----
     val dumps = Relational.mergeDumps(spark, dir)
@@ -466,13 +472,32 @@ object Txn extends QueryGroup {
     val ldAdvice = joinAdvice(nAlive, nDocs)
     val alive3 = Relational.timeTravelRead(dumps, 3L)
       .filter(col("alive")).select(col("doc_id"))
-    val ldActual = exec(alive3,
-      t("documents").select(col("doc_id").as("d_id")),
-      col("doc_id") === col("d_id"), ldAdvice)
-    val logDocs = ("log_docs", 1L, "documents", nAlive, nDocs,
-      math.min(nAlive, nDocs), ldActual, ldAdvice)
+    val logDocs = (("log_docs", 1L, "documents", nAlive, nDocs,
+      math.min(nAlive, nDocs), ldAdvice),
+      exec(alive3,
+        t("documents").select(col("doc_id").as("d_id")),
+        col("doc_id") === col("d_id"), ldAdvice))
 
-    (chainRows :+ dimProbe :+ selfJoin :+ logDocs)
+    // run the seven independent actual-leg counts CONCURRENTLY: FIFO
+    // scheduling back-fills each leg's task tail with the next leg's
+    // tasks (guide §2.6). 4 in flight saturates the box without
+    // starving any single leg.
+    val pending = chainPending :+ dimProbe :+ selfJoin :+ logDocs
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rowsOut = try {
+      val futures = pending.map { case (meta, leg) =>
+        scala.concurrent.Future((meta, leg.count()))
+      }
+      futures.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+
+    rowsOut
+      .map { case ((js, step, bt, el, er, eo, adv), actual) =>
+        (js, step, bt, el, er, eo, actual, adv)
+      }
       .toDF("join_set", "step", "build_table", "est_left", "est_right",
         "est_out", "actual_out", "advice")
       .orderBy("join_set", "step")
