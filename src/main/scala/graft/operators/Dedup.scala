@@ -1001,14 +1001,26 @@ object Dedup extends QueryGroup {
         col("doc_id").cast("string"))), 1, 2) >= "cd"
       val docs = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"), isNew.as("is_new"))
-      val sh = docs.select(col("doc_id"), col("is_new"),
-        explode(TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
-          .as("g"))
-      val inf = graft.CachePool.track(sh.join(
+      // r17 (guide §2.3/§5, the q101 rewrite): shingle ONCE (arrays
+      // tracked; the tokenize+hash pass ran once per df-join side), keep
+      // the partial-aggregating df cap as the skew guard, then group
+      // each informative shingle's postings into per-side doc lists and
+      // expand the new×corpus pairs from the ONE grouped row — the pair
+      // stream (fanout ≤ cap² per g, multiplicities) is identical to
+      // the two-sided equi-join it replaces; oracle hash-pinned.
+      val docsSh = graft.CachePool.track(
+        docs.select(col("doc_id"), col("is_new"),
+          TextOps.shingleHashes(TextOps.tokens(col("text")), 3).as("shs")))
+      val sh = docsSh.select(col("doc_id"), col("is_new"),
+        explode(col("shs")).as("g"))
+      val inf = sh.join(
         sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxShingleDocFreq).select(col("g")), "g"))
-      val nInf = inf.filter(col("is_new")).groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_inf"))
+          .filter(col("df") <= MaxShingleDocFreq).select(col("g")), "g")
+      val groups = graft.CachePool.track(inf.groupBy(col("g")).agg(
+        collect_list(when(col("is_new"), col("doc_id"))).as("an"),
+        collect_list(when(!col("is_new"), col("doc_id"))).as("ac")))
+      val nInf = groups.select(explode(col("an")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inf"))
       // Bloom-gating MEASURED OUT here (r10): the r9 verdict asked for
       // q158's discipline on this query too, and the runtime-filter
       // direction (new batch's keys prune the corpus side's shuffle —
@@ -1021,11 +1033,13 @@ object Dedup extends QueryGroup {
       // query against a 100 TB corpus enables the same gate by
       // composing `TextOps.bloomBits` + `bloomAnyContain` exactly as
       // `crossDumpNearDup` does.
-      val best = inf.filter(col("is_new")).alias("a")
-        .join(inf.filter(!col("is_new")).alias("b"),
-          col("a.g") === col("b.g"))
-        .groupBy(col("a.doc_id").as("new_id"),
-          col("b.doc_id").as("corpus_id"))
+      val best = groups
+        .filter(size(col("an")) >= 1 && size(col("ac")) >= 1)
+        .select(explode(flatten(transform(col("an"), a =>
+          transform(col("ac"), b =>
+            struct(a.as("new_id"), b.as("corpus_id")))))).as("p"))
+        .groupBy(col("p.new_id").as("new_id"),
+          col("p.corpus_id").as("corpus_id"))
         .agg(count(lit(1)).as("common"))
         .groupBy(col("new_id")).agg(max(col("common")).as("best_common"))
       val exact = docs.filter(col("is_new"))
@@ -1206,14 +1220,30 @@ object Dedup extends QueryGroup {
     */
   private[graft] def containmentPairs(
       docs: DataFrame, maxDf: Int, tau: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val inf = graft.CachePool.track(sh.join(
+    // r17 (guide §2.3/§2.4/§5): shingle ONCE (docs tracked — the
+    // tokenize+hash pass was recomputed for each side of the df join),
+    // keep the partial-aggregating df count as the skew guard (doc
+    // lists are only ever collected for groups the cap already
+    // bounded), then produce each informative shingle's pairs from its
+    // ONE grouped row instead of the two-sided self-join: the pair
+    // stream is unchanged (per-g fanout ≤ maxDf², multiplicities
+    // identical to the a<b equi-join), but the exploded index shuffles
+    // once instead of three times. A/B at sf0.1: 8.0 s → see
+    // OPTIMIZATION_r17.md; oracle hash-pinned at both SFs.
+    val docsC = graft.CachePool.track(docs)
+    val sh = docsC.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inf = sh.join(
       sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("g")), "g"))
-    val sizes = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inf.alias("a").join(inf.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .filter(col("df") <= maxDf).select(col("g")), "g")
+    val groups = graft.CachePool.track(
+      inf.groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds")))
+    val sizes = groups.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    groups.filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")

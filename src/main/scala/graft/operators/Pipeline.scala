@@ -149,9 +149,9 @@ object Pipeline extends QueryGroup {
     // gate; only the flagged sliver explodes into the exact verify join.
     val isVal = substring(md5(concat(lit("split:"),
       col("doc_id").cast("string"))), 1, 2) >= ValGate
-    val withSh = graft.CachePool.track(
-      dd.withColumn("is_val", isVal)
-        .withColumn("sh", TextOps.shingleHashes(TextOps.tokens(col("text")), DeconGram)))
+    val withSh = dd.withColumn("is_val", isVal)
+      .withColumn("sh", TextOps.shingleHashes(TextOps.tokens(col("text")), DeconGram))
+      .localCheckpoint()
     val holdout = graft.CachePool.track(
       withSh.filter(col("is_val")).select(explode(col("sh")).as("g")).distinct())
     val bits = TextOps.bloomBits(holdout, "g")
@@ -184,8 +184,17 @@ object Pipeline extends QueryGroup {
       .drop("might")
     def strip(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // r17 (guide §5 — the driver is part of the budget): `clean` ends a
+    // six-boundary funnel whose logical plan is ~0.5 MB; every one of
+    // the MANY downstream jobs (wordDict collect, tokenize pass, the
+    // scan-pack totals/offsets sequence, q180's rollup) re-canonicalized
+    // and re-planned that whole lineage — profiled at ~3.5 s of
+    // between-stage driver gaps on q185 against 5.1 s of stage wall.
+    // localCheckpoint materializes the same rows ONCE (a cache would
+    // too) and TRUNCATES the plan for everything above — the
+    // connectedComponents lesson applied to the funnel seam.
     Stages(parsed, gated, strip(dd), strip(train), strip(decon),
-      graft.CachePool.track(strip(clean)))
+      strip(clean).localCheckpoint())
   }
 
   /** The funnel stages as chained SQL CTEs ending in `clean` — shared
@@ -342,8 +351,10 @@ object Pipeline extends QueryGroup {
           Seq("token"), "left")
         .select(col("token_id"), col("token"),
           coalesce(col("freq"), lit(0L)).as("freq"))
-      val base = graft.CachePool.track(
-        Similarity.withQuantized(Tables(spark, dir, "embeddings")))
+      // r17: spread before caching (the Pq.quantizedBase rationale) —
+      // the coarse trainSlice rounds were 1.0-1.5 s single-task stages
+      val base = graft.CachePool.track(graft.Tables.spread(
+        Similarity.withQuantized(Tables(spark, dir, "embeddings"))))
       val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
       val assigned = Pq.ivfAssign(base, coarse)
       val oldV = assigned.filter(gateVec("rdump:") < "cd")

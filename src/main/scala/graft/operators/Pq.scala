@@ -168,8 +168,12 @@ object Pq extends QueryGroup {
     * training loops and the encode pass read it).
     */
   private def quantizedBase(spark: SparkSession, dir: String): DataFrame =
-    graft.CachePool.track(
-      Similarity.withQuantized(Tables(spark, dir, "embeddings")))
+    // r17: spread BEFORE caching — a one-row-group embeddings scan
+    // otherwise caches as ONE partition and every Lloyd round's
+    // nearest-centroid pass (k distance evals per vector per round)
+    // runs single-threaded; the exchange is paid once at cache build
+    graft.CachePool.track(graft.Tables.spread(
+      Similarity.withQuantized(Tables(spark, dir, "embeddings"))))
 
   /** (vec_id [, extra...], code0..code3) — one map-only projection over
     * the base. `extra` lets q173's coarse-cell argmin ride the SAME
