@@ -351,10 +351,8 @@ object Pipeline extends QueryGroup {
           Seq("token"), "left")
         .select(col("token_id"), col("token"),
           coalesce(col("freq"), lit(0L)).as("freq"))
-      // r17: spread before caching (the Pq.quantizedBase rationale) —
-      // the coarse trainSlice rounds were 1.0-1.5 s single-task stages
-      val base = graft.CachePool.track(graft.Tables.spread(
-        Similarity.withQuantized(Tables(spark, dir, "embeddings"))))
+      val base = graft.CachePool.track(
+        Similarity.withQuantized(Tables(spark, dir, "embeddings")))
       val coarse = Pq.trainSlice(base, 1, Pq.SubSpaces * Pq.SubDim, Pq.CoarseK)
       val assigned = Pq.ivfAssign(base, coarse)
       val oldV = assigned.filter(gateVec("rdump:") < "cd")

@@ -168,12 +168,13 @@ object Pq extends QueryGroup {
     * training loops and the encode pass read it).
     */
   private def quantizedBase(spark: SparkSession, dir: String): DataFrame =
-    // r17: spread BEFORE caching — a one-row-group embeddings scan
-    // otherwise caches as ONE partition and every Lloyd round's
-    // nearest-centroid pass (k distance evals per vector per round)
-    // runs single-threaded; the exchange is paid once at cache build
-    graft.CachePool.track(graft.Tables.spread(
-      Similarity.withQuantized(Tables(spark, dir, "embeddings"))))
+    // r17: a spread-before-cache variant was MEASURED OUT here — the
+    // PQ tier's many Lloyd rounds and encode passes are each cheap, so
+    // 32-task scheduling per round cost far more than the single-task
+    // compute it parallelized (full-suite A/B: q170 1.5->4.2 s,
+    // q171 1.7->5.0 s, q173 2.1->6.1 s, q177 2.3->10.4 s; reverted).
+    graft.CachePool.track(
+      Similarity.withQuantized(Tables(spark, dir, "embeddings")))
 
   /** (vec_id [, extra...], code0..code3) — one map-only projection over
     * the base. `extra` lets q173's coarse-cell argmin ride the SAME
